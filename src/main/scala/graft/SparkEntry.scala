@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every oracle-checked operator query; each key has a
+  * DuckDB-runnable equivalent in `oracleSql` (same column aliases, same
+  * total ordering). Registries live under `graft.queries`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Enrichment lookup join (J1): CDC events enriched with the customer
+    * dimension via broadcast left-outer join — the reference's hot path.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cdc = model.Cdc.fromEvents(Tables.events(spark, dir))
+    val dim = Tables.customer(spark, dir)
+    ops.Joins.enrich(cdc, dim, cdc("record_user_id"), dim("c_custkey"))
+      .select(col("record_id"), col("action"), col("record_value"),
+        col("c_name"), col("c_mktsegment"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracles
 }

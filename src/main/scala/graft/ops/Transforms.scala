@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projections / transforms P1-P10 over the CDC envelope.
+  *
+  * All are narrow (no shuffle) column expressions that stay inside
+  * whole-stage codegen — the per-row cost that dominates the reference's
+  * per-message Elixir hot path compiles to generated Java here.
+  */
+object Transforms {
+
+  /** P5 — change diff: for updates, the old-image entries whose value
+    * differs from the new image; inserts/deletes → NULL; update without an
+    * old tuple → empty map, not null
+    * (`/root/reference/lib/sequin/consumers/consumers.ex:661-676`).
+    *
+    * On a map-typed envelope this is
+    * `map_filter(old, (k,v) -> new[k] IS DISTINCT FROM v)`; on the flat test
+    * envelope the single tracked field is `old_value` vs `record_value`.
+    */
+  def changesDiff(df: DataFrame): DataFrame =
+    df.withColumn("changed_value",
+      when(col("action") === "update" &&
+        !(col("old_value") <=> col("record_value")), col("old_value")))
+
+  /** Map-typed variant of P5 for real (map<string,any>) records. */
+  def changesDiffMap(newRecord: Column, oldRecord: Column): Column =
+    map_filter(oldRecord, (k, v) => !(element_at(newRecord, k) <=> v))
+
+  /** P8 — TOAST resolution: unchanged-toast sentinel cells take the value
+    * from the old image (`/root/reference/lib/sequin/runtime/
+    * message_handler.ex:309-361`). Intra-row `map_zip_with`, no shuffle.
+    */
+  def toastResolve(newRecord: Column, oldRecord: Column, sentinel: String = "unchanged_toast"): Column =
+    map_zip_with(newRecord, oldRecord, (_, n, o) => coalesce(nullif(n, lit(sentinel)), o))
+
+  /** P3 — dot-path extraction from the JSON payload
+    * (`/root/reference/lib/sequin/consumers/path_function.ex:25-72`).
+    * Missing paths → NULL via `get_json_object` semantics.
+    */
+  def pathExtract(jsonCol: Column, path: String): Column =
+    get_json_object(jsonCol, "$." + path)
+
+  /** P9 — per-consumer timestamp rendering: ISO-8601 or unix microseconds
+    * (`sink_consumer.ex:99`, `sink_pipeline.ex:194`).
+    */
+  def formatTimestamp(ts: Column, format: String): Column = format match {
+    case "iso8601"          => date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    case "unix_microsecond" => unix_micros(ts)
+    case other              => throw new IllegalArgumentException(s"unknown ts format $other")
+  }
+
+  /** P10 — group id: configured group columns (or pks) joined with ":";
+    * empty → NULL → ungrouped parallel delivery
+    * (`/root/reference/lib/sequin/consumers/consumers.ex:730-791`).
+    */
+  def groupId(groupCols: Seq[Column]): Column =
+    nullif(concat_ws(":", groupCols: _*), lit(""))
+
+  /** Idempotency key: base64("lsn:idx")
+    * (`/root/reference/lib/sequin/runtime/slot_producer/processor.ex:176`).
+    */
+  def idempotencyKey(lsn: Column, idx: Column): Column =
+    base64(concat(lsn.cast("string"), lit(":"), idx.cast("string")).cast("binary"))
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.Cdc
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the reference's declared operator inventory
+  * (SURVEY.md §2 / §7.3, Q1-Q24). Each entry has a DuckDB-equivalent SQL in
+  * [[CoreQueries.oracles]].
+  *
+  * Output discipline (driver hash-compares Spark parquet vs DuckDB):
+  *   - flat scalar columns only (no maps/structs in the final select);
+  *   - identical column aliases on both sides;
+  *   - a total ORDER BY on both sides (unique tiebreaker) so row order is
+  *     representation-independent;
+  *   - timestamps exported as epoch micros/millis (bigint), never raw;
+  *   - double aggregation goes through exact integer cents — FP sum order
+  *     would otherwise differ between engines.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cdc(s: SparkSession, dir: String): DataFrame =
+    Cdc.fromEvents(Tables.events(s, dir))
+
+  val queries: Map[String, Q] = Map(
+    // S6/O1 — keyset pagination page (tuple-compare + sort + limit)
+    "q01_keyset_page" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      Keyset.page(orders, Seq("o_orderdate", "o_orderkey"),
+          Some(Seq(java.time.LocalDateTime.parse("1995-06-01T00:00:00"), 3000L)), 100)
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("o_totalprice"), col("o_orderstatus"))
+    }),
+
+    // S9 — filtered count of the remaining keyset scan
+    "q02_filtered_count" -> ((s, dir) =>
+      Keyset.remainingCount(Tables.orders(s, dir), Seq("o_orderdate", "o_orderkey"),
+        Seq(java.time.LocalDateTime.parse("1995-06-01T00:00:00"), 3000L))),
+
+    // S10 — first row in cursor order
+    "q03_first_row" -> ((s, dir) =>
+      Keyset.firstRow(Tables.lineitem(s, dir), Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"), col("l_quantity"))),
+
+    // W6 batch / sink upsert — latest image per business row (MERGE dedup)
+    "q04_dedup_upsert" -> ((s, dir) =>
+      Ordering.dedupLatest(cdc(s, dir), Seq("table_name", "group_id"),
+          Seq(col("commit_lsn"), col("commit_idx")))
+        .select("table_name", "group_id", "record_id", "action", "record_value",
+          "commit_lsn", "commit_idx")
+        .orderBy("table_name", "group_id")),
+
+    // F1 — include/exclude scoping, then per-table counts
+    "q05_source_scope" -> ((s, dir) =>
+      Filters.sourceScope(cdc(s, dir),
+          SourceScope(includeSchemas = Some(Seq("public")),
+            excludeTableOids = Some(Seq(16387L, 16388L))))
+        .groupBy("table_schema", "table_name", "table_oid")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("table_schema", "table_name", "table_oid")),
+
+    // F3 — typed column filters incl. cistring + jsonb path
+    "q06_column_filters" -> ((s, dir) =>
+      Filters.columnFilters(cdc(s, dir), Seq(
+          ColumnFilter("record_value", ">", Seq("50"), "number"),
+          ColumnFilter("table_name", "==", Seq("T2"), "cistring"),
+          ColumnFilter("record_props", ">=", Seq("10"), "number", jsonbPath = Some("k")),
+          ColumnFilter("action", "!=", Seq("delete"))))
+        .select("record_id", "table_name", "record_value", "record_props")
+        .orderBy("record_id")),
+
+    // F4 — representative filter-function predicate (user code surface)
+    "q07_filter_function" -> ((s, dir) =>
+      cdc(s, dir).filter(
+          col("action") === "insert" &&
+          get_json_object(col("record_props"), "$.k").cast("bigint") % 2 === 0 &&
+          col("record_value") > 25.5 && col("record_props").isNotNull)
+        .select("record_id", "record_user_id", "record_value")
+        .orderBy("record_id")),
+
+    // F7 — delivered-ledger anti join (exactly-once read side)
+    "q08_reject_delivered" -> ((s, dir) => {
+      val all = cdc(s, dir)
+      val ledger = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
+      Joins.rejectDelivered(all, ledger)
+        .select("record_id", "commit_lsn", "commit_idx")
+        .orderBy("record_id")
+    }),
+
+    // P3 — dot-path projection from JSON payload (missing path → NULL)
+    "q09_path_projection" -> ((s, dir) =>
+      cdc(s, dir).select(col("record_id"),
+          Transforms.pathExtract(col("record_props"), "k").as("prop_k"),
+          Transforms.pathExtract(col("record_props"), "x.y").as("prop_missing"),
+          col("table_schema"), col("table_name"))
+        .orderBy("record_id")),
+
+    // P4 — transform-function reshaping (rename/concat/arith/conditional)
+    "q10_transform_reshape" -> ((s, dir) =>
+      cdc(s, dir).select(
+          col("record_id").as("id"),
+          concat(col("table_schema"), lit("."), col("table_name")).as("fqtn"),
+          (col("record_value") * lit(1.1)).as("boosted"),
+          when(col("action") === "insert", "c")
+            .when(col("action") === "update", "u")
+            .otherwise("d").as("op_code"),
+          upper(col("table_schema")).as("schema_uc"))
+        .orderBy("id")),
+
+    // P5 — change diff (old-image entries that differ; updates only)
+    "q11_changes_diff" -> ((s, dir) =>
+      Transforms.changesDiff(cdc(s, dir))
+        .select("record_id", "action", "old_value", "record_value", "changed_value")
+        .orderBy("record_id")),
+
+    // P8 — TOAST sentinel resolution via nullif/coalesce against old image
+    "q12_toast_resolve" -> ((s, dir) =>
+      cdc(s, dir)
+        .withColumn("props_wire",
+          when(pmod(col("record_id"), lit(5)) === 0, "unchanged_toast")
+            .otherwise(col("record_props")))
+        .select(col("record_id"),
+          coalesce(nullif(col("props_wire"), lit("unchanged_toast")),
+            lit("""{"k": -1}""")).as("resolved_props"))
+        .orderBy("record_id")),
+
+    // P9 — per-consumer timestamp rendering (ISO-8601 + unix micros)
+    "q13_timestamp_format" -> ((s, dir) =>
+      cdc(s, dir).select(col("record_id"),
+          Transforms.formatTimestamp(col("commit_ts"), "iso8601").as("ts_iso"),
+          Transforms.formatTimestamp(col("commit_ts"), "unix_microsecond").as("ts_us"))
+        .orderBy("record_id")),
+
+    // P10 — group-id computation (empty → NULL → ungrouped)
+    "q14_group_id" -> ((s, dir) =>
+      cdc(s, dir).select(col("record_id"),
+          Transforms.groupId(Seq(
+            when(col("table_schema") =!= "audit", col("table_name")),
+            when(col("table_schema") =!= "audit", col("group_id"))))
+            .as("group_key"))
+        .orderBy("record_id")),
+
+    // J1 — enrichment lookup join (broadcast left outer; misses → NULL)
+    "q15_enrich_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val dim = Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0)
+      Joins.enrich(orders, dim, orders("o_custkey"), dim("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J3 — backfill fencing anti join (CDC wins over stale backfill reads)
+    "q16_backfill_fence" -> ((s, dir) => {
+      val backfill = Tables.events(s, dir)
+        .select(col("event_id").cast("string").as("record_pk"),
+          col("event_id"), col("user_id"), col("value"))
+      val seen = cdc(s, dir).filter(col("commit_lsn") >= 8000)
+      Joins.backfillFence(backfill, seen, Seq("record_pk"))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // A2 — min unpersisted WAL cursor (struct-min watermark)
+    "q17_min_cursor" -> ((s, dir) =>
+      Ordering.minCursor(cdc(s, dir).filter(pmod(col("commit_lsn"), lit(16)) =!= 0))),
+
+    // A3 — running ingestion counts per hour (backfill progress)
+    "q18_running_counts" -> ((s, dir) => {
+      val hourly = cdc(s, dir)
+        .groupBy(date_trunc("hour", col("commit_ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      hourly.select(unix_micros(col("h")).as("hour_us"), col("n"),
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.orderBy("h")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("running_n"))
+        .orderBy("hour_us")
+    }),
+
+    // A4 — per-class stats: count / exact-cents sum / min / max / median
+    "q19_stats" -> ((s, dir) =>
+      cdc(s, dir)
+        .withColumn("value_cents", round(col("record_value") * 100).cast("bigint"))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"),
+          sum("value_cents").as("sum_cents"),
+          min("value_cents").as("min_cents"),
+          max("value_cents").as("max_cents"),
+          expr("percentile(value_cents, 0.5D)").as("med_cents"))
+        .orderBy("action")),
+
+    // W1 — total (commit_lsn, commit_idx) order restore
+    "q20_total_order" -> ((s, dir) =>
+      Ordering.totalOrder(cdc(s, dir))
+        .select("commit_lsn", "commit_idx", "record_id")),
+
+    // W2 — head-of-line per delivery group (null groups pass through)
+    "q21_head_of_group" -> ((s, dir) =>
+      Ordering.headOfGroup(
+          cdc(s, dir).withColumn("group_id",
+            when(col("table_schema") =!= "audit", col("group_id"))))
+        .select("group_id", "record_id", "commit_lsn", "commit_idx")
+        .orderBy("record_id")),
+
+    // W3 — CDC-over-backfill priority merge
+    "q22_priority_merge" -> ((s, dir) => {
+      val all = cdc(s, dir)
+      val live = all.filter(pmod(col("record_user_id"), lit(2)) === 0)
+      val backfill = all.filter(pmod(col("record_user_id"), lit(2)) === 1)
+      Ordering.priorityMerge(live, backfill)
+        .select("priority", "commit_lsn", "commit_idx", "record_id")
+    }),
+
+    // W5 — bytes-batcher bucketing (running sum within group order)
+    "q23_byte_batches" -> ((s, dir) =>
+      Ordering.byteBatches(cdc(s, dir), 4096)
+        .select("group_id", "commit_lsn", "commit_idx", "byte_size",
+          "running_bytes", "batch_idx")
+        .orderBy("group_id", "commit_lsn", "commit_idx")),
+
+    // O4 — multi-key descending sort + limit
+    "q24_multi_desc_sort" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(50)
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("o_totalprice"))))
+
+  /** DuckDB equivalents. `cdc` CTE prefix from [[Cdc.duckCte]]. */
+  val oracles: Map[String, String] = {
+    val cte = Cdc.duckCte
+    Map(
+      "q01_keyset_page" ->
+        """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_totalprice, o_orderstatus
+          |FROM orders
+          |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 3000)
+          |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+      "q02_filtered_count" ->
+        """SELECT count(*) AS remaining_count FROM orders
+          |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 3000)""".stripMargin,
+
+      "q03_first_row" ->
+        """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, l_quantity
+          |FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1""".stripMargin,
+
+      "q04_dedup_upsert" -> (cte +
+        """SELECT table_name, group_id, record_id, action, record_value, commit_lsn, commit_idx
+          |FROM (SELECT *, row_number() OVER (PARTITION BY table_name, group_id
+          |        ORDER BY commit_lsn DESC, commit_idx DESC) AS rn FROM cdc)
+          |WHERE rn = 1 ORDER BY table_name, group_id""".stripMargin),
+
+      "q05_source_scope" -> (cte +
+        """SELECT table_schema, table_name, table_oid, CAST(count(*) AS BIGINT) AS n
+          |FROM cdc
+          |WHERE table_schema IN ('public') AND table_oid NOT IN (16387, 16388)
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+      "q06_column_filters" -> (cte +
+        """SELECT record_id, table_name, record_value, record_props FROM cdc
+          |WHERE CAST(record_value AS DOUBLE) > 50
+          |  AND lower(table_name) = 't2'
+          |  AND CAST(json_extract_string(record_props, '$.k') AS DOUBLE) >= 10
+          |  AND action != 'delete'
+          |ORDER BY record_id""".stripMargin),
+
+      "q07_filter_function" -> (cte +
+        """SELECT record_id, record_user_id, record_value FROM cdc
+          |WHERE action = 'insert'
+          |  AND CAST(json_extract_string(record_props, '$.k') AS BIGINT) % 2 = 0
+          |  AND record_value > 25.5 AND record_props IS NOT NULL
+          |ORDER BY record_id""".stripMargin),
+
+      "q08_reject_delivered" -> (cte +
+        """SELECT record_id, commit_lsn, commit_idx FROM cdc c
+          |WHERE NOT EXISTS (SELECT 1 FROM cdc d
+          |  WHERE d.commit_lsn % 16 = 0
+          |    AND d.commit_lsn = c.commit_lsn AND d.commit_idx = c.commit_idx)
+          |ORDER BY record_id""".stripMargin),
+
+      "q09_path_projection" -> (cte +
+        """SELECT record_id,
+          |  json_extract_string(record_props, '$.k') AS prop_k,
+          |  json_extract_string(record_props, '$.x.y') AS prop_missing,
+          |  table_schema, table_name
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q10_transform_reshape" -> (cte +
+        """SELECT record_id AS id,
+          |  table_schema || '.' || table_name AS fqtn,
+          |  record_value * 1.1 AS boosted,
+          |  CASE WHEN action = 'insert' THEN 'c'
+          |       WHEN action = 'update' THEN 'u' ELSE 'd' END AS op_code,
+          |  upper(table_schema) AS schema_uc
+          |FROM cdc ORDER BY id""".stripMargin),
+
+      "q11_changes_diff" -> (cte +
+        """SELECT record_id, action, old_value, record_value,
+          |  CASE WHEN action = 'update' AND old_value IS DISTINCT FROM record_value
+          |       THEN old_value END AS changed_value
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q12_toast_resolve" -> (cte +
+        """SELECT record_id,
+          |  coalesce(nullif(CASE WHEN record_id % 5 = 0 THEN 'unchanged_toast'
+          |                       ELSE record_props END, 'unchanged_toast'),
+          |           '{"k": -1}') AS resolved_props
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q13_timestamp_format" -> (cte +
+        """SELECT record_id,
+          |  strftime(commit_ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso,
+          |  epoch_us(commit_ts) AS ts_us
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q14_group_id" -> (cte +
+        """SELECT record_id,
+          |  nullif(concat_ws(':',
+          |    CASE WHEN table_schema != 'audit' THEN table_name END,
+          |    CASE WHEN table_schema != 'audit' THEN group_id END), '') AS group_key
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q15_enrich_join" ->
+        """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+          |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+          |  ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q16_backfill_fence" -> (cte +
+        """SELECT e.event_id, e.user_id, e.value FROM events e
+          |WHERE NOT EXISTS (SELECT 1 FROM cdc c
+          |  WHERE c.commit_lsn >= 8000 AND c.record_pk = CAST(e.event_id AS VARCHAR))
+          |ORDER BY e.event_id""".stripMargin),
+
+      "q17_min_cursor" -> (cte +
+        """SELECT commit_lsn AS min_commit_lsn, commit_idx AS min_commit_idx
+          |FROM cdc WHERE commit_lsn % 16 <> 0
+          |ORDER BY commit_lsn, commit_idx LIMIT 1""".stripMargin),
+
+      "q18_running_counts" -> (cte +
+        """SELECT epoch_us(h) AS hour_us, n,
+          |  CAST(sum(n) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+          |FROM (SELECT date_trunc('hour', commit_ts) AS h, CAST(count(*) AS BIGINT) AS n
+          |      FROM cdc GROUP BY 1)
+          |ORDER BY hour_us""".stripMargin),
+
+      "q19_stats" -> (cte +
+        """SELECT action, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+          |  min(value_cents) AS min_cents,
+          |  max(value_cents) AS max_cents,
+          |  quantile_cont(value_cents, 0.5) AS med_cents
+          |FROM (SELECT action, CAST(round(record_value * 100) AS BIGINT) AS value_cents
+          |      FROM cdc)
+          |GROUP BY action ORDER BY action""".stripMargin),
+
+      "q20_total_order" -> (cte +
+        """SELECT commit_lsn, commit_idx, record_id FROM cdc
+          |ORDER BY commit_lsn, commit_idx""".stripMargin),
+
+      "q21_head_of_group" -> (cte.stripSuffix("\n") +
+        """, cdc2 AS (SELECT record_id, commit_lsn, commit_idx,
+          |    CASE WHEN table_schema != 'audit' THEN group_id END AS group_id
+          |  FROM cdc)
+          |SELECT group_id, record_id, commit_lsn, commit_idx FROM (
+          |  SELECT group_id, record_id, commit_lsn, commit_idx FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY group_id
+          |      ORDER BY commit_lsn, commit_idx) AS rn
+          |    FROM cdc2 WHERE group_id IS NOT NULL) WHERE rn = 1
+          |  UNION ALL
+          |  SELECT group_id, record_id, commit_lsn, commit_idx
+          |  FROM cdc2 WHERE group_id IS NULL)
+          |ORDER BY record_id""".stripMargin),
+
+      "q22_priority_merge" -> (cte +
+        """SELECT priority, commit_lsn, commit_idx, record_id FROM (
+          |  SELECT 0 AS priority, commit_lsn, commit_idx, record_id
+          |  FROM cdc WHERE record_user_id % 2 = 0
+          |  UNION ALL
+          |  SELECT 1 AS priority, commit_lsn, commit_idx, record_id
+          |  FROM cdc WHERE record_user_id % 2 = 1)
+          |ORDER BY priority, commit_lsn, commit_idx""".stripMargin),
+
+      "q23_byte_batches" -> (cte +
+        """SELECT group_id, commit_lsn, commit_idx, byte_size,
+          |  CAST(sum(byte_size) OVER w AS BIGINT) AS running_bytes,
+          |  (CAST(sum(byte_size) OVER w AS BIGINT) - 1) // 4096 AS batch_idx
+          |FROM cdc
+          |WINDOW w AS (PARTITION BY group_id ORDER BY commit_lsn, commit_idx
+          |             ROWS UNBOUNDED PRECEDING)
+          |ORDER BY group_id, commit_lsn, commit_idx""".stripMargin),
+
+      "q24_multi_desc_sort" ->
+        """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_totalprice
+          |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50""".stripMargin)
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs DuckDB oracle SQL (from Verify's oracle_sql.json) against the parquet
+tables and compares with the Spark-written parquet per query: schema
+(column names), row count, and value hash (columns sorted by name).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+
+def row_hash(df: pd.DataFrame):
+    # stringify everything; floats via repr (exact)
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    rows = ["|".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    import hashlib
+    return hashlib.md5("\n".join(rows).encode()).hexdigest(), rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        spark_path = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_path}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        spark = pd.read_parquet(spark_path)
+        duck, spark = norm(duck), norm(spark)
+        if list(duck.columns) != list(spark.columns):
+            print(f"FAIL {name}: columns duck={list(duck.columns)} spark={list(spark.columns)}")
+            n_fail += 1
+            continue
+        if len(duck) != len(spark):
+            print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}")
+            n_fail += 1
+            continue
+        hd, rd = row_hash(duck)
+        hs, rs = row_hash(spark)
+        if hd != hs:
+            n_fail += 1
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(rd, rs)) if a != b][:5]
+            print(f"FAIL {name}: hash mismatch ({len([1 for a,b in zip(rd,rs) if a!=b])} differing rows)")
+            for i, a, b in diffs:
+                print(f"  row {i}:\n    duck : {a}\n    spark: {b}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(duck)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
