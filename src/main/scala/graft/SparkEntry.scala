@@ -25,8 +25,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+    graft.queries.FunctionQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++
+    graft.queries.FunctionQueries.oracles
 }

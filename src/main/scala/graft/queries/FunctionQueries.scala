@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.Cdc
+import graft.functions.Hashing
+import graft.ops.Routing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function batteries Q25-Q33 (SURVEY.md §2.10-§2.11): the Spark SQL
+  * rendition of the reference's sandboxed user-function surface
+  * (`/root/reference/lib/sequin/functions/minielixir/validator.ex:75-319`
+  * allowlist → String/Map/Enum/Date/Decimal/JSON/Base64/Regex batteries)
+  * plus computed routing and partition assignment.
+  *
+  * Everything is a built-in `org.apache.spark.sql.functions` expression —
+  * codegen'd, no UDFs — exactly the §7.4 verdict ("re-scope MiniElixir as a
+  * validated expression surface").
+  */
+object FunctionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cdc(s: SparkSession, dir: String): DataFrame =
+    Cdc.fromEvents(Tables.events(s, dir))
+
+  val queries: Map[String, Q] = Map(
+    // Q25 — String.* battery (upcase/downcase/slice/split/replace/
+    // contains?/starts_with?/ends_with?/pad/length/reverse)
+    "q25_string_fns" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          upper(col("lang")).as("lang_uc"),
+          lower(col("source")).as("source_lc"),
+          substring(col("text"), 1, 20).as("head20"),
+          length(col("text")).as("text_len"),
+          reverse(col("lang")).as("lang_rev"),
+          lpad(col("lang"), 5, "_").as("lang_lpad"),
+          rpad(col("lang"), 5, "_").as("lang_rpad"),
+          element_at(split(col("text"), " "), 1).as("first_tok"),
+          col("text").contains("spark").as("has_spark"),
+          col("text").startsWith("the").as("starts_the"),
+          col("text").endsWith("join").as("ends_join"),
+          regexp_replace(col("lang"), "e", "E").as("lang_repl"))
+        .orderBy("doc_id")),
+
+    // Q26 — Map.* battery (get/put/keys/values/has_key?/drop) flattened to
+    // scalars for the oracle compare
+    "q26_map_fns" -> ((s, dir) =>
+      cdc(s, dir)
+        .withColumn("m", map_from_arrays(
+          array(lit("a"), lit("b")),
+          array(col("record_id"), col("record_user_id"))))
+        .withColumn("m2", map_concat(col("m"),
+          map_from_arrays(array(lit("c")), array(col("table_oid")))))
+        .select(
+          col("record_id"),
+          element_at(col("m"), "a").as("get_a"),
+          concat_ws(",", map_keys(col("m2"))).as("keys_csv"),
+          concat_ws(",", map_values(col("m2"))).as("vals_csv"),
+          map_contains_key(col("m"), "b").as("has_b"),
+          map_contains_key(col("m"), "z").as("has_z"),
+          concat_ws(",", map_keys(
+            map_filter(col("m2"), (k, _) => k =!= "b"))).as("drop_b_keys"))
+        .orderBy("record_id")),
+
+    // Q27 — Enum.* battery over token arrays (map/filter/sum/count/sort/
+    // join/take/reverse/any?/all?)
+    "q27_array_fns" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .as("sum_len"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+          array_join(slice(sort_array(col("toks")), 1, 5), ",").as("sorted5"),
+          array_join(slice(col("toks"), 1, 3), ",").as("first3"),
+          element_at(reverse(col("toks")), 1).as("last_tok"),
+          exists(col("toks"), t => t === "spark").as("any_spark"),
+          forall(col("toks"), t => length(t) > 1).as("all_gt1"))
+        .orderBy("doc_id")),
+
+    // Q28 — Date/DateTime battery (add/diff/truncate/format/extract)
+    "q28_date_fns" -> ((s, dir) =>
+      cdc(s, dir).select(
+          col("record_id"),
+          date_format(date_add(to_date(col("commit_ts")), 7), "yyyy-MM-dd").as("d_plus7"),
+          date_format(add_months(to_date(col("commit_ts")), 1), "yyyy-MM-dd").as("d_plus1m"),
+          date_format(last_day(to_date(col("commit_ts"))), "yyyy-MM-dd").as("d_eom"),
+          datediff(to_date(col("commit_ts")),
+            lit(java.sql.Date.valueOf("2024-01-01"))).as("days_since"),
+          unix_micros(date_trunc("day", col("commit_ts"))).as("day_us"),
+          date_format(col("commit_ts"), "yyyy-MM").as("ym"),
+          year(col("commit_ts")).as("y"),
+          month(col("commit_ts")).as("m"),
+          dayofmonth(col("commit_ts")).as("dom"),
+          hour(col("commit_ts")).as("h"))
+        .orderBy("record_id")),
+
+    // Q29 — Decimal/Integer battery (exact arithmetic, parse, to_string)
+    "q29_decimal_fns" -> ((s, dir) =>
+      cdc(s, dir).select(
+          col("record_id"),
+          (col("record_value").cast("decimal(18,6)") * lit(3))
+            .cast("string").as("dec_x3"),
+          (col("record_value").cast("decimal(18,6)") +
+            col("record_value").cast("decimal(18,6)")).cast("string").as("dec_sum"),
+          get_json_object(col("record_props"), "$.k").cast("bigint").as("k_int"),
+          col("record_id").cast("string").as("id_str"),
+          abs(col("record_value") * lit(-1.0)).as("abs_v"),
+          ceil(col("record_value")).as("ceil_v"),
+          floor(col("record_value")).as("floor_v"),
+          (col("record_id") % 7).as("rem7"),
+          greatest(col("record_value"), lit(100.0)).as("gmax"),
+          least(col("record_value"), lit(100.0)).as("lmin"))
+        .orderBy("record_id")),
+
+    // Q30 — JSON encode/decode + Base64 round-trip
+    "q30_json_base64" -> ((s, dir) =>
+      cdc(s, dir).select(
+          col("record_id"),
+          to_json(struct(col("record_id").as("id"), col("action").as("act")))
+            .as("json_enc"),
+          get_json_object(col("record_props"), "$.k").as("k_str"),
+          base64(col("action").cast("binary")).as("act_b64"),
+          unbase64(base64(col("action").cast("binary"))).cast("string")
+            .as("act_roundtrip"),
+          unbase64(col("idempotency_key")).cast("string").as("idem_decoded"))
+        .orderBy("record_id")),
+
+    // Q31 — Regex battery (match?/replace/extract)
+    "q31_regex_fns" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          col("text").rlike("jo[io]n").as("matches"),
+          regexp_replace(col("text"), "[aeiou]+", "_").as("devoweled"),
+          regexp_extract(col("text"), "([a-z]+)@", 1).as("at_prefix"),
+          regexp_extract(col("text"), "\\b(s[a-z]+)\\b", 1).as("first_sword"))
+        .orderBy("doc_id")),
+
+    // Q32/R1 — computed routing columns (kafka topic/key, redis key, ES op)
+    "q32_routing" -> ((s, dir) => {
+      val routed = Routing.elasticsearch(Routing.redisKey(Routing.kafka(cdc(s, dir))))
+      routed.select("record_id", "topic", "message_key", "redis_key",
+          "es_doc_id", "es_op")
+        .orderBy("record_id")
+    }),
+
+    // Q33/R3 — partition assignment by portable group hash (md5-based so
+    // the oracle reproduces it; runtime uses Spark's native murmur3 via
+    // Routing.partitionBy which matches HashPartitioning)
+    "q33_partition" -> ((s, dir) =>
+      cdc(s, dir).select(
+          col("record_id"),
+          col("group_id"),
+          pmod(Hashing.portableHash(col("group_id")), lit(32)).as("partition"))
+        .orderBy("record_id")))
+
+  val oracles: Map[String, String] = {
+    val cte = Cdc.duckCte
+    Map(
+      "q25_string_fns" ->
+        """SELECT doc_id,
+          |  upper(lang) AS lang_uc, lower(source) AS source_lc,
+          |  substr(text, 1, 20) AS head20,
+          |  CAST(length(text) AS INT) AS text_len,
+          |  reverse(lang) AS lang_rev,
+          |  lpad(lang, 5, '_') AS lang_lpad, rpad(lang, 5, '_') AS lang_rpad,
+          |  string_split(text, ' ')[1] AS first_tok,
+          |  contains(text, 'spark') AS has_spark,
+          |  starts_with(text, 'the') AS starts_the,
+          |  ends_with(text, 'join') AS ends_join,
+          |  regexp_replace(lang, 'e', 'E', 'g') AS lang_repl
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q26_map_fns" -> (cte +
+        """SELECT record_id,
+          |  record_id AS get_a,
+          |  'a,b,c' AS keys_csv,
+          |  CAST(record_id AS VARCHAR) || ',' || CAST(record_user_id AS VARCHAR)
+          |    || ',' || CAST(table_oid AS VARCHAR) AS vals_csv,
+          |  true AS has_b, false AS has_z,
+          |  'a,c' AS drop_b_keys
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q27_array_fns" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text,' ')) AS INT) AS n_toks,
+          |  CAST(list_aggregate(list_transform(string_split(text,' '),
+          |       t -> length(t)), 'sum') AS BIGINT) AS sum_len,
+          |  CAST(len(list_filter(string_split(text,' '),
+          |       t -> length(t) > 4)) AS INT) AS n_long,
+          |  array_to_string(list_sort(string_split(text,' '))[1:5], ',') AS sorted5,
+          |  array_to_string(string_split(text,' ')[1:3], ',') AS first3,
+          |  list_reverse(string_split(text,' '))[1] AS last_tok,
+          |  len(list_filter(string_split(text,' '), t -> t = 'spark')) > 0 AS any_spark,
+          |  len(list_filter(string_split(text,' '), t -> length(t) <= 1)) = 0 AS all_gt1
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q28_date_fns" -> (cte +
+        """SELECT record_id,
+          |  strftime(CAST(commit_ts AS DATE) + 7, '%Y-%m-%d') AS d_plus7,
+          |  strftime(CAST(commit_ts AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS d_plus1m,
+          |  strftime(last_day(CAST(commit_ts AS DATE)), '%Y-%m-%d') AS d_eom,
+          |  CAST(date_diff('day', DATE '2024-01-01', CAST(commit_ts AS DATE)) AS INT)
+          |    AS days_since,
+          |  epoch_us(date_trunc('day', commit_ts)) AS day_us,
+          |  strftime(commit_ts, '%Y-%m') AS ym,
+          |  CAST(year(commit_ts) AS INT) AS y,
+          |  CAST(month(commit_ts) AS INT) AS m,
+          |  CAST(day(commit_ts) AS INT) AS dom,
+          |  CAST(hour(commit_ts) AS INT) AS h
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q29_decimal_fns" -> (cte +
+        """SELECT record_id,
+          |  CAST(CAST(record_value AS DECIMAL(18,6)) * 3 AS VARCHAR) AS dec_x3,
+          |  CAST(CAST(record_value AS DECIMAL(18,6)) +
+          |       CAST(record_value AS DECIMAL(18,6)) AS VARCHAR) AS dec_sum,
+          |  CAST(json_extract_string(record_props,'$.k') AS BIGINT) AS k_int,
+          |  CAST(record_id AS VARCHAR) AS id_str,
+          |  abs(record_value * -1.0) AS abs_v,
+          |  CAST(ceil(record_value) AS BIGINT) AS ceil_v,
+          |  CAST(floor(record_value) AS BIGINT) AS floor_v,
+          |  record_id % 7 AS rem7,
+          |  greatest(record_value, 100.0) AS gmax,
+          |  least(record_value, 100.0) AS lmin
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q30_json_base64" -> (cte +
+        """SELECT record_id,
+          |  '{"id":' || CAST(record_id AS VARCHAR) || ',"act":"' || action || '"}'
+          |    AS json_enc,
+          |  json_extract_string(record_props, '$.k') AS k_str,
+          |  to_base64(CAST(action AS BLOB)) AS act_b64,
+          |  action AS act_roundtrip,
+          |  CAST(commit_lsn AS VARCHAR) || ':' || CAST(commit_idx AS VARCHAR)
+          |    AS idem_decoded
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q31_regex_fns" ->
+        """SELECT doc_id,
+          |  regexp_matches(text, 'jo[io]n') AS matches,
+          |  regexp_replace(text, '[aeiou]+', '_', 'g') AS devoweled,
+          |  regexp_extract(text, '([a-z]+)@', 1) AS at_prefix,
+          |  regexp_extract(text, '\b(s[a-z]+)\b', 1) AS first_sword
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q32_routing" -> (cte +
+        """SELECT record_id,
+          |  'sequin' || '.' || table_schema || '.' || table_name AS topic,
+          |  coalesce(group_id, record_pk) AS message_key,
+          |  'sequin' || ':' || table_name || ':' || record_pk AS redis_key,
+          |  table_name || '-' || record_pk AS es_doc_id,
+          |  CASE WHEN action = 'delete' THEN 'delete' ELSE 'index' END AS es_op
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q33_partition" -> (cte +
+        """SELECT record_id, group_id,
+          |  CAST(CAST('0x' || substr(md5(group_id), 1, 8) AS BIGINT) % 32 AS BIGINT)
+          |    AS partition
+          |FROM cdc ORDER BY record_id""".stripMargin)
+    )
+  }
+}
