@@ -26,9 +26,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.FunctionQueries.queries
+    graft.queries.FunctionQueries.queries ++
+    graft.queries.TrainingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
-    graft.queries.FunctionQueries.oracles
+    graft.queries.FunctionQueries.oracles ++
+    graft.queries.TrainingQueries.oracles
 }

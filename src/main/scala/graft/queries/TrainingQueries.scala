@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis),
+  * oracle-checked over `documents` and `embeddings`.
+  *
+  * The DuckDB oracles replicate each pipeline bit-for-bit (portable md5
+  * hashing, sequential double folds), so even the LSH stages — whose
+  * recall is probabilistic by design — compare exactly.
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared oracle SQL fragments -------------------------------------
+
+  /** portable hash of a DuckDB string expression (mirrors Hashing.portableHash) */
+  private def dh(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** distinct 3-gram shingle sets (mirrors TextAnalysis.shingles(n=3)) */
+  private val toksCte =
+    """WITH sets AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+      |  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS toks
+      |  FROM documents)""".stripMargin
+
+  /** minhash signature list expr over `toks` (k salted mins) */
+  private def duckSignature(k: Int): String = {
+    val mins = (0 until k).map { i =>
+      s"list_min(list_transform(toks, t -> ${dh(s"'$i|' || t")}))"
+    }
+    s"[${mins.mkString(", ")}]"
+  }
+
+  private def duckSimhash(bits: Int): String = {
+    val terms = (0 until bits).map { i =>
+      s"(CASE WHEN list_aggregate(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1), 'sum') >= 0 THEN ${1L << i} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** cosine over two DuckDB float lists, double-cast, sequential sum */
+  private def duckCos(a: String, b: String, dims: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(range(1, ${dims + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  // ---- queries ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Text analysis: token counting + quality features
+    "td01_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val quality = TextAnalysis.qualityColumns(col("text"))
+      d.select(col("doc_id") +:
+          TextAnalysis.wsTokenCount(col("text")).as("ws_toks") +:
+          TextAnalysis.regexTokenCount(col("text")).as("re_toks") +:
+          quality.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Language ID via marker-set overlap (argmax, lexicographic ties)
+    "td02_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langScore(col("text"), TextAnalysis.langMarkers.toMap.apply("en")).as("score_en"),
+          TextAnalysis.langScore(col("text"), TextAnalysis.langMarkers.toMap.apply("es")).as("score_es"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint (order-insensitive content identity)
+    "td03_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Exact dedup: canonical id + dup count per fingerprint
+    "td04_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")),
+
+    // MinHash + LSH near-dup pairs (k=12, 4 bands × 3 rows, verify j ≥ 0.5)
+    "td05_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // SimHash fingerprints
+    "td06_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs (banded candidates, hamming ≤ 3)
+    "td07_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // Blocked 3-gram Jaccard near-dups (same lang+source strata)
+    "td08_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardNearDups(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, blockCols = Seq("lang", "source"), threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // Embedding cosine near-dup pairs within label blocks
+    "td09_embedding_neardups" -> ((s, dir) =>
+      Ann.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k (baseline ANN)
+    "td10_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Sign-LSH bucketed ANN (scale path)
+    "td11_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb.filter(col("vec_id") < 5), emb,
+          dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), k = 5)
+        .orderBy("query_id", "rank")
+    }))
+
+  // ---- oracles ---------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "td01_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS ws_toks,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_toks,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_toks,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS mean_tok_len,
+        |  CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+        |    ['der','die','und','nicht','das','the','and','of','to','is','el','la','de',
+        |     'que','los','le','et','les','des','的','是','了','在','we'])) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stopword_ratio,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "td02_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_intersect(toks, ['der','die','und','nicht','das'])) AS INT) s_de,
+        |  CAST(len(list_intersect(toks, ['the','and','of','to','is'])) AS INT) s_en,
+        |  CAST(len(list_intersect(toks, ['el','la','de','que','los'])) AS INT) s_es,
+        |  CAST(len(list_intersect(toks, ['le','la','et','les','des'])) AS INT) s_fr,
+        |  CAST(len(list_intersect(toks, ['的','是','了','在','we'])) AS INT) s_zh
+        |FROM t)
+        |SELECT doc_id, lang AS labeled_lang, s_en AS score_en, s_es AS score_es,
+        |  CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "td03_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "td04_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "td05_minhash_neardups" -> {
+      val r = 3
+      val bandExprs = (0 until 4).map { b =>
+        s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], ','))"
+      }
+      s"""$toksCte,
+         |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM sets),
+         |bands AS (SELECT doc_id, toks, unnest([${bandExprs.mkString(", ")}]) AS band_key,
+         |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+         |  len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
+         |FROM cands c
+         |JOIN sets sa ON sa.doc_id = c.id_a
+         |JOIN sets sb ON sb.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "td06_simhash" ->
+      s"""$toksCte,
+         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets)
+         |SELECT doc_id, CAST(${duckSimhash(32)} AS BIGINT) AS simhash
+         |FROM hashed ORDER BY doc_id""".stripMargin,
+
+    "td07_simhash_neardups" ->
+      s"""$toksCte,
+         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
+         |sims AS (SELECT doc_id, CAST(${duckSimhash(32)} AS BIGINT) AS simhash FROM hashed),
+         |banded AS (SELECT doc_id, simhash,
+         |  unnest([simhash & 255, (simhash >> 8) & 255,
+         |          (simhash >> 16) & 255, (simhash >> 24) & 255]) AS band_val,
+         |  unnest([0, 1, 2, 3]) AS band_idx FROM sims)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "td08_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+        | AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "td09_embedding_neardups" -> {
+      val cos = duckCos("a.embedding", "b.embedding", 64)
+      s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "td10_ann_brute" -> {
+      val cos = duckCos("q.embedding", "c.embedding", 64)
+      s"""SELECT query_id, corpus_id, cos, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cos,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "td11_ann_lsh" -> {
+      val bucket = (0 until 8).map { i =>
+        s"(CASE WHEN embedding[${i * 8 + 1}] >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      val cos = duckCos("q.q_emb", "c.c_emb", 64)
+      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb, bucket FROM b)
+         |SELECT query_id, bucket, corpus_id, cos, rank FROM (
+         |  SELECT q.query_id, q.bucket, c.corpus_id, $cos AS cos,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $cos DESC, c.corpus_id) AS INT) AS rank
+         |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.corpus_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+}

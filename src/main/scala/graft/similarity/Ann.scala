@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — embarrassingly parallel, no shuffle of the corpus).
+  * Scale path: sign-LSH bucketing (axis-aligned hyperplanes) so candidate
+  * generation is a bucket-equijoin instead of a full cross product; same
+  * pattern extends to IVF with learned centroids.
+  *
+  * Dot products run through `zip_with` + `aggregate` with explicit
+  * float→double casts: sequential left-fold, deterministic and
+  * reproducible by any engine (oracle-checkable).
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus vectors
+    * by cosine. Queries are broadcast (small side); the corpus is scanned
+    * once per partition — at 100 TB this is the map-side-only plan, with
+    * the final top-k as a partial-aggregate-friendly window.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), col("label"))
+    val scored = q.join(c, col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Sign-LSH bucket key: one bit per sampled dimension (hyperplane =
+    * coordinate axis), packed into a long. Deterministic, engine-portable.
+    */
+  def signBucket(emb: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, i) =>
+      when(element_at(emb, d + 1) >= 0f, lit(1L) * (1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the sign bucket; exact cosine +
+    * top-k within the bucket. Trades recall for a bucket-equijoin — the
+    * 100 TB plan (corpus shuffled once by bucket key, queries broadcast).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dims: Seq[Int], k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      signBucket(col("embedding"), dims).as("bucket")))
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"),
+      signBucket(col("embedding"), dims).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "corpus_id", "cos", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within blocking
+    * groups (label = coarse IVF-style partition). Pair space is per-block
+    * O(m²), never global.
+    */
+  def embeddingNearDups(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = df.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("label", "id_a", "id_b", "cos")
+  }
+}
