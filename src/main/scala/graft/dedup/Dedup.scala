@@ -31,19 +31,21 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: `k` salted-hash minima over the distinct token set.
-    * Each permutation is min(portableHash(salt_i ++ token)); per-row HOF,
-    * no shuffle. Token hashes are computed once and reused across the k
-    * permutations via re-salting the precomputed hash.
+  /** MinHash signature: `k` affine-permutation minima over the distinct
+    * shingle set. The expensive md5 runs ONCE per shingle (materialized in
+    * its own projection so Catalyst cannot inline it into every
+    * permutation); each of the k permutations is then a cheap exact
+    * integer transform — `min((a_i*h + b_i) mod p)`. Per-row HOFs, no
+    * shuffle.
     */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
-      shingleN: Int = 3): DataFrame =
-    df.withColumn("minhash", {
-      val toks = array_distinct(TextAnalysis.shingles(col(textCol), shingleN))
-      array((0 until k).map { i =>
-        array_min(transform(toks, t => Hashing.portableHash(t, i)))
-      }: _*)
-    })
+      shingleN: Int = 3): DataFrame = {
+    val hashed = df.withColumn("hs",
+      transform(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)),
+        t => Hashing.portableHash(t)))
+    hashed.withColumn("minhash",
+      graft.functions.VectorExpressions.affine_minhash_sig(col("hs"), k))
+  }
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * `k/bands` rows; band key = md5 of the joined slice. Emits one row per
@@ -74,6 +76,17 @@ object Dedup {
     size(array_intersect(setA, setB)).cast("double") /
       size(array_union(setA, setB)).cast("double")
 
+  /** Jaccard over SORTED distinct shingle arrays via the codegen'd
+    * merge-walk intersection ([[graft.functions.VectorExpressions
+    * .SortedIntersectSize]]): |∩| / (|A| + |B| - |∩|). Identical result to
+    * [[jaccard]], O(n+m) per pair instead of hash-set builds.
+    */
+  def jaccardSorted(sortedA: Column, sortedB: Column): Column = {
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_size(sortedA, sortedB).cast("double")
+    inter / (size(sortedA) + size(sortedB) - inter)
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs: signature → bands → candidate
     * pairs → exact-Jaccard verify ≥ threshold.
     */
@@ -83,28 +96,39 @@ object Dedup {
     val signed = withMinhashSignature(df, textCol, k, shingleN)
     val cands = candidatePairs(lshBands(signed, idCol, bands, k / bands), idCol)
     val sets = df.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("toks"))
+      sort_array(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+        .as("toks"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash fingerprint (`bits` wide, ≤ 32): majority vote per bit over
-    * the distinct tokens' portable hashes. Token hashes computed once per
-    * row, then 32 bit-sums — all narrow HOFs, no shuffle.
+  /** SimHash fingerprints (`bits` wide, ≤ 32) for a whole DataFrame:
+    * majority vote per bit over the distinct shingles' portable hashes.
+    *
+    * Three chained projections — shingle hashes, per-bit vote array
+    * (single pass over the hashes with a 32-wide accumulator), bit
+    * packing — so each expensive stage is evaluated once; Catalyst keeps
+    * the projections separate because their outputs are non-cheap and
+    * multiply-referenced.
     */
-  def simhash(textCol: Column, bits: Int = 32, shingleN: Int = 3): Column = {
-    val hashes = transform(array_distinct(TextAnalysis.shingles(textCol, shingleN)),
-      t => Hashing.portableHash(t))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, i) % 2) * 2 - 1)
-      when(vote >= 0, lit(1L) * (1L << i)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+  def withSimhash(df: DataFrame, textCol: String, bits: Int = 32,
+      shingleN: Int = 3): DataFrame = {
+    val hashed = df.withColumn("hs",
+      transform(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)),
+        t => Hashing.portableHash(t)))
+    val voted = hashed.withColumn("votes",
+      aggregate(col("hs"), array_repeat(lit(0L), bits),
+        (acc, h) => zip_with(acc,
+          array((0 until bits).map(i => (shiftright(h, i) % 2) * 2 - 1): _*),
+          (a, b) => a + b)))
+    voted.withColumn("simhash",
+      (0 until bits).map { i =>
+        when(element_at(col("votes"), i + 1) >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)).drop("hs", "votes")
   }
 
   /** SimHash near-dup pairs: candidates share one of `bands` byte-wide
@@ -113,7 +137,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash"))
     val banded = hashed.select(col(idCol), col("simhash"), posexplode(
       array((0 until bands).map { b =>
         shiftright(col("simhash"), 8 * b) % 256
@@ -139,14 +163,18 @@ object Dedup {
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
     val sets = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"): _*)
+        sort_array(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"): _*)
     val a = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
       if (blockCols.contains(c)) c else c + "_a"))
     val b = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
       if (blockCols.contains(c)) c else c + "_b"))
     a.join(b, blockCols)
       .filter(col(idCol + "_a") < col(idCol + "_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // exact prune: j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — skip the O(n+m)
+      // merge walk for pairs that cannot reach the threshold
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(idCol + "_a").as("id_a"), col(idCol + "_b").as("id_b"),
         col("jaccard"))

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the similarity/dedup hot kernels.
+  *
+  * The declarative forms (`zip_with` + `aggregate`, `array_intersect`)
+  * are interpreted per-element with boxing — ~1µs/element, which dominates
+  * pairwise workloads (25k pairs × 3 folds × 64 dims). These expressions
+  * generate tight Java loops over the unsafe array format instead
+  * (`doGenCode`), keeping the whole stage inside codegen. Semantics are
+  * IDENTICAL to the declarative forms (same fold order, same double
+  * arithmetic), so DuckDB oracles are unaffected.
+  */
+object VectorExpressions {
+
+  /** Dot product of two `array<float>` columns in double precision.
+    * Bit-equal to `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)),
+    * 0.0, _+_)` — sequential left fold.
+    */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |}
+           |${ev.value} = s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Intersection size of two SORTED distinct `array<string>` columns via
+    * a merge walk — O(n+m), no per-call hash set. Equal to
+    * `size(array_intersect(a, b))` when both inputs are sorted distinct.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (n, m) = (x.numElements(), y.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** All k affine-permutation MinHash minima in ONE pass over the hash
+    * array: `sig[j] = min_i (a_j * (h_i mod p) + b_j) mod p`. Equal to the
+    * k separate `array_min(transform(...))` folds, evaluated O(n·k) with
+    * no boxing.
+    */
+  case class AffineMinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private val p = Hashing.AffineP
+    private val as = Array.tabulate(k)(i => Hashing.affineCoeffs(i)._1)
+    private val bs = Array.tabulate(k)(i => Hashing.affineCoeffs(i)._2)
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val hm = hs.getLong(i) % p
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * hm + bs(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // Column wrappers ------------------------------------------------------
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def float_vec_dot(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
+
+  def affine_minhash_sig(hs: Column, k: Int): Column =
+    column(AffineMinHashSig(expression(hs), k))
+}

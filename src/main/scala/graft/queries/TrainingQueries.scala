@@ -31,10 +31,14 @@ object TrainingQueries {
       |  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS toks
       |  FROM documents)""".stripMargin
 
-  /** minhash signature list expr over `toks` (k salted mins) */
+  /** minhash signature list expr over precomputed hashes `hs`
+    * (k affine-permutation mins, mirrors Hashing.affinePerm)
+    */
   private def duckSignature(k: Int): String = {
+    val p = graft.functions.Hashing.AffineP
     val mins = (0 until k).map { i =>
-      s"list_min(list_transform(toks, t -> ${dh(s"'$i|' || t")}))"
+      val (a, b) = graft.functions.Hashing.affineCoeffs(i)
+      s"list_min(list_transform(hs, h -> ($a * (h % $p) + $b) % $p))"
     }
     s"[${mins.mkString(", ")}]"
   }
@@ -94,8 +98,8 @@ object TrainingQueries {
 
     // SimHash fingerprints
     "td06_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-          Dedup.simhash(col("text")).as("simhash"))
+      Dedup.withSimhash(Tables.documents(s, dir), "text")
+        .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
     // SimHash near-dup pairs (banded candidates, hamming ≤ 3)
@@ -180,7 +184,8 @@ object TrainingQueries {
         s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], ','))"
       }
       s"""$toksCte,
-         |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM sets),
+         |hset AS (SELECT doc_id, toks, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
+         |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM hset),
          |bands AS (SELECT doc_id, toks, unnest([${bandExprs.mkString(", ")}]) AS band_key,
          |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs),
          |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

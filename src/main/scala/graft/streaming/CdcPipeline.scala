@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative consumer-pipeline builder — the Spark rendition of the
+  * reference's sink-consumer dataflow (`SURVEY.md` §3.1):
+  *
+  * {{{
+  * source filter → action filter → column filters → payload guard
+  *   → enrichment join → change diff → routing → group id → dedup-ready
+  * }}}
+  *
+  * Every stage is a pure `DataFrame => DataFrame` over the CDC envelope, so
+  * ONE definition serves both the batch (oracle-checked) and the
+  * Structured Streaming path — the same plan compiles to a streaming plan
+  * when the input is a streaming DataFrame. Stages are narrow except the
+  * enrichment join (broadcast, no fact shuffle), exactly like the
+  * reference's per-message hot path
+  * (`/root/reference/lib/sequin/runtime/sink_pipeline.ex:185-299`).
+  */
+final case class ConsumerConfig(
+    name: String,
+    scope: SourceScope = SourceScope(),
+    actions: Seq[String] = Seq("insert", "update", "delete"),
+    filters: Seq[ColumnFilter] = Nil,
+    maxPayloadBytes: Long = 5L * 1024 * 1024,
+    internalSchemas: Seq[String] = Nil,
+    messageGrouping: Boolean = true,
+    timestampFormat: String = "iso8601")
+
+object CdcPipeline {
+
+  /** Build the consumer pipeline plan over a (batch or streaming) CDC
+    * envelope DataFrame. `enrichment`: optional (dimension, eventKeyCol,
+    * dimKeyCol) lookup join.
+    */
+  def build(events: DataFrame, cfg: ConsumerConfig,
+      enrichment: Option[(DataFrame, String, String)] = None): DataFrame = {
+    var df = events
+    if (cfg.internalSchemas.nonEmpty)
+      df = Filters.rejectInternalSchemas(df, cfg.internalSchemas)
+    df = Filters.sourceScope(df, cfg.scope)
+    df = Filters.actionFilter(df, cfg.actions)
+    if (cfg.filters.nonEmpty) df = Filters.columnFilters(df, cfg.filters)
+    df = Filters.payloadSizeGuard(df, cfg.maxPayloadBytes)
+    df = enrichment match {
+      case Some((dim, eventKey, dimKey)) =>
+        Joins.enrich(df, dim, df(eventKey), dim(dimKey))
+      case None => df
+    }
+    df = Transforms.changesDiff(df)
+    df = Routing.kafka(df, prefix = cfg.name)
+    if (!cfg.messageGrouping)
+      df = df.withColumn("group_id", lit(null).cast("string"))
+    df
+  }
+}

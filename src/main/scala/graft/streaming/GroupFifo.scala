@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-group FIFO delivery with exactly-once semantics — the streaming
+  * state machine behind the reference's slot message store
+  * (`/root/reference/lib/sequin/runtime/slot_message_store_state.ex:432-478`
+  * deliverable_messages; W2/W6 in SURVEY.md §2.7).
+  *
+  * Keyed by `group_id` via `flatMapGroupsWithState`:
+  *   - events within a micro-batch are emitted in strict
+  *     `(commit_lsn, commit_idx)` order per group;
+  *   - the state stores the last delivered cursor; any event at or below
+  *     it (redelivery, replayed batch, duplicate) is dropped — the
+  *     idempotency ledger (`message_ledgers.ex:60-100`) as keyed state;
+  *   - state survives micro-batches through the state store (RocksDB/HDFS
+  *     backed in production), so exactly-once holds across restarts from
+  *     the checkpoint.
+  *
+  * Scale: state is two longs per group; Spark hash-partitions groups
+  * across executors — the same `partition_by` sharding as the reference's
+  * Broadway pipeline (`sink_pipeline.ex:156-163`) with durability for free.
+  */
+object GroupFifo {
+
+  final case class Cursor(lsn: Long, idx: Long)
+
+  /** Emits deliverable events per group in order, dropping anything not
+    * strictly after the last delivered cursor.
+    */
+  def deliver(events: Dataset[ChangeEvent])(implicit spark: SparkSession): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => Option(e.group_id).getOrElse(s"__pk:${e.record_pk}"))
+      .flatMapGroupsWithState[Cursor, ChangeEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[ChangeEvent], state: GroupState[Cursor]) =>
+          val last = state.getOption.getOrElse(Cursor(Long.MinValue, Long.MinValue))
+          val ordered = it.toSeq.sortBy(e => (e.commit_lsn, e.commit_idx))
+          val deliverable = ordered.filter(e =>
+            e.commit_lsn > last.lsn ||
+              (e.commit_lsn == last.lsn && e.commit_idx > last.idx))
+          deliverable.lastOption.foreach(e =>
+            state.update(Cursor(e.commit_lsn, e.commit_idx)))
+          deliverable.iterator
+      }
+  }
+
+  /** Batch-mode rendition of the same semantics (for oracle checks/tests):
+    * drop duplicates by cursor, order per group. Equivalent to one
+    * micro-batch against empty state.
+    */
+  def deliverBatch(events: Dataset[ChangeEvent])(implicit spark: SparkSession): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => Option(e.group_id).getOrElse(s"__pk:${e.record_pk}"))
+      .flatMapGroups { (_: String, it: Iterator[ChangeEvent]) =>
+        it.toSeq.sortBy(e => (e.commit_lsn, e.commit_idx))
+          .distinctBy(e => (e.commit_lsn, e.commit_idx)).iterator
+      }
+  }
+}

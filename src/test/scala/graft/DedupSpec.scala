@@ -1,0 +1,135 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{Hashing, VectorExpressions}
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Specs for dedup/similarity kernels, incl. randomized (fixed-seed)
+  * property checks that the custom codegen'd expressions equal their
+  * declarative HOF forms.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("FloatVecDot equals the declarative zip_with/aggregate fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val cases = Seq.fill(10)((
+      Seq.fill(16)(rnd.nextFloat() * 20 - 10),
+      Seq.fill(16)(rnd.nextFloat() * 20 - 10)))
+    cases.foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(VectorExpressions.float_vec_dot(col("a"), col("b")))
+        .collect().head.getDouble(0)
+      val hof = df.select(
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)).collect().head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new Random(43)
+    def words(n: Int) = Seq.fill(n)(rnd.alphanumeric.take(3).mkString)
+    val cases = Seq.fill(10)((words(rnd.nextInt(30)), words(rnd.nextInt(30))))
+    cases.foreach { case (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val df = Seq((sa, sb)).toDF("a", "b")
+      val native = df.select(
+        VectorExpressions.sorted_intersect_size(col("a"), col("b")))
+        .collect().head.getInt(0)
+      val builtin = df.select(size(array_intersect(col("a"), col("b"))))
+        .collect().head.getInt(0)
+      assert(native == builtin)
+    }
+  }
+
+  test("AffineMinHashSig equals k separate array_min(transform(affine)) folds") {
+    import spark.implicits._
+    val rnd = new Random(44)
+    val cases = Seq.fill(10)(Seq.fill(1 + rnd.nextInt(50))(
+      (rnd.nextLong() & 0xFFFFFFFFL)))
+    cases.foreach { hs =>
+      val df = Seq(Tuple1(hs)).toDF("hs")
+      val native = df.select(VectorExpressions.affine_minhash_sig(col("hs"), 6))
+        .collect().head.getSeq[Long](0)
+      val declarative = df.select(array((0 until 6).map(i =>
+        array_min(transform(col("hs"), h => Hashing.affinePerm(h, i)))): _*))
+        .collect().head.getSeq[Long](0)
+      assert(native == declarative)
+    }
+  }
+
+  test("jaccardSorted equals jaccard on sorted distinct sets") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq("x", "y"), Seq("x", "y"))).toDF("a", "b")
+    val out = df.select(
+      Dedup.jaccardSorted(col("a"), col("b")).as("js"),
+      Dedup.jaccard(col("a"), col("b")).as("j")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("exact dedup groups identical texts under one canonical id") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_dups"))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the near-identical pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tok41")
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("simhash of identical text is identical; near text is close in hamming") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok60", "tok61")
+    val df = Seq((1L, base), (2L, base), (3L, near)).toDF("doc_id", "text")
+    val hs = Dedup.withSimhash(df, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 8)
+  }
+
+  test("langId picks the marker-heaviest language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of to is"),
+      (2L, "el que la los de"),
+      (3L, "qqq zzz www")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("ANN brute-force top-k ranks the exact nearest vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("corpus_id"))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+}

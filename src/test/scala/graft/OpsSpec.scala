@@ -1,0 +1,118 @@
+package graft
+
+import graft.model.Cdc
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the batch operator library (semantics the DuckDB oracle
+  * can't probe directly: null handling, edge ordering, config validation).
+  */
+class OpsSpec extends SparkSpec {
+
+  private lazy val cdc = Cdc.fromEvents(Tables.events(spark, sf())).cache()
+
+  test("keyset page is strictly after the cursor and correctly ordered") {
+    val page = Keyset.page(Tables.orders(spark, sf()),
+      Seq("o_orderdate", "o_orderkey"),
+      Some(Seq(java.time.LocalDateTime.parse("1995-06-01T00:00:00"), 0L)), 50)
+      .collect()
+    assert(page.length == 50)
+    val keys = page.map(r => (r.getAs[java.time.LocalDateTime]("o_orderdate"),
+      r.getAs[Long]("o_orderkey")))
+    assert(keys.sameElements(keys.sortBy(identity)))
+  }
+
+  test("source scope include xor exclude is enforced") {
+    assertThrows[IllegalArgumentException] {
+      SourceScope(includeSchemas = Some(Seq("a")), excludeSchemas = Some(Seq("b")))
+    }
+  }
+
+  test("action filter always passes backfill reads") {
+    import spark.implicits._
+    val df = Seq(("read", 1L), ("insert", 2L), ("delete", 3L))
+      .toDF("action", "id")
+    val out = Filters.actionFilter(df, Seq("insert")).collect().map(_.getLong(1))
+    assert(out.toSet == Set(1L, 2L))
+  }
+
+  test("cistring column filter is case-insensitive") {
+    import spark.implicits._
+    val df = Seq("ABC", "abc", "xyz").toDF("v")
+    val out = Filters.columnFilters(df,
+      Seq(ColumnFilter("v", "==", Seq("AbC"), "cistring"))).count()
+    assert(out == 2)
+  }
+
+  test("not_in with null column value is null-safe (drops nulls like the reference)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None).toDF("v")
+    val out = Filters.columnFilters(df,
+      Seq(ColumnFilter("v", "not_in", Seq("a")))).collect().map(_.getString(0))
+    // null not_in ('a') → NULL → filtered out (three-valued logic)
+    assert(out.toSeq == Seq("b"))
+  }
+
+  test("changesDiff: only updates with differing old value carry changes") {
+    val out = Transforms.changesDiff(cdc)
+      .groupBy(col("action"), col("changed_value").isNotNull.as("has_change"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(!out.contains(("insert", true)))
+    assert(!out.contains(("delete", true)))
+    assert(out.contains(("update", true)))
+  }
+
+  test("group id: empty parts collapse to null (ungrouped)") {
+    import spark.implicits._
+    val df = Seq(("x", "1"), (null, null)).toDF("a", "b")
+    val out = df.select(Transforms.groupId(Seq(col("a"), col("b"))).as("g"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("x:1"), None))
+  }
+
+  test("toastResolve takes old value only for sentinel cells") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> "unchanged_toast", "b" -> "new"),
+      Map("a" -> "old_a", "b" -> "old_b"))).toDF("new", "old")
+    val out = df.select(Transforms.toastResolve(col("new"), col("old")).as("r"))
+      .collect().head.getMap[String, String](0)
+    assert(out("a") == "old_a" && out("b") == "new")
+  }
+
+  test("headOfGroup emits exactly one row per non-null group plus all null-group rows") {
+    val withNulls = cdc.withColumn("group_id",
+      when(col("table_schema") =!= "audit", col("group_id")))
+    val out = Ordering.headOfGroup(withNulls)
+    val nonNullGroups = withNulls.filter(col("group_id").isNotNull)
+      .select("group_id").distinct().count()
+    val nullRows = withNulls.filter(col("group_id").isNull).count()
+    assert(out.count() == nonNullGroups + nullRows)
+  }
+
+  test("dedupLatest keeps the highest (lsn, idx) per key") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 5L, "old"), ("k", 2L, 0L, "new"), ("k", 1L, 9L, "mid"))
+      .toDF("record_pk", "commit_lsn", "commit_idx", "payload")
+    val out = Ordering.dedupLatest(df, Seq("record_pk"),
+      Seq(col("commit_lsn"), col("commit_idx"))).collect()
+    assert(out.length == 1 && out.head.getAs[String]("payload") == "new")
+  }
+
+  test("minCursor is the lexicographic struct-min, not per-column mins") {
+    import spark.implicits._
+    val df = Seq((5L, 0L), (3L, 9L), (3L, 2L)).toDF("commit_lsn", "commit_idx")
+    val out = Ordering.minCursor(df).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+  }
+
+  test("enrich join keeps unmatched events with null dimension columns") {
+    import spark.implicits._
+    val events = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val dim = Seq((1L, "dim1")).toDF("dk", "dv")
+    val out = Joins.enrich(events, dim, events("k"), dim("dk"))
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("dv")))
+  }
+}
