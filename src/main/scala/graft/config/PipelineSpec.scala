@@ -1,0 +1,102 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import graft.ops.{ColumnFilter, SourceScope}
+import graft.streaming.ConsumerConfig
+import scala.jdk.CollectionConverters._
+
+/** Configuration-as-code: JSON pipeline spec → validated [[ConsumerConfig]]
+  * — the Spark rendition of the reference's `sequin.yaml` →
+  * `Transforms.from_external` → Ecto-changeset pipeline
+  * (`/root/reference/lib/sequin/transforms/transforms.ex`, SURVEY §3.3).
+  *
+  * Shape:
+  * {{{
+  * { "name": "orders-consumer",
+  *   "source": { "include_schemas": ["public"],
+  *               "exclude_table_oids": [16387] },
+  *   "actions": ["insert", "update"],
+  *   "filters": [ { "field": "record_value", "op": ">",
+  *                  "values": ["50"], "value_type": "number" } ],
+  *   "message_grouping": true,
+  *   "timestamp_format": "iso8601",
+  *   "max_payload_bytes": 5242880 }
+  * }}}
+  *
+  * Validation mirrors the reference's changesets: include xor exclude
+  * (source.ex:13-53, via SourceScope's requires), known actions only
+  * (sink_consumer.ex:109), known filter ops/value types
+  * (column_filter.ex:196-296). Jackson ships on the Spark classpath; YAML
+  * specs are a `yq`-style pre-conversion away (no YAML parser in the
+  * zero-dependency build).
+  */
+object PipelineSpec {
+
+  private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private val ValidActions = Set("insert", "update", "delete")
+  private val ValidOps = Set("==", "!=", ">", "<", ">=", "<=", "in", "not_in",
+    "is_null", "not_null")
+  private val ValidValueTypes = Set("string", "cistring", "number", "boolean",
+    "datetime", "null")
+  private val ValidTsFormats = Set("iso8601", "unix_microsecond")
+
+  def parse(json: String): ConsumerConfig = {
+    val root = mapper.readTree(json)
+    val name = require(root, "name").asText()
+
+    val scope = Option(root.get("source")).map { s =>
+      SourceScope(
+        includeSchemas = strings(s, "include_schemas"),
+        excludeSchemas = strings(s, "exclude_schemas"),
+        includeTableOids = longs(s, "include_table_oids"),
+        excludeTableOids = longs(s, "exclude_table_oids"))
+    }.getOrElse(SourceScope())
+
+    val actions = strings(root, "actions").getOrElse(ValidActions.toSeq.sorted)
+    val badActions = actions.filterNot(ValidActions)
+    if (badActions.nonEmpty)
+      throw new IllegalArgumentException(s"unknown actions: $badActions")
+
+    val filters = Option(root.get("filters")).map(_.elements().asScala.map { f =>
+      val op = require(f, "op").asText()
+      if (!ValidOps(op)) throw new IllegalArgumentException(s"unknown op: $op")
+      val vt = Option(f.get("value_type")).map(_.asText()).getOrElse("string")
+      if (!ValidValueTypes(vt))
+        throw new IllegalArgumentException(s"unknown value_type: $vt")
+      ColumnFilter(
+        field = require(f, "field").asText(),
+        op = op,
+        values = strings(f, "values").getOrElse(Nil),
+        valueType = vt,
+        jsonbPath = Option(f.get("jsonb_path")).map(_.asText()))
+    }.toSeq).getOrElse(Nil)
+
+    val tsFormat = Option(root.get("timestamp_format")).map(_.asText())
+      .getOrElse("iso8601")
+    if (!ValidTsFormats(tsFormat))
+      throw new IllegalArgumentException(s"unknown timestamp_format: $tsFormat")
+
+    ConsumerConfig(
+      name = name,
+      scope = scope,
+      actions = actions,
+      filters = filters,
+      maxPayloadBytes = Option(root.get("max_payload_bytes")).map(_.asLong())
+        .getOrElse(5L * 1024 * 1024),
+      messageGrouping = Option(root.get("message_grouping"))
+        .forall(_.asBoolean()),
+      timestampFormat = tsFormat)
+  }
+
+  private def require(n: JsonNode, field: String): JsonNode =
+    Option(n.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"missing required field: $field"))
+
+  private def strings(n: JsonNode, field: String): Option[Seq[String]] =
+    Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+
+  private def longs(n: JsonNode, field: String): Option[Seq[Long]] =
+    Option(n.get(field)).map(_.elements().asScala.map(_.asLong()).toSeq)
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque binaries with typed
+  * metadata, plus the decode / feature-extract / frame-sample plumbing a
+  * training-data pipeline needs.
+  *
+  * Design for 100 TB: assets are `binary` columns with a small typed
+  * metadata struct; decode and feature extraction run per-partition over
+  * the typed Dataset (`mapPartitions`, the Scala analog of `mapInPandas`
+  * batch UDFs) so a real decoder amortizes model/codec init per partition,
+  * not per row. Partitioning stays by asset id; nothing shuffles.
+  *
+  * The actual media decode is STUBBED — this container has no image/audio
+  * codecs — with a deterministic fake keyed on the content hash (see
+  * [[Decode.stubDecode]]); the Spark-side plumbing (schema, Dataset
+  * signatures, per-partition batching, binary slicing) is real and tested.
+  */
+object Multimodal {
+
+  final case class Asset(
+      asset_id: Long,
+      kind: String,           // image | audio | video
+      bytes: Array[Byte],
+      source: String)
+
+  final case class AssetFeatures(
+      asset_id: Long,
+      kind: String,
+      n_bytes: Long,
+      content_hash: String,
+      width: Int,             // stub-decoded dimensions
+      height: Int,
+      n_frames: Int,
+      mean_byte: Double)
+
+  /** Derive a deterministic binary-asset table from `documents` (the
+    * corpus stand-in for real media files): bytes = UTF-8 of the text,
+    * kind round-robins by doc id.
+    */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      col("source"))
+
+  object Decode {
+    /** STUB decode: a real implementation calls an image/audio codec here
+      * (per-partition init, batch decode). The fake derives dimensions and
+      * frame count deterministically from content bytes so downstream
+      * plumbing is testable and oracle-checkable.
+      */
+    def stubDecode(a: Asset): AssetFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(a.bytes)
+      val hash = md.map("%02x".format(_)).mkString
+      val sum = a.bytes.foldLeft(0L)((s, b) => s + (b & 0xFF))
+      AssetFeatures(
+        asset_id = a.asset_id,
+        kind = a.kind,
+        n_bytes = a.bytes.length.toLong,
+        content_hash = hash,
+        width = 64 + (Integer.parseInt(hash.substring(0, 2), 16) % 64),
+        height = 64 + (Integer.parseInt(hash.substring(2, 4), 16) % 64),
+        n_frames = if (a.kind == "video") 1 + (a.bytes.length % 16) else 1,
+        mean_byte = sum.toDouble / a.bytes.length)
+    }
+  }
+
+  /** Feature extraction over the typed Dataset — per-partition batches so
+    * a real decoder initializes once per partition.
+    */
+  def extractFeatures(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real impl: init codec/model here, then stream the partition
+      it.map(Decode.stubDecode)
+    }
+  }
+
+  /** Frame sampling: `n` evenly-spaced fixed-size byte windows from the
+    * asset payload (the binary-plumbing shape of video frame extraction).
+    * Pure column expression — no shuffle.
+    */
+  def frameSample(bytes: org.apache.spark.sql.Column, n: Int, frameLen: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      bytes.substr(
+        (i * greatest(((length(bytes) - lit(frameLen)) / lit(n)), lit(1.0)) + 1).cast("int"),
+        lit(frameLen)))
+}

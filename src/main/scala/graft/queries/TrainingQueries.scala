@@ -131,6 +131,19 @@ object TrainingQueries {
       Ann.lshTopK(emb.filter(col("vec_id") < 5), emb,
           dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal binary plumbing: stub decode features over binary assets
+    // (mapPartitions Dataset path; decode itself is a deterministic fake)
+    "td12_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val assets = graft.multimodal.Multimodal
+        .assetsFromDocuments(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.Asset]
+      graft.multimodal.Multimodal.extractFeatures(assets)(s).toDF()
+        .select("asset_id", "kind", "n_bytes", "content_hash", "width",
+          "height", "n_frames")
+        .orderBy("asset_id")
     }))
 
   // ---- oracles ---------------------------------------------------------
@@ -274,5 +287,17 @@ object TrainingQueries {
          |      ORDER BY $cos DESC, c.corpus_id) AS INT) AS rank
          |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.corpus_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    })
+    },
+
+    "td12_multimodal" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT) AS width,
+        |  CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 16 ELSE 1 END AS INT)
+        |    AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin)
 }

@@ -1,0 +1,181 @@
+package graft
+
+import graft.backfill.{Backfill, PageSizeOptimizer}
+import graft.config.PipelineSpec
+import graft.model.Cdc
+import graft.multimodal.Multimodal
+import graft.sinks.SinkAdapters
+import graft.types.ValueCaster
+import org.apache.spark.sql.functions._
+
+/** Specs for ValueCaster/ArrayLexer, backfill AIMD loop, pipeline config
+  * parsing, sink wire adapters, and multimodal plumbing.
+  */
+class TypesAndConfigSpec extends SparkSpec {
+
+  // ---- ValueCaster -----------------------------------------------------
+
+  test("ValueCaster: scalar casts match the reference rules") {
+    assert(ValueCaster.cast("bool", "t") == true)
+    assert(ValueCaster.cast("bool", "f") == false)
+    assert(ValueCaster.cast("int8", "42") == 42L)
+    assert(ValueCaster.cast("float8", "1.5") == 1.5)
+    assert(ValueCaster.cast("numeric", "123.456") ==
+      new java.math.BigDecimal("123.456"))
+    assert(ValueCaster.cast("money", "$1,234.50") ==
+      new java.math.BigDecimal("1234.50"))
+    assert(ValueCaster.cast("uuid", "a-b-c") == "a-b-c") // stays string
+    assert(ValueCaster.cast("some_exotic_type", "raw") == "raw") // fallback
+    assert(ValueCaster.cast("int8", null) == null)
+    assert(ValueCaster.cast("text", "unchanged_toast") ==
+      ValueCaster.UnchangedToast)
+  }
+
+  test("ValueCaster: timestamps and dates") {
+    assert(ValueCaster.cast("timestamp", "2024-01-02 03:04:05.123456") ==
+      java.time.LocalDateTime.parse("2024-01-02T03:04:05.123456"))
+    assert(ValueCaster.cast("date", "2024-01-02") ==
+      java.time.LocalDate.parse("2024-01-02"))
+    val tz = ValueCaster.cast("timestamptz", "2024-01-02 03:04:05+02")
+      .asInstanceOf[java.time.OffsetDateTime]
+    assert(tz.toInstant.toString == "2024-01-02T01:04:05Z")
+  }
+
+  test("ValueCaster: interval text to (months, days, micros)") {
+    assert(ValueCaster.parseInterval("1 year 2 mons 3 days 04:05:06.5") ==
+      ((14, 3, 4 * 3600000000L + 5 * 60000000L + 6500000L)))
+    assert(ValueCaster.parseInterval("-00:00:01") == ((0, 0, -1000000L)))
+  }
+
+  test("ArrayLexer: quoted elements, escapes, NULL, nesting") {
+    assert(ValueCaster.lexArray("{a,b,c}") == Seq("a", "b", "c"))
+    assert(ValueCaster.lexArray("""{"a,b",c}""") == Seq("a,b", "c"))
+    assert(ValueCaster.lexArray("""{"he said \"hi\"",x}""") ==
+      Seq("""he said "hi"""", "x"))
+    assert(ValueCaster.lexArray("{a,NULL,b}") == Seq("a", null, "b"))
+    assert(ValueCaster.lexArray("""{"NULL"}""") == Seq("NULL")) // quoted literal
+    assert(ValueCaster.lexArray("{{1,2},{3,4}}") == Seq("{1,2}", "{3,4}"))
+    assert(ValueCaster.lexArray("{}") == Nil)
+    assert(ValueCaster.cast("_int4", "{1,2,NULL}") == Seq(1L, 2L, null))
+    assert(ValueCaster.cast("vector", "[0.5, 1.5]") == Seq(0.5f, 1.5f))
+  }
+
+  // ---- Backfill / AIMD -------------------------------------------------
+
+  test("PageSizeOptimizer grows additively under budget, backs off multiplicatively") {
+    val opt = new PageSizeOptimizer(100, maxTimeoutMs = 1000)
+    opt.record(100) // fast → grow
+    assert(opt.pageSize == 125)
+    opt.record(5000) // timeout → halve
+    assert(opt.pageSize == 62)
+    (1 to 50).foreach(_ => opt.record(10))
+    assert(opt.pageSize <= 50000)
+  }
+
+  test("Backfill.run pages the whole table exactly once, in order, as read events") {
+    val orders = Tables.orders(spark, sf()).limit(500)
+    val out = Backfill.run(spark, orders, Seq("o_orderdate", "o_orderkey"),
+      new PageSizeOptimizer(128, maxTimeoutMs = 60000))
+    assert(out.count() == 500)
+    assert(out.select("o_orderkey").distinct().count() == 500)
+    assert(out.filter(col("action") =!= "read").count() == 0)
+  }
+
+  test("Backfill fencing drops PKs seen on the CDC stream") {
+    val orders = Tables.orders(spark, sf()).limit(100)
+      .withColumn("record_pk", col("o_orderkey").cast("string"))
+    val seen = orders.limit(10).select("record_pk")
+    val out = Backfill.run(spark, orders, Seq("o_orderkey"),
+      new PageSizeOptimizer(64, maxTimeoutMs = 60000),
+      fence = Some((seen, Seq("record_pk"))))
+    assert(out.count() == 90)
+  }
+
+  // ---- PipelineSpec ----------------------------------------------------
+
+  test("PipelineSpec parses a full consumer config") {
+    val cfg = PipelineSpec.parse(
+      """{"name": "c1",
+        | "source": {"include_schemas": ["public"], "exclude_table_oids": [16387]},
+        | "actions": ["insert", "update"],
+        | "filters": [{"field": "record_value", "op": ">", "values": ["50"],
+        |              "value_type": "number"},
+        |             {"field": "record_props", "op": "==", "values": ["1"],
+        |              "value_type": "number", "jsonb_path": "k"}],
+        | "message_grouping": false,
+        | "timestamp_format": "unix_microsecond"}""".stripMargin)
+    assert(cfg.name == "c1")
+    assert(cfg.scope.includeSchemas.contains(Seq("public")))
+    assert(cfg.actions == Seq("insert", "update"))
+    assert(cfg.filters.length == 2)
+    assert(cfg.filters(1).jsonbPath.contains("k"))
+    assert(!cfg.messageGrouping)
+  }
+
+  test("PipelineSpec rejects invalid specs like the reference changesets") {
+    assertThrows[IllegalArgumentException](PipelineSpec.parse("""{"actions":[]}"""))
+    assertThrows[IllegalArgumentException](
+      PipelineSpec.parse("""{"name":"x","actions":["truncate"]}"""))
+    assertThrows[IllegalArgumentException](
+      PipelineSpec.parse("""{"name":"x","filters":[{"field":"f","op":"~"}]}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","source":{"include_schemas":["a"],"exclude_schemas":["b"]}}"""))
+  }
+
+  // ---- Sink adapters ---------------------------------------------------
+
+  test("sink wire adapters produce the transport column shapes") {
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(50)
+    val routed = graft.ops.Routing.kafka(cdc)
+
+    val kafka = SinkAdapters.kafkaWire(routed)
+    assert(kafka.columns.toSeq == Seq("topic", "key", "value"))
+    assert(kafka.filter(col("value").isNull).count() == 0)
+
+    val redis = SinkAdapters.redisStringWire(cdc, ttlSeconds = Some(60))
+    assert(redis.columns.toSeq == Seq("key", "value", "op", "ttl"))
+    val delOps = redis.filter(col("op") === "DEL")
+    assert(delOps.count() ==
+      cdc.filter(col("action") === "delete").count())
+    assert(delOps.filter(col("value").isNotNull).count() == 0)
+
+    val sqs = SinkAdapters.sqsWire(cdc, "http://queue")
+    assert(sqs.select("message_dedup_id").distinct().count() == 50)
+
+    val es = SinkAdapters.esBulkWire(cdc, "idx")
+    assert(es.filter(col("bulk_lines").contains("\"delete\"")).count() ==
+      cdc.filter(col("action") === "delete").count())
+  }
+
+  test("default batch sizes mirror sink_consumer.ex") {
+    assert(SinkAdapters.defaultBatchSizes("kafka") == 200)
+    assert(SinkAdapters.defaultBatchSizes("redis_stream") == 50)
+    assert(SinkAdapters.defaultBatchSizes("http_push") == 1) // default
+  }
+
+  // ---- Multimodal ------------------------------------------------------
+
+  test("multimodal frame sampling slices n fixed-width byte windows") {
+    import spark.implicits._
+    val df = Seq(Tuple1("abcdefghijklmnopqrstuvwxyz".getBytes)).toDF("bytes")
+    val frames = df.select(Multimodal.frameSample(col("bytes"), 4, 5).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 5))
+  }
+
+  test("multimodal stub decode is deterministic and schema-complete") {
+    implicit val s = spark
+    import s.implicits._
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf())).as[Multimodal.Asset]
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == Tables.documents(spark, sf()).count())
+    assert(feats.forall(f => f.width >= 64 && f.width < 128))
+    assert(feats.forall(f => f.content_hash.length == 32))
+    val again = Multimodal.extractFeatures(assets).collect()
+    val a1 = feats.sortBy(_.asset_id).toSeq
+    val a2 = again.sortBy(_.asset_id).toSeq
+    a1.zip(a2).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+  }
+}
