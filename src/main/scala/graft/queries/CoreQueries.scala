@@ -229,7 +229,18 @@ object CoreQueries {
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         .limit(50)
         .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
-          col("o_totalprice"))))
+          col("o_totalprice"))),
+
+    // A1 — consumer fan-out: N configs matched in ONE scan
+    "q34_fanout" -> ((s, dir) =>
+      Fanout.matchCounts(cdc(s, dir), Seq(
+        graft.streaming.ConsumerConfig(name = "all_public",
+          scope = SourceScope(includeSchemas = Some(Seq("public")))),
+        graft.streaming.ConsumerConfig(name = "inserts_only",
+          actions = Seq("insert")),
+        graft.streaming.ConsumerConfig(name = "big_values",
+          actions = Seq("insert", "update"),
+          filters = Seq(ColumnFilter("record_value", ">", Seq("100"), "number")))))))
 
   /** DuckDB equivalents. `cdc` CTE prefix from [[Cdc.duckCte]]. */
   val oracles: Map[String, String] = {
@@ -397,6 +408,23 @@ object CoreQueries {
 
       "q24_multi_desc_sort" ->
         """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms, o_totalprice
-          |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50""".stripMargin)
+          |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50""".stripMargin,
+
+      "q34_fanout" -> (cte +
+        """SELECT consumer, n FROM (
+          |  SELECT 'all_public' AS consumer,
+          |    CAST(sum(CASE WHEN table_schema IN ('public')
+          |      AND action IN ('read','insert','update','delete') THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n FROM cdc
+          |  UNION ALL
+          |  SELECT 'inserts_only',
+          |    CAST(sum(CASE WHEN action IN ('read','insert') THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM cdc
+          |  UNION ALL
+          |  SELECT 'big_values',
+          |    CAST(sum(CASE WHEN action IN ('read','insert','update')
+          |      AND CAST(record_value AS DOUBLE) > 100 THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM cdc)
+          |ORDER BY consumer""".stripMargin))
   }
 }
