@@ -93,11 +93,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
+    // Materialize signatures/shingle sets once (localCheckpoint): the
+    // band self-join and the two verification joins would otherwise
+    // recompute the md5+shingle lineage per side. Signatures are tiny
+    // relative to the corpus (k longs + shingles per doc).
     val signed = withMinhashSignature(df, textCol, k, shingleN)
+      .select(col(idCol), col("minhash")).localCheckpoint()
     val cands = candidatePairs(lshBands(signed, idCol, bands, k / bands), idCol)
     val sets = df.select(col(idCol),
       sort_array(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
-        .as("toks"))
+        .as("toks")).localCheckpoint()
     cands
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -138,6 +143,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash"))
+      .localCheckpoint()
     val banded = hashed.select(col(idCol), col("simhash"), posexplode(
       array((0 until bands).map { b =>
         shiftright(col("simhash"), 8 * b) % 256
@@ -164,6 +170,7 @@ object Dedup {
     val sets = df.select(
       (col(idCol) +: blockCols.map(col)) :+
         sort_array(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"): _*)
+      .localCheckpoint()
     val a = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
       if (blockCols.contains(c)) c else c + "_a"))
     val b = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
