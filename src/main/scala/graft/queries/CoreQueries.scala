@@ -240,7 +240,22 @@ object CoreQueries {
           actions = Seq("insert")),
         graft.streaming.ConsumerConfig(name = "big_values",
           actions = Seq("insert", "update"),
-          filters = Seq(ColumnFilter("record_value", ">", Seq("100"), "number")))))))
+          filters = Seq(ColumnFilter("record_value", ">", Seq("100"), "number")))))),
+
+    // S4 - transaction-annotation carry-forward: the most recent marker
+    // event's payload attaches to every subsequent event in the session
+    // (pg_logical_emit_message semantics as last-ignore-nulls over window)
+    "q35_annotations" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("record_user_id"))
+        .orderBy(col("commit_lsn"), col("commit_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cdc(s, dir).select(col("record_id"), col("record_user_id"),
+          last(when(col("action") === "insert",
+            get_json_object(col("record_props"), "$.k")), ignoreNulls = true)
+            .over(w).as("annotation"))
+        .orderBy("record_id")
+    }))
 
   /** DuckDB equivalents. `cdc` CTE prefix from [[Cdc.duckCte]]. */
   val oracles: Map[String, String] = {
@@ -425,6 +440,14 @@ object CoreQueries {
           |    CAST(sum(CASE WHEN action IN ('read','insert','update')
           |      AND CAST(record_value AS DOUBLE) > 100 THEN 1 ELSE 0 END)
           |      AS BIGINT) FROM cdc)
-          |ORDER BY consumer""".stripMargin))
+          |ORDER BY consumer""".stripMargin),
+
+      "q35_annotations" -> (cte +
+        """SELECT record_id, record_user_id,
+          |  last_value(CASE WHEN action = 'insert'
+          |    THEN json_extract_string(record_props, '$.k') END IGNORE NULLS)
+          |    OVER (PARTITION BY record_user_id ORDER BY commit_lsn, commit_idx
+          |          ROWS UNBOUNDED PRECEDING) AS annotation
+          |FROM cdc ORDER BY record_id""".stripMargin))
   }
 }

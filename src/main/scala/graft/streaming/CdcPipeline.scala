@@ -56,4 +56,15 @@ object CdcPipeline {
       df = df.withColumn("group_id", lit(null).cast("string"))
     df
   }
+
+  /** W6 streaming dedup: exactly-once by idempotency key within an
+    * event-time watermark — `dropDuplicatesWithinWatermark` keeps key state
+    * only for the watermark horizon, so state is bounded at 100 TB/day
+    * stream rates (vs unbounded `dropDuplicates`). The reference's ledger
+    * trim (`message_ledgers.ex` trimmed by flush watermark) is exactly this
+    * state-expiry contract.
+    */
+  def withStreamingDedup(df: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    df.withWatermark("commit_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("idempotency_key")
 }
