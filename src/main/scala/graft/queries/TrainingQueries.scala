@@ -133,6 +133,16 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Apply the near-dup verdicts: keep canonical docs (drop every id_b)
+    "td13_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      graft.ops.Joins.backfillFence(
+          docs, pairs.select(col("id_b").as("doc_id")), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal binary plumbing: stub decode features over binary assets
     // (mapPartitions Dataset path; decode itself is a deterministic fake)
     "td12_multimodal" -> ((s, dir) => {
@@ -145,6 +155,33 @@ object TrainingQueries {
           "height", "n_frames")
         .orderBy("asset_id")
     }))
+
+  /** Shared DuckDB CTE chain computing the verified MinHash near-dup
+    * pairs (mirrors Dedup.minhashNearDups end-to-end).
+    */
+  private lazy val minhashPairsCtes: String = {
+    val r = 3
+    val bandExprs = (0 until 4).map { b =>
+      s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], ','))"
+    }
+    s"""$toksCte,
+       |hset AS (SELECT doc_id, toks, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
+       |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM hset),
+       |bands AS (SELECT doc_id, toks, unnest([${bandExprs.mkString(", ")}]) AS band_key,
+       |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
+       |FROM cands c
+       |JOIN sets sa ON sa.doc_id = c.id_a
+       |JOIN sets sb ON sb.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5)""".stripMargin
+  }
 
   // ---- oracles ---------------------------------------------------------
 
@@ -191,30 +228,8 @@ object TrainingQueries {
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "td05_minhash_neardups" -> {
-      val r = 3
-      val bandExprs = (0 until 4).map { b =>
-        s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], ','))"
-      }
-      s"""$toksCte,
-         |hset AS (SELECT doc_id, toks, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
-         |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM hset),
-         |bands AS (SELECT doc_id, toks, unnest([${bandExprs.mkString(", ")}]) AS band_key,
-         |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs),
-         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id)
-         |SELECT c.id_a, c.id_b,
-         |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
-         |  len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
-         |FROM cands c
-         |JOIN sets sa ON sa.doc_id = c.id_a
-         |JOIN sets sb ON sb.doc_id = c.id_b
-         |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "td05_minhash_neardups" -> (minhashPairsCtes +
+      "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
 
     "td06_simhash" ->
       s"""$toksCte,
@@ -288,6 +303,12 @@ object TrainingQueries {
          |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.corpus_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "td13_dedup_apply" -> (minhashPairsCtes +
+      """
+        |SELECT doc_id, lang, source, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "td12_multimodal" ->
       """SELECT doc_id AS asset_id,
