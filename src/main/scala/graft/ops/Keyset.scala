@@ -25,18 +25,29 @@ object Keyset {
 
   /** One keyset page: rows strictly after `after` in `(cols)` order.
     * `after = None` is the initial page (min-cursor init, keyset_cursor.ex:42-91).
+    *
+    * The struct comparison itself is not pushable to parquet/JDBC (row-value
+    * predicate), so the implied single-column bound `cols.head >= after.head`
+    * is added as a redundant conjunct: Catalyst pushes IT into the scan
+    * (`PushedFilters: [GreaterThanOrEqual(...)]`), pruning row groups /
+    * partitions — at 100 TB this bound is what keeps later pages from
+    * rescanning the whole table. Results are identical (the tuple compare
+    * implies the bound).
     */
   def page(df: DataFrame, cols: Seq[String], after: Option[Seq[Any]], limit: Int): DataFrame = {
     val filtered = after match {
-      case Some(vals) => df.filter(cursorTuple(cols) > literalTuple(vals))
-      case None       => df
+      case Some(vals) =>
+        df.filter(col(cols.head) >= lit(vals.head) &&
+          cursorTuple(cols) > literalTuple(vals))
+      case None => df
     }
     filtered.orderBy(cols.map(col): _*).limit(limit)
   }
 
   /** S9 — exact count of the remaining scan (table_reader.ex:333-362). */
   def remainingCount(df: DataFrame, cols: Seq[String], after: Seq[Any]): DataFrame =
-    df.filter(cursorTuple(cols) > literalTuple(after))
+    df.filter(col(cols.head) >= lit(after.head) &&
+        cursorTuple(cols) > literalTuple(after))
       .agg(count(lit(1)).as("remaining_count"))
 
   /** S10 — first row in cursor order (table_reader.ex:303-326). */

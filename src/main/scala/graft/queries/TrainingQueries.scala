@@ -133,6 +133,14 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style ANN: medoid centroids, probe nprobe cells
+    "td14_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+          centroidEvery = 50, nprobe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Apply the near-dup verdicts: keep canonical docs (drop every id_b)
     "td13_dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -155,6 +163,9 @@ object TrainingQueries {
           "height", "n_frames")
         .orderBy("asset_id")
     }))
+
+  private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
+  private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
 
   /** Shared DuckDB CTE chain computing the verified MinHash near-dup
     * pairs (mirrors Dedup.minhashNearDups end-to-end).
@@ -303,6 +314,31 @@ object TrainingQueries {
          |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.corpus_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "td14_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (SELECT vec_id, centroid_id, embedding, ccos, crank FROM (
+         |  SELECT x.vec_id, c.centroid_id, x.embedding,
+         |    $CCOS AS ccos,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents c)),
+         |cells AS (SELECT vec_id AS corpus_id, centroid_id, embedding AS c_emb
+         |  FROM assign WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_emb
+         |  FROM assign WHERE crank <= 2 AND vec_id < 5),
+         |scored AS (SELECT DISTINCT p.query_id, m.corpus_id,
+         |    $QCOS AS cos
+         |  FROM probes p JOIN cells m ON p.centroid_id = m.centroid_id
+         |  WHERE p.query_id <> m.corpus_id)
+         |SELECT query_id, corpus_id, cos, rank FROM (
+         |  SELECT query_id, corpus_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        .replace("$CCOS", CCOS_EXPR).replace("$QCOS", QCOS_EXPR),
 
     "td13_dedup_apply" -> (minhashPairsCtes +
       """

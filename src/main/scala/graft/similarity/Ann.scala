@@ -85,6 +85,50 @@ object Ann {
       .select("query_id", "bucket", "corpus_id", "cos", "rank")
   }
 
+  /** IVF-style ANN: coarse quantization over deterministic MEDOID
+    * centroids (every `centroidEvery`-th corpus vector — no FP averaging,
+    * so assignments are engine-reproducible; a k-means refinement would
+    * drop in without changing the plan shape). Corpus vectors are
+    * assigned to their nearest centroid once (the "inverted file");
+    * queries probe their `nprobe` nearest centroids and rank only those
+    * cells' members — at 100 TB the assignment is a materialized bucketed
+    * table and each query touches nprobe/nlist of the corpus.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroidEvery: Int, nprobe: Int, k: Int): DataFrame = {
+    val centroids = broadcast(corpus
+      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb")))
+
+    def assign(df: DataFrame, idAlias: String, keep: Int): DataFrame = {
+      val scored = df.select(col("vec_id").as(idAlias), col("embedding"))
+        .join(centroids)
+        .withColumn("ccos", dot(col("embedding"), col("cent_emb")) /
+          (norm(col("embedding")) * norm(col("cent_emb"))))
+      val w = Window.partitionBy(idAlias)
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idAlias), col("centroid_id"), col("embedding"))
+    }
+
+    val cells = assign(corpus, "corpus_id", 1)
+    val probes = assign(queries, "query_id", nprobe)
+    val scored = probes.select(col("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .join(cells.select(col("corpus_id"), col("centroid_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .select("query_id", "corpus_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     * groups (label = coarse IVF-style partition). Pair space is per-block
     * O(m²), never global.
