@@ -36,7 +36,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // CDC-pipeline throughput in the BASELINE's shape (events/sec through
+    // the full consumer pipeline: scope+action+filters+diff+routing)
+    val opsPerSec = try {
+      val cdc = model.Cdc.fromEvents(Tables.events(spark, sfDir))
+      val cfg = streaming.ConsumerConfig(name = "bench",
+        scope = ops.SourceScope(includeSchemas = Some(Seq("public", "audit"))))
+      val pipeline = streaming.CdcPipeline.build(cdc, cfg)
+      pipeline.count() // warm
+      val t0 = System.nanoTime()
+      val n = pipeline.count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    // Same pipeline over 5M range-synthesized events (no IO) — isolates
+    // operator throughput from tiny-table job overhead.
+    val syntheticOps = try {
+      import org.apache.spark.sql.functions._
+      val n = 5000000L
+      val synth = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000).as("ts"),
+        pmod(col("id"), lit(150)).as("user_id"),
+        element_at(array(lit("signup"), lit("error"), lit("purchase"),
+          lit("click"), lit("view")), (pmod(col("id"), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(col("id") * 7919, lit(20000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(100)), lit("}")).as("props"))
+      val cfg = streaming.ConsumerConfig(name = "bench",
+        scope = ops.SourceScope(includeSchemas = Some(Seq("public", "audit"))))
+      val pipeline = streaming.CdcPipeline.build(model.Cdc.fromEvents(synth), cfg)
+      pipeline.count() // warm
+      val t0 = System.nanoTime()
+      val cnt = pipeline.count()
+      cnt / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

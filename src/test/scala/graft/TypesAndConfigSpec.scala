@@ -60,6 +60,26 @@ class TypesAndConfigSpec extends SparkSpec {
     assert(ValueCaster.cast("vector", "[0.5, 1.5]") == Seq(0.5f, 1.5f))
   }
 
+  test("ArrayLexer round-trips randomized pg array literals (fixed seed)") {
+    val rnd = new scala.util.Random(7)
+    def randElem(): String = {
+      val n = 1 + rnd.nextInt(8)
+      (0 until n).map(_ => "ab,\"\\{} x".charAt(rnd.nextInt(9))).mkString
+    }
+    def quote(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    (1 to 50).foreach { _ =>
+      val elems = (0 until rnd.nextInt(6)).map(_ =>
+        if (rnd.nextBoolean()) null else randElem())
+      val literal = elems.map {
+        case null => "NULL"
+        case e    => quote(e)
+      }.mkString("{", ",", "}")
+      val lexed = ValueCaster.lexArray(literal)
+      assert(lexed == elems.toSeq, s"round-trip failed for $literal")
+    }
+  }
+
   // ---- Backfill / AIMD -------------------------------------------------
 
   test("PageSizeOptimizer grows additively under budget, backs off multiplicatively") {
