@@ -41,8 +41,7 @@ object Dedup {
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
       shingleN: Int = 3): DataFrame = {
     val hashed = df.withColumn("hs",
-      transform(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)),
-        t => Hashing.portableHash(t)))
+      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN))
     hashed.withColumn("minhash",
       graft.functions.VectorExpressions.affine_minhash_sig(col("hs"), k))
   }
@@ -123,8 +122,7 @@ object Dedup {
   def withSimhash(df: DataFrame, textCol: String, bits: Int = 32,
       shingleN: Int = 3): DataFrame = {
     val hashed = df.withColumn("hs",
-      transform(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)),
-        t => Hashing.portableHash(t)))
+      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN))
     val voted = hashed.withColumn("votes",
       aggregate(col("hs"), array_repeat(lit(0L), bits),
         (acc, h) => zip_with(acc,

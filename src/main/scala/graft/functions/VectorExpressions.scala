@@ -119,6 +119,59 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Fused word-shingle + portable-hash kernel: tokenizes on single
+    * spaces, forms `n`-gram shingles, dedupes (first occurrence), and
+    * emits each distinct shingle's portable hash (first 4 md5 bytes as an
+    * unsigned 32-bit value — bit-identical to
+    * `transform(array_distinct(shingles(text, n)), portableHash)` but with
+    * no intermediate arrays and one MessageDigest per thread.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val digest =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.split(" ", -1)
+      val count = math.max(toks.length - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val md = digest.get()
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) {
+        md.reset()
+        val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(k) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column wrappers ------------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -131,4 +184,7 @@ object VectorExpressions {
 
   def affine_minhash_sig(hs: Column, k: Int): Column =
     column(AffineMinHashSig(expression(hs), k))
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    column(ShingleHashes(expression(text), n))
 }

@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashes equals transform(array_distinct(shingles), portableHash)") {
+    import spark.implicits._
+    val rnd = new Random(45)
+    val texts = Seq.fill(10)(
+      Seq.fill(3 + rnd.nextInt(40))(s"w${rnd.nextInt(20)}").mkString(" ")) :+
+      "one two" :+ "single"
+    texts.foreach { t =>
+      val df = Seq(Tuple1(t)).toDF("text")
+      val fused = df.select(VectorExpressions.shingle_hashes(col("text"), 3))
+        .collect().head.getSeq[Long](0)
+      val declarative = df.select(
+        transform(array_distinct(TextAnalysis.shingles(col("text"), 3)),
+          x => Hashing.portableHash(x))).collect().head.getSeq[Long](0)
+      assert(fused == declarative, s"mismatch for: $t")
+    }
+  }
+
   test("jaccardSorted equals jaccard on sorted distinct sets") {
     import spark.implicits._
     val df = Seq(
