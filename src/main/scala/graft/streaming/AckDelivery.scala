@@ -93,6 +93,12 @@ object AckDelivery {
           val out = scala.collection.mutable.ArrayBuffer.empty[Delivery]
 
           def cursorOf(e: ChangeEvent) = (e.commit_lsn, e.commit_idx)
+          def advanceAcked(l: Long, i: Long): Unit = {
+            // lexicographic max — an out-of-order or duplicate ack must
+            // never regress the cursor
+            if (l > st.acked_lsn || (l == st.acked_lsn && i > st.acked_idx))
+              st = st.copy(acked_lsn = l, acked_idx = i)
+          }
           def afterAcked(e: ChangeEvent) =
             e.commit_lsn > st.acked_lsn ||
               (e.commit_lsn == st.acked_lsn && e.commit_idx > st.acked_idx)
@@ -110,10 +116,8 @@ object AckDelivery {
               case "ack" =>
                 cmd.ack_id.flatMap(st.inflight.get).foreach { inf =>
                   val (l, i) = cursorOf(inf.event)
-                  st = st.copy(
-                    inflight = st.inflight - cmd.ack_id.get,
-                    acked_lsn = math.max(st.acked_lsn, l),
-                    acked_idx = if (l >= st.acked_lsn) i else st.acked_idx)
+                  st = st.copy(inflight = st.inflight - cmd.ack_id.get)
+                  advanceAcked(l, i)
                 }
               case "nack" =>
                 cmd.ack_id.flatMap(id => st.inflight.get(id).map(id -> _))
@@ -131,10 +135,8 @@ object AckDelivery {
               if (inf.deliver_count >= maxRetry) {
                 out += Delivery("dlq", id, inf.deliver_count, inf.event)
                 val (l, i) = cursorOf(inf.event)
-                st = st.copy(
-                  inflight = st.inflight - id,
-                  acked_lsn = math.max(st.acked_lsn, l),
-                  acked_idx = if (l >= st.acked_lsn) i else st.acked_idx)
+                st = st.copy(inflight = st.inflight - id)
+                advanceAcked(l, i)
               } else {
                 val n = inf.deliver_count + 1
                 out += Delivery("redeliver", id, n, inf.event)

@@ -114,6 +114,31 @@ class AckDeliverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order acks never regress the cursor (same-lsn edge)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e0 = ev(8, "6"); val e1 = ev(8, "6").copy(commit_idx = 1L,
+      record_pk = "pk8b", idempotency_key = "6:8b")
+    val in = MemoryStream[DeliveryCommand]
+    val q = AckDelivery.run(in.toDS(), ackWaitMs = 60000L, maxInflight = 2)
+      .writeStream.format("memory").queryName("ack_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(DeliveryCommand.event(e0), DeliveryCommand.event(e1))
+      q.processAllAvailable()
+      // ack the LATER cursor first, then the earlier one
+      in.addData(DeliveryCommand.ack("6", "6:8b"))
+      q.processAllAvailable()
+      in.addData(DeliveryCommand.ack("6", "6:8"))
+      q.processAllAvailable()
+      // replays of both must be rejected — cursor is at (8,1), not (8,0)
+      in.addData(DeliveryCommand.event(e0), DeliveryCommand.event(e1))
+      q.processAllAvailable()
+      assert(collected("ack_ooo").map(_.kind).count(_ == "deliver") == 2)
+    } finally q.stop()
+  }
+
   test("duplicate event arrivals are accepted once (pending/inflight/acked dedup)") {
     implicit val s = spark
     import s.implicits._
