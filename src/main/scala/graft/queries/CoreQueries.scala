@@ -255,7 +255,21 @@ object CoreQueries {
             get_json_object(col("record_props"), "$.k")), ignoreNulls = true)
             .over(w).as("annotation"))
         .orderBy("record_id")
-    }))
+    }),
+
+    // A4 — event-time windowed delivery metrics (count/sum/median per
+    // tumbling hour x action): Spark's window() primitive, the batch form
+    // of the streaming metrics aggregation
+    "q36_windowed_metrics" -> ((s, dir) =>
+      cdc(s, dir)
+        .withColumn("value_cents", round(col("record_value") * 100).cast("bigint"))
+        .groupBy(window(col("commit_ts"), "1 hour"), col("action"))
+        .agg(count(lit(1)).as("n"),
+          sum("value_cents").as("sum_cents"),
+          expr("percentile(value_cents, 0.5D)").as("med_cents"))
+        .select(unix_micros(col("window.start")).as("hour_us"), col("action"),
+          col("n"), col("sum_cents"), col("med_cents"))
+        .orderBy("hour_us", "action")))
 
   /** DuckDB equivalents. `cdc` CTE prefix from [[Cdc.duckCte]]. */
   val oracles: Map[String, String] = {
@@ -448,6 +462,15 @@ object CoreQueries {
           |    THEN json_extract_string(record_props, '$.k') END IGNORE NULLS)
           |    OVER (PARTITION BY record_user_id ORDER BY commit_lsn, commit_idx
           |          ROWS UNBOUNDED PRECEDING) AS annotation
-          |FROM cdc ORDER BY record_id""".stripMargin))
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q36_windowed_metrics" -> (cte +
+        """SELECT epoch_us(date_trunc('hour', commit_ts)) AS hour_us, action,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+          |  quantile_cont(value_cents, 0.5) AS med_cents
+          |FROM (SELECT commit_ts, action,
+          |        CAST(round(record_value * 100) AS BIGINT) AS value_cents FROM cdc)
+          |GROUP BY 1, 2 ORDER BY hour_us, action""".stripMargin))
   }
 }
