@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every registered query at the
   * SF dir given by SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * startup so per-query numbers measure the plans, not JIT compilation.
   */
 object Bench {
+  /** Force FULL evaluation of every output column. A bare `.count()` lets
+    * Catalyst prune unreferenced projections, so projection-heavy queries
+    * would time scan+count instead of the expressions the oracle validates.
+    * The `noop` DSv2 sink consumes every row end-to-end (all columns
+    * materialized, incl. map-typed ones that hash() cannot touch).
+    */
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,14 +32,14 @@ object Bench {
 
     // Warmup: exercise parquet reads, codegen, shuffle machinery.
     try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries.get("q19_stats").foreach(f => f(spark, sfDir).count())
-      SparkEntry.queries.get("td06_simhash").foreach(f => f(spark, sfDir).count())
+      force(SparkEntry.entry(spark))
+      SparkEntry.queries.get("q19_stats").foreach(f => force(f(spark, sfDir)))
+      SparkEntry.queries.get("td06_simhash").foreach(f => force(f(spark, sfDir)))
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -44,9 +53,10 @@ object Bench {
       val cfg = streaming.ConsumerConfig(name = "bench",
         scope = ops.SourceScope(includeSchemas = Some(Seq("public", "audit"))))
       val pipeline = streaming.CdcPipeline.build(cdc, cfg)
-      pipeline.count() // warm
+      val n = pipeline.count() // row count for the rate; also warms the plan
+      force(pipeline)          // warm the full-evaluation path too
       val t0 = System.nanoTime()
-      val n = pipeline.count()
+      force(pipeline)
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
 
@@ -67,9 +77,10 @@ object Bench {
       val cfg = streaming.ConsumerConfig(name = "bench",
         scope = ops.SourceScope(includeSchemas = Some(Seq("public", "audit"))))
       val pipeline = streaming.CdcPipeline.build(model.Cdc.fromEvents(synth), cfg)
-      pipeline.count() // warm
+      val cnt = pipeline.count() // row count for the rate; also warms the plan
+      force(pipeline)            // warm the full-evaluation path too
       val t0 = System.nanoTime()
-      val cnt = pipeline.count()
+      force(pipeline)
       cnt / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
 

@@ -24,11 +24,17 @@ object Fanout {
     * unpivot to (consumer, n) rows.
     */
   def matchCounts(events: DataFrame, configs: Seq[ConsumerConfig]): DataFrame = {
-    val aggs = configs.map(c =>
-      sum(when(matchPredicate(c), 1L).otherwise(0L)).as(c.name))
+    // Synthetic c$i column names keep arbitrary consumer names (quotes,
+    // backticks) out of the resolver; coalesce maps the empty-input sum
+    // (NULL) to 0. Names re-enter only as literals in the unpivot.
+    val aggs = configs.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(matchPredicate(c), 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+    }
     val wide = events.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = configs.map(c => s"'${c.name}', `${c.name}`").mkString(", ")
-    wide.selectExpr(s"stack(${configs.size}, $stackExpr) as (consumer, n)")
+    val stackArgs = lit(configs.size) +: configs.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(c.name), col(s"c$i"))
+    }
+    wide.select(stack(stackArgs: _*).as(Seq("consumer", "n")))
       .orderBy("consumer")
   }
 

@@ -28,8 +28,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     busy-loop empty batches while any group is in flight; the reference
   *     likewise drives visibility checks from its own timer process, which
   *     here is a periodic tick stream unioned into the commands.);
-  *   - `deliver_count > maxRetry` dead-letters the message (emitted with
-  *     `kind = "dlq"`) so the group is never wedged.
+  *   - a message that has already been delivered `maxRetry` times
+  *     (`deliver_count >= maxRetry` at redelivery time) dead-letters
+  *     instead of redelivering (emitted with `kind = "dlq"`), so the group
+  *     is never wedged — `maxRetry` is the max TOTAL delivery attempts.
   *
   * State per group is O(pending + inflight) events; groups shard across
   * executors by hash — the same partitioning the delivery runtime uses.

@@ -37,6 +37,9 @@ object ValueCaster {
       case "date"                                      => DateType
       case "json" | "jsonb"                            => StringType // JSON doc
       case "vector"                                    => ArrayType(FloatType)
+      case "interval" =>
+        StructType(Seq(StructField("months", IntegerType),
+          StructField("days", IntegerType), StructField("micros", LongType)))
       case t if t.startsWith("_")                      => ArrayType(sparkType(t.stripPrefix("_")))
       case _                                           => StringType
     }
@@ -63,7 +66,10 @@ object ValueCaster {
           OffsetDateTime.parse(normalizeTzText(value))
             .withOffsetSameInstant(ZoneOffset.UTC)
         case "date" => LocalDate.parse(value)
-        case "interval" => parseInterval(value)
+        case "interval" =>
+          val (m, d, us) = parseInterval(value)
+          org.apache.spark.sql.Row(m, d, us) // matches sparkType's struct
+
         case "vector" =>
           value.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toFloat).toSeq
         case t if t.startsWith("_") =>
@@ -135,9 +141,15 @@ object ValueCaster {
     while (i < inner.length) {
       val c = inner.charAt(i)
       c match {
+        // Inside a nested array the raw text is re-lexed recursively, so
+        // quotes and escapes must pass through VERBATIM — consuming them
+        // here would mis-split elements like {{"a,b"},{c}} on re-lex.
         case '\\' if inQuotes && i + 1 < inner.length =>
+          if (depth > 0) cur += c
           cur += inner.charAt(i + 1); i += 1
-        case '"' => inQuotes = !inQuotes; wasQuoted = true
+        case '"' =>
+          inQuotes = !inQuotes
+          if (depth > 0) cur += c else wasQuoted = true
         case '{' if !inQuotes => depth += 1; cur += c
         case '}' if !inQuotes => depth -= 1; cur += c
         case ',' if !inQuotes && depth == 0 => flush()

@@ -110,4 +110,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("1", 9.0), ("2", 2.0)))
   }
 
+  test("EventTableSink rewrites only the buckets the batch touches") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_inc").toString + "/events"
+    val init = (1 to 200).map(i => ev(8, i.toLong, "7", i.toString, value = i.toDouble)).toDF()
+    EventTableSink.upsert(spark, init, dir)
+
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = files()
+    val touched = spark.range(1)
+      .select(EventTableSink.bucketOf(lit("42"), EventTableSink.DefaultBuckets))
+      .head().getInt(0)
+
+    EventTableSink.upsert(spark, Seq(ev(16, 0, "7", "42", value = 99.0)).toDF(), dir)
+    val after = files()
+
+    // every parquet file OUTSIDE the touched bucket is byte-for-byte the
+    // same file (path + mtime unchanged) → I/O scaled with the batch
+    def others(m: Map[String, Long]) = m.filterNot(_._1.contains(s"bucket=$touched"))
+    assert(others(before) == others(after))
+    assert(others(before).nonEmpty)
+
+    val out = EventTableSink.read(spark, dir)
+    assert(out.count() == 200)
+    assert(out.filter(col("record_pk") === "42").select("record_value")
+      .head().getDouble(0) == 99.0)
+  }
+
 }
