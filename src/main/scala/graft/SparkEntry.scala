@@ -27,10 +27,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.FunctionQueries.queries ++
-    graft.queries.TrainingQueries.queries
+    graft.queries.TrainingQueries.queries ++
+    graft.queries.IngestQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
     graft.queries.FunctionQueries.oracles ++
-    graft.queries.TrainingQueries.oracles
+    graft.queries.TrainingQueries.oracles ++
+    graft.queries.IngestQueries.oracles
 }

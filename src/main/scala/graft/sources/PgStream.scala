@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.sources.PgOutput._
+import graft.types.ValueCaster
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Relation registry + binary-frame stream decode: the S1/S2 ingestion
+  * path past the codec.
+  *
+  * pgoutput sends a `Relation` message before a table's first row change
+  * on a connection and again whenever the table's schema changes; the
+  * decoder must hold the latest Relation per table oid to interpret tuple
+  * cells (reference: relation cache `lib/sequin/runtime/slot_producer/
+  * processor.ex:139-141`, schema-change hash `postgres_relation_hash_
+  * cache.ex`). Spark rendition:
+  *
+  *   - [[SchemaRegistry]] — oid → Relation map + stable schema hash;
+  *     `observe` reports a change exactly when the hash moves.
+  *   - [[PgStream.decodeStateful]] — `flatMapGroupsWithState` keyed by
+  *     slot id. The relation cache and the open transaction live in the
+  *     checkpointed state store, so a Relation seen in micro-batch N
+  *     decodes row changes in batch N+k and a mid-stream schema change
+  *     switches decoding WITHOUT a query restart. Relations are stored as
+  *     their wire frames (encoder-friendly `Map[Long, Array[Byte]]`),
+  *     re-decoded on state load.
+  *   - [[PgStream.decodePartitions]] — the batch/replay form over
+  *     seq-sorted partitions (one slot's frames are totally ordered;
+  *     partition by slot upstream).
+  *
+  * Emitted rows carry text cells (`values`), the decoded envelope, and the
+  * relation's schema hash; typed casting happens downstream per table via
+  * [[SchemaRegistry.castTuple]] or the pinned-schema `from_json` path.
+  */
+object PgStream {
+
+  /** One replication frame with its slot identity and total order. */
+  final case class Frame(slot_id: String, seq: Long, payload: Array[Byte])
+
+  /** Decoded output: `kind` = change | schema_change | truncate. */
+  final case class Decoded(
+      kind: String,
+      slot_id: String,
+      seq: Long,
+      commit_lsn: Long,
+      commit_idx: Long,
+      commit_ts_us: Long,
+      xid: Long,
+      table_schema: String,
+      table_name: String,
+      table_oid: Long,
+      action: String,
+      columns: Seq[String],
+      values: Seq[String],
+      old_values: Option[Seq[String]],
+      schema_hash: String)
+
+  /** Carried across micro-batches in the state store. */
+  final case class SlotState(
+      lastSeq: Long,
+      relationFrames: Map[Long, Array[Byte]],
+      beginFrame: Option[Array[Byte]],
+      commitIdx: Long)
+
+  private val emptyState = SlotState(Long.MinValue, Map.empty, None, 0L)
+
+  /** Streaming decode with a checkpointed relation cache per slot. */
+  def decodeStateful(frames: Dataset[Frame])(
+      implicit spark: SparkSession): Dataset[Decoded] = {
+    import spark.implicits._
+    frames
+      .groupByKey(_.slot_id)
+      .flatMapGroupsWithState[SlotState, Decoded](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (slot: String, it: Iterator[Frame], state: GroupState[SlotState]) =>
+          var st = state.getOption.getOrElse(emptyState)
+          val registry = SchemaRegistry.fromFrames(st.relationFrames)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+          // one slot's frames are a totally ordered stream; a micro-batch
+          // slice is bounded, so an in-memory sort restores wire order
+          it.toSeq.sortBy(_.seq).foreach { f =>
+            if (f.seq > st.lastSeq) { // replayed frames are dropped
+              st = st.copy(lastSeq = f.seq)
+              decodeOne(slot, f, registry,
+                () => st, s => st = s, out += _)
+            }
+          }
+          st = st.copy(relationFrames = registry.toFrames)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch/replay decode: each partition is one slot's frames in seq
+    * order (repartition by slot + sortWithinPartitions upstream).
+    */
+  def decodePartitions(frames: Dataset[Frame])(
+      implicit spark: SparkSession): Dataset[Decoded] = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      var st = emptyState
+      val registry = new SchemaRegistry
+      val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+      it.foreach { f =>
+        decodeOne(f.slot_id, f, registry, () => st, s => st = s, out += _)
+      }
+      out.iterator
+    }
+  }
+
+  /** Shared per-frame state machine (txn assembly + registry). */
+  private def decodeOne(slot: String, f: Frame, registry: SchemaRegistry,
+      get: () => SlotState, set: SlotState => Unit,
+      emit: Decoded => Unit): Unit = {
+    def begin: Option[Begin] =
+      get().beginFrame.map(b => PgOutput.decode(b).asInstanceOf[Begin])
+    def withTxn(action: String, oid: Long, cols: Seq[String],
+        values: Seq[String], old: Option[Seq[String]], hash: String): Unit = {
+      val b = begin.getOrElse(Begin(0L, 0L, 0L))
+      val rel = registry.relationOf(oid)
+      val st = get()
+      emit(Decoded("change", slot, f.seq, b.finalLsn, st.commitIdx,
+        b.commitTsMicros, b.xid,
+        rel.map(_.namespace).getOrElse(""), rel.map(_.name).getOrElse(""),
+        oid, action, cols, values, old, hash))
+      set(st.copy(commitIdx = st.commitIdx + 1))
+    }
+    PgOutput.decode(f.payload) match {
+      case b: Begin =>
+        set(get().copy(beginFrame = Some(PgOutput.encode(b)), commitIdx = 0L))
+      case _: Commit =>
+        set(get().copy(beginFrame = None, commitIdx = 0L))
+      case r: Relation =>
+        registry.observe(r).foreach { ch =>
+          emit(Decoded("schema_change", slot, f.seq,
+            begin.map(_.finalLsn).getOrElse(0L), 0L,
+            begin.map(_.commitTsMicros).getOrElse(0L),
+            begin.map(_.xid).getOrElse(0L),
+            r.namespace, r.name, r.id, "schema_change",
+            r.columns.map(_.name), r.columns.map(_.pgType),
+            ch.previousHash.map(Seq(_)), ch.hash))
+        }
+      case Insert(oid, tuple) =>
+        val rel = registry.relationOf(oid)
+        withTxn("insert", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
+          textCells(tuple), None, rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+      case Update(oid, old, key, tuple) =>
+        val rel = registry.relationOf(oid)
+        withTxn("update", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
+          textCells(tuple), old.orElse(key).map(textCells),
+          rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+      case Delete(oid, old, key) =>
+        val rel = registry.relationOf(oid)
+        withTxn("delete", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
+          old.orElse(key).map(textCells).getOrElse(Nil), None,
+          rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+      case Truncate(_, oids) =>
+        oids.foreach { oid =>
+          val rel = registry.relationOf(oid)
+          withTxn("truncate", oid, Nil, Nil, None,
+            rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+        }
+      case _ => () // Origin / Type / LogicalMessage / Unsupported: no rows
+    }
+  }
+}
+
+/** oid → latest Relation, with schema-change detection by stable hash. */
+final class SchemaRegistry extends Serializable {
+  import SchemaRegistry._
+
+  private val relations = scala.collection.mutable.Map.empty[Long, Relation]
+  private val hashes = scala.collection.mutable.Map.empty[Long, String]
+
+  /** Record a Relation message; Some(change) exactly when the schema hash
+    * for this oid is new or moved (first sight counts as a change — the
+    * reference also treats a missing Redis hash as a change to record).
+    */
+  def observe(rel: Relation): Option[SchemaChange] = {
+    val h = schemaHash(rel)
+    val prev = hashes.get(rel.id)
+    relations(rel.id) = rel
+    hashes(rel.id) = h
+    if (prev.contains(h)) None
+    else Some(SchemaChange(rel.id, rel.namespace, rel.name, prev, h))
+  }
+
+  def relationOf(oid: Long): Option[Relation] = relations.get(oid)
+
+  /** The pinned Spark schema for a table's current Relation (§1.2). */
+  def sparkSchemaOf(oid: Long): Option[StructType] =
+    relations.get(oid).map(toStructType)
+
+  def toFrames: Map[Long, Array[Byte]] =
+    relations.map { case (k, v) => k -> PgOutput.encode(v) }.toMap
+}
+
+object SchemaRegistry {
+
+  final case class SchemaChange(relationId: Long, namespace: String,
+      name: String, previousHash: Option[String], hash: String)
+
+  def fromFrames(frames: Map[Long, Array[Byte]]): SchemaRegistry = {
+    val r = new SchemaRegistry
+    frames.values.foreach { f =>
+      PgOutput.decode(f) match {
+        case rel: Relation => r.observe(rel)
+        case _             => ()
+      }
+    }
+    r
+  }
+
+  /** Stable content hash of a relation's schema (identity + column
+    * names/oids/modifiers/key flags) — the portable analogue of the
+    * reference's `phash2(relation)`.
+    */
+  def schemaHash(rel: Relation): String = {
+    val canonical = (Seq(rel.id.toString, rel.namespace, rel.name,
+      rel.replicaIdentity) ++ rel.columns.map(c =>
+        s"${c.name}:${c.typeOid}:${c.typeModifier}:${c.isKey}")).mkString(" ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  def toStructType(rel: Relation): StructType =
+    StructType(rel.columns.map(c =>
+      StructField(c.name, ValueCaster.sparkType(c.pgType), nullable = true)))
+
+  /** Text cells → typed JVM values against the relation's column types. */
+  def castTuple(rel: Relation, cells: Seq[String]): Seq[Any] =
+    rel.columns.zip(cells).map { case (c, v) => ValueCaster.cast(c.pgType, v) }
+}

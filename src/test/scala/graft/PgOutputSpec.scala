@@ -1,0 +1,243 @@
+package graft
+
+import graft.sources.{OidNames, PgOutput, PgStream, SchemaRegistry}
+import graft.sources.PgOutput._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary pgoutput codec: property-tested encode/decode round-trip,
+  * frame-level decode cases matching the reference's semantics
+  * (decoder.ex:267-474), the schema registry, and a streaming decode whose
+  * Relation cache survives micro-batch boundaries (processor.ex:139-141).
+  */
+class PgOutputSpec extends AnyFunSuite {
+
+  // ------------------------------------------------- generators
+
+  private val genCell: Gen[Cell] = Gen.frequency(
+    2 -> Gen.const(Cell.Null),
+    1 -> Gen.const(Cell.UnchangedToast),
+    7 -> Gen.asciiPrintableStr.map(Cell.Text(_)),
+    2 -> Gen.oneOf("héllo wörld", "{\"k\": 1}", "line\nbreak", "",
+      "nulbyte").map(Cell.Text(_)))
+
+  private val genTuple: Gen[Seq[Cell]] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, genCell))
+
+  private val genName: Gen[String] = for {
+    head <- Gen.alphaChar
+    tail <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (head :: tail).mkString
+
+  private val genColumn: Gen[RelationColumn] = for {
+    name <- genName
+    key <- Arbitrary.arbBool.arbitrary
+    oid <- Gen.oneOf(16L, 17L, 20L, 21L, 23L, 25L, 700L, 701L, 1043L,
+      1082L, 1114L, 1184L, 1700L, 3802L, 99999L)
+    mod <- Gen.oneOf(-1, 0, 64)
+  } yield RelationColumn(name, key, oid, mod)
+
+  private val genLsn: Gen[Long] = Gen.chooseNum(0L, Long.MaxValue)
+  private val genOid: Gen[Long] = Gen.chooseNum(1L, 0xffffffffL)
+  private val genTs: Gen[Long] =
+    Gen.chooseNum(PgOutput.PgEpochUnixMicros, 4102444800000000L)
+  private val genXid: Gen[Long] = Gen.chooseNum(0L, 0xffffffffL)
+
+  private val genMessage: Gen[PgMessage] = Gen.oneOf(
+    for { l <- genLsn; t <- genTs; x <- genXid } yield Begin(l, t, x),
+    for { f <- Gen.oneOf(0, 1); l <- genLsn; e <- genLsn; t <- genTs }
+      yield Commit(f, l, e, t),
+    for { l <- genLsn; n <- genName } yield Origin(l, n),
+    for {
+      id <- genOid; ns <- genName; n <- genName
+      ident <- Gen.oneOf("d", "n", "f", "i")
+      cols <- Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k, genColumn))
+    } yield Relation(id, ns, n, ident, cols),
+    for { r <- genOid; t <- genTuple } yield Insert(r, t),
+    for {
+      r <- genOid; t <- genTuple
+      old <- Gen.option(genTuple)
+      key <- if (old.isDefined) Gen.const(None) else Gen.option(genTuple)
+    } yield Update(r, old, key, t),
+    for {
+      r <- genOid; t <- genTuple
+      useKey <- Arbitrary.arbBool.arbitrary
+    } yield
+      if (useKey) Delete(r, None, Some(t)) else Delete(r, Some(t), None),
+    for {
+      opts <- Gen.chooseNum(0, 3)
+      rels <- Gen.chooseNum(0, 5).flatMap(k => Gen.listOfN(k, genOid))
+    } yield Truncate(opts, rels),
+    for { id <- genOid; ns <- genName; n <- genName } yield PgType(id, ns, n),
+    for {
+      tx <- Arbitrary.arbBool.arbitrary; l <- genLsn; p <- genName
+      c <- Gen.listOf(Arbitrary.arbByte.arbitrary).map(_.toArray)
+    } yield LogicalMessage(tx, l, p, c))
+
+  test("encode/decode round-trips every message type (ScalaCheck)") {
+    val prop = Prop.forAll(genMessage) { m =>
+      PgOutput.decode(PgOutput.encode(m)) == m
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ------------------------------------------------- frame-level cases
+
+  test("insert frame decodes tuple cells: text, null, unchanged toast") {
+    val frame = PgOutput.encode(Insert(24576L,
+      Seq(Cell.Text("baz"), Cell.Null, Cell.UnchangedToast, Cell.Text("560"))))
+    val Insert(rel, cells) = PgOutput.decode(frame): @unchecked
+    assert(rel == 24576L)
+    assert(textCells(cells) ==
+      Seq("baz", null, graft.types.ValueCaster.ToastSentinel, "560"))
+  }
+
+  test("update frame variants: bare, with old tuple, with key tuple") {
+    val bare = PgOutput.decode(PgOutput.encode(
+      Update(1L, None, None, Seq(Cell.Text("v")))))
+    assert(bare == Update(1L, None, None, Seq(Cell.Text("v"))))
+    val withOld = PgOutput.decode(PgOutput.encode(
+      Update(1L, Some(Seq(Cell.Text("o"))), None, Seq(Cell.Text("v")))))
+    assert(withOld.asInstanceOf[Update].oldTuple.isDefined)
+    val withKey = PgOutput.decode(PgOutput.encode(
+      Update(1L, None, Some(Seq(Cell.Text("k"))), Seq(Cell.Text("v")))))
+    assert(withKey.asInstanceOf[Update].keyTuple.isDefined)
+  }
+
+  test("relation frame carries identity, key flags and oid-resolved types") {
+    val rel = Relation(16388L, "public", "orders", "d", Seq(
+      RelationColumn("id", isKey = true, 20L, -1),
+      RelationColumn("note", isKey = false, 25L, -1),
+      RelationColumn("total", isKey = false, 1700L, 4)))
+    val decoded = PgOutput.decode(PgOutput.encode(rel)).asInstanceOf[Relation]
+    assert(decoded == rel)
+    assert(decoded.columns.map(_.pgType) == Seq("int8", "text", "numeric"))
+    assert(decoded.columns.map(_.isKey) == Seq(true, false, false))
+  }
+
+  test("truncate options decode to names; unknown tags are Unsupported") {
+    assert(PgOutput.truncateOptions(3) == Seq("cascade", "restart_identity"))
+    assert(PgOutput.truncateOptions(0) == Nil)
+    assert(PgOutput.decode(Array[Byte]('Z', 1, 2)).isInstanceOf[Unsupported])
+    assert(PgOutput.decode(Array[Byte]('B')).isInstanceOf[Unsupported]) // short
+  }
+
+  test("timestamps convert between PG epoch and unix micros") {
+    val b = PgOutput.decode(PgOutput.encode(
+      Begin(8L, 1704067200000000L, 7L))).asInstanceOf[Begin]
+    assert(b.commitTsMicros == 1704067200000000L) // 2024-01-01 UTC
+    assert(PgOutput.formatLsn((0x1L << 32) | 0x9A2EL) == "1/9A2E")
+  }
+
+  test("oid map covers the ValueCaster surface; unknown oids decay to text") {
+    assert(OidNames.nameFor(3802L) == "jsonb")
+    assert(OidNames.nameFor(1016L) == "_int8")
+    assert(OidNames.nameFor(424242L) == "text")
+    assert(OidNames.oidFor("numeric") == 1700L)
+  }
+
+  // ------------------------------------------------- schema registry
+
+  private def rel(oid: Long, cols: (String, Long)*): Relation =
+    Relation(oid, "public", s"t$oid", "d",
+      cols.map { case (n, o) => RelationColumn(n, isKey = n == "id", o, -1) })
+
+  test("SchemaRegistry: first sight and hash moves are changes; repeats are not") {
+    val reg = new SchemaRegistry
+    val v1 = rel(42L, "id" -> 20L, "name" -> 25L)
+    assert(reg.observe(v1).exists(_.previousHash.isEmpty))
+    assert(reg.observe(v1).isEmpty) // same schema re-announced
+    val v2 = rel(42L, "id" -> 20L, "name" -> 25L, "score" -> 701L)
+    val change = reg.observe(v2)
+    assert(change.exists(_.previousHash.isDefined))
+    assert(reg.sparkSchemaOf(42L).get.fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+    val typed = SchemaRegistry.castTuple(v2, Seq("7", "ada", "1.5"))
+    assert(typed == Seq(7L, "ada", 1.5))
+  }
+
+  // ------------------------------------------------- streaming decode
+
+  private lazy val spark = SparkSpec.session
+
+  test("decodeStateful: relation cache crosses micro-batches; mid-stream schema change switches decoding without restart") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val v1 = rel(99L, "id" -> 20L, "name" -> 25L)
+    val v2 = rel(99L, "id" -> 20L, "name" -> 25L, "score" -> 701L)
+    def ins(cells: Cell*) = PgOutput.encode(Insert(99L, cells))
+    def frame(seq: Long, payload: Array[Byte]) =
+      PgStream.Frame("slot1", seq, payload)
+
+    val input = MemoryStream[PgStream.Frame]
+    val query = PgStream.decodeStateful(input.toDS())
+      .writeStream.format("memory").queryName("pg_decoded")
+      .outputMode("append").start()
+    try {
+      // batch 1: relation v1 + one txn
+      input.addData(
+        frame(1, PgOutput.encode(v1)),
+        frame(2, PgOutput.encode(Begin(8L, 1704067200000000L, 100L))),
+        frame(3, ins(Cell.Text("1"), Cell.Text("a"))),
+        frame(4, PgOutput.encode(Commit(0, 8L, 16L, 1704067200000000L))))
+      query.processAllAvailable()
+      // batch 2: NO relation frame — cache must come from the state store
+      input.addData(
+        frame(5, PgOutput.encode(Begin(16L, 1704067201000000L, 101L))),
+        frame(6, ins(Cell.Text("2"), Cell.Text("b"))),
+        frame(7, PgOutput.encode(Commit(0, 16L, 24L, 1704067201000000L))))
+      query.processAllAvailable()
+      // batch 3: schema changes mid-stream, decoding follows immediately
+      input.addData(
+        frame(8, PgOutput.encode(v2)),
+        frame(9, PgOutput.encode(Begin(24L, 1704067202000000L, 102L))),
+        frame(10, ins(Cell.Text("3"), Cell.Text("c"), Cell.Text("9.5"))),
+        frame(11, PgOutput.encode(Commit(0, 24L, 32L, 1704067202000000L))))
+      query.processAllAvailable()
+
+      val out = spark.table("pg_decoded").as[PgStream.Decoded].collect()
+        .sortBy(_.seq)
+      val changes = out.filter(_.kind == "change")
+      assert(changes.map(_.columns.size).toSeq == Seq(2, 2, 3))
+      assert(changes.map(_.values.last).toSeq == Seq("a", "b", "9.5"))
+      assert(changes.map(_.commit_lsn).toSeq == Seq(8L, 16L, 24L))
+      assert(changes.map(_.table_name).forall(_ == "t99"))
+      // hash moved exactly on the two distinct schemas
+      val schemaChanges = out.filter(_.kind == "schema_change")
+      assert(schemaChanges.length == 2)
+      assert(changes.map(_.schema_hash).distinct.length == 2)
+
+      // replayed frames (same seq) must not re-emit
+      input.addData(frame(10, ins(Cell.Text("3"), Cell.Text("c"), Cell.Text("9.5"))))
+      query.processAllAvailable()
+      assert(spark.table("pg_decoded").filter("kind = 'change'").count() == 3)
+    } finally query.stop()
+  }
+
+  test("decodePartitions: batch replay decodes a seq-sorted slot partition") {
+    implicit val s = spark
+    import s.implicits._
+    val v1 = rel(7L, "id" -> 20L, "v" -> 701L)
+    val frames = Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(v1)),
+      PgStream.Frame("s", 2, PgOutput.encode(Begin(8L, 1704067200000000L, 1L))),
+      PgStream.Frame("s", 3, PgOutput.encode(Insert(7L,
+        Seq(Cell.Text("1"), Cell.Text("2.5"))))),
+      PgStream.Frame("s", 4, PgOutput.encode(Update(7L,
+        Some(Seq(Cell.Text("1"), Cell.Text("2.5"))), None,
+        Seq(Cell.Text("1"), Cell.Text("3.5"))))),
+      PgStream.Frame("s", 5, PgOutput.encode(Delete(7L,
+        Some(Seq(Cell.Text("1"), Cell.Text("3.5"))), None))),
+      PgStream.Frame("s", 6, PgOutput.encode(Commit(0, 8L, 16L, 1704067200000000L))))
+    val out = PgStream.decodePartitions(
+      frames.toDS().repartition(1).sortWithinPartitions("seq"))
+      .collect().filter(_.kind == "change").sortBy(_.seq)
+    assert(out.map(_.action).toSeq == Seq("insert", "update", "delete"))
+    assert(out.map(_.commit_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(out(1).old_values.get == Seq("1", "2.5"))
+  }
+}
