@@ -41,4 +41,76 @@ object Routing {
     */
   def partitionBy(df: DataFrame, n: Int): DataFrame =
     df.withColumn("partition", pmod(hash(col("group_id")), lit(n)))
+
+  /** Destination-too-long guard in the reference's shape
+    * (`Sequin.String.truncate_with_hash`, used for Kinesis partition keys
+    * ≤256B and Pub/Sub ordering keys ≤1024B): keep short values verbatim,
+    * else truncate and suffix a short content hash so distinct long keys
+    * stay distinct.
+    */
+  def truncateWithHash(c: Column, maxLen: Int): Column =
+    when(length(c) <= maxLen, c)
+      .otherwise(concat(substring(c, 1, maxLen - 9), lit(":"),
+        substring(md5(c.cast("binary")), 1, 8)))
+
+  /** R1 (Redis stream) — `stream_key = "sequin.<schema>.<table>"`
+    * (`/root/reference/lib/sequin/runtime/routing/consumers/redis_stream.ex:23-25`).
+    */
+  def redisStream(df: DataFrame, prefix: String = "sequin"): DataFrame =
+    df.withColumn("stream_key",
+      concat_ws(".", lit(prefix), col("table_schema"), col("table_name")))
+
+  /** R1 (GCP Pub/Sub) — `topic_id = "sequin.<schema>.<table>"`, ordering
+    * key = delivery group (≤1024B)
+    * (`routing/consumers/gcp_pubsub.ex:26-30`, `gcp_pubsub_pipeline.ex:97`).
+    */
+  def gcpPubsub(df: DataFrame, prefix: String = "sequin"): DataFrame =
+    df.withColumn("topic_id",
+        concat_ws(".", lit(prefix), col("table_schema"), col("table_name")))
+      .withColumn("ordering_key",
+        truncateWithHash(coalesce(col("group_id"), col("record_pk")), 1024))
+
+  /** R1 (NATS) — `subject = "sequin.<db>.<schema>.<table>.<action>"`,
+    * `Nats-Msg-Id` header = idempotency key
+    * (`routing/consumers/nats.ex:25-30`).
+    */
+  def nats(df: DataFrame, databaseName: String = "postgres"): DataFrame =
+    df.withColumn("subject",
+        concat_ws(".", lit("sequin"), lit(databaseName), col("table_schema"),
+          col("table_name"), col("action")))
+      .withColumn("nats_msg_id", col("idempotency_key"))
+
+  /** R1 (RabbitMQ) — routing key mirrors the NATS subject; message id =
+    * idempotency key (`routing/consumers/rabbitmq.ex:30-38`).
+    */
+  def rabbitmq(df: DataFrame, databaseName: String = "postgres"): DataFrame =
+    df.withColumn("routing_key",
+        concat_ws(".", lit("sequin"), lit(databaseName), col("table_schema"),
+          col("table_name"), col("action")))
+      .withColumn("message_id", col("idempotency_key"))
+
+  /** R1 (Typesense) — collection per table; delete action maps to a
+    * delete, everything else emplace-indexes
+    * (`routing/consumers/typesense.ex:25-36`).
+    */
+  def typesense(df: DataFrame, prefix: String = "sequin"): DataFrame =
+    df.withColumn("collection_name",
+        concat_ws(".", lit(prefix), col("table_schema"), col("table_name")))
+      .withColumn("ts_action",
+        when(col("action") === "delete", "delete").otherwise("index"))
+
+  /** R1 (Meilisearch) — static index, per-action index/delete
+    * (`routing/consumers/meilisearch.ex:24-32`).
+    */
+  def meilisearch(df: DataFrame): DataFrame =
+    df.withColumn("ms_action",
+      when(col("action") === "delete", "delete").otherwise("index"))
+
+  /** R1 (Elasticsearch, full form) — `index_name =
+    * "sequin.<db>.<schema>.<table>"` (`routing/consumers/elasticsearch.ex:20`).
+    */
+  def esIndexName(df: DataFrame, databaseName: String = "postgres"): DataFrame =
+    df.withColumn("index_name",
+      concat_ws(".", lit("sequin"), lit(databaseName), col("table_schema"),
+        col("table_name")))
 }

@@ -156,7 +156,32 @@ object FunctionQueries {
           col("record_id"),
           col("group_id"),
           pmod(Hashing.portableHash(col("group_id")), lit(32)).as("partition"))
-        .orderBy("record_id")))
+        .orderBy("record_id")),
+
+    // Q38/R1 — the remaining router modules' computed destinations:
+    // redis_stream key, pubsub topic+ordering key, NATS subject, rabbit
+    // routing key, typesense collection+action, meilisearch action, ES
+    // index name — one scan, all destinations
+    "q38_routing_ext" -> ((s, dir) => {
+      val routed = Routing.esIndexName(Routing.meilisearch(Routing.typesense(
+        Routing.rabbitmq(Routing.nats(Routing.gcpPubsub(
+          Routing.redisStream(cdc(s, dir))))))))
+      routed.select("record_id", "stream_key", "topic_id", "ordering_key",
+          "subject", "nats_msg_id", "routing_key", "collection_name",
+          "ts_action", "ms_action", "index_name")
+        .orderBy("record_id")
+    }),
+
+    // Q39/W5 — HTTP push batch assembly: per-partition commit-ordered
+    // batches of ≤10; checked by batch identity, size and seq boundaries
+    // (the JSON body itself is engine-formatted, so the oracle checks the
+    // batching math, not double rendering)
+    "q39_http_batches" -> ((s, dir) =>
+      graft.sinks.SinkAdapters.httpPushBatchedWire(
+          cdc(s, dir), "https://example.test/hook", batchSize = 10,
+          partitions = 8)
+        .select("partition", "batch_idx", "n", "first_seq", "last_seq")
+        .orderBy("partition", "batch_idx")))
 
   val oracles: Map[String, String] = {
     val cte = Cdc.duckCte
@@ -261,7 +286,41 @@ object FunctionQueries {
         """SELECT record_id, group_id,
           |  CAST(CAST('0x' || substr(md5(group_id), 1, 8) AS BIGINT) % 32 AS BIGINT)
           |    AS partition
-          |FROM cdc ORDER BY record_id""".stripMargin)
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q38_routing_ext" -> (cte +
+        """SELECT record_id,
+          |  'sequin.' || table_schema || '.' || table_name AS stream_key,
+          |  'sequin.' || table_schema || '.' || table_name AS topic_id,
+          |  coalesce(group_id, record_pk) AS ordering_key,
+          |  'sequin.postgres.' || table_schema || '.' || table_name || '.' || action
+          |    AS subject,
+          |  idempotency_key AS nats_msg_id,
+          |  'sequin.postgres.' || table_schema || '.' || table_name || '.' || action
+          |    AS routing_key,
+          |  'sequin.' || table_schema || '.' || table_name AS collection_name,
+          |  CASE WHEN action = 'delete' THEN 'delete' ELSE 'index' END AS ts_action,
+          |  CASE WHEN action = 'delete' THEN 'delete' ELSE 'index' END AS ms_action,
+          |  'sequin.postgres.' || table_schema || '.' || table_name AS index_name
+          |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q39_http_batches" -> (cte +
+        """, p AS (
+          |  SELECT commit_lsn, commit_idx,
+          |    CAST(CAST('0x' || substr(md5(coalesce(group_id, record_pk)), 1, 8)
+          |      AS BIGINT) % 8 AS BIGINT) AS partition
+          |  FROM cdc
+          |), rn AS (
+          |  SELECT partition, commit_lsn, commit_idx,
+          |    (row_number() OVER (PARTITION BY partition
+          |       ORDER BY commit_lsn, commit_idx) - 1) // 10 AS batch_idx
+          |  FROM p
+          |)
+          |SELECT partition, batch_idx, CAST(count(*) AS BIGINT) AS n,
+          |  min(commit_lsn + commit_idx) AS first_seq,
+          |  max(commit_lsn + commit_idx) AS last_seq
+          |FROM rn GROUP BY partition, batch_idx
+          |ORDER BY partition, batch_idx""".stripMargin)
     )
   }
 }

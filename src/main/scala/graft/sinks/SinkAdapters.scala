@@ -23,18 +23,37 @@ object SinkAdapters {
   val defaultBatchSizes: Map[String, Int] = Map(
     "kafka" -> 200, "kinesis" -> 100, "redis_stream" -> 50,
     "sqs" -> 10, "sns" -> 10, "s2" -> 10, "azure_event_hub" -> 10,
-    "redis_string" -> 10).withDefaultValue(1)
+    "redis_string" -> 10, "gcp_pubsub" -> 1).withDefaultValue(1)
+
+  private def recordStruct: org.apache.spark.sql.Column =
+    struct(col("record_id").as("id"), col("record_user_id").as("user_id"),
+      col("record_value").as("value"), col("record_props").as("props"))
+
+  private def metadataStruct: org.apache.spark.sql.Column =
+    struct(col("table_schema"), col("table_name"), col("commit_lsn"),
+      col("commit_idx"), col("idempotency_key"))
 
   /** JSON envelope (P1 default shape: record/changes/action/metadata). */
   private def envelope: org.apache.spark.sql.Column =
     to_json(struct(
-      struct(col("record_id").as("id"), col("record_user_id").as("user_id"),
-        col("record_value").as("value"), col("record_props").as("props"))
-        .as("record"),
+      recordStruct.as("record"),
       col("old_value").as("changes"),
       col("action"),
-      struct(col("table_schema"), col("table_name"), col("commit_lsn"),
-        col("commit_idx"), col("idempotency_key")).as("metadata")))
+      metadataStruct.as("metadata")))
+
+  /** Legacy `:record_only` body — just the row image
+    * (transforms/message.ex:20-22).
+    */
+  private def recordOnlyBody: org.apache.spark.sql.Column =
+    to_json(recordStruct)
+
+  /** Spark's `base64` can emit MIME-chunked output (CRLF every 76 chars);
+    * transport payloads (Kinesis Data, Pub/Sub data) need the unchunked
+    * RFC 4648 form.
+    */
+  private def base64Unchunked(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    translate(base64(c), "\r\n", "")
 
   /** Kafka wire rows: `writeStream.format("kafka")` needs exactly
     * (topic, key, value) (kafka_pipeline.ex:1-134).
@@ -77,6 +96,173 @@ object SinkAdapters {
       coalesce(col("group_id"), col("record_pk")).as("message_group_id"),
       col("idempotency_key").as("message_dedup_id"),
       envelope.as("body"))
+
+  /** Redis stream wire: `XADD <stream_key> * field value ...` — the
+    * transformed message map flattened to field/value pairs, non-string
+    * values JSON-encoded (sinks/redis/client.ex:119-136; stream key
+    * routing `routing/consumers/redis_stream.ex:23-25`).
+    */
+  def redisStreamWire(df: DataFrame): DataFrame =
+    Routing.redisStream(df).select(
+      col("stream_key"),
+      lit("*").as("entry_id"), // server-assigned
+      map(
+        lit("record"), to_json(recordStruct),
+        lit("changes"), coalesce(col("old_value").cast("string"), lit("null")),
+        lit("action"), col("action"),
+        lit("metadata"), to_json(metadataStruct)).as("fields"))
+
+  /** SNS wire: publish-batch entries; FIFO topics add group + dedup ids
+    * (sns_pipeline.ex:87-98, routing `routing/consumers/sns.ex`).
+    */
+  def snsWire(df: DataFrame, topicArn: String, isFifo: Boolean = false): DataFrame =
+    df.select(
+      lit(topicArn).as("topic_arn"),
+      (if (isFifo) coalesce(col("group_id"), col("record_pk"))
+       else lit(null).cast("string")).as("message_group_id"),
+      (if (isFifo) col("idempotency_key")
+       else lit(null).cast("string")).as("message_dedup_id"),
+      envelope.as("message"))
+
+  /** Kinesis wire: PutRecords entries — base64 Data + partition key from
+    * the delivery group, truncated to the 256B limit
+    * (kinesis_pipeline.ex:78-83).
+    */
+  def kinesisWire(df: DataFrame, streamArn: String): DataFrame =
+    df.select(
+      lit(streamArn).as("stream_arn"),
+      Routing.truncateWithHash(
+        coalesce(col("group_id"), col("record_pk")), 256).as("partition_key"),
+      base64Unchunked(envelope.cast("binary")).as("data"))
+
+  /** S2 wire: append records to a basin/stream (s2_sink.ex; routing
+    * `routing/consumers/s2.ex`).
+    */
+  def s2Wire(df: DataFrame, basin: String, stream: String): DataFrame =
+    df.select(lit(basin).as("basin"), lit(stream).as("stream"),
+      envelope.as("body"))
+
+  /** GCP Pub/Sub wire: base64 data + attributes + ordering key
+    * (gcp_pubsub_pipeline.ex:86-99).
+    */
+  def pubsubWire(df: DataFrame): DataFrame =
+    Routing.gcpPubsub(df).select(
+      col("topic_id"),
+      base64Unchunked(envelope.cast("binary")).as("data"),
+      map(
+        lit("trace_id"), col("idempotency_key"),
+        lit("type"), lit("event"),
+        lit("table_name"), col("table_name"),
+        lit("action"), col("action")).as("attributes"),
+      col("ordering_key"))
+
+  /** NATS wire: subject + `Nats-Msg-Id` header + payload
+    * (routing/consumers/nats.ex:25-30, nats_pipeline.ex).
+    */
+  def natsWire(df: DataFrame, databaseName: String = "postgres"): DataFrame =
+    Routing.nats(df, databaseName).select(
+      col("subject"),
+      map(lit("Nats-Msg-Id"), col("nats_msg_id")).as("headers"),
+      envelope.as("payload"))
+
+  /** RabbitMQ wire: exchange + routing key + message id + payload
+    * (routing/consumers/rabbitmq.ex:30-38, rabbitmq_pipeline.ex).
+    */
+  def rabbitmqWire(df: DataFrame, exchange: String,
+      databaseName: String = "postgres"): DataFrame =
+    Routing.rabbitmq(df, databaseName).select(
+      lit(exchange).as("exchange"),
+      col("routing_key"),
+      col("message_id"),
+      envelope.as("payload"))
+
+  /** Azure Event Hub wire: hub name + partition key + body
+    * (azure_event_hub_pipeline.ex; routing `routing/consumers/
+    * azure_event_hub.ex`).
+    */
+  def eventHubWire(df: DataFrame, eventHubName: String): DataFrame =
+    df.select(
+      lit(eventHubName).as("event_hub_name"),
+      coalesce(col("group_id"), col("record_pk")).as("partition_key"),
+      envelope.as("body"))
+
+  /** Typesense wire: per-collection JSONL emplace-import lines; deletes
+    * carry the doc id only (sinks/typesense/client.ex:89-100,161-170;
+    * routing `routing/consumers/typesense.ex:25-36`).
+    */
+  def typesenseWire(df: DataFrame): DataFrame =
+    Routing.typesense(df).select(
+      col("collection_name"),
+      col("ts_action"),
+      col("record_pk").as("doc_id"),
+      when(col("ts_action") === "delete", lit(null))
+        .otherwise(to_json(struct(col("record_pk").as("id"),
+          col("record_id"), col("record_user_id"), col("record_value"),
+          col("record_props")))).as("document"))
+
+  /** Meilisearch wire: add-or-replace documents / delete by primary key
+    * (meilisearch_sink.ex; routing `routing/consumers/meilisearch.ex:24-32`).
+    */
+  def meilisearchWire(df: DataFrame, indexName: String): DataFrame =
+    Routing.meilisearch(df).select(
+      lit(indexName).as("index_name"),
+      col("ms_action"),
+      col("record_pk").as("doc_id"),
+      when(col("ms_action") === "delete", lit(null))
+        .otherwise(to_json(struct(col("record_pk").as("id"),
+          col("record_id"), col("record_user_id"), col("record_value"),
+          col("record_props")))).as("document"))
+
+  /** HTTP webhook push wire, batched form: requests of ≤ batchSize
+    * messages with body `{"data": [env, ...]}` in commit order
+    * (http_push_pipeline.ex:136-143 batched arm).
+    *
+    * Batches are assembled per delivery partition (R3's stable group
+    * hash) so assembly is N parallel windows, never a global sort — at
+    * 100 TB each partition windows independently, matching the
+    * reference's per-pipeline batchers.
+    */
+  def httpPushBatchedWire(df: DataFrame, endpoint: String,
+      batchSize: Int = 10, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = df.withColumn("partition",
+      pmod(graft.functions.Hashing.portableHash(
+        coalesce(col("group_id"), col("record_pk"))), lit(partitions)))
+    val w = Window.partitionBy("partition").orderBy("commit_lsn", "commit_idx")
+    part
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+      .groupBy("partition", "batch_idx")
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        // batch boundaries: lsn is a multiple of 8 and idx < 8, so
+        // lsn + idx is a strict total order (Cdc envelope invariant)
+        min(col("commit_lsn") + col("commit_idx")).as("first_seq"),
+        max(col("commit_lsn") + col("commit_idx")).as("last_seq"),
+        // commit-ordered member array: sort (lsn, idx, env) structs, then
+        // project the envelope strings back out
+        array_sort(collect_list(struct(col("commit_lsn"), col("commit_idx"),
+          envelope.as("env")))).as("members"))
+      .select(
+        lit("POST").as("method"),
+        lit(endpoint).as("endpoint"),
+        col("partition"), col("batch_idx"), col("n"),
+        col("first_seq"), col("last_seq"),
+        concat(lit("""{"data":["""),
+          array_join(transform(col("members"), m => m.getField("env")), ","),
+          lit("]}")).as("body"))
+  }
+
+  /** HTTP webhook push wire, unbatched: one request per message; body is
+    * the envelope, or the bare record under the legacy `:record_only`
+    * transform (http_push_pipeline.ex:136-139; transforms/message.ex:20).
+    */
+  def httpPushWire(df: DataFrame, endpoint: String,
+      legacyRecordOnly: Boolean = false): DataFrame =
+    df.select(
+      lit("POST").as("method"),
+      lit(endpoint).as("endpoint"),
+      (if (legacyRecordOnly) recordOnlyBody else envelope).as("body"))
 
   /** Local wire log — the transport stand-in: append the wire rows as
     * parquet so tests/bench observe exactly what a client would send.

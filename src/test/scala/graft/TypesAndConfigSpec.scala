@@ -55,6 +55,13 @@ class TypesAndConfigSpec extends SparkSpec {
     assert(ValueCaster.lexArray("{a,NULL,b}") == Seq("a", null, "b"))
     assert(ValueCaster.lexArray("""{"NULL"}""") == Seq("NULL")) // quoted literal
     assert(ValueCaster.lexArray("{{1,2},{3,4}}") == Seq("{1,2}", "{3,4}"))
+    // quoted elements INSIDE a nested array must survive the re-lex:
+    // quotes/escapes pass through verbatim at depth > 0
+    assert(ValueCaster.lexArray("""{{"a,b"},{c}}""") == Seq("""{"a,b"}""", "{c}"))
+    assert(ValueCaster.lexArray("""{{"a,b"},{c}}""").map(ValueCaster.lexArray) ==
+      Seq(Seq("a,b"), Seq("c")))
+    assert(ValueCaster.lexArray("""{{"x\"y,z"}}""").map(ValueCaster.lexArray) ==
+      Seq(Seq("""x"y,z""")))
     assert(ValueCaster.lexArray("{}") == Nil)
     assert(ValueCaster.cast("_int4", "{1,2,NULL}") == Seq(1L, 2L, null))
     assert(ValueCaster.cast("vector", "[0.5, 1.5]") == Seq(0.5f, 1.5f))
@@ -167,9 +174,85 @@ class TypesAndConfigSpec extends SparkSpec {
       cdc.filter(col("action") === "delete").count())
   }
 
+  test("sink adapter sweep: the remaining transports' wire shapes") {
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(50)
+    val deletes = cdc.filter(col("action") === "delete").count()
+
+    val xadd = SinkAdapters.redisStreamWire(cdc)
+    assert(xadd.columns.toSeq == Seq("stream_key", "entry_id", "fields"))
+    val row = xadd.head()
+    assert(row.getString(0).startsWith("sequin."))
+    assert(row.getString(1) == "*")
+    val fields = row.getMap[String, String](2)
+    assert(fields.keySet == Set("record", "changes", "action", "metadata"))
+
+    val sns = SinkAdapters.snsWire(cdc, "arn:aws:sns:us-east-1:1:t", isFifo = true)
+    assert(sns.columns.toSeq ==
+      Seq("topic_arn", "message_group_id", "message_dedup_id", "message"))
+    assert(sns.filter(col("message_dedup_id").isNull).count() == 0)
+    val snsStd = SinkAdapters.snsWire(cdc, "arn:aws:sns:us-east-1:1:t")
+    assert(snsStd.filter(col("message_group_id").isNotNull).count() == 0)
+
+    val kin = SinkAdapters.kinesisWire(cdc, "arn:aws:kinesis:us-east-1:1:stream/s")
+    assert(kin.columns.toSeq == Seq("stream_arn", "partition_key", "data"))
+    assert(kin.filter(length(col("partition_key")) > 256).count() == 0)
+    assert(kin.filter(col("data").rlike("^[A-Za-z0-9+/=]+$")).count() == 50)
+
+    val s2 = SinkAdapters.s2Wire(cdc, "basin1", "stream1")
+    assert(s2.columns.toSeq == Seq("basin", "stream", "body"))
+
+    val ps = SinkAdapters.pubsubWire(cdc)
+    assert(ps.columns.toSeq == Seq("topic_id", "data", "attributes", "ordering_key"))
+    val attrs = ps.head().getMap[String, String](2)
+    assert(attrs("type") == "event")
+    assert(Set("insert", "update", "delete").contains(attrs("action")))
+
+    val nats = SinkAdapters.natsWire(cdc)
+    assert(nats.columns.toSeq == Seq("subject", "headers", "payload"))
+    assert(nats.filter(col("subject").rlike(
+      "^sequin\\.postgres\\.(public|audit)\\.t[0-4]\\.(insert|update|delete)$"))
+      .count() == 50)
+    assert(nats.head().getMap[String, String](1).contains("Nats-Msg-Id"))
+
+    val rmq = SinkAdapters.rabbitmqWire(cdc, "sequin-exchange")
+    assert(rmq.columns.toSeq ==
+      Seq("exchange", "routing_key", "message_id", "payload"))
+    assert(rmq.select("message_id").distinct().count() == 50)
+
+    val hub = SinkAdapters.eventHubWire(cdc, "hub1")
+    assert(hub.columns.toSeq == Seq("event_hub_name", "partition_key", "body"))
+
+    val ts = SinkAdapters.typesenseWire(cdc)
+    assert(ts.columns.toSeq ==
+      Seq("collection_name", "ts_action", "doc_id", "document"))
+    assert(ts.filter(col("ts_action") === "delete").count() == deletes)
+    assert(ts.filter(col("ts_action") === "delete" &&
+      col("document").isNotNull).count() == 0)
+    assert(ts.filter(col("ts_action") === "index" &&
+      !col("document").contains("\"id\"")).count() == 0)
+
+    val ms = SinkAdapters.meilisearchWire(cdc, "idx")
+    assert(ms.filter(col("ms_action") === "delete").count() == deletes)
+
+    val push = SinkAdapters.httpPushWire(cdc, "https://e.test/h")
+    assert(push.columns.toSeq == Seq("method", "endpoint", "body"))
+    assert(push.filter(col("body").contains("\"metadata\"")).count() == 50)
+    val legacy = SinkAdapters.httpPushWire(cdc, "https://e.test/h",
+      legacyRecordOnly = true)
+    assert(legacy.filter(col("body").contains("\"metadata\"")).count() == 0)
+
+    val batched = SinkAdapters.httpPushBatchedWire(cdc, "https://e.test/h",
+      batchSize = 8, partitions = 4)
+    assert(batched.agg(sum("n")).head().getLong(0) == 50)
+    assert(batched.filter(col("n") > 8).count() == 0)
+    assert(batched.filter(!col("body").startsWith("{\"data\":[")).count() == 0)
+    assert(batched.filter(col("first_seq") > col("last_seq")).count() == 0)
+  }
+
   test("default batch sizes mirror sink_consumer.ex") {
     assert(SinkAdapters.defaultBatchSizes("kafka") == 200)
     assert(SinkAdapters.defaultBatchSizes("redis_stream") == 50)
+    assert(SinkAdapters.defaultBatchSizes("gcp_pubsub") == 1)
     assert(SinkAdapters.defaultBatchSizes("http_push") == 1) // default
   }
 
