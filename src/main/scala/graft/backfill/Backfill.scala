@@ -42,41 +42,79 @@ final class PageSizeOptimizer(
 object Backfill {
 
   /** One page: rows after `cursor`, as read-events; returns (events, next
-    * cursor) — next cursor = last row's sort-key values, None when done.
+    * cursor, rowCount).
+    *
+    * The next cursor is read with a desc-sort + limit 1 — ONE collected
+    * row, regardless of page size (the reference reads `max_cursor` the
+    * same way, table_reader.ex:221-298). The page row count comes from a
+    * distributed count, so the driver never holds page-sized data.
     */
   def page(table: DataFrame, sortCols: Seq[String], cursor: Option[Seq[Any]],
-      pageSize: Int): (DataFrame, Option[Seq[Any]]) = {
+      pageSize: Int): (DataFrame, Option[Seq[Any]], Long) = {
     val pageDf = Keyset.page(table, sortCols, cursor, pageSize)
-    val rows = pageDf.select(sortCols.map(col): _*).collect()
+    val n = pageDf.count()
     val next =
-      if (rows.length < pageSize) None
-      else Some(rows.last.toSeq)
-    (pageDf.withColumn("action", lit("read")), next)
+      if (n < pageSize) None
+      else Some(pageDf.select(sortCols.map(col): _*)
+        .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
+        .head().toSeq)
+    (pageDf.withColumn("action", lit("read")), next, n)
   }
 
   /** Full backfill loop with AIMD page sizing. `fence`: PKs already seen on
     * the live CDC stream during the scan (stale backfill rows dropped —
-    * message_handler.ex:66-94). Returns the unioned read-event DataFrame.
+    * message_handler.ex:66-94). Returns the read-event DataFrame.
+    *
+    * Each page is MATERIALIZED to a spool directory as it is produced —
+    * the reference likewise streams pages out rather than holding the
+    * scan (`table_reader_server.ex` flushes batches to the consumer as
+    * they arrive). The returned DataFrame reads the spool, so every page
+    * was scanned exactly once and the plan is a flat parquet read, not an
+    * O(pages)-deep union whose consumption would re-run every page's
+    * filter+sort+limit against the table.
     */
   def run(spark: SparkSession, table: DataFrame, sortCols: Seq[String],
       optimizer: PageSizeOptimizer,
-      fence: Option[(DataFrame, Seq[String])] = None): DataFrame = {
+      fence: Option[(DataFrame, Seq[String])] = None,
+      spoolDir: Option[String] = None): DataFrame = {
+    val spool = spoolDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_backfill_spool").toString)
     var cursor: Option[Seq[Any]] = None
     var done = false
-    val pages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var pageNo = 0
     while (!done) {
       val t0 = System.nanoTime()
-      val (pageDf, next) = page(table, sortCols, cursor, optimizer.pageSize)
+      val pageSize = optimizer.pageSize
+      // ONE table scan per page: materialize, then read count + cursor
+      // from the (small) materialized page, not from the table again
+      val pageDir = s"$spool/page=$pageNo"
+      Keyset.page(table, sortCols, cursor, pageSize)
+        .withColumn("action", lit("read"))
+        .write.mode("overwrite").parquet(pageDir)
+      val written = spark.read.parquet(pageDir)
+      val n = written.count() // parquet footer metadata — no row scan
       optimizer.record((System.nanoTime() - t0) / 1000000L)
-      pages += pageDf
-      cursor = next
-      done = next.isEmpty
+      if (n < pageSize) done = true
+      else cursor = Some(written.select(sortCols.map(col): _*)
+        .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
+        .head().toSeq)
+      if (n == 0) deleteDir(pageDir) else pageNo += 1
     }
-    val all = pages.reduceOption(_.unionByName(_))
-      .getOrElse(table.limit(0).withColumn("action", lit("read")))
+    val all =
+      if (pageNo > 0) spark.read.parquet(s"$spool/page=*")
+      else table.limit(0).withColumn("action", lit("read"))
     fence match {
       case Some((cdcSeen, keys)) => Joins.backfillFence(all, cdcSeen, keys)
       case None                  => all
+    }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
     }
   }
 }

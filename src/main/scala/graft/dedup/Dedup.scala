@@ -158,10 +158,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Blocked n-gram Jaccard near-dups: exact pairwise Jaccard over word
-    * n-gram shingle sets, restricted to blocking groups (same (lang,
-    * source) and close length) so the pair space stays tractable — the
-    * standard blocking trick when LSH recall must be exact within strata.
+  /** Blocked n-gram Jaccard near-dups: EXACT pairwise Jaccard over word
+    * n-gram shingle sets within blocking strata — with prefix-filtered
+    * candidate generation instead of a block² cross join.
+    *
+    * Prefix filter (the AllPairs/PPJoin bound): under any total token
+    * order, two sets with `J(A,B) ≥ t` MUST share a token within the
+    * first `|x| − ⌈t·|x|⌉ + 1` tokens of each sorted set. So candidates
+    * come from an equi-join on (block, prefix-token) — pair space is
+    * bounded by prefix-token co-occurrence, not block size, and the
+    * result is PROVABLY identical to the all-pairs form (no LSH-style
+    * recall loss; the oracle is unchanged).
+    *
+    * At 100 TB: the shuffle key is (block, token); a pathologically
+    * frequent prefix token is the residual skew risk — the standard
+    * levers (rarest-first token order from a frequency pass, AQE skew
+    * split) bolt on without changing results.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
@@ -169,19 +181,31 @@ object Dedup {
       (col(idCol) +: blockCols.map(col)) :+
         sort_array(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"): _*)
       .localCheckpoint()
-    val a = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
-      if (blockCols.contains(c)) c else c + "_a"))
-    val b = sets.columns.foldLeft(sets)((d, c) => d.withColumnRenamed(c,
-      if (blockCols.contains(c)) c else c + "_b"))
-    a.join(b, blockCols)
-      .filter(col(idCol + "_a") < col(idCol + "_b"))
+    // candidate pairs: share ≥1 token in their prefix windows. floor, not
+    // ceil: under FP rounding floor only ever LENGTHENS the prefix
+    // (more candidates, same verified output), never shortens it
+    val prefixLen = (size(col("sh")) -
+      floor(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    val prefixes = sets.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        explode(slice(col("sh"), lit(1), prefixLen)).as("tok"): _*)
+    val pa = prefixes.select(
+      (col(idCol).as("id_a") +: blockCols.map(col)) :+ col("tok"): _*)
+    val pb = prefixes.select(
+      (col(idCol).as("id_b") +: blockCols.map(col)) :+ col("tok"): _*)
+    val cands = pa.join(pb, blockCols :+ "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification on candidates only
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       // exact prune: j(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — skip the O(n+m)
       // merge walk for pairs that cannot reach the threshold
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col(idCol + "_a").as("id_a"), col(idCol + "_b").as("id_b"),
-        col("jaccard"))
+      .select("id_a", "id_b", "jaccard")
   }
 }
