@@ -1,0 +1,354 @@
+package graft.sources
+
+import java.time.ZoneOffset
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.ParquetReadOptions
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tuple-keyset DataSourceV2 parquet source (SURVEY §7.4): a
+  * `SupportsPushDownFilters` scan that receives the FULL row-value
+  * comparison — `Keyset.tuplePredicate`'s
+  * `Or(GreaterThan(c1,v1), And(EqualTo(c1,v1), GreaterThan(c2,v2)))` —
+  * and prunes parquet ROW GROUPS by evaluating that whole boolean tree
+  * against footer min/max statistics, conservatively (a row group is
+  * skipped only when the predicate cannot hold anywhere inside it).
+  *
+  * This models the reference's keyset scan boundary
+  * (`lib/sequin/runtime/keyset_cursor.ex:93-113`: the row-value `WHERE
+  * (c1,c2) > (?,?)` runs inside Postgres with index support); here the
+  * "index" is parquet column statistics. Row-level evaluation stays with
+  * Spark (every filter is returned as residual), so the source can never
+  * change results — only skip I/O.
+  *
+  * One InputPartition per (file, row-group): at 100 TB the scan
+  * parallelizes across row groups while later backfill pages prune
+  * straight to the cursor's groups. The record decode uses parquet-mr's
+  * example API (simple, row-at-a-time); swapping in a vectorized reader
+  * changes no interface above `PartitionReader`.
+  *
+  * Usage: `spark.read.format(classOf[KeysetParquetProvider].getName)
+  * .load(path)`.
+  */
+class KeysetParquetProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-keyset"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = KeysetParquet.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no parquet files under ${options.get("path")}")
+    KeysetParquet.sparkSchema(KeysetParquet.footerSchema(files.head))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new KeysetParquetTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class KeysetParquetTable(path: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-keyset($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeysetScanBuilder(path, schema)
+}
+
+final class KeysetScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  /** Accept every filter we can evaluate against stats; return ALL of
+    * them as residual — Spark re-checks rows, the source only skips row
+    * groups, so pushdown can prune but never corrupt.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KeysetParquet.supportedForStats)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KeysetScan(path, required, pushed)
+}
+
+final class KeysetScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-keyset $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    KeysetParquet.listFiles(path).flatMap { file =>
+      val (msgType, blocks) = KeysetParquet.footerBlocks(file)
+      val sparkFull = KeysetParquet.sparkSchema(msgType)
+      blocks.collect {
+        case (start, len, stats)
+            if pushed.forall(f =>
+              KeysetParquet.couldMatch(f, stats, sparkFull)) =>
+          KeysetRowGroupPartition(file, start, len): InputPartition
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeysetReaderFactory(required.fieldNames)
+}
+
+final case class KeysetRowGroupPartition(file: String, blockStart: Long,
+    blockLen: Long) extends InputPartition
+
+final class KeysetReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KeysetRowGroupPartition]
+    new KeysetRowGroupReader(p.file, p.blockStart, p.blockLen, requiredCols)
+  }
+}
+
+/** Reads one row group of one file, projected to `requiredCols`. */
+final class KeysetRowGroupReader(file: String, blockStart: Long,
+    blockLen: Long, requiredCols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val inputFile =
+    HadoopInputFile.fromPath(new Path(file), new Configuration())
+  // parquet selects the row groups whose MIDPOINT falls in the range, so
+  // cover exactly this block's [start, start + compressedSize)
+  private val reader = new ParquetFileReader(inputFile,
+    ParquetReadOptions.builder().withRange(blockStart, blockStart + blockLen).build())
+  private val fullType = reader.getFooter.getFileMetaData.getSchema
+  private val projection: MessageType = new MessageType("spark_schema",
+    requiredCols.map(c => fullType.getType(fullType.getFieldIndex(c))): _*)
+  reader.setRequestedSchema(projection)
+
+  private val pages = reader.readNextRowGroup()
+  private val recordReader =
+    if (pages == null) null
+    else new ColumnIOFactory().getColumnIO(projection)
+      .getRecordReader(pages, new GroupRecordConverter(projection))
+  private val total = if (pages == null) 0L else pages.getRowCount
+  private var consumed = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (consumed >= total) false
+    else {
+      current = KeysetParquet.groupToRow(recordReader.read(), projection)
+      consumed += 1
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+object KeysetParquet {
+
+  def listFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    } else Seq(path)
+  }
+
+  def footerSchema(file: String): MessageType = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Footer blocks: (startingPos, compressedSize, normalized (min,max)). */
+  def footerBlocks(file: String): (MessageType, Seq[(Long, Long, Map[String, (Any, Any)])]) = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val msgType = r.getFooter.getFileMetaData.getSchema
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val stats = b.getColumns.asScala.flatMap { c =>
+          val s = c.getStatistics
+          val name = c.getPath.toDotString
+          if (s == null || !s.hasNonNullValue) None
+          else {
+            val prim = msgType.getType(msgType.getFieldIndex(name))
+              .asPrimitiveType()
+            for {
+              lo <- normalizeStat(s.genericGetMin, prim)
+              hi <- normalizeStat(s.genericGetMax, prim)
+            } yield name -> (lo, hi)
+          }
+        }.toMap
+        (b.getStartingPos, b.getCompressedSize, stats)
+      }
+      (msgType, blocks)
+    } finally r.close()
+  }
+
+  /** parquet MessageType → the Spark schema `spark.read.parquet` infers
+    * for the same file (so swapping sources never changes results).
+    */
+  def sparkSchema(msgType: MessageType): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(msgType.getFields.asScala.toSeq.map { f =>
+      val prim = f.asPrimitiveType()
+      val dt = (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+        case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case (INT64, _)   => LongType
+        case (INT32, _: DateLogicalTypeAnnotation) => DateType
+        case (INT32, _)   => IntegerType
+        case (DOUBLE, _)  => DoubleType
+        case (FLOAT, _)   => FloatType
+        case (BOOLEAN, _) => BooleanType
+        case (BINARY, _: StringLogicalTypeAnnotation) => StringType
+        case (BINARY, _)  => BinaryType
+        case (t, l) => throw new UnsupportedOperationException(
+          s"graft-keyset: unsupported parquet type $t ($l) for ${f.getName}")
+      }
+      StructField(f.getName, dt, nullable = true)
+    })
+  }
+
+  /** One decoded record → InternalRow in projection order. */
+  def groupToRow(g: Group, projection: MessageType): InternalRow = {
+    val n = projection.getFieldCount
+    val values = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      values(i) =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else {
+          val prim = projection.getType(i).asPrimitiveType()
+          (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+            case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+              g.getLong(i, 0) * tsUnitToMicros(ts) // Spark internal = micros
+            case (INT64, _)   => g.getLong(i, 0)
+            case (INT32, _: DateLogicalTypeAnnotation) => g.getInteger(i, 0)
+            case (INT32, _)   => g.getInteger(i, 0)
+            case (DOUBLE, _)  => g.getDouble(i, 0)
+            case (FLOAT, _)   => g.getFloat(i, 0)
+            case (BOOLEAN, _) => g.getBoolean(i, 0)
+            case (BINARY, _: StringLogicalTypeAnnotation) =>
+              UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+            case (BINARY, _)  => g.getBinary(i, 0).getBytes
+            case (t, l) => throw new UnsupportedOperationException(
+              s"graft-keyset: unsupported parquet type $t ($l)")
+          }
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def tsUnitToMicros(ts: TimestampLogicalTypeAnnotation): Long =
+    ts.getUnit match {
+      case TimeUnit.MILLIS => 1000L
+      case TimeUnit.MICROS => 1L
+      case u => throw new UnsupportedOperationException(s"timestamp unit $u")
+    }
+
+  /** Filters whose stats evaluation we implement. */
+  def supportedForStats(f: Filter): Boolean = f match {
+    case And(l, r)              => supportedForStats(l) && supportedForStats(r)
+    case Or(l, r)               => supportedForStats(l) && supportedForStats(r)
+    case _: GreaterThan         => true
+    case _: GreaterThanOrEqual  => true
+    case _: LessThan            => true
+    case _: LessThanOrEqual     => true
+    case _: EqualTo             => true
+    case _: IsNotNull           => true
+    case _                      => false
+  }
+
+  /** Conservative row-group test: false ONLY when `f` cannot hold for any
+    * row given the column (min, max); anything uncertain returns true.
+    */
+  def couldMatch(f: Filter, stats: Map[String, (Any, Any)],
+      schema: StructType): Boolean = f match {
+    case And(l, r) => couldMatch(l, stats, schema) && couldMatch(r, stats, schema)
+    case Or(l, r)  => couldMatch(l, stats, schema) || couldMatch(r, stats, schema)
+    case GreaterThan(a, v) =>
+      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v)).forall(_ > 0) }
+    case GreaterThanOrEqual(a, v) =>
+      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v)).forall(_ >= 0) }
+    case LessThan(a, v) =>
+      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v)).forall(_ < 0) }
+    case LessThanOrEqual(a, v) =>
+      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v)).forall(_ <= 0) }
+    case EqualTo(a, v) =>
+      bound(a, stats).forall { case (lo, hi) =>
+        cmp(lo, norm(v)).forall(_ <= 0) && cmp(hi, norm(v)).forall(_ >= 0)
+      }
+    case _ => true
+  }
+
+  private def bound(col: String, stats: Map[String, (Any, Any)]) =
+    stats.get(col)
+
+  /** Normalize a footer stat value to the comparable domain. */
+  private def normalizeStat(v: Any, prim: PrimitiveType): Option[Any] =
+    (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+      case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+        Some(BigDecimal(v.asInstanceOf[java.lang.Long].longValue * tsUnitToMicros(ts)))
+      case (INT64, _) | (INT32, _: DateLogicalTypeAnnotation) | (INT32, _) =>
+        Some(BigDecimal(v.asInstanceOf[Number].longValue))
+      case (DOUBLE, _) | (FLOAT, _) =>
+        Some(BigDecimal(v.asInstanceOf[Number].doubleValue))
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      case _ => None // unsupported stat type: never prune on it
+    }
+
+  /** Normalize a Spark filter literal to the comparable domain. */
+  private def norm(v: Any): Any = v match {
+    case t: java.time.LocalDateTime =>
+      BigDecimal(t.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L)
+    case t: java.time.Instant =>
+      BigDecimal(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case t: java.sql.Timestamp =>
+      BigDecimal(t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L)
+    case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
+    case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay)
+    case n: java.math.BigDecimal => BigDecimal(n)
+    case n: Number if n.isInstanceOf[java.lang.Double] ||
+        n.isInstanceOf[java.lang.Float] => BigDecimal(n.doubleValue)
+    case n: Number              => BigDecimal(n.longValue)
+    case s: String              => s
+    case u: UTF8String          => u.toString
+    case other                  => other
+  }
+
+  /** Compare within one domain; None (never prune) across domains. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String)         => Some(x.compareTo(y))
+    case _                              => None
+  }
+}
