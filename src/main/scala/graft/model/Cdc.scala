@@ -36,7 +36,9 @@ object Cdc {
 
   /** Spark-side CDC envelope. Keep in lockstep with [[duckCte]]. */
   def fromEvents(events: DataFrame): DataFrame = {
-    val lsn = (col("event_id") / lit(7)).cast("bigint") * lit(8)
+    // integer division (`div`), NOT Column `/`: the latter is a DOUBLE
+    // divide whose 53-bit mantissa would corrupt ids past 2^53
+    val lsn = expr("event_id div 7") * lit(8)
     val idx = pmod(col("event_id"), lit(7)).cast("bigint")
     events.select(
       lsn.as("commit_lsn"),

@@ -257,6 +257,26 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // S4 — annotation set AND clear: inserts set the payload, deletes
+    // clear it (slot_producer.ex:437-456 `.set`/`.clear` ops); the
+    // carry-forward is last-marker-wins where a clear marker nulls the
+    // annotation until the next set
+    "q40_annotations_clear" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("record_user_id"))
+        .orderBy(col("commit_lsn"), col("commit_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val marker = when(col("action") === "insert",
+          concat(lit("set:"), get_json_object(col("record_props"), "$.k")))
+        .when(col("action") === "delete", lit("clear"))
+      cdc(s, dir).select(col("record_id"), col("record_user_id"),
+          last(marker, ignoreNulls = true).over(w).as("last_marker"))
+        .select(col("record_id"), col("record_user_id"),
+          when(col("last_marker").startsWith("set:"),
+            expr("substring(last_marker, 5)")).as("annotation"))
+        .orderBy("record_id")
+    }),
+
     // A4 — event-time windowed delivery metrics (count/sum/median per
     // tumbling hour x action): Spark's window() primitive, the batch form
     // of the streaming metrics aggregation
@@ -463,6 +483,19 @@ object CoreQueries {
           |    OVER (PARTITION BY record_user_id ORDER BY commit_lsn, commit_idx
           |          ROWS UNBOUNDED PRECEDING) AS annotation
           |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q40_annotations_clear" -> (cte +
+        """, m AS (SELECT record_id, record_user_id,
+          |  last_value(CASE WHEN action = 'insert'
+          |      THEN 'set:' || json_extract_string(record_props, '$.k')
+          |    WHEN action = 'delete' THEN 'clear' END IGNORE NULLS)
+          |    OVER (PARTITION BY record_user_id ORDER BY commit_lsn, commit_idx
+          |          ROWS UNBOUNDED PRECEDING) AS last_marker
+          |  FROM cdc)
+          |SELECT record_id, record_user_id,
+          |  CASE WHEN last_marker LIKE 'set:%' THEN substring(last_marker, 5)
+          |  END AS annotation
+          |FROM m ORDER BY record_id""".stripMargin),
 
       "q36_windowed_metrics" -> (cte +
         """SELECT epoch_us(date_trunc('hour', commit_ts)) AS hour_us, action,

@@ -38,7 +38,11 @@ object PgStream {
   /** One replication frame with its slot identity and total order. */
   final case class Frame(slot_id: String, seq: Long, payload: Array[Byte])
 
-  /** Decoded output: `kind` = change | schema_change | truncate. */
+  /** Decoded output: `kind` = change | schema_change | truncate.
+    * `annotations` carries the active transaction-annotation payload
+    * (`pg_logical_emit_message('sequin:transaction_annotations.set', …)`;
+    * cleared by the `.clear` op — slot_producer.ex:437-456).
+    */
   final case class Decoded(
       kind: String,
       slot_id: String,
@@ -54,16 +58,22 @@ object PgStream {
       columns: Seq[String],
       values: Seq[String],
       old_values: Option[Seq[String]],
-      schema_hash: String)
+      schema_hash: String,
+      annotations: Option[String])
 
   /** Carried across micro-batches in the state store. */
   final case class SlotState(
       lastSeq: Long,
       relationFrames: Map[Long, Array[Byte]],
       beginFrame: Option[Array[Byte]],
-      commitIdx: Long)
+      commitIdx: Long,
+      annotations: Option[String])
 
-  private val emptyState = SlotState(Long.MinValue, Map.empty, None, 0L)
+  private val emptyState = SlotState(Long.MinValue, Map.empty, None, 0L, None)
+
+  /** `pg_logical_emit_message` prefixes controlling annotations. */
+  val AnnotationSetPrefix = "sequin:transaction_annotations.set"
+  val AnnotationClearPrefix = "sequin:transaction_annotations.clear"
 
   /** Streaming decode with a checkpointed relation cache per slot. */
   def decodeStateful(frames: Dataset[Frame])(
@@ -123,7 +133,7 @@ object PgStream {
       emit(Decoded("change", slot, f.seq, b.finalLsn, st.commitIdx,
         b.commitTsMicros, b.xid,
         rel.map(_.namespace).getOrElse(""), rel.map(_.name).getOrElse(""),
-        oid, action, cols, values, old, hash))
+        oid, action, cols, values, old, hash, st.annotations))
       set(st.copy(commitIdx = st.commitIdx + 1))
     }
     PgOutput.decode(f.payload) match {
@@ -131,6 +141,10 @@ object PgStream {
         set(get().copy(beginFrame = Some(PgOutput.encode(b)), commitIdx = 0L))
       case _: Commit =>
         set(get().copy(beginFrame = None, commitIdx = 0L))
+      case m: LogicalMessage if m.prefix == AnnotationSetPrefix =>
+        set(get().copy(annotations = Some(new String(m.content, "UTF-8"))))
+      case m: LogicalMessage if m.prefix == AnnotationClearPrefix =>
+        set(get().copy(annotations = None))
       case r: Relation =>
         registry.observe(r).foreach { ch =>
           emit(Decoded("schema_change", slot, f.seq,
@@ -139,7 +153,7 @@ object PgStream {
             begin.map(_.xid).getOrElse(0L),
             r.namespace, r.name, r.id, "schema_change",
             r.columns.map(_.name), r.columns.map(_.pgType),
-            ch.previousHash.map(Seq(_)), ch.hash))
+            ch.previousHash.map(Seq(_)), ch.hash, get().annotations))
         }
       case Insert(oid, tuple) =>
         val rel = registry.relationOf(oid)

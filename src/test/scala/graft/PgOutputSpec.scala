@@ -218,6 +218,32 @@ class PgOutputSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transaction annotations: .set carries forward across txns, .clear removes") {
+    implicit val s = spark
+    import s.implicits._
+    def lm(prefix: String, content: String) = PgOutput.encode(
+      LogicalMessage(transactional = true, 8L, prefix, content.getBytes("UTF-8")))
+    val v1 = rel(7L, "id" -> 20L)
+    def txn(seq: Long, lsn: Long, id: String) = Seq(
+      PgStream.Frame("s", seq, PgOutput.encode(Begin(lsn, 0L, 1L))),
+      PgStream.Frame("s", seq + 1, PgOutput.encode(Insert(7L, Seq(Cell.Text(id))))),
+      PgStream.Frame("s", seq + 2, PgOutput.encode(Commit(0, lsn, lsn + 8, 0L))))
+    val frames =
+      Seq(PgStream.Frame("s", 0, PgOutput.encode(v1))) ++
+        txn(1, 8, "1") ++                                     // before any set
+        Seq(PgStream.Frame("s", 10,
+          lm(PgStream.AnnotationSetPrefix, """{"who":"ada"}"""))) ++
+        txn(11, 16, "2") ++ txn(14, 24, "3") ++               // annotated
+        Seq(PgStream.Frame("s", 20,
+          lm(PgStream.AnnotationClearPrefix, ""))) ++
+        txn(21, 32, "4")                                      // cleared
+    val out = PgStream.decodePartitions(
+        frames.toDS().repartition(1).sortWithinPartitions("seq"))
+      .collect().filter(_.kind == "change").sortBy(_.seq)
+    assert(out.map(_.annotations).toSeq ==
+      Seq(None, Some("""{"who":"ada"}"""), Some("""{"who":"ada"}"""), None))
+  }
+
   test("decodePartitions: batch replay decodes a seq-sorted slot partition") {
     implicit val s = spark
     import s.implicits._
