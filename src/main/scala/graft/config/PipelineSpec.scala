@@ -2,7 +2,7 @@ package graft.config
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import graft.ops.{ColumnFilter, SourceScope}
-import graft.streaming.ConsumerConfig
+import graft.streaming.{ConsumerConfig, SinkSpec}
 import scala.jdk.CollectionConverters._
 
 /** Configuration-as-code: JSON pipeline spec → validated [[ConsumerConfig]]
@@ -41,6 +41,29 @@ object PipelineSpec {
   private val ValidValueTypes = Set("string", "cistring", "number", "boolean",
     "datetime", "null")
   private val ValidTsFormats = Set("iso8601", "unix_microsecond")
+  private val ValidLegacyTransforms = Set("none", "record_only")
+
+  /** Per-sink-type required destination fields (the subset of each
+    * `*_sink.ex` changeset's `validate_required` that shapes the wire —
+    * credentials/hosts are deployment config, not routing semantics).
+    */
+  private[config] val SinkRequiredFields: Map[String, Seq[String]] = Map(
+    "kafka" -> Seq("topic"),
+    "sqs" -> Seq("queue_url"),
+    "sns" -> Seq("topic_arn"),
+    "kinesis" -> Seq("stream_arn"),
+    "s2" -> Seq("basin", "stream"),
+    "gcp_pubsub" -> Seq("topic_id"),
+    "nats" -> Seq("subject"),
+    "rabbitmq" -> Seq("exchange"),
+    "azure_event_hub" -> Seq("event_hub_name"),
+    "redis_stream" -> Seq("stream_key"),
+    "redis_string" -> Nil,
+    "elasticsearch" -> Seq("index_name"),
+    "typesense" -> Seq("collection_name"),
+    "meilisearch" -> Seq("index_name"),
+    "http_push" -> Seq("http_endpoint"),
+    "sequin_stream" -> Nil)
 
   def parse(json: String): ConsumerConfig = {
     val root = mapper.readTree(json)
@@ -78,6 +101,20 @@ object PipelineSpec {
     if (!ValidTsFormats(tsFormat))
       throw new IllegalArgumentException(s"unknown timestamp_format: $tsFormat")
 
+    val legacy = Option(root.get("legacy_transform")).map(_.asText())
+      .getOrElse("none")
+    if (!ValidLegacyTransforms(legacy))
+      throw new IllegalArgumentException(s"unknown legacy_transform: $legacy")
+
+    val sink = Option(root.get("destination")).map(parseSink)
+
+    val batchSize = Option(root.get("batch_size")).map(_.asInt())
+    batchSize.foreach { b =>
+      if (b < 1 || b > 1000)
+        throw new IllegalArgumentException(
+          s"batch_size must be between 1 and 1000, got $b")
+    }
+
     ConsumerConfig(
       name = name,
       scope = scope,
@@ -87,7 +124,34 @@ object PipelineSpec {
         .getOrElse(5L * 1024 * 1024),
       messageGrouping = Option(root.get("message_grouping"))
         .forall(_.asBoolean()),
-      timestampFormat = tsFormat)
+      timestampFormat = tsFormat,
+      groupColumns = strings(root, "group_columns").getOrElse(Nil),
+      batchSize = batchSize,
+      ackWaitMs = Option(root.get("ack_wait_ms")).map(_.asLong())
+        .getOrElse(30000L),
+      maxAckPending = Option(root.get("max_ack_pending")).map(_.asInt())
+        .getOrElse(10000),
+      maxRetryCount = Option(root.get("max_retry_count")).map(_.asInt())
+        .getOrElse(3),
+      legacyTransform = legacy,
+      sink = sink)
+  }
+
+  /** Destination block → validated [[SinkSpec]]: known type + that type's
+    * required fields present and non-empty (the `*_sink.ex` changesets).
+    */
+  private def parseSink(node: JsonNode): SinkSpec = {
+    val sinkType = require(node, "type").asText()
+    val required = SinkRequiredFields.getOrElse(sinkType,
+      throw new IllegalArgumentException(s"unknown sink type: $sinkType"))
+    val settings = node.fields().asScala
+      .filter(_.getKey != "type")
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val missing = required.filterNot(f => settings.get(f).exists(_.nonEmpty))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"sink '$sinkType' missing required fields: ${missing.mkString(", ")}")
+    SinkSpec(sinkType, settings)
   }
 
   private def require(n: JsonNode, field: String): JsonNode =

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * reference's per-message hot path
   * (`/root/reference/lib/sequin/runtime/sink_pipeline.ex:185-299`).
   */
+/** Validated sink destination (transforms.ex:201-320 `to_external` per
+  * sink struct — one case per supported transport, carrying exactly the
+  * fields its wire adapter needs).
+  */
+final case class SinkSpec(
+    sinkType: String,
+    settings: Map[String, String] = Map.empty)
+
 final case class ConsumerConfig(
     name: String,
     scope: SourceScope = SourceScope(),
@@ -28,7 +36,20 @@ final case class ConsumerConfig(
     maxPayloadBytes: Long = 5L * 1024 * 1024,
     internalSchemas: Seq[String] = Nil,
     messageGrouping: Boolean = true,
-    timestampFormat: String = "iso8601")
+    timestampFormat: String = "iso8601",
+    // delivery tuning (sink_consumer.ex:86-90, 320-345)
+    groupColumns: Seq[String] = Nil,
+    batchSize: Option[Int] = None,
+    ackWaitMs: Long = 30000L,
+    maxAckPending: Int = 10000,
+    maxRetryCount: Int = 3,
+    legacyTransform: String = "none", // none | record_only
+    sink: Option[SinkSpec] = None) {
+  /** Effective batch size: explicit, else the sink type's default. */
+  def effectiveBatchSize: Int = batchSize.getOrElse(
+    graft.sinks.SinkAdapters.defaultBatchSizes(
+      sink.map(_.sinkType).getOrElse("")))
+}
 
 object CdcPipeline {
 
@@ -54,6 +75,11 @@ object CdcPipeline {
     df = Routing.kafka(df, prefix = cfg.name)
     if (!cfg.messageGrouping)
       df = df.withColumn("group_id", lit(null).cast("string"))
+    else if (cfg.groupColumns.nonEmpty)
+      // custom group columns override the pk-derived group
+      // (sink_consumer group_column_attnums; consumers.ex:730-791)
+      df = df.withColumn("group_id",
+        Transforms.groupId(cfg.groupColumns.map(df(_))))
     df
   }
 

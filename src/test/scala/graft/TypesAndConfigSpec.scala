@@ -149,6 +149,51 @@ class TypesAndConfigSpec extends SparkSpec {
       """{"name":"x","source":{"include_schemas":["a"],"exclude_schemas":["b"]}}"""))
   }
 
+  test("PipelineSpec parses delivery tuning + validated sink destination") {
+    val cfg = PipelineSpec.parse(
+      """{"name": "c2",
+        | "group_columns": ["record_user_id", "table_name"],
+        | "batch_size": 50,
+        | "ack_wait_ms": 5000,
+        | "max_retry_count": 5,
+        | "legacy_transform": "record_only",
+        | "destination": {"type": "kafka", "topic": "orders",
+        |                 "hosts": "k1:9092"}}""".stripMargin)
+    assert(cfg.groupColumns == Seq("record_user_id", "table_name"))
+    assert(cfg.batchSize.contains(50))
+    assert(cfg.effectiveBatchSize == 50)
+    assert(cfg.ackWaitMs == 5000L)
+    assert(cfg.maxRetryCount == 5)
+    assert(cfg.legacyTransform == "record_only")
+    assert(cfg.sink.map(_.sinkType).contains("kafka"))
+    assert(cfg.sink.get.settings("topic") == "orders")
+
+    // per-sink batch-size default when unspecified (sink_consumer.ex)
+    val kafkaDefault = PipelineSpec.parse(
+      """{"name":"c3","destination":{"type":"kafka","topic":"t"}}""")
+    assert(kafkaDefault.effectiveBatchSize ==
+      SinkAdapters.defaultBatchSizes("kafka"))
+
+    // unknown sink type / missing required destination field / bad bounds
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","destination":{"type":"carrier_pigeon"}}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","destination":{"type":"s2","basin":"b"}}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","batch_size":0}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","legacy_transform":"maybe"}"""))
+  }
+
+  test("group_columns override the pk-derived delivery group in the pipeline") {
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(100)
+    val cfg = graft.streaming.ConsumerConfig(name = "g",
+      groupColumns = Seq("record_user_id", "table_name"))
+    val out = graft.streaming.CdcPipeline.build(cdc, cfg)
+    val row = out.select("group_id", "record_user_id", "table_name").head()
+    assert(row.getString(0) == s"${row.getLong(1)}:${row.getString(2)}")
+  }
+
   // ---- Sink adapters ---------------------------------------------------
 
   test("sink wire adapters produce the transport column shapes") {
