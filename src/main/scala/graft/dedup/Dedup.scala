@@ -92,34 +92,47 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    // Materialize signatures/shingle sets once (localCheckpoint): the
-    // band self-join and the two verification joins would otherwise
-    // recompute the md5+shingle lineage per side. Signatures are tiny
-    // relative to the corpus (k longs + shingles per doc).
-    val signed = withMinhashSignature(df, textCol, k, shingleN)
-      .select(col(idCol), col("minhash")).localCheckpoint()
-    val cands = candidatePairs(lshBands(signed, idCol, bands, k / bands), idCol)
-    val sets = df.select(col(idCol),
-      sort_array(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
-        .as("toks")).localCheckpoint()
+    // ONE corpus pass materializes both the shingle set and the
+    // signature (localCheckpoint): the band self-join and the two
+    // verification joins consume the checkpoint, never the corpus.
+    // The signature hashes the sorted-distinct set instead of
+    // first-occurrence order — minima are order-invariant, so the
+    // result (and the DuckDB oracle, which also hashes `toks`) is
+    // unchanged.
+    val base = df.select(col(idCol),
+        sort_array(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+          .as("toks"))
+      .withColumn("minhash", graft.functions.VectorExpressions
+        .affine_minhash_sig(
+          transform(col("toks"), t => graft.functions.Hashing.portableHash(t)), k))
+      .localCheckpoint()
+    val cands = candidatePairs(
+      lshBands(base.select(col(idCol), col("minhash")), idCol, bands, k / bands),
+      idCol)
     cands
-      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(base.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash fingerprints (`bits` wide, ≤ 32) for a whole DataFrame:
-    * majority vote per bit over the distinct shingles' portable hashes.
-    *
-    * Three chained projections — shingle hashes, per-bit vote array
-    * (single pass over the hashes with a 32-wide accumulator), bit
-    * packing — so each expensive stage is evaluated once; Catalyst keeps
-    * the projections separate because their outputs are non-cheap and
-    * multiply-referenced.
+    * majority vote per bit over the distinct shingles' portable hashes —
+    * the fused [[graft.functions.VectorExpressions.SimhashBits]] kernel
+    * (one tight vote loop; bit-identical to [[withSimhashDeclarative]],
+    * property-tested in `DedupSpec`).
     */
   def withSimhash(df: DataFrame, textCol: String, bits: Int = 32,
+      shingleN: Int = 3): DataFrame =
+    df.withColumn("simhash", graft.functions.VectorExpressions.simhash_bits(
+      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN),
+      bits))
+
+  /** Declarative twin of [[withSimhash]] (HOF vote fold + when-chain bit
+    * pack) — kept as the equivalence oracle for the fused kernel.
+    */
+  def withSimhashDeclarative(df: DataFrame, textCol: String, bits: Int = 32,
       shingleN: Int = 3): DataFrame = {
     val hashed = df.withColumn("hs",
       graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN))

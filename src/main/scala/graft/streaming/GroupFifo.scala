@@ -38,10 +38,18 @@ object GroupFifo {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, it: Iterator[ChangeEvent], state: GroupState[Cursor]) =>
           val last = state.getOption.getOrElse(Cursor(Long.MinValue, Long.MinValue))
-          val ordered = it.toSeq.sortBy(e => (e.commit_lsn, e.commit_idx))
-          val deliverable = ordered.filter(e =>
+          // drop stale replays BEFORE materializing — a replayed flood
+          // costs no memory; what remains (genuinely new events for this
+          // group in ONE micro-batch) is bounded by source admission
+          // control (maxOffsetsPerTrigger / maxFilesPerTrigger), the same
+          // knob that bounds the reference's per-group buffers
+          val fresh = it.filter(e =>
             e.commit_lsn > last.lsn ||
-              (e.commit_lsn == last.lsn && e.commit_idx > last.idx))
+              (e.commit_lsn == last.lsn && e.commit_idx > last.idx)).toArray
+          // in-batch duplicates (at-least-once sources can replay within
+          // one batch) must deliver once: sort then dedup by cursor
+          val deliverable = fresh.sortBy(e => (e.commit_lsn, e.commit_idx))
+            .distinctBy(e => (e.commit_lsn, e.commit_idx))
           deliverable.lastOption.foreach(e =>
             state.update(Cursor(e.commit_lsn, e.commit_idx)))
           deliverable.iterator

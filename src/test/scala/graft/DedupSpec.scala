@@ -83,6 +83,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SimhashBits equals the declarative vote-fold + bit-pack form") {
+    import spark.implicits._
+    val rnd = new Random(46)
+    val texts = Seq.fill(20)(
+      Seq.fill(3 + rnd.nextInt(60))(s"w${rnd.nextInt(25)}").mkString(" ")) :+
+      "one two" :+ "single"
+    val df = texts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val fused = graft.dedup.Dedup.withSimhash(df, "text")
+      .select("doc_id", "simhash").orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val declarative = graft.dedup.Dedup.withSimhashDeclarative(df, "text")
+      .select("doc_id", "simhash").orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(fused.sameElements(declarative))
+  }
+
   test("jaccardSorted equals jaccard on sorted distinct sets") {
     import spark.implicits._
     val df = Seq(

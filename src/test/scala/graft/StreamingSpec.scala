@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("GroupFifo: a duplicate within ONE micro-batch is delivered once") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = GroupFifo.deliver(input.toDS())
+      .writeStream.format("memory").queryName("fifo_inbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(8, 0, "7", "1"), ev(8, 0, "7", "1"), ev(16, 0, "7", "2"))
+      query.processAllAvailable()
+      val out = spark.table("fifo_inbatch").as[ChangeEvent].collect()
+      assert(out.map(e => (e.commit_lsn, e.commit_idx)).toSeq ==
+        Seq((8L, 0L), (16L, 0L)))
+    } finally query.stop()
+  }
+
   test("GroupFifo: stale events at or below the delivered cursor never re-emit") {
     implicit val s = spark
     import s.implicits._
