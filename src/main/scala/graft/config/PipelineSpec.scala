@@ -42,6 +42,7 @@ object PipelineSpec {
     "datetime", "null")
   private val ValidTsFormats = Set("iso8601", "unix_microsecond")
   private val ValidLegacyTransforms = Set("none", "record_only")
+  private val ValidShedPolicies = Set("pause_on_full", "discard_on_full")
 
   /** Per-sink-type required destination fields (the subset of each
     * `*_sink.ex` changeset's `validate_required` that shapes the wire —
@@ -106,6 +107,12 @@ object PipelineSpec {
     if (!ValidLegacyTransforms(legacy))
       throw new IllegalArgumentException(s"unknown legacy_transform: $legacy")
 
+    val shedPolicy = Option(root.get("load_shedding_policy")).map(_.asText())
+      .getOrElse("pause_on_full")
+    if (!ValidShedPolicies(shedPolicy))
+      throw new IllegalArgumentException(
+        "load_shedding_policy must be one of: 'pause_on_full', 'discard_on_full'")
+
     val sink = Option(root.get("destination")).map(parseSink)
 
     val batchSize = Option(root.get("batch_size")).map(_.asInt())
@@ -134,6 +141,7 @@ object PipelineSpec {
       maxRetryCount = Option(root.get("max_retry_count")).map(_.asInt())
         .getOrElse(3),
       legacyTransform = legacy,
+      loadSheddingPolicy = shedPolicy,
       sink = sink)
   }
 

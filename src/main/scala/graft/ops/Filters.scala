@@ -123,4 +123,31 @@ object Filters {
     */
   def rejectInternalSchemas(df: DataFrame, internal: Seq[String]): DataFrame =
     df.filter(!col("table_schema").isin(internal: _*))
+
+  /** W8 — load shedding with the reference's policy distinction
+    * (`load_shedding_policy: pause_on_full | discard_on_full`,
+    * transforms.ex:945-950; buffers-full → pause replication,
+    * slot_message_store.ex:15).
+    *
+    * `pause_on_full` is Spark-native backpressure: admission control
+    * (maxOffsetsPerTrigger / maxFilesPerTrigger) throttles the source and
+    * nothing is dropped — this function is the identity. `discard_on_full`
+    * keeps the oldest `maxPending` events per delivery group in cursor
+    * order and discards the overflow (the buffer-full discard, batch
+    * rendition per micro-batch).
+    */
+  def shedOverflow(df: DataFrame, maxPending: Int,
+      policy: String = "pause_on_full"): DataFrame = policy match {
+    case "pause_on_full" => df
+    case "discard_on_full" =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("group_id")
+        .orderBy(col("commit_lsn"), col("commit_idx"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxPending)
+        .drop("__rn")
+    case other =>
+      throw new IllegalArgumentException(
+        s"load_shedding_policy must be pause_on_full or discard_on_full, got $other")
+  }
 }

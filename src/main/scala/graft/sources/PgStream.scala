@@ -102,6 +102,32 @@ object PgStream {
       }
   }
 
+  /** §1.2 pinned-record path: decoded text cells → typed record columns
+    * for ONE pinned table, via its Relation's Spark schema — fully
+    * declarative (`map_from_arrays` + per-field cast, the `from_json`
+    * shape from SURVEY §1.2), so Catalyst prunes/pushes through it.
+    * Envelope columns (slot, lsn/idx, ts, xid, action, annotations) ride
+    * along; old-image cells surface the same way under `old_` prefixes.
+    */
+  def toRecords(decoded: org.apache.spark.sql.DataFrame,
+      rel: PgOutput.Relation): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = SchemaRegistry.toStructType(rel)
+    val m = map_from_arrays(col("columns"), col("values"))
+    val old = map_from_arrays(col("columns"),
+      coalesce(col("old_values"), array_repeat(lit(null).cast("string"),
+        size(col("columns")))))
+    val fields = schema.fields.toSeq.map(f =>
+      element_at(m, f.name).cast(f.dataType).as(f.name))
+    val oldFields = schema.fields.toSeq.map(f =>
+      element_at(old, f.name).cast(f.dataType).as(s"old_${f.name}"))
+    decoded
+      .filter(col("kind") === "change" && col("table_oid") === rel.id)
+      .select(Seq(col("slot_id"), col("commit_lsn"), col("commit_idx"),
+        col("commit_ts_us"), col("xid"), col("action"), col("annotations"))
+        ++ fields ++ oldFields: _*)
+  }
+
   /** Batch/replay decode: each partition is one slot's frames in seq
     * order (repartition by slot + sortWithinPartitions upstream).
     */

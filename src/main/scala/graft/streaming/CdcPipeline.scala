@@ -44,6 +44,7 @@ final case class ConsumerConfig(
     maxAckPending: Int = 10000,
     maxRetryCount: Int = 3,
     legacyTransform: String = "none", // none | record_only
+    loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
     sink: Option[SinkSpec] = None) {
   /** Effective batch size: explicit, else the sink type's default. */
   def effectiveBatchSize: Int = batchSize.getOrElse(
@@ -80,6 +81,8 @@ object CdcPipeline {
       // (sink_consumer group_column_attnums; consumers.ex:730-791)
       df = df.withColumn("group_id",
         Transforms.groupId(cfg.groupColumns.map(df(_))))
+    if (cfg.loadSheddingPolicy == "discard_on_full")
+      df = Filters.shedOverflow(df, cfg.maxAckPending, cfg.loadSheddingPolicy)
     df
   }
 

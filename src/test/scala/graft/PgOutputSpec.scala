@@ -244,6 +244,39 @@ class PgOutputSpec extends AnyFunSuite {
       Seq(None, Some("""{"who":"ada"}"""), Some("""{"who":"ada"}"""), None))
   }
 
+  test("toRecords: pinned-schema path types the text cells declaratively") {
+    implicit val s = spark
+    import s.implicits._
+    val orders = Relation(88L, "public", "orders", "d", Seq(
+      RelationColumn("id", isKey = true, 20L, -1),
+      RelationColumn("total", isKey = false, 701L, -1),
+      RelationColumn("note", isKey = false, 25L, -1)))
+    val frames = Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(orders)),
+      PgStream.Frame("s", 2, PgOutput.encode(Begin(8L, 1704067200000000L, 5L))),
+      PgStream.Frame("s", 3, PgOutput.encode(Insert(88L,
+        Seq(Cell.Text("42"), Cell.Text("99.5"), Cell.Null)))),
+      PgStream.Frame("s", 4, PgOutput.encode(Update(88L,
+        Some(Seq(Cell.Text("42"), Cell.Text("99.5"), Cell.Null)), None,
+        Seq(Cell.Text("42"), Cell.Text("100.5"), Cell.Text("hi"))))),
+      PgStream.Frame("s", 5, PgOutput.encode(Commit(0, 8L, 16L, 1704067200000000L))))
+    val decoded = PgStream.decodePartitions(
+      frames.toDS().repartition(1).sortWithinPartitions("seq")).toDF()
+    val recs = PgStream.toRecords(decoded, orders)
+      .orderBy("commit_idx").collect()
+    assert(recs.length == 2)
+    val ins = recs(0)
+    assert(ins.getAs[Long]("id") == 42L)
+    assert(ins.getAs[Double]("total") == 99.5)
+    assert(ins.isNullAt(ins.fieldIndex("note")))
+    assert(ins.isNullAt(ins.fieldIndex("old_total")))
+    val upd = recs(1)
+    assert(upd.getAs[Double]("total") == 100.5)
+    assert(upd.getAs[String]("note") == "hi")
+    assert(upd.getAs[Double]("old_total") == 99.5)
+    assert(upd.getAs[String]("action") == "update")
+  }
+
   test("decodePartitions: batch replay decodes a seq-sorted slot partition") {
     implicit val s = spark
     import s.implicits._

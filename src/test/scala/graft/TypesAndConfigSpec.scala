@@ -185,6 +185,32 @@ class TypesAndConfigSpec extends SparkSpec {
       """{"name":"x","legacy_transform":"maybe"}"""))
   }
 
+  test("load shedding: discard_on_full caps per-group backlog, pause is lossless") {
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf()))
+    val paused = graft.ops.Filters.shedOverflow(cdc, 5, "pause_on_full")
+    assert(paused.count() == cdc.count())
+    val shed = graft.ops.Filters.shedOverflow(cdc, 5, "discard_on_full")
+    val perGroup = shed.groupBy("group_id").count()
+    assert(perGroup.filter(col("count") > 5).count() == 0)
+    // survivors are the OLDEST per group (cursor order), not arbitrary
+    val g = cdc.groupBy("group_id").count().filter(col("count") > 5)
+      .select("group_id").head().getString(0)
+    val kept = shed.filter(col("group_id") === g)
+      .select("commit_lsn", "commit_idx").orderBy("commit_lsn", "commit_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oldest = cdc.filter(col("group_id") === g)
+      .select("commit_lsn", "commit_idx").orderBy("commit_lsn", "commit_idx")
+      .limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.sameElements(oldest))
+    assertThrows[IllegalArgumentException](
+      graft.ops.Filters.shedOverflow(cdc, 5, "drop_everything"))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","load_shedding_policy":"maybe"}"""))
+    assert(PipelineSpec.parse(
+      """{"name":"x","load_shedding_policy":"discard_on_full"}""")
+      .loadSheddingPolicy == "discard_on_full")
+  }
+
   test("group_columns override the pk-derived delivery group in the pipeline") {
     val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(100)
     val cfg = graft.streaming.ConsumerConfig(name = "g",
