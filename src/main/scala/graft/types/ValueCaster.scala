@@ -75,7 +75,10 @@ object ValueCaster {
         case t if t.startsWith("_") =>
           lexArray(value).map {
             case null => null
-            case s    => cast(t.stripPrefix("_"), s)
+            // pg multidimensional arrays keep the same type name; nested
+            // literals recurse as the same array type (array_lexer.ex)
+            case s if s.startsWith("{") => cast(t, s)
+            case s                      => cast(t.stripPrefix("_"), s)
           }
         case _ => value
       }

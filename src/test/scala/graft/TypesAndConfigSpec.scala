@@ -64,6 +64,11 @@ class TypesAndConfigSpec extends SparkSpec {
       Seq(Seq("""x"y,z""")))
     assert(ValueCaster.lexArray("{}") == Nil)
     assert(ValueCaster.cast("_int4", "{1,2,NULL}") == Seq(1L, 2L, null))
+    // multidim arrays: nested literals recurse with the same type name
+    assert(ValueCaster.cast("_int4", "{{1,2},{3,4}}") ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(ValueCaster.cast("_text", """{{"a,b"},{c}}""") ==
+      Seq(Seq("a,b"), Seq("c")))
     assert(ValueCaster.cast("vector", "[0.5, 1.5]") == Seq(0.5f, 1.5f))
   }
 
