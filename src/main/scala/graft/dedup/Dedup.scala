@@ -221,4 +221,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Duplicate-cluster assignment: connected components over verified
+    * near-dup pairs by iterative min-label propagation — each vertex
+    * converges to the smallest id in its component (the canonical doc).
+    * O(diameter) rounds of a hash join + aggregate; every round
+    * checkpoints, so the plan stays flat. Dup components are small by
+    * construction (near-dup clusters), so a handful of rounds converges
+    * even at corpus scale — the standard Spark connected-components
+    * shape (large-diameter graphs would swap in GraphX/Pregel, same
+    * result).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("src_comp").as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

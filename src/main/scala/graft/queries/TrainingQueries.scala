@@ -141,6 +141,22 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // LSH-bounded embedding near-dups: candidates must share a sign-LSH
+    // bucket inside the label block (td09's scale path)
+    "td15_embedding_neardups_lsh" -> ((s, dir) =>
+      Ann.embeddingNearDupsLsh(Tables.embeddings(s, dir),
+          dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // Duplicate clusters: connected components over verified near-dup
+    // pairs; each doc labeled with its component's canonical (min) id
+    "td16_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
     // Apply the near-dup verdicts: keep canonical docs (drop every id_b)
     "td13_dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -345,6 +361,34 @@ object TrainingQueries {
         |SELECT doc_id, lang, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "td15_embedding_neardups_lsh" -> {
+      val bucket = (0 until 8).map { i =>
+        s"(CASE WHEN embedding[${i * 8 + 1}] >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      val cos = duckCos("a.emb_a", "b.emb_b", 64)
+      s"""WITH k AS (SELECT label, vec_id, embedding,
+         |  CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+         |a AS (SELECT label, bucket, vec_id AS id_a, embedding AS emb_a FROM k),
+         |b AS (SELECT label, bucket, vec_id AS id_b, embedding AS emb_b FROM k)
+         |SELECT a.label, a.bucket, id_a, id_b, $cos AS cos
+         |FROM a JOIN b ON a.label = b.label AND a.bucket = b.bucket
+         |  AND a.id_a < b.id_b
+         |WHERE $cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "td16_dup_clusters" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
+        |SELECT a AS id, least(a, min(b)) AS comp
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin),
 
     "td12_multimodal" ->
       """SELECT doc_id AS asset_id,

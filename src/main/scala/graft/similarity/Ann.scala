@@ -145,4 +145,29 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("label", "id_a", "id_b", "cos")
   }
+
+  /** LSH-bounded embedding near-duplicates — the scale path for
+    * [[embeddingNearDups]]: candidates must share a sign-LSH bucket
+    * inside their label block, so the pair space is per-(label, bucket),
+    * never per-label O(m²). A hot label at 100 TB splits across 2^|dims|
+    * buckets; recall trades against `dims` exactly like [[lshTopK]].
+    */
+  def embeddingNearDupsLsh(df: DataFrame, dims: Seq[Int],
+      threshold: Double): DataFrame = {
+    val keyed = df.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      signBucket(col("embedding"), dims).as("bucket"))
+    val a = keyed.select(col("label"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("norm_a"))
+    val b = keyed.select(col("label"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("norm_b"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select("label", "bucket", "id_a", "id_b", "cos")
+  }
 }

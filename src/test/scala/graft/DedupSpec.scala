@@ -143,6 +143,28 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 8)
   }
 
+  test("dupClusters: chain components converge to the min id (multi-hop)") {
+    import spark.implicits._
+    // two components: a 5-chain 1-2-3-4-5 (diameter forces >1 round) and
+    // a pair 10-11; vertex 3 also bridges to 7
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L),
+      (3L, 7L)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("embeddingNearDupsLsh finds a subset of the exact near-dup pairs") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = graft.similarity.Ann.embeddingNearDups(emb, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.similarity.Ann.embeddingNearDupsLsh(emb,
+        Seq(0, 8, 16, 24, 32, 40, 48, 56), 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // no false positives vs the exact verify
+  }
+
   test("langId picks the marker-heaviest language") {
     import spark.implicits._
     val df = Seq(
