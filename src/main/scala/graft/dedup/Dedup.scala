@@ -244,15 +244,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
         .groupBy(col("dst").as("id")).agg(min("src_comp").as("nbr_comp"))
+      // compute the new label AND a moved flag in the same pass — the
+      // convergence check reads the checkpointed blocks, no extra join
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("moved"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("moved")).isEmpty
+      labels = updated.select("id", "comp")
       iter += 1
     }
     labels
