@@ -162,6 +162,53 @@ object PipelineSpec {
     SinkSpec(sinkType, settings)
   }
 
+  /** Config → canonical JSON spec (the reference's `to_external`
+    * direction, transforms.ex:163-199): `parse(render(cfg)) == cfg` is
+    * spec-tested, so configs survive export/import round trips.
+    */
+  def render(cfg: ConsumerConfig): String = {
+    val root = mapper.createObjectNode()
+    root.put("name", cfg.name)
+    val src = root.putObject("source")
+    cfg.scope.includeSchemas.foreach(v =>
+      { val a = src.putArray("include_schemas"); v.foreach(a.add) })
+    cfg.scope.excludeSchemas.foreach(v =>
+      { val a = src.putArray("exclude_schemas"); v.foreach(a.add) })
+    cfg.scope.includeTableOids.foreach(v =>
+      { val a = src.putArray("include_table_oids"); v.foreach(a.add) })
+    cfg.scope.excludeTableOids.foreach(v =>
+      { val a = src.putArray("exclude_table_oids"); v.foreach(a.add) })
+    val acts = root.putArray("actions"); cfg.actions.foreach(acts.add)
+    if (cfg.filters.nonEmpty) {
+      val fs = root.putArray("filters")
+      cfg.filters.foreach { f =>
+        val o = fs.addObject()
+        o.put("field", f.field); o.put("op", f.op)
+        val vs = o.putArray("values"); f.values.foreach(vs.add)
+        o.put("value_type", f.valueType)
+        f.jsonbPath.foreach(o.put("jsonb_path", _))
+      }
+    }
+    root.put("message_grouping", cfg.messageGrouping)
+    root.put("timestamp_format", cfg.timestampFormat)
+    root.put("max_payload_bytes", cfg.maxPayloadBytes)
+    if (cfg.groupColumns.nonEmpty) {
+      val g = root.putArray("group_columns"); cfg.groupColumns.foreach(g.add)
+    }
+    cfg.batchSize.foreach(root.put("batch_size", _))
+    root.put("ack_wait_ms", cfg.ackWaitMs)
+    root.put("max_ack_pending", cfg.maxAckPending)
+    root.put("max_retry_count", cfg.maxRetryCount)
+    root.put("legacy_transform", cfg.legacyTransform)
+    root.put("load_shedding_policy", cfg.loadSheddingPolicy)
+    cfg.sink.foreach { s =>
+      val d = root.putObject("destination")
+      d.put("type", s.sinkType)
+      s.settings.toSeq.sortBy(_._1).foreach { case (k, v) => d.put(k, v) }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   private def require(n: JsonNode, field: String): JsonNode =
     Option(n.get(field)).getOrElse(
       throw new IllegalArgumentException(s"missing required field: $field"))

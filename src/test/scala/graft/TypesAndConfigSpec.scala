@@ -216,6 +216,29 @@ class TypesAndConfigSpec extends SparkSpec {
       .loadSheddingPolicy == "discard_on_full")
   }
 
+  test("PipelineSpec.render round-trips: parse(render(cfg)) == cfg") {
+    val cfgs = Seq(
+      PipelineSpec.parse("""{"name":"min"}"""),
+      PipelineSpec.parse(
+        """{"name": "full",
+          | "source": {"include_schemas": ["public"], "exclude_table_oids": [16387]},
+          | "actions": ["insert", "update"],
+          | "filters": [{"field": "record_value", "op": ">", "values": ["50"],
+          |              "value_type": "number", "jsonb_path": "k"}],
+          | "message_grouping": false,
+          | "timestamp_format": "unix_microsecond",
+          | "group_columns": ["record_user_id"],
+          | "batch_size": 25,
+          | "ack_wait_ms": 5000,
+          | "max_retry_count": 7,
+          | "legacy_transform": "record_only",
+          | "load_shedding_policy": "discard_on_full",
+          | "destination": {"type": "nats", "subject": "cdc.orders"}}""".stripMargin))
+    cfgs.foreach { cfg =>
+      assert(PipelineSpec.parse(PipelineSpec.render(cfg)) == cfg)
+    }
+  }
+
   test("group_columns override the pk-derived delivery group in the pipeline") {
     val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(100)
     val cfg = graft.streaming.ConsumerConfig(name = "g",
