@@ -85,6 +85,32 @@ class PgOutputSpec extends AnyFunSuite {
 
   // ------------------------------------------------- frame-level cases
 
+  test("decode never throws on arbitrary bytes (fuzz: a stream must survive garbage)") {
+    val prop = Prop.forAll(Gen.listOf(Arbitrary.arbByte.arbitrary)) { bytes =>
+      PgOutput.decode(bytes.toArray) != null // Unsupported or parsed, never a throw
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // truncated real frames (every prefix of a valid frame) also survive
+    val frame = PgOutput.encode(Relation(7L, "public", "t", "d",
+      Seq(RelationColumn("id", isKey = true, 20L, -1))))
+    (0 until frame.length).foreach { n =>
+      assert(PgOutput.decode(frame.take(n)) != null)
+    }
+  }
+
+  test("ValueCaster.cast never throws on arbitrary type/text (falls back to raw)") {
+    val genType = Gen.oneOf("bool", "int2", "int4", "int8", "float8",
+      "numeric", "money", "bytea", "timestamp", "timestamptz", "date",
+      "interval", "vector", "_int4", "_text", "jsonb", "mystery")
+    val prop = Prop.forAll(genType, Gen.asciiStr) { (t, v) =>
+      graft.types.ValueCaster.cast(t, v) // any outcome, no throw
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("insert frame decodes tuple cells: text, null, unchanged toast") {
     val frame = PgOutput.encode(Insert(24576L,
       Seq(Cell.Text("baz"), Cell.Null, Cell.UnchangedToast, Cell.Text("560"))))
