@@ -277,6 +277,23 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Health/observability — per-table slot snapshot: event counts, WAL
+    // span, byte volume, group cardinality, latest event time (the batch
+    // form of the reference's health checks / Prometheus metrics,
+    // `lib/sequin/health/`)
+    "q41_health_snapshot" -> ((s, dir) =>
+      cdc(s, dir)
+        .groupBy("table_schema", "table_name")
+        .agg(
+          count(lit(1)).as("n"),
+          min("commit_lsn").as("min_lsn"),
+          max("commit_lsn").as("max_lsn"),
+          sum("byte_size").as("bytes"),
+          countDistinct("group_id").as("n_groups"),
+          max(unix_micros(col("commit_ts"))).as("last_event_us"),
+          sum(when(col("action") === "delete", 1L).otherwise(0L)).as("n_deletes"))
+        .orderBy("table_schema", "table_name")),
+
     // A4 — event-time windowed delivery metrics (count/sum/median per
     // tumbling hour x action): Spark's window() primitive, the batch form
     // of the streaming metrics aggregation
@@ -496,6 +513,19 @@ object CoreQueries {
           |  CASE WHEN last_marker LIKE 'set:%' THEN substring(last_marker, 5)
           |  END AS annotation
           |FROM m ORDER BY record_id""".stripMargin),
+
+      "q41_health_snapshot" -> (cte +
+        """SELECT table_schema, table_name,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  min(commit_lsn) AS min_lsn,
+          |  max(commit_lsn) AS max_lsn,
+          |  CAST(sum(byte_size) AS BIGINT) AS bytes,
+          |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+          |  CAST(max(epoch_us(commit_ts)) AS BIGINT) AS last_event_us,
+          |  CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_deletes
+          |FROM cdc GROUP BY table_schema, table_name
+          |ORDER BY table_schema, table_name""".stripMargin),
 
       "q36_windowed_metrics" -> (cte +
         """SELECT epoch_us(date_trunc('hour', commit_ts)) AS hour_us, action,
