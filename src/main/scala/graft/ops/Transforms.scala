@@ -36,6 +36,19 @@ object Transforms {
   def toastResolve(newRecord: Column, oldRecord: Column, sentinel: String = "unchanged_toast"): Column =
     map_zip_with(newRecord, oldRecord, (_, n, o) => coalesce(nullif(n, lit(sentinel)), o))
 
+  /** Composite-PK stringification (§7.5 known-hard): every pk value is
+    * stringified and ordered by attnum — the column order the Relation
+    * message declares — matching the reference's `record_pks`
+    * (`/root/reference/lib/sequin/runtime/slot_producer/processor.ex:256-259`,
+    * `consumer_event.ex:94-109`). `pkString` is the joined form the
+    * redis-string router keys on (`routing/consumers/redis_string.ex`).
+    */
+  def recordPks(pkCols: Seq[Column]): Column =
+    array(pkCols.map(_.cast("string")): _*)
+
+  def pkString(pkCols: Seq[Column]): Column =
+    concat_ws("-", pkCols.map(_.cast("string")): _*)
+
   /** P3 — dot-path extraction from the JSON payload
     * (`/root/reference/lib/sequin/consumers/path_function.ex:25-72`).
     * Missing paths → NULL via `get_json_object` semantics.

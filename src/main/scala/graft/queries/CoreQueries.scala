@@ -277,6 +277,18 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Composite-PK stringification: pks ordered by attnum, stringified,
+    // plus the joined pk key the redis router uses (lineitem's natural
+    // composite key (l_orderkey, l_linenumber))
+    "q42_composite_pks" -> ((s, dir) =>
+      graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Transforms.recordPks(Seq(col("l_orderkey"), col("l_linenumber")))
+            .as("record_pks"),
+          Transforms.pkString(Seq(col("l_orderkey"), col("l_linenumber")))
+            .as("pk_key"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Health/observability — per-table slot snapshot: event counts, WAL
     // span, byte volume, group cardinality, latest event time (the batch
     // form of the reference's health checks / Prometheus metrics,
@@ -513,6 +525,14 @@ object CoreQueries {
           |  CASE WHEN last_marker LIKE 'set:%' THEN substring(last_marker, 5)
           |  END AS annotation
           |FROM m ORDER BY record_id""".stripMargin),
+
+      "q42_composite_pks" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  [CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)]
+          |    AS record_pks,
+          |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+          |    AS pk_key
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "q41_health_snapshot" -> (cte +
         """SELECT table_schema, table_name,
