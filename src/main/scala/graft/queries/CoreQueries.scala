@@ -289,6 +289,15 @@ object CoreQueries {
             .as("pk_key"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Skew mitigation — salted two-phase aggregation over the delivery
+    // key equals the plain GROUP BY (the hot-key reduce is split across
+    // saltFactor tasks; the oracle is the unsalted aggregate, proving the
+    // technique is result-invariant)
+    "q43_salted_agg" -> ((s, dir) =>
+      Skew.saltedCount(cdc(s, dir), "group_id", saltFactor = 8)
+        .select(col("group_id"), col("n").cast("bigint").as("n"))
+        .orderBy("group_id")),
+
     // Health/observability — per-table slot snapshot: event counts, WAL
     // span, byte volume, group cardinality, latest event time (the batch
     // form of the reference's health checks / Prometheus metrics,
@@ -525,6 +534,10 @@ object CoreQueries {
           |  CASE WHEN last_marker LIKE 'set:%' THEN substring(last_marker, 5)
           |  END AS annotation
           |FROM m ORDER BY record_id""".stripMargin),
+
+      "q43_salted_agg" -> (cte +
+        """SELECT group_id, CAST(count(*) AS BIGINT) AS n
+          |FROM cdc GROUP BY group_id ORDER BY group_id""".stripMargin),
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,

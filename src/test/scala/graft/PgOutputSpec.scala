@@ -325,4 +325,23 @@ class PgOutputSpec extends AnyFunSuite {
     assert(out.map(_.commit_idx).toSeq == Seq(0L, 1L, 2L))
     assert(out(1).old_values.get == Seq("1", "2.5"))
   }
+
+  test("truncate frames emit one change row per truncated relation") {
+    implicit val s = spark
+    import s.implicits._
+    val v1 = rel(7L, "id" -> 20L)
+    val v2 = rel(9L, "id" -> 20L)
+    val frames = Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(v1)),
+      PgStream.Frame("s", 2, PgOutput.encode(v2)),
+      PgStream.Frame("s", 3, PgOutput.encode(Begin(8L, 0L, 1L))),
+      PgStream.Frame("s", 4, PgOutput.encode(Truncate(3, Seq(7L, 9L)))),
+      PgStream.Frame("s", 5, PgOutput.encode(Commit(0, 8L, 16L, 0L))))
+    val out = PgStream.decodePartitions(
+        frames.toDS().repartition(1).sortWithinPartitions("seq"))
+      .collect().filter(_.action == "truncate").sortBy(_.table_oid)
+    assert(out.map(_.table_oid).toSeq == Seq(7L, 9L))
+    assert(out.map(_.table_name).toSeq == Seq("t7", "t9"))
+    assert(out.map(_.commit_lsn).forall(_ == 8L))
+  }
 }
