@@ -141,6 +141,30 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Repetition quality signals (Gopher-style): fraction of duplicated
+    // word n-grams per document — high ratios flag boilerplate/spam for
+    // corpus filtering. Narrow per-row expressions, no shuffle.
+    "td17_repetition" -> ((s, dir) => {
+      def dupRatio(n: Int) = {
+        val sh = TextAnalysis.shingles(col("text"), n)
+        (lit(1.0) - size(array_distinct(sh)).cast("double") /
+          size(sh).cast("double")).as(s"dup_${n}gram_ratio")
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dupRatio(2), dupRatio(3))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top-50 tokens by frequency (tokenizer/vocab
+    // building) — explode + count + global top-k
+    "td18_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .select(col("token"), col("n"))),
+
     // LSH-bounded embedding near-dups: candidates must share a sign-LSH
     // bucket inside the label block (td09's scale path)
     "td15_embedding_neardups_lsh" -> ((s, dir) =>
@@ -361,6 +385,23 @@ object TrainingQueries {
         |SELECT doc_id, lang, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "td17_repetition" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+1], ' ')) AS g2,
+        |  list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_ratio,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "td18_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "td15_embedding_neardups_lsh" -> {
       val bucket = (0 until 8).map { i =>
