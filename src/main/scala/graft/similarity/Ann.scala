@@ -94,26 +94,74 @@ object Ann {
     * cells' members — at 100 TB the assignment is a materialized bucketed
     * table and each query touches nprobe/nlist of the corpus.
     */
+  /** Assign vectors to their `keep` nearest centroids (the IVF coarse
+    * quantizer). `centroids` must be broadcastable.
+    */
+  private def assignToCentroids(centroids: DataFrame, df: DataFrame,
+      idAlias: String, keep: Int): DataFrame = {
+    val scored = df.select(col("vec_id").as(idAlias), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("ccos", dot(col("embedding"), col("cent_emb")) /
+        (norm(col("embedding")) * norm(col("cent_emb"))))
+    val w = Window.partitionBy(idAlias)
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .select(col(idAlias), col("centroid_id"), col("embedding"))
+  }
+
+  private def medoidCentroids(corpus: DataFrame, centroidEvery: Int): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       centroidEvery: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = broadcast(corpus
-      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb")))
+    val centroids = medoidCentroids(corpus, centroidEvery)
+    val cells = assignToCentroids(centroids, corpus, "corpus_id", 1)
+    val probes = assignToCentroids(centroids, queries, "query_id", nprobe)
+    val scored = probes.select(col("query_id"), col("centroid_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .join(cells.select(col("corpus_id"), col("centroid_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .select("query_id", "corpus_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
 
-    def assign(df: DataFrame, idAlias: String, keep: Int): DataFrame = {
-      val scored = df.select(col("vec_id").as(idAlias), col("embedding"))
-        .join(centroids)
-        .withColumn("ccos", dot(col("embedding"), col("cent_emb")) /
-          (norm(col("embedding")) * norm(col("cent_emb"))))
-      val w = Window.partitionBy(idAlias)
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idAlias), col("centroid_id"), col("embedding"))
-    }
+  /** Materialize the IVF inverted file: centroids + corpus cells written
+    * as parquet PARTITIONED BY centroid_id — the 100 TB form, where
+    * assignment is paid once and every query then touches only its
+    * `nprobe` cells' directories (partition pruning), not the corpus.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroidEvery: Int, path: String): Unit = {
+    val centroids = medoidCentroids(corpus, centroidEvery)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroids(centroids, corpus, "corpus_id", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/cells")
+  }
 
-    val cells = assign(corpus, "corpus_id", 1)
-    val probes = assign(queries, "query_id", nprobe)
+  /** Query a materialized IVF index: probe `nprobe` cells per query and
+    * rank only their members. The probed centroid ids become a static
+    * partition filter on the cells table, so the scan reads only those
+    * directories (visible as PartitionFilters in the plan). Results are
+    * identical to [[ivfTopK]] with the same parameters (spec-proven).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = assignToCentroids(centroids, queries, "query_id", nprobe)
+    // nprobe × |queries| centroid ids — small by construction
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("centroid_id").isin(probedIds: _*))
     val scored = probes.select(col("query_id"), col("centroid_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
       .join(cells.select(col("corpus_id"), col("centroid_id"),

@@ -96,4 +96,20 @@ object CdcPipeline {
   def withStreamingDedup(df: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     df.withWatermark("commit_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("idempotency_key")
+
+  /** A4 streaming form of q36: per-hour, per-action delivery metrics over
+    * EVENT time. The watermark bounds aggregation state and finalizes
+    * each window exactly once (append mode) when event time passes
+    * `window end + delay`; events arriving later than the watermark are
+    * dropped — the streaming analogue of the reference's metrics
+    * aggregation, with state expiry for free.
+    */
+  def windowedMetrics(df: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark("commit_ts", watermarkDelay)
+      .groupBy(window(col("commit_ts"), "1 hour"), col("action"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("record_value") * 100).cast("bigint")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("action"),
+        col("n"), col("sum_cents"))
 }

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 8)
   }
 
+  test("materialized IVF index == ivfTopK, with a partition-pruned cell scan") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Ann.buildIvfIndex(emb, centroidEvery = 50, path = dir)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val direct = rows(Ann.ivfTopK(q, emb, centroidEvery = 50, nprobe = 2, k = 5))
+    val indexed = Ann.ivfTopKIndexed(spark, dir, q, nprobe = 2, k = 5)
+    assert(rows(indexed).sameElements(direct))
+    // the cells scan must read only the probed centroid directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(plan.contains("centroid_id"), plan.take(1500))
+  }
+
   test("dupClusters: chain components converge to the min id (multi-hop)") {
     import spark.implicits._
     // two components: a 5-chain 1-2-3-4-5 (diameter forces >1 round) and

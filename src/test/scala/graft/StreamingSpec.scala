@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedMetrics finalizes event-time windows once; late data is dropped") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(ts: String, value: Double = 1.0) =
+      ev(8, 0, "7", "1", action = "update", value = value)
+        .copy(commit_ts = Timestamp.valueOf(ts))
+
+    val input = MemoryStream[ChangeEvent]
+    val query = CdcPipeline.windowedMetrics(input.toDF())
+      .writeStream.format("memory").queryName("win_metrics")
+      .outputMode("append").start()
+    try {
+      // hour 00 gets two events, hour 01 one
+      input.addData(at("2024-01-01 00:10:00", 2.0), at("2024-01-01 00:20:00", 3.0),
+        at("2024-01-01 01:05:00", 5.0))
+      query.processAllAvailable()
+      // advance event time far enough to close hours 00 and 01
+      input.addData(at("2024-01-01 02:30:00"))
+      query.processAllAvailable()
+      // a LATE event for hour 00 (watermark has passed) must be dropped
+      input.addData(at("2024-01-01 00:30:00", 100.0))
+      query.processAllAvailable()
+      input.addData(at("2024-01-01 03:30:00"))
+      query.processAllAvailable()
+
+      val rows = spark.table("win_metrics")
+        .select("hour_us", "n", "sum_cents").orderBy("hour_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+      val h1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime * 1000
+      // hour 00 finalized ONCE with only the on-time events (2.0 + 3.0)
+      assert(rows.count(_._1 == h0) == 1)
+      assert(rows.find(_._1 == h0).get == ((h0, 2L, 500L)))
+      assert(rows.find(_._1 == h1).get == ((h1, 1L, 500L)))
+    } finally query.stop()
+  }
+
   test("EventTableSink.upsert is idempotent and last-writer-wins") {
     implicit val s = spark
     import s.implicits._
