@@ -191,6 +191,23 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // Capstone composition — the curation pipeline end to end: near-dup
+    // removal (td05/td13) → join survivors to their embeddings → ANN
+    // top-k over the CURATED corpus only. One declarative plan; proves
+    // the operators compose without materialization boundaries.
+    "td19_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      val kept = graft.ops.Joins.backfillFence(
+          docs, pairs.select(col("id_b").as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"))
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.join(kept, emb("vec_id") === kept("doc_id"))
+        .select(emb("vec_id"), emb("embedding"))
+      Ann.bruteForceTopK(corpus.filter(col("vec_id") < 3), corpus, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Multimodal binary plumbing: stub decode features over binary assets
     // (mapPartitions Dataset path; decode itself is a deterministic fake)
     "td12_multimodal" -> ((s, dir) => {
@@ -430,6 +447,22 @@ object TrainingQueries {
         |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
         |SELECT a AS id, least(a, min(b)) AS comp
         |FROM reach GROUP BY a ORDER BY id""".stripMargin),
+
+    "td19_curation_pipeline" -> {
+      val cos = duckCos("q.embedding", "c.embedding", 64)
+      minhashPairsCtes +
+        s""",
+           |corpus AS (SELECT e.vec_id, e.embedding
+           |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id))
+           |SELECT query_id, corpus_id, cos, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cos,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $cos DESC, c.vec_id) AS INT) AS rank
+           |  FROM corpus q JOIN corpus c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 3)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "td12_multimodal" ->
       """SELECT doc_id AS asset_id,
