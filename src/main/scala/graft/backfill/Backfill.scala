@@ -113,8 +113,9 @@ object Backfill {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+      val s = java.nio.file.Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
     }
   }
 }

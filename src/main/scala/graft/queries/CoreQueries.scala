@@ -279,12 +279,14 @@ object CoreQueries {
 
     // Composite-PK stringification: pks ordered by attnum, stringified,
     // plus the joined pk key the redis router uses (lineitem's natural
-    // composite key (l_orderkey, l_linenumber))
+    // composite key (l_orderkey, l_linenumber)). The pk LIST is emitted as
+    // its JSON text — the driver's compare harness can't hash raw array
+    // cells, and JSON is the form the sink envelope carries anyway.
     "q42_composite_pks" -> ((s, dir) =>
       graft.Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          Transforms.recordPks(Seq(col("l_orderkey"), col("l_linenumber")))
-            .as("record_pks"),
+          to_json(Transforms.recordPks(Seq(col("l_orderkey"),
+            col("l_linenumber")))).as("record_pks"),
           Transforms.pkString(Seq(col("l_orderkey"), col("l_linenumber")))
             .as("pk_key"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -541,8 +543,8 @@ object CoreQueries {
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,
-          |  [CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)]
-          |    AS record_pks,
+          |  '["' || CAST(l_orderkey AS VARCHAR) || '","' ||
+          |    CAST(l_linenumber AS VARCHAR) || '"]' AS record_pks,
           |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
           |    AS pk_key
           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

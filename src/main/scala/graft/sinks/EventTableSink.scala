@@ -110,7 +110,11 @@ object EventTableSink {
     val root = Paths.get(path)
     if (!Files.exists(root)) return
     import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala.toSeq.foreach { p =>
+    val entries = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    entries.foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(s".old-$BucketCol=")) {
         val live = root.resolve(name.stripPrefix(".old-"))
@@ -123,8 +127,9 @@ object EventTableSink {
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Try(Files.delete(f)))
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(f => Try(Files.delete(f)))
     }
   }
 }

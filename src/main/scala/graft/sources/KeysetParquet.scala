@@ -168,13 +168,16 @@ final class KeysetRowGroupReader(file: String, blockStart: Long,
 
 object KeysetParquet {
 
+  /** List parquet files via the Hadoop FileSystem (same path resolution
+    * as the reader side, so HDFS/S3 paths work, not just local ones).
+    */
   def listFiles(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    } else Seq(path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+    else Seq(path)
   }
 
   def footerSchema(file: String): MessageType = {

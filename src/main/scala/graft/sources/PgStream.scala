@@ -123,6 +123,12 @@ object PgStream {
       element_at(old, f.name).cast(f.dataType).as(s"old_${f.name}"))
     decoded
       .filter(col("kind") === "change" && col("table_oid") === rel.id)
+      // rows decoded before their Relation was seen carry empty `columns`
+      // with non-empty `values`; unequal arrays would make map_from_arrays
+      // throw at runtime — drop them (they are schema-less, untypeable)
+      .filter(size(col("columns")) === size(col("values")) &&
+        (col("old_values").isNull ||
+          size(col("old_values")) === size(col("columns"))))
       .select(Seq(col("slot_id"), col("commit_lsn"), col("commit_idx"),
         col("commit_ts_us"), col("xid"), col("action"), col("annotations"))
         ++ fields ++ oldFields: _*)
@@ -201,6 +207,18 @@ object PgStream {
           withTxn("truncate", oid, Nil, Nil, None,
             rel.map(SchemaRegistry.schemaHash).getOrElse(""))
         }
+      case Malformed(tag, error, _) =>
+        // corruption of a KNOWN frame type must be observable, not a
+        // silently dropped change — surfaced as its own row kind so a
+        // monitor can count/alert on it (ref: decoder.ex raises here)
+        val st = get()
+        emit(Decoded("decode_error", slot, f.seq,
+          begin.map(_.finalLsn).getOrElse(0L), st.commitIdx,
+          begin.map(_.commitTsMicros).getOrElse(0L),
+          begin.map(_.xid).getOrElse(0L),
+          "", "", 0L, "decode_error",
+          Seq("tag", "error"), Seq(tag.toString, error), None, "",
+          st.annotations))
       case _ => () // Origin / Type / LogicalMessage / Unsupported: no rows
     }
   }

@@ -73,12 +73,14 @@ object ValueCaster {
         case "vector" =>
           value.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toFloat).toSeq
         case t if t.startsWith("_") =>
-          lexArray(value).map {
-            case null => null
-            // pg multidimensional arrays keep the same type name; nested
-            // literals recurse as the same array type (array_lexer.ex)
-            case s if s.startsWith("{") => cast(t, s)
-            case s                      => cast(t.stripPrefix("_"), s)
+          lexArrayTagged(value).map {
+            case (null, _) => null
+            // pg multidimensional arrays keep the same type name; only BARE
+            // elements are nested literals — a quoted element beginning with
+            // '{' is a text value (array_lexer.ex keeps quoted elements as
+            // strings during lexing)
+            case (s, false) if s.startsWith("{") => cast(t, s)
+            case (s, _)                          => cast(t.stripPrefix("_"), s)
           }
         case _ => value
       }
@@ -125,12 +127,19 @@ object ValueCaster {
     * (nested arrays kept as raw text for recursive casting). Mirrors
     * array_lexer.ex (quoted elements, backslash escapes, NULL, nesting).
     */
-  def lexArray(text: String): Seq[String] = {
+  def lexArray(text: String): Seq[String] = lexArrayTagged(text).map(_._1)
+
+  /** [[lexArray]] plus a was-quoted flag per element. `cast` needs it to
+    * distinguish a bare nested literal `{a}` (recurse) from a quoted text
+    * value `"{a}"` (string) — the reference lexer keeps quoted elements as
+    * strings (array_lexer.ex), so quoting must survive depth-0 lexing.
+    */
+  def lexArrayTagged(text: String): Seq[(String, Boolean)] = {
     val t = text.trim
     require(t.startsWith("{") && t.endsWith("}"), s"not an array literal: $text")
     val inner = t.substring(1, t.length - 1)
     if (inner.isEmpty) return Nil
-    val out = ArrayBuffer.empty[String]
+    val out = ArrayBuffer.empty[(String, Boolean)]
     val cur = new StringBuilder
     var depth = 0
     var inQuotes = false
@@ -138,7 +147,7 @@ object ValueCaster {
     var i = 0
     def flush(): Unit = {
       val s = cur.toString
-      out += (if (!wasQuoted && s == "NULL") null else s)
+      out += (if (!wasQuoted && s == "NULL") (null, false) else (s, wasQuoted))
       cur.clear(); wasQuoted = false
     }
     while (i < inner.length) {

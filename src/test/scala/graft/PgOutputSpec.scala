@@ -147,7 +147,21 @@ class PgOutputSpec extends AnyFunSuite {
     assert(PgOutput.truncateOptions(3) == Seq("cascade", "restart_identity"))
     assert(PgOutput.truncateOptions(0) == Nil)
     assert(PgOutput.decode(Array[Byte]('Z', 1, 2)).isInstanceOf[Unsupported])
-    assert(PgOutput.decode(Array[Byte]('B')).isInstanceOf[Unsupported]) // short
+  }
+
+  test("corrupt frames of KNOWN tags surface as Malformed, not Unsupported") {
+    // a truncated Begin is stream corruption — must be observable
+    val short = PgOutput.decode(Array[Byte]('B'))
+    assert(short.isInstanceOf[Malformed])
+    assert(short.asInstanceOf[Malformed].tag == 'B')
+    // a truncated Insert likewise
+    val frame = PgOutput.encode(Insert(5L, Seq(Cell.Text("abc"))))
+    val cut = PgOutput.decode(frame.take(frame.length - 2))
+    assert(cut.isInstanceOf[Malformed])
+    assert(cut.asInstanceOf[Malformed].tag == 'I')
+    assert(PgOutput.decode(Array.empty[Byte]).isInstanceOf[Malformed])
+    // malformed frames still round-trip their raw bytes through encode
+    assert(PgOutput.encode(cut).sameElements(frame.take(frame.length - 2)))
   }
 
   test("timestamps convert between PG epoch and unix micros") {
@@ -324,6 +338,50 @@ class PgOutputSpec extends AnyFunSuite {
     assert(out.map(_.action).toSeq == Seq("insert", "update", "delete"))
     assert(out.map(_.commit_idx).toSeq == Seq(0L, 1L, 2L))
     assert(out(1).old_values.get == Seq("1", "2.5"))
+  }
+
+  test("malformed known-tag frames surface as decode_error rows, not silent drops") {
+    implicit val s = spark
+    import s.implicits._
+    val v1 = rel(7L, "id" -> 20L)
+    val good = PgOutput.encode(Insert(7L, Seq(Cell.Text("1"))))
+    val frames = Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(v1)),
+      PgStream.Frame("s", 2, PgOutput.encode(Begin(8L, 0L, 1L))),
+      PgStream.Frame("s", 3, good),
+      PgStream.Frame("s", 4, good.take(good.length - 2)), // corrupt insert
+      PgStream.Frame("s", 5, PgOutput.encode(Commit(0, 8L, 16L, 0L))))
+    val out = PgStream.decodePartitions(
+        frames.toDS().repartition(1).sortWithinPartitions("seq"))
+      .collect().sortBy(_.seq)
+    assert(out.count(_.kind == "change") == 1)
+    val errs = out.filter(_.kind == "decode_error")
+    assert(errs.length == 1)
+    assert(errs.head.columns == Seq("tag", "error"))
+    assert(errs.head.values.head == "I")
+  }
+
+  test("toRecords drops rows decoded before their Relation (unequal columns/values)") {
+    implicit val s = spark
+    import s.implicits._
+    val orders = Relation(88L, "public", "orders", "d", Seq(
+      RelationColumn("id", isKey = true, 20L, -1)))
+    val frames = Seq(
+      // NO Relation frame first: the insert decodes with empty columns
+      PgStream.Frame("s", 1, PgOutput.encode(Begin(8L, 0L, 1L))),
+      PgStream.Frame("s", 2, PgOutput.encode(Insert(88L, Seq(Cell.Text("1"))))),
+      PgStream.Frame("s", 3, PgOutput.encode(Commit(0, 8L, 16L, 0L))),
+      // now the Relation arrives; later rows are typeable
+      PgStream.Frame("s", 4, PgOutput.encode(orders)),
+      PgStream.Frame("s", 5, PgOutput.encode(Begin(9L, 0L, 2L))),
+      PgStream.Frame("s", 6, PgOutput.encode(Insert(88L, Seq(Cell.Text("2"))))),
+      PgStream.Frame("s", 7, PgOutput.encode(Commit(0, 9L, 24L, 0L))))
+    val decoded = PgStream.decodePartitions(
+      frames.toDS().repartition(1).sortWithinPartitions("seq")).toDF()
+    // without the guard this throws in map_from_arrays; with it, the
+    // schema-less early row is dropped and the typed one survives
+    val recs = PgStream.toRecords(decoded, orders).collect()
+    assert(recs.map(_.getAs[Long]("id")).toSeq == Seq(2L))
   }
 
   test("truncate frames emit one change row per truncated relation") {

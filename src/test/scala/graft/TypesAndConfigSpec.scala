@@ -69,6 +69,12 @@ class TypesAndConfigSpec extends SparkSpec {
       Seq(Seq(1L, 2L), Seq(3L, 4L)))
     assert(ValueCaster.cast("_text", """{{"a,b"},{c}}""") ==
       Seq(Seq("a,b"), Seq("c")))
+    // a QUOTED element whose text begins with '{' is a string, not a
+    // nested literal — the lexer's quote tag must survive to cast
+    assert(ValueCaster.lexArrayTagged("""{"{a}",b}""") ==
+      Seq(("{a}", true), ("b", false)))
+    assert(ValueCaster.cast("_text", """{"{a}",b}""") == Seq("{a}", "b"))
+    assert(ValueCaster.cast("_text", """{"{1,2}"}""") == Seq("{1,2}"))
     assert(ValueCaster.cast("vector", "[0.5, 1.5]") == Seq(0.5f, 1.5f))
   }
 
