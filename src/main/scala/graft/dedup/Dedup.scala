@@ -99,9 +99,13 @@ object Dedup {
     // first-occurrence order — minima are order-invariant, so the
     // result (and the DuckDB oracle, which also hashes `toks`) is
     // unchanged.
+    // tokens are bound in their own projection: HOF lambdas are
+    // interpreted, so an inline split would re-run once per shingle
     val base = df.select(col(idCol),
-        sort_array(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
-          .as("toks"))
+        TextAnalysis.tokens(col(textCol)).as("__wtoks"))
+      .select(col(idCol),
+        sort_array(array_distinct(
+          TextAnalysis.shinglesOf(col("__wtoks"), shingleN))).as("toks"))
       .withColumn("minhash", graft.functions.VectorExpressions
         .affine_minhash_sig(
           transform(col("toks"), t => graft.functions.Hashing.portableHash(t)), k))
@@ -192,7 +196,11 @@ object Dedup {
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
     val sets = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        sort_array(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"): _*)
+        TextAnalysis.tokens(col(textCol)).as("__wtoks"): _*)
+      .select(
+        (col(idCol) +: blockCols.map(col)) :+
+          sort_array(array_distinct(
+            TextAnalysis.shinglesOf(col("__wtoks"), n))).as("sh"): _*)
       .localCheckpoint()
     // candidate pairs: share ≥1 token in their prefix windows. floor, not
     // ceil: under FP rounding floor only ever LENGTHENS the prefix

@@ -143,14 +143,19 @@ object TrainingQueries {
 
     // Repetition quality signals (Gopher-style): fraction of duplicated
     // word n-grams per document — high ratios flag boilerplate/spam for
-    // corpus filtering. Narrow per-row expressions, no shuffle.
+    // corpus filtering. Narrow per-row expressions, no shuffle. Tokens
+    // are bound in a prior projection (HOF lambdas are interpreted, so an
+    // inline split would re-run per shingle) and the shingle TOTAL is
+    // arithmetic — only the distinct count materializes the array.
     "td17_repetition" -> ((s, dir) => {
       def dupRatio(n: Int) = {
-        val sh = TextAnalysis.shingles(col("text"), n)
+        val sh = TextAnalysis.shinglesOf(col("toks"), n)
         (lit(1.0) - size(array_distinct(sh)).cast("double") /
-          size(sh).cast("double")).as(s"dup_${n}gram_ratio")
+          TextAnalysis.shingleCount(col("toks"), n).cast("double"))
+          .as(s"dup_${n}gram_ratio")
       }
       Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), dupRatio(2), dupRatio(3))
         .orderBy("doc_id")
     }),

@@ -23,12 +23,27 @@ object TextAnalysis {
 
   /** Word n-gram shingles: `n` consecutive tokens joined by space.
     * `transform(sequence(...))` keeps it per-row (no explode / shuffle).
+    *
+    * NOTE for hot paths: higher-order functions are interpreted (no
+    * codegen, no subexpression elimination), so the `tokens(text)` inside
+    * the lambda re-splits the text once PER SEQUENCE ELEMENT — O(tokens²)
+    * per row. Pre-project the token array and use [[shinglesOf]] instead.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** [[shingles]] over an already-materialized token-array column —
+    * the lambda then slices a bound attribute (O(n) per shingle), not a
+    * re-evaluated split.
+    */
+  def shinglesOf(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
-  }
+
+  /** Number of n-gram shingles [[shinglesOf]] yields — computed
+    * arithmetically so totals don't need the array materialized.
+    */
+  def shingleCount(toks: Column, n: Int): Column =
+    greatest(size(toks) - lit(n - 1), lit(1))
 
   /** Per-language stopword marker sets for the n-gram-heuristic language ID.
     * Deterministic tiny lists — the heuristic's shape (score = overlap with
