@@ -32,7 +32,7 @@ import scala.jdk.CollectionConverters._
   */
 object PipelineSpec {
 
-  private val mapper = new ObjectMapper()
+  private[config] val mapper = new ObjectMapper()
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private val ValidActions = Set("insert", "update", "delete")
@@ -66,8 +66,12 @@ object PipelineSpec {
     "http_push" -> Seq("http_endpoint"),
     "sequin_stream" -> Nil)
 
-  def parse(json: String): ConsumerConfig = {
-    val root = mapper.readTree(json)
+  def parse(json: String): ConsumerConfig = parseNode(mapper.readTree(json))
+
+  /** Node-level parse — shared by the JSON entry point above and the YAML
+    * front-end ([[YamlSpec]]), so both formats hit identical validation.
+    */
+  private[config] def parseNode(root: JsonNode): ConsumerConfig = {
     val name = require(root, "name").asText()
 
     val scope = Option(root.get("source")).map { s =>
@@ -133,6 +137,11 @@ object PipelineSpec {
         .forall(_.asBoolean()),
       timestampFormat = tsFormat,
       groupColumns = strings(root, "group_columns").getOrElse(Nil),
+      tableGroupColumns = Option(root.get("tables")).map(
+        _.elements().asScala.map { t =>
+          require(t, "name").asText() ->
+            strings(t, "group_column_names").getOrElse(Nil)
+        }.toMap).getOrElse(Map.empty),
       batchSize = batchSize,
       ackWaitMs = Option(root.get("ack_wait_ms")).map(_.asLong())
         .getOrElse(30000L),
@@ -166,7 +175,11 @@ object PipelineSpec {
     * direction, transforms.ex:163-199): `parse(render(cfg)) == cfg` is
     * spec-tested, so configs survive export/import round trips.
     */
-  def render(cfg: ConsumerConfig): String = {
+  def render(cfg: ConsumerConfig): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(renderNode(cfg))
+
+  /** Node-level render — [[YamlSpec.render]] reuses this tree. */
+  private[config] def renderNode(cfg: ConsumerConfig): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("name", cfg.name)
     val src = root.putObject("source")
@@ -195,6 +208,14 @@ object PipelineSpec {
     if (cfg.groupColumns.nonEmpty) {
       val g = root.putArray("group_columns"); cfg.groupColumns.foreach(g.add)
     }
+    if (cfg.tableGroupColumns.nonEmpty) {
+      val ts = root.putArray("tables")
+      cfg.tableGroupColumns.toSeq.sortBy(_._1).foreach { case (t, cols) =>
+        val o = ts.addObject()
+        o.put("name", t)
+        val a = o.putArray("group_column_names"); cols.foreach(a.add)
+      }
+    }
     cfg.batchSize.foreach(root.put("batch_size", _))
     root.put("ack_wait_ms", cfg.ackWaitMs)
     root.put("max_ack_pending", cfg.maxAckPending)
@@ -206,7 +227,7 @@ object PipelineSpec {
       d.put("type", s.sinkType)
       s.settings.toSeq.sortBy(_._1).foreach { case (k, v) => d.put(k, v) }
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    root
   }
 
   private def require(n: JsonNode, field: String): JsonNode =

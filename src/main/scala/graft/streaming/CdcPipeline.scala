@@ -39,6 +39,9 @@ final case class ConsumerConfig(
     timestampFormat: String = "iso8601",
     // delivery tuning (sink_consumer.ex:86-90, 320-345)
     groupColumns: Seq[String] = Nil,
+    // per-table group-column overrides, keyed "schema.table" (the
+    // sequin.yaml `tables: [{name, group_column_names}]` block)
+    tableGroupColumns: Map[String, Seq[String]] = Map.empty,
     batchSize: Option[Int] = None,
     ackWaitMs: Long = 30000L,
     maxAckPending: Int = 10000,
@@ -76,7 +79,18 @@ object CdcPipeline {
     df = Routing.kafka(df, prefix = cfg.name)
     if (!cfg.messageGrouping)
       df = df.withColumn("group_id", lit(null).cast("string"))
-    else if (cfg.groupColumns.nonEmpty)
+    else if (cfg.tableGroupColumns.nonEmpty) {
+      // per-table overrides first (yaml `tables:` block), then the
+      // global group_columns, then the pk-derived group
+      val tbl = concat_ws(".", col("table_schema"), col("table_name"))
+      val overridden = cfg.tableGroupColumns.foldLeft(
+        if (cfg.groupColumns.nonEmpty)
+          Transforms.groupId(cfg.groupColumns.map(df(_)))
+        else col("group_id")) { case (acc, (t, cols)) =>
+        when(tbl === t, Transforms.groupId(cols.map(df(_)))).otherwise(acc)
+      }
+      df = df.withColumn("group_id", overridden)
+    } else if (cfg.groupColumns.nonEmpty)
       // custom group columns override the pk-derived group
       // (sink_consumer group_column_attnums; consumers.ex:730-791)
       df = df.withColumn("group_id",
