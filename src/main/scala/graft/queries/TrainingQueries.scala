@@ -213,6 +213,65 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Deterministic stratified sampling (data mixing): hash-gated keep
+    // per language stratum — reproducible across engines/runs/retries,
+    // pure per-row predicate (pushes into the scan, zero shuffle)
+    "td20_stratified_sample" -> ((s, dir) =>
+      graft.training.TrainingPrep.stratifiedSample(
+          Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // Budgeted sequence packing: consecutive docs per language packed
+    // into <=2048-token bins (training-batch assembly)
+    "td21_seq_packing" -> ((s, dir) =>
+      graft.training.TrainingPrep.packSequences(
+          Tables.documents(s, dir), "text", "lang", "doc_id", budget = 2048)
+        .select("doc_id", "lang", "n_toks", "pack_idx")
+        .orderBy("doc_id")),
+
+    // Boilerplate-passage exposure: 5-gram spans shared by >=3 distinct
+    // docs (C4-style repeated-span detection); per-doc hit counts
+    "td22_boilerplate" -> ((s, dir) =>
+      graft.training.TrainingPrep.boilerplateExposure(
+          Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 3)
+        .orderBy("doc_id")),
+
+    // PII scrubbing: typed placeholder masking (email/phone/digit-run)
+    // plus per-pattern match counts. The slim TPC-H customer table has no
+    // PII columns, so the shapes are synthesized DETERMINISTICALLY from
+    // c_custkey (identical lpad/concat arithmetic on the oracle side) —
+    // what's under test is the scrubber, not the generator.
+    "td23_pii_scrub" -> ((s, dir) => {
+      val key = col("c_custkey")
+      val phone = concat_ws("-",
+        lpad(pmod(key, lit(100)).cast("string"), 2, "0"),
+        lpad(pmod(key, lit(1000)).cast("string"), 3, "0"),
+        lpad(pmod(key * 7, lit(1000)).cast("string"), 3, "0"),
+        lpad(pmod(key * 13, lit(10000)).cast("string"), 4, "0"))
+      val email = concat(lit("u"), key.cast("string"), lit("@ex"),
+        pmod(key, lit(7)).cast("string"), lit(".com"))
+      val raw = concat_ws(" ", col("c_name"), lit("call"), phone,
+        lit("mail"), email, lit("acct"),
+        round(col("c_acctbal") * 100).cast("bigint").cast("string"))
+      Tables.customer(s, dir).select(key,
+          TextAnalysis.scrubPii(raw).as("scrubbed"),
+          TextAnalysis.piiMatchCount(raw, TextAnalysis.EmailRe).as("n_email"),
+          TextAnalysis.piiMatchCount(raw, TextAnalysis.PhoneRe).as("n_phone"),
+          TextAnalysis.piiMatchCount(raw, TextAnalysis.DigitRunRe).as("n_num"))
+        .orderBy("c_custkey")
+    }),
+
+    // Int8 embedding quantization: per-vector affine codes + bounded
+    // reconstruction error — the 4x storage/IO lever for 100 TB ANN
+    "td24_embed_quantize" -> ((s, dir) =>
+      graft.similarity.Quantize.withInt8(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"), col("label"),
+          aggregate(col("codes"), lit(0L), (a, q) => a + q).as("qsum"),
+          col("vmin"), col("scale"), col("max_err"))
+        .orderBy("vec_id")),
+
     // Multimodal binary plumbing: stub decode features over binary assets
     // (mapPartitions Dataset path; decode itself is a deterministic fake)
     "td12_multimodal" -> ((s, dir) => {
@@ -424,6 +483,79 @@ object TrainingQueries {
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "td20_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CAST((CASE WHEN lang = 'en' THEN 0.5
+         |             WHEN lang = 'de' THEN 0.25
+         |             ELSE 1.0 END) * 10000 AS INT)
+         |ORDER BY doc_id""".stripMargin,
+
+    "td21_seq_packing" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  CAST((CAST(sum(len(string_split(text, ' '))) OVER w AS BIGINT) - 1)
+        |    // 2048 AS BIGINT) AS pack_idx
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY doc_id""".stripMargin,
+
+    "td22_boilerplate" ->
+      """WITH spans AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+4], ' ')))) AS passage
+        |  FROM documents),
+        |boiler AS (SELECT passage FROM spans
+        |  GROUP BY passage HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        |FROM spans WHERE passage IN (SELECT passage FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td23_pii_scrub" -> {
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phoneRe = """\d{2}-\d{3}-\d{3}-\d{4}"""
+      val numRe = """\d{6,}"""
+      s"""WITH raw AS (SELECT c_custkey,
+         |  c_name || ' call ' ||
+         |  lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+         |  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+         |  ' mail u' || CAST(c_custkey AS VARCHAR) || '@ex' ||
+         |  CAST(c_custkey % 7 AS VARCHAR) || '.com acct ' ||
+         |  CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS s
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(s,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$numRe', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(s, '$emailRe')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(s, '$phoneRe')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(s, '$numRe')) AS INT) AS n_num
+         |FROM raw ORDER BY c_custkey""".stripMargin
+    },
+
+    "td24_embed_quantize" ->
+      """WITH d AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dd
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, label, dd, list_min(dd) AS vmin,
+        |    (list_max(dd) - list_min(dd)) / 255.0 AS scale FROM d),
+        |q AS (SELECT vec_id, label, dd, vmin, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(dd, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(dd, x -> CAST(round((x - vmin) / scale) AS BIGINT))
+        |    END AS codes
+        |  FROM p)
+        |SELECT vec_id, label,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS qsum,
+        |  vmin, scale,
+        |  CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(range(1, len(dd) + 1),
+        |      i -> abs(vmin + CAST(codes[i] AS DOUBLE) * scale - dd[i])))
+        |  END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "td15_embedding_neardups_lsh" -> {
       val bucket = (0 until 8).map { i =>

@@ -108,4 +108,27 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     Hashing.fingerprint(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  // ---- PII scrubbing ----------------------------------------------------
+
+  /** Redaction patterns for training-corpus PII scrubbing. Deterministic
+    * regexes, applied longest-structure first so a phone number is masked
+    * as ONE phone, not four digit runs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+  val DigitRunRe = "\\d{6,}"
+
+  /** Mask emails, phone-shaped numbers and long digit runs with typed
+    * placeholders — per-row regexp_replace chain, codegen'd, no UDF.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+    regexp_replace(noPhone, DigitRunRe, "<NUM>")
+  }
+
+  /** How many matches of `pattern` the scrubber would mask in `text`. */
+  def piiMatchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

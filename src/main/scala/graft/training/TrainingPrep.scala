@@ -1,0 +1,87 @@
+package graft.training
+
+import graft.functions.Hashing
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training pipelines: deterministic
+  * stratified sampling (data mixing), budgeted sequence packing, and
+  * boilerplate-passage removal. (Beyond the reference — the curation
+  * stages a 100 TB text pipeline runs after dedup.)
+  *
+  * All three are shuffle-lean by construction:
+  *   - sampling is a pure per-row predicate (pushes into the scan);
+  *   - packing windows within the stratum key only — one shuffle, the
+  *     same partitioning delivery already uses;
+  *   - passage removal shuffles (shingle, doc_id) pairs, never doc text.
+  */
+object TrainingPrep {
+
+  /** Deterministic stratified sampling — the data-mixing primitive: keep a
+    * row iff `portableHash(id) mod 10000 < rate(stratum) * 10000`. Hash-
+    * based (not `rand()`) so the sample is reproducible across runs,
+    * engines and retries; changing a stratum's rate only adds/removes that
+    * stratum's rows (nested samples: rate 0.2 ⊂ rate 0.5).
+    *
+    * `rates`: stratum value → keep fraction in [0,1]; `defaultRate`
+    * applies to unlisted strata.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val bucket = pmod(Hashing.portableHash(col(idCol).cast("string")), lit(10000))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < (rate * 10000).cast("int"))
+  }
+
+  /** Budgeted sequence packing: assign consecutive documents (in `orderCol`
+    * order within each `partCol` stratum) to packs of at most `budget`
+    * tokens — running `sum(n_toks)` integer-divided by the budget, the
+    * contiguous form of greedy first-fit (identical unless one document
+    * alone spans a boundary; oversized docs get their own packs).
+    * Adds `n_toks` and `pack_idx`.
+    */
+  def packSequences(df: DataFrame, textCol: String, partCol: String,
+      orderCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_toks", TextAnalysis.wsTokenCount(col(textCol)))
+      .withColumn("pack_idx",
+        ((sum(col("n_toks")).over(w) - lit(1)) / lit(budget)).cast("bigint"))
+  }
+
+  /** Boilerplate passages: word n-gram spans appearing in at least
+    * `minDocs` DISTINCT documents (C4-style repeated-span detection —
+    * navigation chrome, license headers, templates). Returns
+    * (passage, n_docs), the corpus's shared-span table.
+    */
+  def boilerplatePassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.shinglesOf(col("__toks"), n))).as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate exposure: how many of the corpus's shared
+    * passages each document contains (`n_boiler`; 0 = clean). The
+    * downstream filter/cleaner keys off this — kept as a count, not a
+    * boolean, so thresholds stay a reader-side choice.
+    */
+  def boilerplateExposure(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val passages = boilerplatePassages(df, idCol, textCol, n, minDocs)
+    val docSpans = df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.shinglesOf(col("__toks"), n))).as("passage"))
+    docSpans.join(passages, Seq("passage"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_boiler"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.similarity.Quantize
+import graft.text.TextAnalysis
+import graft.training.TrainingPrep
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-prep operators: stratified sampling invariants,
+  * packing budget bounds, boilerplate detection, PII scrubbing, and
+  * quantization error bounds.
+  */
+class TrainingPrepSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  test("stratified sampling is deterministic, rate-accurate and NESTED") {
+    val half = TrainingPrep.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultRate = 0.0).select("doc_id")
+    val fifth = TrainingPrep.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.2), defaultRate = 0.0).select("doc_id")
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    val nHalf = half.count().toDouble
+    assert(math.abs(nHalf / nEn - 0.5) < 0.15, s"rate off: ${nHalf / nEn}")
+    // nested: lowering a rate only REMOVES rows (hash-gate property)
+    assert(fifth.exceptAll(half).count() == 0)
+    // deterministic across runs
+    assert(half.exceptAll(TrainingPrep.stratifiedSample(docs, "lang",
+      "doc_id", Map("en" -> 0.5), defaultRate = 0.0).select("doc_id"))
+      .count() == 0)
+  }
+
+  test("sequence packing respects the token budget (single-doc packs excepted)") {
+    val packed = TrainingPrep.packSequences(docs, "text", "lang", "doc_id",
+      budget = 256)
+    val perPack = packed.groupBy("lang", "pack_idx")
+      .agg(sum("n_toks").as("total"), count(lit(1)).as("n_docs"))
+    // multi-doc packs exceed the budget by at most one doc's overhang —
+    // contiguous bucketing: a pack's running span is < budget + max doc
+    val maxDoc = packed.agg(max("n_toks")).head().getInt(0)
+    val worst = perPack.agg(max("total")).head().getLong(0)
+    assert(worst < 256 + maxDoc, s"pack of $worst tokens (maxDoc=$maxDoc)")
+    // every doc assigned exactly one pack; pack ids contiguous from 0
+    assert(packed.count() == docs.count())
+    val ids = packed.filter(col("lang") === "en")
+      .select("pack_idx").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1)
+  }
+
+  test("boilerplate passages require minDocs distinct docs; exposure counts hits") {
+    val passages = TrainingPrep.boilerplatePassages(docs, "doc_id", "text",
+      n = 5, minDocs = 3)
+    assert(passages.filter(col("n_docs") < 3).count() == 0)
+    val exposure = TrainingPrep.boilerplateExposure(docs, "doc_id", "text",
+      n = 5, minDocs = 3)
+    // every exposed doc really contains >=1 shared passage
+    assert(exposure.filter(col("n_boiler") < 1).count() == 0)
+    // docs in the exposure table are a subset of the corpus
+    assert(exposure.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("PII scrubber masks emails, phones and digit runs with typed placeholders") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to alice.smith+x@mail.example.org today",
+      "call 25-989-741-2988 x9",
+      "card 4111111132 and pin 77",
+      "clean text with no pii at all",
+      "a@b.co 12-345-678-9012 123456789")
+      .toDF("s")
+      .select(TextAnalysis.scrubPii(col("s")).as("out"),
+        TextAnalysis.piiMatchCount(col("s"), TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.piiMatchCount(col("s"), TextAnalysis.PhoneRe).as("np"),
+        TextAnalysis.piiMatchCount(col("s"), TextAnalysis.DigitRunRe).as("nn"))
+      .collect()
+    assert(rows(0).getString(0) == "write to <EMAIL> today")
+    assert(rows(1).getString(0) == "call <PHONE> x9")
+    assert(rows(2).getString(0) == "card <NUM> and pin 77")
+    assert(rows(3).getString(0) == "clean text with no pii at all")
+    assert(rows(4).getString(0) == "<EMAIL> <PHONE> <NUM>")
+    assert(rows(4).getInt(1) == 1 && rows(4).getInt(2) == 1)
+    assert(rows(0).getInt(1) == 1 && rows(1).getInt(2) == 1 && rows(2).getInt(3) == 1)
+  }
+
+  test("int8 quantization: codes in [0,255], reconstruction error <= scale/2") {
+    val q = Quantize.withInt8(Tables.embeddings(spark, sf()), "embedding")
+    assert(q.filter(exists(col("codes"),
+      c => c < 0 || c > 255)).count() == 0)
+    assert(q.filter(col("max_err") > col("scale") / 2 + lit(1e-12)).count() == 0)
+    // constant vector edge: all-zero codes, zero error
+    import spark.implicits._
+    val const = Seq((1L, Array.fill(8)(2.5f))).toDF("vec_id", "embedding")
+    val row = Quantize.withInt8(const, "embedding").head()
+    assert(row.getAs[Seq[Long]]("codes").forall(_ == 0L))
+    assert(row.getAs[Double]("max_err") == 0.0)
+    assert(row.getAs[Double]("scale") == 0.0)
+  }
+}
