@@ -104,6 +104,48 @@ object IngestQueries {
         .map(r => decodeRow(r, rel))
         .toDF()
         .orderBy("event_id")
+    }),
+
+    // S1 — full source boundary: wire txns SPOOLED as WAL segments
+    // (distributed write, one segment per partition), tailed back through
+    // the graft-walspool DSv2 source, stream-decoded per slot, typed via
+    // the pinned-schema record path. The oracle recomputes the same
+    // envelope straight from the parquet table, so segment codec, source,
+    // txn assembly, and old/new tuple typing are all hash-verified.
+    "q44_wal_spool_source" -> ((s, dir) => {
+      import graft.sources.{PgStream, WalSpool, WalSpoolProvider}
+      import s.implicits._
+      implicit val sess: SparkSession = s
+      val rel = sourceRelation
+      val spool =
+        java.nio.file.Files.createTempDirectory("graft_walspool").toString
+      val frames = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .as[EvRow]
+        .flatMap { r =>
+          val slot = s"slot${r.event_id % 4}"
+          framesFor(r).zipWithIndex.map { case (p, i) =>
+            PgStream.Frame(slot, r.event_id * 4 + i, p)
+          }
+        }
+      val relFrames = s.createDataset((0 until 4).map(i =>
+        PgStream.Frame(s"slot$i", -1L, PgOutput.encode(rel))))
+      // fixture publish: executors write immutable segments in parallel
+      frames.union(relFrames).foreachPartition {
+        (it: Iterator[PgStream.Frame]) =>
+          val buf = it.toSeq
+          if (buf.nonEmpty) {
+            WalSpool.writeSegment(spool, WalSpool.segmentName(
+              org.apache.spark.TaskContext.getPartitionId().toLong), buf)
+          }: Unit
+      }
+      val decoded = PgStream.decodePartitions(
+        s.read.format(classOf[WalSpoolProvider].getName).load(spool)
+          .as[PgStream.Frame]
+          .repartition(4, col("slot_id"))
+          .sortWithinPartitions("slot_id", "seq"))
+      PgStream.toRecords(decoded.toDF(), rel).orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -119,5 +161,23 @@ object IngestQueries {
         |  CAST(epoch_us(ts) AS BIGINT) AS commit_ts_us,
         |  event_id % 100000 AS xid,
         |  (event_id // 7) * 8 AS commit_lsn
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q44_wal_spool_source" ->
+      """SELECT 'slot' || CAST(event_id % 4 AS VARCHAR) AS slot_id,
+        |  (event_id // 7) * 8 AS commit_lsn,
+        |  CAST(0 AS BIGINT) AS commit_idx,
+        |  CAST(epoch_us(ts) AS BIGINT) AS commit_ts_us,
+        |  event_id % 100000 AS xid,
+        |  CASE WHEN event_type = 'signup' THEN 'insert'
+        |       WHEN event_type = 'error' THEN 'delete'
+        |       ELSE 'update' END AS action,
+        |  CAST(NULL AS VARCHAR) AS annotations,
+        |  event_id, user_id, event_type, value, props,
+        |  CASE WHEN event_type NOT IN ('signup','error') THEN event_id END AS old_event_id,
+        |  CASE WHEN event_type NOT IN ('signup','error') THEN user_id END AS old_user_id,
+        |  CASE WHEN event_type NOT IN ('signup','error') THEN event_type END AS old_event_type,
+        |  CASE WHEN event_type NOT IN ('signup','error') THEN value - 1.0 END AS old_value,
+        |  CASE WHEN event_type NOT IN ('signup','error') THEN props END AS old_props
         |FROM events ORDER BY event_id""".stripMargin)
 }

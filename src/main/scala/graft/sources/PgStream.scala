@@ -277,7 +277,7 @@ object SchemaRegistry {
   def schemaHash(rel: Relation): String = {
     val canonical = (Seq(rel.id.toString, rel.namespace, rel.name,
       rel.replicaIdentity) ++ rel.columns.map(c =>
-        s"${c.name}:${c.typeOid}:${c.typeModifier}:${c.isKey}")).mkString(" ")
+        s"${c.name}:${c.typeOid}:${c.typeModifier}:${c.isKey}")).mkString("\u0000")
     java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 — the replication-stream SOURCE boundary as a DataSourceV2
+  * `MicroBatchStream`.
+  *
+  * The reference holds a `START_REPLICATION` socket and receives pgoutput
+  * frames pushed by Postgres (`lib/sequin/runtime/slot_producer/
+  * slot_producer.ex:246-270`); its durability cursor is the acknowledged
+  * WAL position. In a Spark deployment the equivalent boundary is a
+  * *spooled* frame stream: a lightweight shipper (or `pg_recvlogical`)
+  * appends immutable WAL SEGMENT files to a directory, and this source
+  * tails that directory as a streaming table — the offset checkpointed by
+  * Structured Streaming is the count of fully-consumed segments, playing
+  * the role of `confirmed_flush_lsn`. Exactly-once falls out of the DSv2
+  * contract: segments are immutable once renamed into place, offsets are
+  * stored in the checkpoint, and `planInputPartitions(start, end)` is
+  * deterministic, so a restarted query re-plans precisely the unconsumed
+  * suffix.
+  *
+  * Rows have the exact shape of [[PgStream.Frame]] (`slot_id`, `seq`,
+  * `payload`), so `spark.readStream.format("graft-walspool")… .as[Frame]`
+  * feeds [[PgStream.decodeStateful]] directly.
+  *
+  * Scale posture: one InputPartition per segment — a backlog of segments
+  * decodes across the cluster in parallel, while steady-state tailing
+  * reads only new files. `maxSegmentsPerBatch` is the admission-control
+  * knob (W8 `pause_on_full` is lossless backpressure: unread segments
+  * simply stay in the spool).
+  */
+object WalSpool {
+
+  /** Segment file magic ("GWAL" + version 1). */
+  val Magic: Int = 0x4757414c
+  val Version: Int = 1
+  val Suffix: String = ".wal"
+
+  val schema: StructType = StructType(Seq(
+    StructField("slot_id", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Write one immutable segment: create under a dot-prefixed temp name,
+    * then rename into place — readers list non-hidden `*.wal` files only,
+    * so a half-written segment is never visible (the same publish
+    * protocol as a WAL archive drop directory).
+    */
+  def writeSegment(dir: String, name: String,
+      frames: Seq[PgStream.Frame]): String = {
+    require(name.endsWith(Suffix), s"segment name must end in $Suffix: $name")
+    val d = new Path(dir)
+    val filesystem = fs(d)
+    filesystem.mkdirs(d)
+    val tmp = new Path(d, s".$name.tmp")
+    val out = new DataOutputStream(filesystem.create(tmp, true))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(Version)
+      frames.foreach { f =>
+        val slot = f.slot_id.getBytes("UTF-8")
+        out.writeInt(slot.length)
+        out.write(slot)
+        out.writeLong(f.seq)
+        out.writeInt(f.payload.length)
+        out.write(f.payload)
+      }
+    } finally out.close()
+    val dest = new Path(d, name)
+    require(filesystem.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    dest.toString
+  }
+
+  /** Read one segment fully (segments are bounded by the shipper). */
+  def readSegment(file: String): Seq[PgStream.Frame] = {
+    val p = new Path(file)
+    val in = new DataInputStream(fs(p).open(p))
+    try {
+      require(in.readInt() == Magic, s"$file: not a GWAL segment")
+      require(in.readInt() == Version, s"$file: unsupported segment version")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[PgStream.Frame]
+      var eof = false
+      while (!eof) {
+        val slotLen =
+          try in.readInt()
+          catch { case _: EOFException => eof = true; -1 }
+        if (!eof) {
+          val slot = new Array[Byte](slotLen)
+          in.readFully(slot)
+          val seq = in.readLong()
+          val payload = new Array[Byte](in.readInt())
+          in.readFully(payload)
+          buf += PgStream.Frame(new String(slot, "UTF-8"), seq, payload)
+        }
+      }
+      buf.toSeq
+    } finally in.close()
+  }
+
+  /** Committed segments in publish order (shippers name segments with a
+    * zero-padded monotonic index, so lexicographic = arrival order).
+    */
+  def listSegments(dir: String): Seq[String] = {
+    val d = new Path(dir)
+    val filesystem = fs(d)
+    if (!filesystem.exists(d)) Seq.empty
+    else filesystem.listStatus(d).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(Suffix) && !p.getName.startsWith("."))
+      .map(_.toString)
+      .sorted
+  }
+
+  /** Canonical segment name for index `i`. */
+  def segmentName(i: Long): String = f"$i%012d$Suffix"
+}
+
+class WalSpoolProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-walspool"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalSpool.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new WalSpoolTable(properties.get("path"))
+}
+
+final class WalSpoolTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-walspool requires option(\"path\", …)")
+  override def name(): String = s"graft-walspool($path)"
+  override def schema(): StructType = WalSpool.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new WalSpoolScan(path, options.getInt("maxSegmentsPerBatch", 0))
+    }
+}
+
+final class WalSpoolScan(path: String, maxSegmentsPerBatch: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = WalSpool.schema
+  override def description(): String = s"graft-walspool $path"
+
+  // batch form: the whole spool (replay / backfill of an archived stream)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    WalSpool.listSegments(path)
+      .map(f => WalSegmentPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalSegmentReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalSpoolMicroBatchStream(path, maxSegmentsPerBatch)
+}
+
+/** Offset = number of segments consumed, in listing order. */
+final case class WalSpoolOffset(segments: Long) extends Offset {
+  override def json(): String = s"""{"segments":$segments}"""
+}
+
+final class WalSpoolMicroBatchStream(path: String, maxSegmentsPerBatch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = WalSpoolOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    WalSpoolOffset("""\d+""".r.findFirstIn(json).get.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSegmentsPerBatch > 0) ReadLimit.maxRows(maxSegmentsPerBatch.toLong)
+    else ReadLimit.allAvailable()
+
+  /** Admission control: a "row" at this boundary is a segment. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = WalSpool.listSegments(path).size.toLong
+    val from = start.asInstanceOf[WalSpoolOffset].segments
+    val upTo = limit match {
+      case m: ReadMaxRows => math.min(avail, from + m.maxRows)
+      case _              => avail
+    }
+    WalSpoolOffset(math.max(from, upTo))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def reportLatestOffset(): Offset =
+    WalSpoolOffset(WalSpool.listSegments(path).size.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WalSpoolOffset].segments.toInt
+    val e = end.asInstanceOf[WalSpoolOffset].segments.toInt
+    val segs = WalSpool.listSegments(path)
+    require(segs.size >= e,
+      s"spool $path shrank below committed offset $e (have ${segs.size})")
+    segs.slice(s, e).map(f => WalSegmentPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalSegmentReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class WalSegmentPartition(file: String) extends InputPartition
+
+final class WalSegmentReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[WalSegmentPartition].file
+    new PartitionReader[InternalRow] {
+      private val frames = WalSpool.readSegment(file).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!frames.hasNext) false
+        else {
+          val f = frames.next()
+          current = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(f.slot_id), f.seq, f.payload))
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
