@@ -300,6 +300,21 @@ object CoreQueries {
         .select(col("group_id"), col("n").cast("bigint").as("n"))
         .orderBy("group_id")),
 
+    // W2/W6 — per-group FIFO delivery under at-least-once replay: the
+    // stream unioned with a full replay of itself must deliver each
+    // cursor exactly once, in order (GroupFifo's in-batch dedup; the
+    // streaming form adds the cross-batch cursor state, StreamingSpec).
+    // Oracle = the un-replayed stream: dedup is provably lossless.
+    "q45_group_fifo" -> ((s, dir) => {
+      implicit val sess: SparkSession = s
+      import sess.implicits._
+      val events = cdc(s, dir).as[graft.model.ChangeEvent]
+      graft.streaming.GroupFifo.deliverBatch(events.union(events)).toDF()
+        .select(col("commit_lsn"), col("commit_idx"), col("group_id"),
+          col("record_pk"), col("action"))
+        .orderBy("commit_lsn", "commit_idx")
+    }),
+
     // Health/observability — per-table slot snapshot: event counts, WAL
     // span, byte volume, group cardinality, latest event time (the batch
     // form of the reference's health checks / Prometheus metrics,
@@ -540,6 +555,10 @@ object CoreQueries {
       "q43_salted_agg" -> (cte +
         """SELECT group_id, CAST(count(*) AS BIGINT) AS n
           |FROM cdc GROUP BY group_id ORDER BY group_id""".stripMargin),
+
+      "q45_group_fifo" -> (cte +
+        """SELECT commit_lsn, commit_idx, group_id, record_pk, action
+          |FROM cdc ORDER BY commit_lsn, commit_idx""".stripMargin),
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,
