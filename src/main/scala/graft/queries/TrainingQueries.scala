@@ -141,6 +141,20 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Materialized IVF — the 100 TB access path: the inverted file is
+    // written once as parquet partitioned by cell; each query batch
+    // scans only its nprobe probed cell DIRECTORIES (partition pruning,
+    // PartitionFilters in the plan), not the corpus. Same oracle as td14:
+    // the index changes the access path, never the result.
+    "td27_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Ann.buildIvfIndex(emb, centroidEvery = 50, path = idx)
+      Ann.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
+          nprobe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Repetition quality signals (Gopher-style): fraction of duplicated
     // word n-grams per document — high ratios flag boilerplate/spam for
     // corpus filtering. Narrow per-row expressions, no shuffle. Tokens
@@ -238,6 +252,14 @@ object TrainingQueries {
           Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 3)
         .orderBy("doc_id")),
 
+    // Unigram-LM quality scoring (CCNet-style): per-doc token surprisal
+    // under the corpus's own add-one-smoothed unigram model, in integer
+    // micro-nats (rounded per token — exact integer aggregation)
+    "td26_lm_quality" -> ((s, dir) =>
+      graft.training.TrainingPrep.unigramSurprisal(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // PII scrubbing: typed placeholder masking (email/phone/digit-run)
     // plus per-pattern match counts. The slim TPC-H customer table has no
     // PII columns, so the shapes are synthesized DETERMINISTICALLY from
@@ -316,6 +338,35 @@ object TrainingQueries {
   }
 
   // ---- oracles ---------------------------------------------------------
+
+  /** IVF ANN oracle — shared by td14 (one-shot plan) and td27 (the
+    * materialized partition-pruned index): the access path differs, the
+    * result must not.
+    */
+  private val IvfSql: String =
+    """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |assign AS (SELECT vec_id, centroid_id, embedding, ccos, crank FROM (
+       |  SELECT x.vec_id, c.centroid_id, x.embedding,
+       |    $CCOS AS ccos,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY $CCOS DESC, c.centroid_id) AS crank
+       |  FROM embeddings x CROSS JOIN cents c)),
+       |cells AS (SELECT vec_id AS corpus_id, centroid_id, embedding AS c_emb
+       |  FROM assign WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_emb
+       |  FROM assign WHERE crank <= 2 AND vec_id < 5),
+       |scored AS (SELECT DISTINCT p.query_id, m.corpus_id,
+       |    $QCOS AS cos
+       |  FROM probes p JOIN cells m ON p.centroid_id = m.centroid_id
+       |  WHERE p.query_id <> m.corpus_id)
+       |SELECT query_id, corpus_id, cos, rank FROM (
+       |  SELECT query_id, corpus_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      .replace("$CCOS", CCOS_EXPR).replace("$QCOS", QCOS_EXPR)
 
   val oracles: Map[String, String] = Map(
     "td01_text_stats" ->
@@ -436,30 +487,11 @@ object TrainingQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
-    "td14_ann_ivf" ->
-      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |assign AS (SELECT vec_id, centroid_id, embedding, ccos, crank FROM (
-         |  SELECT x.vec_id, c.centroid_id, x.embedding,
-         |    $CCOS AS ccos,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY $CCOS DESC, c.centroid_id) AS crank
-         |  FROM embeddings x CROSS JOIN cents c)),
-         |cells AS (SELECT vec_id AS corpus_id, centroid_id, embedding AS c_emb
-         |  FROM assign WHERE crank = 1),
-         |probes AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_emb
-         |  FROM assign WHERE crank <= 2 AND vec_id < 5),
-         |scored AS (SELECT DISTINCT p.query_id, m.corpus_id,
-         |    $QCOS AS cos
-         |  FROM probes p JOIN cells m ON p.centroid_id = m.centroid_id
-         |  WHERE p.query_id <> m.corpus_id)
-         |SELECT query_id, corpus_id, cos, rank FROM (
-         |  SELECT query_id, corpus_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-        .replace("$CCOS", CCOS_EXPR).replace("$QCOS", QCOS_EXPR),
+    "td14_ann_ivf" -> IvfSql,
+
+    // identical oracle by design: the materialized index changes the
+    // access path (partition-pruned cell dirs), never the result
+    "td27_ann_ivf_indexed" -> IvfSql,
 
     "td13_dedup_apply" -> (minhashPairsCtes +
       """
@@ -510,6 +542,22 @@ object TrainingQueries {
         |  GROUP BY passage HAVING count(DISTINCT doc_id) >= 3)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
         |FROM spans WHERE passage IN (SELECT passage FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td26_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS v_size FROM vocab)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(round(1e6 * ln((n_total + v_size) /
+        |    CAST(cnt + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS surprisal_unats,
+        |  CAST(count(*) AS INT) AS n_toks,
+        |  CAST(sum(CAST(round(1e6 * ln((n_total + v_size) /
+        |    CAST(cnt + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS mean_unats
+        |FROM toks JOIN vocab USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "td23_pii_scrub" -> {

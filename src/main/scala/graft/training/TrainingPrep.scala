@@ -58,12 +58,19 @@ object TrainingPrep {
     * navigation chrome, license headers, templates). Returns
     * (passage, n_docs), the corpus's shared-span table.
     */
-  def boilerplatePassages(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame =
+  /** The exploded (id, distinct passage) span table both boilerplate ops
+    * derive from. Shuffles (shingle, doc_id) pairs, never doc text.
+    */
+  private def spanTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
     df.select(col(idCol),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(array_distinct(
         TextAnalysis.shinglesOf(col("__toks"), n))).as("passage"))
+
+  def boilerplatePassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    spanTable(df, idCol, textCol, n)
       .groupBy("passage")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -73,13 +80,47 @@ object TrainingPrep {
     * downstream filter/cleaner keys off this — kept as a count, not a
     * boolean, so thresholds stay a reader-side choice.
     */
+  /** Unigram-LM document quality (CCNet-style): mean token surprisal under
+    * the corpus's OWN unigram model with add-one smoothing —
+    * `p(tok) = (count(tok)+1) / (N+V)`. High surprisal = rare/garbled
+    * vocabulary; low = templated text. The standard cheap LM-quality
+    * filter when a real LM is too expensive to run over 100 TB.
+    *
+    * Output is integer micro-nats rounded PER TOKEN before summing, so the
+    * aggregate is exact integer arithmetic — no cross-engine FP
+    * accumulation drift (`surprisal_unats` total, `n_toks`, and the
+    * integer mean). Two shuffles: the vocab count and the per-doc
+    * aggregate; the token→vocab equijoin broadcasts when the vocab fits
+    * (AQE decides), and the 1-row totals side is an explicit broadcast.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").cast("bigint").as("n_total"),
+      count(lit(1)).cast("bigint").as("v_size"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("unats", round(lit(1e6) *
+        log((col("n_total") + col("v_size")) /
+          (col("cnt") + lit(1)).cast("double"))).cast("bigint"))
+      .groupBy(idCol)
+      .agg(sum("unats").cast("bigint").as("surprisal_unats"),
+        count(lit(1)).cast("int").as("n_toks"))
+      // integer division (`div`), not `/`+cast: Spark casts double→bigint
+      // by truncation but DuckDB CAST rounds — `div` vs `//` agree exactly
+      .withColumn("mean_unats", expr("surprisal_unats div n_toks"))
+  }
+
   def boilerplateExposure(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val passages = boilerplatePassages(df, idCol, textCol, n, minDocs)
-    val docSpans = df.select(col(idCol),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(array_distinct(
-        TextAnalysis.shinglesOf(col("__toks"), n))).as("passage"))
+    // tokenize+shingle+explode ONCE: both the shared-passage aggregate and
+    // the per-doc join consume the same materialized span table
+    // (localCheckpoint truncates lineage so the scan isn't re-run)
+    val docSpans = spanTable(df, idCol, textCol, n).localCheckpoint()
+    val passages = docSpans.groupBy("passage")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
     docSpans.join(passages, Seq("passage"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_boiler"))
