@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SparkSessionExtensions wiring: kernel expressions as SQL functions and
+  * the HOF-dot-product → FloatVecDot optimizer rewrite (fires only where
+  * semantics-preserving: dense float arrays; ragged pairs still null).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("kernels are callable from SQL after install") {
+    val dot = ext.sql(
+      "SELECT float_vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 1.5 * 4.0 + 2.0 * 0.5)
+
+    val inter = ext.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n")
+      .collect().head.getInt(0)
+    assert(inter == 2)
+
+    val shingles = ext.sql(
+      "SELECT size(shingle_hashes('a b c d', 2)) AS n")
+      .collect().head.getInt(0)
+    assert(shingles == 3)
+
+    // non-literal k is a plan-time error, not a silent misparse
+    val e = intercept[Exception] {
+      ext.sql("SELECT affine_minhash_sig(array(1L), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("builder-path registration: withExtensions(GraftExtensions) applies at session build") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session built THROUGH the extensions hook
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-config")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val dot = s2.sql(
+        "SELECT float_vec_dot(array(CAST(3.0 AS FLOAT)), array(CAST(7.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(dot == 21.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  // NOTE: inputs below come from `range(...)` rather than local Seqs —
+  // ConvertToLocalRelation would otherwise evaluate Project-over-
+  // LocalRelation eagerly and there would be no expression left to
+  // rewrite (real scans are never local relations).
+  private def floatArrays(s: SparkSession) =
+    s.range(2).select(
+      array((col("id") + 1).cast("float"), lit(2.0f), lit(3.0f)).as("a"),
+      array(lit(4.0f), lit(5.0f), lit(6.0f)).as("b"))
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("optimizer rule rewrites the declarative HOF dot into the kernel") {
+    val df = floatArrays(ext).select(hofDot(col("a"), col("b")).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"))
+    assert(df.orderBy("d").collect().map(_.getDouble(0)).toSeq ==
+      Seq(1.0 * 4 + 2 * 5 + 3 * 6, 2.0 * 4 + 2 * 5 + 3 * 6))
+
+    // without the rule (plain session) the same query must agree
+    val plain = floatArrays(spark).select(hofDot(col("a"), col("b")).as("d"))
+    assert(!plain.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"))
+    assert(plain.orderBy("d").collect().map(_.getDouble(0)).toSeq ==
+      Seq(32.0, 36.0))
+  }
+
+  test("rewrite preserves HOF semantics on ragged pairs (zip_with null-pads -> null)") {
+    val df = ext.range(1).select(
+        array(lit(1.0f), lit(2.0f)).as("a"), array(lit(3.0f)).as("b"))
+      .select(hofDot(col("a"), col("b")).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot")) // rule fired...
+    assert(df.collect().head.isNullAt(0)) // ...and ragged still yields NULL
+  }
+
+  test("rule does NOT fire on shapes it cannot prove (non-float arrays, other folds)") {
+    // double arrays: kernel reads floats, must not rewrite
+    val dbl = ext.range(1).select(
+        array(lit(1.0), lit(2.0)).as("a"), array(lit(3.0), lit(4.0)).as("b"))
+      .select(hofDot(col("a"), col("b")).as("d"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"))
+    assert(dbl.collect().head.getDouble(0) == 11.0)
+
+    // a sum fold (no multiply) keeps its declarative form
+    val sumFold = ext.range(1).select(
+        array(lit(1.0f), lit(2.0f)).as("a"), array(lit(3.0f), lit(4.0f)).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") + y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!sumFold.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"))
+    assert(sumFold.collect().head.getDouble(0) == 10.0)
+  }
+}
