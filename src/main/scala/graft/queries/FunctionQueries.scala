@@ -181,7 +181,22 @@ object FunctionQueries {
           cdc(s, dir), "https://example.test/hook", batchSize = 10,
           partitions = 8)
         .select("partition", "batch_idx", "n", "first_seq", "last_seq")
-        .orderBy("partition", "batch_idx")))
+        .orderBy("partition", "batch_idx")),
+
+    // §2.12 extension surface — the custom kernels through spark.sql via
+    // GraftExtensions (session-registered SQL functions), hash-verified
+    // against DuckDB recomputing the same md5+affine-permutation math:
+    // the SQL registration path is gate-checked, not just spec-checked
+    "q46_sql_kernels" -> ((s, dir) => {
+      graft.GraftExtensions.install(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id,
+          size(shingle_hashes(text, 3)) AS n_shingles,
+          element_at(affine_minhash_sig(shingle_hashes(text, 3), 4), 1) AS mh0,
+          element_at(affine_minhash_sig(shingle_hashes(text, 3), 4), 4) AS mh3
+        FROM documents_v ORDER BY doc_id""")
+    }))
 
   val oracles: Map[String, String] = {
     val cte = Cdc.duckCte
@@ -320,7 +335,26 @@ object FunctionQueries {
           |  min(commit_lsn + commit_idx) AS first_seq,
           |  max(commit_lsn + commit_idx) AS last_seq
           |FROM rn GROUP BY partition, batch_idx
-          |ORDER BY partition, batch_idx""".stripMargin)
+          |ORDER BY partition, batch_idx""".stripMargin),
+
+      "q46_sql_kernels" -> {
+        val p = Hashing.AffineP
+        val (a0, b0) = Hashing.affineCoeffs(0)
+        val (a3, b3) = Hashing.affineCoeffs(3)
+        s"""WITH sets AS (SELECT doc_id, list_distinct(list_transform(
+           |  range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           |  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS toks
+           |  FROM documents),
+           |hset AS (SELECT doc_id, list_transform(toks,
+           |  t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs FROM sets)
+           |SELECT doc_id,
+           |  CAST(len(hs) AS INT) AS n_shingles,
+           |  CAST(list_min(list_transform(hs,
+           |    h -> ($a0 * (h % $p) + $b0) % $p)) AS BIGINT) AS mh0,
+           |  CAST(list_min(list_transform(hs,
+           |    h -> ($a3 * (h % $p) + $b3) % $p)) AS BIGINT) AS mh3
+           |FROM hset ORDER BY doc_id""".stripMargin
+      }
     )
   }
 }
