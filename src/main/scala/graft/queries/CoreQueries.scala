@@ -300,6 +300,21 @@ object CoreQueries {
         .select(col("group_id"), col("n").cast("bigint").as("n"))
         .orderBy("group_id")),
 
+    // S6/S7 — the FULL backfill loop (driver-paced keyset pages, AIMD
+    // page sizing, pages spooled as they are produced): page boundaries
+    // must be invisible — the concatenation of every page equals the
+    // whole table in cursor order, whatever sizes AIMD picked
+    "q47_backfill_run" -> ((s, dir) => {
+      val out = graft.backfill.Backfill.run(s, Tables.orders(s, dir),
+        Seq("o_orderdate", "o_orderkey"),
+        new graft.backfill.PageSizeOptimizer(
+          initialPageSize = 500, maxTimeoutMs = 60000))
+      out.select(col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("action"))
+        .orderBy("o_orderkey")
+    }),
+
     // W2/W6 — per-group FIFO delivery under at-least-once replay: the
     // stream unioned with a full replay of itself must deliver each
     // cursor exactly once, in order (GroupFifo's in-batch dedup; the
@@ -559,6 +574,11 @@ object CoreQueries {
       "q45_group_fifo" -> (cte +
         """SELECT commit_lsn, commit_idx, group_id, record_pk, action
           |FROM cdc ORDER BY commit_lsn, commit_idx""".stripMargin),
+
+      "q47_backfill_run" ->
+        """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+          |  'read' AS action
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,
