@@ -308,7 +308,7 @@ object CoreQueries {
       val out = graft.backfill.Backfill.run(s, Tables.orders(s, dir),
         Seq("o_orderdate", "o_orderkey"),
         new graft.backfill.PageSizeOptimizer(
-          initialPageSize = 500, maxTimeoutMs = 60000))
+          initialPageSize = 500, maxTimeoutMs = 60000, growFactor = 3.0))
       out.select(col("o_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
           col("action"))

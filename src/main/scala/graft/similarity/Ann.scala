@@ -142,7 +142,11 @@ object Ann {
   def buildIvfIndex(corpus: DataFrame, centroidEvery: Int, path: String): Unit = {
     val centroids = medoidCentroids(corpus, centroidEvery)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // cluster by cell before the partitioned write: each cell becomes a
+    // handful of contiguous files instead of (writer tasks × cells) tiny
+    // ones — the layout a probe-side scan wants at any scale
     assignToCentroids(centroids, corpus, "corpus_id", 1)
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/cells")
   }
