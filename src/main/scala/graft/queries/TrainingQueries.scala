@@ -252,6 +252,15 @@ object TrainingQueries {
           Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 3)
         .orderBy("doc_id")),
 
+    // Temperature-balanced mixing (τ-sampling): per-language keep rates
+    // ∝ n^(α−1) anchored at the largest stratum (α=0.5) — rare languages
+    // up-weighted toward uniform; deterministic hash-mod row selection
+    "td28_temp_sample" -> ((s, dir) =>
+      graft.training.TrainingPrep.temperatureSample(
+          Tables.documents(s, dir), "lang", "doc_id", baseRate = 0.4)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // Unigram-LM quality scoring (CCNet-style): per-doc token surprisal
     // under the corpus's own add-one-smoothed unigram model, in integer
     // micro-nats (rounded per token — exact integer aggregation)
@@ -543,6 +552,17 @@ object TrainingQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
         |FROM spans WHERE passage IN (SELECT passage FROM boiler)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td28_temp_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+         |  FROM documents GROUP BY lang),
+         |m AS (SELECT max(n_s) AS n_max FROM c),
+         |r AS (SELECT lang, least(1.0, 0.4 * sqrt(n_max / n_s)) AS rate
+         |  FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
+         |WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CAST(floor(rate * 10000) AS INT)
+         |ORDER BY doc_id""".stripMargin,
 
     "td26_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

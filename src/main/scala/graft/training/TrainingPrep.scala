@@ -80,6 +80,33 @@ object TrainingPrep {
     * downstream filter/cleaner keys off this — kept as a count, not a
     * boolean, so thresholds stay a reader-side choice.
     */
+  /** Temperature-balanced sampling — the cross-stratum data-mixing
+    * primitive (τ-sampling in multilingual/multi-source pretraining):
+    * keep rate per stratum `min(1, baseRate * sqrt(n_max / n_s))`, i.e.
+    * rates ∝ n_s^(α−1) with α = 0.5 anchored at the LARGEST stratum —
+    * rare strata are up-weighted toward uniform, the head stratum keeps
+    * `baseRate`. Anchoring at `max` (order-independent) instead of a
+    * normalizing sum keeps every arithmetic step IEEE-exact and
+    * engine-reproducible: max, divide, sqrt and multiply are all
+    * correctly rounded, where a cross-stratum float SUM would depend on
+    * aggregation order. Row selection is the same deterministic
+    * hash-mod predicate as [[stratifiedSample]].
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      baseRate: Double): DataFrame = {
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val mx = counts.agg(max(col("n_s")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .withColumn("rate",
+        least(lit(1.0), lit(baseRate) * sqrt(col("n_max") / col("n_s"))))
+      .select(col(stratumCol), col("rate"))
+    val bucket = pmod(Hashing.portableHash(col(idCol).cast("string")), lit(10000))
+    df.join(broadcast(rates), stratumCol)
+      .filter(bucket < floor(col("rate") * 10000).cast("int"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Unigram-LM document quality (CCNet-style): mean token surprisal under
     * the corpus's OWN unigram model with add-one smoothing —
     * `p(tok) = (count(tok)+1) / (N+V)`. High surprisal = rare/garbled

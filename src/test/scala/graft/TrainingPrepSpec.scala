@@ -29,6 +29,24 @@ class TrainingPrepSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("temperature sampling up-weights rare strata toward uniform, head keeps baseRate") {
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headLang = counts.maxBy(_._2)._1
+    val rareLang = counts.minBy(_._2)._1
+    val kept = TrainingPrep.temperatureSample(docs, "lang", "doc_id", 0.4)
+    val keptCounts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = keptCounts.getOrElse(l, 0L).toDouble / counts(l)
+    // head stratum samples at ~baseRate; rarer strata at strictly higher
+    // rates (∝ sqrt(n_max/n_s)), capped at 1.0
+    assert(math.abs(rate(headLang) - 0.4) < 0.15, s"head rate ${rate(headLang)}")
+    assert(rate(rareLang) > rate(headLang), s"$rareLang ${rate(rareLang)}")
+    // deterministic and a SUBSET of the corpus keyed by the same hash gate
+    assert(kept.exceptAll(
+      TrainingPrep.temperatureSample(docs, "lang", "doc_id", 0.4)).count() == 0)
+  }
+
   test("sequence packing respects the token budget (single-doc packs excepted)") {
     val packed = TrainingPrep.packSequences(docs, "text", "lang", "doc_id",
       budget = 256)
