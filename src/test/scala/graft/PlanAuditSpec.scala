@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression gate: the properties that make these queries
+  * scale (pushdown reaching the scan, broadcast on the dim side,
+  * partition pruning on the materialized IVF, no cartesian blowups,
+  * whole-stage codegen on the hot projection path) asserted against the
+  * ACTUAL physical plan — a change that silently degrades a plan fails
+  * here, not at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("q01 keyset page: the tuple bound reaches PushedFilters") {
+    val plan = formatted(q("q01_keyset_page"))
+    assert(plan.contains("PushedFilters:"))
+    // leading-bound conjunct AND the OR-expanded row-value compare
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(plan.contains("Or(GreaterThan(o_orderdate") ||
+      plan.contains("GreaterThan(o_orderkey"))
+  }
+
+  test("q15 enrichment join broadcasts the dimension side") {
+    val plan = formatted(q("q15_enrich_join"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q06 column filters are a single pushable conjunction") {
+    val plan = formatted(q("q06_column_filters"))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("IsNotNull"))
+  }
+
+  test("td27 materialized IVF probes prune to nprobe cell directories") {
+    val plan = formatted(q("td27_ann_ivf_indexed"))
+    assert(plan.contains("PartitionFilters:"))
+    assert(plan.contains("centroid_id"))
+    assert(plan.contains(" IN ") || plan.contains("dynamicpruning"))
+  }
+
+  test("dedup/ANN plans never fall back to cartesian or nested-loop joins") {
+    for (name <- Seq("td05_minhash_neardups", "td07_simhash_neardups",
+        "td08_ngram_jaccard", "td11_ann_lsh", "td15_embedding_neardups_lsh")) {
+      val plan = formatted(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join")
+    }
+  }
+
+  test("projection pipeline stays inside whole-stage codegen") {
+    val df = q("q10_transform_reshape")
+    df.collect() // finalize the adaptive plan: codegen ids appear post-exec
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n) Op" is simple-mode's WholeStageCodegen span marker
+    assert(plan.contains("*("), plan)
+  }
+
+  test("q33 partition assignment shuffles once, by the delivery hash") {
+    val plan = formatted(q("q20_total_order"))
+    // global order restore = one range-partitioned sort, no extra exchange
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+}
