@@ -15,8 +15,12 @@ class PlanAuditSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  private def q(name: String): DataFrame =
+  private def q(name: String): DataFrame = {
+    // other suites may have cached shared tables in this session; an
+    // InMemoryRelation scan has no PushedFilters, so audit fresh reads
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf())
+  }
 
   test("q01 keyset page: the tuple bound reaches PushedFilters") {
     val plan = formatted(q("q01_keyset_page"))
