@@ -26,8 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * *spooled* frame stream: a lightweight shipper (or `pg_recvlogical`)
   * appends immutable WAL SEGMENT files to a directory, and this source
   * tails that directory as a streaming table — the offset checkpointed by
-  * Structured Streaming is the count of fully-consumed segments, playing
-  * the role of `confirmed_flush_lsn`. Exactly-once falls out of the DSv2
+  * Structured Streaming is the next unconsumed segment INDEX, playing
+  * the role of `confirmed_flush_lsn` (and, like it, licensing retention:
+  * [[WalSpool.pruneConsumed]] recycles segments below the committed
+  * offset). Exactly-once falls out of the DSv2
   * contract: segments are immutable once renamed into place, offsets are
   * stored in the checkpoint, and `planInputPartitions(start, end)` is
   * deterministic, so a restarted query re-plans precisely the unconsumed
@@ -127,8 +129,32 @@ object WalSpool {
       .sorted
   }
 
+  /** Committed segments with their shipper-assigned indices, index order. */
+  def listIndexed(dir: String): Seq[(Long, String)] =
+    listSegments(dir).map(f => (segmentIndex(f), f)).sortBy(_._1)
+
   /** Canonical segment name for index `i`. */
   def segmentName(i: Long): String = f"$i%012d$Suffix"
+
+  /** Index encoded in a segment's (zero-padded numeric) file name. */
+  def segmentIndex(file: String): Long =
+    new Path(file).getName.stripSuffix(Suffix).toLong
+
+  /** Retention: delete segments whose index is below `uptoOffset` —
+    * everything the streaming checkpoint has already committed past
+    * (the offset JSON records the next unconsumed index). The analogue of
+    * Postgres advancing `confirmed_flush_lsn` and recycling WAL: prune
+    * ONLY below the checkpointed offset, and the tailing query never
+    * notices, because offsets address segment INDICES, not positions in
+    * the current listing. Returns the number of segments removed.
+    */
+  def pruneConsumed(dir: String, uptoOffset: Long): Int = {
+    val d = new Path(dir)
+    val filesystem = fs(d)
+    val doomed = listIndexed(dir).takeWhile(_._1 < uptoOffset)
+    doomed.foreach { case (_, f) => filesystem.delete(new Path(f), false) }
+    doomed.size
+  }
 }
 
 class WalSpoolProvider extends TableProvider with DataSourceRegister {
@@ -171,7 +197,13 @@ final class WalSpoolScan(path: String, maxSegmentsPerBatch: Int)
     new WalSpoolMicroBatchStream(path, maxSegmentsPerBatch)
 }
 
-/** Offset = number of segments consumed, in listing order. */
+/** Offset = the next unconsumed segment INDEX (shipper-assigned, encoded
+  * in the file name) — not a position in the current listing, so retention
+  * ([[WalSpool.pruneConsumed]]) can delete consumed segments without
+  * shifting the offset space. Contract: one logical shipper per spool
+  * publishes indices in increasing order (a segment appearing below the
+  * committed offset would be ignored — the same rule as WAL itself).
+  */
 final case class WalSpoolOffset(segments: Long) extends Offset {
   override def json(): String = s"""{"segments":$segments}"""
 }
@@ -188,15 +220,18 @@ final class WalSpoolMicroBatchStream(path: String, maxSegmentsPerBatch: Int)
     if (maxSegmentsPerBatch > 0) ReadLimit.maxRows(maxSegmentsPerBatch.toLong)
     else ReadLimit.allAvailable()
 
+  private def nextIndexAfter(indices: Seq[Long]): Option[Long] =
+    indices.lastOption.map(_ + 1)
+
   /** Admission control: a "row" at this boundary is a segment. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = WalSpool.listSegments(path).size.toLong
     val from = start.asInstanceOf[WalSpoolOffset].segments
-    val upTo = limit match {
-      case m: ReadMaxRows => math.min(avail, from + m.maxRows)
-      case _              => avail
+    val pending = WalSpool.listIndexed(path).map(_._1).filter(_ >= from)
+    val taken = limit match {
+      case m: ReadMaxRows => pending.take(m.maxRows.toInt)
+      case _              => pending
     }
-    WalSpoolOffset(math.max(from, upTo))
+    WalSpoolOffset(nextIndexAfter(taken).getOrElse(from))
   }
 
   override def latestOffset(): Offset =
@@ -204,15 +239,16 @@ final class WalSpoolMicroBatchStream(path: String, maxSegmentsPerBatch: Int)
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def reportLatestOffset(): Offset =
-    WalSpoolOffset(WalSpool.listSegments(path).size.toLong)
+    WalSpoolOffset(nextIndexAfter(WalSpool.listIndexed(path).map(_._1))
+      .getOrElse(0L))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WalSpoolOffset].segments.toInt
-    val e = end.asInstanceOf[WalSpoolOffset].segments.toInt
-    val segs = WalSpool.listSegments(path)
-    require(segs.size >= e,
-      s"spool $path shrank below committed offset $e (have ${segs.size})")
-    segs.slice(s, e).map(f => WalSegmentPartition(f): InputPartition).toArray
+    val s = start.asInstanceOf[WalSpoolOffset].segments
+    val e = end.asInstanceOf[WalSpoolOffset].segments
+    WalSpool.listIndexed(path)
+      .filter { case (i, _) => i >= s && i < e }
+      .map { case (_, f) => WalSegmentPartition(f): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -96,6 +96,39 @@ class WalSpoolSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("retention: consumed segments pruned below the checkpointed offset; tail continues") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("walspool").toString
+    val ckpt = Files.createTempDirectory("walspool_ckpt").toString
+    val out = Files.createTempDirectory("walspool_out").toString
+
+    def run() = spark.readStream
+      .format(classOf[WalSpoolProvider].getName).load(dir)
+      .as[PgStream.Frame]
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0), txn(1, 10))
+    WalSpool.writeSegment(dir, WalSpool.segmentName(1), txn(2, 20))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 6)
+
+    // both segments are committed in the checkpoint (offset = 2): recycle
+    // them, land a new one, restart — only the new segment is read, and
+    // the pruned files are gone from disk
+    assert(WalSpool.pruneConsumed(dir, uptoOffset = 2) == 2)
+    assert(WalSpool.listSegments(dir).isEmpty)
+    WalSpool.writeSegment(dir, WalSpool.segmentName(2), txn(3, 30))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 9) // exactly one new txn, nothing replayed
+    } finally q2.stop()
+  }
+
   test("admission control: maxSegmentsPerBatch bounds each micro-batch to one segment") {
     implicit val s = spark
     import s.implicits._
