@@ -264,6 +264,24 @@ object SinkAdapters {
       lit(endpoint).as("endpoint"),
       (if (legacyRecordOnly) recordOnlyBody else envelope).as("body"))
 
+  /** Dead-letter wire: deliveries that exhausted max_retry_count
+    * (`AckDelivery` emits them with `kind = "dlq"`;
+    * consumer_event.ex:167-185 persists the same way) become transport
+    * rows carrying the full envelope plus the delivery post-mortem
+    * (attempt count, ack id), ready for [[WireSink.toTransport]]-style
+    * delivery to a DLQ destination.
+    */
+  def dlqWire(deliveries: DataFrame, dest: String = "dlq"): DataFrame =
+    deliveries.filter(col("kind") === "dlq").select(
+      lit("dlq").as("sink_type"),
+      lit(dest).as("dest"),
+      coalesce(col("event.group_id"), col("event.record_pk")).as("key"),
+      to_json(struct(
+        col("event.commit_lsn"), col("event.commit_idx"),
+        col("event.action"), col("event.table_schema"),
+        col("event.table_name"), col("event.record_pk"),
+        col("deliver_count"), col("ack_id"))).as("body"))
+
   /** Local wire log — the transport stand-in: append the wire rows as
     * parquet so tests/bench observe exactly what a client would send.
     */
