@@ -82,6 +82,43 @@ object Multimodal {
     }
   }
 
+  final case class ResizedAsset(
+      asset_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      bytes: Array[Byte])
+
+  /** Resize to `w`×`h` — the batch-UDF plumbing shape of image resizing:
+    * per-partition init, explicit micro-batches (`grouped`) so a real
+    * vectorized resizer (or GPU kernel) sees arrays of assets, and a
+    * fixed-size output payload per row. The STUB "resampler" picks w*h
+    * evenly-spaced bytes from the source payload (nearest-neighbor over
+    * the byte plane) — deterministic, so downstream stays testable.
+    */
+  def resizeTo(assets: Dataset[Asset], w: Int, h: Int,
+      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real impl: init codec / device buffers here, once per partition
+      it.grouped(batchSize).flatMap { batch => // vectorized-batch hook
+        batch.map { a =>
+          val n = w * h
+          val src = a.bytes
+          val out = new Array[Byte](n)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < n) {
+              out(i) = src((i.toLong * src.length / n).toInt)
+              i += 1
+            }
+          }
+          ResizedAsset(a.asset_id, a.kind, w, h, out)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: `n` evenly-spaced fixed-size byte windows from the
     * asset payload (the binary-plumbing shape of video frame extraction).
     * Pure column expression — no shuffle.

@@ -386,4 +386,23 @@ class TypesAndConfigSpec extends SparkSpec {
     val a2 = again.sortBy(_.asset_id).toSeq
     a1.zip(a2).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
   }
+
+  test("multimodal resize emits fixed-size payloads, deterministic, batched") {
+    implicit val s = spark
+    import s.implicits._
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.documents(spark, sf())).as[Multimodal.Asset]
+    val resized = Multimodal.resizeTo(assets, w = 8, h = 8, batchSize = 16)
+      .collect().sortBy(_.asset_id)
+    assert(resized.length == Tables.documents(spark, sf()).count())
+    assert(resized.forall(r => r.bytes.length == 64 && r.width == 8 && r.height == 8))
+    // nearest-neighbor over the byte plane: first sample is the first byte
+    val srcFirst = assets.collect().sortBy(_.asset_id).map(_.bytes.head)
+    assert(resized.map(_.bytes.head).sameElements(srcFirst))
+    // deterministic across runs
+    val again = Multimodal.resizeTo(assets, 8, 8, batchSize = 16)
+      .collect().sortBy(_.asset_id)
+    resized.zip(again).foreach { case (x, y) =>
+      assert(x.bytes.sameElements(y.bytes)) }
+  }
 }
