@@ -300,6 +300,23 @@ object CoreQueries {
         .select(col("group_id"), col("n").cast("bigint").as("n"))
         .orderBy("group_id")),
 
+    // W6 + §2.2 — the incremental bucketed MERGE sink in the gate: two
+    // disjoint batches plus a full REPLAY of the first applied to an
+    // empty table must read back as exactly the union, once — bucket
+    // rewrites, crash-safe swaps and replay idempotency all hash-checked
+    "q48_event_table_merge" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_evt").toString
+      val all = cdc(s, dir)
+      val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
+      val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
+      graft.sinks.EventTableSink.upsert(s, b1, path)
+      graft.sinks.EventTableSink.upsert(s, b2, path)
+      graft.sinks.EventTableSink.upsert(s, b1, path) // replay: idempotent
+      graft.sinks.EventTableSink.read(s, path)
+        .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
+        .orderBy("record_id")
+    }),
+
     // S6/S7 — the FULL backfill loop (driver-paced keyset pages, AIMD
     // page sizing, pages spooled as they are produced): page boundaries
     // must be invisible — the concatenation of every page equals the
@@ -579,6 +596,10 @@ object CoreQueries {
         """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
           |  'read' AS action
           |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+      "q48_event_table_merge" -> (cte +
+        """SELECT record_pk, record_id, action, commit_lsn, commit_idx
+          |FROM cdc ORDER BY record_id""".stripMargin),
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,

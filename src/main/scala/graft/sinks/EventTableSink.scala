@@ -53,6 +53,25 @@ object EventTableSink {
     spark.read.parquet(path).drop(BucketCol)
   }
 
+  /** Point lookup: the read-side payoff of bucketing — the key's bucket
+    * is computed driver-side and ONLY that one directory is scanned
+    * (1/numBuckets of the table), the file-level analogue of the
+    * reference's `consumer_events` pk index.
+    */
+  def lookup(spark: SparkSession, path: String, pk: String,
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    repair(path)
+    import spark.implicits._
+    val b = Seq(pk).toDF(keyCols.head)
+      .select(bucketOf(col(keyCols.head), numBuckets)).head().getInt(0)
+    val dir = bucketDir(path, b)
+    if (!Files.exists(dir))
+      spark.read.parquet(path).drop(BucketCol).limit(0)
+    else
+      spark.read.option("basePath", path).parquet(dir.toString)
+        .drop(BucketCol).filter(col(keyCols.head) === pk)
+  }
+
   /** Idempotently merge `batch` into the bucketed parquet table at `path`,
     * rewriting only the buckets present in the batch.
     */

@@ -197,6 +197,16 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 200)
     assert(out.filter(col("record_pk") === "42").select("record_value")
       .head().getDouble(0) == 99.0)
+
+    // point lookup scans ONLY the key's bucket directory
+    val hit = EventTableSink.lookup(spark, dir, "42")
+    assert(hit.count() == 1 &&
+      hit.select("record_value").head().getDouble(0) == 99.0)
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains(s"bucket=$touched")))
+    assert(EventTableSink.lookup(spark, dir, "42",
+      EventTableSink.DefaultBuckets).inputFiles.length <
+      EventTableSink.read(spark, dir).inputFiles.length)
   }
 
 }
