@@ -309,9 +309,11 @@ object CoreQueries {
       val all = cdc(s, dir)
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
-      graft.sinks.EventTableSink.upsert(s, b1, path)
-      graft.sinks.EventTableSink.upsert(s, b2, path)
-      graft.sinks.EventTableSink.upsert(s, b1, path) // replay: idempotent
+      // 8 buckets: the per-table layout constant sized for the gate
+      // fixture (DefaultBuckets=64 suits a retained table, not 100k rows)
+      graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8)
+      graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8)
+      graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8) // replay
       graft.sinks.EventTableSink.read(s, path)
         .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
         .orderBy("record_id")

@@ -47,10 +47,13 @@ object EventTableSink {
   def bucketOf(pk: Column, numBuckets: Int): Column =
     pmod(xxhash64(pk), lit(numBuckets)).cast("int")
 
-  /** Read the table (internal bucket column dropped). */
+  /** Read the table (internal bucket column dropped). `mergeSchema`
+    * because buckets untouched since an upstream schema change still hold
+    * the narrower files — the union schema is the table's schema.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     repair(path)
-    spark.read.parquet(path).drop(BucketCol)
+    spark.read.option("mergeSchema", "true").parquet(path).drop(BucketCol)
   }
 
   /** Point lookup: the read-side payoff of bucketing — the key's bucket
@@ -66,9 +69,11 @@ object EventTableSink {
       .select(bucketOf(col(keyCols.head), numBuckets)).head().getInt(0)
     val dir = bucketDir(path, b)
     if (!Files.exists(dir))
-      spark.read.parquet(path).drop(BucketCol).limit(0)
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .drop(BucketCol).limit(0)
     else
-      spark.read.option("basePath", path).parquet(dir.toString)
+      spark.read.option("mergeSchema", "true").option("basePath", path)
+        .parquet(dir.toString)
         .drop(BucketCol).filter(col(keyCols.head) === pk)
   }
 
@@ -89,16 +94,24 @@ object EventTableSink {
       .filter(Files.exists(_)).map(_.toString)
     val existing: Option[DataFrame] =
       if (existingDirs.isEmpty) None
-      else Try(spark.read.option("basePath", path).parquet(existingDirs: _*)).toOption
+      else Try(spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(existingDirs: _*)).toOption
 
+    // allowMissingColumns both ways: an upstream schema change (column
+    // added or dropped mid-stream, S2b relation change) widens the table
+    // with nulls instead of silently DROPPING the batch's new columns
     val unioned = existing match {
-      case Some(cur) => cur.unionByName(keyed.select(cur.columns.map(col): _*))
+      case Some(cur) => cur.unionByName(keyed, allowMissingColumns = true)
       case None      => keyed
     }
     val merged = Ordering.dedupLatest(unioned, keyCols, seqCols.map(col))
 
     val tmp = target.resolve(s".tmp-${System.nanoTime()}")
-    merged.write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
+    // cluster by bucket before the partitioned write: one task owns each
+    // touched bucket, so a bucket dir is a few contiguous files, not
+    // (writer tasks × buckets) fragments — and the swap moves fewer files
+    merged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
     touched.foreach { b =>
       val live = bucketDir(path, b)

@@ -209,4 +209,23 @@ class StreamingSpec extends SparkSpec {
       EventTableSink.read(spark, dir).inputFiles.length)
   }
 
+  test("EventTableSink widens on upstream schema change instead of dropping columns") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_evo").toString + "/events"
+    EventTableSink.upsert(spark,
+      Seq(("1", 8L, 0L, "a")).toDF("record_pk", "commit_lsn", "commit_idx", "v"),
+      dir, numBuckets = 4)
+    // upstream ALTER TABLE ADD COLUMN: the batch carries a NEW column
+    EventTableSink.upsert(spark,
+      Seq(("2", 16L, 0L, "b", 7L))
+        .toDF("record_pk", "commit_lsn", "commit_idx", "v", "added"),
+      dir, numBuckets = 4)
+    val out = EventTableSink.read(spark, dir).orderBy("record_pk").collect()
+    assert(out.map(_.getAs[String]("v")).toSeq == Seq("a", "b"))
+    // old row null-padded, new row keeps its value — nothing dropped
+    assert(out(0).isNullAt(out(0).fieldIndex("added")))
+    assert(out(1).getAs[Long]("added") == 7L)
+  }
+
 }
