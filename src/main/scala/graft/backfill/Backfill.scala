@@ -109,6 +109,30 @@ object Backfill {
     }
   }
 
+  /** The fully parallel form: ONE range-partitioned scan instead of the
+    * sequential page loop. `repartitionByRange` samples cursor-tuple
+    * boundaries and gives every executor a contiguous cursor range —
+    * equivalent to precomputing all page cursors up front and scanning
+    * the ranges concurrently. Order holds within and ACROSS partitions
+    * (range partitioning is globally ordered), so downstream consumers
+    * see the same cursor order the paged loop produces. Use this when
+    * the source tolerates a full parallel scan (snapshot/parquet/Iceberg);
+    * the paged [[run]] remains the shape for sources that must be read
+    * gently (a production primary behind a `LIMIT`ed keyset query).
+    */
+  def runPartitioned(table: DataFrame, sortCols: Seq[String],
+      numRanges: Int,
+      fence: Option[(DataFrame, Seq[String])] = None): DataFrame = {
+    val scanned = table
+      .repartitionByRange(numRanges, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("action", lit("read"))
+    fence match {
+      case Some((cdcSeen, keys)) => Joins.backfillFence(scanned, cdcSeen, keys)
+      case None                  => scanned
+    }
+  }
+
   private def deleteDir(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)

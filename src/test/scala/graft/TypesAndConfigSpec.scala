@@ -119,6 +119,37 @@ class TypesAndConfigSpec extends SparkSpec {
     assert(out.filter(col("action") =!= "read").count() == 0)
   }
 
+  test("Backfill.runPartitioned: one parallel pass == the paged loop, ranges globally ordered") {
+    val orders = Tables.orders(spark, sf())
+    val paged = Backfill.run(spark, orders, Seq("o_orderdate", "o_orderkey"),
+      new PageSizeOptimizer(512, maxTimeoutMs = 60000))
+    val ranged = Backfill.runPartitioned(orders,
+      Seq("o_orderdate", "o_orderkey"), numRanges = 8)
+    assert(ranged.count() == paged.count())
+    assert(ranged.select("o_orderkey").exceptAll(
+      paged.select("o_orderkey")).count() == 0)
+    // range partitioning is GLOBALLY ordered: partition i's max cursor
+    // precedes partition i+1's min cursor
+    val bounds = ranged
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        col("o_orderdate"), col("o_orderkey"))
+      .groupBy("p")
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("lo"),
+        max(struct(col("o_orderdate"), col("o_orderkey"))).as("hi"))
+      .orderBy("p")
+      .collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) =>
+        val hiA = a.getStruct(2)
+        val loB = b.getStruct(1)
+        val cmp = hiA.getAs[java.time.LocalDateTime](0)
+          .compareTo(loB.getAs[java.time.LocalDateTime](0))
+        assert(cmp < 0 || (cmp == 0 && hiA.getLong(1) <= loB.getLong(1)),
+          s"ranges overlap: ${a} vs ${b}")
+      case _ => ()
+    }
+  }
+
   test("Backfill fencing drops PKs seen on the CDC stream") {
     val orders = Tables.orders(spark, sf()).limit(100)
       .withColumn("record_pk", col("o_orderkey").cast("string"))
