@@ -113,4 +113,47 @@ object Routing {
     df.withColumn("index_name",
       concat_ws(".", lit("sequin"), lit(databaseName), col("table_schema"),
         col("table_name")))
+
+  /** R2 — per-sink allowed routing-override keys, mirroring each router
+    * module's `allowed_keys` changeset
+    * (`/root/reference/lib/sequin/runtime/routing/consumers/&#42;.ex`).
+    */
+  val allowedRouteKeys: Map[String, Set[String]] = Map(
+    "kafka" -> Set("topic", "message_key"),
+    "redis_stream" -> Set("stream_key"),
+    "redis_string" -> Set("key", "action", "expire_ms"),
+    "elasticsearch" -> Set("index_name"),
+    "gcp_pubsub" -> Set("topic_id"),
+    "nats" -> Set("subject", "headers"),
+    "rabbitmq" -> Set("exchange", "headers", "routing_key", "message_id"),
+    "typesense" -> Set("action", "collection_name"),
+    "meilisearch" -> Set("action", "index_name", "filter", "function", "context"),
+    "http_push" -> Set("method", "endpoint_path", "headers"),
+    "sqs" -> Set("queue_url"),
+    "sns" -> Set("topic_arn"),
+    "kinesis" -> Set("stream_arn"),
+    "s2" -> Set("basin", "stream"),
+    "azure_event_hub" -> Set("event_hub_name"))
+
+  /** R2 — user routing function: expression-valued overrides merged over
+    * the default router's columns. User values win where non-null; a null
+    * override falls back to the default (the reference drops nil params
+    * before the merge, `routing.ex:103-151` + `helpers.ex`
+    * `validate_no_extra_keys` / `empty_values: []`). Keys outside the
+    * sink's allowed set are rejected at PLAN time, mirroring the
+    * changeset's unknown-field error — a misconfigured route never ships.
+    */
+  def withOverrides(df: DataFrame, sinkType: String,
+      overrides: Map[String, Column]): DataFrame = {
+    val allowed = allowedRouteKeys.getOrElse(sinkType,
+      throw new IllegalArgumentException(s"unknown sink type: $sinkType"))
+    val extra = overrides.keySet.diff(allowed)
+    require(extra.isEmpty,
+      s"unknown routing keys for $sinkType: ${extra.toSeq.sorted.mkString(", ")} " +
+        s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+    overrides.foldLeft(df) { case (acc, (k, c)) =>
+      if (acc.columns.contains(k)) acc.withColumn(k, coalesce(c, col(k)))
+      else acc.withColumn(k, c)
+    }
+  }
 }

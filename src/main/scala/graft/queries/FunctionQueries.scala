@@ -183,6 +183,44 @@ object FunctionQueries {
         .select("partition", "batch_idx", "n", "first_seq", "last_seq")
         .orderBy("partition", "batch_idx")),
 
+    // Q49 — URI.* battery (§2.10): parse_url decomposition of a
+    // deterministically constructed URL — HOST/PATH/QUERY/REF/PROTOCOL,
+    // per-parameter QUERY extraction, and registered-domain derivation
+    // (the C4/RefinedWeb-style URL-filter primitive). The oracle
+    // reconstructs each component from the same parts, so Spark's parser
+    // is checked against the known decomposition.
+    "q49_url_fns" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        lit("?id="), col("doc_id").cast("string"), lit("&page=2#s1"))
+      val host = parse_url(url, lit("HOST"))
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          url.as("url"),
+          host.as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query"),
+          parse_url(url, lit("REF")).as("fragment"),
+          parse_url(url, lit("PROTOCOL")).as("proto"),
+          parse_url(url, lit("QUERY"), lit("page")).as("page_param"),
+          element_at(split(host, "\\."), -2).as("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Q50/R2 — user routing function: overrides merged over the default
+    // router, user value wins where non-null, null falls back to the
+    // default; unknown keys are rejected at plan time (spec-checked in
+    // OpsSpec). Deletes are re-routed to an audit topic with a fixed key.
+    "q50_routing_override" -> ((s, dir) => {
+      val routed = Routing.withOverrides(Routing.kafka(cdc(s, dir)), "kafka",
+        Map(
+          "topic" -> when(col("action") === "delete", lit("audit.deletes")),
+          "message_key" -> when(col("action") === "delete",
+            concat_ws("/", col("table_name"), col("record_pk")))))
+      routed.select("record_id", "action", "topic", "message_key")
+        .orderBy("record_id")
+    }),
+
     // §2.12 extension surface — the custom kernels through spark.sql via
     // GraftExtensions (session-registered SQL functions), hash-verified
     // against DuckDB recomputing the same md5+affine-permutation math:
@@ -336,6 +374,30 @@ object FunctionQueries {
           |  max(commit_lsn + commit_idx) AS last_seq
           |FROM rn GROUP BY partition, batch_idx
           |ORDER BY partition, batch_idx""".stripMargin),
+
+      "q49_url_fns" ->
+        """SELECT doc_id,
+          |  'https://' || source || '.example.com/' || lang || '/doc/' ||
+          |    CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) ||
+          |    '&page=2#s1' AS url,
+          |  source || '.example.com' AS host,
+          |  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+          |  'id=' || CAST(doc_id AS VARCHAR) || '&page=2' AS query,
+          |  's1' AS fragment,
+          |  'https' AS proto,
+          |  '2' AS page_param,
+          |  'example' AS reg_domain
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q50_routing_override" -> (cte +
+        """SELECT record_id, action,
+          |  CASE WHEN action = 'delete' THEN 'audit.deletes'
+          |       ELSE 'sequin' || '.' || table_schema || '.' || table_name
+          |  END AS topic,
+          |  CASE WHEN action = 'delete' THEN table_name || '/' || record_pk
+          |       ELSE coalesce(group_id, record_pk)
+          |  END AS message_key
+          |FROM cdc ORDER BY record_id""".stripMargin),
 
       "q46_sql_kernels" -> {
         val p = Hashing.AffineP

@@ -303,6 +303,19 @@ object TrainingQueries {
           col("vmin"), col("scale"), col("max_err"))
         .orderBy("vec_id")),
 
+    // Benchmark decontamination: distinct 3-gram overlap of each corpus
+    // doc against the eval set's shingle universe (docs ≡ 0 mod 50 stand
+    // in for the held-out benchmark); contaminated at ≥ 0.5 overlap.
+    // The eval universe is broadcast — the corpus side never shuffles text.
+    "td29_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.training.TrainingPrep.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal binary plumbing: stub decode features over binary assets
     // (mapPartitions Dataset path; decode itself is a deterministic fake)
     "td12_multimodal" -> ((s, dir) => {
@@ -507,6 +520,23 @@ object TrainingQueries {
         |SELECT doc_id, lang, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "td29_decontam" -> (toksCte +
+      """,
+        |eval AS (SELECT DISTINCT unnest(toks) AS sh FROM sets
+        |         WHERE doc_id % 50 = 0),
+        |docsh AS (SELECT doc_id, unnest(toks) AS sh FROM sets
+        |          WHERE doc_id % 50 <> 0)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_shingles,
+        |  CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_hit,
+        |  CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS overlap,
+        |  (CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) >= 0.5 AS contaminated
+        |FROM docsh d LEFT JOIN eval e ON d.sh = e.sh
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "td17_repetition" ->
       """WITH g AS (SELECT doc_id,

@@ -139,6 +139,42 @@ object TrainingPrep {
       .withColumn("mean_unats", expr("surprisal_unats div n_toks"))
   }
 
+  /** Benchmark decontamination: per-document overlap between the doc's
+    * DISTINCT word n-gram shingles and the shingle universe of an
+    * evaluation set — the standard pre-training hygiene pass that keeps
+    * test benchmarks out of the training corpus.
+    *
+    * Returns `(id, n_shingles, n_hit, overlap, contaminated)` where
+    * `overlap = n_hit / n_shingles` (exact int→double division) and
+    * `contaminated = overlap >= threshold`.
+    *
+    * Scale shape: eval sets are tiny (thousands of docs) against a 100 TB
+    * corpus, so the eval shingle UNIVERSE is distinct-reduced and
+    * broadcast; the corpus side explodes to (id, shingle) and aggregates
+    * per doc — corpus text never shuffles, and the broadcast left-join
+    * marks hits without a shuffle of the exploded side beyond the per-doc
+    * groupBy the aggregate needs anyway.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(array_distinct(TextAnalysis.shinglesOf(
+        TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.shinglesOf(col("__toks"), n))).as("__sh"))
+      .join(broadcast(evalShingles), Seq("__sh"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("int").as("n_hit"))
+      .withColumn("overlap",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap") >= lit(threshold))
+  }
+
   def boilerplateExposure(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     // tokenize+shingle+explode ONCE: both the shared-passage aggregate and

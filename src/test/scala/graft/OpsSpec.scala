@@ -115,4 +115,25 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(1).isNullAt(out(1).fieldIndex("dv")))
   }
+
+  test("routing override: user value wins, null falls back, unknown key rejected at plan time") {
+    val routed = Routing.kafka(cdc)
+    val over = Routing.withOverrides(routed, "kafka",
+      Map("topic" -> when(col("action") === "delete", lit("audit"))))
+    val byAction = over.select("action", "topic").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(byAction.filter(_._1 == "delete").forall(_._2 == "audit"))
+    assert(byAction.filter(_._1 == "insert").forall(_._2.startsWith("sequin.")))
+    // unknown key for the sink type → rejected BEFORE any job runs
+    // (mirrors validate_no_extra_keys in routing/helpers.ex)
+    val ex = intercept[IllegalArgumentException] {
+      Routing.withOverrides(routed, "kafka",
+        Map("stream_key" -> lit("x")))
+    }
+    assert(ex.getMessage.contains("stream_key"))
+    // unknown sink type is also a plan-time error
+    assertThrows[IllegalArgumentException] {
+      Routing.withOverrides(routed, "carrier_pigeon", Map.empty)
+    }
+  }
 }

@@ -112,4 +112,24 @@ class TrainingPrepSpec extends SparkSpec {
     assert(row.getAs[Double]("max_err") == 0.0)
     assert(row.getAs[Double]("scale") == 0.0)
   }
+
+  test("decontamination flags eval-set copies and ignores disjoint docs") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),     // verbatim copy
+      (2L, "alpha beta gamma delta unrelated"),   // partial overlap
+      (3L, "zeta eta theta iota kappa"))          // disjoint
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.decontaminate(corpus, eval, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    // doc 1: all 3 shingles hit; doc 2: 2 of 3 hit (>= 0.5); doc 3: 0
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(0).getAs[Double]("overlap") == 1.0)
+    assert(out(1).getAs[Int]("n_hit") == 2 &&
+      out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Int]("n_hit") == 0 &&
+      !out(2).getAs[Boolean]("contaminated"))
+  }
 }
