@@ -44,6 +44,44 @@ object PipelineSpec {
   private val ValidLegacyTransforms = Set("none", "record_only")
   private val ValidShedPolicies = Set("pause_on_full", "discard_on_full")
 
+  /** Functions banned from user expressions — the sandbox analogue of the
+    * MiniElixir validator's denied constructs (`validator.ex:222-306`
+    * bans `String.to_atom`, `__info__`, module escape hatches). Here the
+    * threats are nondeterminism (breaks replay/exactly-once and the
+    * oracle) and JVM escape (`reflect`), so those are what the deny-list
+    * carries.
+    */
+  private[config] val DeniedExprFunctions = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "input_file_name", "spark_partition_id",
+    "current_timestamp", "now", "current_date", "localtimestamp",
+    "current_timezone", "session_user", "current_user", "user",
+    "reflect", "java_method")
+
+  /** Parse-time validation of a user expression string: must be valid
+    * Spark SQL syntax and must not call a denied function. Returns the
+    * expression unchanged (the pipeline builder compiles it with `expr`).
+    */
+  private[config] def validateExpr(what: String, s: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    val parsed =
+      try CatalystSqlParser.parseExpression(s)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"$what is not a valid SQL expression: ${e.getMessage}")
+      }
+    val called = parsed.collect {
+      case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+    }
+    val denied = called.filter(DeniedExprFunctions)
+    if (denied.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what calls denied function(s): ${denied.distinct.sorted.mkString(", ")} " +
+          "(user expressions must be deterministic and sandbox-safe)")
+    s
+  }
+
   /** Per-sink-type required destination fields (the subset of each
     * `*_sink.ex` changeset's `validate_required` that shapes the wire —
     * credentials/hosts are deployment config, not routing semantics).
@@ -119,6 +157,33 @@ object PipelineSpec {
 
     val sink = Option(root.get("destination")).map(parseSink)
 
+    // user functions as config (F4/P4/R2): validated expression strings
+    val filterFn = Option(root.get("filter_function")).map(n =>
+      validateExpr("filter_function", n.asText()))
+    val transformFns = Option(root.get("transform_functions")).map(
+      _.fields().asScala.map { e =>
+        e.getKey -> validateExpr(s"transform_functions.${e.getKey}",
+          e.getValue.asText())
+      }.toSeq).getOrElse(Nil)
+    val routingFn = Option(root.get("routing_function")).map(
+      _.fields().asScala.map { e =>
+        e.getKey -> validateExpr(s"routing_function.${e.getKey}",
+          e.getValue.asText())
+      }.toMap).getOrElse(Map.empty[String, String])
+    if (routingFn.nonEmpty) {
+      // unknown-key rejection against the sink's allowed set at PARSE time
+      // (Routing.withOverrides re-checks at plan time)
+      val sinkType = sink.map(_.sinkType).getOrElse("kafka")
+      val allowed = graft.ops.Routing.allowedRouteKeys.getOrElse(sinkType,
+        throw new IllegalArgumentException(
+          s"sink '$sinkType' does not support routing functions"))
+      val extra = routingFn.keySet.diff(allowed)
+      if (extra.nonEmpty)
+        throw new IllegalArgumentException(
+          s"routing_function keys not allowed for $sinkType: " +
+            extra.toSeq.sorted.mkString(", "))
+    }
+
     val batchSize = Option(root.get("batch_size")).map(_.asInt())
     batchSize.foreach { b =>
       if (b < 1 || b > 1000)
@@ -151,6 +216,9 @@ object PipelineSpec {
         .getOrElse(3),
       legacyTransform = legacy,
       loadSheddingPolicy = shedPolicy,
+      filterFunction = filterFn,
+      transformFunctions = transformFns,
+      routingFunction = routingFn,
       sink = sink)
   }
 
@@ -222,6 +290,15 @@ object PipelineSpec {
     root.put("max_retry_count", cfg.maxRetryCount)
     root.put("legacy_transform", cfg.legacyTransform)
     root.put("load_shedding_policy", cfg.loadSheddingPolicy)
+    cfg.filterFunction.foreach(root.put("filter_function", _))
+    if (cfg.transformFunctions.nonEmpty) {
+      val t = root.putObject("transform_functions")
+      cfg.transformFunctions.foreach { case (k, v) => t.put(k, v) }
+    }
+    if (cfg.routingFunction.nonEmpty) {
+      val r = root.putObject("routing_function")
+      cfg.routingFunction.toSeq.sortBy(_._1).foreach { case (k, v) => r.put(k, v) }
+    }
     cfg.sink.foreach { s =>
       val d = root.putObject("destination")
       d.put("type", s.sinkType)

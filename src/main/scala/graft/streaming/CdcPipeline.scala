@@ -48,6 +48,15 @@ final case class ConsumerConfig(
     maxRetryCount: Int = 3,
     legacyTransform: String = "none", // none | record_only
     loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
+    // user functions as config — the reference persists MiniElixir
+    // filter/transform/routing snippets on the consumer
+    // (consumers.ex:1242-1278, transforms/message.ex:26-41,
+    // routing.ex:103-151); here they are validated Spark SQL expression
+    // strings (§7.4: "re-scope MiniElixir as a validated expression
+    // surface"), checked for syntax + determinism at parse time
+    filterFunction: Option[String] = None,
+    transformFunctions: Seq[(String, String)] = Nil,
+    routingFunction: Map[String, String] = Map.empty,
     sink: Option[SinkSpec] = None) {
   /** Effective batch size: explicit, else the sink type's default. */
   def effectiveBatchSize: Int = batchSize.getOrElse(
@@ -69,6 +78,9 @@ object CdcPipeline {
     df = Filters.sourceScope(df, cfg.scope)
     df = Filters.actionFilter(df, cfg.actions)
     if (cfg.filters.nonEmpty) df = Filters.columnFilters(df, cfg.filters)
+    // F4 — user filter function (a validated boolean expression; nil
+    // filter ⇒ true, non-boolean rejected at analysis)
+    cfg.filterFunction.foreach(e => df = df.filter(expr(e)))
     df = Filters.payloadSizeGuard(df, cfg.maxPayloadBytes)
     df = enrichment match {
       case Some((dim, eventKey, dimKey)) =>
@@ -95,6 +107,18 @@ object CdcPipeline {
       // (sink_consumer group_column_attnums; consumers.ex:730-791)
       df = df.withColumn("group_id",
         Transforms.groupId(cfg.groupColumns.map(df(_))))
+    // P4 — user transform functions: computed output columns (applied
+    // after routing/grouping so they may reference both)
+    cfg.transformFunctions.foreach { case (name, e) =>
+      df = df.withColumn(name, expr(e))
+    }
+    // R2 — user routing function: overrides merged over the default
+    // router through the per-sink allowed-key validation
+    if (cfg.routingFunction.nonEmpty) {
+      val sinkType = cfg.sink.map(_.sinkType).getOrElse("kafka")
+      df = Routing.withOverrides(df, sinkType,
+        cfg.routingFunction.map { case (k, e) => k -> expr(e) })
+    }
     if (cfg.loadSheddingPolicy == "discard_on_full")
       df = Filters.shedOverflow(df, cfg.maxAckPending, cfg.loadSheddingPolicy)
     df

@@ -276,6 +276,35 @@ class TypesAndConfigSpec extends SparkSpec {
     }
   }
 
+  test("user functions as config: validated, applied, and round-tripped") {
+    val cfg = PipelineSpec.parse(
+      """{"name": "fns",
+        | "filter_function": "record_value > 50 AND action = 'insert'",
+        | "transform_functions": {"value_eur": "round(record_value * 0.92, 2)"},
+        | "routing_function": {"topic": "concat('cdc.', table_name)"},
+        | "destination": {"type": "kafka", "topic": "t"}}""".stripMargin)
+    assert(cfg.filterFunction.contains("record_value > 50 AND action = 'insert'"))
+    assert(PipelineSpec.parse(PipelineSpec.render(cfg)) == cfg)
+
+    // the pipeline applies all three stages
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf()))
+    val out = graft.streaming.CdcPipeline.build(cdc, cfg)
+    assert(out.columns.contains("value_eur"))
+    val rows = out.select("record_value", "action", "topic").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) > 50 && r.getString(1) == "insert"))
+    assert(rows.forall(_.getString(2).startsWith("cdc.")))
+
+    // syntax error, denied function, unknown routing key → parse-time errors
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","filter_function":"record_value >"}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","filter_function":"rand() > 0.5"}"""))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","routing_function":{"stream_key":"'s'"},
+        | "destination":{"type":"kafka","topic":"t"}}""".stripMargin))
+  }
+
   test("group_columns override the pk-derived delivery group in the pipeline") {
     val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(100)
     val cfg = graft.streaming.ConsumerConfig(name = "g",
