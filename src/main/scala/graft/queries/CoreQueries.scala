@@ -319,6 +319,15 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Change-retention time travel: record state AS OF a WAL cursor —
+    // latest version per pk at or below the cursor, deletes absent. The
+    // replay payoff of the event table: any historical snapshot is a
+    // query (narrow lsn filter + one window by pk).
+    "q51_time_travel" -> ((s, dir) =>
+      graft.sinks.EventTableSink.stateAsOf(cdc(s, dir), lsn = 5000L)
+        .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
+        .orderBy("record_id")),
+
     // S6/S7 — the FULL backfill loop (driver-paced keyset pages, AIMD
     // page sizing, pages spooled as they are produced): page boundaries
     // must be invisible — the concatenation of every page equals the
@@ -593,6 +602,15 @@ object CoreQueries {
       "q45_group_fifo" -> (cte +
         """SELECT commit_lsn, commit_idx, group_id, record_pk, action
           |FROM cdc ORDER BY commit_lsn, commit_idx""".stripMargin),
+
+      "q51_time_travel" -> (cte +
+        """SELECT record_pk, record_id, action, commit_lsn, commit_idx FROM (
+          |  SELECT record_pk, record_id, action, commit_lsn, commit_idx,
+          |    row_number() OVER (PARTITION BY record_pk
+          |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |  FROM cdc WHERE commit_lsn <= 5000)
+          |WHERE rn = 1 AND action <> 'delete'
+          |ORDER BY record_id""".stripMargin),
 
       "q47_backfill_run" ->
         """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,

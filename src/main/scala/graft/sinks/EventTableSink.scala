@@ -128,6 +128,23 @@ object EventTableSink {
     deleteRecursively(tmp)
   }
 
+  /** Time travel over retained changes: the record state "as of" a WAL
+    * cursor — for each `record_pk`, the latest version at or below
+    * `(lsn, idx)`, with deleted records absent. This is the replay payoff
+    * of change retention (the reference replays `consumer_events` /
+    * `wal_events` to rebuild or backfill downstream state,
+    * `wal_pipeline_server.ex` batch reader): any historical snapshot is a
+    * pure query over the event table. Narrow filter (prunes on the lsn
+    * column at scan time) + one hash-partitioned window by pk.
+    */
+  def stateAsOf(events: DataFrame, lsn: Long, idx: Long = Long.MaxValue): DataFrame = {
+    val upTo = events.filter(
+      col(seqCols.head) < lsn ||
+        (col(seqCols.head) === lsn && col(seqCols(1)) <= idx))
+    Ordering.dedupLatest(upTo, keyCols, seqCols.map(col))
+      .filter(col("action") =!= "delete")
+  }
+
   private def bucketDir(path: String, b: Int): Path =
     Paths.get(path).resolve(s"$BucketCol=$b")
 

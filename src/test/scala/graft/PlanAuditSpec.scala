@@ -68,6 +68,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("), plan)
   }
 
+  test("td29 decontamination broadcasts the eval universe — corpus text never shuffles") {
+    val plan = formatted(q("td29_decontam"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    // exactly one data shuffle: the per-doc aggregate (AQE may add a
+    // final sort exchange for the orderBy)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q51 time travel over a STORED event table pushes the lsn cutoff to the scan") {
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    graft.model.Cdc.fromEvents(Tables.events(spark, sf()))
+      .write.mode("overwrite").parquet(dir)
+    val plan = formatted(graft.sinks.EventTableSink.stateAsOf(
+      spark.read.parquet(dir), lsn = 5000L))
+    // against retained storage the cutoff is a plain column predicate:
+    // it must reach the parquet scan (row-group pruning at 100 TB)
+    assert(plan.contains("LessThan(commit_lsn,5001)") ||
+      plan.contains("LessThanOrEqual(commit_lsn,5000)") ||
+      plan.contains("Or(LessThan(commit_lsn,5000)"), plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(plan.contains("Window"))
+  }
+
   test("q33 partition assignment shuffles once, by the delivery hash") {
     val plan = formatted(q("q20_total_order"))
     // global order restore = one range-partitioned sort, no extra exchange
