@@ -79,9 +79,21 @@ object Backfill {
       spoolDir: Option[String] = None): DataFrame = {
     val spool = spoolDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_backfill_spool").toString)
-    var cursor: Option[Seq[Any]] = None
-    var done = false
-    var pageNo = 0
+    // Crash resume: completed pages already in the spool are not re-read
+    // from the table — the cursor restarts from the LAST completed page's
+    // max tuple, the reference's persisted `cursor` semantics
+    // (table_reader_server.ex keeps the backfill cursor in Redis/pg so an
+    // interrupted scan continues, not restarts). A page left half-written
+    // by the crash is dropped (no _SUCCESS marker) and re-scanned.
+    var pageNo = firstIncompletePage(spool)
+    var cursor: Option[Seq[Any]] =
+      if (pageNo == 0) None
+      else Some(spark.read.parquet(s"$spool/page=${pageNo - 1}")
+        .select(sortCols.map(col): _*)
+        .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
+        .head().toSeq)
+    var done = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(spool).resolve(DoneMarker))
     while (!done) {
       val t0 = System.nanoTime()
       val pageSize = optimizer.pageSize
@@ -99,6 +111,8 @@ object Backfill {
         .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
         .head().toSeq)
       if (n == 0) deleteDir(pageDir) else pageNo += 1
+      if (done) java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(spool).resolve(DoneMarker))
     }
     val all =
       if (pageNo > 0) spark.read.parquet(s"$spool/page=*")
@@ -131,6 +145,25 @@ object Backfill {
       case Some((cdcSeen, keys)) => Joins.backfillFence(scanned, cdcSeen, keys)
       case None                  => scanned
     }
+  }
+
+  private val DoneMarker = "_DONE"
+
+  /** Count the leading run of COMPLETE pages (`_SUCCESS` present) in the
+    * spool and delete any half-written later page dirs (crash debris) so
+    * the resumed loop rewrites them from a clean slate.
+    */
+  private def firstIncompletePage(spool: String): Int = {
+    val root = java.nio.file.Paths.get(spool)
+    if (!java.nio.file.Files.exists(root)) return 0
+    var i = 0
+    while (java.nio.file.Files.exists(
+        root.resolve(s"page=$i").resolve("_SUCCESS"))) i += 1
+    var j = i
+    while (java.nio.file.Files.exists(root.resolve(s"page=$j"))) {
+      deleteDir(root.resolve(s"page=$j").toString); j += 1
+    }
+    i
   }
 
   private def deleteDir(dir: String): Unit = {

@@ -150,6 +150,40 @@ class TypesAndConfigSpec extends SparkSpec {
     }
   }
 
+  test("Backfill.run resumes from the spool: completed pages not re-scanned, debris dropped") {
+    val orders = Tables.orders(spark, sf()).limit(400)
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_bf_resume").toString
+    // full reference run into its own spool
+    val expect = Backfill.run(spark, orders, Seq("o_orderkey"),
+      new PageSizeOptimizer(100, maxTimeoutMs = 60000, growFactor = 1.0))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // simulate a crash after two completed pages + one half-written page
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    Seq(0, 1).foreach { p =>
+      graft.ops.Keyset.page(orders, Seq("o_orderkey"),
+          if (p == 0) None else Some(Seq(keys(100 * p - 1))), 100)
+        .withColumn("action", lit("read"))
+        .write.mode("overwrite").parquet(s"$spool/page=$p")
+    }
+    val debris = java.nio.file.Paths.get(s"$spool/page=2")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.writeString(debris.resolve("part-000.parquet"), "junk")
+    // resumed run continues from page 2's cursor and rewrites the debris
+    val out = Backfill.run(spark, orders, Seq("o_orderkey"),
+      new PageSizeOptimizer(100, maxTimeoutMs = 60000, growFactor = 1.0),
+      spoolDir = Some(spool))
+    assert(out.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      .sameElements(expect))
+    // a SECOND resume after completion is a no-op read (the _DONE marker):
+    // page count unchanged, same rows
+    val again = Backfill.run(spark, orders, Seq("o_orderkey"),
+      new PageSizeOptimizer(100, maxTimeoutMs = 60000, growFactor = 1.0),
+      spoolDir = Some(spool))
+    assert(again.count() == 400)
+  }
+
   test("Backfill fencing drops PKs seen on the CDC stream") {
     val orders = Tables.orders(spark, sf()).limit(100)
       .withColumn("record_pk", col("o_orderkey").cast("string"))
