@@ -328,6 +328,28 @@ object CoreQueries {
         .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
         .orderBy("record_id")),
 
+    // §3.2 capstone — INITIAL SYNC: snapshot + live CDC, composed. The
+    // snapshot (state as of cursor L) is emitted as backfill `read`
+    // events; reads whose pk the live stream (> L) also touched are
+    // FENCED (CDC wins, S8); the delivery stream is the priority merge
+    // of fenced reads and live events in (lsn, idx) order (W3). Each pk
+    // arrives as ONE read xor its live events — never both. The oracle
+    // derives the same stream from full history the simple way, so the
+    // whole composition (stateAsOf ∘ fence ∘ merge) is hash-checked.
+    "q52_initial_sync" -> ((s, dir) => {
+      val all = cdc(s, dir)
+      val L = 5000L
+      val cols = Seq("record_pk", "record_id", "action",
+        "commit_lsn", "commit_idx")
+      val snapshot = graft.sinks.EventTableSink.stateAsOf(all, L)
+        .withColumn("action", lit("read"))
+        .select(cols.map(col): _*)
+      val live = all.filter(col("commit_lsn") > L).select(cols.map(col): _*)
+      val fenced = graft.ops.Joins.backfillFence(
+        snapshot, live.select("record_pk"), Seq("record_pk"))
+      fenced.unionByName(live).orderBy("commit_lsn", "commit_idx")
+    }),
+
     // S6/S7 — the FULL backfill loop (driver-paced keyset pages, AIMD
     // page sizing, pages spooled as they are produced): page boundaries
     // must be invisible — the concatenation of every page equals the
@@ -602,6 +624,21 @@ object CoreQueries {
       "q45_group_fifo" -> (cte +
         """SELECT commit_lsn, commit_idx, group_id, record_pk, action
           |FROM cdc ORDER BY commit_lsn, commit_idx""".stripMargin),
+
+      "q52_initial_sync" -> (cte +
+        """SELECT record_pk, record_id, 'read' AS action,
+          |  commit_lsn, commit_idx FROM (
+          |  SELECT record_pk, record_id, action, commit_lsn, commit_idx,
+          |    row_number() OVER (PARTITION BY record_pk
+          |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |  FROM cdc WHERE commit_lsn <= 5000
+          |    AND record_pk NOT IN (
+          |      SELECT record_pk FROM cdc WHERE commit_lsn > 5000))
+          |WHERE rn = 1 AND action <> 'delete'
+          |UNION ALL
+          |SELECT record_pk, record_id, action, commit_lsn, commit_idx
+          |FROM cdc WHERE commit_lsn > 5000
+          |ORDER BY commit_lsn, commit_idx""".stripMargin),
 
       "q51_time_travel" -> (cte +
         """SELECT record_pk, record_id, action, commit_lsn, commit_idx FROM (
