@@ -109,7 +109,9 @@ object FunctionQueries {
             col("record_value").cast("decimal(18,6)")).cast("string").as("dec_sum"),
           get_json_object(col("record_props"), "$.k").cast("bigint").as("k_int"),
           col("record_id").cast("string").as("id_str"),
-          abs(col("record_value") * lit(-1.0)).as("abs_v"),
+          // + 0.0 canonicalizes the zero sign: DuckDB's abs keeps -0.0,
+          // Spark's returns +0.0 — equal values, different reprs
+          (abs(col("record_value") * lit(-1.0)) + lit(0.0)).as("abs_v"),
           ceil(col("record_value")).as("ceil_v"),
           floor(col("record_value")).as("floor_v"),
           (col("record_id") % 7).as("rem7"),
@@ -299,7 +301,7 @@ object FunctionQueries {
           |       CAST(record_value AS DECIMAL(18,6)) AS VARCHAR) AS dec_sum,
           |  CAST(json_extract_string(record_props,'$.k') AS BIGINT) AS k_int,
           |  CAST(record_id AS VARCHAR) AS id_str,
-          |  abs(record_value * -1.0) AS abs_v,
+          |  abs(record_value * -1.0) + 0.0 AS abs_v,
           |  CAST(ceil(record_value) AS BIGINT) AS ceil_v,
           |  CAST(floor(record_value) AS BIGINT) AS floor_v,
           |  record_id % 7 AS rem7,
