@@ -57,16 +57,20 @@ object GroupFifo {
   }
 
   /** Batch-mode rendition of the same semantics (for oracle checks/tests):
-    * drop duplicates by cursor, order per group. Equivalent to one
-    * micro-batch against empty state.
+    * drop duplicates by (delivery group, cursor) — equivalent to one
+    * micro-batch against empty state. Fully declarative (hash-partitioned
+    * dedup, no per-group materialization), so a group that floods a batch
+    * costs a shuffle partition, not executor memory; delivery order is
+    * the consumer's sort, as in the streaming path.
     */
   def deliverBatch(events: Dataset[ChangeEvent])(implicit spark: SparkSession): Dataset[ChangeEvent] = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    events
-      .groupByKey(e => Option(e.group_id).getOrElse(s"__pk:${e.record_pk}"))
-      .flatMapGroups { (_: String, it: Iterator[ChangeEvent]) =>
-        it.toSeq.sortBy(e => (e.commit_lsn, e.commit_idx))
-          .distinctBy(e => (e.commit_lsn, e.commit_idx)).iterator
-      }
+    events.toDF()
+      .withColumn("__gk", coalesce(col("group_id"),
+        concat(lit("__pk:"), col("record_pk"))))
+      .dropDuplicates("__gk", "commit_lsn", "commit_idx")
+      .drop("__gk")
+      .as[ChangeEvent]
   }
 }
