@@ -228,4 +228,45 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("added") == 7L)
   }
 
+  test("EventTableSink.repair rolls back crash debris: half-swap, stale backup, torn temp") {
+    implicit val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_crash")
+      .toString + "/events"
+    val rows = (1 to 50).map(i => ev(8, i.toLong, "7", i.toString,
+      value = i.toDouble)).toDF()
+    EventTableSink.upsert(spark, rows, dir, numBuckets = 4)
+    val expect = EventTableSink.read(spark, dir)
+      .select("record_pk", "record_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+
+    // crash state 1: a bucket half-swapped — live dir gone, backup present
+    val b0 = Paths.get(dir).resolve("bucket=0")
+    Files.move(b0, Paths.get(dir).resolve(".old-bucket=0"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // crash state 2: a stale backup NEXT TO a live dir (crash after swap,
+    // before cleanup) — must be dropped, live wins
+    val b1 = Paths.get(dir).resolve("bucket=1")
+    val stale = Paths.get(dir).resolve(".old-bucket=1")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("junk.parquet"), "stale bytes")
+    // crash state 3: a torn temp dir from an aborted write
+    val torn = Paths.get(dir).resolve(".tmp-12345")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-0.parquet"), "torn")
+
+    // read() runs repair first: table content must be exactly as before
+    val healed = EventTableSink.read(spark, dir)
+      .select("record_pk", "record_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(healed.sameElements(expect))
+    assert(Files.exists(b0) && Files.exists(b1))
+    assert(!Files.exists(stale) && !Files.exists(torn))
+
+    // and a replayed upsert after the crash still converges
+    EventTableSink.upsert(spark, rows, dir, numBuckets = 4)
+    assert(EventTableSink.read(spark, dir).count() == 50)
+  }
+
 }
