@@ -97,7 +97,22 @@ object Bench {
       cnt / best
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"sf":"$sfDir"}""")
+    // Ingest-boundary throughput: 1M synthetic events through the FULL
+    // binary codec path (pgoutput encode + decode + Relation-typed cast),
+    // no I/O — the direct comparable to the reference's CDC ops/s.
+    val decodeOps = try {
+      val n = 1000000L
+      val df = queries.IngestQueries.syntheticDecode(spark, n)
+      force(df) // warm codec + codegen
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(df)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      n / best
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
