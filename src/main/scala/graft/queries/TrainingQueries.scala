@@ -303,6 +303,21 @@ object TrainingQueries {
           col("vmin"), col("scale"), col("max_err"))
         .orderBy("vec_id")),
 
+    // Product quantization ANN (the storage half of IVF-PQ): deterministic
+    // per-subspace codebooks, corpus encoded to m codes, queries scored by
+    // an ADC lookup table in integer micro-units (order-independent exact
+    // sums). Queries never touch corpus floats — the 100 TB memory shape.
+    "td30_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = graft.similarity.Quantize.pqCodebooks(
+        emb, "embedding", m = 8, k = 16, step = 25, dims = 64)
+      val codes = graft.similarity.Quantize.pqEncode(
+        emb, "embedding", books, m = 8, dims = 64)
+      graft.similarity.Quantize.pqTopK(emb.filter(col("vec_id") < 5),
+          codes, books, "embedding", m = 8, dims = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Benchmark decontamination: distinct 3-gram overlap of each corpus
     // doc against the eval set's shingle universe (docs ≡ 0 mod 50 stand
     // in for the held-out benchmark); contaminated at ≥ 0.5 overlap.
@@ -520,6 +535,40 @@ object TrainingQueries {
         |SELECT doc_id, lang, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "td30_ann_pq" -> {
+      def dist(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, 9), i -> " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
+      s"""WITH sub AS (SELECT unnest(range(0, 8)) AS m),
+         |books AS (SELECT m, CAST(vec_id // 25 AS INT) AS code,
+         |    embedding[(m*8+1):(m*8+8)] AS cvec
+         |  FROM embeddings, sub WHERE vec_id % 25 = 0 AND vec_id < 400),
+         |pieces AS (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS svec
+         |  FROM embeddings, sub),
+         |scored AS (SELECT vec_id, p.m, code, ${dist("svec", "cvec")} AS dist
+         |  FROM pieces p JOIN books b ON p.m = b.m),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM scored)
+         |  WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS query_id, b.m, b.code,
+         |    CAST(round(${dist("qvec", "cvec")} * 1e6) AS BIGINT) AS dist_micro
+         |  FROM (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS qvec
+         |        FROM embeddings, sub WHERE vec_id < 5) q
+         |  JOIN books b ON q.m = b.m),
+         |agg AS (SELECT a.query_id, c.vec_id AS corpus_id,
+         |    CAST(sum(a.dist_micro) AS BIGINT) AS adist_micro
+         |  FROM codes c JOIN adc a ON a.m = c.m AND a.code = c.code
+         |    AND a.query_id <> c.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, adist_micro, rank FROM (
+         |  SELECT query_id, corpus_id, adist_micro, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist_micro, corpus_id) AS INT)
+         |    AS rank FROM agg)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "td29_decontam" -> (toksCte +
       """,

@@ -27,6 +27,88 @@ object Quantize {
       .otherwise(transform(d, x => round((x - vmin) / scale).cast("bigint")))
   }
 
+  // ---- Product quantization (the storage half of IVF-PQ) ---------------
+
+  /** PQ codebooks: the vector space split into `m` subspaces of
+    * `dims / m` components; subspace centroids are drawn deterministically
+    * from the corpus (centroid `k` of every subspace = the subvector of
+    * the training vector `vec_id = k * step`), the same medoid-style
+    * seeding as [[Ann]]'s IVF — reproducible by any engine, no iterative
+    * k-means state. Returns `(m, code, cvec)`.
+    *
+    * At 100 TB the codebook is tiny (m × k rows) and broadcast; encode is
+    * one scan of the corpus.
+    */
+  def pqCodebooks(emb: DataFrame, vecCol: String, m: Int, k: Int,
+      step: Int, dims: Int): DataFrame = {
+    val d = dims / m
+    val sub = emb.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    emb.filter(col("vec_id") % step === 0 && col("vec_id") < k.toLong * step)
+      .crossJoin(sub)
+      .select(col("m"), (col("vec_id") / step).cast("int").as("code"),
+        slice(col(vecCol), col("m") * d + 1, lit(d)).as("cvec"))
+  }
+
+  /** Sequential-fold squared L2 between two float subvectors — the same
+    * left-fold shape as DuckDB's `list_aggregate(..., 'sum')`, so the
+    * double is engine-identical.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Encode the corpus: each vector → `m` codes (argmin squared L2 to the
+    * subspace's centroids, lowest code on ties). Returns
+    * `(vec_id, m, code)` — the 4-byte-per-subspace representation that
+    * replaces the float vector in the scan.
+    */
+  def pqEncode(emb: DataFrame, vecCol: String, codebooks: DataFrame,
+      m: Int, dims: Int): DataFrame = {
+    val d = dims / m
+    val sub = emb.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    val pieces = emb.crossJoin(sub)
+      .select(col("vec_id"), col("m"),
+        slice(col(vecCol), col("m") * d + 1, lit(d)).as("svec"))
+    val scored = pieces.join(broadcast(codebooks), Seq("m"))
+      .withColumn("dist", sqDist(col("svec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** ADC top-k: queries never touch corpus floats — each query builds an
+    * (m × k) lookup table of distances to every centroid (integer
+    * MICRO-UNITS, so the cross-subspace sum is exact integer arithmetic,
+    * order-independent across engines), and corpus codes join the table
+    * on `(m, code)`. Approximate distance = Σ table[m, code_m]. Returns
+    * `(query_id, corpus_id, adist_micro, rank)`.
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      vecCol: String, m: Int, dims: Int, k: Int): DataFrame = {
+    val d = dims / m
+    val sub = queries.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    val adc = queries.crossJoin(sub)
+      .select(col("vec_id").as("query_id"), col("m"),
+        slice(col(vecCol), col("m") * d + 1, lit(d)).as("qvec"))
+      .join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(sqDist(col("qvec"), col("cvec")) * 1e6).cast("bigint")
+          .as("dist_micro"))
+    val scored = codes.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("corpus_id"))
+      .agg(sum("dist_micro").as("adist_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_micro"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adist_micro"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Adds `codes` (int8-style), `vmin`, `scale`, and `max_err` — the
     * per-vector max |dequantized − original| reconstruction error, which
     * is bounded by scale/2.

@@ -113,6 +113,34 @@ class TrainingPrepSpec extends SparkSpec {
     assert(row.getAs[Double]("scale") == 0.0)
   }
 
+  test("product quantization: m codes per vector in [0,k), ADC ranks contiguous") {
+    val emb = Tables.embeddings(spark, sf())
+    val books = Quantize.pqCodebooks(emb, "embedding", m = 8, k = 16,
+      step = 25, dims = 64)
+    assert(books.count() == 8 * 16)
+    val codes = Quantize.pqEncode(emb, "embedding", books, m = 8, dims = 64)
+    val n = emb.count()
+    assert(codes.count() == n * 8) // exactly one code per (vector, subspace)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    val top = Quantize.pqTopK(emb.filter(col("vec_id") < 3), codes, books,
+      "embedding", m = 8, dims = 64, k = 5).collect()
+    assert(top.length == 15)
+    assert(top.forall(r => r.getAs[Long]("query_id") !=
+      r.getAs[Long]("corpus_id")))
+    // a duplicate of the query quantizes to the query's own codes — and
+    // the query's codes are per-subspace argmins of its OWN ADC table, so
+    // the duplicate must achieve the global minimum ADC distance
+    val dupCorpus = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(1000L))
+      .union(emb.filter(col("vec_id") > 0 && col("vec_id") < 100))
+    val dupTop = Quantize.pqTopK(emb.filter(col("vec_id") === 0),
+      Quantize.pqEncode(dupCorpus, "embedding", books, m = 8, dims = 64),
+      books, "embedding", m = 8, dims = 64, k = 99).collect()
+    val dupRow = dupTop.find(_.getAs[Long]("corpus_id") == 1000L).get
+    assert(dupRow.getAs[Long]("adist_micro") ==
+      dupTop.map(_.getAs[Long]("adist_micro")).min)
+  }
+
   test("decontamination flags eval-set copies and ignores disjoint docs") {
     import spark.implicits._
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
