@@ -303,6 +303,31 @@ object TrainingQueries {
           col("vmin"), col("scale"), col("max_err"))
         .orderBy("vec_id")),
 
+    // Corpus selection capstone: the final curation step — rank documents
+    // WITHIN each (lang, source) stratum by a composite quality signal
+    // (distinct-token ratio minus duplicated-3-gram penalty, in exact
+    // integer micro-units) and keep the top 5 per stratum. Composes the
+    // quality/repetition operators with a per-group top-k window: ONE
+    // shuffle on the stratum key.
+    "td31_quality_topk" -> ((s, dir) => {
+      val n = size(col("toks")).cast("double")
+      val distinctRatio = size(array_distinct(col("toks"))).cast("double") / n
+      val sh3 = TextAnalysis.shinglesOf(col("toks"), 3)
+      val dup3 = lit(1.0) - size(array_distinct(sh3)).cast("double") /
+        TextAnalysis.shingleCount(col("toks"), 3).cast("double")
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("score_micro",
+          round((distinctRatio - dup3) * 1e6).cast("bigint"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("score_micro"), col("rk").cast("int").as("rk"))
+        .orderBy("lang", "source", "rk")
+    }),
+
     // Product quantization ANN (the storage half of IVF-PQ): deterministic
     // per-subspace codebooks, corpus encoded to m codes, queries scored by
     // an ADC lookup table in integer micro-units (order-independent exact
@@ -535,6 +560,24 @@ object TrainingQueries {
         |SELECT doc_id, lang, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "td31_quality_topk" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS toks,
+        |    list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g3
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang, source,
+        |    CAST(round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      - (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)))
+        |      * 1e6) AS BIGINT) AS score_micro
+        |  FROM t)
+        |SELECT doc_id, lang, source, score_micro, rk FROM (
+        |  SELECT doc_id, lang, source, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY score_micro DESC, doc_id) AS INT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin,
 
     "td30_ann_pq" -> {
       def dist(a: String, b: String) =
