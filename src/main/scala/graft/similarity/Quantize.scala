@@ -74,10 +74,12 @@ object Quantize {
         slice(col(vecCol), col("m") * d + 1, lit(d)).as("svec"))
     val scored = pieces.join(broadcast(codebooks), Seq("m"))
       .withColumn("dist", sqDist(col("svec"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
+    // argmin via lexicographic struct-min (dist asc, code asc on ties):
+    // partial-aggregates map-side, so the shuffle carries corpus x m rows
+    // — not the corpus x m x k scored rows a ranking window would move
+    scored.groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
   }
 
   /** ADC top-k: queries never touch corpus floats — each query builds an
