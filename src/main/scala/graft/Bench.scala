@@ -41,23 +41,15 @@ object Bench {
     // JIT and codegen compilation; the min reflects the PLAN's steady-state
     // cost, which is what round-over-round comparison needs (observed
     // first-vs-second swings of 3x on I/O-heavy queries at local[32])
-    // Each evaluation re-invokes fn, so localCheckpoint blocks from prior
-    // evaluations are dead weight — drop them between queries or the heap
-    // fills with orphaned RDD blocks and late queries measure GC, not
-    // their plan (observed: the decode bench fell 4.8M -> 0.19M events/s
-    // behind 82 leaked sf0.1 checkpoints).
-    def dropCachedBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-    }
-
+    // Drop leftover checkpoint blocks between evaluations (observed: the
+    // decode bench fell 4.8M -> 0.19M events/s behind 82 leaked sf0.1
+    // checkpoints).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
-        dropCachedBlocks()
+        Tables.dropCachedBlocks(spark)
         t
       }
       name -> times.min

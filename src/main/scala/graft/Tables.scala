@@ -14,6 +14,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Drop orphaned cached/localCheckpoint'd RDD blocks and cached plans.
+    * Bench and Verify call this between queries — re-invoking a query fn
+    * re-creates its checkpoints, and the previous generation would
+    * otherwise stay pinned until the heap fills and late queries measure
+    * GC instead of their plan.
+    */
+  def dropCachedBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
     * not model natively (TimestampType is micros). Read it as a long and
     * truncate ns → µs — exactly what DuckDB does on conversion, so the

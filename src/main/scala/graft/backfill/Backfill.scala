@@ -53,13 +53,17 @@ object Backfill {
       pageSize: Int): (DataFrame, Option[Seq[Any]], Long) = {
     val pageDf = Keyset.page(table, sortCols, cursor, pageSize)
     val n = pageDf.count()
-    val next =
-      if (n < pageSize) None
-      else Some(pageDf.select(sortCols.map(col): _*)
-        .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
-        .head().toSeq)
+    val next = if (n < pageSize) None else maxCursor(pageDf, sortCols)
     (pageDf.withColumn("action", lit("read")), next, n)
   }
+
+  /** Max cursor tuple of a page — desc-sort + limit 1, ONE collected row;
+    * None for an empty page.
+    */
+  private def maxCursor(df: DataFrame, sortCols: Seq[String]): Option[Seq[Any]] =
+    df.select(sortCols.map(col): _*)
+      .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
+      .collect().headOption.map(_.toSeq)
 
   /** Full backfill loop with AIMD page sizing. `fence`: PKs already seen on
     * the live CDC stream during the scan (stale backfill rows dropped —
@@ -86,14 +90,23 @@ object Backfill {
     // interrupted scan continues, not restarts). A page left half-written
     // by the crash is dropped (no _SUCCESS marker) and re-scanned.
     var pageNo = firstIncompletePage(spool)
-    var cursor: Option[Seq[Any]] =
-      if (pageNo == 0) None
-      else Some(spark.read.parquet(s"$spool/page=${pageNo - 1}")
-        .select(sortCols.map(col): _*)
-        .orderBy(sortCols.map(c => col(c).desc): _*).limit(1)
-        .head().toSeq)
     var done = java.nio.file.Files.exists(
       java.nio.file.Paths.get(spool).resolve(DoneMarker))
+    // resume cursor from the last completed page's max tuple; None for an
+    // empty last page (crash between writing a final empty page and its
+    // cleanup) — and not computed at all when _DONE skips the loop
+    var cursor: Option[Seq[Any]] =
+      if (pageNo == 0 || done) None
+      else maxCursor(spark.read.parquet(s"$spool/page=${pageNo - 1}"), sortCols)
+    if (!done && pageNo > 0 && cursor.isEmpty) {
+      // the last "completed" page is EMPTY: it was the end-of-table probe;
+      // drop it and finish (the loop would only rewrite an empty page)
+      deleteDir(s"$spool/page=${pageNo - 1}")
+      pageNo -= 1
+      cursor =
+        if (pageNo == 0) None
+        else maxCursor(spark.read.parquet(s"$spool/page=${pageNo - 1}"), sortCols)
+    }
     while (!done) {
       val t0 = System.nanoTime()
       val pageSize = optimizer.pageSize

@@ -54,16 +54,24 @@ object PipelineSpec {
   private[config] val DeniedExprFunctions = Set(
     "rand", "randn", "random", "uuid", "shuffle",
     "monotonically_increasing_id", "input_file_name", "spark_partition_id",
-    "current_timestamp", "now", "current_date", "localtimestamp",
+    "current_timestamp", "now", "current_date", "curdate", "localtimestamp",
     "current_timezone", "session_user", "current_user", "user",
-    "reflect", "java_method")
+    "unix_timestamp", "reflect", "java_method")
+
+  /** Functions denied only in their ZERO-ARG form (where they read the
+    * clock); with arguments they are pure and stay allowed.
+    */
+  private[config] val DeniedNoArgForms = Set("unix_timestamp")
 
   /** Parse-time validation of a user expression string: must be valid
-    * Spark SQL syntax and must not call a denied function. Returns the
-    * expression unchanged (the pipeline builder compiles it with `expr`).
+    * Spark SQL syntax, must not contain a subquery (which would smuggle an
+    * un-walked inner plan past the deny-list), and must not call a denied
+    * function. Returns the expression unchanged (the pipeline builder
+    * compiles it with `expr`).
     */
   private[config] def validateExpr(what: String, s: String): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     val parsed =
       try CatalystSqlParser.parseExpression(s)
@@ -71,10 +79,19 @@ object PipelineSpec {
         throw new IllegalArgumentException(
           s"$what is not a valid SQL expression: ${e.getMessage}")
       }
-    val called = parsed.collect {
-      case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+    // Expression.collect does NOT descend into a subquery's inner plan,
+    // so `(SELECT rand())` would otherwise slip through — the MiniElixir
+    // surface has no subqueries either, so reject them outright
+    if (parsed.exists(_.isInstanceOf[PlanExpression[_]]))
+      throw new IllegalArgumentException(
+        s"$what contains a subquery (not allowed in user expressions)")
+    val denied = parsed.collect {
+      case f: UnresolvedFunction
+          if DeniedExprFunctions(f.nameParts.last.toLowerCase) &&
+            (!DeniedNoArgForms(f.nameParts.last.toLowerCase) ||
+              f.arguments.isEmpty) =>
+        f.nameParts.last.toLowerCase
     }
-    val denied = called.filter(DeniedExprFunctions)
     if (denied.nonEmpty)
       throw new IllegalArgumentException(
         s"$what calls denied function(s): ${denied.distinct.sorted.mkString(", ")} " +
@@ -160,16 +177,17 @@ object PipelineSpec {
     // user functions as config (F4/P4/R2): validated expression strings
     val filterFn = Option(root.get("filter_function")).map(n =>
       validateExpr("filter_function", n.asText()))
-    val transformFns = Option(root.get("transform_functions")).map(
-      _.fields().asScala.map { e =>
-        e.getKey -> validateExpr(s"transform_functions.${e.getKey}",
-          e.getValue.asText())
-      }.toSeq).getOrElse(Nil)
-    val routingFn = Option(root.get("routing_function")).map(
-      _.fields().asScala.map { e =>
-        e.getKey -> validateExpr(s"routing_function.${e.getKey}",
-          e.getValue.asText())
-      }.toMap).getOrElse(Map.empty[String, String])
+    def exprObject(field: String): Seq[(String, String)] =
+      Option(root.get(field)).map { n =>
+        if (!n.isObject)
+          throw new IllegalArgumentException(
+            s"$field must be an object of name -> expression")
+        n.fields().asScala.map { e =>
+          e.getKey -> validateExpr(s"$field.${e.getKey}", e.getValue.asText())
+        }.toSeq
+      }.getOrElse(Nil)
+    val transformFns = exprObject("transform_functions")
+    val routingFn = exprObject("routing_function").toMap
     if (routingFn.nonEmpty) {
       // unknown-key rejection against the sink's allowed set at PARSE time
       // (Routing.withOverrides re-checks at plan time)

@@ -113,9 +113,28 @@ object CdcPipeline {
       df = df.withColumn(name, expr(e))
     }
     // R2 — user routing function: overrides merged over the default
-    // router through the per-sink allowed-key validation
+    // router through the per-sink allowed-key validation. The sink's OWN
+    // default router runs first so a null override falls back to a real
+    // default for every sink type, not just kafka; consumer-configured
+    // destination settings are the next default layer (the reference's
+    // route_consumer, routing.ex:103-151) under the user function.
     if (cfg.routingFunction.nonEmpty) {
       val sinkType = cfg.sink.map(_.sinkType).getOrElse("kafka")
+      df = sinkType match {
+        case "redis_stream"  => Routing.redisStream(df)
+        case "gcp_pubsub"    => Routing.gcpPubsub(df)
+        case "nats"          => Routing.nats(df)
+        case "rabbitmq"      => Routing.rabbitmq(df)
+        case "elasticsearch" => Routing.esIndexName(df)
+        case "typesense"     => Routing.typesense(df)
+        case "meilisearch"   => Routing.meilisearch(df)
+        case _               => df // kafka routed above; static sinks below
+      }
+      cfg.sink.foreach(s => s.settings.foreach { case (k, v) =>
+        if (Routing.allowedRouteKeys(sinkType).contains(k) &&
+            !df.columns.contains(k))
+          df = df.withColumn(k, lit(v))
+      })
       df = Routing.withOverrides(df, sinkType,
         cfg.routingFunction.map { case (k, e) => k -> expr(e) })
     }

@@ -182,6 +182,25 @@ class TypesAndConfigSpec extends SparkSpec {
       new PageSizeOptimizer(100, maxTimeoutMs = 60000, growFactor = 1.0),
       spoolDir = Some(spool))
     assert(again.count() == 400)
+
+    // crash DIRECTLY after writing the final end-of-table EMPTY page but
+    // before its cleanup/_DONE: resume must converge, not throw on the
+    // empty page's missing cursor
+    val spool2 = java.nio.file.Files
+      .createTempDirectory("graft_bf_resume2").toString
+    Seq(0, 1, 2, 3).foreach { p =>
+      graft.ops.Keyset.page(orders, Seq("o_orderkey"),
+          if (p == 0) None else Some(Seq(keys(100 * p - 1))), 100)
+        .withColumn("action", lit("read"))
+        .write.mode("overwrite").parquet(s"$spool2/page=$p")
+    }
+    orders.limit(0).withColumn("action", lit("read"))
+      .write.mode("overwrite").parquet(s"$spool2/page=4") // empty probe page
+    val resumed = Backfill.run(spark, orders, Seq("o_orderkey"),
+      new PageSizeOptimizer(100, maxTimeoutMs = 60000, growFactor = 1.0),
+      spoolDir = Some(spool2))
+    assert(resumed.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      .sameElements(expect))
   }
 
   test("Backfill fencing drops PKs seen on the CDC stream") {
@@ -337,6 +356,35 @@ class TypesAndConfigSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](PipelineSpec.parse(
       """{"name":"x","routing_function":{"stream_key":"'s'"},
         | "destination":{"type":"kafka","topic":"t"}}""".stripMargin))
+    // a subquery must not smuggle a denied function past the tree walk
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","filter_function":"(SELECT rand()) > 0.5"}"""))
+    // zero-arg unix_timestamp reads the clock — denied; with args it's pure
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","filter_function":"unix_timestamp() % 60 < 30"}"""))
+    PipelineSpec.parse(
+      """{"name":"x","filter_function":"unix_timestamp(commit_ts) > 0"}""")
+    // non-object function blocks are malformed, not silently empty
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","transform_functions":"round(record_value, 2)"}"""))
+  }
+
+  test("routing function over a non-kafka sink: null override falls back to that sink's default") {
+    val cfg = PipelineSpec.parse(
+      """{"name": "rs",
+        | "routing_function": {"stream_key":
+        |   "CASE WHEN action = 'delete' THEN 'audit.stream' END"},
+        | "destination": {"type": "redis_stream", "stream_key": "cfg.stream"}}"""
+        .stripMargin)
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf()))
+    val out = graft.streaming.CdcPipeline.build(cdc, cfg)
+    val byAction = out.select("action", "stream_key").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(byAction.filter(_._1 == "delete").forall(_._2 == "audit.stream"))
+    // non-deletes fall back to the redis_stream DEFAULT router, not null
+    assert(byAction.filter(_._1 == "insert")
+      .forall(_._2.startsWith("sequin.")))
+    assert(byAction.forall(_._2 != null))
   }
 
   test("group_columns override the pk-derived delivery group in the pipeline") {
