@@ -93,6 +93,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("q52 initial sync: fence is a hash anti-join, no cartesian, single union") {
+    val plan = formatted(q("q52_initial_sync"))
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Union"))
+  }
+
   test("q33 partition assignment shuffles once, by the delivery hash") {
     val plan = formatted(q("q20_total_order"))
     // global order restore = one range-partitioned sort, no extra exchange
