@@ -77,6 +77,31 @@ class YamlSpecSpec extends SparkSpec {
     assert(YamlSpec.parse(yaml) == PipelineSpec.parse(json))
   }
 
+  test("user-function blocks parse identically from YAML and JSON, same validation") {
+    val yaml =
+      """name: "fns"
+        |filter_function: "record_value > 50"
+        |transform_functions:
+        |  value_eur: "round(record_value * 0.92, 2)"
+        |routing_function:
+        |  topic: "concat('cdc.', table_name)"
+        |destination:
+        |  type: "kafka"
+        |  topic: "t"
+        |""".stripMargin
+    val json =
+      """{"name":"fns","filter_function":"record_value > 50",
+        |"transform_functions":{"value_eur":"round(record_value * 0.92, 2)"},
+        |"routing_function":{"topic":"concat('cdc.', table_name)"},
+        |"destination":{"type":"kafka","topic":"t"}}""".stripMargin
+    assert(YamlSpec.parse(yaml) == PipelineSpec.parse(json))
+    // the YAML path hits the SAME expression sandbox
+    assertThrows[IllegalArgumentException](YamlSpec.parse(
+      """name: "bad"
+        |filter_function: "rand() > 0.5"
+        |""".stripMargin))
+  }
+
   test("render is to_external: parseSinks(render(cfg)) round-trips exactly") {
     val cfgs = Seq(
       PipelineSpec.parse("""{"name":"min"}"""),
