@@ -109,8 +109,12 @@ object EventTableSink {
     val tmp = target.resolve(s".tmp-${System.nanoTime()}")
     // cluster by bucket before the partitioned write: one task owns each
     // touched bucket, so a bucket dir is a few contiguous files, not
-    // (writer tasks × buckets) fragments — and the swap moves fewer files
+    // (writer tasks × buckets) fragments — and the swap moves fewer files.
+    // Rows are additionally SORTED by key within each bucket so parquet
+    // min/max column-chunk stats are tight: a point lookup prunes row
+    // groups INSIDE the bucket dir, not just the dir itself.
     merged.repartition(col(BucketCol))
+      .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
     touched.foreach { b =>
