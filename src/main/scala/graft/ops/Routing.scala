@@ -135,6 +135,17 @@ object Routing {
     "s2" -> Set("basin", "stream"),
     "azure_event_hub" -> Set("event_hub_name"))
 
+  /** Some reference routing keys collide with CDC ENVELOPE columns — the
+    * per-sink "action" key is the sink OP (index vs delete), not the CDC
+    * action. Overrides for those keys target the router's own column so
+    * the envelope is never clobbered.
+    */
+  private val routeKeyColumn: Map[(String, String), String] = Map(
+    ("typesense", "action") -> "ts_action",
+    ("meilisearch", "action") -> "ms_action",
+    ("redis_string", "action") -> "redis_op",
+    ("redis_string", "key") -> "redis_key")
+
   /** R2 — user routing function: expression-valued overrides merged over
     * the default router's columns. User values win where non-null; a null
     * override falls back to the default (the reference drops nil params
@@ -151,7 +162,8 @@ object Routing {
     require(extra.isEmpty,
       s"unknown routing keys for $sinkType: ${extra.toSeq.sorted.mkString(", ")} " +
         s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
-    overrides.foldLeft(df) { case (acc, (k, c)) =>
+    overrides.foldLeft(df) { case (acc, (key, c)) =>
+      val k = routeKeyColumn.getOrElse((sinkType, key), key)
       if (acc.columns.contains(k)) acc.withColumn(k, coalesce(c, col(k)))
       else acc.withColumn(k, c)
     }

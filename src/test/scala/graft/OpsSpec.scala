@@ -135,5 +135,13 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Routing.withOverrides(routed, "carrier_pigeon", Map.empty)
     }
+    // the per-sink "action" routing key is the SINK OP — overriding it
+    // must target the router column (ts_action), never the CDC envelope's
+    // action column
+    val ts = Routing.withOverrides(Routing.typesense(cdc), "typesense",
+      Map("action" -> lit("emplace")))
+    assert(ts.select("ts_action").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("emplace"))
+    assert(ts.select("action").distinct().count() > 1) // envelope intact
   }
 }
