@@ -146,6 +146,10 @@ object Routing {
     ("redis_string", "action") -> "redis_op",
     ("redis_string", "key") -> "redis_key")
 
+  /** The DataFrame column a routing key writes for a sink type. */
+  def targetColumn(sinkType: String, key: String): String =
+    routeKeyColumn.getOrElse((sinkType, key), key)
+
   /** R2 — user routing function: expression-valued overrides merged over
     * the default router's columns. User values win where non-null; a null
     * override falls back to the default (the reference drops nil params
@@ -163,7 +167,7 @@ object Routing {
       s"unknown routing keys for $sinkType: ${extra.toSeq.sorted.mkString(", ")} " +
         s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
     overrides.foldLeft(df) { case (acc, (key, c)) =>
-      val k = routeKeyColumn.getOrElse((sinkType, key), key)
+      val k = targetColumn(sinkType, key)
       if (acc.columns.contains(k)) acc.withColumn(k, coalesce(c, col(k)))
       else acc.withColumn(k, c)
     }

@@ -131,9 +131,10 @@ object CdcPipeline {
         case _               => df // kafka routed above; static sinks below
       }
       cfg.sink.foreach(s => s.settings.foreach { case (k, v) =>
+        val colName = Routing.targetColumn(sinkType, k)
         if (Routing.allowedRouteKeys(sinkType).contains(k) &&
-            !df.columns.contains(k))
-          df = df.withColumn(k, lit(v))
+            !df.columns.contains(colName))
+          df = df.withColumn(colName, lit(v))
       })
       df = Routing.withOverrides(df, sinkType,
         cfg.routingFunction.map { case (k, e) => k -> expr(e) })
