@@ -328,6 +328,15 @@ object CoreQueries {
         .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
         .orderBy("record_id")),
 
+    // Change feed between two cursors: the NET per-pk effect of every
+    // change in (L1, L2] — what an incremental consumer applies to get
+    // from snapshot L1 to L2. Complements q51 (state AT a cursor).
+    "q53_change_feed" -> ((s, dir) =>
+      graft.sinks.EventTableSink.changesBetween(cdc(s, dir), 5000L, 8000L)
+        .select(col("record_pk"), col("record_id"), col("action"),
+          col("net_effect"), col("commit_lsn"), col("commit_idx"))
+        .orderBy("record_id")),
+
     // §3.2 capstone — INITIAL SYNC: snapshot + live CDC, composed. The
     // snapshot (state as of cursor L) is emitted as backfill `read`
     // events; reads whose pk the live stream (> L) also touched are
@@ -624,6 +633,17 @@ object CoreQueries {
       "q45_group_fifo" -> (cte +
         """SELECT commit_lsn, commit_idx, group_id, record_pk, action
           |FROM cdc ORDER BY commit_lsn, commit_idx""".stripMargin),
+
+      "q53_change_feed" -> (cte +
+        """SELECT record_pk, record_id, action,
+          |  CASE WHEN action = 'delete' THEN 'delete' ELSE 'upsert' END
+          |    AS net_effect,
+          |  commit_lsn, commit_idx FROM (
+          |  SELECT record_pk, record_id, action, commit_lsn, commit_idx,
+          |    row_number() OVER (PARTITION BY record_pk
+          |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |  FROM cdc WHERE commit_lsn > 5000 AND commit_lsn <= 8000)
+          |WHERE rn = 1 ORDER BY record_id""".stripMargin),
 
       "q52_initial_sync" -> (cte +
         """SELECT record_pk, record_id, 'read' AS action,

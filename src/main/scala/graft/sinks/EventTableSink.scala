@@ -132,6 +132,21 @@ object EventTableSink {
     deleteRecursively(tmp)
   }
 
+  /** Change feed between two cursors: the NET effect per record_pk of
+    * every change in `(fromLsn, toLsn]` — latest version in the window,
+    * tagged with whether the pk ended up upserted or deleted. The
+    * incremental-consumer primitive: a downstream rebuilt from snapshot
+    * `fromLsn` applies exactly these rows to reach `toLsn` (one windowed
+    * dedup over a cursor-pruned scan).
+    */
+  def changesBetween(events: DataFrame, fromLsn: Long, toLsn: Long): DataFrame = {
+    val window = events.filter(
+      col(seqCols.head) > fromLsn && col(seqCols.head) <= toLsn)
+    Ordering.dedupLatest(window, keyCols, seqCols.map(col))
+      .withColumn("net_effect",
+        when(col("action") === "delete", "delete").otherwise("upsert"))
+  }
+
   /** Time travel over retained changes: the record state "as of" a WAL
     * cursor — for each `record_pk`, the latest version at or below
     * `(lsn, idx)`, with deleted records absent. This is the replay payoff

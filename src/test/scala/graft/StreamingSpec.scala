@@ -228,6 +228,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("added") == 7L)
   }
 
+  test("config user functions compile into a STREAMING plan unchanged") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.config.PipelineSpec.parse(
+      """{"name": "sfns",
+        | "filter_function": "record_value >= 2.0",
+        | "transform_functions": {"value_x10": "record_value * 10"},
+        | "routing_function": {"topic": "concat('s.', table_name)"},
+        | "destination": {"type": "kafka", "topic": "t"}}""".stripMargin)
+    val input = MemoryStream[ChangeEvent]
+    val out = CdcPipeline.build(input.toDF(), cfg)
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("sfns_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(8, 0, "7", "1", value = 1.0),
+        ev(8, 1, "7", "2", value = 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("sfns_out")
+        .select("record_pk", "value_x10", "topic").collect()
+      // filter dropped the 1.0 row; transform and routing applied
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "2")
+      assert(rows.head.getDouble(1) == 30.0)
+      assert(rows.head.getString(2) == "s.t0")
+    } finally query.stop()
+  }
+
   test("EventTableSink.repair rolls back crash debris: half-swap, stale backup, torn temp") {
     implicit val s = spark
     import s.implicits._
