@@ -63,6 +63,17 @@ object PipelineSpec {
     */
   private[config] val DeniedNoArgForms = Set("unix_timestamp")
 
+  /** Names Spark resolves as LITERAL functions when written as bare
+    * single-part attributes (no parens): `current_timestamp` parses as an
+    * `UnresolvedAttribute`, yet the analyzer's literal-function resolution
+    * binds it to the clock/session — so the `UnresolvedFunction` walk in
+    * [[validateExpr]] never sees it. These must be checked on the
+    * ATTRIBUTE side too (Spark's `LiteralFunctionResolution` set).
+    */
+  private[config] val DeniedLiteralAttributes = Set(
+    "current_date", "current_timestamp", "localtimestamp",
+    "current_user", "session_user", "user", "grouping__id")
+
   /** Parse-time validation of a user expression string: must be valid
     * Spark SQL syntax, must not contain a subquery (which would smuggle an
     * un-walked inner plan past the deny-list), and must not call a denied
@@ -70,7 +81,7 @@ object PipelineSpec {
     * compiles it with `expr`).
     */
   private[config] def validateExpr(what: String, s: String): String = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.PlanExpression
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     val parsed =
@@ -91,12 +102,41 @@ object PipelineSpec {
             (!DeniedNoArgForms(f.nameParts.last.toLowerCase) ||
               f.arguments.isEmpty) =>
         f.nameParts.last.toLowerCase
+      // parenless literal-function forms (`commit_ts < current_timestamp`)
+      // reach the analyzer as single-part attributes — same clock reads,
+      // different node type
+      case a: UnresolvedAttribute
+          if a.nameParts.lengthCompare(1) == 0 &&
+            DeniedLiteralAttributes(a.nameParts.head.toLowerCase) =>
+        a.nameParts.head.toLowerCase
     }
     if (denied.nonEmpty)
       throw new IllegalArgumentException(
         s"$what calls denied function(s): ${denied.distinct.sorted.mkString(", ")} " +
           "(user expressions must be deterministic and sandbox-safe)")
     s
+  }
+
+  /** Column names a transform function must NOT write: the CDC envelope
+    * and delivery columns (overwriting `commit_lsn`/`group_id`/… would
+    * silently corrupt FIFO ordering, dedup, and routing downstream) plus
+    * every router target column (those belong to the routing layer, which
+    * has its own override path with per-sink key validation). Mirrors the
+    * unknown-routing-key rejection: the collision fails at config load,
+    * never mid-stream.
+    */
+  private[config] val ReservedTransformNames: Set[String] = {
+    val envelope = Set("commit_lsn", "commit_idx", "commit_ts", "action",
+      "table_schema", "table_name", "table_oid", "record_pk",
+      "idempotency_key", "group_id", "byte_size")
+    val routerColumns = graft.ops.Routing.allowedRouteKeys.flatMap {
+      case (sinkType, keys) =>
+        keys.map(k => graft.ops.Routing.targetColumn(sinkType, k))
+    }.toSet
+    // default-router columns not reachable via an override key
+    val derived = Set("message_key", "partition", "ordering_key",
+      "nats_msg_id", "es_doc_id", "es_op")
+    envelope ++ routerColumns ++ derived
   }
 
   /** Per-sink-type required destination fields (the subset of each
@@ -187,6 +227,12 @@ object PipelineSpec {
         }.toSeq
       }.getOrElse(Nil)
     val transformFns = exprObject("transform_functions")
+    val reservedTransforms =
+      transformFns.map(_._1).filter(n => ReservedTransformNames(n.toLowerCase))
+    if (reservedTransforms.nonEmpty)
+      throw new IllegalArgumentException(
+        "transform_functions may not overwrite envelope/router columns: " +
+          reservedTransforms.distinct.sorted.mkString(", "))
     val routingFn = exprObject("routing_function").toMap
     if (routingFn.nonEmpty) {
       // unknown-key rejection against the sink's allowed set at PARSE time

@@ -115,9 +115,13 @@ object CdcPipeline {
     // R2 — user routing function: overrides merged over the default
     // router through the per-sink allowed-key validation. The sink's OWN
     // default router runs first so a null override falls back to a real
-    // default for every sink type, not just kafka; consumer-configured
-    // destination settings are the next default layer (the reference's
-    // route_consumer, routing.ex:103-151) under the user function.
+    // default for every sink type, not just kafka. Consumer-configured
+    // destination settings only FILL columns the default router does not
+    // define — when the router derived a value (e.g. redis_stream's
+    // sequin.<schema>.<table> stream_key), the configured setting is NOT
+    // consulted. That matches the reference's actual behavior: with a
+    // routing function present, routing.ex never calls route_consumer, so
+    // static sink config loses to router-derived defaults there too.
     if (cfg.routingFunction.nonEmpty) {
       val sinkType = cfg.sink.map(_.sinkType).getOrElse("kafka")
       df = sinkType match {

@@ -369,6 +369,32 @@ class TypesAndConfigSpec extends SparkSpec {
       """{"name":"x","transform_functions":"round(record_value, 2)"}"""))
   }
 
+  test("sandbox: parenless literal functions (clock/user reads) are denied") {
+    // `current_timestamp` with no parens parses as an UnresolvedAttribute,
+    // and Spark's literal-function resolution binds it to the clock at
+    // analysis time — the UnresolvedFunction deny-list alone never sees it
+    for (form <- Seq("current_timestamp", "current_date", "localtimestamp"))
+      assertThrows[IllegalArgumentException](PipelineSpec.parse(
+        s"""{"name":"x","filter_function":"commit_ts < $form"}"""))
+    for (form <- Seq("current_user", "session_user", "user"))
+      assertThrows[IllegalArgumentException](PipelineSpec.parse(
+        s"""{"name":"x","transform_functions":{"who":"$form"}}"""))
+    // qualified attributes of the same name are real column references
+    PipelineSpec.parse(
+      """{"name":"x","filter_function":"accounts.user = 'a'"}""")
+  }
+
+  test("transform_functions may not overwrite envelope or router columns") {
+    for (reserved <- Seq("commit_lsn", "record_pk", "action", "group_id",
+        "topic", "stream_key", "message_key"))
+      assertThrows[IllegalArgumentException](PipelineSpec.parse(
+        s"""{"name":"x","transform_functions":{"$reserved":"'boom'"}}"""))
+    // non-reserved names still pass and land as output columns
+    val cfg = PipelineSpec.parse(
+      """{"name":"x","transform_functions":{"value_eur":"record_value * 0.92"}}""")
+    assert(cfg.transformFunctions.map(_._1) == Seq("value_eur"))
+  }
+
   test("routing function over a non-kafka sink: null override falls back to that sink's default") {
     val cfg = PipelineSpec.parse(
       """{"name": "rs",
