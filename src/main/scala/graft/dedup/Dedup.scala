@@ -86,22 +86,18 @@ object Dedup {
     inter / (size(sortedA) + size(sortedB) - inter)
   }
 
-  /** End-to-end MinHash-LSH near-dup pairs: signature → bands → candidate
-    * pairs → exact-Jaccard verify ≥ threshold.
+  /** ONE corpus pass materializing both the sorted-distinct shingle set
+    * and the minhash signature (localCheckpoint): band joins and
+    * verification joins consume the checkpoint, never the corpus. The
+    * signature hashes the sorted-distinct set instead of first-occurrence
+    * order — minima are order-invariant, so the result (and the DuckDB
+    * oracle, which also hashes `toks`) is unchanged. Tokens are bound in
+    * their own projection: HOF lambdas are interpreted, so an inline
+    * split would re-run once per shingle.
     */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
-      shingleN: Int = 3): DataFrame = {
-    // ONE corpus pass materializes both the shingle set and the
-    // signature (localCheckpoint): the band self-join and the two
-    // verification joins consume the checkpoint, never the corpus.
-    // The signature hashes the sorted-distinct set instead of
-    // first-occurrence order — minima are order-invariant, so the
-    // result (and the DuckDB oracle, which also hashes `toks`) is
-    // unchanged.
-    // tokens are bound in their own projection: HOF lambdas are
-    // interpreted, so an inline split would re-run once per shingle
-    val base = df.select(col(idCol),
+  private def signatureBase(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol),
         TextAnalysis.tokens(col(textCol)).as("__wtoks"))
       .select(col(idCol),
         sort_array(array_distinct(
@@ -110,6 +106,14 @@ object Dedup {
         .affine_minhash_sig(
           transform(col("toks"), t => graft.functions.Hashing.portableHash(t)), k))
       .localCheckpoint()
+
+  /** End-to-end MinHash-LSH near-dup pairs: signature → bands → candidate
+    * pairs → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val base = signatureBase(df, idCol, textCol, k, shingleN)
     val cands = candidatePairs(
       lshBands(base.select(col(idCol), col("minhash")), idCol, bands, k / bands),
       idCol)
@@ -119,6 +123,42 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental (cross-corpus) MinHash-LSH dedup: match each INCOMING
+    * document against an existing BASE corpus — the nightly-crawl shape:
+    * dedup the new snapshot against 100 TB of already-curated data
+    * WITHOUT re-pairing the base with itself. Candidates are strictly
+    * base × incoming band collisions (never base × base), verified by
+    * exact Jaccard ≥ threshold. Returns (base_id, new_id, jaccard).
+    *
+    * Scale shape: the base side's signatures are a pure per-doc
+    * computation, paid once — in production they live in a materialized
+    * signature/band table keyed by band_key (the same layout
+    * [[candidatePairs]] shuffles to), so a nightly increment shuffles
+    * only the increment's bands plus the colliding base buckets.
+    */
+  def minhashNearDupsAgainst(base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val basePrep = signatureBase(base, idCol, textCol, k, shingleN)
+    val incPrep = signatureBase(incoming, idCol, textCol, k, shingleN)
+    val rowsPerBand = k / bands
+    val baseBands = lshBands(basePrep.select(col(idCol), col("minhash")),
+      idCol, bands, rowsPerBand).withColumnRenamed(idCol, "base_id")
+    val incBands = lshBands(incPrep.select(col(idCol), col("minhash")),
+      idCol, bands, rowsPerBand).withColumnRenamed(idCol, "new_id")
+    val cands = baseBands.join(incBands, Seq("band_idx", "band_key"))
+      .filter(col("base_id") =!= col("new_id"))
+      .select("base_id", "new_id").distinct()
+    cands
+      .join(basePrep.select(col(idCol).as("base_id"), col("toks").as("toks_a")),
+        "base_id")
+      .join(incPrep.select(col(idCol).as("new_id"), col("toks").as("toks_b")),
+        "new_id")
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("base_id", "new_id", "jaccard")
   }
 
   /** SimHash fingerprints (`bits` wide, ≤ 32) for a whole DataFrame:

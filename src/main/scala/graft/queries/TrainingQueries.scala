@@ -328,6 +328,33 @@ object TrainingQueries {
         .orderBy("lang", "source", "rk")
     }),
 
+    // SemDeDup: semantic dedup over embedding clusters — coarse medoid
+    // clustering bounds the pair space, within-cluster cosine >= τ marks
+    // duplicates, min vec_id per chain survives (arXiv:2303.09540)
+    "td32_semdedup" -> ((s, dir) =>
+      Ann.semDedup(Tables.embeddings(s, dir), centroidEvery = 50,
+          threshold = 0.3)
+        .orderBy("vec_id")),
+
+    // Vocabulary coverage: per-doc OOV-occurrence rate against the
+    // corpus's own top-k vocabulary (tokenizer-fit / garbage signal)
+    "td33_oov_rate" -> ((s, dir) =>
+      graft.training.TrainingPrep.oovRate(Tables.documents(s, dir),
+          "doc_id", "text", vocabSize = 32)
+        .orderBy("doc_id")),
+
+    // Incremental corpus dedup: the nightly-crawl shape — match the NEW
+    // snapshot (doc_id ≡ 0 mod 5 stands in) against the existing base
+    // corpus via cross-corpus LSH; base never re-pairs with itself
+    "td34_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("new_id", "base_id")
+    }),
+
     // Product quantization ANN (the storage half of IVF-PQ): deterministic
     // per-subspace codebooks, corpus encoded to m codes, queries scored by
     // an ADC lookup table in integer micro-units (order-independent exact
@@ -372,10 +399,10 @@ object TrainingQueries {
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
 
-  /** Shared DuckDB CTE chain computing the verified MinHash near-dup
-    * pairs (mirrors Dedup.minhashNearDups end-to-end).
+  /** Shared DuckDB CTE prefix: shingle sets → hashes → minhash
+    * signatures → LSH bands (mirrors Dedup.signatureBase + lshBands).
     */
-  private lazy val minhashPairsCtes: String = {
+  private lazy val minhashBandsCtes: String = {
     val r = 3
     val bandExprs = (0 until 4).map { b =>
       s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], ','))"
@@ -384,7 +411,14 @@ object TrainingQueries {
        |hset AS (SELECT doc_id, toks, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
        |sigs AS (SELECT doc_id, toks, ${duckSignature(12)} AS sig FROM hset),
        |bands AS (SELECT doc_id, toks, unnest([${bandExprs.mkString(", ")}]) AS band_key,
-       |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs),
+       |          unnest([0, 1, 2, 3]) AS band_idx FROM sigs)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain computing the verified MinHash near-dup
+    * pairs (mirrors Dedup.minhashNearDups end-to-end).
+    */
+  private lazy val minhashPairsCtes: String =
+    s"""$minhashBandsCtes,
        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -397,7 +431,6 @@ object TrainingQueries {
        |JOIN sets sb ON sb.doc_id = c.id_b
        |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
        |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5)""".stripMargin
-  }
 
   // ---- oracles ---------------------------------------------------------
 
@@ -578,6 +611,54 @@ object TrainingQueries {
         |      ORDER BY score_micro DESC, doc_id) AS INT) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin,
+
+    "td32_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (SELECT vec_id, centroid_id, embedding FROM (
+         |  SELECT x.vec_id, c.centroid_id, x.embedding,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |dups AS (SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding", 64)} >= 0.3)
+         |SELECT vec_id, centroid_id FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY vec_id""".stripMargin,
+
+    "td33_oov_rate" ->
+      """WITH vocab AS (SELECT token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 32),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_toks,
+        |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 0 ELSE 1 END) AS INT) AS n_oov,
+        |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS oov_ratio
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td34_incremental_dedup" -> (minhashBandsCtes +
+      """,
+        |cands AS (SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS new_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+        |SELECT c.base_id, c.new_id,
+        |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
+        |FROM cands c
+        |JOIN sets sa ON sa.doc_id = c.base_id
+        |JOIN sets sb ON sb.doc_id = c.new_id
+        |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5
+        |ORDER BY new_id, base_id""".stripMargin),
 
     "td30_ann_pq" -> {
       def dist(a: String, b: String) =

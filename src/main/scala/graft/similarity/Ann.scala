@@ -181,6 +181,38 @@ object Ann {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-pairwise-cosine. Vectors are coarse-clustered with the
+    * same deterministic medoid quantizer as [[ivfTopK]]; within each
+    * cluster, pairs at/above `threshold` cosine are semantic duplicates
+    * and only the smallest vec_id of each duplicate chain survives.
+    * Returns the KEPT vectors as (vec_id, centroid_id).
+    *
+    * Scale shape: clustering bounds the pair space to per-cell O(cell²)
+    * (the paper's point — same way IVF bounds probe cost); the cell
+    * assignment is computed once (checkpoint) and feeds both pair sides
+    * and the final anti-join. At 100 TB the assignment is the
+    * materialized [[buildIvfIndex]] cells table and dedup runs per cell
+    * directory.
+    */
+  def semDedup(corpus: DataFrame, centroidEvery: Int,
+      threshold: Double): DataFrame = {
+    val centroids = medoidCentroids(corpus, centroidEvery)
+    val cells = assignToCentroids(centroids, corpus, "vec_id", 1)
+      .localCheckpoint()
+    val a = cells.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+    val b = cells.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+    val dupIds = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(dupIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     * groups (label = coarse IVF-style partition). Pair space is per-block
     * O(m²), never global.

@@ -175,6 +175,36 @@ object TrainingPrep {
       .withColumn("contaminated", col("overlap") >= lit(threshold))
   }
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit signal: build the
+    * corpus's own top-`vocabSize` token vocabulary (by frequency, ties
+    * broken lexicographically — deterministic), then score each document
+    * by the fraction of its token OCCURRENCES outside that vocabulary.
+    * High OOV docs are poor fits for a tokenizer trained on this corpus
+    * (or mislabeled-language/garbage candidates).
+    *
+    * Scale shape: the vocabulary is an aggregate + global top-k
+    * (tiny by construction — `vocabSize` rows) collapsed to ONE array row
+    * and broadcast; per-doc scoring is then a narrow map over the corpus
+    * (array membership against the broadcast vocab), no shuffle of doc
+    * text. Returns (id, n_toks, n_oov, oov_ratio).
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .agg(collect_set("token").as("__vocab"))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        size(col("__toks")).as("n_toks"),
+        size(filter(col("__toks"),
+          t => !array_contains(col("__vocab"), t))).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_toks").cast("double"))
+  }
+
   def boilerplateExposure(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     // tokenize+shingle+explode ONCE: both the shared-passage aggregate and

@@ -13,6 +13,44 @@ import scala.util.Random
   */
 class DedupSpec extends SparkSpec {
 
+  test("incremental dedup == full-corpus dedup restricted to crossing pairs") {
+    // the nightly-crawl contract: deduping the increment against the base
+    // finds EXACTLY the near-dup pairs a full re-dedup would find between
+    // the two sides — no recall loss from splitting, no base×base noise
+    val docs = Tables.documents(spark, sf())
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val incremental = Dedup.minhashNearDupsAgainst(base, inc, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossing = full.filter { case (a, b, _) =>
+      (a % 5 == 0) != (b % 5 == 0)
+    }.map { case (a, b, j) => // (base_id, new_id) orientation
+      if (a % 5 == 0) (b, a, j) else (a, b, j)
+    }.toSet
+    assert(incremental == crossing)
+    // base docs never pair with other base docs in the incremental result
+    assert(incremental.forall { case (b, n, _) => b % 5 != 0 && n % 5 == 0 })
+  }
+
+  test("semDedup keeps the min id of a planted duplicate chain, drops the rest") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf())
+    // plant exact copies of vector 3 at high ids: same embedding ⇒ cosine
+    // 1.0 ⇒ same cell ⇒ only the smallest id (3) survives the chain
+    val dup = emb.filter(col("vec_id") === 3)
+    val planted = emb
+      .union(dup.withColumn("vec_id", lit(9001L)))
+      .union(dup.withColumn("vec_id", lit(9002L)))
+    val kept = Ann.semDedup(planted, centroidEvery = 50, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && !kept.contains(9001L) && !kept.contains(9002L))
+    // every kept vector exists in the input; count shrank by at least 2
+    assert(kept.subsetOf(planted.select("vec_id").as[Long].collect().toSet))
+    assert(kept.size <= planted.count() - 2)
+  }
+
   test("FloatVecDot equals the declarative zip_with/aggregate fold bit-for-bit") {
     import spark.implicits._
     val rnd = new Random(42)

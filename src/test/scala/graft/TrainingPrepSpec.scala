@@ -141,6 +141,26 @@ class TrainingPrepSpec extends SparkSpec {
       dupTop.map(_.getAs[Long]("adist_micro")).min)
   }
 
+  test("oovRate: zero against a covering vocab, counts consistent, ratio exact") {
+    import spark.implicits._
+    val out = TrainingPrep.oovRate(docs, "doc_id", "text", vocabSize = 32)
+      .select("doc_id", "n_toks", "n_oov", "oov_ratio")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, oov, ratio) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(ratio == oov.toDouble / n.toDouble)
+    }
+    // a vocab that covers every token ⇒ every doc scores 0 OOV
+    val distinctToks = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count().toInt
+    val covered = TrainingPrep.oovRate(docs, "doc_id", "text", distinctToks)
+      .agg(sum("n_oov")).as[Long].head()
+    assert(covered == 0L)
+  }
+
   test("decontamination flags eval-set copies and ignores disjoint docs") {
     import spark.implicits._
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
