@@ -264,6 +264,39 @@ object SinkAdapters {
       lit(endpoint).as("endpoint"),
       (if (legacyRecordOnly) recordOnlyBody else envelope).as("body"))
 
+  /** HTTP push, SQS-buffered variant (`via_sqs: true`) — the reference
+    * splits delivery in two hops: the pipeline enqueues each event to an
+    * SQS main queue as `{"data": <base64(encoded event)>}`
+    * (http_push_pipeline.ex:255-297; the reference binary-encodes with
+    * `term_to_binary` — here the portable JSON envelope is what gets
+    * encoded), and a separate consumer drains the queue and POSTs each
+    * decoded event to the endpoint with the `x-sequin-via: sqs` marker
+    * header (http_push_sqs_pipeline.ex:153-160,295). The reference ids
+    * each SQS message with uuid4; the deterministic idempotency key
+    * rides along instead (its own FIFO-dedup TODO), so replays stay
+    * dedupable and the wire is oracle-stable.
+    */
+  def httpPushSqsEnqueueWire(df: DataFrame, queueUrl: String): DataFrame =
+    df.select(
+      lit(queueUrl).as("queue_url"),
+      col("idempotency_key").as("message_id"),
+      concat(lit("{\"data\":\""), base64(envelope.cast("binary")), lit("\"}"))
+        .as("message_body"))
+
+  /** The drain half of [[httpPushSqsEnqueueWire]]: SQS rows → one POST
+    * per decoded event, marked `x-sequin-via: sqs`. Round-trip invariant
+    * (spec-checked): drain(enqueue(df)) carries exactly
+    * [[httpPushWire]](df)'s bodies.
+    */
+  def httpPushSqsDeliverWire(sqsRows: DataFrame, endpoint: String): DataFrame =
+    sqsRows.select(
+      lit("POST").as("method"),
+      lit(endpoint).as("endpoint"),
+      lit("sqs").as("x_sequin_via"),
+      col("message_id"),
+      unbase64(get_json_object(col("message_body"), "$.data"))
+        .cast("string").as("body"))
+
   /** Dead-letter wire: deliveries that exhausted max_retry_count
     * (`AckDelivery` emits them with `kind = "dlq"`;
     * consumer_event.ex:167-185 persists the same way) become transport

@@ -447,6 +447,24 @@ class TypesAndConfigSpec extends SparkSpec {
       cdc.filter(col("action") === "delete").count())
   }
 
+  test("SQS-buffered HTTP push: drain(enqueue(df)) == direct push bodies") {
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(50)
+    val queued = SinkAdapters.httpPushSqsEnqueueWire(cdc, "http://main-queue")
+    assert(queued.columns.toSeq ==
+      Seq("queue_url", "message_id", "message_body"))
+    // deterministic message ids (the reference uses uuid4; ours must
+    // replay-dedup), and every body is the {"data": base64} wrapper
+    assert(queued.select("message_id").distinct().count() == 50)
+    assert(queued.filter(!col("message_body").startsWith("{\"data\":\"")).count() == 0)
+
+    val drained = SinkAdapters.httpPushSqsDeliverWire(queued, "http://ep")
+    assert(drained.head().getString(2) == "sqs") // x-sequin-via marker
+    val direct = SinkAdapters.httpPushWire(cdc, "http://ep")
+    // the two-hop route delivers exactly the direct route's bodies
+    assert(drained.select("body").exceptAll(direct.select("body")).isEmpty)
+    assert(direct.select("body").exceptAll(drained.select("body")).isEmpty)
+  }
+
   test("sink adapter sweep: the remaining transports' wire shapes") {
     val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(50)
     val deletes = cdc.filter(col("action") === "delete").count()
