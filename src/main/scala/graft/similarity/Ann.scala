@@ -96,6 +96,16 @@ object Ann {
     */
   /** Assign vectors to their `keep` nearest centroids (the IVF coarse
     * quantizer). `centroids` must be broadcastable.
+    *
+    * keep = 1 (the corpus-side assignment — the 100 TB-sized input) is an
+    * ARGMIN aggregate, not a window: `min_by` over (−cos, centroid_id)
+    * gets map-side partial aggregation, so the shuffle carries one
+    * best-so-far row per vector per partition instead of the full
+    * |corpus| × |centroids| score space a row_number window would move.
+    * The (−cos, centroid_id) ordering struct is the exact negation of the
+    * window's (cos DESC, centroid_id ASC), tie-broken by the unique
+    * centroid id — same winner, deterministic. keep > 1 (query probes — a
+    * small side by construction) keeps the top-n window.
     */
   private def assignToCentroids(centroids: DataFrame, df: DataFrame,
       idAlias: String, keep: Int): DataFrame = {
@@ -103,11 +113,19 @@ object Ann {
       .join(broadcast(centroids))
       .withColumn("ccos", dot(col("embedding"), col("cent_emb")) /
         (norm(col("embedding")) * norm(col("cent_emb"))))
-    val w = Window.partitionBy(idAlias)
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= keep)
-      .select(col(idAlias), col("centroid_id"), col("embedding"))
+    if (keep == 1) {
+      scored.groupBy(col(idAlias))
+        .agg(min_by(struct(col("centroid_id"), col("embedding")),
+          struct((-col("ccos")).as("neg_cos"), col("centroid_id"))).as("best"))
+        .select(col(idAlias), col("best.centroid_id").as("centroid_id"),
+          col("best.embedding").as("embedding"))
+    } else {
+      val w = Window.partitionBy(idAlias)
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idAlias), col("centroid_id"), col("embedding"))
+    }
   }
 
   private def medoidCentroids(corpus: DataFrame, centroidEvery: Int): DataFrame =

@@ -60,6 +60,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF corpus assignment is an argmin partial aggregate, not a window") {
+    // td14 shows the assignment inline (semDedup checkpoints the same
+    // stage, hiding it from its final plan): the corpus-side coarse
+    // quantizer must be a map-side-combinable min_by aggregate, not a
+    // row_number window over |corpus|×|centroids| rows
+    val plan = formatted(q("td14_ann_ivf"))
+    assert(plan.contains("min_by"))
+    assert(plan.contains("partial_min_by") || plan.contains("Partial"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("semDedup: within-cell pairing never falls back to cartesian") {
+    val plan = formatted(q("td32_semdedup"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("oovRate: the vocabulary is broadcast; doc text never shuffles") {
+    val plan = formatted(q("td33_oov_rate"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup: band-collision equijoins only, no cartesian") {
+    val plan = formatted(q("td34_incremental_dedup"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("projection pipeline stays inside whole-stage codegen") {
     val df = q("q10_transform_reshape")
     df.collect() // finalize the adaptive plan: codegen ids appear post-exec
