@@ -50,6 +50,11 @@ object Bench {
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         Tables.dropCachedBlocks(spark)
+        // Late queries in the sorted sweep otherwise pay the GC debt of the
+        // ~80 queries before them (observed: td31 4.9s in the sweep vs 0.9s
+        // isolated). Collect between measurements so each min reflects the
+        // plan, not accumulated heap pressure.
+        System.gc()
         t
       }
       name -> times.min

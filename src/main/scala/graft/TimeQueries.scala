@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-query timing scratch main (Bench's measurement loop for a subset).
+  * Usage: runMain graft.TimeQueries [reps=N] queryName [queryName ...]
+  * Honors SPARK_GRAFT_SF_DIR and SPARK_GRAFT_CPUS like Bench.
+  */
+object TimeQueries {
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (repArg, names) = args.partition(_.startsWith("reps="))
+    val reps = repArg.headOption.map(_.stripPrefix("reps=").toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { force(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case None => println(s"$n: unknown query")
+        case Some(fn) =>
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            try { force(fn(spark, sfDir)) } catch {
+              case e: Throwable => println(s"$n ERROR: ${e.getMessage}")
+            }
+            val t = (System.nanoTime() - t0) / 1e9
+            Tables.dropCachedBlocks(spark)
+            System.gc()
+            t
+          }
+          println(f"$n%-28s min=${times.min}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's four specialized joins (J1-J4), Spark-first.
@@ -51,4 +52,52 @@ object Joins {
     */
   def auditLost(expected: DataFrame, sink: DataFrame, keys: Seq[String]): DataFrame =
     expected.join(sink.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** As-of join (beyond the reference — Spark has no built-in): attach to
+    * each left row the LATEST right row with the same `keys` and
+    * `rightTs <= leftTs` (the `>=` inequality DuckDB's ASOF JOIN uses);
+    * no match → NULL payload (left-outer semantics). The state-at-event-time
+    * primitive: "which dimension version / last heartbeat / prior action was
+    * current when this event happened".
+    *
+    * NOT a range join (which would pair every in-window row, O(matches));
+    * and not a per-probe sort: both sides are union-tagged and carried
+    * forward by ONE `last(ignoreNulls)` running window per key — a single
+    * shuffle on the join keys, O(n log n) within partitions, the same
+    * partitioning delivery already uses. At 100 TB both sides stream
+    * through one sort-merge pass; no driver-side state, no broadcast of
+    * the (potentially huge) state side.
+    *
+    * Right rows sharing (keys, ts) are resolved deterministically: the
+    * greatest `payload` struct (field order = `payload` order) wins —
+    * pre-aggregate the right side if a different tie rule is wanted.
+    *
+    * `payload` columns must not collide with left column names (alias the
+    * right side first); `rightTs` itself may be included in `payload` to
+    * expose the matched version's timestamp.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val state = struct(payload.map(col): _*)
+    val rightTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__asof_ts"), lit(0).as("__side"),
+        state.as("__state")): _*)
+    val leftTagged = left
+      .withColumn("__asof_ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    // allowMissingColumns: left rows get a NULL __state, right rows get
+    // NULL left columns (dropped after the probe filter)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // state rows sort BEFORE the probes they qualify for (ts asc, side asc)
+    // so `rightTs == leftTs` matches (>= semantics); among equal-ts state
+    // rows the greatest __state is last and wins
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__side").asc, col("__state").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__match",
+      last(col("__state"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__match.$p").as(p)): _*)
+  }
 }

@@ -337,6 +337,36 @@ object CoreQueries {
           col("net_effect"), col("commit_lsn"), col("commit_idx"))
         .orderBy("record_id")),
 
+    // As-of join (Spark has no built-in; DuckDB ASOF JOIN is the oracle):
+    // each purchase gets the user's latest click at-or-before it — the
+    // state-at-event-time primitive. One shuffle on the key; no range
+    // explosion, no per-probe sort (union + carry-forward window).
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("prior_event_id"))
+        .select(col("user_id"), col("ts").as("prior_ts"),
+          col("prior_event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Joins.asOf(purch, clicks, Seq("user_id"), "ts", "prior_ts",
+          Seq("prior_event_id", "prior_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("bigint").as("value_cents"),
+          col("prior_event_id"),
+          unix_micros(col("prior_ts")).as("prior_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // Gap-based sessionization: per-user sessions split at >12h idle,
+    // rolled up to bounds/count/exact-cents value (lag + running-sum
+    // windows over ONE (user, ts) sort; micros compare as integers)
+    "q55_sessionize" -> ((s, dir) =>
+      Sessions.rollup(Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapMicros = 12L * 3600 * 1000000, valueCol = "value")
+        .orderBy("user_id", "session_idx")),
+
     // §3.2 capstone — INITIAL SYNC: snapshot + live CDC, composed. The
     // snapshot (state as of cursor L) is emitted as backfill `read`
     // events; reads whose pk the live stream (> L) also touched are
@@ -644,6 +674,41 @@ object CoreQueries {
           |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
           |  FROM cdc WHERE commit_lsn > 5000 AND commit_lsn <= 8000)
           |WHERE rn = 1 ORDER BY record_id""".stripMargin),
+
+      "q54_asof_join" ->
+        """WITH clicks AS (
+          |  SELECT user_id, epoch_us(ts) AS prior_ts_us,
+          |    max(event_id) AS prior_event_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |purch AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, p.ts_us,
+          |  CAST(round(p.value * 100) AS BIGINT) AS value_cents,
+          |  c.prior_event_id, c.prior_ts_us
+          |FROM purch p ASOF LEFT JOIN clicks c
+          |  ON p.user_id = c.user_id AND p.ts_us >= c.prior_ts_us
+          |ORDER BY p.event_id""".stripMargin,
+
+      "q55_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+          |  FROM events),
+          |lagged AS (SELECT *, lag(ts_us) OVER (
+          |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+          |  FROM e),
+          |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+          |    OR ts_us - prev_us > 43200000000 THEN 1 ELSE 0 END AS is_new
+          |  FROM lagged),
+          |sid AS (SELECT *, sum(is_new) OVER (
+          |    PARTITION BY user_id ORDER BY ts_us, event_id
+          |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+          |  FROM flagged)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |    AS value_cents
+          |FROM sid GROUP BY 1, 2
+          |ORDER BY user_id, session_idx""".stripMargin,
 
       "q52_initial_sync" -> (cte +
         """SELECT record_pk, record_id, 'read' AS action,

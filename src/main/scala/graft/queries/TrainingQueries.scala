@@ -355,6 +355,51 @@ object TrainingQueries {
         .orderBy("new_id", "base_id")
     }),
 
+    // BPE first-merge table: corpus-wide adjacent-token-pair frequencies,
+    // top 20 (the tokenizer-training primitive / tokenizer-fit diagnostic)
+    "td35_bpe_merges" -> ((s, dir) =>
+      graft.training.TrainingPrep.bigramMerges(
+          Tables.documents(s, dir), "text", k = 20)
+        .orderBy(col("n").desc, col("pair"))),
+
+    // Data-mixing diagnostic: per-source KL divergence from the corpus
+    // unigram distribution, exact integer micro-nats (td26 discipline)
+    "td36_mixture_kl" -> ((s, dir) =>
+      graft.training.TrainingPrep.mixtureDivergence(
+          Tables.documents(s, dir), "source", "text")
+        .select(col("source"), col("n_toks"), col("v_size"),
+          col("kl_total_unats"), col("kl_unats"))
+        .orderBy("source")),
+
+    // Embedding QA: distance to own label centroid in exact integer
+    // micro-units; vectors past the threshold are outlier-flagged
+    "td37_embed_outliers" -> ((s, dir) =>
+      Ann.centroidOutliers(Tables.embeddings(s, dir), dims = 64,
+          thresholdMicro = 1020000L)
+        .orderBy("vec_id")),
+
+    // Filter report: FIRST violated rule per document in priority order
+    // ('kept' when clean) — drop accounting sums to the corpus size
+    "td38_filter_report" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val n = size(toks)
+      val dr = size(array_distinct(toks)).cast("double") / n.cast("double")
+      val sh3 = TextAnalysis.shinglesOf(toks, 3)
+      val dup3 = lit(1.0) - size(array_distinct(sh3)).cast("double") /
+        TextAnalysis.shingleCount(toks, 3).cast("double")
+      val nStop = TextAnalysis.langScore(col("text"),
+        TextAnalysis.langMarkers.flatMap(_._2).distinct)
+      Tables.documents(s, dir)
+        .withColumn("reason", graft.training.TrainingPrep.firstReason(Seq(
+          "too_short" -> (n < 20),
+          "low_distinct" -> (dr < 0.35),
+          "no_stopwords" -> (nStop === 0),
+          "repetitive" -> (dup3 > 0.01))))
+        .select(col("doc_id"), col("lang"), col("source"),
+          n.as("n_toks"), col("reason"))
+        .orderBy("doc_id")
+    }),
+
     // Product quantization ANN (the storage half of IVF-PQ): deterministic
     // per-subspace codebooks, corpus encoded to m codes, queries scored by
     // an ADC lookup table in integer micro-units (order-independent exact
@@ -659,6 +704,77 @@ object TrainingQueries {
         |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.5
         |ORDER BY new_id, base_id""".stripMargin),
+
+    "td35_bpe_merges" ->
+      """WITH p AS (SELECT unnest(list_transform(
+        |    range(1, len(string_split(text,' '))),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))
+        |    AS pair FROM documents)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "td36_mixture_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |tok AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |strat AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |tot AS (SELECT sum(c_t) AS n_total FROM tok),
+        |terms AS (SELECT s.source, s.c_st,
+        |    CAST(round(1e6 * ln(CAST(s.c_st * t.n_total AS DOUBLE) /
+        |      CAST(r.n_s * k.c_t AS DOUBLE))) AS BIGINT) AS unats
+        |  FROM st s JOIN tok k USING (token) JOIN strat r USING (source)
+        |  CROSS JOIN tot t),
+        |agg AS (SELECT source, CAST(count(*) AS INT) AS v_size,
+        |    CAST(sum(c_st * unats) AS BIGINT) AS kl_total_unats
+        |  FROM terms GROUP BY 1)
+        |SELECT a.source, CAST(r.n_s AS BIGINT) AS n_toks, a.v_size,
+        |  a.kl_total_unats,
+        |  CAST(a.kl_total_unats // r.n_s AS BIGINT) AS kl_unats
+        |FROM agg a JOIN strat r USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "td37_embed_outliers" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, sum(qv[i]) AS s, count(*) AS n
+        |  FROM q CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        |cent2 AS (SELECT label, list(s ORDER BY i) AS sums, max(n) AS n
+        |  FROM cent GROUP BY label)
+        |SELECT vec_id, q.label,
+        |  CAST(round(sqrt(list_aggregate(list_transform(range(1, 65), i ->
+        |    (CAST(qv[i] AS DOUBLE) - CAST(sums[i] AS DOUBLE) / n) *
+        |    (CAST(qv[i] AS DOUBLE) - CAST(sums[i] AS DOUBLE) / n)), 'sum')))
+        |    AS BIGINT) AS dist_micro,
+        |  CAST(round(sqrt(list_aggregate(list_transform(range(1, 65), i ->
+        |    (CAST(qv[i] AS DOUBLE) - CAST(sums[i] AS DOUBLE) / n) *
+        |    (CAST(qv[i] AS DOUBLE) - CAST(sums[i] AS DOUBLE) / n)), 'sum')))
+        |    AS BIGINT) > 1020000 AS is_outlier
+        |FROM q JOIN cent2 c USING (label)
+        |ORDER BY vec_id""".stripMargin,
+
+    "td38_filter_report" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS toks,
+        |    list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g3
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, source, len(toks) AS n_toks,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+        |    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['der','die','und','nicht','das','the','and','of','to','is',
+        |       'el','la','de','que','los','le','et','les','des',
+        |       '的','是','了','在','we'])) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, lang, source, CAST(n_toks AS INT) AS n_toks,
+        |  CASE WHEN n_toks < 20 THEN 'too_short'
+        |       WHEN dr < 0.35 THEN 'low_distinct'
+        |       WHEN n_stop = 0 THEN 'no_stopwords'
+        |       WHEN dup3 > 0.01 THEN 'repetitive'
+        |       ELSE 'kept' END AS reason
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "td30_ann_pq" -> {
       def dist(a: String, b: String) =

@@ -272,4 +272,43 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("label", "bucket", "id_a", "id_b", "cos")
   }
+
+  /** Embedding outlier detection: distance of each vector to its label's
+    * centroid, flagged past a threshold — the embedding-QA pass that
+    * catches mislabeled/garbage vectors before they poison ANN buckets or
+    * semantic dedup clusters.
+    *
+    * Exactness discipline: vectors quantize to integer micro-units
+    * (`round(x·1e6)`) so the per-label per-dimension centroid SUMS are
+    * exact integers (cross-row float sums are order-dependent — banned);
+    * the per-row deviation then runs in doubles derived from those exact
+    * integers, summed in fixed dimension order (left-to-right `aggregate`),
+    * and rounds once to an integer micro-unit distance.
+    *
+    * Scale shape: one map-side-combined aggregate builds the (tiny)
+    * per-label centroid table — `dims` integer sums per label — which
+    * broadcasts back onto the corpus; the per-row distance is a narrow
+    * projection. No corpus self-join, no shuffle of embedding data beyond
+    * the centroid partials.
+    */
+  def centroidOutliers(df: DataFrame, dims: Int,
+      thresholdMicro: Long): DataFrame = {
+    val q = transform(col("embedding"),
+      e => round(e.cast("double") * 1e6).cast("bigint"))
+    val quant = df.select(col("vec_id"), col("label"), q.as("qv"))
+    val cent = quant.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      array((1 to dims).map(d =>
+        sum(element_at(col("qv"), d))): _*).as("sums"))
+    quant.join(broadcast(cent), "label")
+      .withColumn("dev2", aggregate(
+        zip_with(col("qv"), col("sums"), (qd, sd) => {
+          val dev = qd.cast("double") - sd.cast("double") / col("n")
+          dev * dev
+        }),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(col("dev2"))).cast("bigint").as("dist_micro"))
+      .withColumn("is_outlier", col("dist_micro") > thresholdMicro)
+  }
 }

@@ -205,6 +205,76 @@ object TrainingPrep {
         col("n_oov").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** Adjacent-token-pair frequencies — the first BPE merge table: the
+    * corpus-wide count of every consecutive token bigram, top-`k` by
+    * frequency (ties broken lexicographically). Iterating this op IS the
+    * BPE training loop; one round is the tokenizer-fit diagnostic ("which
+    * merges would a tokenizer trained here learn first").
+    *
+    * Scale shape: pairs explode to (pair) rows but aggregate with map-side
+    * partial combine — one shuffle of (pair, partial_count), then a global
+    * top-k (TakeOrderedAndProject — never a full sort of the vocab).
+    */
+  def bigramMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Per-stratum mixture divergence: KL(P_stratum || P_corpus) over unigram
+    * token distributions — the data-mixing diagnostic ("how far does each
+    * source/language slice sit from the blended corpus"). High-KL strata
+    * dominate or starve the mixture; the input to re-weighting decisions.
+    *
+    * Exactness discipline (the td26 pattern): every count is an exact
+    * integer; the only FP step is ONE `ln` per (stratum, token) of a ratio
+    * of exact products, rounded to integer micro-nats BEFORE the weighted
+    * sum — so aggregation is order-independent integer arithmetic and the
+    * result is engine-reproducible. `kl_unats = Σ_t c_st·round(1e6·ln((c_st·N)/(N_s·c_t))) div N_s`.
+    *
+    * Scale shape: token counts aggregate with map-side combine; the
+    * (stratum, token)→token equijoin lets AQE broadcast the smaller side;
+    * stratum totals and the corpus total are tiny explicit broadcasts.
+    */
+  def mixtureDivergence(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(stratumCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val st = toks.groupBy(stratumCol, "token").agg(count(lit(1)).as("c_st"))
+    val tok = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val strat = st.groupBy(stratumCol).agg(sum("c_st").as("n_s"))
+    val tot = tok.agg(sum("c_t").cast("bigint").as("n_total"))
+    st.join(tok, "token")
+      .join(broadcast(strat), stratumCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("unats", round(lit(1e6) *
+        log((col("c_st") * col("n_total")).cast("double") /
+          (col("n_s") * col("c_t")).cast("double"))).cast("bigint"))
+      .groupBy(stratumCol)
+      .agg(sum(col("c_st") * col("unats")).cast("bigint").as("kl_total_unats"),
+        max(col("n_s")).cast("bigint").as("n_toks"),
+        count(lit(1)).cast("int").as("v_size"))
+      // `div` (integer division), not `/`+cast — see unigramSurprisal
+      .withColumn("kl_unats", expr("kl_total_unats div n_toks"))
+  }
+
+  /** First matching drop reason, else 'kept' — the Dolma/CCNet-style
+    * filter-report primitive: every document gets the FIRST rule (in
+    * priority order) it violates, so pipeline drop accounting sums to the
+    * corpus size and filters can be tuned rule by rule. Pure when-chain —
+    * codegen'd, no shuffle; pair with a groupBy(reason) for the report.
+    */
+  def firstReason(rules: Seq[(String, Column)]): Column =
+    rules.foldRight(lit("kept")) { case ((name, cond), acc) =>
+      when(cond, name).otherwise(acc)
+    }
+
   def boilerplateExposure(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     // tokenize+shingle+explode ONCE: both the shared-passage aggregate and

@@ -144,4 +144,56 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("emplace"))
     assert(ts.select("action").distinct().count() > 1) // envelope intact
   }
+
+  test("asOf join: latest at-or-before match, >= at equal ts, no-match nulls") {
+    import spark.implicits._
+    val probes = Seq((1L, 100L, "p_at_state"), (1L, 200L, "p_between"),
+      (1L, 50L, "p_before_any"), (2L, 50L, "p_no_state"))
+      .toDF("k", "pts", "pid")
+    val state = Seq((1L, 100L, "s100"), (1L, 150L, "s150"), (3L, 10L, "sx"))
+      .toDF("k", "sts", "sval")
+    val out = Joins.asOf(probes, state, Seq("k"), "pts", "sts",
+        Seq("sval", "sts")).collect()
+      .map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[String]("sval"))).toMap
+    assert(out.size == 4)                        // every probe survives
+    assert(out("p_at_state") == Some("s100"))    // >= semantics: equal ts matches
+    assert(out("p_between") == Some("s150"))     // latest prior, not first
+    assert(out("p_before_any") == None)          // state only in the future
+    assert(out("p_no_state") == None)            // key never had state
+  }
+
+  test("asOf join: equal-ts state rows resolve to the greatest payload") {
+    import spark.implicits._
+    val probes = Seq((1L, 100L, "p")).toDF("k", "pts", "pid")
+    val state = Seq((1L, 100L, "aaa"), (1L, 100L, "zzz"))
+      .toDF("k", "sts", "sval")
+    val out = Joins.asOf(probes, state, Seq("k"), "pts", "sts", Seq("sval"))
+      .collect()
+    assert(out.head.getAs[String]("sval") == "zzz")
+  }
+
+  test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, 10L, 1.0),    // user 1, session 0
+      (2L, 10L, 10L, 2.0),   // diff == gap → SAME session (strict >)
+      (3L, 21L, 10L, 3.0),   // diff 11 > gap → session 1
+      (4L, 0L, 77L, 5.0))    // user 77: own indexing from 0
+      .toDF("event_id", "us", "user_id", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("value"))
+    val assigned = Sessions.assign(df, "user_id", "ts", "event_id", 10L)
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val rolled = Sessions.rollup(df, "user_id", "ts", "event_id", 10L, "value")
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rolled.toSeq == Seq(
+      (10L, 0L, 0L, 10L, 2L, 300L),   // events 1+2: 0..10us, 1.0+2.0 → 300c
+      (10L, 1L, 21L, 21L, 1L, 300L),  // event 3 alone
+      (77L, 0L, 0L, 0L, 1L, 500L)))
+  }
 }

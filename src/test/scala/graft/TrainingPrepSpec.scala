@@ -180,4 +180,57 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_hit") == 0 &&
       !out(2).getAs[Boolean]("contaminated"))
   }
+
+  test("bigramMerges counts adjacent pairs corpus-wide; 1-token docs contribute none") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "b a", "solo").toDF("text")
+    val out = TrainingPrep.bigramMerges(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b a b" → [a b, b a, a b]; "b a" → [b a]; "solo" → []
+    assert(out.toSeq == Seq(("a b", 2L), ("b a", 2L)))
+  }
+
+  test("mixtureDivergence: identical strata have zero KL, skew is positive") {
+    import spark.implicits._
+    val same = Seq(("s1", "a a b"), ("s2", "a a b")).toDF("source", "text")
+    val klSame = TrainingPrep.mixtureDivergence(same, "source", "text")
+      .collect().map(r => r.getAs[Long]("kl_unats"))
+    assert(klSame.forall(_ == 0L)) // p_stratum == p_corpus → ln(1) per token
+    val skew = Seq(("s1", "a a a a"), ("s2", "b b b b"))
+      .toDF("source", "text")
+    val klSkew = TrainingPrep.mixtureDivergence(skew, "source", "text")
+      .collect().map(r => r.getAs[Long]("kl_unats"))
+    // each stratum is a point mass vs a 50/50 corpus → KL = ln 2 ≈ 693147
+    assert(klSkew.forall(_ == 693147L))
+  }
+
+  test("firstReason assigns the FIRST violated rule; clean rows are kept") {
+    import spark.implicits._
+    val df = Seq((1L, 5, 0.1), (2L, 100, 0.1), (3L, 100, 0.9))
+      .toDF("id", "n", "ratio")
+    val out = df.select(col("id"), TrainingPrep.firstReason(Seq(
+        "too_short" -> (col("n") < 10),
+        "low_ratio" -> (col("ratio") < 0.5))).as("reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // row 1 violates BOTH rules → first wins; accounting stays disjoint
+    assert(out == Map(1L -> "too_short", 2L -> "low_ratio", 3L -> "kept"))
+  }
+
+  test("centroidOutliers: exact micro-unit distance, planted outlier flagged") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 0, Array(1f, 0f, 0f, 0f)),
+      (2L, 0, Array(1f, 0f, 0f, 0f)),
+      (3L, 0, Array(1f, 0f, 0f, 0f)),
+      (4L, 0, Array(0f, 1f, 0f, 0f))) // far from the label-0 centroid
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.similarity.Ann.centroidOutliers(vecs, dims = 4,
+        thresholdMicro = 500000L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // centroid = (0.75, 0.25, 0, 0): members at sqrt(0.125)e6 ≈ 353553,
+    // the outlier at sqrt(1.125)e6 ≈ 1060660 — exact integer expectations
+    assert(out.toSeq == Seq((1L, 353553L, false), (2L, 353553L, false),
+      (3L, 353553L, false), (4L, 1060660L, true)))
+  }
 }
