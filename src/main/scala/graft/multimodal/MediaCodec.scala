@@ -1,0 +1,281 @@
+package graft.multimodal
+
+/** Pure-JVM codecs for self-contained uncompressed media containers:
+  * BMP (Windows bitmap), PPM/PGM (binary netpbm), and WAV (RIFF PCM).
+  *
+  * These are REAL header parsers — width/height/sample-rate/duration come
+  * from byte arithmetic over the actual container layout, not from a hash
+  * fake. No OS codec or native library is involved, so they run anywhere
+  * the JVM runs (and in every Spark executor with zero extra deps).
+  * Compressed formats (JPEG/PNG/MP3/...) still fall back to the declared
+  * stub in [[Multimodal.Decode]]; the dispatch lives in [[decode]].
+  *
+  * Encoders exist so specs and the td39 oracle can synthesize byte-exact
+  * files whose expected metadata is computable in plain SQL — decode of a
+  * synthesized asset must reproduce the generation parameters exactly.
+  */
+object MediaCodec {
+
+  /** Unified decoded metadata across image and audio containers.
+    * `bitDepth` is bits per channel (BMP 24bpp → 3 channels × 8 bits).
+    * `nSamples` counts frames (per-channel samples); `durationUs` is
+    * integer microseconds (floor), keeping the value oracle-comparable.
+    */
+  final case class MediaMeta(
+      format: String,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Int,
+      bitDepth: Int,
+      sampleRate: Option[Int],
+      nSamples: Option[Long],
+      durationUs: Option[Long])
+
+  // ---------- little-endian byte helpers ----------
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xFF).toByte
+    b(off + 1) = ((v >> 8) & 0xFF).toByte
+  }
+
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xFF).toByte
+    b(off + 1) = ((v >> 8) & 0xFF).toByte
+    b(off + 2) = ((v >> 16) & 0xFF).toByte
+    b(off + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
+  private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+    off + s.length <= b.length &&
+      (0 until s.length).forall(i => b(off + i) == s.charAt(i).toByte)
+
+  private def putTag(b: Array[Byte], off: Int, s: String): Unit = {
+    var i = 0
+    while (i < s.length) { b(off + i) = s.charAt(i).toByte; i += 1 }
+  }
+
+  // ---------- BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp) ----------
+
+  /** Encode a 24bpp uncompressed BMP. `pixel(x, y)` returns packed
+    * 0xRRGGBB. Rows are stored bottom-up and padded to 4-byte boundaries,
+    * per the format spec.
+    */
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dimensions must be positive")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putU32(out, 2, out.length.toLong)   // file size
+    putU32(out, 10, 54L)                // pixel data offset
+    putU32(out, 14, 40L)                // BITMAPINFOHEADER size
+    putU32(out, 18, width.toLong)
+    putU32(out, 22, height.toLong)
+    putU16(out, 26, 1)                  // planes
+    putU16(out, 28, 24)                 // bits per pixel
+    putU32(out, 30, 0L)                 // BI_RGB (uncompressed)
+    putU32(out, 34, dataSize.toLong)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val rgb = pixel(x, y)
+        out(rowOff + x * 3) = (rgb & 0xFF).toByte          // B
+        out(rowOff + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte  // G
+        out(rowOff + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val bpp = u16(b, 28)
+    val compression = u32(b, 30)
+    if (compression != 0L || (bpp != 8 && bpp != 24 && bpp != 32)) return None
+    val w = i32(b, 18)
+    val h = math.abs(i32(b, 22)) // negative height = top-down rows
+    if (w <= 0 || h == 0) return None
+    Some(MediaMeta("bmp", Some(w), Some(h), bpp / 8, 8, None, None, None))
+  }
+
+  // ---------- PPM / PGM (binary netpbm: P6 / P5) ----------
+
+  /** Encode a binary PPM (P6). Header is exactly
+    * `P6\nW H\nMAXVAL\n` so the total byte size is computable in SQL.
+    */
+  def encodePpm(width: Int, height: Int, maxVal: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && maxVal > 0 && maxVal < 256)
+    val header = s"P6\n$width $height\n$maxVal\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val rgb = pixel(x, y)
+        out(i) = ((rgb >> 16) & 0xFF).toByte
+        out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+        out(i + 2) = (rgb & 0xFF).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode a binary PGM (P5), single gray channel. */
+  def encodePgm(width: Int, height: Int, maxVal: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && maxVal > 0 && maxVal < 256)
+    val header = s"P5\n$width $height\n$maxVal\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        out(i) = (px(x, y) & 0xFF).toByte
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def isPnmWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t'
+
+  private def decodePnm(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    var pos = 2
+    // netpbm headers allow arbitrary whitespace and '#'-to-EOL comments
+    def nextInt(): Option[Int] = {
+      while (pos < b.length && (isPnmWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(b, start, pos - start, "US-ASCII").toInt)
+    }
+    val gray = b(1) == '5'
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv > 0
+    } yield MediaMeta(if (gray) "pgm" else "ppm", Some(w), Some(h),
+      if (gray) 1 else 3, if (maxv > 255) 16 else 8, None, None, None)
+  }
+
+  // ---------- WAV (RIFF, PCM) ----------
+
+  /** Encode a PCM WAV. `samples` is interleaved 16-bit frames
+    * (length = frames × channels); total size = 44 + 2·|samples|.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    putTag(out, 0, "RIFF")
+    putU32(out, 4, (36 + dataSize).toLong)
+    putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt ")
+    putU32(out, 16, 16L)                 // fmt chunk size
+    putU16(out, 20, 1)                   // PCM
+    putU16(out, 22, channels)
+    putU32(out, 24, sampleRate.toLong)
+    putU32(out, 28, sampleRate.toLong * channels * 2) // byte rate
+    putU16(out, 32, channels * 2)        // block align
+    putU16(out, 34, 16)                  // bits per sample
+    putTag(out, 36, "data")
+    putU32(out, 40, dataSize.toLong)
+    var i = 0
+    while (i < samples.length) {
+      putU16(out, 44 + i * 2, samples(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  private def decodeWav(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var pos = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var dataSize = -1L
+    // walk RIFF chunks: fmt and data may be separated by others (LIST, ...)
+    while (pos + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = u32(b, pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        channels = u16(b, pos + 10)
+        rate = u32(b, pos + 12).toInt
+        bits = u16(b, pos + 22)
+      } else if (id == "data") {
+        dataSize = math.min(size, (b.length - pos - 8).toLong)
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits < 8 || dataSize < 0) None
+    else {
+      val frames = dataSize / (channels.toLong * (bits / 8))
+      Some(MediaMeta("wav", None, None, channels, bits, Some(rate),
+        Some(frames), Some(frames * 1000000L / rate)))
+    }
+  }
+
+  // ---------- dispatch ----------
+
+  /** Sniff the container magic and parse the header. Returns None for
+    * anything unrecognized (compressed formats, truncated files, garbage)
+    * so callers can fall back to the declared stub.
+    */
+  def decode(bytes: Array[Byte]): Option[MediaMeta] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P') decodePnm(bytes)
+    else if (bytes.length >= 12 && tag(bytes, 0, "RIFF")) decodeWav(bytes)
+    else None
+
+  // ---------- deterministic synthesis (for the td39 oracle + specs) ----------
+
+  /** Synthesize a real media file from an id. Format and every header
+    * parameter are pure integer functions of the id, so a SQL oracle can
+    * compute the expected decode output without parsing bytes:
+    *   - id % 3 == 0 → BMP:  w = 1 + id % 31,  h = 1 + (id / 31) % 23
+    *   - id % 3 == 1 → PPM:  w = 1 + id % 17,  h = 1 + (id / 17) % 13
+    *   - id % 3 == 2 → WAV:  rate ∈ {8000, 16000, 22050, 44100} by id % 4,
+    *                         channels = 1 + id % 2, frames = 100 + id % 400
+    */
+  def synthesizeAsset(id: Long): (String, Array[Byte]) = (id % 3).toInt match {
+    case 0 =>
+      val w = (1 + id % 31).toInt
+      val h = (1 + (id / 31) % 23).toInt
+      ("bmp", encodeBmp(w, h, (x, y) => (((id + x + y) % 256).toInt * 0x010101) & 0xFFFFFF))
+    case 1 =>
+      val w = (1 + id % 17).toInt
+      val h = (1 + (id / 17) % 13).toInt
+      ("ppm", encodePpm(w, h, 255, (x, y) => (((id + 3 * x + 7 * y) % 256).toInt * 0x010101) & 0xFFFFFF))
+    case _ =>
+      val rates = Array(8000, 16000, 22050, 44100)
+      val rate = rates((id % 4).toInt)
+      val ch = (1 + id % 2).toInt
+      val frames = (100 + id % 400).toInt
+      val samples = Array.tabulate[Short](frames * ch)(i => ((id * 31 + i * 17) % 65536 - 32768).toShort)
+      ("wav", encodeWav(rate, ch, samples))
+  }
+}

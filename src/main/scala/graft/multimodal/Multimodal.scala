@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * batch UDFs) so a real decoder amortizes model/codec init per partition,
   * not per row. Partitioning stays by asset id; nothing shuffles.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — with a deterministic fake keyed on the content hash (see
-  * [[Decode.stubDecode]]); the Spark-side plumbing (schema, Dataset
-  * signatures, per-partition batching, binary slicing) is real and tested.
+  * Self-contained uncompressed containers (BMP, PPM/PGM, WAV) are decoded
+  * with REAL pure-JVM header parsers ([[MediaCodec]]); only compressed
+  * formats (JPEG/PNG/MP3/...) fall back to the deterministic stub keyed on
+  * the content hash (see [[Decode.stubDecode]]), since this container has
+  * no OS codecs. The Spark-side plumbing (schema, Dataset signatures,
+  * per-partition batching, binary slicing) is the same for both paths.
   */
 object Multimodal {
 
@@ -49,10 +51,11 @@ object Multimodal {
       col("source"))
 
   object Decode {
-    /** STUB decode: a real implementation calls an image/audio codec here
-      * (per-partition init, batch decode). The fake derives dimensions and
+    /** STUB decode — the fallback for COMPRESSED formats only (no OS
+      * codecs in this environment). Self-contained formats decode for
+      * real via [[MediaCodec.decode]]; this fake derives dimensions and
       * frame count deterministically from content bytes so downstream
-      * plumbing is testable and oracle-checkable.
+      * plumbing stays testable and oracle-checkable for the rest.
       */
     def stubDecode(a: Asset): AssetFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -79,6 +82,45 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real impl: init codec/model here, then stream the partition
       it.map(Decode.stubDecode)
+    }
+  }
+
+  /** Decoded container metadata — image fields NULL for audio and vice
+    * versa; `n_bytes` always the raw payload size. Column names match the
+    * td39 oracle.
+    */
+  final case class MediaFeatures(
+      asset_id: Long,
+      format: String,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      bit_depth: Option[Int],
+      sample_rate: Option[Int],
+      n_samples: Option[Long],
+      duration_us: Option[Long],
+      n_bytes: Long)
+
+  /** REAL media decode over the typed Dataset: per-partition iteration
+    * (decoder state would init once per partition), pure byte arithmetic
+    * per row, no shuffle. Unrecognized payloads yield `format = "unknown"`
+    * with NULL metadata rather than failing the batch — at 100 TB a crawl
+    * always contains garbage.
+    */
+  def decodeMedia(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        MediaCodec.decode(a.bytes) match {
+          case Some(m) =>
+            MediaFeatures(a.asset_id, m.format, m.width, m.height,
+              Some(m.channels), Some(m.bitDepth), m.sampleRate,
+              m.nSamples, m.durationUs, a.bytes.length.toLong)
+          case None =>
+            MediaFeatures(a.asset_id, "unknown", None, None, None, None,
+              None, None, None, a.bytes.length.toLong)
+        }
+      }
     }
   }
 

@@ -439,6 +439,23 @@ object TrainingQueries {
         .select("asset_id", "kind", "n_bytes", "content_hash", "width",
           "height", "n_frames")
         .orderBy("asset_id")
+    }),
+
+    // REAL media decode: synthesize byte-exact BMP/PPM/WAV files whose
+    // header parameters are integer functions of doc_id, then parse them
+    // back with the pure-JVM MediaCodec — the oracle computes the same
+    // fields from the generation arithmetic, so a header-parsing bug is a
+    // hash mismatch. (The encode+decode both run Spark-side, partition-
+    // parallel, no shuffle.)
+    "td39_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.decodeMedia(assets)(s).toDF()
+        .orderBy("asset_id")
     }))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
@@ -998,5 +1015,38 @@ object TrainingQueries {
         |  CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 16 ELSE 1 END AS INT)
         |    AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Mirrors MediaCodec.synthesizeAsset's parameter arithmetic: the Spark
+    // side must recover exactly these values by PARSING the synthesized
+    // container bytes (BMP offsets 18/22/28, PPM ASCII header, RIFF fmt /
+    // data chunks). n_bytes additionally checks the full file layout:
+    // BMP = 54 + h·rowSize (rows padded to 4), PPM = header + 3wh,
+    // WAV = 44 + frames·channels·2.
+    "td39_media_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
+        |       WHEN 1 THEN 1 + doc_id % 17 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
+        |       WHEN 1 THEN 1 + (doc_id // 17) % 13 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 3 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 16 ELSE 8 END AS INT) AS bit_depth,
+        |  CAST(CASE doc_id % 3 WHEN 2
+        |       THEN [8000, 16000, 22050, 44100][CAST(1 + doc_id % 4 AS INT)]
+        |       END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 100 + doc_id % 400 END AS BIGINT) AS n_samples,
+        |  CAST(CASE doc_id % 3 WHEN 2
+        |       THEN (100 + doc_id % 400) * 1000000
+        |            // [8000, 16000, 22050, 44100][CAST(1 + doc_id % 4 AS INT)]
+        |       END AS BIGINT) AS duration_us,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN 54 + (1 + (doc_id // 31) % 23)
+        |                   * (((1 + doc_id % 31) * 3 + 3) // 4 * 4)
+        |       WHEN 1 THEN 9 + strlen(CAST(1 + doc_id % 17 AS VARCHAR))
+        |                   + strlen(CAST(1 + (doc_id // 17) % 13 AS VARCHAR))
+        |                   + 3 * (1 + doc_id % 17) * (1 + (doc_id // 17) % 13)
+        |       ELSE 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
+        |       END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin)
 }
