@@ -28,17 +28,22 @@ object TimeQueries {
       SparkEntry.queries.get(n) match {
         case None => println(s"$n: unknown query")
         case Some(fn) =>
+          // a rep that throws is excluded from the min — a fast failure
+          // must not print as a fast plan
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            try { force(fn(spark, sfDir)) } catch {
-              case e: Throwable => println(s"$n ERROR: ${e.getMessage}")
+            val ok = try { force(fn(spark, sfDir)); true } catch {
+              case e: Throwable => println(s"$n ERROR: ${e.getMessage}"); false
             }
             val t = (System.nanoTime() - t0) / 1e9
             Tables.dropCachedBlocks(spark)
             System.gc()
-            t
+            if (ok) Some(t) else None
           }
-          println(f"$n%-28s min=${times.min}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+          val minStr = times.flatten.reduceOption(_ min _)
+            .map(m => f"$m%.3f").getOrElse("N/A")
+          val allStr = times.map(_.map(t => f"$t%.3f").getOrElse("ERR")).mkString(",")
+          println(f"$n%-28s min=$minStr  all=$allStr")
       }
     }
     spark.stop()
