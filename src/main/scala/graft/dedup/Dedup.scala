@@ -271,38 +271,67 @@ object Dedup {
   }
 
   /** Duplicate-cluster assignment: connected components over verified
-    * near-dup pairs by iterative min-label propagation — each vertex
-    * converges to the smallest id in its component (the canonical doc).
-    * O(diameter) rounds of a hash join + aggregate; every round
-    * checkpoints, so the plan stays flat. Dup components are small by
-    * construction (near-dup clusters), so a handful of rounds converges
-    * even at corpus scale — the standard Spark connected-components
-    * shape (large-diameter graphs would swap in GraphX/Pregel, same
-    * result).
+    * near-dup pairs via large-star / small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", 2014) — each
+    * vertex ends labeled with the smallest id in its component (the
+    * canonical doc). Unlike plain min-label propagation (O(diameter)
+    * rounds), the alternation contracts components in O(log n) rounds, so
+    * a pathological duplicate CHAIN (a→b→c→…, e.g. iteratively edited
+    * boilerplate) converges as fast as a tight cluster. Each round is two
+    * hash-join+aggregate passes over the edge set, checkpointed so plans
+    * stay flat. Throws on non-convergence rather than returning silently
+    * partial labels.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical undirected edge set (u < v), self-loops dropped
+    var edges = pairs.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var converged = false
+
+    // large-star: every neighbor y > x re-links to m = min(N(x) ∪ {x});
+    // output stays canonical because m ≤ x < y
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = nb.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      nb.join(mins, "x")
+        .filter(col("y") > col("x") && col("m") =!= col("y"))
+        .select(col("m").as("u"), col("y").as("v"))
+        .distinct()
+    }
+
+    // small-star: direct each edge larger→smaller; every smaller neighbor
+    // and the center itself re-link to the minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("v").as("x"), col("u").as("y")) // x > y
+      val mins = dir.groupBy("x").agg(min("y").as("m"))
+      val relinked = dir.join(mins, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("m").as("u"), col("y").as("v")) // m < y: canonical
+      val centers = mins.select(col("m").as("u"), col("x").as("v"))
+      relinked.union(centers).distinct()
+    }
+
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
-        .groupBy(col("dst").as("id")).agg(min("src_comp").as("nbr_comp"))
-      // compute the new label AND a moved flag in the same pass — the
-      // convergence check reads the checkpointed blocks, no extra join
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("moved"))
-        .localCheckpoint()
-      converged = updated.filter(col("moved")).isEmpty
-      labels = updated.select("id", "comp")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact fixed-point check: equal cardinality + empty difference
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: large/small-star did not converge in $maxIter rounds " +
+          "(cycle in edge contraction — raise maxIter)")
+
+    // fixed point is a forest of stars centered at each component minimum
+    edges.select(col("v").as("id"), col("u").as("comp"))
+      .union(edges.select(col("u").as("id"), col("u").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
   }
 }

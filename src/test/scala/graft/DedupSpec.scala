@@ -211,6 +211,30 @@ class DedupSpec extends SparkSpec {
       5L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: path graph with diameter > 20 gets correct components") {
+    import spark.implicits._
+    // a 64-node path 1000-1001-...-1063 (diameter 63) would defeat plain
+    // O(diameter) min-label propagation capped at 20 rounds; large/small-
+    // star contracts it in O(log n). Interleave a second path descending
+    // through LOWER ids so both link directions are exercised.
+    val p1 = (1000L until 1063L).map(i => (i + 1, i))
+    val p2 = (1L to 40L).map(i => (i, i + 1)) // path 1..41
+    val out = graft.dedup.Dedup.dupClusters((p1 ++ p2).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 64 + 41)
+    assert(out.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+    assert(out.filter(_._1 < 1000L).forall(_._2 == 1L))
+  }
+
+  test("dupClusters raises on non-convergence instead of partial labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.Dedup.dupClusters(pairs, maxIter = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("embeddingNearDupsLsh finds a subset of the exact near-dup pairs") {
     val emb = Tables.embeddings(spark, sf())
     val exact = graft.similarity.Ann.embeddingNearDups(emb, 0.3)
