@@ -133,11 +133,12 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-style ANN: medoid centroids, probe nprobe cells
+    // IVF-style ANN: medoid-seeded centroids refined by two deterministic
+    // Lloyd rounds (integer-micro means), probe nprobe cells
     "td14_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-          centroidEvery = 50, nprobe = 2, k = 5)
+          centroidEvery = 50, nprobe = 2, k = 5, refineIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -149,7 +150,7 @@ object TrainingQueries {
     "td27_ann_ivf_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      Ann.buildIvfIndex(emb, centroidEvery = 50, path = idx)
+      Ann.buildIvfIndex(emb, centroidEvery = 50, path = idx, refineIters = 2)
       Ann.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
           nprobe = 2, k = 5)
         .orderBy("query_id", "rank")
@@ -406,8 +407,12 @@ object TrainingQueries {
     // sums). Queries never touch corpus floats — the 100 TB memory shape.
     "td30_ann_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val books = graft.similarity.Quantize.pqCodebooks(
+      val seeds = graft.similarity.Quantize.pqCodebooks(
         emb, "embedding", m = 8, k = 16, step = 25, dims = 64)
+      // one deterministic Lloyd round pulls the medoid-seeded sub-codebooks
+      // onto the subvector distribution (integer-micro means)
+      val books = graft.similarity.Quantize.refineCodebooks(
+        emb, "embedding", seeds, m = 8, dims = 64, iters = 1)
       val codes = graft.similarity.Quantize.pqEncode(
         emb, "embedding", books, m = 8, dims = 64)
       graft.similarity.Quantize.pqTopK(emb.filter(col("vec_id") < 5),
@@ -496,25 +501,47 @@ object TrainingQueries {
 
   // ---- oracles ---------------------------------------------------------
 
+  /** One Lloyd refinement round as SQL CTEs: cosine-argmin assignment to
+    * `prev` centroids, then per-dimension integer-micro mean (BIGINT `//`
+    * truncates toward zero, same as Spark's `div`) cast back through REAL
+    * → `out` centroids. Mirrors Ann.refineCentroids.
+    */
+  private def ivfRefineCtes(round: Int, prev: String, out: String): String =
+    s"""a$round AS (SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT x.vec_id, x.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+       |  FROM embeddings x CROSS JOIN $prev c) WHERE crank = 1),
+       |s$round AS (SELECT centroid_id, t.i AS dim,
+       |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+       |    COUNT(*) AS n
+       |  FROM a$round CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY centroid_id, t.i),
+       |$out AS (SELECT centroid_id,
+       |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cent_emb
+       |  FROM s$round GROUP BY centroid_id)""".stripMargin
+
   /** IVF ANN oracle — shared by td14 (one-shot plan) and td27 (the
     * materialized partition-pruned index): the access path differs, the
-    * result must not.
+    * result must not. Medoid seeds + two Lloyd refinement rounds.
     */
   private val IvfSql: String =
-    """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+    s"""WITH cents0 AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
        |  FROM embeddings WHERE vec_id % 50 = 0),
+       |${ivfRefineCtes(1, "cents0", "cents1")},
+       |${ivfRefineCtes(2, "cents1", "cents")},
        |assign AS (SELECT vec_id, centroid_id, embedding, ccos, crank FROM (
        |  SELECT x.vec_id, c.centroid_id, x.embedding,
-       |    $CCOS AS ccos,
+       |    $$CCOS AS ccos,
        |    row_number() OVER (PARTITION BY x.vec_id
-       |      ORDER BY $CCOS DESC, c.centroid_id) AS crank
+       |      ORDER BY $$CCOS DESC, c.centroid_id) AS crank
        |  FROM embeddings x CROSS JOIN cents c)),
        |cells AS (SELECT vec_id AS corpus_id, centroid_id, embedding AS c_emb
        |  FROM assign WHERE crank = 1),
        |probes AS (SELECT vec_id AS query_id, centroid_id, embedding AS q_emb
        |  FROM assign WHERE crank <= 2 AND vec_id < 5),
        |scored AS (SELECT DISTINCT p.query_id, m.corpus_id,
-       |    $QCOS AS cos
+       |    $$QCOS AS cos
        |  FROM probes p JOIN cells m ON p.centroid_id = m.centroid_id
        |  WHERE p.query_id <> m.corpus_id)
        |SELECT query_id, corpus_id, cos, rank FROM (
@@ -799,11 +826,23 @@ object TrainingQueries {
           s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
           s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
       s"""WITH sub AS (SELECT unnest(range(0, 8)) AS m),
-         |books AS (SELECT m, CAST(vec_id // 25 AS INT) AS code,
+         |books0 AS (SELECT m, CAST(vec_id // 25 AS INT) AS code,
          |    embedding[(m*8+1):(m*8+8)] AS cvec
          |  FROM embeddings, sub WHERE vec_id % 25 = 0 AND vec_id < 400),
          |pieces AS (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS svec
          |  FROM embeddings, sub),
+         |assign0 AS (SELECT vec_id, m, code, svec FROM (
+         |  SELECT p.vec_id, p.m, b.code, p.svec,
+         |    row_number() OVER (PARTITION BY p.vec_id, p.m
+         |      ORDER BY ${dist("svec", "cvec")}, b.code) AS rn
+         |  FROM pieces p JOIN books0 b ON p.m = b.m) WHERE rn = 1),
+         |bsum AS (SELECT m, code, t.i AS dim,
+         |    SUM(CAST(round(CAST(svec[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM assign0 CROSS JOIN range(1, 9) t(i) GROUP BY m, code, t.i),
+         |books AS (SELECT m, code,
+         |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cvec
+         |  FROM bsum GROUP BY m, code),
          |scored AS (SELECT vec_id, p.m, code, ${dist("svec", "cvec")} AS dist
          |  FROM pieces p JOIN books b ON p.m = b.m),
          |codes AS (SELECT vec_id, m, code FROM (

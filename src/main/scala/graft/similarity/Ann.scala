@@ -132,9 +132,49 @@ object Ann {
     corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
 
+  /** Deterministic Lloyd's refinement of IVF centroids: `iters` rounds of
+    * cosine-argmin assignment followed by a per-dimension mean computed in
+    * integer MICRO-UNITS — Σ round(xᵢ·10⁶) floor-divided by the member
+    * count, then scaled back to float — so the refined centroids are
+    * bit-identical in any engine (the integer discipline the KL/outlier
+    * ops use, applied to k-means). Medoid seeding alone is recall-fragile
+    * on clustered corpora: a seed that lands between modes attracts both;
+    * one or two Lloyd rounds pull centroids onto the modes (recall@k
+    * spec-proven against brute force).
+    *
+    * Scale shape per round: assignment is the same min_by argmin as the
+    * coarse quantizer (map-side partial agg, broadcast centroids); the
+    * update is one posexplode + two partial-agg aggregates over
+    * corpus×dims rows. Each round checkpoints, keeping plans flat. Empty
+    * cells drop out (k may shrink), matching the SQL mirror's GROUP BY.
+    */
+  def refineCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cents = seeds
+    (1 to iters).foreach { _ =>
+      val assigned = assignToCentroids(cents, corpus, "corpus_id", 1)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("bigint")).as("s"),
+          count(lit(1)).as("n"))
+        // Spark `div` and DuckDB BIGINT `//` both truncate toward zero
+        // (verified: -7 // 2 = -3 in DuckDB on integer operands)
+        .withColumn("micro", expr("s div n"))
+        .withColumn("val", (col("micro").cast("double") / 1e6).cast("float"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("pv"))
+        .select(col("centroid_id"),
+          transform(col("pv"), p => p.getField("val")).as("cent_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      centroidEvery: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = medoidCentroids(corpus, centroidEvery)
+      centroidEvery: Int, nprobe: Int, k: Int, refineIters: Int = 0): DataFrame = {
+    val seeds = medoidCentroids(corpus, centroidEvery)
+    val centroids =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters) else seeds
     val cells = assignToCentroids(centroids, corpus, "corpus_id", 1)
     val probes = assignToCentroids(centroids, queries, "query_id", nprobe)
     val scored = probes.select(col("query_id"), col("centroid_id"),
@@ -157,8 +197,11 @@ object Ann {
     * assignment is paid once and every query then touches only its
     * `nprobe` cells' directories (partition pruning), not the corpus.
     */
-  def buildIvfIndex(corpus: DataFrame, centroidEvery: Int, path: String): Unit = {
-    val centroids = medoidCentroids(corpus, centroidEvery)
+  def buildIvfIndex(corpus: DataFrame, centroidEvery: Int, path: String,
+      refineIters: Int = 0): Unit = {
+    val seeds = medoidCentroids(corpus, centroidEvery)
+    val centroids =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters) else seeds
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // cluster by cell before the partitioned write: each cell becomes a
     // handful of contiguous files instead of (writer tasks × cells) tiny

@@ -60,6 +60,46 @@ object Quantize {
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Deterministic Lloyd's refinement of PQ codebooks: `iters` rounds of
+    * per-subspace squared-L2 argmin assignment + per-dimension subvector
+    * mean in integer MICRO-UNITS (floor-divided by the member count), the
+    * same engine-reproducible discipline as
+    * [[graft.similarity.Ann.refineCentroids]]. Codes that lose all members
+    * drop out of the book. Each round is a broadcast join + two
+    * partial-agg aggregates over corpus×m×(dims/m) rows, checkpointed.
+    */
+  def refineCodebooks(emb: DataFrame, vecCol: String, codebooks: DataFrame,
+      m: Int, dims: Int, iters: Int): DataFrame = {
+    val d = dims / m
+    val sub = emb.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    val pieces = emb.crossJoin(sub)
+      .select(col("vec_id"), col("m"),
+        slice(col(vecCol), col("m") * d + 1, lit(d)).as("svec"))
+    var cb = codebooks
+    (1 to iters).foreach { _ =>
+      // (dist, code) is already unique per group, so svec rides along in
+      // the argmin struct without ever being compared
+      cb = pieces.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", sqDist(col("svec"), col("cvec")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("code"), col("svec"))).as("best"))
+        .select(col("m"), col("best.code").as("code"),
+          posexplode(col("best.svec")).as(Seq("dim", "v")))
+        .groupBy("m", "code", "dim")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("bigint")).as("s"),
+          count(lit(1)).as("n"))
+        // Spark `div` and DuckDB BIGINT `//` both truncate toward zero
+        .withColumn("micro", expr("s div n"))
+        .withColumn("val", (col("micro").cast("double") / 1e6).cast("float"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("pv"))
+        .select(col("m"), col("code"),
+          transform(col("pv"), p => p.getField("val")).as("cvec"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
   /** Encode the corpus: each vector → `m` codes (argmin squared L2 to the
     * subspace's centroids, lowest code on ties). Returns
     * `(vec_id, m, code)` — the 4-byte-per-subspace representation that

@@ -211,6 +211,46 @@ class DedupSpec extends SparkSpec {
       5L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("Lloyd-refined IVF centroids improve recall@k over raw medoid seeds") {
+    import spark.implicits._
+    // clustered corpus: 8 modes on disjoint dimension blocks, UNEQUAL
+    // cluster sizes so every-Nth medoid seeding lands skewed (cluster 0
+    // gets several seeds, small clusters get none) — the recall-fragile
+    // case the refinement exists for
+    val rnd = new Random(42)
+    val dims = 64
+    val sizes = Seq(100, 60, 40, 30, 25, 25, 20, 20)
+    val centers = (0 until 8).map { j =>
+      val v = Array.fill(dims)(0.1f * (rnd.nextFloat() - 0.5f))
+      (0 until 8).foreach(i => v(8 * j + i) = 0.8f + 0.4f * rnd.nextFloat())
+      v
+    }
+    val rows = sizes.zipWithIndex.flatMap { case (n, j) =>
+      (0 until n).map(_ => centers(j).map(x => x + 0.35f * (rnd.nextFloat() - 0.5f)))
+    }.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val queries = corpus.filter(col("vec_id") % 37 === 0) // spread over clusters
+    val k = 10
+
+    val truth = graft.similarity.Ann.bruteForceTopK(queries, corpus, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => r.getLong(1)).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(r => r.getLong(1)).toSet }
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val seeded = recallOf(graft.similarity.Ann.ivfTopK(
+      queries, corpus, centroidEvery = 40, nprobe = 2, k = k))
+    val refined = recallOf(graft.similarity.Ann.ivfTopK(
+      queries, corpus, centroidEvery = 40, nprobe = 2, k = k, refineIters = 2))
+    assert(refined >= seeded, s"refined=$refined < seeded=$seeded")
+    assert(refined > seeded + 0.02,
+      s"expected a material recall gain: seeded=$seeded refined=$refined")
+  }
+
   test("dupClusters: path graph with diameter > 20 gets correct components") {
     import spark.implicits._
     // a 64-node path 1000-1001-...-1063 (diameter 63) would defeat plain
