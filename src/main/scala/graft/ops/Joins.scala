@@ -75,13 +75,22 @@ object Joins {
     * `payload` columns must not collide with left column names (alias the
     * right side first); `rightTs` itself may be included in `payload` to
     * expose the matched version's timestamp.
+    *
+    * NULL handling matches DuckDB's ASOF JOIN (an equi+inequality join):
+    * right rows with a NULL `rightTs` or NULL key are dropped up front —
+    * otherwise NULL ts would sort first (asc = nulls first) and become
+    * carry-forward state matching every later probe, and NULL keys would
+    * pair with each other via the window partitioning.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val state = struct(payload.map(col): _*)
-    val rightTagged = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__asof_ts"), lit(0).as("__side"),
-        state.as("__state")): _*)
+    val rightTagged = right
+      .filter(col(rightTs).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).as("__asof_ts"), lit(0).as("__side"),
+          state.as("__state")): _*)
     val leftTagged = left
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__side", lit(1))

@@ -770,7 +770,7 @@ object TrainingQueries {
         |  FROM st s JOIN tok k USING (token) JOIN strat r USING (source)
         |  CROSS JOIN tot t),
         |agg AS (SELECT source, CAST(count(*) AS INT) AS v_size,
-        |    CAST(sum(c_st * unats) AS BIGINT) AS kl_total_unats
+        |    greatest(CAST(sum(c_st * unats) AS BIGINT), 0) AS kl_total_unats
         |  FROM terms GROUP BY 1)
         |SELECT a.source, CAST(r.n_s AS BIGINT) AS n_toks, a.v_size,
         |  a.kl_total_unats,

@@ -191,11 +191,11 @@ object TrainingPrep {
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     val vocab = df
-      .select(explode(split(col(textCol), " ")).as("token"))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
       .agg(collect_set("token").as("__vocab"))
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         size(col("__toks")).as("n_toks"),
@@ -257,11 +257,16 @@ object TrainingPrep {
         log((col("c_st") * col("n_total")).cast("double") /
           (col("n_s") * col("c_t")).cast("double"))).cast("bigint"))
       .groupBy(stratumCol)
-      .agg(sum(col("c_st") * col("unats")).cast("bigint").as("kl_total_unats"),
+      .agg(sum(col("c_st") * col("unats")).cast("bigint").as("kl_total_raw"),
         max(col("n_s")).cast("bigint").as("n_toks"),
         count(lit(1)).cast("int").as("v_size"))
+      // KL is non-negative; per-term micro-nat rounding can push the total
+      // a hair below zero near KL≈0, where engines' integer-division
+      // conventions would disagree by 1 — clamp before dividing
+      .withColumn("kl_total_unats", greatest(col("kl_total_raw"), lit(0L)))
       // `div` (integer division), not `/`+cast — see unigramSurprisal
       .withColumn("kl_unats", expr("kl_total_unats div n_toks"))
+      .drop("kl_total_raw")
   }
 
   /** First matching drop reason, else 'kept' — the Dolma/CCNet-style

@@ -163,6 +163,23 @@ class OpsSpec extends SparkSpec {
     assert(out("p_no_state") == None)            // key never had state
   }
 
+  test("asOf join: NULL right ts / NULL right keys never match (ASOF semantics)") {
+    import spark.implicits._
+    val probes = Seq((Some(1L), 100L, "p1"), (None, 100L, "p_null_key"))
+      .toDF("k", "pts", "pid")
+    // NULL sts would sort nulls-first and carry forward into every probe;
+    // NULL key would pair with the NULL-key probe via window partitioning
+    val state = Seq((Some(1L), None, "s_null_ts"),
+      (None, Some(50L), "s_null_key"))
+      .toDF("k", "sts", "sval")
+    val out = Joins.asOf(probes, state, Seq("k"), "pts", "sts", Seq("sval"))
+      .collect().map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[String]("sval"))).toMap
+    assert(out.size == 2)               // probes survive (left-outer)
+    assert(out("p1") == None)           // NULL-ts state is not state
+    assert(out("p_null_key") == None)   // NULL keys don't equijoin
+  }
+
   test("asOf join: equal-ts state rows resolve to the greatest payload") {
     import spark.implicits._
     val probes = Seq((1L, 100L, "p")).toDF("k", "pts", "pid")
