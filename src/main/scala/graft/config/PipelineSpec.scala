@@ -227,8 +227,16 @@ object PipelineSpec {
         }.toSeq
       }.getOrElse(Nil)
     val transformFns = exprObject("transform_functions")
-    val reservedTransforms =
-      transformFns.map(_._1).filter(n => ReservedTransformNames(n.toLowerCase))
+    // dotted names mutate INSIDE a struct column (record.user.tier) — the
+    // reserved check applies to the ROOT segment, so envelope/router
+    // columns stay immutable whether targeted whole or by nested path
+    transformFns.map(_._1).foreach { n =>
+      if (n.isEmpty || n.split("\\.", -1).exists(_.isEmpty))
+        throw new IllegalArgumentException(
+          s"transform_functions: invalid field path '$n'")
+    }
+    val reservedTransforms = transformFns.map(_._1)
+      .filter(n => ReservedTransformNames(n.split("\\.", 2)(0).toLowerCase))
     if (reservedTransforms.nonEmpty)
       throw new IllegalArgumentException(
         "transform_functions may not overwrite envelope/router columns: " +

@@ -72,6 +72,20 @@ object Transforms {
   def groupId(groupCols: Seq[Column]): Column =
     nullif(concat_ws(":", groupCols: _*), lit(""))
 
+  /** P4b — nested-record mutation, the `put_in`/jsonb_set analog of the
+    * reference's MiniElixir transform functions (which may rewrite fields
+    * anywhere inside the record — `/root/reference/lib/sequin/transforms/
+    * message.ex:26-41`, `minielixir.ex:109-155`): set or add a field
+    * INSIDE a struct-typed record column by dot path. Pure `withField` —
+    * narrow, codegen'd, no JSON re-serialization round trip.
+    */
+  def recordSet(record: Column, path: String, value: Column): Column =
+    record.withField(path, value)
+
+  /** The `pop_in` analog: drop a nested field from a struct-typed record. */
+  def recordDrop(record: Column, path: String): Column =
+    record.dropFields(path)
+
   /** Idempotency key: base64("lsn:idx")
     * (`/root/reference/lib/sequin/runtime/slot_producer/processor.ex:176`).
     */

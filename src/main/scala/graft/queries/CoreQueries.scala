@@ -367,6 +367,33 @@ object CoreQueries {
           gapMicros = 12L * 3600 * 1000000, valueCol = "value")
         .orderBy("user_id", "session_idx")),
 
+    // P4b — nested-record mutation via the config transform surface: a
+    // dotted transform name rewrites a field INSIDE the struct-typed
+    // record (the MiniElixir put_in / jsonb_set analog) — both REPLACING
+    // an existing nested field and ADDING a new nested struct, with the
+    // mutation expressions reading other nested fields. Flattened for the
+    // oracle, which computes the same values from the flat envelope.
+    "q56_record_mutation" -> ((s, dir) => {
+      val nested = cdc(s, dir).withColumn("record",
+        struct(
+          struct(col("record_user_id").as("id"), lit("std").as("tier"))
+            .as("user"),
+          round(col("record_value") * 100).cast("bigint").as("value_cents")))
+      val cfg = graft.streaming.ConsumerConfig(name = "mut",
+        transformFunctions = Seq(
+          "record.user.tier" ->
+            "CASE WHEN record.value_cents >= 15000 THEN 'gold' ELSE 'std' END",
+          "record.flags" ->
+            "named_struct('suspect', record.user.id % 97 = 0)"))
+      graft.streaming.CdcPipeline.build(nested, cfg)
+        .select(col("record_id"),
+          col("record.user.id").as("user_id"),
+          col("record.user.tier").as("tier"),
+          col("record.value_cents").as("value_cents"),
+          col("record.flags.suspect").as("suspect"))
+        .orderBy("record_id")
+    }),
+
     // §3.2 capstone — INITIAL SYNC: snapshot + live CDC, composed. The
     // snapshot (state as of cursor L) is emitted as backfill `read`
     // events; reads whose pk the live stream (> L) also touched are
@@ -709,6 +736,14 @@ object CoreQueries {
           |    AS value_cents
           |FROM sid GROUP BY 1, 2
           |ORDER BY user_id, session_idx""".stripMargin,
+
+      "q56_record_mutation" -> (cte +
+        """SELECT record_id, record_user_id AS user_id,
+          |  CASE WHEN CAST(round(record_value * 100) AS BIGINT) >= 15000
+          |       THEN 'gold' ELSE 'std' END AS tier,
+          |  CAST(round(record_value * 100) AS BIGINT) AS value_cents,
+          |  (record_user_id % 97 = 0) AS suspect
+          |FROM cdc ORDER BY record_id""".stripMargin),
 
       "q52_initial_sync" -> (cte +
         """SELECT record_pk, record_id, 'read' AS action,

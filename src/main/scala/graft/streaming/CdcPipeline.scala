@@ -108,9 +108,16 @@ object CdcPipeline {
       df = df.withColumn("group_id",
         Transforms.groupId(cfg.groupColumns.map(df(_))))
     // P4 — user transform functions: computed output columns (applied
-    // after routing/grouping so they may reference both)
+    // after routing/grouping so they may reference both). A dotted name
+    // rooted at a struct column ("record.user.tier") mutates INSIDE the
+    // struct instead — the put_in analog (Transforms.recordSet); the root
+    // segment passed reserved-name validation at config load.
     cfg.transformFunctions.foreach { case (name, e) =>
-      df = df.withColumn(name, expr(e))
+      df = name.split("\\.", 2) match {
+        case Array(root, path) =>
+          df.withColumn(root, Transforms.recordSet(col(root), path, expr(e)))
+        case _ => df.withColumn(name, expr(e))
+      }
     }
     // R2 — user routing function: overrides merged over the default
     // router through the per-sink allowed-key validation. The sink's OWN

@@ -395,6 +395,43 @@ class TypesAndConfigSpec extends SparkSpec {
     assert(cfg.transformFunctions.map(_._1) == Seq("value_eur"))
   }
 
+  test("nested transform paths: root-reserved rejected, record paths allowed") {
+    // mutating INSIDE a reserved column by dot path is still forbidden
+    for (reserved <- Seq("group_id.x", "record_pk.inner", "topic.part"))
+      assertThrows[IllegalArgumentException](PipelineSpec.parse(
+        s"""{"name":"x","transform_functions":{"$reserved":"'boom'"}}"""))
+    // malformed paths (empty segments) fail at config load
+    for (bad <- Seq("record.", ".tier", "record..tier"))
+      assertThrows[IllegalArgumentException](PipelineSpec.parse(
+        s"""{"name":"x","transform_functions":{"$bad":"'x'"}}"""))
+    // a non-reserved root with a nested path parses
+    val cfg = PipelineSpec.parse(
+      """{"name":"x","transform_functions":{"record.user.tier":"'gold'"}}""")
+    assert(cfg.transformFunctions.map(_._1) == Seq("record.user.tier"))
+  }
+
+  test("nested transform paths mutate inside the record struct (put_in analog)") {
+    val nested = Cdc.fromEvents(Tables.events(spark, sf())).limit(50)
+      .withColumn("record", struct(
+        struct(col("record_user_id").as("id"), lit("std").as("tier")).as("user"),
+        col("record_value").as("v")))
+    val cfg = graft.streaming.ConsumerConfig(name = "m",
+      transformFunctions = Seq(
+        "record.user.tier" -> "CASE WHEN record.v > 100 THEN 'gold' ELSE 'std' END",
+        "record.audit" -> "named_struct('seen', true)"))
+    val out = graft.streaming.CdcPipeline.build(nested, cfg)
+    val rows = out.select(col("record.user.tier"), col("record.v"),
+      col("record.audit.seen"), col("record.user.id")).collect()
+    assert(rows.forall(r => r.getString(0) == (if (r.getDouble(1) > 100) "gold" else "std")))
+    assert(rows.forall(_.getBoolean(2)))  // added nested struct present
+    // sibling fields untouched by the mutation
+    assert(rows.forall(r => !r.isNullAt(3)))
+    // recordDrop is the pop_in analog
+    val dropped = nested.select(
+      graft.ops.Transforms.recordDrop(col("record"), "user.tier").as("record"))
+    assert(!dropped.select("record.user.*").columns.contains("tier"))
+  }
+
   test("routing function over a non-kafka sink: null override falls back to that sink's default") {
     val cfg = PipelineSpec.parse(
       """{"name": "rs",
