@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.ChangeEvent
 import graft.streaming.AckDelivery.{Delivery, DeliveryCommand}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** HTTP-pull ("Sequin Stream") consumer shim: the receive / ack / nack
@@ -27,8 +27,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *   - `nack(ack_ids)`: immediate redeliverability.
   *
   * Driver-side facade over a streaming query: commands flow through a
-  * MemoryStream into the keyed state machine; deliveries land in a memory
-  * sink this class pages through. One instance per consumer.
+  * MemoryStream into the keyed state machine; each micro-batch's NEW
+  * deliveries drain into a driver-side buffer via `foreachBatch` — so a
+  * receive call reads O(new deliveries), never O(delivery history). The
+  * pending buffer is bounded by the in-flight cap (max_ack_pending
+  * shape), not by stream lifetime. One instance per consumer.
   */
 final class SequinStreamPull(
     ackWaitMs: Long = 30000L,
@@ -39,15 +42,35 @@ final class SequinStreamPull(
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  private val name = s"graft_pull_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  // not-yet-handed-out deliveries + observed dead letters, drained
+  // incrementally from each micro-batch (guarded by `this`)
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[Delivery]
+  private val dlq = scala.collection.mutable.ArrayBuffer.empty[Delivery]
+  // epoch-replay guard: a (kind, ack_id, deliver_count) row enters the
+  // buffers at most once even if a batch is re-executed (a dlq row shares
+  // the final attempt's ack_id + deliver_count, hence kind in the key)
+  private val drained = scala.collection.mutable.Set.empty[(String, String, Int)]
+  // spec hook: total rows ever read from the sink — proves reads are
+  // O(new deliveries), not O(table) per call
+  private[graft] var totalDrainedRows: Long = 0L
+
   private val input = MemoryStream[DeliveryCommand]
   private val query = AckDelivery.run(input.toDS(), ackWaitMs, maxInflight,
       maxRetry, nowMs)
-    .writeStream.format("memory").queryName(name)
-    .outputMode("append").start()
+    .writeStream.outputMode("append")
+    .foreachBatch { (batch: Dataset[Delivery], _: Long) =>
+      val rows = batch.collect() // ONLY this micro-batch's new deliveries
+      SequinStreamPull.this.synchronized {
+        totalDrainedRows += rows.length
+        rows.foreach { d =>
+          if (drained.add((d.kind, d.ack_id, d.deliver_count))) {
+            if (d.kind == "dlq") dlq += d else pending += d
+          }
+        }
+      }
+    }
+    .start()
 
-  // delivery attempts already handed to the client: (ack_id, deliver_count)
-  private val handedOut = scala.collection.mutable.Set.empty[(String, Int)]
   private val groupOfAck = scala.collection.mutable.Map.empty[String, String]
   private val knownGroups = scala.collection.mutable.Set.empty[String]
 
@@ -83,8 +106,7 @@ final class SequinStreamPull(
   def nack(ackIds: Seq[String]): Unit = sendFor(ackIds, DeliveryCommand.nack)
 
   /** Dead-lettered messages observed so far. */
-  def deadLetters(): Seq[Delivery] =
-    spark.table(name).as[Delivery].collect().filter(_.kind == "dlq").toSeq
+  def deadLetters(): Seq[Delivery] = this.synchronized(dlq.toList)
 
   def stop(): Unit = query.stop()
 
@@ -106,15 +128,16 @@ final class SequinStreamPull(
       input.addData(knownGroups.toSeq.sorted.map(DeliveryCommand.tick))
       query.processAllAvailable()
     }
-    val fresh = spark.table(name).as[Delivery].collect()
-      .filter(d => d.kind != "dlq" && !handedOut.contains((d.ack_id, d.deliver_count)))
-      .sortBy(d => (d.event.commit_lsn, d.event.commit_idx))
-      .take(maxBatchSize).toSeq
-    fresh.foreach { d =>
-      handedOut += ((d.ack_id, d.deliver_count))
-      groupOfAck(d.ack_id) = Option(d.event.group_id)
-        .getOrElse(s"__pk:${d.event.record_pk}")
+    this.synchronized {
+      val fresh = pending
+        .sortBy(d => (d.event.commit_lsn, d.event.commit_idx))
+        .take(maxBatchSize).toSeq
+      pending --= fresh
+      fresh.foreach { d =>
+        groupOfAck(d.ack_id) = Option(d.event.group_id)
+          .getOrElse(s"__pk:${d.event.record_pk}")
+      }
+      fresh
     }
-    fresh
   }
 }

@@ -84,6 +84,29 @@ class SequinStreamPullSpec extends SparkSpec {
     } finally pull.stop()
   }
 
+  test("per-call read volume is O(new deliveries), not O(delivery table)") {
+    implicit val s = spark
+    Clock.now = 0L
+    val pull = new SequinStreamPull(ackWaitMs = 60000L, maxInflight = 10,
+      nowMs = PullClock.get)
+    try {
+      val n = 20
+      pull.ingest((1 to n).map(i => ev(i * 8L, "1")))
+      // drain one at a time: 20 receive calls against a 20-row delivery
+      // history; a re-collect-the-table implementation would read
+      // O(n²) = 210+ rows, the incremental drain reads each delivery once
+      var handed = 0
+      (1 to n).foreach { _ =>
+        val b = pull.receive(maxBatchSize = 1)
+        handed += b.size
+        b.foreach(d => pull.ack(Seq(d.ack_id)))
+      }
+      assert(handed == n)
+      assert(pull.totalDrainedRows == n.toLong,
+        s"expected exactly $n rows drained, got ${pull.totalDrainedRows}")
+    } finally pull.stop()
+  }
+
   test("long-poll wait returns as soon as messages arrive") {
     implicit val s = spark
     Clock.now = 0L
