@@ -47,6 +47,59 @@ object EventTableSink {
   def bucketOf(pk: Column, numBuckets: Int): Column =
     pmod(xxhash64(pk), lit(numBuckets)).cast("int")
 
+  // ---- concurrent-writer fencing (the WireSink epoch pattern) ----------
+
+  /** Handle for the table's single legitimate writer at a given epoch —
+    * see [[openWriter]]. A fenced handle's upserts throw instead of
+    * interleaving bucket swaps with the newer owner.
+    */
+  final class Writer private[sinks] (val path: String, val epoch: Long) {
+    def upsert(spark: SparkSession, batch: DataFrame,
+        numBuckets: Int = DefaultBuckets): Unit =
+      EventTableSink.upsert(spark, batch, path, numBuckets, Some(this))
+  }
+
+  private def epochFile(path: String): Path = Paths.get(path).resolve("_epoch")
+
+  /** Current writer epoch (0 = table never opened with fencing). The
+    * `_epoch` name is underscore-prefixed so Spark's file index ignores it.
+    */
+  def currentEpoch(path: String): Long = {
+    val f = epochFile(path)
+    if (!Files.exists(f)) 0L
+    else Try(new String(Files.readAllBytes(f), "UTF-8").trim.toLong).getOrElse(0L)
+  }
+
+  /** Take over the table as its single writer: bump the `_epoch` file
+    * (temp + atomic rename) and return a fenced handle. Every handle from
+    * an earlier epoch is thereby fenced — its next upsert fails fast
+    * rather than racing bucket swaps against the new owner. Two streams
+    * upserting one table MUST each hold a current handle; the second
+    * `openWriter` wins (last-writer-wins at the granularity of handles).
+    * Same recipe as log/leader epoch fencing; the un-fenced `upsert`
+    * overload keeps the single-writer assumption implicit for embedded
+    * use.
+    */
+  def openWriter(path: String): Writer = {
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val next = currentEpoch(path) + 1
+    val tmp = root.resolve(s".epoch-${System.nanoTime()}")
+    Files.write(tmp, next.toString.getBytes("UTF-8"))
+    Files.move(tmp, epochFile(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    new Writer(path, next)
+  }
+
+  private def fenceCheck(path: String, writer: Option[Writer]): Unit =
+    writer.foreach { w =>
+      val cur = currentEpoch(path)
+      if (cur != w.epoch)
+        throw new IllegalStateException(
+          s"event-table writer fenced: epoch ${w.epoch} superseded by " +
+            s"$cur at $path")
+    }
+
   /** Read the table (internal bucket column dropped). `mergeSchema`
     * because buckets untouched since an upstream schema change still hold
     * the narrower files — the union schema is the table's schema.
@@ -78,10 +131,15 @@ object EventTableSink {
   }
 
   /** Idempotently merge `batch` into the bucketed parquet table at `path`,
-    * rewriting only the buckets present in the batch.
+    * rewriting only the buckets present in the batch. With a `writer`
+    * handle, the epoch is checked on entry AND immediately before the
+    * bucket swaps, so a writer superseded mid-merge aborts with its
+    * staging directory cleaned up and the table untouched.
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets,
+      writer: Option[Writer] = None): Unit = {
+    fenceCheck(path, writer)
     repair(path)
     val target = Paths.get(path)
     val keyed = batch.withColumn(BucketCol, bucketOf(col(keyCols.head), numBuckets))
@@ -117,6 +175,10 @@ object EventTableSink {
       .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
+    // last fence before mutating live dirs: a writer superseded during
+    // the merge aborts here, leaving the new owner's table intact
+    try fenceCheck(path, writer)
+    catch { case e: Throwable => deleteRecursively(tmp); throw e }
     touched.foreach { b =>
       val live = bucketDir(path, b)
       val staged = tmp.resolve(s"$BucketCol=$b")

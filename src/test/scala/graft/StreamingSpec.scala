@@ -298,4 +298,49 @@ class StreamingSpec extends SparkSpec {
     assert(EventTableSink.read(spark, dir).count() == 50)
   }
 
+  test("EventTableSink epoch fencing: a superseded writer fails fast, new owner wins") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_fence")
+      .toString + "/events"
+    // distinct lsn per batch so each successive write is a genuine
+    // newer version under last-writer-wins, not an idempotent replay
+    def batch(lsn: Long, v: Double) = (1 to 20)
+      .map(i => ev(lsn, i.toLong, "7", i.toString, value = v)).toDF()
+
+    // writer A owns the table, writes v=1
+    val a = EventTableSink.openWriter(dir)
+    a.upsert(spark, batch(8, 1.0), numBuckets = 4)
+    assert(EventTableSink.currentEpoch(dir) == a.epoch)
+
+    // writer B takes over (e.g. a second stream starts on the same
+    // table) and writes v=2
+    val b = EventTableSink.openWriter(dir)
+    assert(b.epoch == a.epoch + 1)
+    b.upsert(spark, batch(9, 2.0), numBuckets = 4)
+
+    // A is now a zombie: its interleaved upsert FAILS FAST instead of
+    // racing bucket swaps against B
+    val e = intercept[IllegalStateException] {
+      a.upsert(spark, batch(10, 9.0), numBuckets = 4)
+    }
+    assert(e.getMessage.contains("fenced"))
+
+    // last writer's data wins, untouched by the fenced attempt; no
+    // staging debris left behind
+    val vals = EventTableSink.read(spark, dir)
+      .select("record_value").distinct().collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(2.0))
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(".tmp-") || n.startsWith(".old-")).toSeq
+    assert(leftovers.isEmpty)
+
+    // B keeps working; the unfenced embedded overload is unaffected
+    b.upsert(spark, batch(11, 3.0), numBuckets = 4)
+    EventTableSink.upsert(spark, batch(12, 4.0), dir, numBuckets = 4)
+    assert(EventTableSink.read(spark, dir).count() == 20)
+  }
+
 }
