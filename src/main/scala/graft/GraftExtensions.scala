@@ -59,7 +59,8 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) =>
-        ShingleHashes(args(0), intLit(args(1), "shingle_hashes n"))),
+        ShingleHashes(args(0), intLit(args(1), "shingle_hashes n"),
+          if (args.size > 2) intLit(args(2), "shingle_hashes hexChars") else 8)),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) =>

@@ -161,25 +161,40 @@ object Dedup {
       .select("base_id", "new_id", "jaccard")
   }
 
-  /** SimHash fingerprints (`bits` wide, ≤ 32) for a whole DataFrame:
+  /** SimHash fingerprints (`bits` wide, ≤ 60) for a whole DataFrame:
     * majority vote per bit over the distinct shingles' portable hashes —
     * the fused [[graft.functions.VectorExpressions.SimhashBits]] kernel
     * (one tight vote loop; bit-identical to [[withSimhashDeclarative]],
     * property-tested in `DedupSpec`).
+    *
+    * Default width is 60 (the widest exact in a signed 64-bit integer on
+    * every engine — 15 md5 hex chars per shingle hash): with
+    * [[simhashNearDups]]'s 4 bands that is 2¹⁵ buckets per band, so the
+    * random band-collision floor is N²/2¹⁵ pairs per band instead of the
+    * N²/2⁸ a 32-bit fingerprint gives — the difference between a
+    * candidate explosion at ~10⁵ docs and at ~10⁷.
     */
-  def withSimhash(df: DataFrame, textCol: String, bits: Int = 32,
+  def withSimhash(df: DataFrame, textCol: String, bits: Int = 60,
       shingleN: Int = 3): DataFrame =
     df.withColumn("simhash", graft.functions.VectorExpressions.simhash_bits(
-      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN),
+      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN,
+        hexCharsFor(bits)),
       bits))
+
+  /** md5 hex digits needed to cover `bits` vote positions. */
+  private def hexCharsFor(bits: Int): Int = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1, 60]: $bits")
+    (bits + 3) / 4
+  }
 
   /** Declarative twin of [[withSimhash]] (HOF vote fold + when-chain bit
     * pack) — kept as the equivalence oracle for the fused kernel.
     */
-  def withSimhashDeclarative(df: DataFrame, textCol: String, bits: Int = 32,
+  def withSimhashDeclarative(df: DataFrame, textCol: String, bits: Int = 60,
       shingleN: Int = 3): DataFrame = {
     val hashed = df.withColumn("hs",
-      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN))
+      graft.functions.VectorExpressions.shingle_hashes(col(textCol), shingleN,
+        hexCharsFor(bits)))
     val voted = hashed.withColumn("votes",
       aggregate(col("hs"), array_repeat(lit(0L), bits),
         (acc, h) => zip_with(acc,
@@ -191,17 +206,25 @@ object Dedup {
       }.reduce(_ + _)).drop("hs", "votes")
   }
 
-  /** SimHash near-dup pairs: candidates share one of `bands` byte-wide
-    * bands (pigeonhole: hamming ≤ 3 ⇒ some 8-bit band equal for 32-bit
-    * hashes split in 4), verified by exact hamming distance ≤ maxHamming.
+  /** SimHash near-dup pairs: candidates share one of `bands` equal-width
+    * bands (pigeonhole: hamming ≤ bands−1 ⇒ some band equal — maxHamming
+    * must stay < bands for exact recall), verified by exact hamming
+    * distance ≤ maxHamming. With the default 60-bit fingerprint each of
+    * the 4 bands is 15 bits → 2¹⁵ buckets per band, so random collisions
+    * (the quadratic term in candidate volume) stay negligible to ~10⁷
+    * docs; band width scales automatically with `bits`.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimhash(df, textCol).select(col(idCol), col("simhash"))
+      bands: Int = 4, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands: $maxHamming >= $bands")
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    val bandBits = bits / bands
+    val hashed = withSimhash(df, textCol, bits).select(col(idCol), col("simhash"))
       .localCheckpoint()
     val banded = hashed.select(col(idCol), col("simhash"), posexplode(
       array((0 until bands).map { b =>
-        shiftright(col("simhash"), 8 * b) % 256
+        shiftright(col("simhash"), bandBits * b) % (1 << bandBits)
       }: _*)).as(Seq("band_idx", "band_val")))
     val a = banded.select(col("band_idx"), col("band_val"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))

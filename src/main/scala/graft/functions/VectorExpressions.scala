@@ -121,13 +121,19 @@ object VectorExpressions {
 
   /** Fused word-shingle + portable-hash kernel: tokenizes on single
     * spaces, forms `n`-gram shingles, dedupes (first occurrence), and
-    * emits each distinct shingle's portable hash (first 4 md5 bytes as an
-    * unsigned 32-bit value — bit-identical to
-    * `transform(array_distinct(shingles(text, n)), portableHash)` but with
-    * no intermediate arrays and one MessageDigest per thread.
+    * emits each distinct shingle's portable hash — the first `hexChars`
+    * md5 hex digits as an unsigned value (8 → the classic 32-bit
+    * portable hash, bit-identical to
+    * `transform(array_distinct(shingles(text, n)), portableHash)`;
+    * 15 → a 60-bit hash, the widest that stays exact in a SIGNED 64-bit
+    * integer on every engine — the DuckDB twin is
+    * `CAST('0x' || substr(md5(t), 1, hexChars) AS BIGINT)`). No
+    * intermediate arrays, one MessageDigest per thread.
     */
-  case class ShingleHashes(child: Expression, n: Int)
+  case class ShingleHashes(child: Expression, n: Int, hexChars: Int = 8)
       extends UnaryExpression with CodegenFallback {
+    require(hexChars >= 1 && hexChars <= 15,
+      s"hexChars must be in [1, 15] to stay exact in a signed long: $hexChars")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     @transient private lazy val digest =
@@ -161,8 +167,17 @@ object VectorExpressions {
       while (it.hasNext) {
         md.reset()
         val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out(k) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        // value of the first hexChars hex digits of the md5 — nibble-wise
+        // so odd widths (15 → 60 bits) match conv(substr(hex,1,w),16,10)
+        var v = 0L
+        var c = 0
+        while (c < hexChars) {
+          val nib =
+            if (c % 2 == 0) (d(c / 2) >>> 4) & 0xF else d(c / 2) & 0xF
+          v = (v << 4) | nib
+          c += 1
+        }
+        out(k) = v
         k += 1
       }
       new GenericArrayData(out)
@@ -223,8 +238,8 @@ object VectorExpressions {
   def affine_minhash_sig(hs: Column, k: Int): Column =
     column(AffineMinHashSig(expression(hs), k))
 
-  def shingle_hashes(text: Column, n: Int): Column =
-    column(ShingleHashes(expression(text), n))
+  def shingle_hashes(text: Column, n: Int, hexChars: Int = 8): Column =
+    column(ShingleHashes(expression(text), n, hexChars))
 
   def simhash_bits(hs: Column, bits: Int): Column =
     column(SimhashBits(expression(hs), bits))

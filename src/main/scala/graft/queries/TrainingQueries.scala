@@ -24,6 +24,12 @@ object TrainingQueries {
   private def dh(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
+  /** 60-bit portable hash (15 md5 hex chars — mirrors ShingleHashes with
+    * hexChars=15; the widest exact in a signed BIGINT)
+    */
+  private def dhWide(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
   /** distinct 3-gram shingle sets (mirrors TextAnalysis.shingles(n=3)) */
   private val toksCte =
     """WITH sets AS (SELECT doc_id, list_distinct(list_transform(
@@ -600,17 +606,17 @@ object TrainingQueries {
 
     "td06_simhash" ->
       s"""$toksCte,
-         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets)
-         |SELECT doc_id, CAST(${duckSimhash(32)} AS BIGINT) AS simhash
+         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dhWide("t")}) AS hs FROM sets)
+         |SELECT doc_id, CAST(${duckSimhash(60)} AS BIGINT) AS simhash
          |FROM hashed ORDER BY doc_id""".stripMargin,
 
     "td07_simhash_neardups" ->
       s"""$toksCte,
-         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dh("t")}) AS hs FROM sets),
-         |sims AS (SELECT doc_id, CAST(${duckSimhash(32)} AS BIGINT) AS simhash FROM hashed),
+         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dhWide("t")}) AS hs FROM sets),
+         |sims AS (SELECT doc_id, CAST(${duckSimhash(60)} AS BIGINT) AS simhash FROM hashed),
          |banded AS (SELECT doc_id, simhash,
-         |  unnest([simhash & 255, (simhash >> 8) & 255,
-         |          (simhash >> 16) & 255, (simhash >> 24) & 255]) AS band_val,
+         |  unnest([simhash & 32767, (simhash >> 15) & 32767,
+         |          (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band_val,
          |  unnest([0, 1, 2, 3]) AS band_idx FROM sims)
          |SELECT id_a, id_b, hamming FROM (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
