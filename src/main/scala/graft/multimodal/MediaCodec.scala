@@ -239,6 +239,97 @@ object MediaCodec {
     }
   }
 
+  // ---------- payload decoding (pixel / sample values) ----------
+
+  /** Decode the PAYLOAD, not just the header: row-major values per
+    * container —
+    *   - BMP 24bpp: red channel per pixel, top row first (undoing the
+    *     container's bottom-up row order and 4-byte row padding; top-down
+    *     negative-height files read in storage order);
+    *   - PPM (P6): red channel per pixel; PGM (P5): the gray byte —
+    *     netpbm stores top-down unpadded, maxval ≤ 255 only;
+    *   - WAV PCM16: interleaved samples as signed ints.
+    * Row-major order is part of the contract — an order-sensitive
+    * checksum over these values catches padding/row-flip bugs that
+    * order-invariant stats (sum/min/max) cannot.
+    */
+  def decodeValues(b: Array[Byte]): Option[(String, Array[Int])] = {
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+      val meta = decodeBmp(b).getOrElse(return None)
+      if (u16(b, 28) != 24) return None // value decode: 24bpp only
+      val w = meta.width.get
+      val hRaw = i32(b, 22)
+      val h = meta.height.get
+      val off = u32(b, 10).toInt
+      val rowSize = (w * 3 + 3) / 4 * 4
+      if (off + rowSize.toLong * h > b.length) return None
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        // positive height = bottom-up storage: top image row is the LAST
+        val rowOff = off + (if (hRaw > 0) (h - 1 - y) else y) * rowSize
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = b(rowOff + x * 3 + 2) & 0xFF // red channel
+          x += 1
+        }
+        y += 1
+      }
+      Some(("bmp", out))
+    } else if (b.length >= 2 && b(0) == 'P') {
+      val meta = decodePnm(b).getOrElse(return None)
+      if (meta.bitDepth != 8) return None
+      val w = meta.width.get
+      val h = meta.height.get
+      val stride = meta.channels // 3 for P6, 1 for P5
+      // re-scan the header to find where pixel data starts: the single
+      // whitespace byte after maxval ends the header
+      var pos = 2
+      var fields = 0
+      while (fields < 3 && pos < b.length) {
+        while (pos < b.length && (isPnmWs(b(pos)) || b(pos) == '#')) {
+          if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+          else pos += 1
+        }
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+        fields += 1
+      }
+      pos += 1 // the single whitespace terminating the header
+      if (pos + w.toLong * h * stride > b.length) return None
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        out(i) = b(pos + i * stride) & 0xFF
+        i += 1
+      }
+      Some((meta.format, out))
+    } else if (b.length >= 12 && tag(b, 0, "RIFF")) {
+      val meta = decodeWav(b).getOrElse(return None)
+      if (meta.bitDepth != 16) return None
+      // re-walk chunks for the data offset
+      var pos = 12
+      var dataOff = -1
+      var dataSize = 0L
+      while (pos + 8 <= b.length && dataOff < 0) {
+        val size = u32(b, pos + 4)
+        if (tag(b, pos, "data")) {
+          dataOff = pos + 8
+          dataSize = math.min(size, (b.length - pos - 8).toLong)
+        }
+        pos += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (dataOff < 0) return None
+      val n = (dataSize / 2).toInt
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = u16(b, dataOff + i * 2).toShort.toInt // sign-extend
+        i += 1
+      }
+      Some(("wav", out))
+    } else None
+  }
+
   // ---------- dispatch ----------
 
   /** Sniff the container magic and parse the header. Returns None for

@@ -124,6 +124,60 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact features over DECODED payload values (pixels / PCM
+    * samples) — all order-invariant stats plus an order-SENSITIVE
+    * position-weighted checksum (`Σ (i+1)·vᵢ` over row-major values), so
+    * a bottom-up/padding/interleave bug in the decoder is a value
+    * mismatch, not a silent pass. `crossings` counts sign flips between
+    * consecutive samples (0 for images — pixel values are non-negative).
+    */
+  final case class PayloadFeatures(
+      asset_id: Long,
+      format: String,
+      n_values: Long,
+      v_sum: Long,
+      v_min: Long,
+      v_max: Long,
+      weighted_sum: Long,
+      crossings: Long)
+
+  /** REAL payload feature extraction: decode every pixel/sample via
+    * [[MediaCodec.decodeValues]] and reduce to integer-exact stats in one
+    * pass. Per-partition iteration, no shuffle; payloads that don't value-
+    * decode (compressed, truncated, exotic bit depths) yield
+    * `format = "unknown"` with zeroed stats rather than failing the batch.
+    */
+  def payloadFeatures(assets: Dataset[Asset])(
+      implicit spark: SparkSession): Dataset[PayloadFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        MediaCodec.decodeValues(a.bytes) match {
+          case Some((fmt, vs)) if vs.nonEmpty =>
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var wsum = 0L
+            var crossings = 0L
+            var i = 0
+            while (i < vs.length) {
+              val v = vs(i)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              wsum += (i + 1).toLong * v
+              if (i > 0 && ((vs(i - 1) < 0) != (v < 0))) crossings += 1
+              i += 1
+            }
+            PayloadFeatures(a.asset_id, fmt, vs.length.toLong, sum, mn, mx,
+              wsum, crossings)
+          case _ =>
+            PayloadFeatures(a.asset_id, "unknown", 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   final case class ResizedAsset(
       asset_id: Long,
       kind: String,

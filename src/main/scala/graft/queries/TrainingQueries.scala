@@ -467,6 +467,24 @@ object TrainingQueries {
         }
       graft.multimodal.Multimodal.decodeMedia(assets)(s).toDF()
         .orderBy("asset_id")
+    }),
+
+    // REAL payload decode: every pixel / PCM sample of the synthesized
+    // containers is read back out of the actual byte layout (bottom-up
+    // BMP rows + padding, netpbm header scan, RIFF chunk walk + int16
+    // sign extension) and reduced to integer-exact stats including an
+    // order-SENSITIVE position-weighted checksum. The oracle computes the
+    // same stats from the closed-form generation arithmetic — a row-order
+    // or padding bug in the decoder is a hash mismatch.
+    "td40_payload_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.payloadFeatures(assets)(s).toDF()
+        .orderBy("asset_id")
     }))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
@@ -1093,5 +1111,40 @@ object TrainingQueries {
         |                   + 3 * (1 + doc_id % 17) * (1 + (doc_id // 17) % 13)
         |       ELSE 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
         |       END AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // td40: the Spark side decodes ACTUAL payload bytes; the oracle
+    // recomputes every pixel/sample from the closed-form synthesis
+    // arithmetic (BMP v = (id+x+y)%256 red channel, PPM v = (id+3x+7y)%256,
+    // WAV s_i = (id*31 + i*17)%65536 - 32768 interleaved) in row-major
+    // order, so the order-sensitive weighted checksum pins the decoder's
+    // row direction, padding handling, and sign extension.
+    "td40_payload_features" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
+        |  CAST(1 + doc_id % 31 AS BIGINT) AS bw,
+        |  CAST(1 + (doc_id // 31) % 23 AS BIGINT) AS bh,
+        |  CAST(1 + doc_id % 17 AS BIGINT) AS pw,
+        |  CAST(1 + (doc_id // 17) % 13 AS BIGINT) AS ph,
+        |  CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT) AS nw
+        |  FROM documents),
+        |vals AS (SELECT doc_id,
+        |  CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+        |  CASE m
+        |    WHEN 0 THEN list_transform(range(0, bw*bh),
+        |      i -> (doc_id + (i % bw) + (i // bw)) % 256)
+        |    WHEN 1 THEN list_transform(range(0, pw*ph),
+        |      i -> (doc_id + 3*(i % pw) + 7*(i // pw)) % 256)
+        |    ELSE list_transform(range(0, nw),
+        |      i -> (doc_id*31 + i*17) % 65536 - 32768) END AS vs
+        |  FROM p)
+        |SELECT doc_id AS asset_id, format,
+        |  CAST(len(vs) AS BIGINT) AS n_values,
+        |  CAST(list_aggregate(vs, 'sum') AS BIGINT) AS v_sum,
+        |  CAST(list_aggregate(vs, 'min') AS BIGINT) AS v_min,
+        |  CAST(list_aggregate(vs, 'max') AS BIGINT) AS v_max,
+        |  CAST(list_aggregate(list_transform(range(1, len(vs) + 1),
+        |    i -> i * vs[i]), 'sum') AS BIGINT) AS weighted_sum,
+        |  CAST(len(list_filter(range(2, len(vs) + 1),
+        |    i -> (vs[i-1] < 0) <> (vs[i] < 0))) AS BIGINT) AS crossings
+        |FROM vals ORDER BY asset_id""".stripMargin)
 }

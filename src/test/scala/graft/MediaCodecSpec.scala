@@ -152,4 +152,68 @@ class MediaCodecSpec extends SparkSpec {
     val u = out.find(_.asset_id == 99L).get
     assert(u.format == "unknown" && u.width.isEmpty && u.n_bytes == 16L)
   }
+
+  test("decodeValues: hand-built 2x2 BMP yields row-major red values, unpadded, top row first") {
+    // bottom-up storage: file rows are (image row 1) then (image row 0).
+    // red channel per pixel: (0,0)=10 (1,0)=20 / (0,1)=30 (1,1)=40
+    val b = new Array[Byte](70)
+    b(0) = 'B'; b(1) = 'M'; b(2) = 70
+    b(10) = 54; b(14) = 40; b(18) = 2; b(22) = 2; b(26) = 1; b(28) = 24
+    b(34) = 16
+    // file row 0 = image row y=1 (bottom-up): B,G,R per pixel + 2 pad
+    b(54 + 2) = 30; b(54 + 5) = 40
+    // file row 1 = image row y=0
+    b(62 + 2) = 10; b(62 + 5) = 20
+    val (fmt, vs) = MediaCodec.decodeValues(b).get
+    assert(fmt == "bmp")
+    assert(vs.toSeq == Seq(10, 20, 30, 40)) // row-major, top row first
+  }
+
+  test("decodeValues: top-down BMP (negative height) reads rows in storage order") {
+    val b = new Array[Byte](70)
+    b(0) = 'B'; b(1) = 'M'; b(2) = 70
+    b(10) = 54; b(14) = 40; b(18) = 2
+    // height = -2 (top-down), little-endian two's complement
+    b(22) = 0xFE.toByte; b(23) = 0xFF.toByte; b(24) = 0xFF.toByte; b(25) = 0xFF.toByte
+    b(26) = 1; b(28) = 24; b(34) = 16
+    b(54 + 2) = 10; b(54 + 5) = 20 // storage row 0 IS image row 0
+    b(62 + 2) = 30; b(62 + 5) = 40
+    val (_, vs) = MediaCodec.decodeValues(b).get
+    assert(vs.toSeq == Seq(10, 20, 30, 40))
+  }
+
+  test("decodeValues: PGM gray bytes and PPM red channel, comment-tolerant header") {
+    val pgm = "P5\n# a comment\n3 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val (f1, v1) = MediaCodec.decodeValues(pgm).get
+    assert(f1 == "pgm" && v1.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    val ppm = MediaCodec.encodePpm(2, 1, 255,
+      (x, _) => if (x == 0) 0xAA0000 else 0x550000)
+    val (f2, v2) = MediaCodec.decodeValues(ppm).get
+    assert(f2 == "ppm" && v2.toSeq == Seq(0xAA, 0x55))
+  }
+
+  test("decodeValues: WAV PCM16 samples sign-extend and preserve interleave order") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0, -1)
+    val wav = MediaCodec.encodeWav(8000, 2, samples)
+    val (f, vs) = MediaCodec.decodeValues(wav).get
+    assert(f == "wav")
+    assert(vs.toSeq == Seq(100, -200, 32767, -32768, 0, -1))
+  }
+
+  test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {
+    import spark.implicits._
+    val samples = Array[Short](5, -3, 4, -2) // 3 sign flips
+    val assets = Seq(
+      Multimodal.Asset(1L, "wav", MediaCodec.encodeWav(8000, 1, samples), "t"),
+      Multimodal.Asset(2L, "junk", "zzz".getBytes, "t"))
+    val out = Multimodal.payloadFeatures(spark.createDataset(assets))(spark)
+      .collect().sortBy(_.asset_id)
+    val w = out(0)
+    assert(w.format == "wav" && w.n_values == 4 && w.v_sum == 4 &&
+      w.v_min == -3 && w.v_max == 5 && w.crossings == 3)
+    // weighted: 1*5 + 2*(-3) + 3*4 + 4*(-2) = 3
+    assert(w.weighted_sum == 3)
+    assert(out(1).format == "unknown" && out(1).n_values == 0)
+  }
 }
