@@ -319,6 +319,25 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Retention expiry on the materialized event table: build it with
+    // bucketed MERGEs, then evict rows older than the cutoff (the
+    // reference's pg_cron `DELETE ... WHERE committed_at < cutoff` /
+    // pg_partman partition drop). Only buckets holding expired rows are
+    // rewritten; fully-expired buckets drop their directory outright.
+    "q56_retention" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ret").toString
+      val all = cdc(s, dir)
+      val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
+      val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
+      graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8)
+      graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8)
+      graft.sinks.EventTableSink.retention(s, path, "commit_ts",
+        to_timestamp(lit("2024-01-16 00:00:00")))
+      graft.sinks.EventTableSink.read(s, path)
+        .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
+        .orderBy("record_id")
+    }),
+
     // Change-retention time travel: record state AS OF a WAL cursor —
     // latest version per pk at or below the cursor, deletes absent. The
     // replay payoff of the event table: any historical snapshot is a
@@ -777,6 +796,11 @@ object CoreQueries {
       "q48_event_table_merge" -> (cte +
         """SELECT record_pk, record_id, action, commit_lsn, commit_idx
           |FROM cdc ORDER BY record_id""".stripMargin),
+
+      "q56_retention" -> (cte +
+        """SELECT record_pk, record_id, action, commit_lsn, commit_idx
+          |FROM cdc WHERE commit_ts >= TIMESTAMP '2024-01-16 00:00:00'
+          |ORDER BY record_id""".stripMargin),
 
       "q42_composite_pks" ->
         """SELECT l_orderkey, l_linenumber,

@@ -194,6 +194,57 @@ object EventTableSink {
     deleteRecursively(tmp)
   }
 
+  /** Retention: evict rows whose `tsCol` is before `cutoff` — the
+    * reference's change-retention expiry
+    * (`/root/reference/docs/reference/change-retention.mdx:112-137`:
+    * a pg_cron job runs `DELETE ... WHERE committed_at < now() - interval
+    * '30 days'`; pg_partman drops whole time partitions for high volume).
+    *
+    * Spark rendition, scale-shaped like the pg_partman path: the expiry
+    * probe aggregates expired counts per bucket — a columnar scan of the
+    * ts column only, pruned further by parquet footer min/max — and the
+    * rewrite touches ONLY buckets that hold expired rows, through the
+    * same staged-write + two-rename swap as [[upsert]] (crash-safe via
+    * [[repair]], fenced via the `writer` epoch). A fully-expired bucket's
+    * directory is dropped outright (the partition-drop fast path).
+    * Returns the number of rows evicted.
+    */
+  def retention(spark: SparkSession, path: String, tsCol: String,
+      cutoff: Column, writer: Option[Writer] = None): Long = {
+    fenceCheck(path, writer)
+    repair(path)
+    val target = Paths.get(path)
+    if (!Files.exists(target)) return 0L
+    val t = Try(spark.read.option("mergeSchema", "true").parquet(path))
+      .getOrElse(return 0L)
+    val perBucket = t.filter(col(tsCol) < cutoff)
+      .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perBucket.isEmpty) return 0L
+    val affected = perBucket.keys.toSeq.sorted
+    val keep = t.filter(col(BucketCol).isin(affected: _*))
+      .filter(col(tsCol) >= cutoff)
+    val tmp = target.resolve(s".tmp-${System.nanoTime()}")
+    keep.repartition(col(BucketCol))
+      .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    try fenceCheck(path, writer)
+    catch { case e: Throwable => deleteRecursively(tmp); throw e }
+    affected.foreach { b =>
+      val live = bucketDir(path, b)
+      val staged = tmp.resolve(s"$BucketCol=$b")
+      val old = oldDir(path, b)
+      deleteRecursively(old)
+      if (Files.exists(live))
+        Files.move(live, old, StandardCopyOption.REPLACE_EXISTING)
+      if (Files.exists(staged)) Files.move(staged, live)
+      deleteRecursively(old)
+    }
+    deleteRecursively(tmp)
+    perBucket.values.sum
+  }
+
   /** Change feed between two cursors: the NET effect per record_pk of
     * every change in `(fromLsn, toLsn]` — latest version in the window,
     * tagged with whether the pk ended up upserted or deleted. The

@@ -298,6 +298,49 @@ class StreamingSpec extends SparkSpec {
     assert(EventTableSink.read(spark, dir).count() == 50)
   }
 
+  test("EventTableSink.retention evicts old rows, drops fully-expired buckets, is idempotent and fenced") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_ret")
+      .toString + "/events"
+    // pks 1..40; even pks stamped old, odd pks new — spread over 4 buckets
+    def at(ts: String) = to_timestamp(lit(ts))
+    val rows = (1 to 40).map { i =>
+      val t = if (i % 2 == 0) "2024-01-01 00:00:00" else "2024-02-01 00:00:00"
+      ev(8, i.toLong, "7", i.toString).copy(
+        commit_ts = java.sql.Timestamp.valueOf(t))
+    }
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 4)
+
+    val evicted = EventTableSink.retention(spark, dir, "commit_ts",
+      at("2024-01-15 00:00:00"))
+    assert(evicted == 20)
+    val left = EventTableSink.read(spark, dir).select("record_pk")
+      .collect().map(_.getString(0).toInt).sorted.toSeq
+    assert(left == (1 to 40 by 2))
+    // idempotent: nothing left to evict
+    assert(EventTableSink.retention(spark, dir, "commit_ts",
+      at("2024-01-15 00:00:00")) == 0L)
+    // cutoff past everything drops every bucket directory outright
+    assert(EventTableSink.retention(spark, dir, "commit_ts",
+      at("2025-01-01 00:00:00")) == 20L)
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("bucket=")).toSeq
+    assert(dirs.isEmpty)
+
+    // a fenced (superseded) writer cannot run retention
+    val a = EventTableSink.openWriter(dir)
+    EventTableSink.openWriter(dir) // b supersedes a
+    val e = intercept[IllegalStateException] {
+      EventTableSink.retention(spark, dir, "commit_ts",
+        at("2025-01-01 00:00:00"), writer = Some(a))
+    }
+    assert(e.getMessage.contains("fenced"))
+  }
+
   test("EventTableSink epoch fencing: a superseded writer fails fast, new owner wins") {
     implicit val s = spark
     import s.implicits._
