@@ -136,4 +136,37 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan.linesIterator
       .filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("retention expiry probe scans only the ts + bucket columns") {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, to_timestamp}
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_retp").toString + "/t"
+    val batch = graft.model.Cdc.fromEvents(Tables.events(spark, sf()))
+      .filter(pmod(col("commit_lsn"), lit(16)) === 0)
+    graft.sinks.EventTableSink.upsert(spark, batch, dir, numBuckets = 4)
+    // the probe retention() runs before deciding what to rewrite: its
+    // ReadSchema must prune to commit_ts alone (bucket comes from the
+    // directory layout) — at 100 TB the expiry check reads one thin
+    // column, not the table
+    val probe = spark.read.parquet(dir)
+      .filter(col("commit_ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val plan = formatted(probe)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(readSchema.contains("commit_ts"), readSchema)
+    assert(!readSchema.contains("record_pk") && !readSchema.contains("record_props"),
+      readSchema)
+  }
+
+  test("td40 payload decode runs shuffle-free (per-partition map only)") {
+    val df = q("td40_payload_features")
+    val plan = formatted(df)
+    // decode + feature reduction is mapPartitions over the scan; the only
+    // exchange allowed is the final orderBy's range partitioning — no
+    // hash shuffle anywhere in the decode path
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("hashpartitioning"), plan.linesIterator
+      .filter(_.contains("partitioning")).mkString("\n"))
+  }
 }

@@ -98,6 +98,43 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("prefix-filtered ngram Jaccard grows near-linearly over 10x docs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // 16 blocking strata (the lang×source analog) at both sizes: block
+    // size grows 10x, so this is the probe that would catch a block²
+    // cross join — the prefix filter keeps candidates ∝ co-occurrence
+    val small = synthDocs(SmallN).withColumn("blk", pmod(col("doc_id"), lit(16)))
+    val big = synthDocs(BigN).withColumn("blk", pmod(col("doc_id"), lit(16)))
+    try {
+      val r = ratioOf(
+        Dedup.ngramJaccardNearDups(small, "doc_id", "text", n = 3,
+          blockCols = Seq("blk"), threshold = 0.5).count(),
+        Dedup.ngramJaccardNearDups(big, "doc_id", "text", n = 3,
+          blockCols = Seq("blk"), threshold = 0.5).count(),
+        "ngram-jaccard")
+      assert(r < 30, s"ngram Jaccard 10x growth ratio $r suggests a block-squared cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("incremental cross-corpus dedup grows near-linearly over 10x (base + incoming)") {
+    // the nightly-crawl shape: base and incoming both scale 10x; pair
+    // space must stay ∝ band collisions, never base × incoming
+    val smallBase = synthDocs(SmallN)
+    val smallInc = synthDocs(SmallN / 5)
+    val bigBase = synthDocs(BigN)
+    val bigInc = synthDocs(BigN / 5)
+    try {
+      val r = ratioOf(
+        Dedup.minhashNearDupsAgainst(smallBase, smallInc, "doc_id", "text").count(),
+        Dedup.minhashNearDupsAgainst(bigBase, bigInc, "doc_id", "text").count(),
+        "incremental-dedup")
+      assert(r < 30, s"incremental dedup 10x growth ratio $r suggests base x incoming")
+    } finally {
+      smallBase.unpersist(); smallInc.unpersist()
+      bigBase.unpersist(); bigInc.unpersist()
+    }
+  }
+
   test("semDedup grows ~N^1.5 (cells ~ sqrt N) over 10x vectors, no cliff") {
     // centers scale 10x so genuine duplicate structure keeps pace with N;
     // centroidEvery scales sqrt(10) so the cell count grows as sqrt(N)
