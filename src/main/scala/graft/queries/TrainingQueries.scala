@@ -485,7 +485,23 @@ object TrainingQueries {
         }
       graft.multimodal.Multimodal.payloadFeatures(assets)(s).toDF()
         .orderBy("asset_id")
-    }))
+    }),
+
+    // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
+    // covered by a shared 5-gram (≥3 docs), reassemble survivors in
+    // order. The rewrite half of td22's exposure counts.
+    "td41_boilerplate_scrub" -> ((s, dir) =>
+      graft.training.TrainingPrep.scrubBoilerplate(
+          Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 3)
+        .orderBy("doc_id")),
+
+    // Context-window chunking: 32-token windows, stride 24 (8-token
+    // overlap), partial tail window — per-row explode, no shuffle.
+    "td42_chunking" -> ((s, dir) =>
+      graft.training.TrainingPrep.chunkDocuments(
+          Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
@@ -1146,5 +1162,42 @@ object TrainingQueries {
         |    i -> i * vs[i]), 'sum') AS BIGINT) AS weighted_sum,
         |  CAST(len(list_filter(range(2, len(vs) + 1),
         |    i -> (vs[i-1] < 0) <> (vs[i] < 0))) AS BIGINT) AS crossings
-        |FROM vals ORDER BY asset_id""".stripMargin)
+        |FROM vals ORDER BY asset_id""".stripMargin,
+
+    // td41: same boiler-set definition as td22 (5-grams in >= 3 distinct
+    // docs); covered positions are the union of occurrence windows
+    // (clipped at doc end), survivors reassemble by position.
+    "td41_boilerplate_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |occ0 AS (SELECT doc_id, tk, len(tk) AS n_tk,
+        |  unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i FROM t),
+        |occ AS (SELECT doc_id, CAST(i AS INT) AS i, n_tk,
+        |  array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS passage
+        |  FROM occ0),
+        |boiler AS (SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM occ)
+        |  GROUP BY passage HAVING count(*) >= 3),
+        |cov0 AS (SELECT doc_id, unnest(range(i, least(i + 5, n_tk + 1))) AS p
+        |  FROM occ WHERE passage IN (SELECT passage FROM boiler)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |pos0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM t),
+        |pos AS (SELECT doc_id, p, tk[CAST(p AS INT)] AS tok FROM pos0),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.tok
+        |  FROM pos ANTI JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p),
+        |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, coalesce(clean.text_clean, '') AS text_clean,
+        |  CAST(len(t.tk) - coalesce(clean.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN clean ON t.doc_id = clean.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "td42_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |c0 AS (SELECT doc_id, tk, unnest(range(0,
+        |  (CASE WHEN len(tk) > 32 THEN (len(tk) - 32 + 23) // 24 ELSE 0 END) + 1)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)]) AS INT) AS n_tokens,
+        |  array_to_string(tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)], ' ') AS chunk_text
+        |FROM c0 ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -293,4 +293,80 @@ object TrainingPrep {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_boiler"))
   }
+
+  /** Boilerplate REMOVAL (the rewrite half of [[boilerplateExposure]],
+    * C4/FineWeb-style corpus cleaning): every token position covered by
+    * any occurrence of a shared passage (an n-gram appearing in ≥
+    * `minDocs` distinct docs) is deleted, and the survivors reassemble in
+    * original order. Emits `(id, text_clean, n_removed)`; a fully-
+    * boilerplate doc comes back with empty text, not dropped — the
+    * keep/drop threshold stays a reader-side choice.
+    *
+    * Scale shape: the span table explodes once (≈ one row per token,
+    * same volume as [[boilerplateExposure]]); the boiler set is an
+    * aggregate over it; covered positions and the reassembly each
+    * shuffle by doc id only. Per-doc state is bounded by document
+    * length (the `collect_list` is one document's tokens — the same
+    * bound any doc-rewrite op carries).
+    */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n_tk", size(col("tk")))
+      .localCheckpoint() // consumed by spans, positions, and the final join
+    val occ = toks.select(col(idCol), col("n_tk"),
+      posexplode(TextAnalysis.shinglesOf(col("tk"), n))
+        .as(Seq("pos0", "passage")))
+    val boiler = occ.select(col(idCol), col("passage")).distinct()
+      .groupBy("passage").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    // covered 1-based token positions: union of [pos0+1, min(pos0+n, n_tk)]
+    val covered = occ.join(boiler.select("passage"), Seq("passage"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos0") + 1,
+        least(col("pos0") + lit(n), col("n_tk")))).as("p"))
+      .distinct()
+    val positions = toks.select(col(idCol),
+        posexplode(col("tk")).as(Seq("pos0", "tok")))
+      .withColumn("p", col("pos0") + 1)
+    val kept = positions.join(covered, Seq(idCol, "p"), "left_anti")
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col(idCol), col("n_tk"))
+      .join(cleaned, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_tk") - coalesce(col("n_kept"), lit(0L)))
+          .cast("bigint").as("n_removed"))
+  }
+
+  /** Sliding-window chunking for context-window prep: token windows of
+    * `chunkSize` advancing by `stride` (overlap = chunkSize − stride),
+    * last window partial. Pure per-row explode — embarrassingly parallel,
+    * no shuffle; the chunk count is arithmetic (`extra` below), never a
+    * loop. `(id, chunk_idx, n_tokens, chunk_text)`.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: $stride, $chunkSize")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("n_tk", size(col("tk")))
+      // trailing windows beyond the first: positive-int ceil-div, exact
+      // and identical in every engine (numerator kept non-negative)
+      .withColumn("extra", when(col("n_tk") > chunkSize,
+        expr(s"(n_tk - $chunkSize + ${stride - 1}) div $stride"))
+        .otherwise(lit(0)).cast("int"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), col("extra"))).as("chunk_idx"))
+      .withColumn("ck",
+        slice(col("tk"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("ck")).as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+  }
 }

@@ -233,4 +233,61 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 353553L, false), (2L, 353553L, false),
       (3L, 353553L, false), (4L, 1060660L, true)))
   }
+
+  test("scrubBoilerplate removes exactly the covered tokens, keeps order, empties full-boiler docs") {
+    import spark.implicits._
+    // "a b c d e" appears in 3 docs -> boilerplate; unique tails survive
+    val corpus = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "p q a b c d e r"),
+      (3L, "a b c d e"), // fully covered -> empty
+      (4L, "u v w x y z q q")) // clean
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.scrubBoilerplate(corpus, "doc_id", "text",
+        n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("x y z", 5L)))
+    assert(out(2L) == (("p q r", 5L)))
+    assert(out(3L) == (("", 5L)))
+    assert(out(4L) == (("u v w x y z q q", 0L)))
+  }
+
+  test("scrubBoilerplate merges OVERLAPPING occurrences without double-deleting") {
+    import spark.implicits._
+    // "a a a a a a" contains the 5-gram "a a a a a" twice (pos 1, 2);
+    // union of windows covers all 6 tokens, n_removed = 6 not 10
+    val corpus = Seq(
+      (1L, "a a a a a a"), (2L, "a a a a a m"), (3L, "n a a a a a"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.scrubBoilerplate(corpus, "doc_id", "text",
+        n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("", 6L)))
+    assert(out(2L) == (("m", 5L)))
+    assert(out(3L) == (("n", 5L)))
+  }
+
+  test("chunkDocuments: stride windows, partial tail, short docs in one chunk") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "only three tokens"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.chunkDocuments(corpus, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: starts 0,3,6 cover t1..t10 (last window partial at 9)
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0, 4), (1, 4), (2, 4)))
+    assert(out.find(x => x._1 == 1L && x._2 == 0).get._4 == "t1 t2 t3 t4")
+    assert(out.find(x => x._1 == 1L && x._2 == 2).get._4 == "t7 t8 t9 t10")
+    // every token of doc 1 appears in some chunk (windows overlap by 1)
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 3, "only three tokens")))
+  }
 }
