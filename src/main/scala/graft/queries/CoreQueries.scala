@@ -338,6 +338,32 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Replay retained changes to a sink — the change-retention doc's
+    // headline workflow (reference/change-retention.mdx: replay stored
+    // messages through standard consumption to reprocess a window):
+    // event table built by MERGEs → changesBetween replay window →
+    // net-effect upserts → kafka routing + partition assignment, the
+    // same wire shape live delivery produces.
+    "q57_replay" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_rpl").toString
+      val all = cdc(s, dir)
+      val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
+      val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
+      graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8)
+      graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8)
+      val retained = graft.sinks.EventTableSink.read(s, path)
+      val window = graft.sinks.EventTableSink
+        .changesBetween(retained, 4000L, 9000L)
+        .filter(col("net_effect") === "upsert")
+      graft.ops.Routing.kafka(window).select(
+          col("record_id"), col("topic"), col("message_key"),
+          pmod(graft.functions.Hashing.portableHash(
+            coalesce(col("group_id"), col("record_pk"))), lit(32))
+            .as("partition"),
+          col("commit_lsn"), col("commit_idx"))
+        .orderBy("record_id")
+    }),
+
     // Change-retention time travel: record state AS OF a WAL cursor —
     // latest version per pk at or below the cursor, deletes absent. The
     // replay payoff of the event table: any historical snapshot is a
@@ -800,6 +826,19 @@ object CoreQueries {
       "q56_retention" -> (cte +
         """SELECT record_pk, record_id, action, commit_lsn, commit_idx
           |FROM cdc WHERE commit_ts >= TIMESTAMP '2024-01-16 00:00:00'
+          |ORDER BY record_id""".stripMargin),
+
+      "q57_replay" -> (cte +
+        """SELECT record_id,
+          |  'sequin' || '.' || table_schema || '.' || table_name AS topic,
+          |  coalesce(group_id, record_pk) AS message_key,
+          |  CAST(CAST('0x' || substr(md5(coalesce(group_id, record_pk)), 1, 8)
+          |    AS BIGINT) % 32 AS BIGINT) AS partition,
+          |  commit_lsn, commit_idx
+          |FROM (SELECT *, row_number() OVER (PARTITION BY record_pk
+          |        ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |      FROM cdc WHERE commit_lsn > 4000 AND commit_lsn <= 9000)
+          |WHERE rn = 1 AND action <> 'delete'
           |ORDER BY record_id""".stripMargin),
 
       "q42_composite_pks" ->
