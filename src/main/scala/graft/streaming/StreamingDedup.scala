@@ -19,11 +19,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale posture: state is per-BUCKET, hash-partitioned across executors
   * and RocksDB-backed in production; a bucket stores at most
-  * `maxPerBucket` signatures (collision buckets saturate instead of
-  * growing without bound — saturated buckets keep matching against what
-  * they hold). Replays are dropped by doc_id inside the bucket, so
-  * at-least-once sources never duplicate pairs. Only (id, band, sig)
-  * tuples shuffle — never document text.
+  * `maxPerBucket` signatures, and a FULL bucket evicts its OLDEST entry
+  * to admit a new one — a hot bucket is a sliding recency window, so new
+  * arrivals always match against the `maxPerBucket` most recent docs
+  * (rather than only the first `maxPerBucket` ever seen). Replays are
+  * dropped by doc_id inside the bucket, so at-least-once sources never
+  * duplicate pairs while the original is still in the window; a replay
+  * arriving after its original was evicted re-matches (bounded
+  * at-least-once, the standard recency-window trade). Only (id, band,
+  * sig) tuples shuffle — never document text.
   *
   * The same pair can surface from several agreeing bands (each carries
   * its `band_idx`); downstream consumers `dropDuplicates(id_new, id_seen)`
@@ -77,8 +81,10 @@ object StreamingDedup {
                 if (est >= threshold)
                   out += NearDupHit(d.doc_id, sid, est, d.band_idx)
               }
-              if (seen.size < maxPerBucket)
-                seen = (d.doc_id, d.minhash) :: seen
+              // head = newest; a full bucket drops its oldest (last) so
+              // the bucket is a sliding recency window, never frozen
+              seen = (d.doc_id, d.minhash) ::
+                (if (seen.size >= maxPerBucket) seen.init else seen)
             }
           }
           state.update(BucketState(seen))

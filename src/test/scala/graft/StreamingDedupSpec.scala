@@ -51,4 +51,35 @@ class StreamingDedupSpec extends SparkSpec {
       assert(est == 1.0)
     } finally q.stop()
   }
+
+  test("a full bucket slides (oldest evicted): new arrivals match recent history, not the frozen head") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val q = StreamingDedup.nearDups(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        maxPerBucket = 2)
+      .writeStream.format("memory").queryName("dedup_slide")
+      .outputMode("append").start()
+    try {
+      // identical docs land in the same buckets; capacity 2 per bucket
+      in.addData((1L, base)); q.processAllAvailable()
+      in.addData((2L, base)); q.processAllAvailable()
+      in.addData((3L, base)); q.processAllAvailable() // evicts doc 1
+      in.addData((4L, base)); q.processAllAvailable() // sees {2,3}… minus evictions
+      val hits = spark.table("dedup_slide")
+        .select("id_new", "id_seen").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc 3 arrived while {1,2} were held
+      assert(hits.contains((3L, 1L)) && hits.contains((3L, 2L)))
+      // doc 4 matches the RECENT window {2, 3} — doc 1 was evicted, but
+      // under the old freeze behavior 4 would have matched {1, 2} and
+      // NEVER seen doc 3
+      assert(hits.contains((4L, 3L)), s"frozen bucket: $hits")
+      assert(!hits.contains((4L, 1L)), s"evicted doc still matched: $hits")
+    } finally q.stop()
+  }
 }
