@@ -201,6 +201,53 @@ class MediaCodecSpec extends SparkSpec {
     assert(vs.toSeq == Seq(100, -200, 32767, -32768, 0, -1))
   }
 
+  test("property: encode -> decodeValues round-trips arbitrary dims and payloads") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genBmp = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 30)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield {
+      def px(x: Int, y: Int) = (((seed + 31L * x + 7L * y) % 256).toInt * 0x010101) & 0xFFFFFF
+      val expect = for (y <- 0 until h; x <- 0 until w)
+        yield ((seed + 31L * x + 7L * y) % 256).toInt
+      (MediaCodec.encodeBmp(w, h, px), "bmp", expect)
+    }
+    val genPpm = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 30)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield {
+      def px(x: Int, y: Int) = (((seed + 13L * x + 3L * y) % 256).toInt * 0x010101) & 0xFFFFFF
+      val expect = for (y <- 0 until h; x <- 0 until w)
+        yield ((seed + 13L * x + 3L * y) % 256).toInt
+      (MediaCodec.encodePpm(w, h, 255, px), "ppm", expect)
+    }
+    val genWav = for {
+      rate <- Gen.oneOf(8000, 44100); ch <- Gen.choose(1, 2)
+      frames <- Gen.choose(1, 300); seed <- Gen.choose(0L, 1L << 40)
+    } yield {
+      val samples = Array.tabulate[Short](frames * ch)(i =>
+        ((seed * 31 + i * 17) % 65536 - 32768).toShort)
+      (MediaCodec.encodeWav(rate, ch, samples), "wav", samples.map(_.toInt).toSeq)
+    }
+    val prop = Prop.forAll(Gen.oneOf(genBmp, genPpm, genWav)) {
+      case (bytes, fmt, expect) =>
+        MediaCodec.decodeValues(bytes) match {
+          case Some((f, vs)) => f == fmt && vs.toSeq == expect
+          case None          => false
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decodeValues survives truncation and garbage without throwing") {
+    val (_, full) = MediaCodec.synthesizeAsset(0L) // a BMP
+    for (n <- 0 to math.min(full.length, 80))
+      MediaCodec.decodeValues(full.take(n)) // must not throw
+    assert(MediaCodec.decodeValues("garbage".getBytes).isEmpty)
+    assert(MediaCodec.decodeValues(Array.empty[Byte]).isEmpty)
+  }
+
   test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {
     import spark.implicits._
     val samples = Array[Short](5, -3, 4, -2) // 3 sign flips
