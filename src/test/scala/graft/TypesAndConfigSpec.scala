@@ -384,6 +384,34 @@ class TypesAndConfigSpec extends SparkSpec {
       """{"name":"x","filter_function":"accounts.user = 'a'"}""")
   }
 
+  test("sandbox: higher-order-function lambdas pass (the MiniElixir loop analog) but cannot smuggle denied calls") {
+    // HOFs are the declarative form of MiniElixir's per-element loops
+    // (Enum.map / reduce / filter over record fields) — allowed as long
+    // as the lambda body is itself clean
+    PipelineSpec.parse(
+      """{"name":"x","transform_functions":
+        | {"doubled":"transform(from_json(record_props, 'array<int>'), x -> x * 2)"}}"""
+        .stripMargin)
+    PipelineSpec.parse(
+      """{"name":"x","transform_functions":
+        | {"total":"aggregate(from_json(record_props, 'array<int>'), 0, (a, x) -> a + x)"}}"""
+        .stripMargin)
+    PipelineSpec.parse(
+      """{"name":"x","filter_function":
+        | "exists(from_json(record_props, 'array<int>'), x -> x > 10)"}"""
+        .stripMargin)
+    // ...but a denied function INSIDE a lambda body is still caught by
+    // the same tree walk (lambdas are ordinary subtrees, not subqueries)
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","transform_functions":
+        | {"noisy":"transform(from_json(record_props, 'array<int>'), x -> x + rand())"}}"""
+        .stripMargin))
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","filter_function":
+        | "exists(from_json(record_props, 'array<int>'), x -> x > unix_timestamp())"}"""
+        .stripMargin))
+  }
+
   test("transform_functions may not overwrite envelope or router columns") {
     for (reserved <- Seq("commit_lsn", "record_pk", "action", "group_id",
         "topic", "stream_key", "message_key"))
