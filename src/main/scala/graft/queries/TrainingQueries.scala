@@ -501,7 +501,15 @@ object TrainingQueries {
       graft.training.TrainingPrep.chunkDocuments(
           Tables.documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
-        .orderBy("doc_id", "chunk_idx")))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Hashed TF-IDF vectorization (the hashing trick): text → sparse
+    // integer-micro vectors with no trained model — the entry point into
+    // the similarity stack for corpora without embeddings.
+    "td43_hashed_tfidf" -> ((s, dir) =>
+      graft.training.TrainingPrep.hashedTfIdf(
+          Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
@@ -1199,5 +1207,21 @@ object TrainingQueries {
         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
         |  CAST(len(tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)]) AS INT) AS n_tokens,
         |  array_to_string(tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)], ' ') AS chunk_text
-        |FROM c0 ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM c0 ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "td43_hashed_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, CAST(${dh("t")} % 64 AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_df
+         |  FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.bucket, tf.tf,
+         |  tf.tf * CAST(round(1e6 *
+         |    ln((nd.n_docs + 1) / CAST(dfreq.n_df + 1 AS DOUBLE))) AS BIGINT)
+         |    AS weight_micro
+         |FROM tf JOIN dfreq USING (bucket) CROSS JOIN nd
+         |ORDER BY doc_id, bucket""".stripMargin)
 }

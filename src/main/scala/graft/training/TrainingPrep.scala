@@ -344,6 +344,44 @@ object TrainingPrep {
           .cast("bigint").as("n_removed"))
   }
 
+  /** Model-free text vectorization: hashed TF-IDF (the "hashing trick"
+    * vectorizer) — the bridge from raw text into the similarity stack
+    * when no trained embedding model is available. Each token hashes to
+    * one of `dim` buckets (portable md5 hash, oracle-reproducible);
+    * per-(doc, bucket) term frequency × a smoothed IDF in integer
+    * micro-nats gives an EXACT integer weight, so vectors are
+    * engine-reproducible bit-for-bit (the td26 micro-unit discipline).
+    * Emits the SPARSE form `(id, bucket, tf, weight_micro)` — densify
+    * per consumer (the ANN kernels take a fixed-width array; see the
+    * composition spec).
+    *
+    * Scale shape: one explode (≈ a row per token), two hash aggregates
+    * (per-(doc,bucket) tf, per-bucket df), a broadcast of the 1-row
+    * total and the `dim`-row IDF table. Nothing quadratic anywhere.
+    */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tf = toks
+      .withColumn("bucket", pmod(Hashing.portableHash(col("token")), lit(dim))
+        .cast("int"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dfreq = tf.groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_df"))
+    val nDocs = df.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    tf.join(dfreq, "bucket")
+      .crossJoin(broadcast(nDocs))
+      // smoothed idf = ln((1 + N) / (1 + df)) in integer micro-nats
+      .withColumn("idf_micro", round(lit(1e6) *
+        log((col("n_docs") + 1) / (col("n_df") + lit(1)).cast("double")))
+        .cast("bigint"))
+      .select(col(idCol), col("bucket"), col("tf"),
+        (col("tf") * col("idf_micro")).as("weight_micro"))
+  }
+
   /** Sliding-window chunking for context-window prep: token windows of
     * `chunkSize` advancing by `stride` (overlap = chunkSize − stride),
     * last window partial. Pure per-row explode — embarrassingly parallel,

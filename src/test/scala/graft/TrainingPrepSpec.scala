@@ -269,6 +269,46 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(3L) == (("n", 5L)))
   }
 
+  test("hashedTfIdf: exact integer weights, idf monotone in rarity, vectors feed the ANN stack") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " w31"),               // near-copy of 1
+      (3L, (100 to 130).map(i => s"w$i").mkString(" ")),
+      (4L, (200 to 230).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sparse = TrainingPrep.hashedTfIdf(corpus, "doc_id", "text", dim = 64)
+      .cache()
+    // weights are exact integers: tf * round(1e6 * ln(5 / (df + 1)))
+    val row = sparse.filter(col("doc_id") === 3L).limit(1)
+      .select("tf", "weight_micro").head()
+    assert(row.getLong(1) % row.getLong(0) == 0) // weight = tf * integer idf
+    // a bucket hit by every doc gets a smaller idf than a rare one
+    val idfByDf = sparse.withColumn("idf", expr("weight_micro div tf"))
+      .groupBy("bucket").agg(
+        countDistinct("doc_id").as("df"), max("idf").as("idf"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    for ((dfA, idfA) <- idfByDf; (dfB, idfB) <- idfByDf if dfA < dfB)
+      assert(idfA >= idfB, s"idf not monotone: df=$dfA->$idfA, df=$dfB->$idfB")
+
+    // composition: densify to 64-float vectors and run the existing ANN
+    // brute-force — the near-copy must be doc 1's nearest neighbor
+    val dense = sparse.groupBy(col("doc_id").as("vec_id"))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("weight_micro"))).as("m"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)),
+        b => coalesce(element_at(col("m"), b), lit(0L)).cast("float"))
+        .as("embedding"))
+    val top = graft.similarity.Ann.bruteForceTopK(
+        dense.filter(col("vec_id") === 1L), dense, k = 1)
+      .head()
+    assert(top.getAs[Long]("corpus_id") == 2L,
+      s"near-copy not nearest: $top")
+    assert(top.getAs[Double]("cos") > 0.9)
+    sparse.unpersist()
+  }
+
   test("chunkDocuments: stride windows, partial tail, short docs in one chunk") {
     import spark.implicits._
     val corpus = Seq(
