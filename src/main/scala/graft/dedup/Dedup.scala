@@ -224,7 +224,9 @@ object Dedup {
       .localCheckpoint()
     val banded = hashed.select(col(idCol), col("simhash"), posexplode(
       array((0 until bands).map { b =>
-        shiftright(col("simhash"), bandBits * b) % (1 << bandBits)
+        // Long shift: Int `1 << bandBits` wraps for bandBits >= 31
+        // (bands = 1 would silently band on the low 28 bits)
+        shiftright(col("simhash"), bandBits * b) % (1L << bandBits)
       }: _*)).as(Seq("band_idx", "band_val")))
     val a = banded.select(col("band_idx"), col("band_val"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))

@@ -170,7 +170,9 @@ object MediaCodec {
       }
       val start = pos
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
-      if (pos == start) None
+      // > 9 digits cannot be a sane dimension/maxval and would overflow
+      // Int — malformed header ⇒ None, never a NumberFormatException
+      if (pos == start || pos - start > 9) None
       else Some(new String(b, start, pos - start, "US-ASCII").toInt)
     }
     val gray = b(1) == '5'
@@ -211,6 +213,17 @@ object MediaCodec {
     out
   }
 
+  /** Next chunk position after the one at `pos` with payload `size` —
+    * word-aligned, computed in Long so a crafted 32-bit size field can
+    * never wrap negative (infinite loop) or overflow the index space.
+    * Returns -1 when the advance would not move forward or leaves the
+    * buffer (corrupt size ⇒ stop walking, let field validation reject).
+    */
+  private def nextChunk(pos: Int, size: Long, len: Int): Int = {
+    val next = pos.toLong + 8L + size + (size & 1L)
+    if (next <= pos || next > len.toLong) -1 else next.toInt
+  }
+
   private def decodeWav(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     var pos = 12
@@ -219,7 +232,7 @@ object MediaCodec {
     var bits = 0
     var dataSize = -1L
     // walk RIFF chunks: fmt and data may be separated by others (LIST, ...)
-    while (pos + 8 <= b.length && (channels == 0 || dataSize < 0)) {
+    while (pos >= 0 && pos + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = u32(b, pos + 4)
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
@@ -229,7 +242,7 @@ object MediaCodec {
       } else if (id == "data") {
         dataSize = math.min(size, (b.length - pos - 8).toLong)
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      pos = nextChunk(pos, size, b.length)
     }
     if (channels <= 0 || rate <= 0 || bits < 8 || dataSize < 0) None
     else {
@@ -260,14 +273,20 @@ object MediaCodec {
       val w = meta.width.get
       val hRaw = i32(b, 22)
       val h = meta.height.get
-      val off = u32(b, 10).toInt
-      val rowSize = (w * 3 + 3) / 4 * 4
-      if (off + rowSize.toLong * h > b.length) return None
+      // all guards in Long: a crafted offset (negative after toInt) or a
+      // huge width (rowSize/array-size Int overflow) must yield None, not
+      // an index crash or NegativeArraySizeException
+      val off = u32(b, 10)
+      val rowSize = (w.toLong * 3 + 3) / 4 * 4
+      if (off < 54 || w.toLong * h > (1L << 28) ||
+        off + rowSize * h > b.length) return None
       val out = new Array[Int](w * h)
+      val offI = off.toInt         // bounded by b.length via the guard
+      val rowSizeI = rowSize.toInt
       var y = 0
       while (y < h) {
         // positive height = bottom-up storage: top image row is the LAST
-        val rowOff = off + (if (hRaw > 0) (h - 1 - y) else y) * rowSize
+        val rowOff = offI + (if (hRaw > 0) (h - 1 - y) else y) * rowSizeI
         var x = 0
         while (x < w) {
           out(y * w + x) = b(rowOff + x * 3 + 2) & 0xFF // red channel
@@ -310,13 +329,13 @@ object MediaCodec {
       var pos = 12
       var dataOff = -1
       var dataSize = 0L
-      while (pos + 8 <= b.length && dataOff < 0) {
+      while (pos >= 0 && pos + 8 <= b.length && dataOff < 0) {
         val size = u32(b, pos + 4)
         if (tag(b, pos, "data")) {
           dataOff = pos + 8
           dataSize = math.min(size, (b.length - pos - 8).toLong)
         }
-        pos += 8 + size.toInt + (size.toInt & 1)
+        pos = nextChunk(pos, size, b.length)
       }
       if (dataOff < 0) return None
       val n = (dataSize / 2).toInt

@@ -222,8 +222,12 @@ object EventTableSink {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (perBucket.isEmpty) return 0L
     val affected = perBucket.keys.toSeq.sorted
+    // NULL ts rows are NOT expired (they never matched the probe's
+    // `< cutoff` either — e.g. rows from buckets written before tsCol
+    // existed, read back as NULL under mergeSchema): keep them, or a
+    // rewrite of their bucket would silently drop them uncounted
     val keep = t.filter(col(BucketCol).isin(affected: _*))
-      .filter(col(tsCol) >= cutoff)
+      .filter(col(tsCol) >= cutoff || col(tsCol).isNull)
     val tmp = target.resolve(s".tmp-${System.nanoTime()}")
     keep.repartition(col(BucketCol))
       .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)

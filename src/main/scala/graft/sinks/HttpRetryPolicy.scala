@@ -98,7 +98,10 @@ object HttpRetryPolicy {
       if (policy.isSuccess(s)) return (true, attempt + 1, s, backoff)
       if (!policy.isTransient(s) || attempt >= policy.maxRetries)
         return (false, attempt + 1, s, backoff)
-      backoff += policy.backoffMs(attempt + 1)
+      // Req passes the 0-BASED retry count to retry_delay, so the k-th
+      // retry sleeps backoffMs(k-1): 500, 500, 1000, 2000... — the same
+      // schedule the reference produces
+      backoff += policy.backoffMs(attempt)
       attempt += 1
     }
     val last = statuses.last

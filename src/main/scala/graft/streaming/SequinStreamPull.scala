@@ -46,10 +46,11 @@ final class SequinStreamPull(
   // incrementally from each micro-batch (guarded by `this`)
   private val pending = scala.collection.mutable.ArrayBuffer.empty[Delivery]
   private val dlq = scala.collection.mutable.ArrayBuffer.empty[Delivery]
-  // epoch-replay guard: a (kind, ack_id, deliver_count) row enters the
-  // buffers at most once even if a batch is re-executed (a dlq row shares
-  // the final attempt's ack_id + deliver_count, hence kind in the key)
-  private val drained = scala.collection.mutable.Set.empty[(String, String, Int)]
+  // epoch-replay guard: the standard idempotent-foreachBatch recipe — a
+  // replayed epoch re-runs a WHOLE batch with its original batchId, so a
+  // batch is applied iff its id is new. O(1) driver state for the
+  // consumer's lifetime (a per-delivery key set would grow unboundedly).
+  private var maxSeenBatchId = -1L
   // spec hook: total rows ever read from the sink — proves reads are
   // O(new deliveries), not O(table) per call
   private[graft] var totalDrainedRows: Long = 0L
@@ -58,12 +59,13 @@ final class SequinStreamPull(
   private val query = AckDelivery.run(input.toDS(), ackWaitMs, maxInflight,
       maxRetry, nowMs)
     .writeStream.outputMode("append")
-    .foreachBatch { (batch: Dataset[Delivery], _: Long) =>
+    .foreachBatch { (batch: Dataset[Delivery], batchId: Long) =>
       val rows = batch.collect() // ONLY this micro-batch's new deliveries
       SequinStreamPull.this.synchronized {
         totalDrainedRows += rows.length
-        rows.foreach { d =>
-          if (drained.add((d.kind, d.ack_id, d.deliver_count))) {
+        if (batchId > maxSeenBatchId) {
+          maxSeenBatchId = batchId
+          rows.foreach { d =>
             if (d.kind == "dlq") dlq += d else pending += d
           }
         }

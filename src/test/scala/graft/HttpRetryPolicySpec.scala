@@ -48,6 +48,13 @@ class HttpRetryPolicySpec extends SparkSpec {
     assert(HttpRetryPolicy.resolve(policy, Seq(404, 200)) == ((false, 1, 404, 0L)))
     // statuses after the resolution point are never consumed
     assert(HttpRetryPolicy.resolve(policy, Seq(200, 503)) == ((true, 1, 200, 0L)))
+    // multi-retry schedule matches Req's 0-based retry_count: the k-th
+    // retry sleeps backoffMs(k-1) -> 500 + 500 + 1000 = 2000 total
+    val p3 = Policy(maxRetries = 3)
+    assert(HttpRetryPolicy.resolve(p3, Seq(503, 503, 503, 200)) ==
+      ((true, 4, 200, 2000L)))
+    assert(HttpRetryPolicy.resolve(p3, Seq(503, 503, 503, 503)) ==
+      ((false, 4, 503, 2000L)))
   }
 
   test("evaluate resolves a wire log per ack_id") {

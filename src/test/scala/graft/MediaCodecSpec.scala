@@ -248,6 +248,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeValues(Array.empty[Byte]).isEmpty)
   }
 
+  test("corrupt size/offset/dimension fields yield None, never hang or crash") {
+    // RIFF chunk whose 32-bit size field wraps negative after toInt: the
+    // walk must terminate (no infinite loop) and reject the file
+    val wav = MediaCodec.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    val badChunk = wav.clone()
+    badChunk(16) = 0xF8.toByte; badChunk(17) = 0xFF.toByte
+    badChunk(18) = 0xFF.toByte; badChunk(19) = 0xFF.toByte // fmt size = -8
+    assert(MediaCodec.decode(badChunk).isEmpty)
+    assert(MediaCodec.decodeValues(badChunk).isEmpty)
+
+    // BMP with a pixel-data offset whose u32 goes negative after toInt
+    val (_, bmp) = MediaCodec.synthesizeAsset(0L)
+    val badOff = bmp.clone()
+    badOff(10) = 0; badOff(11) = 0; badOff(12) = 0; badOff(13) = 0x80.toByte
+    assert(MediaCodec.decodeValues(badOff).isEmpty)
+
+    // BMP claiming a ~2^30 width: rowSize/array arithmetic must not
+    // overflow into a crash
+    val badW = bmp.clone()
+    badW(18) = 0; badW(19) = 0; badW(20) = 0; badW(21) = 0x40.toByte
+    assert(MediaCodec.decodeValues(badW).isEmpty)
+
+    // netpbm header with an over-long digit run (> Int.MaxValue) is a
+    // malformed header, not a NumberFormatException
+    val badPnm = "P6\n99999999999 3\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](32)(0)
+    assert(MediaCodec.decode(badPnm).isEmpty)
+    assert(MediaCodec.decodeValues(badPnm).isEmpty)
+  }
+
   test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {
     import spark.implicits._
     val samples = Array[Short](5, -3, 4, -2) // 3 sign flips

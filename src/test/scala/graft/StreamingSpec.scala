@@ -341,6 +341,27 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("fenced"))
   }
 
+  test("EventTableSink.retention keeps NULL-ts rows (pre-schema-change buckets) uncounted") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_retnull")
+      .toString + "/events"
+    // one expired row, one NULL-ts row in the same bucket-space — the
+    // rewrite of affected buckets must preserve the NULL row
+    val rows = Seq(
+      ev(8, 1, "7", "1").copy(
+        commit_ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ev(8, 2, "7", "2").copy(commit_ts = null))
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 1)
+    val evicted = EventTableSink.retention(spark, dir, "commit_ts",
+      to_timestamp(lit("2024-06-01 00:00:00")))
+    assert(evicted == 1)
+    val left = EventTableSink.read(spark, dir)
+      .select("record_pk").collect().map(_.getString(0)).toSeq
+    assert(left == Seq("2"), s"NULL-ts row dropped: $left")
+  }
+
   test("EventTableSink epoch fencing: a superseded writer fails fast, new owner wins") {
     implicit val s = spark
     import s.implicits._
