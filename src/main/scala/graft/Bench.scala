@@ -136,7 +136,31 @@ object Bench {
       n / best
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"sf":"$sfDir"}""")
+    // ANN quality tracking: recall@10 of the approximate paths vs the
+    // exact brute-force ranking on the same 20 queries — runtime numbers
+    // alone would hide a recall regression (e.g. a centroid-seeding
+    // change that speeds the plan up by probing emptier cells).
+    def recallOf(approx: DataFrame, exact: DataFrame): Double = {
+      import org.apache.spark.sql.functions.col
+      val a = approx.select(col("query_id"), col("corpus_id"))
+      val hits = exact.select(col("query_id"), col("corpus_id")).join(
+        a, Seq("query_id", "corpus_id"), "left_semi").count()
+      val n = exact.count()
+      if (n == 0) 0.0 else hits.toDouble / n
+    }
+    val (ivfRecall, lshRecall) = try {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = similarity.Ann.bruteForceTopK(q, emb, k = 10).localCheckpoint()
+      val ivf = similarity.Ann.ivfTopK(q, emb,
+        centroidEvery = 50, nprobe = 2, k = 10, refineIters = 2)
+      val lsh = similarity.Ann.lshTopK(q, emb,
+        dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), k = 10) // td11's config
+      (recallOf(ivf, exact), recallOf(lsh, exact))
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"ivf_recall_at_10":$ivfRecall,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
