@@ -148,19 +148,22 @@ object Bench {
       val n = exact.count()
       if (n == 0) 0.0 else hits.toDouble / n
     }
-    val (ivfRecall, lshRecall) = try {
+    val (ivfRecall, ivfRecall8, lshRecall) = try {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
       val q = emb.filter(col("vec_id") < 20)
       val exact = similarity.Ann.bruteForceTopK(q, emb, k = 10).localCheckpoint()
       val ivf = similarity.Ann.ivfTopK(q, emb,
         centroidEvery = 50, nprobe = 2, k = 10, refineIters = 2)
+      // the recall/cost curve's next point: 4x probe cost, same index
+      val ivf8 = similarity.Ann.ivfTopK(q, emb,
+        centroidEvery = 50, nprobe = 8, k = 10, refineIters = 2)
       val lsh = similarity.Ann.lshTopK(q, emb,
         dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), k = 10) // td11's config
-      (recallOf(ivf, exact), recallOf(lsh, exact))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      (recallOf(ivf, exact), recallOf(ivf8, exact), recallOf(lsh, exact))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"ivf_recall_at_10":$ivfRecall,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
