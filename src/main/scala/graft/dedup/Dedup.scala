@@ -161,6 +161,54 @@ object Dedup {
       .select("base_id", "new_id", "jaccard")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-gram, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM — the selected
+    * hashes are a deterministic, position-robust fingerprint set with
+    * the guarantee that any shared substring of ≥ w + k − 1 tokens
+    * yields at least one shared fingerprint. Substring-level dedup that
+    * MinHash (whole-document Jaccard) and SimHash (global bit votes)
+    * can't express: a paragraph copied into an otherwise-different
+    * document still collides.
+    *
+    * Emitted SPARSE: one `(id, fp)` row per distinct selected hash —
+    * per-row HOFs only (no shuffle); the near-dup pairing
+    * ([[winnowingNearDups]]) groups on fp, so pair space is bounded by
+    * fingerprint collisions exactly like LSH banding.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: $k, $w")
+    val hs = transform(
+      TextAnalysis.shinglesOf(col("__wtoks"), k),
+      t => graft.functions.Hashing.portableHash(t))
+    val wins = transform(
+      sequence(lit(1), greatest(size(col("__hs")) - lit(w - 1), lit(1))),
+      i => array_min(slice(col("__hs"), i, lit(w))))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__wtoks"))
+      .select(col(idCol), hs.as("__hs"))
+      .select(col(idCol), explode(array_distinct(wins)).as("fp"))
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: docs sharing ≥
+    * `minShared` selected hashes (within any blocking strata the caller
+    * pre-applies). The fp equi-join bounds candidates to genuine
+    * substring collisions + the random floor of a 32-bit hash space —
+    * the same shuffle discipline as [[minhashNearDups]]'s bands.
+    */
+  def winnowingNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint()
+    val a = fps.select(col(idCol).as("id_a"), col("fp"))
+    val b = fps.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash fingerprints (`bits` wide, ≤ 60) for a whole DataFrame:
     * majority vote per bit over the distinct shingles' portable hashes —
     * the fused [[graft.functions.VectorExpressions.SimhashBits]] kernel

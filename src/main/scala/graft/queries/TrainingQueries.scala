@@ -509,7 +509,21 @@ object TrainingQueries {
     "td43_hashed_tfidf" -> ((s, dir) =>
       graft.training.TrainingPrep.hashedTfIdf(
           Tables.documents(s, dir), "doc_id", "text", dim = 64)
-        .orderBy("doc_id", "bucket")))
+        .orderBy("doc_id", "bucket")),
+
+    // Winnowing fingerprints (MOSS): window-min selected k-gram hashes —
+    // any shared substring of >= w+k-1 tokens shares a fingerprint.
+    "td44_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, dir),
+          "doc_id", "text", k = 4, w = 4)
+        .orderBy("doc_id", "fp")),
+
+    // Substring-level near-dup pairs by shared winnowing fingerprints —
+    // catches a copied paragraph inside otherwise-different documents.
+    "td45_winnow_neardups" -> ((s, dir) =>
+      Dedup.winnowingNearDups(Tables.documents(s, dir),
+          "doc_id", "text", k = 4, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
@@ -1223,5 +1237,32 @@ object TrainingQueries {
          |    ln((nd.n_docs + 1) / CAST(dfreq.n_df + 1 AS DOUBLE))) AS BIGINT)
          |    AS weight_micro
          |FROM tf JOIN dfreq USING (bucket) CROSS JOIN nd
-         |ORDER BY doc_id, bucket""".stripMargin)
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "td44_winnowing" -> (winnowFpsCte +
+      "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),
+
+    "td45_winnow_neardups" -> (winnowFpsCte +
+      """,
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Winnowing (k=4-gram hashes, w=4 window minima, distinct) — mirrors
+    * Dedup.winnowingFingerprints.
+    */
+  private lazy val winnowFpsCte: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_transform(
+       |    range(1, greatest(len(tk) - 3, 1) + 1),
+       |    i -> array_to_string(tk[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')) AS gs
+       |  FROM t),
+       |hs AS (SELECT doc_id, list_transform(gs, g -> ${dh("g")}) AS hs FROM sh),
+       |wins AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(hs) - 3, 1) + 1),
+       |    i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
+       |  FROM hs)""".stripMargin
 }

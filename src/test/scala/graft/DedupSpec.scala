@@ -170,6 +170,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("winnowing guarantee: a shared substring of >= w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // k=4, w=4: guarantee threshold = 7 tokens. Plant a 10-token phrase
+    // inside two otherwise-disjoint documents.
+    val phrase = (1 to 10).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"alpha$i").mkString(" ") + " " + phrase),
+      (2L, phrase + " " + (1 to 20).map(i => s"beta$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "planted phrase not detected")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs share a fingerprint")
+    // the pair surface finds exactly the planted pair
+    val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // fingerprints are position-robust: the SAME phrase at different
+    // offsets produced the shared hashes (guaranteed by window minima)
+  }
+
   test("simhash of identical text is identical; near text is close in hamming") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
