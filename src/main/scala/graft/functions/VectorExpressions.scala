@@ -225,6 +225,67 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Greedy BPE application (the GPT-2 merge loop): each whitespace word
+    * starts as characters; repeatedly merge ALL occurrences of the
+    * lowest-rank adjacent piece pair present until none applies. Merges
+    * are "left right" strings, rank = position. Inherently iterative —
+    * per-word convergence in ≤ |word| merges — which is why this is a
+    * kernel and not SQL (and why its gate is rows-only + property specs
+    * rather than a DuckDB oracle).
+    */
+  case class BpeEncode(child: Expression, merges: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    @transient private lazy val rank: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.map { case (m, i) =>
+        val sp = m.split(" ", 2)
+        require(sp.length == 2, s"merge must be 'left right': '$m'")
+        (sp(0), sp(1)) -> i
+      }.toMap
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      text.split(" ", -1).foreach { w =>
+        if (w.nonEmpty) {
+          var pieces: Vector[String] = w.map(_.toString).toVector
+          var done = false
+          while (!done && pieces.length > 1) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < pieces.length - 1) {
+              val r = rank.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+              if (r < best) best = r
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < pieces.length) {
+                if (j < pieces.length - 1 &&
+                    rank.getOrElse((pieces(j), pieces(j + 1)), -1) == best) {
+                  merged += pieces(j) + pieces(j + 1)
+                  j += 2
+                } else {
+                  merged += pieces(j)
+                  j += 1
+                }
+              }
+              pieces = merged.toVector
+            }
+          }
+          pieces.foreach(p => out += UTF8String.fromString(p))
+        }
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column wrappers ------------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -243,4 +304,7 @@ object VectorExpressions {
 
   def simhash_bits(hs: Column, bits: Int): Column =
     column(SimhashBits(expression(hs), bits))
+
+  def bpe_encode(text: Column, merges: Seq[String]): Column =
+    column(BpeEncode(expression(text), merges))
 }

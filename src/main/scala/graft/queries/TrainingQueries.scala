@@ -523,7 +523,28 @@ object TrainingQueries {
     "td45_winnow_neardups" -> ((s, dir) =>
       Dedup.winnowingNearDups(Tables.documents(s, dir),
           "doc_id", "text", k = 4, w = 4, minShared = 2)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // Char-level first-round BPE merge table (td35's sibling one level
+    // down): corpus-wide adjacent-character-pair counts inside words.
+    "td46_char_merges" -> ((s, dir) =>
+      graft.training.TrainingPrep.charPairMerges(
+          Tables.documents(s, dir), "text", k = 30)),
+
+    // BPE APPLICATION — the actual per-document token-counting step:
+    // mine the char-pair ranks from the corpus itself, then run the
+    // greedy lowest-rank merge loop (the GPT-2 apply algorithm) over
+    // every document via the fused kernel. Inherently iterative (merges
+    // change adjacency), so NOT SQL-expressible: gated by the driver's
+    // rows-only check + BpeEncodeSpec's hand-computed merge sequences.
+    "td47_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.training.TrainingPrep
+        .charPairMerges(docs, "text", k = 30)
+        .collect().map(_.getString(0)).toSeq
+      graft.training.TrainingPrep.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }))
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
@@ -1249,7 +1270,21 @@ object TrainingQueries {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // td47_bpe_encode intentionally ABSENT: the greedy merge loop is not
+    // SQL-expressible (each merge changes adjacency for the next) — the
+    // driver records its weaker rows-only check; BpeEncodeSpec carries
+    // the semantics.
+    "td46_char_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |ww AS (SELECT w FROM w WHERE strlen(w) >= 2),
+        |p AS (SELECT unnest(list_transform(range(1, strlen(w)),
+        |    i -> substr(w, CAST(i AS INT), 1) || ' ' ||
+        |         substr(w, CAST(i + 1 AS INT), 1))) AS pair FROM ww)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin)
 
   /** Winnowing (k=4-gram hashes, w=4 window minima, distinct) — mirrors
     * Dedup.winnowingFingerprints.

@@ -227,6 +227,45 @@ object TrainingPrep {
       .limit(k)
   }
 
+  /** Character-pair frequencies — the char-level first-round BPE merge
+    * table ([[bigramMerges]]'s sibling one level down): corpus-wide
+    * counts of adjacent character pairs inside words, top-`k` by
+    * frequency (ties lexicographic). The mined ranks drive
+    * [[bpeEncode]]. Same scale shape as bigramMerges: explode +
+    * map-side-combined count + TakeOrderedAndProject.
+    */
+  def charPairMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+    words.select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => concat(col("w").substr(i, lit(1)), lit(" "),
+          col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Apply a learned BPE merge table (greedy lowest-rank-first, the
+    * GPT-2 loop) to every document via the fused
+    * [[graft.functions.VectorExpressions.BpeEncode]] kernel — the actual
+    * token-counting step a training pipeline runs per document. Returns
+    * `(id, n_words, n_pieces, pieces_fp)`; the md5 fingerprint pins the
+    * exact piece sequence for regression checks. Pure per-row kernel, no
+    * shuffle; the merge table rides the closure (tiny — a tokenizer has
+    * a fixed vocab).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("n_words"),
+        graft.functions.VectorExpressions.bpe_encode(col(textCol), merges)
+          .as("__pieces"))
+      .select(col(idCol), col("n_words"),
+        size(col("__pieces")).as("n_pieces"),
+        md5(array_join(col("__pieces"), "").cast("binary"))
+          .as("pieces_fp"))
+
   /** Per-stratum mixture divergence: KL(P_stratum || P_corpus) over unigram
     * token distributions — the data-mixing diagnostic ("how far does each
     * source/language slice sit from the blended corpus"). High-KL strata
