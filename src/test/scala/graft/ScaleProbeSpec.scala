@@ -135,6 +135,22 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("winnowing near-dups grow near-linearly over 10x docs") {
+    // fp equi-join: genuine substring collisions ∝ dup density (constant)
+    // + a random floor of N_fps²/2³² — negligible at any probe size. A
+    // cliff here would mean fingerprint selection degenerated (e.g. a
+    // constant hash) and the join went quadratic.
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        Dedup.winnowingNearDups(small, "doc_id", "text").count(),
+        Dedup.winnowingNearDups(big, "doc_id", "text").count(),
+        "winnowing")
+      assert(r < 30, s"winnowing 10x growth ratio $r suggests an fp-collision cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("semDedup grows ~N^1.5 (cells ~ sqrt N) over 10x vectors, no cliff") {
     // centers scale 10x so genuine duplicate structure keeps pace with N;
     // centroidEvery scales sqrt(10) so the cell count grows as sqrt(N)
