@@ -362,6 +362,41 @@ class StreamingSpec extends SparkSpec {
     assert(left == Seq("2"), s"NULL-ts row dropped: $left")
   }
 
+  test("EventTableSink.retention: a crash mid-swap rolls back and re-running converges") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = JF.createTempDirectory("graft_sink_retcrash").toString + "/events"
+    val rows = (1 to 20).map { i =>
+      val t = if (i % 2 == 0) "2024-01-01 00:00:00" else "2024-02-01 00:00:00"
+      ev(8, i.toLong, "7", i.toString).copy(
+        commit_ts = java.sql.Timestamp.valueOf(t))
+    }
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 2)
+
+    // simulate a crash between the two renames of bucket 0's swap: live
+    // moved to .old-, staged never moved in, torn .tmp- left behind
+    val live = JP.get(dir, "bucket=0")
+    assert(JF.exists(live))
+    JF.move(live, JP.get(dir, ".old-bucket=0"))
+    JF.createDirectories(JP.get(dir, ".tmp-123/bucket=0"))
+
+    // any entry point repairs first: the backup rolls back, temp dropped
+    assert(EventTableSink.read(spark, dir).count() == 20)
+    assert(JF.exists(live))
+    assert(!JF.exists(JP.get(dir, ".old-bucket=0")))
+    assert(!JF.exists(JP.get(dir, ".tmp-123")))
+
+    // and the re-run (the crashed batch's replay) converges normally
+    val evicted = EventTableSink.retention(spark, dir, "commit_ts",
+      to_timestamp(lit("2024-01-15 00:00:00")))
+    assert(evicted == 10)
+    assert(EventTableSink.read(spark, dir)
+      .select("record_pk").collect().map(_.getString(0).toInt)
+      .sorted.toSeq == (1 to 20 by 2))
+  }
+
   test("EventTableSink epoch fencing: a superseded writer fails fast, new owner wins") {
     implicit val s = spark
     import s.implicits._
