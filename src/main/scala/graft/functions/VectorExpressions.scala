@@ -225,6 +225,35 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Fused adjacent-token-pair kernel: one pass over the text emitting
+    * `"tokᵢ tokᵢ₊₁"` for every consecutive whitespace-token pair —
+    * bit-identical to the declarative
+    * `transform(sequence(1, n-1), i -> concat_ws(" ", t[i], t[i+1]))`
+    * form, but without the interpreted per-element lambda evaluation
+    * that dominated td35's runtime (the ShingleHashes lesson applied to
+    * pair mining). Empty output for texts with < 2 tokens.
+    */
+  case class TokenPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.split(" ", -1)
+      if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - 1)
+      var i = 0
+      while (i < toks.length - 1) {
+        out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Greedy BPE application (the GPT-2 merge loop): each whitespace word
     * starts as characters; repeatedly merge ALL occurrences of the
     * lowest-rank adjacent piece pair present until none applies. Merges
@@ -307,4 +336,7 @@ object VectorExpressions {
 
   def bpe_encode(text: Column, merges: Seq[String]): Column =
     column(BpeEncode(expression(text), merges))
+
+  def token_pairs(text: Column): Column =
+    column(TokenPairs(expression(text)))
 }

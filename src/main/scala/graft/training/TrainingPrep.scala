@@ -215,16 +215,25 @@ object TrainingPrep {
     * partial combine — one shuffle of (pair, partial_count), then a global
     * top-k (TakeOrderedAndProject — never a full sort of the vocab).
     */
-  def bigramMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    df.select(explode(pairs).as("pair"))
+  def bigramMerges(df: DataFrame, textCol: String, k: Int): DataFrame =
+    // fused TokenPairs kernel: bit-identical to the HOF
+    // transform/concat_ws form but one tight pass per row (`DedupSpec`
+    // proves the equivalence; the lambda interpretation dominated td35)
+    df.select(explode(graft.functions.VectorExpressions
+        .token_pairs(col(textCol))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
+
+  /** Declarative twin of the [[bigramMerges]] pair extraction — the
+    * equivalence oracle for the fused TokenPairs kernel.
+    */
+  private[graft] def tokenPairsDeclarative(textCol: Column): Column = {
+    val toks = TextAnalysis.tokens(textCol)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Character-pair frequencies — the char-level first-round BPE merge

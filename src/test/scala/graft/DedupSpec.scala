@@ -121,6 +121,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("TokenPairs equals the declarative transform/concat_ws form") {
+    import spark.implicits._
+    val rnd = new Random(47)
+    val texts = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(8))(s"w${rnd.nextInt(20)}").mkString(" ")) :+
+      "" :+ "single" :+ "two toks" :+ "a  b" // incl. empty token edge
+    texts.foreach { t =>
+      val df = Seq(t).toDF("text")
+      val fused = df.select(graft.functions.VectorExpressions
+        .token_pairs(col("text"))).collect().head.getSeq[String](0)
+      val declarative = df.select(
+        graft.training.TrainingPrep.tokenPairsDeclarative(col("text")))
+        .collect().head.getSeq[String](0)
+      assert(fused == declarative, s"mismatch for: '$t'")
+    }
+  }
+
   test("SimhashBits equals the declarative vote-fold + bit-pack form") {
     import spark.implicits._
     val rnd = new Random(46)
