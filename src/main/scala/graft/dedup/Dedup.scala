@@ -98,10 +98,10 @@ object Dedup {
   private def signatureBase(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int): DataFrame =
     df.select(col(idCol),
-        TextAnalysis.tokens(col(textCol)).as("__wtoks"))
-      .select(col(idCol),
-        sort_array(array_distinct(
-          TextAnalysis.shinglesOf(col("__wtoks"), shingleN))).as("toks"))
+        // fused kernel ≡ sort_array(array_distinct(shinglesOf(tokens)))
+        graft.functions.VectorExpressions
+          .distinct_shingles(col(textCol), shingleN, sorted = true)
+          .as("toks"))
       .withColumn("minhash", graft.functions.VectorExpressions
         .affine_minhash_sig(
           transform(col("toks"), t => graft.functions.Hashing.portableHash(t)), k))
@@ -309,11 +309,8 @@ object Dedup {
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
     val sets = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        TextAnalysis.tokens(col(textCol)).as("__wtoks"): _*)
-      .select(
-        (col(idCol) +: blockCols.map(col)) :+
-          sort_array(array_distinct(
-            TextAnalysis.shinglesOf(col("__wtoks"), n))).as("sh"): _*)
+        graft.functions.VectorExpressions
+          .distinct_shingles(col(textCol), n, sorted = true).as("sh"): _*)
       .localCheckpoint()
     // candidate pairs: share ≥1 token in their prefix windows. floor, not
     // ceil: under FP rounding floor only ever LENGTHENS the prefix

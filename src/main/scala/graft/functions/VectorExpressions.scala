@@ -225,6 +225,56 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Fused distinct-word-shingle kernel: tokenize on single spaces, form
+    * `n`-gram shingle STRINGS, dedupe (first occurrence), optionally
+    * sort (UTF8String byte order — identical to `sort_array`). Covers
+    * the two declarative shapes the text-dedup family pays interpreted
+    * HOF costs for:
+    *   - sorted=false ≡ `array_distinct(shinglesOf(tokens(text), n))`
+    *     (boilerplate span tables);
+    *   - sorted=true ≡ `sort_array(array_distinct(shinglesOf(...)))`
+    *     (minhash signature bases, Jaccard sets).
+    * Bit-identical to both (property-tested in `DedupSpec`).
+    */
+  case class DistinctShingles(child: Expression, n: Int, sorted: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.split(" ", -1)
+      val count = math.max(toks.length - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[UTF8String](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      if (sorted)
+        java.util.Arrays.sort(out,
+          new java.util.Comparator[UTF8String] {
+            override def compare(a: UTF8String, b: UTF8String): Int =
+              a.compareTo(b)
+          })
+      new GenericArrayData(out.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Fused adjacent-token-pair kernel: one pass over the text emitting
     * `"tokᵢ tokᵢ₊₁"` for every consecutive whitespace-token pair —
     * bit-identical to the declarative
@@ -339,4 +389,7 @@ object VectorExpressions {
 
   def token_pairs(text: Column): Column =
     column(TokenPairs(expression(text)))
+
+  def distinct_shingles(text: Column, n: Int, sorted: Boolean): Column =
+    column(DistinctShingles(expression(text), n, sorted))
 }

@@ -63,10 +63,9 @@ object TrainingPrep {
     */
   private def spanTable(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(array_distinct(
-        TextAnalysis.shinglesOf(col("__toks"), n))).as("passage"))
+    // fused kernel ≡ array_distinct(shinglesOf(tokens(text), n))
+    df.select(col(idCol), explode(graft.functions.VectorExpressions
+      .distinct_shingles(col(textCol), n, sorted = false)).as("passage"))
 
   def boilerplatePassages(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame =

@@ -121,6 +121,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("DistinctShingles equals the declarative distinct(+sort) shingle forms") {
+    import spark.implicits._
+    val rnd = new Random(48)
+    val texts = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(10))(s"w${rnd.nextInt(6)}").mkString(" ")) :+
+      "" :+ "one" :+ "a b" :+ "x  y z" // repeats + short + empty-token edges
+    for (t <- texts; n <- Seq(2, 3, 5)) {
+      val df = Seq(t).toDF("text")
+      val unsortedFused = df.select(graft.functions.VectorExpressions
+        .distinct_shingles(col("text"), n, sorted = false))
+        .collect().head.getSeq[String](0)
+      val unsortedDecl = df.select(array_distinct(
+        TextAnalysis.shinglesOf(TextAnalysis.tokens(col("text")), n)))
+        .collect().head.getSeq[String](0)
+      assert(unsortedFused == unsortedDecl, s"unsorted mismatch: '$t' n=$n")
+      val sortedFused = df.select(graft.functions.VectorExpressions
+        .distinct_shingles(col("text"), n, sorted = true))
+        .collect().head.getSeq[String](0)
+      val sortedDecl = df.select(sort_array(array_distinct(
+        TextAnalysis.shinglesOf(TextAnalysis.tokens(col("text")), n))))
+        .collect().head.getSeq[String](0)
+      assert(sortedFused == sortedDecl, s"sorted mismatch: '$t' n=$n")
+    }
+  }
+
   test("TokenPairs equals the declarative transform/concat_ws form") {
     import spark.implicits._
     val rnd = new Random(47)
