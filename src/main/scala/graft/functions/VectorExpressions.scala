@@ -275,6 +275,40 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Count-only sibling of [[DistinctShingles]]:
+    * ≡ `size(array_distinct(shinglesOf(tokens(text), n)))` without
+    * materializing any array — the repetition/quality family only needs
+    * the distinct count next to the arithmetic total.
+    */
+  case class DistinctShingleCount(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.split(" ", -1)
+      val count = math.max(toks.length - n + 1, 1)
+      val seen = new java.util.HashSet[String](count * 2)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.size()
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Fused adjacent-token-pair kernel: one pass over the text emitting
     * `"tokᵢ tokᵢ₊₁"` for every consecutive whitespace-token pair —
     * bit-identical to the declarative
@@ -392,4 +426,7 @@ object VectorExpressions {
 
   def distinct_shingles(text: Column, n: Int, sorted: Boolean): Column =
     column(DistinctShingles(expression(text), n, sorted))
+
+  def distinct_shingle_count(text: Column, n: Int): Column =
+    column(DistinctShingleCount(expression(text), n))
 }

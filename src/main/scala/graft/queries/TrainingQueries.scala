@@ -169,14 +169,15 @@ object TrainingQueries {
     // inline split would re-run per shingle) and the shingle TOTAL is
     // arithmetic — only the distinct count materializes the array.
     "td17_repetition" -> ((s, dir) => {
-      def dupRatio(n: Int) = {
-        val sh = TextAnalysis.shinglesOf(col("toks"), n)
-        (lit(1.0) - size(array_distinct(sh)).cast("double") /
-          TextAnalysis.shingleCount(col("toks"), n).cast("double"))
+      // fused count kernel ≡ size(array_distinct(shinglesOf(toks, n)));
+      // the total stays arithmetic
+      def dupRatio(n: Int) =
+        (lit(1.0) - graft.functions.VectorExpressions
+          .distinct_shingle_count(col("text"), n).cast("double") /
+          TextAnalysis.shingleCount(
+            TextAnalysis.tokens(col("text")), n).cast("double"))
           .as(s"dup_${n}gram_ratio")
-      }
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), dupRatio(2), dupRatio(3))
         .orderBy("doc_id")
     }),
@@ -317,13 +318,16 @@ object TrainingQueries {
     // quality/repetition operators with a per-group top-k window: ONE
     // shuffle on the stratum key.
     "td31_quality_topk" -> ((s, dir) => {
-      val n = size(col("toks")).cast("double")
-      val distinctRatio = size(array_distinct(col("toks"))).cast("double") / n
-      val sh3 = TextAnalysis.shinglesOf(col("toks"), 3)
-      val dup3 = lit(1.0) - size(array_distinct(sh3)).cast("double") /
-        TextAnalysis.shingleCount(col("toks"), 3).cast("double")
+      val ve = graft.functions.VectorExpressions
+      val toks = TextAnalysis.tokens(col("text"))
+      val n = size(toks).cast("double")
+      // count kernels: distinct tokens = distinct 1-gram shingles
+      val distinctRatio =
+        ve.distinct_shingle_count(col("text"), 1).cast("double") / n
+      val dup3 = lit(1.0) -
+        ve.distinct_shingle_count(col("text"), 3).cast("double") /
+        TextAnalysis.shingleCount(toks, 3).cast("double")
       val d = Tables.documents(s, dir)
-        .withColumn("toks", TextAnalysis.tokens(col("text")))
         .withColumn("score_micro",
           round((distinctRatio - dup3) * 1e6).cast("bigint"))
       val w = org.apache.spark.sql.expressions.Window
@@ -388,11 +392,13 @@ object TrainingQueries {
     // Filter report: FIRST violated rule per document in priority order
     // ('kept' when clean) — drop accounting sums to the corpus size
     "td38_filter_report" -> ((s, dir) => {
+      val ve = graft.functions.VectorExpressions
       val toks = TextAnalysis.tokens(col("text"))
       val n = size(toks)
-      val dr = size(array_distinct(toks)).cast("double") / n.cast("double")
-      val sh3 = TextAnalysis.shinglesOf(toks, 3)
-      val dup3 = lit(1.0) - size(array_distinct(sh3)).cast("double") /
+      val dr = ve.distinct_shingle_count(col("text"), 1).cast("double") /
+        n.cast("double")
+      val dup3 = lit(1.0) -
+        ve.distinct_shingle_count(col("text"), 3).cast("double") /
         TextAnalysis.shingleCount(toks, 3).cast("double")
       val nStop = TextAnalysis.langScore(col("text"),
         TextAnalysis.langMarkers.flatMap(_._2).distinct)

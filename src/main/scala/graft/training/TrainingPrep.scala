@@ -157,14 +157,13 @@ object TrainingPrep {
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     val evalShingles = evalSet
-      .select(explode(array_distinct(TextAnalysis.shinglesOf(
-        TextAnalysis.tokens(col(textCol)), n))).as("__sh"))
+      .select(explode(graft.functions.VectorExpressions
+        .distinct_shingles(col(textCol), n, sorted = false)).as("__sh"))
       .distinct()
       .withColumn("__hit", lit(1L))
     corpus
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(array_distinct(
-        TextAnalysis.shinglesOf(col("__toks"), n))).as("__sh"))
+      .select(col(idCol), explode(graft.functions.VectorExpressions
+        .distinct_shingles(col(textCol), n, sorted = false)).as("__sh"))
       .join(broadcast(evalShingles), Seq("__sh"), "left_outer")
       .groupBy(idCol)
       .agg(count(lit(1)).cast("int").as("n_shingles"),

@@ -143,6 +143,19 @@ class DedupSpec extends SparkSpec {
         TextAnalysis.shinglesOf(TextAnalysis.tokens(col("text")), n))))
         .collect().head.getSeq[String](0)
       assert(sortedFused == sortedDecl, s"sorted mismatch: '$t' n=$n")
+      val cntFused = df.select(graft.functions.VectorExpressions
+        .distinct_shingle_count(col("text"), n)).collect().head.getInt(0)
+      assert(cntFused == unsortedDecl.length, s"count mismatch: '$t' n=$n")
+    }
+    // n=1 distinct-shingle count == distinct token count (td31/td38 use)
+    import spark.implicits._
+    for (t <- Seq("a b a", "", "x", "a  a")) {
+      val df = Seq(t).toDF("text")
+      val cnt = df.select(graft.functions.VectorExpressions
+        .distinct_shingle_count(col("text"), 1)).collect().head.getInt(0)
+      val decl = df.select(size(array_distinct(
+        TextAnalysis.tokens(col("text"))))).collect().head.getInt(0)
+      assert(cnt == decl, s"n=1 mismatch: '$t'")
     }
   }
 
