@@ -275,6 +275,40 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Ordered NON-distinct sibling of [[DistinctShingles]]:
+    * ≡ `shinglesOf(tokens(text), n)` — every position's shingle string
+    * in order (posexplode over it preserves token positions, which the
+    * boilerplate scrub's cover-window arithmetic depends on).
+    */
+  case class AllShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.split(" ", -1)
+      val count = math.max(toks.length - n + 1, 1)
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Count-only sibling of [[DistinctShingles]]:
     * ≡ `size(array_distinct(shinglesOf(tokens(text), n)))` without
     * materializing any array — the repetition/quality family only needs
@@ -429,4 +463,7 @@ object VectorExpressions {
 
   def distinct_shingle_count(text: Column, n: Int): Column =
     column(DistinctShingleCount(expression(text), n))
+
+  def all_shingles(text: Column, n: Int): Column =
+    column(AllShingles(expression(text), n))
 }

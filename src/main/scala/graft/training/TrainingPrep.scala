@@ -357,12 +357,15 @@ object TrainingPrep {
     */
   def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = df.select(col(idCol), col(textCol).as("__text"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .withColumn("n_tk", size(col("tk")))
       .localCheckpoint() // consumed by spans, positions, and the final join
+    // fused AllShingles ≡ shinglesOf(tokens(text), n) — positional, so
+    // posexplode's pos0 stays the shingle's token offset
     val occ = toks.select(col(idCol), col("n_tk"),
-      posexplode(TextAnalysis.shinglesOf(col("tk"), n))
+      posexplode(graft.functions.VectorExpressions
+        .all_shingles(col("__text"), n))
         .as(Seq("pos0", "passage")))
     val boiler = occ.select(col(idCol), col("passage")).distinct()
       .groupBy("passage").agg(count(lit(1)).as("n_docs"))

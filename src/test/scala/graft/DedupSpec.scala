@@ -147,6 +147,18 @@ class DedupSpec extends SparkSpec {
         .distinct_shingle_count(col("text"), n)).collect().head.getInt(0)
       assert(cntFused == unsortedDecl.length, s"count mismatch: '$t' n=$n")
     }
+    // ordered non-distinct form matches shinglesOf exactly
+    {
+      import spark.implicits._
+      for (t <- Seq("a b a b c", "", "x y", "a  b"); n <- Seq(2, 3)) {
+        val df = Seq(t).toDF("text")
+        val fused = df.select(graft.functions.VectorExpressions
+          .all_shingles(col("text"), n)).collect().head.getSeq[String](0)
+        val decl = df.select(TextAnalysis.shinglesOf(
+          TextAnalysis.tokens(col("text")), n)).collect().head.getSeq[String](0)
+        assert(fused == decl, s"all_shingles mismatch: '$t' n=$n")
+      }
+    }
     // n=1 distinct-shingle count == distinct token count (td31/td38 use)
     import spark.implicits._
     for (t <- Seq("a b a", "", "x", "a  a")) {
