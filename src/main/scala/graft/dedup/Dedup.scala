@@ -179,14 +179,13 @@ object Dedup {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: $k, $w")
-    val hs = transform(
-      TextAnalysis.shinglesOf(col("__wtoks"), k),
-      t => graft.functions.Hashing.portableHash(t))
+    // fused positional hashes ≡ transform(shinglesOf(tokens), portableHash)
+    // (no interpreted per-gram lambda); window minima stay declarative
     val wins = transform(
       sequence(lit(1), greatest(size(col("__hs")) - lit(w - 1), lit(1))),
       i => array_min(slice(col("__hs"), i, lit(w))))
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__wtoks"))
-      .select(col(idCol), hs.as("__hs"))
+    df.select(col(idCol), graft.functions.VectorExpressions
+        .all_shingle_hashes(col(textCol), k).as("__hs"))
       .select(col(idCol), explode(array_distinct(wins)).as("fp"))
   }
 

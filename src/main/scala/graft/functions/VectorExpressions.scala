@@ -21,6 +21,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
+  /** THE word-shingle definition, shared by every shingle kernel so edge
+    * semantics (single-space split incl. trailing empties; short texts
+    * yield ONE clipped shingle) can never diverge between them — each
+    * kernel differs only in what it does with the emitted strings.
+    * Matches `shinglesOf(tokens(text), n)` exactly (property-tested per
+    * kernel in `DedupSpec`).
+    */
+  private def forEachShingle(text: String, n: Int)(f: String => Unit): Unit = {
+    val toks = text.split(" ", -1)
+    val count = math.max(toks.length - n + 1, 1)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      f(sb.toString)
+      i += 1
+    }
+  }
+
   /** Dot product of two `array<float>` columns in double precision.
     * Bit-equal to `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)),
     * 0.0, _+_)` — sequential left fold.
@@ -144,22 +169,8 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val toks = text.split(" ", -1)
-      val count = math.max(toks.length - n + 1, 1)
-      val seen = new java.util.LinkedHashSet[String](count * 2)
-      var i = 0
-      while (i < count) {
-        val end = math.min(i + n, toks.length)
-        val sb = new java.lang.StringBuilder
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
+      val seen = new java.util.LinkedHashSet[String]()
+      forEachShingle(text, n)(seen.add(_))
       val md = digest.get()
       val out = new Array[Long](seen.size())
       val it = seen.iterator()
@@ -242,22 +253,8 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val toks = text.split(" ", -1)
-      val count = math.max(toks.length - n + 1, 1)
-      val seen = new java.util.LinkedHashSet[String](count * 2)
-      var i = 0
-      while (i < count) {
-        val end = math.min(i + n, toks.length)
-        val sb = new java.lang.StringBuilder
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
+      val seen = new java.util.LinkedHashSet[String]()
+      forEachShingle(text, n)(seen.add(_))
       val out = new Array[UTF8String](seen.size())
       val it = seen.iterator()
       var k = 0
@@ -286,23 +283,41 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val toks = text.split(" ", -1)
-      val count = math.max(toks.length - n + 1, 1)
-      val out = new Array[Any](count)
-      var i = 0
-      while (i < count) {
-        val end = math.min(i + n, toks.length)
-        val sb = new java.lang.StringBuilder
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        out(i) = UTF8String.fromString(sb.toString)
-        i += 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      forEachShingle(text, n)(s => out += UTF8String.fromString(s))
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Positional sibling of [[ShingleHashes]]: every position's shingle
+    * hash in order, NO dedupe — ≡ `transform(shinglesOf(tokens(text), n),
+    * portableHash)`. The winnowing fingerprint path needs ordered
+    * occurrences (window minima over positions).
+    */
+  case class AllShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val digest =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
       }
-      new GenericArrayData(out)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val md = digest.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      forEachShingle(text, n) { s =>
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out += (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL))
+      }
+      new GenericArrayData(out.toArray)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -320,22 +335,8 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val toks = text.split(" ", -1)
-      val count = math.max(toks.length - n + 1, 1)
-      val seen = new java.util.HashSet[String](count * 2)
-      var i = 0
-      while (i < count) {
-        val end = math.min(i + n, toks.length)
-        val sb = new java.lang.StringBuilder
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
+      val seen = new java.util.HashSet[String]()
+      forEachShingle(text, n)(seen.add(_))
       seen.size()
     }
 
@@ -396,7 +397,19 @@ object VectorExpressions {
       val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       text.split(" ", -1).foreach { w =>
         if (w.nonEmpty) {
-          var pieces: Vector[String] = w.map(_.toString).toVector
+          // split on CODEPOINTS, not UTF-16 units: a non-BMP char must be
+          // one piece (surrogate halves are not valid strings, and the
+          // codepoint-based pair mining could never match them)
+          var pieces: Vector[String] = {
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              val cp = w.codePointAt(i)
+              b += new String(Character.toChars(cp))
+              i += Character.charCount(cp)
+            }
+            b.result()
+          }
           var done = false
           while (!done && pieces.length > 1) {
             var best = Int.MaxValue
@@ -466,4 +479,7 @@ object VectorExpressions {
 
   def all_shingles(text: Column, n: Int): Column =
     column(AllShingles(expression(text), n))
+
+  def all_shingle_hashes(text: Column, n: Int): Column =
+    column(AllShingleHashes(expression(text), n))
 }

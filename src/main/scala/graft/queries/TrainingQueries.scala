@@ -1284,8 +1284,8 @@ object TrainingQueries {
     // the semantics.
     "td46_char_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |ww AS (SELECT w FROM w WHERE strlen(w) >= 2),
-        |p AS (SELECT unnest(list_transform(range(1, strlen(w)),
+        |ww AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
         |    i -> substr(w, CAST(i AS INT), 1) || ' ' ||
         |         substr(w, CAST(i + 1 AS INT), 1))) AS pair FROM ww)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n

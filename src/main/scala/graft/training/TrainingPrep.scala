@@ -270,7 +270,7 @@ object TrainingPrep {
           .as("__pieces"))
       .select(col(idCol), col("n_words"),
         size(col("__pieces")).as("n_pieces"),
-        md5(array_join(col("__pieces"), "").cast("binary"))
+        md5(array_join(col("__pieces"), "\u0001").cast("binary"))
           .as("pieces_fp"))
 
   /** Per-stratum mixture divergence: KL(P_stratum || P_corpus) over unigram

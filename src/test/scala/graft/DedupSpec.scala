@@ -159,6 +159,19 @@ class DedupSpec extends SparkSpec {
         assert(fused == decl, s"all_shingles mismatch: '$t' n=$n")
       }
     }
+    // positional hashes match the declarative transform(portableHash) form
+    {
+      import spark.implicits._
+      for (t <- Seq("a b a b c", "", "x", "a  b"); n <- Seq(2, 4)) {
+        val df = Seq(t).toDF("text")
+        val fused = df.select(graft.functions.VectorExpressions
+          .all_shingle_hashes(col("text"), n)).collect().head.getSeq[Long](0)
+        val decl = df.select(transform(TextAnalysis.shinglesOf(
+            TextAnalysis.tokens(col("text")), n),
+          s => Hashing.portableHash(s))).collect().head.getSeq[Long](0)
+        assert(fused == decl, s"all_shingle_hashes mismatch: '$t' n=$n")
+      }
+    }
     // n=1 distinct-shingle count == distinct token count (td31/td38 use)
     import spark.implicits._
     for (t <- Seq("a b a", "", "x", "a  a")) {
