@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Session extension wiring for the engine's custom Catalyst surface —
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -64,7 +64,34 @@ object GraftExtensions {
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) =>
-        SimhashBits(args(0), intLit(args(1), "simhash_bits bits"))))
+        SimhashBits(args(0), intLit(args(1), "simhash_bits bits"))),
+    (FunctionIdentifier("token_pairs"),
+      new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
+      (args: Seq[Expression]) => TokenPairs(args(0))),
+    (FunctionIdentifier("all_shingles"),
+      new ExpressionInfo(classOf[AllShingles].getName, "all_shingles"),
+      (args: Seq[Expression]) =>
+        AllShingles(args(0), intLit(args(1), "all_shingles n"))),
+    (FunctionIdentifier("all_shingle_hashes"),
+      new ExpressionInfo(classOf[AllShingleHashes].getName,
+        "all_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        AllShingleHashes(args(0), intLit(args(1), "all_shingle_hashes n"))),
+    (FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName,
+        "distinct_shingles"),
+      (args: Seq[Expression]) => DistinctShingles(args(0),
+        intLit(args(1), "distinct_shingles n"),
+        sorted = args.size > 2 && (args(2) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"distinct_shingles sorted must be a boolean literal, got $other")
+        }))),
+    (FunctionIdentifier("distinct_shingle_count"),
+      new ExpressionInfo(classOf[DistinctShingleCount].getName,
+        "distinct_shingle_count"),
+      (args: Seq[Expression]) => DistinctShingleCount(args(0),
+        intLit(args(1), "distinct_shingle_count n"))))
 
   /** Register on an already-built session (new sessions should prefer the
     * `spark.sql.extensions` config). Functions land in the session's

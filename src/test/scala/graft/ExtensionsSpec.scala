@@ -40,6 +40,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("round-5 kernels are callable from SQL after install") {
+    assert(ext.sql("SELECT token_pairs('a b c') AS p")
+      .collect().head.getSeq[String](0) == Seq("a b", "b c"))
+    assert(ext.sql("SELECT all_shingles('a b c', 2) AS s")
+      .collect().head.getSeq[String](0) == Seq("a b", "b c"))
+    assert(ext.sql("SELECT size(all_shingle_hashes('a b a b', 2)) AS n")
+      .collect().head.getInt(0) == 3) // positional: no dedupe
+    assert(ext.sql("SELECT distinct_shingles('b a b a', 2, true) AS s")
+      .collect().head.getSeq[String](0) == Seq("a b", "b a")) // sorted distinct
+    assert(ext.sql("SELECT distinct_shingles('b a b a', 2) AS s")
+      .collect().head.getSeq[String](0) == Seq("b a", "a b")) // first-occurrence
+    assert(ext.sql("SELECT distinct_shingle_count('a b a b', 2) AS n")
+      .collect().head.getInt(0) == 2)
+    val e2 = intercept[Exception] {
+      ext.sql("SELECT distinct_shingles('a b', 2, id > 0) FROM range(1)").collect()
+    }
+    assert(e2.getMessage.contains("boolean literal"))
+  }
+
   test("builder-path registration: withExtensions(GraftExtensions) applies at session build") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
