@@ -178,6 +178,62 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash over DECODED pixels — the image analog of
+    * SimHash for near-duplicate image detection: the image is block-
+    * averaged onto a `grid`×`grid` plane (integer floor means, so every
+    * step is engine-exact), each cell contributes one bit (≥ the global
+    * cell mean), bits packed row-major. Identical images hash equal;
+    * small perturbations flip few bits (hamming-comparable like td07).
+    * Images smaller than the grid are skipped (no defined hash).
+    */
+  final case class ImageHash(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      ahash: Long)
+
+  def imageAHash(assets: Dataset[Asset], grid: Int = 4)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    require(grid >= 1 && grid * grid <= 64, s"grid² must fit 64 bits: $grid")
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        MediaCodec.decodeValues(a.bytes) match {
+          case Some((fmt, vs))
+              if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
+            MediaCodec.decode(a.bytes).flatMap { m =>
+              val w = m.width.get
+              val h = m.height.get
+              if (w < grid || h < grid || vs.length != w * h) None
+              else {
+                val cells = grid * grid
+                val sums = new Array[Long](cells)
+                val counts = new Array[Long](cells)
+                var i = 0
+                while (i < vs.length) {
+                  val c = (i / w) * grid / h * grid + (i % w) * grid / w
+                  sums(c) += vs(i)
+                  counts(c) += 1
+                  i += 1
+                }
+                val means = Array.tabulate(cells)(c => sums(c) / counts(c))
+                val global = means.sum / cells
+                var hash = 0L
+                var c = 0
+                while (c < cells) {
+                  if (means(c) >= global) hash |= (1L << c)
+                  c += 1
+                }
+                Some(ImageHash(a.asset_id, fmt, w, h, hash))
+              }
+            }
+          case _ => None
+        }
+      }
+    }
+  }
+
   final case class ResizedAsset(
       asset_id: Long,
       kind: String,

@@ -493,6 +493,21 @@ object TrainingQueries {
         .orderBy("asset_id")
     }),
 
+    // Perceptual image hash over REAL decoded pixels: block-averaged
+    // 4x4 aHash (integer floor means throughout — engine-exact), the
+    // image analog of simhash for near-dup image detection. The oracle
+    // recomputes cells from the closed-form synthesis pixels.
+    "td48_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.imageAHash(assets)(s).toDF()
+        .orderBy("asset_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -1268,6 +1283,33 @@ object TrainingQueries {
 
     "td44_winnowing" -> (winnowFpsCte +
       "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),
+
+    // td48: cells and global mean recomputed with the same integer-floor
+    // arithmetic from the synthesis closed forms (images >= 4x4 only)
+    "td48_image_ahash" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
+        |       ELSE 1 + doc_id % 17 END AS BIGINT) AS w,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
+        |       ELSE 1 + (doc_id // 17) % 13 END AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |pf AS (SELECT * FROM p WHERE w >= 4 AND h >= 4),
+        |px AS (SELECT doc_id, m, w, h, unnest(range(0, w*h)) AS i FROM pf),
+        |pv AS (SELECT doc_id, m, w, h,
+        |  CASE m WHEN 0 THEN (doc_id + (i % w) + (i // w)) % 256
+        |         ELSE (doc_id + 3*(i % w) + 7*(i // w)) % 256 END AS v,
+        |  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c
+        |  FROM px),
+        |cells AS (SELECT doc_id, m, w, h, c, sum(v) // count(*) AS mean
+        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
+        |gl AS (SELECT doc_id, sum(mean) // 16 AS global FROM cells GROUP BY 1)
+        |SELECT cells.doc_id AS asset_id,
+        |  CASE m WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(CASE WHEN mean >= global THEN 1 << c ELSE 0 END) AS BIGINT)
+        |    AS ahash
+        |FROM cells JOIN gl ON cells.doc_id = gl.doc_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
 
     "td45_winnow_neardups" -> (winnowFpsCte +
       """,

@@ -278,6 +278,27 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeValues(badPnm).isEmpty)
   }
 
+  test("imageAHash: identical images equal, perturbation stays hamming-near, inverse differs") {
+    import spark.implicits._
+    def bmp(id: Long, px: (Int, Int) => Int) =
+      Multimodal.Asset(id, "bmp", MediaCodec.encodeBmp(16, 16, px), "t")
+    val gradient = (x: Int, y: Int) => (((x * 16 + y * 7) % 256) * 0x010101)
+    val perturbed = (x: Int, y: Int) =>
+      if (x == 3 && y == 3) 0xFFFFFF else gradient(x, y)
+    val inverse = (x: Int, y: Int) => gradient(15 - x, 15 - y)
+    val tiny = Multimodal.Asset(5L, "bmp",
+      MediaCodec.encodeBmp(2, 2, gradient), "t") // below the 4x4 grid
+    val out = Multimodal.imageAHash(spark.createDataset(Seq(
+        bmp(1, gradient), bmp(2, gradient), bmp(3, perturbed),
+        bmp(4, inverse), tiny)))(spark)
+      .collect().map(h => h.asset_id -> h.ahash).toMap
+    assert(out(1L) == out(2L)) // identical pixels, identical hash
+    val nearBits = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(nearBits <= 2, s"one-pixel perturbation flipped $nearBits bits")
+    assert(out(1L) != out(4L)) // reversed gradient is a different image
+    assert(!out.contains(5L))  // sub-grid images have no defined hash
+  }
+
   test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {
     import spark.implicits._
     val samples = Array[Short](5, -3, 4, -2) // 3 sign flips
