@@ -234,6 +234,50 @@ object Multimodal {
     }
   }
 
+  /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the
+    * first stage of Shazam-style audio matching): samples split into
+    * `frames` equal time blocks, each block's mean |amplitude| (integer
+    * floor) contributes one bit against the global block mean. Exact
+    * integer arithmetic throughout; streams shorter than `frames`
+    * samples are skipped.
+    */
+  final case class AudioFingerprint(
+      asset_id: Long,
+      n_samples: Long,
+      afp: Long)
+
+  def audioFingerprint(assets: Dataset[Asset], frames: Int = 16)(
+      implicit spark: SparkSession): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    require(frames >= 1 && frames <= 64, s"frames must fit 64 bits: $frames")
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        MediaCodec.decodeValues(a.bytes) match {
+          case Some(("wav", vs)) if vs.length >= frames =>
+            val sums = new Array[Long](frames)
+            val counts = new Array[Long](frames)
+            var i = 0
+            while (i < vs.length) {
+              val f = i.toLong * frames / vs.length
+              sums(f.toInt) += math.abs(vs(i).toLong)
+              counts(f.toInt) += 1
+              i += 1
+            }
+            val means = Array.tabulate(frames)(f => sums(f) / counts(f))
+            val global = means.sum / frames
+            var fp = 0L
+            var f = 0
+            while (f < frames) {
+              if (means(f) >= global) fp |= (1L << f)
+              f += 1
+            }
+            Some(AudioFingerprint(a.asset_id, vs.length.toLong, fp))
+          case _ => None
+        }
+      }
+    }
+  }
+
   final case class ResizedAsset(
       asset_id: Long,
       kind: String,

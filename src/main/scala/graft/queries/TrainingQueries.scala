@@ -508,6 +508,20 @@ object TrainingQueries {
         .orderBy("asset_id")
     }),
 
+    // Audio energy-contour fingerprint over REAL decoded PCM — td48's
+    // twin for the audio third of the corpus: 16 frame blocks of mean
+    // |amplitude| (integer floor), one bit each vs the global mean.
+    "td49_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.audioFingerprint(assets)(s).toDF()
+        .orderBy("asset_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -1283,6 +1297,23 @@ object TrainingQueries {
 
     "td44_winnowing" -> (winnowFpsCte +
       "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),
+
+    "td49_audio_fingerprint" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |sx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |sv AS (SELECT doc_id, n,
+        |  abs((doc_id*31 + i*17) % 65536 - 32768) AS v,
+        |  i * 16 // n AS f FROM sx),
+        |fr AS (SELECT doc_id, n, f, sum(v) // count(*) AS mean
+        |  FROM sv GROUP BY 1, 2, 3),
+        |gl AS (SELECT doc_id, sum(mean) // 16 AS global FROM fr GROUP BY 1)
+        |SELECT fr.doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN mean >= global THEN 1 << f ELSE 0 END) AS BIGINT)
+        |    AS afp
+        |FROM fr JOIN gl ON fr.doc_id = gl.doc_id
+        |GROUP BY 1, 2 ORDER BY asset_id""".stripMargin,
 
     // td48: cells and global mean recomputed with the same integer-floor
     // arithmetic from the synthesis closed forms (images >= 4x4 only)

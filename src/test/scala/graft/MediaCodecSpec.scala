@@ -299,6 +299,25 @@ class MediaCodecSpec extends SparkSpec {
     assert(!out.contains(5L))  // sub-grid images have no defined hash
   }
 
+  test("audioFingerprint: identical streams equal, loud/quiet contour drives the bits") {
+    import spark.implicits._
+    // first half quiet (amp 10), second half loud (amp 1000): the loud
+    // frames' bits set, quiet frames' clear
+    val contour = Array.tabulate[Short](320)(i =>
+      (if (i < 160) 10 else 1000).toShort)
+    def wav(id: Long, samples: Array[Short]) =
+      Multimodal.Asset(id, "wav", MediaCodec.encodeWav(8000, 1, samples), "t")
+    val out = Multimodal.audioFingerprint(spark.createDataset(Seq(
+        wav(1, contour), wav(2, contour),
+        wav(3, contour.map(s => (-s).toShort)), // same |amplitude| contour
+        wav(4, Array.tabulate[Short](8)(_.toShort)))))(spark) // < 16 samples
+      .collect().map(f => f.asset_id -> f.afp).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) == out(3L)) // fingerprint is |amplitude|-based
+    assert(out(1L) == 0xFF00L) // frames 8-15 loud -> high byte set
+    assert(!out.contains(4L))  // sub-frame streams have no fingerprint
+  }
+
   test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {
     import spark.implicits._
     val samples = Array[Short](5, -3, 4, -2) // 3 sign flips
