@@ -11,23 +11,42 @@ import scala.util.Try
   * (`/root/reference/lib/sequin/runtime/wal_pipeline_server.ex:336-445`:
   * `INSERT ... ON CONFLICT (seq, record_pk) DO UPDATE` — per-row conflict
   * resolution touches only the conflicting rows, never the whole table).
+  * For high volume the reference time-partitions the event table with
+  * pg_partman so retention DROPs whole partitions instead of DELETE-ing
+  * rows (`/root/reference/docs/reference/change-retention.mdx:112-137`).
   *
-  * Spark rendition: the table is hash-bucketed by `record_pk` into
-  * `numBuckets` directories (`bucket=N`). An upsert MERGEs
-  * last-writer-wins (version = `(commit_lsn, commit_idx)`) and rewrites
-  * ONLY the buckets the batch touches — I/O per micro-batch is
-  * O(batch + touched-bucket bytes), not O(table). At 100 TB retained, a
-  * 10k-row batch rewrites ~`touched/numBuckets` of the table at most, and
-  * raising `numBuckets` (a per-table constant chosen at creation) bounds
-  * that further; with Delta/Iceberg this becomes a genuine `MERGE INTO`
-  * with file-level pruning, same plan shape.
+  * Spark rendition — a TWO-dimensional layout `bucket=B/epoch=E`:
+  *   - `bucket` = hash(record_pk) % numBuckets: bounds the blast radius of
+  *     an upsert and gives point lookups a 1/numBuckets scan.
+  *   - `epoch` = commit_lsn div epochWidth: the pg_partman time-partition
+  *     analog. Commit order is monotone, so an append-mostly stream lands
+  *     each batch in the newest epoch of each bucket; retention drops
+  *     whole fully-expired `epoch=E` directories in O(expired) (no read,
+  *     no rewrite) and rewrites only the one boundary epoch; replay
+  *     windows (`changesBetween`/`stateAsOf` over the stored table) prune
+  *     to in-window epoch dirs via partition filters.
   *
-  * Crash safety: each touched bucket is staged to a dot-prefixed temp dir
-  * (invisible to Spark's file index) and swapped in two renames with an
-  * `.old-` backup; [[repair]] runs before every read/upsert and rolls a
-  * half-swapped bucket back, so a crashed batch never loses the table and
-  * replaying the batch is idempotent — W6's exactly-once contract without
-  * a transactional store.
+  * An upsert MERGEs last-writer-wins (version = `(commit_lsn,
+  * commit_idx)`) and rewrites ONLY the affected `(bucket, epoch)` dirs:
+  * the epochs the batch's rows land in, plus the epochs holding the
+  * superseded prior versions of the batch's pks (found by a thin
+  * pk-column scan of the touched buckets). I/O per micro-batch is
+  * O(batch + affected-epoch bytes) — at 100 TB retained, inserting new
+  * rows touches one epoch dir per bucket, never the table's history.
+  * With Delta/Iceberg this becomes a genuine `MERGE INTO` with file-level
+  * pruning, same plan shape.
+  *
+  * Crash safety: staged writes to a dot-prefixed temp dir (invisible to
+  * Spark's file index), per-(bucket,epoch) two-rename swaps with `.old-`
+  * backups, one-way `.del-` tombstone renames for dropped dirs; [[repair]]
+  * runs before every read/upsert and rolls a half-swapped dir back (or
+  * finishes a half-finished drop), so a crashed batch never loses the
+  * table and replaying the batch is idempotent — W6's exactly-once
+  * contract without a transactional store.
+  *
+  * `numBuckets` and `epochWidth` are per-table layout constants chosen at
+  * creation and must never change for an existing table (like the
+  * reference's partition interval).
   *
   * `foreach`-batch usage:
   * {{{
@@ -41,22 +60,42 @@ object EventTableSink {
   val keyCols: Seq[String] = Seq("record_pk")
   val seqCols: Seq[String] = Seq("commit_lsn", "commit_idx")
   val BucketCol = "bucket"
+  val EpochCol = "epoch"
   val DefaultBuckets = 64
+  /** Default lsn-units per epoch dir. lsn strides like a byte offset, so
+    * real tables size this to their WAL volume per retention interval
+    * (one epoch ≈ one droppable retention unit).
+    */
+  val DefaultEpochWidth = 1L << 20
 
   /** Stable bucket assignment — must never change for an existing table. */
   def bucketOf(pk: Column, numBuckets: Int): Column =
     pmod(xxhash64(pk), lit(numBuckets)).cast("int")
 
+  /** Stable epoch assignment — `lsn div width`. Exact integer semantics:
+    * Column `/` is a double divide whose 53-bit mantissa would corrupt
+    * lsn past 2^53, so divide the mod-aligned numerator as decimal(38,0).
+    * NULL-lsn rows (never produced by the CDC pipeline, but defended) pin
+    * to epoch -1 so they survive retention untouched.
+    */
+  def epochOf(lsn: Column, epochWidth: Long): Column =
+    coalesce(
+      ((lsn - pmod(lsn, lit(epochWidth))).cast("decimal(38,0)") /
+        lit(epochWidth)).cast("int"),
+      lit(-1))
+
   // ---- concurrent-writer fencing (the WireSink epoch pattern) ----------
 
   /** Handle for the table's single legitimate writer at a given epoch —
     * see [[openWriter]]. A fenced handle's upserts throw instead of
-    * interleaving bucket swaps with the newer owner.
+    * interleaving dir swaps with the newer owner.
     */
   final class Writer private[sinks] (val path: String, val epoch: Long) {
     def upsert(spark: SparkSession, batch: DataFrame,
-        numBuckets: Int = DefaultBuckets): Unit =
-      EventTableSink.upsert(spark, batch, path, numBuckets, Some(this))
+        numBuckets: Int = DefaultBuckets,
+        epochWidth: Long = DefaultEpochWidth): Unit =
+      EventTableSink.upsert(spark, batch, path, numBuckets, epochWidth,
+        Some(this))
   }
 
   private def epochFile(path: String): Path = Paths.get(path).resolve("_epoch")
@@ -73,12 +112,17 @@ object EventTableSink {
   /** Take over the table as its single writer: bump the `_epoch` file
     * (temp + atomic rename) and return a fenced handle. Every handle from
     * an earlier epoch is thereby fenced — its next upsert fails fast
-    * rather than racing bucket swaps against the new owner. Two streams
+    * rather than racing dir swaps against the new owner. Two streams
     * upserting one table MUST each hold a current handle; the second
     * `openWriter` wins (last-writer-wins at the granularity of handles).
-    * Same recipe as log/leader epoch fencing; the un-fenced `upsert`
-    * overload keeps the single-writer assumption implicit for embedded
-    * use.
+    *
+    * The guarantee is BEST-EFFORT race narrowing, not mutual exclusion:
+    * the epoch is re-verified immediately before EACH dir swap (one
+    * rename's worth of window), but a concurrent `openWriter` landing
+    * inside that window can still interleave one swap with the new
+    * owner. Upsert idempotency makes the outcome recoverable (the new
+    * owner's replay converges); a hard guarantee needs a lock service or
+    * a transactional table format.
     */
   def openWriter(path: String): Writer = {
     val root = Paths.get(path)
@@ -100,18 +144,19 @@ object EventTableSink {
             s"$cur at $path")
     }
 
-  /** Read the table (internal bucket column dropped). `mergeSchema`
-    * because buckets untouched since an upstream schema change still hold
+  /** Read the table (internal layout columns dropped). `mergeSchema`
+    * because dirs untouched since an upstream schema change still hold
     * the narrower files — the union schema is the table's schema.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     repair(path)
-    spark.read.option("mergeSchema", "true").parquet(path).drop(BucketCol)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .drop(BucketCol, EpochCol)
   }
 
   /** Point lookup: the read-side payoff of bucketing — the key's bucket
-    * is computed driver-side and ONLY that one directory is scanned
-    * (1/numBuckets of the table), the file-level analogue of the
+    * is computed driver-side and ONLY that one directory subtree is
+    * scanned (1/numBuckets of the table), the file-level analogue of the
     * reference's `consumer_events` pk index.
     */
   def lookup(spark: SparkSession, path: String, pk: String,
@@ -123,37 +168,54 @@ object EventTableSink {
     val dir = bucketDir(path, b)
     if (!Files.exists(dir))
       spark.read.option("mergeSchema", "true").parquet(path)
-        .drop(BucketCol).limit(0)
+        .drop(BucketCol, EpochCol).limit(0)
     else
       spark.read.option("mergeSchema", "true").option("basePath", path)
         .parquet(dir.toString)
-        .drop(BucketCol).filter(col(keyCols.head) === pk)
+        .drop(BucketCol, EpochCol).filter(col(keyCols.head) === pk)
   }
 
-  /** Idempotently merge `batch` into the bucketed parquet table at `path`,
-    * rewriting only the buckets present in the batch. With a `writer`
-    * handle, the epoch is checked on entry AND immediately before the
-    * bucket swaps, so a writer superseded mid-merge aborts with its
-    * staging directory cleaned up and the table untouched.
+  /** Idempotently merge `batch` into the layout at `path`, rewriting only
+    * the affected `(bucket, epoch)` dirs: those receiving batch rows plus
+    * those holding superseded prior versions of the batch's pks. With a
+    * `writer` handle, the epoch is checked on entry and re-verified
+    * before each dir swap (see [[openWriter]] for the exact guarantee).
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
       numBuckets: Int = DefaultBuckets,
+      epochWidth: Long = DefaultEpochWidth,
       writer: Option[Writer] = None): Unit = {
     fenceCheck(path, writer)
     repair(path)
     val target = Paths.get(path)
-    val keyed = batch.withColumn(BucketCol, bucketOf(col(keyCols.head), numBuckets))
-      .localCheckpoint() // evaluate once: bucket scan + merge both consume it
-    val touched = keyed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
+    val keyed = batch
+      .withColumn(BucketCol, bucketOf(col(keyCols.head), numBuckets))
+      .withColumn(EpochCol, epochOf(col(seqCols.head), epochWidth))
+      .localCheckpoint() // evaluate once: pair scan + merge both consume it
+    val batchPairs = keyed.select(BucketCol, EpochCol).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    if (batchPairs.isEmpty) return
 
-    val existingDirs = touched.map(b => bucketDir(path, b))
+    val touchedBucketDirs = batchPairs.map(_._1).distinct
+      .map(b => bucketDir(path, b)).filter(Files.exists(_)).map(_.toString)
+    // thin pk-column scan of the touched buckets: which existing epochs
+    // hold a prior version of a batch pk (and must be rewritten without
+    // it)? Bounded collect: ≤ touched buckets × live epochs pairs.
+    val supersededPairs: Array[(Int, Int)] =
+      if (touchedBucketDirs.isEmpty) Array.empty
+      else spark.read.option("mergeSchema", "true").option("basePath", path)
+        .parquet(touchedBucketDirs: _*)
+        .join(broadcast(keyed.select(keyCols.head).distinct()), keyCols)
+        .select(BucketCol, EpochCol).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val affected = (batchPairs ++ supersededPairs).distinct.sorted
+
+    val affectedDirs = affected.map { case (b, e) => pairDir(path, b, e) }
       .filter(Files.exists(_)).map(_.toString)
     val existing: Option[DataFrame] =
-      if (existingDirs.isEmpty) None
+      if (affectedDirs.isEmpty) None
       else Try(spark.read.option("mergeSchema", "true")
-        .option("basePath", path).parquet(existingDirs: _*)).toOption
+        .option("basePath", path).parquet(affectedDirs: _*)).toOption
 
     // allowMissingColumns both ways: an upstream schema change (column
     // added or dropped mid-stream, S2b relation change) widens the table
@@ -165,33 +227,48 @@ object EventTableSink {
     val merged = Ordering.dedupLatest(unioned, keyCols, seqCols.map(col))
 
     val tmp = target.resolve(s".tmp-${System.nanoTime()}")
-    // cluster by bucket before the partitioned write: one task owns each
-    // touched bucket, so a bucket dir is a few contiguous files, not
-    // (writer tasks × buckets) fragments — and the swap moves fewer files.
-    // Rows are additionally SORTED by key within each bucket so parquet
+    // cluster by (bucket, epoch) before the partitioned write: one task
+    // owns each affected dir, so it holds a few contiguous files, not
+    // (writer tasks × dirs) fragments — and the swap moves fewer files.
+    // Rows are additionally SORTED by key within each dir so parquet
     // min/max column-chunk stats are tight: a point lookup prunes row
-    // groups INSIDE the bucket dir, not just the dir itself.
-    merged.repartition(col(BucketCol))
-      .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)
-      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
+    // groups INSIDE the dir, not just the dir itself.
+    merged.repartition(col(BucketCol), col(EpochCol))
+      .sortWithinPartitions(
+        Seq(col(BucketCol), col(EpochCol)) ++ keyCols.map(col): _*)
+      .write.partitionBy(BucketCol, EpochCol).mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
-    // last fence before mutating live dirs: a writer superseded during
-    // the merge aborts here, leaving the new owner's table intact
-    try fenceCheck(path, writer)
-    catch { case e: Throwable => deleteRecursively(tmp); throw e }
-    touched.foreach { b =>
-      val live = bucketDir(path, b)
-      val staged = tmp.resolve(s"$BucketCol=$b")
-      val old = oldDir(path, b)
-      if (Files.exists(staged)) {
-        deleteRecursively(old)
-        if (Files.exists(live))
-          Files.move(live, old, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(staged, live)
-        deleteRecursively(old)
+    swapPairs(path, affected, tmp, writer)
+  }
+
+  /** Swap each affected pair's staged dir into place (or drop the live
+    * dir when the merge emptied it), re-verifying the writer fence before
+    * every swap. Cleans the staging dir up on completion or fence abort.
+    */
+  private def swapPairs(path: String, affected: Seq[(Int, Int)], tmp: Path,
+      writer: Option[Writer]): Unit = {
+    try {
+      affected.foreach { case (b, e) =>
+        fenceCheck(path, writer) // re-verify per swap: one-rename window
+        val live = pairDir(path, b, e)
+        val staged = tmp.resolve(s"$BucketCol=$b").resolve(s"$EpochCol=$e")
+        val old = oldDir(path, b, e)
+        if (Files.exists(staged)) {
+          Files.createDirectories(bucketDir(path, b))
+          deleteRecursively(old)
+          if (Files.exists(live))
+            Files.move(live, old, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(staged, live)
+          deleteRecursively(old)
+        } else if (Files.exists(live)) {
+          // merge emptied this epoch (all its rows superseded): one-way
+          // tombstone rename, then delete — repair finishes, never undoes
+          dropDir(path, live)
+        }
       }
-    }
+    } catch { case e: Throwable => deleteRecursively(tmp); throw e }
     deleteRecursively(tmp)
+    dropEmptyBuckets(path)
   }
 
   /** Retention: evict rows whose `tsCol` is before `cutoff` — the
@@ -200,14 +277,14 @@ object EventTableSink {
     * a pg_cron job runs `DELETE ... WHERE committed_at < now() - interval
     * '30 days'`; pg_partman drops whole time partitions for high volume).
     *
-    * Spark rendition, scale-shaped like the pg_partman path: the expiry
-    * probe aggregates expired counts per bucket — a columnar scan of the
-    * ts column only, pruned further by parquet footer min/max — and the
-    * rewrite touches ONLY buckets that hold expired rows, through the
-    * same staged-write + two-rename swap as [[upsert]] (crash-safe via
-    * [[repair]], fenced via the `writer` epoch). A fully-expired bucket's
-    * directory is dropped outright (the partition-drop fast path).
-    * Returns the number of rows evicted.
+    * Spark rendition at pg_partman parity: a per-(bucket,epoch) expiry
+    * probe (a thin ts-column scan — parquet footers + one column, never
+    * the payload) classifies each epoch dir. Fully-expired dirs are
+    * DROPPED outright — no read, no rewrite, O(1) data I/O each — and
+    * only boundary dirs (mixed expired/live rows; with monotone commit
+    * ts, one per bucket) are rewritten through the staged-write swap.
+    * Total cost ∝ expired rows + boundary dirs, NOT table size. Returns
+    * the number of rows evicted.
     */
   def retention(spark: SparkSession, path: String, tsCol: String,
       cutoff: Column, writer: Option[Writer] = None): Long = {
@@ -217,36 +294,48 @@ object EventTableSink {
     if (!Files.exists(target)) return 0L
     val t = Try(spark.read.option("mergeSchema", "true").parquet(path))
       .getOrElse(return 0L)
-    val perBucket = t.filter(col(tsCol) < cutoff)
-      .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (perBucket.isEmpty) return 0L
-    val affected = perBucket.keys.toSeq.sorted
-    // NULL ts rows are NOT expired (they never matched the probe's
-    // `< cutoff` either — e.g. rows from buckets written before tsCol
-    // existed, read back as NULL under mergeSchema): keep them, or a
-    // rewrite of their bucket would silently drop them uncounted
-    val keep = t.filter(col(BucketCol).isin(affected: _*))
-      .filter(col(tsCol) >= cutoff || col(tsCol).isNull)
-    val tmp = target.resolve(s".tmp-${System.nanoTime()}")
-    keep.repartition(col(BucketCol))
-      .sortWithinPartitions(col(BucketCol) +: keyCols.map(col): _*)
-      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    try fenceCheck(path, writer)
-    catch { case e: Throwable => deleteRecursively(tmp); throw e }
-    affected.foreach { b =>
-      val live = bucketDir(path, b)
-      val staged = tmp.resolve(s"$BucketCol=$b")
-      val old = oldDir(path, b)
-      deleteRecursively(old)
-      if (Files.exists(live))
-        Files.move(live, old, StandardCopyOption.REPLACE_EXISTING)
-      if (Files.exists(staged)) Files.move(staged, live)
-      deleteRecursively(old)
+    // NULL ts rows are NOT expired (they never match `< cutoff` — e.g.
+    // rows from dirs written before tsCol existed, read back as NULL
+    // under mergeSchema): they keep their dir off the full-drop path and
+    // survive any boundary rewrite
+    val stats = t.groupBy(col(BucketCol), col(EpochCol))
+      .agg(count(lit(1)).as("total"),
+        count(when(col(tsCol) < cutoff, 1)).as("expired"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // .toSeq BEFORE collect: collecting (Int, Int) pairs out of a Map
+    // would rebuild a Map keyed by bucket, silently collapsing all but
+    // one epoch per bucket
+    val fullDrop = stats.toSeq.collect {
+      case (pair, (total, expired)) if expired == total && total > 0 => pair
+    }.sorted
+    val boundary = stats.toSeq.collect {
+      case (pair, (total, expired)) if expired > 0 && expired < total => pair
+    }.sorted
+    val evicted = stats.values.map(_._2).sum
+    if (evicted == 0) return 0L
+
+    // pg_partman path: drop whole expired epoch dirs, no data I/O
+    fullDrop.foreach { case (b, e) =>
+      fenceCheck(path, writer)
+      dropDir(path, pairDir(path, b, e))
     }
-    deleteRecursively(tmp)
-    perBucket.values.sum
+
+    if (boundary.nonEmpty) {
+      val dirs = boundary.map { case (b, e) => pairDir(path, b, e).toString }
+      val keep = spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(dirs: _*)
+        .filter(col(tsCol) >= cutoff || col(tsCol).isNull)
+      val tmp = target.resolve(s".tmp-${System.nanoTime()}")
+      keep.repartition(col(BucketCol), col(EpochCol))
+        .sortWithinPartitions(
+          Seq(col(BucketCol), col(EpochCol)) ++ keyCols.map(col): _*)
+        .write.partitionBy(BucketCol, EpochCol).mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      swapPairs(path, boundary, tmp, writer)
+    } else dropEmptyBuckets(path)
+    evicted
   }
 
   /** Change feed between two cursors: the NET effect per record_pk of
@@ -262,6 +351,23 @@ object EventTableSink {
     Ordering.dedupLatest(window, keyCols, seqCols.map(col))
       .withColumn("net_effect",
         when(col("action") === "delete", "delete").otherwise("upsert"))
+  }
+
+  /** [[changesBetween]] over a STORED table: the epoch layout turns the
+    * window bound into a partition filter, so the scan lists only the
+    * in-window `epoch=E` dirs — a replay of last hour's changes against
+    * 100 TB of retained history reads last hour's directories, nothing
+    * else. (Exact: rows with lsn in `(from, to]` live in epochs
+    * `[from div w, to div w]` by construction.)
+    */
+  def changesBetween(spark: SparkSession, path: String, fromLsn: Long,
+      toLsn: Long, epochWidth: Long = DefaultEpochWidth): DataFrame = {
+    repair(path)
+    val t = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col(EpochCol) >= lit((fromLsn / epochWidth).toInt) &&
+        col(EpochCol) <= lit((toLsn / epochWidth).toInt))
+      .drop(BucketCol, EpochCol)
+    changesBetween(t, fromLsn, toLsn)
   }
 
   /** Time travel over retained changes: the record state "as of" a WAL
@@ -281,32 +387,90 @@ object EventTableSink {
       .filter(col("action") =!= "delete")
   }
 
+  /** [[stateAsOf]] over a STORED table: epoch partition pruning caps the
+    * scan at dirs `<= lsn div width` (plus the NULL-lsn pin at -1).
+    */
+  def stateAsOf(spark: SparkSession, path: String, lsn: Long, idx: Long,
+      epochWidth: Long): DataFrame = {
+    repair(path)
+    val t = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col(EpochCol) <= lit((lsn / epochWidth).toInt))
+      .drop(BucketCol, EpochCol)
+    stateAsOf(t, lsn, idx)
+  }
+
   private def bucketDir(path: String, b: Int): Path =
     Paths.get(path).resolve(s"$BucketCol=$b")
 
-  // dot-prefixed → invisible to Spark's partition discovery
-  private def oldDir(path: String, b: Int): Path =
-    Paths.get(path).resolve(s".old-$BucketCol=$b")
+  private def pairDir(path: String, b: Int, e: Int): Path =
+    bucketDir(path, b).resolve(s"$EpochCol=$e")
 
-  /** Roll back any bucket left half-swapped by a crash (live dir missing,
-    * `.old-` backup present) and drop stale temp/backup dirs.
+  // dot-prefixed → invisible to Spark's partition discovery
+  private def oldDir(path: String, b: Int, e: Int): Path =
+    bucketDir(path, b).resolve(s".old-$EpochCol=$e")
+
+  /** One-way crash-safe delete: tombstone rename (`.del-`, invisible to
+    * Spark) then recursive delete. [[repair]] finishes interrupted drops
+    * — `.del-` is never restored, unlike `.old-` backups.
+    */
+  private def dropDir(path: String, live: Path): Unit = {
+    if (!Files.exists(live)) return
+    val tomb = live.getParent.resolve(s".del-${live.getFileName}")
+    deleteRecursively(tomb)
+    Files.move(live, tomb, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(tomb)
+  }
+
+  /** A bucket whose last epoch dir was dropped leaves an empty `bucket=B`
+    * shell; remove it so partition discovery never trips on a dir with no
+    * files (and a fully-expired table reads back as an empty dir listing).
+    */
+  private def dropEmptyBuckets(path: String): Unit = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return
+    import scala.jdk.CollectionConverters._
+    val buckets = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    buckets.filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .foreach { b =>
+        val children = {
+          val s = Files.list(b)
+          try s.iterator().asScala.toSeq finally s.close()
+        }
+        if (children.isEmpty) Try(Files.delete(b))
+      }
+  }
+
+  /** Roll back any dir left half-swapped by a crash (live dir missing,
+    * `.old-` backup present), finish any half-finished drop (`.del-`
+    * tombstones), and clear stale temp/backup dirs — at both the bucket
+    * and epoch level.
     */
   def repair(path: String): Unit = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return
     import scala.jdk.CollectionConverters._
-    val entries = {
-      val s = Files.list(root)
+    def list(p: Path): Seq[Path] = {
+      val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close()
     }
-    entries.foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith(s".old-$BucketCol=")) {
-        val live = root.resolve(name.stripPrefix(".old-"))
-        if (!Files.exists(live)) Files.move(p, live)
-        else deleteRecursively(p)
-      } else if (name.startsWith(".tmp-")) deleteRecursively(p)
-    }
+    def heal(dir: Path, prefix: String): Unit =
+      list(dir).foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(s".old-$prefix=")) {
+          val live = dir.resolve(name.stripPrefix(".old-"))
+          if (!Files.exists(live)) Files.move(p, live)
+          else deleteRecursively(p)
+        } else if (name.startsWith(".del-")) deleteRecursively(p)
+        else if (name.startsWith(".tmp-")) deleteRecursively(p)
+      }
+    heal(root, BucketCol) // legacy flat layout + root-level debris
+    list(root).filter { p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$BucketCol=")
+    }.foreach(heal(_, EpochCol))
+    dropEmptyBuckets(path)
   }
 
   private def deleteRecursively(p: Path): Unit = {

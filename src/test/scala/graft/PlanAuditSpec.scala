@@ -159,6 +159,48 @@ class PlanAuditSpec extends SparkSpec {
       readSchema)
   }
 
+  test("replay window over a stored event table prunes to in-window EPOCH dirs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_rw").toString + "/t"
+    val batch = graft.model.Cdc.fromEvents(Tables.events(spark, sf()))
+      .filter(pmod(col("commit_lsn"), lit(16)) === 0)
+    // sf0.001 lsn range is 0..~1136 → epochWidth 128 spans epochs 0..8
+    graft.sinks.EventTableSink.upsert(spark, batch, dir, numBuckets = 4,
+      epochWidth = 128)
+    val df = graft.sinks.EventTableSink.changesBetween(spark, dir,
+      256L, 640L, epochWidth = 128)
+    // the lsn window must become a PARTITION filter on the epoch dirs —
+    // at 100 TB retained, replaying a window lists the window's
+    // directories, nothing else
+    val plan = formatted(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("epoch") && pf.contains(">= 2") && pf.contains("<= 5"),
+      pf)
+    // and the EXECUTED scan read only the in-window dirs' files
+    // (df.inputFiles ignores pruning; the scan metric doesn't). AQE off
+    // so the scan node is reachable in the executed plan tree.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val filesRead = withSqlConf("spark.sql.adaptive.enabled" -> "false") {
+      val df2 = graft.sinks.EventTableSink.changesBetween(spark, dir,
+        256L, 640L, epochWidth = 128)
+      df2.collect()
+      val scan = df2.queryExecution.executedPlan
+        .collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+      scan.metrics("numFiles").value
+    }
+    import scala.jdk.CollectionConverters._
+    def filesUnder(pred: Int => Boolean) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .count(p => "epoch=(-?\\d+)".r.findFirstMatchIn(p.toString)
+          .exists(m => pred(m.group(1).toInt)))
+    assert(filesRead == filesUnder(e => e >= 2 && e <= 5),
+      s"read $filesRead files")
+    assert(filesRead < filesUnder(_ => true))
+  }
+
   test("td40 payload decode runs shuffle-free (per-partition map only)") {
     val df = q("td40_payload_features")
     val plan = formatted(df)

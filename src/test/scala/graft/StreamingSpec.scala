@@ -442,4 +442,86 @@ class StreamingSpec extends SparkSpec {
     assert(EventTableSink.read(spark, dir).count() == 20)
   }
 
+  private def parquetMtimes(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("EventTableSink.upsert rewrites only the AFFECTED EPOCH dirs, not whole buckets") {
+    implicit val s = spark
+    import s.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_epoch")
+      .toString + "/events"
+    // one bucket, epochWidth=8 with lsn=8*i → pk i lives alone in epoch i
+    val init = (1 to 10).map(i => ev(8L * i, 0, "7", i.toString,
+      value = i.toDouble)).toDF()
+    EventTableSink.upsert(spark, init, dir, numBuckets = 1, epochWidth = 8)
+    (1 to 10).foreach(i =>
+      assert(JF.exists(JP.get(dir, "bucket=0", s"epoch=$i")), s"epoch $i"))
+    val before = parquetMtimes(dir)
+
+    // batch: a new version of pk 3 (supersedes its epoch-3 row) plus a
+    // brand-new pk, both landing in epoch 20
+    val batch = Seq(ev(160, 0, "7", "3", value = 99.0),
+      ev(160, 1, "7", "11", value = 11.0)).toDF()
+    EventTableSink.upsert(spark, batch, dir, numBuckets = 1, epochWidth = 8)
+
+    // epoch 3 held ONLY the superseded row → dropped outright; epoch 20
+    // created; every OTHER epoch's files are byte-for-byte untouched —
+    // upsert I/O scaled with the affected epochs, not the bucket
+    assert(!JF.exists(JP.get(dir, "bucket=0", "epoch=3")))
+    assert(JF.exists(JP.get(dir, "bucket=0", "epoch=20")))
+    val after = parquetMtimes(dir)
+    def others(m: Map[String, Long]) =
+      m.filterNot(f => f._1.contains("epoch=3") || f._1.contains("epoch=20"))
+    assert(others(before) == others(after))
+    assert(others(before).size == 9)
+
+    val out = EventTableSink.read(spark, dir)
+    assert(out.count() == 11)
+    assert(out.filter(col("record_pk") === "3").select("record_value")
+      .head().getDouble(0) == 99.0)
+  }
+
+  test("EventTableSink.retention drops expired epoch dirs in O(expired): live files untouched") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_retep")
+      .toString + "/events"
+    // 40 pks across epochs 1..40 (epochWidth=8, lsn=8*i); commit_ts is
+    // monotone with lsn, so epochs 1..20 are wholly expired and 21..40
+    // wholly live — the steady-state shape of a retained CDC table
+    val rows = (1 to 40).map { i =>
+      val t = if (i <= 20) "2024-01-01 00:00:00" else "2024-02-01 00:00:00"
+      ev(8L * i, 0, "7", i.toString).copy(
+        commit_ts = java.sql.Timestamp.valueOf(t))
+    }
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 2,
+      epochWidth = 8)
+    val liveBefore = parquetMtimes(dir).filterNot { case (p, _) =>
+      (1 to 20).exists(e => p.contains(s"epoch=$e/") || p.endsWith(s"epoch=$e"))
+    }
+
+    val evicted = EventTableSink.retention(spark, dir, "commit_ts",
+      to_timestamp(lit("2024-01-15 00:00:00")))
+    assert(evicted == 20)
+
+    // every expired epoch dir is GONE (dropped, never rewritten) and
+    // every live epoch's parquet files are byte-for-byte untouched:
+    // retention cost ∝ expired rows — the pg_partman partition-drop shape
+    for (b <- 0 to 1; e <- 1 to 20)
+      assert(!JF.exists(JP.get(dir, s"bucket=$b", s"epoch=$e")), s"b$b e$e")
+    val liveAfter = parquetMtimes(dir)
+    assert(liveAfter == liveBefore)
+    assert(EventTableSink.read(spark, dir)
+      .select("record_pk").collect().map(_.getString(0).toInt)
+      .sorted.toSeq == (21 to 40))
+  }
+
 }
