@@ -63,6 +63,20 @@ object TrainingQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** DuckDB mirror of [[Ann.hyperplaneBucket]] for LSH table `t`: the
+    * SAME driver-computed Rademacher ±1 coefficients interpolated as
+    * literal lists, projections in exact integer micro-units.
+    */
+  private def duckLshBucket(t: Int, bits: Int, dims: Int): String =
+    (0 until bits).map { h =>
+      val signs = (0 until dims)
+        .map(d => graft.similarity.Ann.hyperplaneSign(t, h, d))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}), " +
+        s"d -> CAST(round(embedding[d]*1e6) AS BIGINT) * ($signs)[d])) >= 0 " +
+        s"THEN ${1L << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   // ---- queries ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -131,11 +145,14 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Sign-LSH bucketed ANN (scale path)
+    // Multi-table random-hyperplane LSH ANN (scale path): 16 tables × 8
+    // Rademacher sign bits, OR-amplified — the measured config that buys
+    // recall@10 ≈ 0.3 at ~7% candidate volume on this corpus (its top-10
+    // neighbors sit at cos 0.30-0.48, so per-bit collision ≈ 0.63)
     "td11_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb.filter(col("vec_id") < 5), emb,
-          dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), k = 5)
+          tables = Ann.LshTables, bits = Ann.LshBits, dims = 64, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -192,11 +209,13 @@ object TrainingQueries {
         .limit(50)
         .select(col("token"), col("n"))),
 
-    // LSH-bounded embedding near-dups: candidates must share a sign-LSH
-    // bucket inside the label block (td09's scale path)
+    // LSH-bounded embedding near-dups: candidates must share a hyperplane
+    // bucket in any of the 16 LSH tables inside the label block (td09's
+    // scale path, same OR-amplified config as td11)
     "td15_embedding_neardups_lsh" -> ((s, dir) =>
       Ann.embeddingNearDupsLsh(Tables.embeddings(s, dir),
-          dims = Seq(0, 8, 16, 24, 32, 40, 48, 56), threshold = 0.3)
+          tables = Ann.LshTables, bits = Ann.LshBits, dims = 64,
+          threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
     // Duplicate clusters: connected components over verified near-dup
@@ -774,18 +793,24 @@ object TrainingQueries {
     },
 
     "td11_ann_lsh" -> {
-      val bucket = (0 until 8).map { i =>
-        s"(CASE WHEN embedding[${i * 8 + 1}] >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-      val cos = duckCos("q.q_emb", "c.c_emb", 64)
-      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb, bucket FROM b)
-         |SELECT query_id, bucket, corpus_id, cos, rank FROM (
-         |  SELECT q.query_id, q.bucket, c.corpus_id, $cos AS cos,
-         |    CAST(row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY $cos DESC, c.corpus_id) AS INT) AS rank
-         |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.corpus_id)
+      import graft.similarity.Ann.{LshTables, LshBits}
+      val bucketCols = (0 until LshTables).map(t =>
+        s"CAST(${duckLshBucket(t, LshBits, 64)} AS BIGINT) AS b$t").mkString(",\n  ")
+      val bNames = (0 until LshTables).map(t => s"b$t")
+      val orJoin = bNames.map(b => s"q.$b = c.$b").mkString(" OR ")
+      val cos = duckCos("q_emb", "c_emb", 64)
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  $bucketCols
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, ${bNames.mkString(", ")} FROM b WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb, ${bNames.mkString(", ")} FROM b),
+         |cand AS (SELECT DISTINCT query_id, corpus_id, q_emb, c_emb
+         |  FROM q JOIN c ON q.query_id <> c.corpus_id AND ($orJoin))
+         |SELECT query_id, corpus_id, cos, rank FROM (
+         |  SELECT query_id, corpus_id, $cos AS cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cos DESC, corpus_id) AS INT) AS rank
+         |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
@@ -1119,17 +1144,22 @@ object TrainingQueries {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "td15_embedding_neardups_lsh" -> {
-      val bucket = (0 until 8).map { i =>
-        s"(CASE WHEN embedding[${i * 8 + 1}] >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-      val cos = duckCos("a.emb_a", "b.emb_b", 64)
+      import graft.similarity.Ann.{LshTables, LshBits}
+      val bucketCols = (0 until LshTables).map(t =>
+        s"CAST(${duckLshBucket(t, LshBits, 64)} AS BIGINT) AS b$t").mkString(",\n  ")
+      val orJoin = (0 until LshTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+      val bNames = (0 until LshTables).map(t => s"b$t").mkString(", ")
+      val cos = duckCos("emb_a", "emb_b", 64)
       s"""WITH k AS (SELECT label, vec_id, embedding,
-         |  CAST($bucket AS BIGINT) AS bucket FROM embeddings),
-         |a AS (SELECT label, bucket, vec_id AS id_a, embedding AS emb_a FROM k),
-         |b AS (SELECT label, bucket, vec_id AS id_b, embedding AS emb_b FROM k)
-         |SELECT a.label, a.bucket, id_a, id_b, $cos AS cos
-         |FROM a JOIN b ON a.label = b.label AND a.bucket = b.bucket
-         |  AND a.id_a < b.id_b
+         |  $bucketCols
+         |  FROM embeddings),
+         |a AS (SELECT label, vec_id AS id_a, embedding AS emb_a, $bNames FROM k),
+         |b AS (SELECT label, vec_id AS id_b, embedding AS emb_b, $bNames FROM k),
+         |cand AS (SELECT DISTINCT a.label, id_a, id_b, emb_a, emb_b
+         |  FROM a JOIN b ON a.label = b.label AND a.id_a < b.id_b
+         |    AND ($orJoin))
+         |SELECT label, id_a, id_b, $cos AS cos
+         |FROM cand
          |WHERE $cos >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
     },

@@ -56,33 +56,89 @@ object Ann {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
-  /** Sign-LSH bucket key: one bit per sampled dimension (hyperplane =
-    * coordinate axis), packed into a long. Deterministic, engine-portable.
+  /** Rademacher ±1 hyperplane coefficient for (table, bit, dim) — the low
+    * bit of a fixed-seed md5. Computed DRIVER-side and baked into both the
+    * Spark plan and the oracle SQL as literals, so the "random" hyperplanes
+    * are deterministic, engine-portable, and seed-stable across rounds.
+    * Random ±1 projections are sign-LSH-valid (Charikar 2002 with
+    * Achlioptas-style ±1 entries) and — unlike the axis-aligned bits they
+    * replace — mix ALL dimensions into every bit, so bucket collision
+    * probability actually tracks cosine similarity on dense embeddings.
     */
-  def signBucket(emb: Column, dims: Seq[Int]): Column =
-    dims.zipWithIndex.map { case (d, i) =>
-      when(element_at(emb, d + 1) >= 0f, lit(1L) * (1L << i)).otherwise(0L)
+  def hyperplaneSign(table: Int, bit: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-lsh|$table|$bit|$dim".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** Default LSH-table count / bits per table for the td11/td15 configs.
+    * Chosen from the MEASURED tradeoff on the synthetic embeddings (top-10
+    * neighbors sit at cos 0.30-0.48, i.e. per-bit collision prob ≈ 0.63):
+    * 16 tables × 8 bits reaches recall@10 ≈ 0.3 while touching ~7% of the
+    * corpus per query (vs 100% brute force); fewer bits raise recall but
+    * candidate volume grows toward brute force (12×6: 0.46 @ 18%). The
+    * round-5 axis-aligned single table measured recall 0.015-0.02.
+    */
+  val LshTables = 16
+  val LshBits = 8
+
+  /** Embedding quantized to integer micro-units — exact cross-engine
+    * arithmetic for the hyperplane projections (a double sum near zero
+    * could sign-flip between engines; integer sums cannot).
+    */
+  def microVec(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1e6).cast("bigint"))
+
+  /** Bucket key for one LSH table: `bits` sign bits of Rademacher
+    * projections over the micro-quantized embedding, packed into a long.
+    */
+  def hyperplaneBucket(qv: Column, table: Int, bits: Int, dims: Int): Column =
+    (0 until bits).map { h =>
+      val signs = array((0 until dims).map(d =>
+        lit(hyperplaneSign(table, h, d).toLong)): _*)
+      val proj = aggregate(zip_with(qv, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates share the sign bucket; exact cosine +
-    * top-k within the bucket. Trades recall for a bucket-equijoin — the
-    * 100 TB plan (corpus shuffled once by bucket key, queries broadcast).
+  /** `(tbl, bucket)` keys for all LSH tables, ready to explode: one row
+    * per table per vector, the OR-amplification fan-out.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, dims: Seq[Int], k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"),
-      signBucket(col("embedding"), dims).as("bucket")))
-    val c = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"),
-      signBucket(col("embedding"), dims).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+  def hyperplaneKeys(qv: Column, tables: Int, bits: Int, dims: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(qv, t, bits, dims).as("bucket"))): _*)
+
+  /** Multi-table LSH ANN: candidates share a hyperplane bucket in ANY of
+    * `tables` tables (OR-amplification); exact cosine + top-k over the
+    * deduped candidate set. The 100 TB plan: corpus shuffles once by
+    * (tbl, bucket) — `tables`× the corpus rows, each carrying one key —
+    * queries are broadcast, and the exact ranking touches only the
+    * candidate fraction the table count buys (see [[LshTables]] for the
+    * measured recall/volume curve on this corpus).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, tables: Int, bits: Int,
+      dims: Int, k: Int): DataFrame = {
+    def keyed(df: DataFrame, idAlias: String, pfx: String): DataFrame =
+      df.withColumn("qv", microVec(col("embedding")))
+        .select(col("vec_id").as(idAlias),
+          col("embedding").as(s"${pfx}_emb"),
+          norm(col("embedding")).as(s"${pfx}_norm"),
+          explode(hyperplaneKeys(col("qv"), tables, bits, dims)).as("tb"))
+        .select(col(idAlias), col(s"${pfx}_emb"), col(s"${pfx}_norm"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = broadcast(keyed(queries, "query_id", "q"))
+    val c = keyed(corpus, "corpus_id", "c")
+    val cand = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos",
-        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .select("query_id", "corpus_id", "q_emb", "q_norm", "c_emb", "c_norm")
+      .distinct() // a pair colliding in several tables scores once
+    val scored = cand.withColumn("cos",
+      dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "bucket", "corpus_id", "cos", "rank")
+      .select("query_id", "corpus_id", "cos", "rank")
   }
 
   /** IVF-style ANN: coarse quantization over deterministic MEDOID
@@ -292,28 +348,34 @@ object Ann {
   }
 
   /** LSH-bounded embedding near-duplicates — the scale path for
-    * [[embeddingNearDups]]: candidates must share a sign-LSH bucket
-    * inside their label block, so the pair space is per-(label, bucket),
-    * never per-label O(m²). A hot label at 100 TB splits across 2^|dims|
-    * buckets; recall trades against `dims` exactly like [[lshTopK]].
+    * [[embeddingNearDups]]: candidates must share a hyperplane bucket in
+    * ANY of `tables` LSH tables inside their label block, so the pair
+    * space is per-(label, tbl, bucket), never per-label O(m²). A hot
+    * label at 100 TB splits across 2^bits buckets per table; recall
+    * trades against (tables, bits) exactly like [[lshTopK]].
     */
-  def embeddingNearDupsLsh(df: DataFrame, dims: Seq[Int],
-      threshold: Double): DataFrame = {
-    val keyed = df.select(col("label"), col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      signBucket(col("embedding"), dims).as("bucket"))
-    val a = keyed.select(col("label"), col("bucket"),
+  def embeddingNearDupsLsh(df: DataFrame, tables: Int, bits: Int,
+      dims: Int, threshold: Double): DataFrame = {
+    val keyed = df.withColumn("qv", microVec(col("embedding")))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        explode(hyperplaneKeys(col("qv"), tables, bits, dims)).as("tb"))
+      .select(col("label"), col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = keyed.select(col("label"), col("tbl"), col("bucket"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("norm_a"))
-    val b = keyed.select(col("label"), col("bucket"),
+    val b = keyed.select(col("label"), col("tbl"), col("bucket"),
       col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("nrm").as("norm_b"))
-    a.join(b, Seq("label", "bucket"))
+    a.join(b, Seq("label", "tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("label", "id_a", "id_b", "emb_a", "norm_a", "emb_b", "norm_b")
+      .distinct() // a pair colliding in several tables is one candidate
       .withColumn("cos",
         dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
-      .select("label", "bucket", "id_a", "id_b", "cos")
+      .select("label", "id_a", "id_b", "cos")
   }
 
   /** Embedding outlier detection: distance of each vector to its label's

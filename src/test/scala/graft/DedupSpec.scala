@@ -381,14 +381,23 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("embeddingNearDupsLsh finds a subset of the exact near-dup pairs") {
+  test("embeddingNearDupsLsh finds a subset of the exact near-dup pairs, each ONCE") {
     val emb = Tables.embeddings(spark, sf())
     val exact = graft.similarity.Ann.embeddingNearDups(emb, 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = graft.similarity.Ann.embeddingNearDupsLsh(emb,
-        Seq(0, 8, 16, 24, 32, 40, 48, 56), 0.3)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = graft.similarity.Ann.embeddingNearDupsLsh(emb,
+        tables = graft.similarity.Ann.LshTables,
+        bits = graft.similarity.Ann.LshBits, dims = 64, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = lshRows.toSet
+    // OR-amplification must not duplicate a pair that collides in
+    // several tables
+    assert(lshRows.length == lsh.size)
     assert(lsh.subsetOf(exact)) // no false positives vs the exact verify
+    // 16-table amplification on sf0.001 must recover a healthy share of
+    // the exact pairs (the single axis-aligned table found almost none)
+    if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size >= 0.2,
+      s"lsh=${lsh.size} exact=${exact.size}")
   }
 
   test("langId picks the marker-heaviest language") {
