@@ -422,4 +422,30 @@ class DedupSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getAs[Long]("corpus_id"))
     assert(out.toSeq == Seq(1L, 2L))
   }
+
+  test("kMeansParallelSeeds is deterministic and beats medoid seeding on recall") {
+    val emb = Tables.embeddings(spark, sf()).localCheckpoint()
+    def seedIds() = Ann.kMeansParallelSeeds(emb, k = 10)
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    val s1 = seedIds()
+    assert(s1 == seedIds()) // hash-coin sampling: a pure function of data
+    assert(s1.length == 10 && s1.distinct.length == 10)
+
+    // same Lloyd budget + probe budget, only the seeding differs: the
+    // distance-weighted seeds must not lose to every-Nth medoids
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(q, emb, k = 5).localCheckpoint()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = exact.select("query_id", "corpus_id")
+        .join(approx.select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val seeds = Some(Ann.kMeansParallelSeeds(emb, k = 10).localCheckpoint())
+    val kpp = recallOf(Ann.ivfTopK(q, emb, centroidEvery = 50, nprobe = 2,
+      k = 5, refineIters = 1, seedsOverride = seeds))
+    val medoid = recallOf(Ann.ivfTopK(q, emb, centroidEvery = 50, nprobe = 2,
+      k = 5, refineIters = 1))
+    assert(kpp >= medoid - 1e-9, s"kpp=$kpp medoid=$medoid")
+  }
 }
