@@ -1,14 +1,17 @@
 package graft.multimodal
 
-/** Pure-JVM codecs for self-contained uncompressed media containers:
-  * BMP (Windows bitmap), PPM/PGM (binary netpbm), and WAV (RIFF PCM).
+/** Pure-JVM codecs for media containers: BMP (Windows bitmap), PPM/PGM
+  * (binary netpbm) and WAV (RIFF PCM) via byte-level parsers, plus
+  * PNG/JPEG/GIF via OpenJDK's pure-Java `javax.imageio` readers.
   *
-  * These are REAL header parsers — width/height/sample-rate/duration come
-  * from byte arithmetic over the actual container layout, not from a hash
-  * fake. No OS codec or native library is involved, so they run anywhere
-  * the JVM runs (and in every Spark executor with zero extra deps).
-  * Compressed formats (JPEG/PNG/MP3/...) still fall back to the declared
-  * stub in [[Multimodal.Decode]]; the dispatch lives in [[decode]].
+  * The raw-format paths are REAL header parsers — width/height/
+  * sample-rate/duration come from byte arithmetic over the actual
+  * container layout, not from a hash fake. No OS codec or native library
+  * is involved anywhere (ImageIO's PNG/JPEG/GIF readers are pure Java),
+  * so everything runs in every Spark executor with zero extra deps.
+  * Remaining compressed formats (MP3/MP4/...) still fall back to the
+  * declared stub in [[Multimodal.Decode]]; the dispatch lives in
+  * [[decode]].
   *
   * Encoders exist so specs and the td39 oracle can synthesize byte-exact
   * files whose expected metadata is computable in plain SQL — decode of a
@@ -178,7 +181,9 @@ object MediaCodec {
     val gray = b(1) == '5'
     for {
       w <- nextInt(); h <- nextInt(); maxv <- nextInt()
-      if w > 0 && h > 0 && maxv > 0
+      // netpbm requires 0 < maxval < 65536; a 6+-digit maxval is a
+      // malformed header, not a valid 16-bit image
+      if w > 0 && h > 0 && maxv > 0 && maxv < 65536
     } yield MediaMeta(if (gray) "pgm" else "ppm", Some(w), Some(h),
       if (gray) 1 else 3, if (maxv > 255) 16 else 8, None, None, None)
   }
@@ -244,7 +249,11 @@ object MediaCodec {
       }
       pos = nextChunk(pos, size, b.length)
     }
-    if (channels <= 0 || rate <= 0 || bits < 8 || dataSize < 0) None
+    // bits must be a whole byte multiple (PCM container alignment): a
+    // 12-bit depth would silently floor to 1 byte/sample and misreport
+    // frame count and duration — reject instead
+    if (channels <= 0 || rate <= 0 || bits < 8 || bits % 8 != 0 ||
+      bits > 64 || dataSize < 0) None
     else {
       val frames = dataSize / (channels.toLong * (bits / 8))
       Some(MediaMeta("wav", None, None, channels, bits, Some(rate),
@@ -346,20 +355,96 @@ object MediaCodec {
         i += 1
       }
       Some(("wav", out))
-    } else None
+    } else imageIoFormat(b) match {
+      // compressed images: red channel row-major via the JDK decoder —
+      // the same value contract as the raw paths, so aHash/perceptual
+      // ops run unchanged over PNG/JPEG/GIF assets
+      case Some(fmt) => readImageIo(b).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        (fmt, out)
+      }
+      case None => None
+    }
+  }
+
+  // ---------- compressed images via JDK ImageIO (PNG / JPEG / GIF) ----------
+
+  /** Magic-sniffed format name for the containers OpenJDK's pure-Java
+    * ImageIO readers handle; None for anything else (so arbitrary bytes
+    * never pay an ImageIO parse attempt).
+    */
+  private def imageIoFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && tag(b, 1, "PNG")) Some("png")
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (b.length >= 6 && tag(b, 0, "GIF8")) Some("gif")
+    else None
+
+  private def readImageIo(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  /** Decode a compressed image through `javax.imageio` — OpenJDK ships
+    * pure-Java PNG/JPEG/GIF readers, so no OS codec or native library is
+    * involved (the rationale that kept these stubbed no longer applies).
+    * Oracle-checked queries stay on the raw self-contained formats whose
+    * bytes a SQL oracle can predict; ImageIO output feeds spec-level
+    * checks (see `MediaCodecSpec`).
+    */
+  private def decodeImageIo(b: Array[Byte]): Option[MediaMeta] =
+    imageIoFormat(b).flatMap { fmt =>
+      readImageIo(b).map { img =>
+        val cm = img.getColorModel
+        MediaMeta(fmt, Some(img.getWidth), Some(img.getHeight),
+          cm.getNumComponents, cm.getComponentSize(0), None, None, None)
+      }
+    }
+
+  /** Encode ARGB pixels as PNG via ImageIO (spec/synthesis helper;
+    * `pixel(x, y)` returns packed 0xRRGGBB, alpha forced opaque).
+    */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, pixel(x, y) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   // ---------- dispatch ----------
 
-  /** Sniff the container magic and parse the header. Returns None for
-    * anything unrecognized (compressed formats, truncated files, garbage)
-    * so callers can fall back to the declared stub.
+  /** Sniff the container magic and parse the header. Raw self-contained
+    * formats (BMP/netpbm/WAV) decode via the byte-level parsers; PNG/
+    * JPEG/GIF via the JDK's pure-Java ImageIO readers. Returns None for
+    * anything unrecognized (other compressed formats, truncated files,
+    * garbage) so callers can fall back to the declared stub.
     */
   def decode(bytes: Array[Byte]): Option[MediaMeta] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P') decodePnm(bytes)
     else if (bytes.length >= 12 && tag(bytes, 0, "RIFF")) decodeWav(bytes)
-    else None
+    else decodeImageIo(bytes)
 
   // ---------- deterministic synthesis (for the td39 oracle + specs) ----------
 

@@ -107,12 +107,39 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decode(Array[Byte]('B', 'M', 1, 2)).isEmpty) // truncated BMP
     assert(MediaCodec.decode("P6".getBytes).isEmpty) // header cut off
     assert(MediaCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty) // no fmt/data
-    // PNG magic — compressed, must fall to stub path
+    // a bare PNG magic with no image data: ImageIO yields nothing → None
     assert(MediaCodec.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)).isEmpty)
     // BMP with RLE compression flag rejected
     val b = MediaCodec.encodeBmp(2, 2, (_, _) => 0)
     b(30) = 1 // BI_RLE8
     assert(MediaCodec.decode(b).isEmpty)
+    // a 12-bit WAV (non-byte-multiple depth) is rejected, not floored
+    val w12 = MediaCodec.encodeWav(8000, 1, Array[Short](1, 2, 3, 4))
+    w12(34) = 12 // bits-per-sample field
+    assert(MediaCodec.decode(w12).isEmpty)
+    // netpbm maxval must be < 65536: a 6-digit maxval is malformed
+    assert(MediaCodec.decode("P5\n2 2\n100000\n".getBytes ++
+      Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("PNG decodes byte-exactly through the JDK ImageIO path") {
+    // PNG is lossless: a synthesized image must round-trip every pixel
+    def px(x: Int, y: Int): Int = ((x * 37 + y * 101) % 256) * 0x010101
+    val png = MediaCodec.encodePng(5, 4, px)
+    // it really is a PNG container
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N')
+    val m = MediaCodec.decode(png).get
+    assert(m.format == "png" && m.width.contains(5) && m.height.contains(4))
+    assert(m.bitDepth == 8)
+    val (fmt, values) = MediaCodec.decodeValues(png).get
+    assert(fmt == "png")
+    val expect = for (y <- 0 until 4; x <- 0 until 5)
+      yield (px(x, y) >> 16) & 0xFF
+    assert(values.toSeq == expect) // byte-exact, row-major, top row first
+    // and the perceptual pipeline consumes PNGs like any raw format:
+    // the aHash of a PNG equals the aHash of the same pixels as BMP
+    val bmp = MediaCodec.encodeBmp(5, 4, px)
+    assert(MediaCodec.decodeValues(bmp).get._2.toSeq == values.toSeq)
   }
 
   test("synthesizeAsset decode recovers generation parameters for many ids") {
