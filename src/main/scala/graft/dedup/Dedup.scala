@@ -299,10 +299,15 @@ object Dedup {
     * result is PROVABLY identical to the all-pairs form (no LSH-style
     * recall loss; the oracle is unchanged).
     *
-    * At 100 TB: the shuffle key is (block, token); a pathologically
-    * frequent prefix token is the residual skew risk — the standard
-    * levers (rarest-first token order from a frequency pass, AQE skew
-    * split) bolt on without changing results.
+    * At 100 TB: the shuffle key is (block, token). The prefix tokens are
+    * ordered RAREST-FIRST from a corpus frequency pass — the AllPairs
+    * bound holds under ANY consistent total token order, and ranking by
+    * ascending global frequency pushes pathologically common tokens to
+    * the END of every sorted set, where the prefix window never reaches
+    * them: a stop-word shared by every document stops generating block²
+    * candidates (probed in `ScaleProbeSpec`). The exact verification walk
+    * stays on the lexically-sorted arrays, so the ordering choice cannot
+    * change results — only candidate volume.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
@@ -311,21 +316,7 @@ object Dedup {
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), n, sorted = true).as("sh"): _*)
       .localCheckpoint()
-    // candidate pairs: share ≥1 token in their prefix windows. floor, not
-    // ceil: under FP rounding floor only ever LENGTHENS the prefix
-    // (more candidates, same verified output), never shortens it
-    val prefixLen = (size(col("sh")) -
-      floor(lit(threshold) * size(col("sh"))).cast("int") + 1)
-    val prefixes = sets.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        explode(slice(col("sh"), lit(1), prefixLen)).as("tok"): _*)
-    val pa = prefixes.select(
-      (col(idCol).as("id_a") +: blockCols.map(col)) :+ col("tok"): _*)
-    val pb = prefixes.select(
-      (col(idCol).as("id_b") +: blockCols.map(col)) :+ col("tok"): _*)
-    val cands = pa.join(pb, blockCols :+ "tok")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = ppjoinCandidates(sets, idCol, blockCols, threshold)
     // exact verification on candidates only
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -337,6 +328,38 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** PPJoin candidate pairs: share ≥ 1 token among the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens of each set under the RAREST-FIRST order
+    * (ascending corpus frequency, token text as tie-break — a total
+    * order, so the AllPairs prefix bound applies verbatim). floor, not
+    * ceil, in the prefix length: under FP rounding floor only ever
+    * LENGTHENS the prefix (more candidates, same verified output), never
+    * shortens it. Package-private so the skew probe can count candidates.
+    *
+    * Plan shape: one token-frequency aggregate, one rank window per doc
+    * (both map-side-combinable / one (id) shuffle), then the
+    * (block, token) equi-join — no step is quadratic in block size.
+    */
+  private[graft] def ppjoinCandidates(sets: DataFrame, idCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val exploded = sets.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        size(col("sh")).as("setsz") :+ explode(col("sh")).as("tok"): _*)
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tf"), col("tok"))
+    val prefixes = exploded.join(freq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("setsz") - floor(lit(threshold) * col("setsz")).cast("int") + 1)
+    val pa = prefixes.select(
+      (col(idCol).as("id_a") +: blockCols.map(col)) :+ col("tok"): _*)
+    val pb = prefixes.select(
+      (col(idCol).as("id_b") +: blockCols.map(col)) :+ col("tok"): _*)
+    pa.join(pb, blockCols :+ "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Duplicate-cluster assignment: connected components over verified

@@ -151,6 +151,79 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("PPJoin prefix filter: a pathologically common token does not explode candidates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // EVERY doc contains the token 'aaa' — lexically FIRST, so a
+    // lexical prefix order would put it in every prefix window and
+    // candidates would go block² (n²/2 ≈ 180k pairs here). Rarest-first
+    // ranks it last (frequency n), where the prefix never reaches it.
+    val n = 600
+    val docs = (0 until n).map { i =>
+      val rare = (0 until 20).map(j => f"w${(i * 7 + j * 13) % 4000}%04d")
+      (i.toLong, ("aaa" +: rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), lit(0).as("blk"),
+      graft.functions.VectorExpressions
+        .distinct_shingles(col("text"), 1, sorted = true).as("sh"))
+    val cands = Dedup.ppjoinCandidates(sets, "doc_id", Seq("blk"),
+      threshold = 0.5).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cands < allPairs / 10,
+      s"hot token leaked into prefixes: $cands candidates of $allPairs pairs")
+
+    // and the filter stays LOSSLESS: verified output == brute-force
+    // all-pairs Jaccard on the same corpus
+    val filtered = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      n = 1, blockCols = Nil, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", graft.dedup.Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute)
+  }
+
+  test("retention cost tracks expired rows, not table size") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    // same expired slice (500 old rows) in front of a 10x-different live
+    // tail: expiry drops the same whole epochs in both, so its cost must
+    // not scale with the live table behind it (the pg_partman property;
+    // the hash-only round-5 layout rewrote O(table) here)
+    def build(liveRows: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_retprobe")
+        .toString + "/t"
+      val rows = (0 until (500 + liveRows)).map { i =>
+        val old = i < 500
+        graft.model.ChangeEvent(8L * i, 0L,
+          java.sql.Timestamp.valueOf(
+            if (old) "2024-01-01 00:00:00" else "2024-02-01 00:00:00"),
+          "update", "public", "t0", 16384L, i.toString, i.toLong, 1L, 1.0,
+          "{}", None, s"k$i", "1", 100L)
+      }
+      graft.sinks.EventTableSink.upsert(spark, rows.toDF(), dir,
+        numBuckets = 4, epochWidth = 2000)
+      dir
+    }
+    val small = build(2000)
+    val big = build(20000)
+    def timeRet(dir: String): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.sinks.EventTableSink.retention(spark, dir, "commit_ts",
+        to_timestamp(lit("2024-01-15 00:00:00")))
+      assert(n == 500)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tS = math.max(timeRet(small), 0.2)
+    val tB = timeRet(big)
+    val r = tB / tS
+    info(f"retention: small=${tS}%.2fs big=${tB}%.2fs ratio=${r}%.1f")
+    assert(r < 5, s"retention cost grew ${r}x for 10x live data")
+  }
+
   test("semDedup grows ~N^1.5 (cells ~ sqrt N) over 10x vectors, no cliff") {
     // centers scale 10x so genuine duplicate structure keeps pace with N;
     // centroidEvery scales sqrt(10) so the cell count grows as sqrt(N)
