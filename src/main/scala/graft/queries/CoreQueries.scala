@@ -447,7 +447,7 @@ object CoreQueries {
     // an existing nested field and ADDING a new nested struct, with the
     // mutation expressions reading other nested fields. Flattened for the
     // oracle, which computes the same values from the flat envelope.
-    "q56_record_mutation" -> ((s, dir) => {
+    "q58_record_mutation" -> ((s, dir) => {
       val nested = cdc(s, dir).withColumn("record",
         struct(
           struct(col("record_user_id").as("id"), lit("std").as("tier"))
@@ -811,7 +811,7 @@ object CoreQueries {
           |FROM sid GROUP BY 1, 2
           |ORDER BY user_id, session_idx""".stripMargin,
 
-      "q56_record_mutation" -> (cte +
+      "q58_record_mutation" -> (cte +
         """SELECT record_id, record_user_id AS user_id,
           |  CASE WHEN CAST(round(record_value * 100) AS BIGINT) >= 15000
           |       THEN 'gold' ELSE 'std' END AS tier,

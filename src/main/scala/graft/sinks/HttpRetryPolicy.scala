@@ -98,6 +98,11 @@ object HttpRetryPolicy {
       if (policy.isSuccess(s)) return (true, attempt + 1, s, backoff)
       if (!policy.isTransient(s) || attempt >= policy.maxRetries)
         return (false, attempt + 1, s, backoff)
+      // a retry only SLEPT if its follow-up attempt is actually in the
+      // log — a truncated log (policy allows a retry that was never
+      // made) must not report backoff that never happened
+      if (attempt + 1 >= statuses.length)
+        return (false, attempt + 1, s, backoff)
       // Req passes the 0-BASED retry count to retry_delay, so the k-th
       // retry sleeps backoffMs(k-1): 500, 500, 1000, 2000... — the same
       // schedule the reference produces

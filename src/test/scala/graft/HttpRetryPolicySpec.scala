@@ -55,6 +55,11 @@ class HttpRetryPolicySpec extends SparkSpec {
       ((true, 4, 200, 2000L)))
     assert(HttpRetryPolicy.resolve(p3, Seq(503, 503, 503, 503)) ==
       ((false, 4, 503, 2000L)))
+    // TRUNCATED log: the policy would allow a retry, but no follow-up
+    // attempt was recorded — the backoff for that never-made retry must
+    // not be reported as slept
+    assert(HttpRetryPolicy.resolve(policy, Seq(503)) == ((false, 1, 503, 0L)))
+    assert(HttpRetryPolicy.resolve(p3, Seq(503, 503)) == ((false, 2, 503, 500L)))
   }
 
   test("evaluate resolves a wire log per ack_id") {
