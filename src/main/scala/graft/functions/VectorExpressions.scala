@@ -446,9 +446,87 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** All `tables` random-hyperplane LSH bucket keys in ONE pass over an
+    * `array<float>` embedding. For table t, bit h:
+    * `proj = Σ_d round(emb[d]·1e6) · sign(t,h,d)` (Rademacher ±1
+    * coefficients from [[graft.similarity.Ann.hyperplaneSign]]'s fixed
+    * md5 seed, materialized once per expression), `bucket[t]` packs the
+    * `proj >= 0` bits. Equal to the declarative per-table
+    * `aggregate(zip_with(microVec(emb), signs, _*_), 0L, _+_)` form
+    * (property-tested), but one tight loop instead of tables×bits
+    * interpreted HOF folds per row — the micro-unit rounding uses the
+    * same BigDecimal HALF_UP as Spark's `round`, so buckets stay
+    * bit-identical to the DuckDB oracle.
+    */
+  case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int,
+      dims: Int) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // flat sign matrix: signs((t * bits + h) * dims + d)
+    @transient private lazy val signs: Array[Byte] = {
+      val out = new Array[Byte](tables * bits * dims)
+      var t = 0
+      while (t < tables) {
+        var h = 0
+        while (h < bits) {
+          var d = 0
+          while (d < dims) {
+            out((t * bits + h) * dims + d) =
+              graft.similarity.Ann.hyperplaneSign(t, h, d).toByte
+            d += 1
+          }
+          h += 1
+        }
+        t += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val emb = input.asInstanceOf[ArrayData]
+      val n = math.min(emb.numElements(), dims)
+      val qv = new Array[Long](n)
+      var d = 0
+      while (d < n) {
+        // Spark round() semantics exactly: BigDecimal HALF_UP (ties away
+        // from zero) on the double value — Math.round would round -2.5
+        // toward +inf and sign-flip a projection near zero
+        qv(d) = java.math.BigDecimal.valueOf(emb.getFloat(d).toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        d += 1
+      }
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var h = 0
+        while (h < bits) {
+          val base = (t * bits + h) * dims
+          var proj = 0L
+          var i = 0
+          while (i < n) {
+            proj += qv(i) * signs(base + i)
+            i += 1
+          }
+          if (proj >= 0) bucket |= (1L << h)
+          h += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column wrappers ------------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def hyperplane_buckets(emb: Column, tables: Int, bits: Int, dims: Int): Column =
+    column(HyperplaneBuckets(expression(emb), tables, bits, dims))
 
   def float_vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))

@@ -326,16 +326,18 @@ object CoreQueries {
       val all = cdc(s, dir)
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
-      // 8 buckets / 1024-lsn epochs: per-table layout constants sized for
-      // the gate fixture (DefaultBuckets=64 suits a retained table, not
-      // 100k rows; 1024 gives ~11 epochs at sf0.01 so the epoch dimension
-      // is genuinely exercised)
+      // 8 buckets / 8192-lsn epochs: per-table layout constants sized for
+      // the gate fixtures (DefaultBuckets=64 suits a retained table, not
+      // 100k rows; 8192 gives 2 epochs at sf0.01 and ~14 at sf0.1 — the
+      // epoch dimension is exercised without fragmenting the table into
+      // hundreds of tiny files per bucket, which 1024 did at sf0.1:
+      // q48 measured 26s from ~900 dirs/upsert vs ~3.5s at 8192)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 1024) // replay
+        epochWidth = 8192) // replay
       graft.sinks.EventTableSink.read(s, path)
         .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
         .orderBy("record_id")
@@ -353,9 +355,9 @@ object CoreQueries {
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       graft.sinks.EventTableSink.retention(s, path, "commit_ts",
         to_timestamp(lit("2024-01-16 00:00:00")))
       graft.sinks.EventTableSink.read(s, path)
@@ -375,14 +377,14 @@ object CoreQueries {
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 1024)
+        epochWidth = 8192)
       // path-based overload: the replay window (4000, 9000] prunes the
       // stored table to epoch dirs 3..8 via partition filters — at 100 TB
       // retained, a replay reads the window's directories, nothing else
       val window = graft.sinks.EventTableSink
-        .changesBetween(s, path, 4000L, 9000L, epochWidth = 1024)
+        .changesBetween(s, path, 4000L, 9000L, epochWidth = 8192)
         .filter(col("net_effect") === "upsert")
       graft.ops.Routing.kafka(window).select(
           col("record_id"), col("topic"), col("message_key"),

@@ -89,8 +89,12 @@ object Ann {
   def microVec(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e6).cast("bigint"))
 
-  /** Bucket key for one LSH table: `bits` sign bits of Rademacher
-    * projections over the micro-quantized embedding, packed into a long.
+  /** Bucket key for one LSH table — the DECLARATIVE form: `bits` sign
+    * bits of Rademacher projections over the micro-quantized embedding,
+    * packed into a long. Kept as the property-test twin of the fused
+    * [[graft.functions.VectorExpressions.HyperplaneBuckets]] kernel that
+    * the pipeline actually runs (tables×bits interpreted HOF folds per
+    * row measured td11 at 3.6s; the kernel is one tight loop).
     */
   def hyperplaneBucket(qv: Column, table: Int, bits: Int, dims: Int): Column =
     (0 until bits).map { h =>
@@ -102,12 +106,15 @@ object Ann {
     }.reduce(_ + _)
 
   /** `(tbl, bucket)` keys for all LSH tables, ready to explode: one row
-    * per table per vector, the OR-amplification fan-out.
+    * per table per vector, the OR-amplification fan-out. All buckets
+    * come from ONE pass over the raw embedding (fused kernel).
     */
-  def hyperplaneKeys(qv: Column, tables: Int, bits: Int, dims: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(qv, t, bits, dims).as("bucket"))): _*)
+  def hyperplaneKeys(emb: Column, tables: Int, bits: Int, dims: Int): Column =
+    zip_with(
+      graft.functions.VectorExpressions
+        .hyperplane_buckets(emb, tables, bits, dims),
+      sequence(lit(0), lit(tables - 1)),
+      (bucket, t) => struct(t.as("tbl"), bucket.as("bucket")))
 
   /** Multi-table LSH ANN: candidates share a hyperplane bucket in ANY of
     * `tables` tables (OR-amplification); exact cosine + top-k over the
@@ -120,11 +127,10 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, tables: Int, bits: Int,
       dims: Int, k: Int): DataFrame = {
     def keyed(df: DataFrame, idAlias: String, pfx: String): DataFrame =
-      df.withColumn("qv", microVec(col("embedding")))
-        .select(col("vec_id").as(idAlias),
+      df.select(col("vec_id").as(idAlias),
           col("embedding").as(s"${pfx}_emb"),
           norm(col("embedding")).as(s"${pfx}_norm"),
-          explode(hyperplaneKeys(col("qv"), tables, bits, dims)).as("tb"))
+          explode(hyperplaneKeys(col("embedding"), tables, bits, dims)).as("tb"))
         .select(col(idAlias), col(s"${pfx}_emb"), col(s"${pfx}_norm"),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = broadcast(keyed(queries, "query_id", "q"))
@@ -440,10 +446,9 @@ object Ann {
     */
   def embeddingNearDupsLsh(df: DataFrame, tables: Int, bits: Int,
       dims: Int, threshold: Double): DataFrame = {
-    val keyed = df.withColumn("qv", microVec(col("embedding")))
-      .select(col("label"), col("vec_id"), col("embedding"),
+    val keyed = df.select(col("label"), col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
-        explode(hyperplaneKeys(col("qv"), tables, bits, dims)).as("tb"))
+        explode(hyperplaneKeys(col("embedding"), tables, bits, dims)).as("tb"))
       .select(col("label"), col("vec_id"), col("embedding"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val a = keyed.select(col("label"), col("tbl"), col("bucket"),

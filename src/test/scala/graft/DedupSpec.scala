@@ -70,6 +70,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneBuckets equals the declarative per-table micro-unit projection fold") {
+    import spark.implicits._
+    val rnd = new Random(47)
+    // random floats plus adversarial values: exact halves at micro scale
+    // (ties rounded away from zero) and tiny magnitudes that put the
+    // projection near zero, where a rounding mismatch would flip a bit
+    val cases = Seq.fill(10)(Seq.fill(16)(rnd.nextFloat() * 4 - 2)) ++
+      Seq(Seq.fill(16)(0.0000005f), Seq.fill(16)(-0.0000005f),
+        Seq.tabulate(16)(i => if (i % 2 == 0) 1e-7f else -1e-7f))
+    val (tables, bits, dims) = (4, 6, 16)
+    cases.foreach { emb =>
+      val df = Seq(Tuple1(emb)).toDF("embedding")
+      val fused = df.select(VectorExpressions.hyperplane_buckets(
+          col("embedding"), tables, bits, dims))
+        .collect().head.getSeq[Long](0)
+      val declarative = df.select(array((0 until tables).map(t =>
+          graft.similarity.Ann.hyperplaneBucket(
+            graft.similarity.Ann.microVec(col("embedding")), t, bits, dims)): _*))
+        .collect().head.getSeq[Long](0)
+      assert(fused == declarative, s"mismatch for: $emb")
+    }
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val rnd = new Random(43)
