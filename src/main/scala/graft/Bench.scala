@@ -56,9 +56,11 @@ object Bench {
       val n = pipeline.count() // row count for the rate; also warms the plan
       force(pipeline)          // warm the full-evaluation path too
       // each evaluation is a sub-second job, so scheduler jitter dominates
-      // small samples (observed 438k-720k ops/s across bench runs on an
-      // otherwise-identical build) — 6 reps stabilizes the min
-      val best = (1 to 6).map { _ =>
+      // small samples (observed 438k-743k ops/s across bench runs on an
+      // otherwise-identical build), and per-rep times keep improving
+      // through ~rep 10 as JIT warms (measured 0.30→0.18s) — 10 reps
+      // lands the min on the warmed asymptote
+      val best = (1 to 10).map { _ =>
         val t0 = System.nanoTime()
         force(pipeline)
         (System.nanoTime() - t0) / 1e9

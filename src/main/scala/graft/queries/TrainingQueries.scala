@@ -565,6 +565,24 @@ object TrainingQueries {
           Tables.documents(s, dir), "doc_id", "text", dim = 64)
         .orderBy("doc_id", "bucket")),
 
+    // DSIR importance resampling (Xie et al. 2023): select the 200 raw
+    // docs whose hashed-unigram distribution is most target-like
+    // (target = the English slice), weights in exact integer micro-nats
+    "td50_dsir_selection" -> ((s, dir) =>
+      graft.training.TrainingPrep.dsirSelect(
+          Tables.documents(s, dir), "doc_id", "text",
+          targetPred = col("lang") === "en", dim = 256, keep = 200)
+        .select("doc_id", "weight_micro", "n_toks", "rk")
+        .orderBy("rk")),
+
+    // Cross-source contamination matrix: distinct shared 3-gram shingles
+    // + exact integer Jaccard for every source pair (source-level
+    // corpus-hygiene companion to td29)
+    "td51_source_overlap" -> ((s, dir) =>
+      graft.training.TrainingPrep.sourceOverlap(
+          Tables.documents(s, dir), "text", "source", n = 3)
+        .orderBy("source_a", "source_b")),
+
     // Winnowing fingerprints (MOSS): window-min selected k-gram hashes —
     // any shared substring of >= w+k-1 tokens shares a fingerprint.
     "td44_winnowing" -> ((s, dir) =>
@@ -1324,6 +1342,57 @@ object TrainingQueries {
          |    AS weight_micro
          |FROM tf JOIN dfreq USING (bucket) CROSS JOIN nd
          |ORDER BY doc_id, bucket""".stripMargin,
+
+    "td50_dsir_selection" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+         |    unnest(string_split(text, ' ')) AS t FROM documents),
+         |tb AS (SELECT doc_id, is_target,
+         |    CAST(${dh("t")} % 256 AS INT) AS bucket FROM tok),
+         |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+         |  FROM tb GROUP BY 1),
+         |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+         |  FROM tb WHERE is_target GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+         |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tt
+         |  FROM tb),
+         |ratios AS (SELECT raw.bucket,
+         |    CAST(round(1e6 * (
+         |      ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (tt + 256)) -
+         |      ln(CAST(cr + 1 AS DOUBLE) / (tr + 256)))) AS BIGINT)
+         |      AS ratio_micro
+         |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+         |wts AS (SELECT tb.doc_id,
+         |    CAST(sum(ratio_micro) AS BIGINT) AS weight_micro,
+         |    CAST(count(*) AS INT) AS n_toks
+         |  FROM tb JOIN ratios USING (bucket) GROUP BY 1)
+         |SELECT doc_id, weight_micro, n_toks, rk FROM (
+         |  SELECT doc_id, weight_micro, n_toks,
+         |    CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+         |      AS INT) AS rk
+         |  FROM wts)
+         |WHERE rk <= 200 ORDER BY rk""".stripMargin,
+
+    "td51_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT source, ${dhWide("s")} AS h FROM (
+         |  SELECT source, unnest(list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |    AS s
+         |  FROM documents)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared,
+         |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  (1000000 * n_shared) // (sa.n_sh + sb.n_sh - n_shared)
+         |    AS jaccard_micro
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = pairs.source_a
+         |JOIN sizes sb ON sb.source = pairs.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "td44_winnowing" -> (winnowFpsCte +
       "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),

@@ -431,6 +431,99 @@ object TrainingPrep {
         (col("tf") * col("idf_micro")).as("weight_micro"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+    * feature distribution looks most like a TARGET slice — the standard
+    * data-selection move when curating pre-training data toward a
+    * high-quality domain without a trained model.
+    *
+    * Mechanics, all exact: unigram tokens portable-hash into `dim`
+    * feature buckets; each bucket's importance is the add-one-smoothed
+    * log-probability ratio `ln((ct+1)/(Tt+dim)) − ln((cr+1)/(Tr+dim))`
+    * between the target slice and the raw corpus, rounded ONCE to
+    * integer micro-nats (the td26/td36 discipline — per-scalar FP, never
+    * order-dependent FP sums); a document's weight sums its token
+    * occurrences' bucket ratios as exact integers. The `keep` highest
+    * (weight, id)-ranked docs are the selected subset.
+    *
+    * Scale shape: two map-side-combinable token aggregates build the
+    * dim-row ratio table, which BROADCASTS back onto the exploded token
+    * stream (corpus text never shuffles; the per-doc aggregate shuffles
+    * (id, bucket-sum) partials only); the final ranking is a window over
+    * narrow (id, weight) rows — swap for TakeOrdered/approx-threshold at
+    * 100 TB if the doc-id space outgrows one sort.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int, keep: Int): DataFrame = {
+    require(dim > 0 && keep > 0, s"dim and keep must be positive")
+    val toks = df.select(col(idCol), targetPred.as("is_target"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("bucket",
+        pmod(Hashing.portableHash(col("token")), lit(dim)).cast("int"))
+    val rawCounts = toks.groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("cr"))
+    val tgtCounts = toks.filter(col("is_target")).groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).cast("bigint").as("tr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("bigint").as("tt"))
+    val ratios = rawCounts
+      .join(tgtCounts, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ratio_micro", round(lit(1e6) * (
+        log((col("ct") + 1).cast("double") / (col("tt") + lit(dim))) -
+        log((col("cr") + 1).cast("double") / (col("tr") + lit(dim)))))
+        .cast("bigint"))
+      .select("bucket", "ratio_micro")
+    val weights = toks.join(broadcast(ratios), "bucket")
+      .groupBy(idCol)
+      .agg(sum("ratio_micro").cast("bigint").as("weight_micro"),
+        count(lit(1)).cast("int").as("n_toks"))
+    val w = Window.orderBy(col("weight_micro").desc, col(idCol))
+    weights.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= keep)
+  }
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of distinct word n-gram shingles they share and the
+    * Jaccard overlap of their shingle universes — the corpus-hygiene view
+    * that catches one crawl slice republishing another (and the
+    * source-level companion to td29's benchmark decontamination).
+    *
+    * Exactness: shingles reduce to 60-bit portable hashes (the simhash
+    * kernel's width — identical on every engine), the per-source universe
+    * is a distinct set, and the Jaccard is integer micro-units via `div`
+    * (no FP). Scale shape: the (source, hash) distinct is one hash
+    * aggregate; the pair join keys on the shingle hash, so pair space is
+    * bounded by genuine cross-source co-occurrence — never
+    * |sources|² × |universe|. Source count is assumed small (a dimension,
+    * not a key space).
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+      n: Int): DataFrame = {
+    val sh = df.select(col(srcCol).as("source"),
+        explode(graft.functions.VectorExpressions
+          .shingle_hashes(col(textCol), n, hexChars = 15)).as("h"))
+      .distinct()
+      .localCheckpoint() // one corpus pass feeds sizes AND both join sides
+    val sizes = sh.groupBy("source").agg(count(lit(1)).cast("bigint").as("n_sh"))
+    val a = sh.select(col("source").as("source_a"), col("h"))
+    val b = sh.select(col("source").as("source_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        "source_b")
+      .withColumn("jaccard_micro",
+        expr("(1000000 * n_shared) div (n_a + n_b - n_shared)"))
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+        "jaccard_micro")
+  }
+
   /** Sliding-window chunking for context-window prep: token windows of
     * `chunkSize` advancing by `stride` (overlap = chunkSize − stride),
     * last window partial. Pure per-row explode — embarrassingly parallel,

@@ -330,4 +330,37 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ==
       Seq((0, 3, "only three tokens")))
   }
+
+  test("dsirSelect ranks target-like documents first, deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target slice (is_tgt) speaks 'alpha beta'; raw background speaks
+    // 'noise filler'; two candidate docs OUTSIDE the target slice — the
+    // one echoing the target vocabulary must outrank the background one
+    val docs = (
+      (1 to 10).map(i => (i.toLong, true, "alpha beta alpha beta")) ++
+      (11 to 40).map(i => (i.toLong, false, "noise filler noise filler")) ++
+      Seq((100L, false, "alpha beta alpha beta"),
+          (101L, false, "noise filler noise filler"))
+    ).toDF("doc_id", "is_tgt", "text")
+    val out = graft.training.TrainingPrep.dsirSelect(
+        docs, "doc_id", "text", targetPred = col("is_tgt"),
+        dim = 64, keep = 12)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("weight_micro"), r.getAs[Int]("rk")))
+    // all 11 alpha-beta docs (10 target + echo 100) rank above every
+    // background doc, and the echo's weight is positive (target-like)
+    val ranked = out.sortBy(_._3).map(_._1)
+    assert(ranked.take(11).toSet == ((1 to 10).map(_.toLong).toSet + 100L))
+    assert(out.find(_._1 == 100L).get._2 > 0)
+    assert(out.find(_._1 == 101L).isEmpty ||
+      out.find(_._1 == 101L).get._2 < 0)
+    // deterministic: a re-run is identical
+    val again = graft.training.TrainingPrep.dsirSelect(
+        docs, "doc_id", "text", targetPred = col("is_tgt"),
+        dim = 64, keep = 12)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("weight_micro"), r.getAs[Int]("rk")))
+    assert(out.sortBy(_._3).sameElements(again.sortBy(_._3)))
+  }
 }
