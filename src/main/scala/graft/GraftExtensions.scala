@@ -68,6 +68,14 @@ object GraftExtensions {
     (FunctionIdentifier("token_pairs"),
       new ExpressionInfo(classOf[TokenPairs].getName, "token_pairs"),
       (args: Seq[Expression]) => TokenPairs(args(0))),
+    (FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      (args: Seq[Expression]) =>
+        HyperplaneBuckets(args(0),
+          intLit(args(1), "hyperplane_buckets tables"),
+          intLit(args(2), "hyperplane_buckets bits"),
+          intLit(args(3), "hyperplane_buckets dims"))),
     (FunctionIdentifier("all_shingles"),
       new ExpressionInfo(classOf[AllShingles].getName, "all_shingles"),
       (args: Seq[Expression]) =>

@@ -200,11 +200,14 @@ object EventTableSink {
       .map(b => bucketDir(path, b)).filter(Files.exists(_)).map(_.toString)
     // thin pk-column scan of the touched buckets: which existing epochs
     // hold a prior version of a batch pk (and must be rewritten without
-    // it)? Bounded collect: ≤ touched buckets × live epochs pairs.
+    // it)? Bounded collect: ≤ touched buckets × live epochs pairs. No
+    // mergeSchema: the scan reads only the key column, which every file
+    // has — skipping the union-schema footer pass over all files.
     val supersededPairs: Array[(Int, Int)] =
       if (touchedBucketDirs.isEmpty) Array.empty
-      else spark.read.option("mergeSchema", "true").option("basePath", path)
+      else spark.read.option("basePath", path)
         .parquet(touchedBucketDirs: _*)
+        .select((keyCols :+ BucketCol :+ EpochCol).map(col): _*)
         .join(broadcast(keyed.select(keyCols.head).distinct()), keyCols)
         .select(BucketCol, EpochCol).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1)))

@@ -41,13 +41,17 @@ final class SequinStreamHttp(pull: SequinStreamPull, consumerName: String,
   private val server = HttpServer.create(
     new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", new Router)
-  server.setExecutor(null) // request thread = handler thread; one consumer
+  // a small pool, NOT the single request thread: a parked long-poll
+  // receive must not block a concurrent ack/nack (SequinStreamPull's
+  // command lock serializes the state machine; the poll sleeps unlocked)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.start()
 
   /** The bound loopback port. */
   def port(): Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   private final class Router extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {

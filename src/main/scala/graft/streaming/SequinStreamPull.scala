@@ -76,8 +76,17 @@ final class SequinStreamPull(
   private val groupOfAck = scala.collection.mutable.Map.empty[String, String]
   private val knownGroups = scala.collection.mutable.Set.empty[String]
 
+  /** Serializes command submission (addData + processAllAvailable) so
+    * concurrent HTTP verbs never interleave micro-batch triggers. The
+    * long-poll loop in [[receive]] sleeps OUTSIDE this lock, so a parked
+    * receive lets concurrent ack/nack/ingest calls through between poll
+    * attempts — the concurrency contract a multi-threaded HTTP listener
+    * needs (spec: an HTTP nack lands while an HTTP long-poll is parked).
+    */
+  private val commandLock = new Object
+
   /** Feed source events (the slot's decoded stream) into the store. */
-  def ingest(events: Seq[ChangeEvent]): Unit = {
+  def ingest(events: Seq[ChangeEvent]): Unit = commandLock.synchronized {
     events.foreach(e => knownGroups += Option(e.group_id)
       .getOrElse(s"__pk:${e.record_pk}"))
     input.addData(events.map(DeliveryCommand.event))
@@ -116,14 +125,16 @@ final class SequinStreamPull(
       mk: (String, String) => DeliveryCommand): Unit = {
     require(ackIds.nonEmpty && ackIds.forall(_.nonEmpty),
       "ack_ids must be a non-empty list of non-empty ids")
-    val cmds = ackIds.flatMap(id => groupOfAck.get(id).map(g => mk(g, id)))
-    if (cmds.nonEmpty) {
-      input.addData(cmds)
-      query.processAllAvailable()
+    commandLock.synchronized {
+      val cmds = ackIds.flatMap(id => groupOfAck.get(id).map(g => mk(g, id)))
+      if (cmds.nonEmpty) {
+        input.addData(cmds)
+        query.processAllAvailable()
+      }
     }
   }
 
-  private def pull(maxBatchSize: Int): Seq[Delivery] = {
+  private def pull(maxBatchSize: Int): Seq[Delivery] = commandLock.synchronized {
     // wake every group so expired visibility timeouts redeliver — the
     // controller's nack_stale_produced_messages step
     if (knownGroups.nonEmpty) {

@@ -59,6 +59,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("boolean literal"))
   }
 
+  test("round-6 kernel: hyperplane_buckets callable from SQL, one bucket per table") {
+    val out = ext.sql(
+      "SELECT hyperplane_buckets(array(1.0F, -2.0F, 0.5F, 3.0F), 4, 6, 4) AS b")
+      .collect().head.getSeq[Long](0)
+    assert(out.length == 4)
+    assert(out.forall(b => b >= 0 && b < (1L << 6)))
+    // deterministic: the same literal embedding yields the same buckets
+    val again = ext.sql(
+      "SELECT hyperplane_buckets(array(1.0F, -2.0F, 0.5F, 3.0F), 4, 6, 4) AS b")
+      .collect().head.getSeq[Long](0)
+    assert(out == again)
+  }
+
   test("builder-path registration: withExtensions(GraftExtensions) applies at session build") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

@@ -140,6 +140,45 @@ class SequinStreamHttpSpec extends SparkSpec {
     } finally { http.stop(); pull.stop() }
   }
 
+  test("a parked HTTP long-poll does not block a concurrent HTTP nack — and returns its redelivery") {
+    implicit val s = spark
+    Clock.now = 0L
+    val pull = new SequinStreamPull(ackWaitMs = 60000L, maxRetry = 5,
+      nowMs = HttpPullClock.get)
+    val http = new SequinStreamHttp(pull, "c3")
+    try {
+      val port = http.port()
+      pull.ingest(Seq(ev(8, "1")))
+      // hand the only message out: nothing else is deliverable
+      val (_, b1) = post(port, "/api/sequin_streams/c3/receive",
+        """{"max_batch_size": 1}""")
+      val id = ackIds(b1).head
+
+      // park a long-poll (empty store), then nack the in-flight message
+      // OVER HTTP from another thread: with a single-threaded server the
+      // nack would queue behind the park and the poll would time out —
+      // here the nack interleaves between poll attempts and the parked
+      // receive returns the redelivered message well before its deadline
+      @volatile var polled: Seq[String] = Nil
+      val poller = new Thread(() => {
+        val (_, body) = post(port, "/api/sequin_streams/c3/receive",
+          """{"wait_for": "10s", "max_batch_size": 1}""")
+        polled = ackIds(body)
+      })
+      poller.start()
+      Thread.sleep(300) // let the poll park first
+      val t0 = System.nanoTime()
+      val (st, ok) = post(port, s"""/api/sequin_streams/c3/nack""",
+        s"""{"ack_ids": ["$id"]}""")
+      val nackMs = (System.nanoTime() - t0) / 1000000L
+      assert(st == 200 && ok == """{"success":true}""")
+      assert(nackMs < 5000, s"nack blocked behind the long-poll: ${nackMs}ms")
+      poller.join(8000)
+      assert(!poller.isAlive, "long-poll never returned")
+      assert(polled.size == 1, "redelivered message did not reach the poll")
+    } finally { http.stop(); pull.stop() }
+  }
+
   test("long-poll over HTTP returns once messages arrive") {
     implicit val s = spark
     Clock.now = 0L
