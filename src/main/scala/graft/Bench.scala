@@ -149,6 +149,38 @@ object Bench {
         recallOf(ivfAt(16), exact), recallOf(lsh, exact))
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
 
+    // Streaming delivery latency: wall time for ONE event to clear the
+    // full consumer pipeline as its own micro-batch (MemoryStream →
+    // CdcPipeline → memory sink) — the honest comparable to the
+    // reference's 55 ms avg end-to-end latency (BASELINE.md). Spark
+    // micro-batching trades latency for throughput; this measures the
+    // price instead of leaving it unstated. Median of 20 single-event
+    // batches after 5 warmups (trigger scheduling dominates the tail).
+    val latencyMs = try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.model.ChangeEvent]
+      val cfg = streaming.ConsumerConfig(name = "lat",
+        scope = ops.SourceScope(includeSchemas = Some(Seq("public", "audit"))))
+      val q = streaming.CdcPipeline.build(input.toDF(), cfg)
+        .writeStream.format("memory").queryName("bench_lat")
+        .outputMode("append").start()
+      def ev(i: Long) = graft.model.ChangeEvent(i * 8, 0L,
+        new java.sql.Timestamp(1704067200000L), "update", "public", "t0",
+        16384L, i.toString, i, i % 150, 1.0, """{"k":1}""", Some(0.0),
+        s"$i", (i % 150).toString, 100L)
+      try {
+        val times = (1 to 25).map { i =>
+          val t0 = System.nanoTime()
+          input.addData(ev(i.toLong))
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e6
+        }.drop(5).sorted
+        times(times.length / 2)
+      } finally q.stop()
+    } catch { case _: Throwable => -1.0 }
+
     // reset before the sweep: the probes' checkpoint blocks must not
     // charge the first swept queries
     Tables.dropCachedBlocks(spark)
@@ -191,7 +223,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

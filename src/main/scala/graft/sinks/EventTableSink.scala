@@ -215,10 +215,14 @@ object EventTableSink {
 
     val affectedDirs = affected.map { case (b, e) => pairDir(path, b, e) }
       .filter(Files.exists(_)).map(_.toString)
+    // NO Try here: if an affected dir exists but cannot be read, the
+    // upsert must ABORT (nothing mutated yet) — swallowing the failure
+    // would merge without those rows and the swap would then drop the
+    // "emptied" live dirs, silently deleting data on an IO error
     val existing: Option[DataFrame] =
       if (affectedDirs.isEmpty) None
-      else Try(spark.read.option("mergeSchema", "true")
-        .option("basePath", path).parquet(affectedDirs: _*)).toOption
+      else Some(spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(affectedDirs: _*))
 
     // allowMissingColumns both ways: an upstream schema change (column
     // added or dropped mid-stream, S2b relation change) widens the table
