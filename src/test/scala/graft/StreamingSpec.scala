@@ -487,6 +487,53 @@ class StreamingSpec extends SparkSpec {
       .head().getDouble(0) == 99.0)
   }
 
+  test("EventTableSink lifecycle: schema evolution + epoch narrowing + retention compose") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_life")
+      .toString + "/events"
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    // epoch 1, schema v1 (no 'added'), old timestamps
+    val b1 = (1 to 20).map(i => (i.toString, 100L + i, 0L,
+      ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("record_pk", "commit_lsn", "commit_idx", "commit_ts", "v")
+    // epoch 2, schema v2 (ALTER TABLE ADD COLUMN mid-stream), live ts
+    val b2 = (21 to 40).map(i => (i.toString, 200L + i, 0L,
+      ts("2024-02-01 00:00:00"), i.toDouble, i.toLong))
+      .toDF("record_pk", "commit_lsn", "commit_idx", "commit_ts", "v", "added")
+    EventTableSink.upsert(spark, b1, dir, numBuckets = 2, epochWidth = 100)
+    EventTableSink.upsert(spark, b2, dir, numBuckets = 2, epochWidth = 100)
+
+    // a pk from the OLD epoch gets a new version in epoch 3 (v2 schema):
+    // its old row must leave epoch 1 even across the schema boundary
+    val upd = Seq(("5", 305L, 0L, ts("2024-02-02 00:00:00"), 99.0, 5L))
+      .toDF("record_pk", "commit_lsn", "commit_idx", "commit_ts", "v", "added")
+    EventTableSink.upsert(spark, upd, dir, numBuckets = 2, epochWidth = 100)
+    val all = EventTableSink.read(spark, dir)
+    assert(all.count() == 40) // one row per pk, widened schema
+    assert(all.filter(col("record_pk") === "5")
+      .select("v", "added").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSeq == Seq((99.0, 5L)))
+    assert(all.filter(col("record_pk") === "1").select("added")
+      .collect().head.isNullAt(0)) // v1 row null-padded
+
+    // retention at the schema+epoch boundary: epoch 1 is now WHOLLY
+    // expired (pk 5's live version moved to epoch 3) → dropped outright;
+    // survivors keep the widened schema and the moved row
+    val evicted = EventTableSink.retention(spark, dir, "commit_ts",
+      to_timestamp(lit("2024-01-15 00:00:00")))
+    assert(evicted == 19) // pks 1..20 minus the re-versioned pk 5
+    for (b <- 0 to 1)
+      assert(!JF.exists(JP.get(dir, s"bucket=$b", "epoch=1")), s"b$b")
+    val left = EventTableSink.read(spark, dir)
+    assert(left.select("record_pk").collect().map(_.getString(0).toInt)
+      .sorted.toSeq == (5 +: (21 to 40)).sorted)
+    assert(left.filter(col("record_pk") === "5").select("v")
+      .collect().head.getDouble(0) == 99.0)
+  }
+
   test("EventTableSink.retention drops expired epoch dirs in O(expired): live files untouched") {
     implicit val s = spark
     import s.implicits._

@@ -369,6 +369,36 @@ class TypesAndConfigSpec extends SparkSpec {
       """{"name":"x","transform_functions":"round(record_value, 2)"}"""))
   }
 
+  test("user functions express LOOP-shaped logic via sequence + HOF folds (MiniElixir control-flow analogue)") {
+    // the reference's MiniElixir lets user transforms loop/recur; the
+    // Spark surface covers the bounded forms with sequence() + HOF folds
+    // — iteration with accumulator state, per-element transforms, and
+    // filtering — all deterministic and sandbox-clean
+    val cfg = PipelineSpec.parse(
+      """{"name": "loops",
+        | "transform_functions": {
+        |   "compounded_cents":
+        |     "aggregate(sequence(1, 12), CAST(round(record_value * 100) AS BIGINT), (acc, m) -> acc + acc div 100)",
+        |   "digit_sum":
+        |     "aggregate(transform(split(CAST(record_id AS STRING), ''), c -> ascii(c) - 48), 0, (a, d) -> a + d)",
+        |   "n_long_words":
+        |     "size(filter(split(record_props, ' '), w -> length(w) >= 4))"}}""".stripMargin)
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf()))
+    val out = graft.streaming.CdcPipeline.build(cdc, cfg)
+      .select("record_id", "record_value", "compounded_cents", "digit_sum")
+      .collect()
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      val id = r.getLong(0)
+      // 12 rounds of integer 1% compounding, verified against a plain
+      // Scala loop — the user expression IS a loop with carried state
+      var acc = math.round(r.getDouble(1) * 100)
+      (1 to 12).foreach(_ => acc += acc / 100)
+      assert(r.getLong(2) == acc, s"id=$id")
+      assert(r.getInt(3) == id.toString.map(_ - '0').sum, s"id=$id")
+    }
+  }
+
   test("sandbox: parenless literal functions (clock/user reads) are denied") {
     // `current_timestamp` with no parens parses as an UnresolvedAttribute,
     // and Spark's literal-function resolution binds it to the clock at
