@@ -221,9 +221,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries report -1.0 per-query but must not poison the
+    // headline total (a -1 per failure once drove the total NEGATIVE);
+    // sum the successes and surface the failure count separately
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2 < 0)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

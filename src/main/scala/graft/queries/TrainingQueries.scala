@@ -583,6 +583,33 @@ object TrainingQueries {
           Tables.documents(s, dir), "text", "source", n = 3)
         .orderBy("source_a", "source_b")),
 
+    // Linear quality-classifier scoring: integer dot product of seeded
+    // per-bucket weights with the td43 hashed-TF-IDF features, ranked
+    // into deciles — the model-scoring plumbing for corpus curation.
+    "td52_quality_classifier" -> ((s, dir) =>
+      graft.training.TrainingPrep.qualityScore(
+          Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("rk")),
+
+    // Mixture/epoch plan: sqrt-temperature token budget allocation per
+    // source with integer repetition factors (the LLaMA sampling table).
+    "td53_mixture_plan" -> ((s, dir) =>
+      graft.training.TrainingPrep.mixturePlan(
+          Tables.documents(s, dir), "source", "text",
+          budgetTokens = 200000L)
+        .orderBy("source")),
+
+    // Leakage-free split assignment: near-dup cluster members (td16's
+    // verified pipeline) land in the SAME train/valid/test split — the
+    // canonical id's hash decides for the whole cluster.
+    "td54_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      graft.training.TrainingPrep.leakageFreeSplit(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS): window-min selected k-gram hashes —
     // any shared substring of >= w+k-1 tokens shares a fingerprint.
     "td44_winnowing" -> ((s, dir) =>
@@ -1393,6 +1420,68 @@ object TrainingQueries {
          |JOIN sizes sa ON sa.source = pairs.source_a
          |JOIN sizes sb ON sb.source = pairs.source_b
          |ORDER BY source_a, source_b""".stripMargin,
+
+    "td52_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, CAST(${dh("t")} % 64 AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_df
+         |  FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |feats AS (SELECT tf.doc_id,
+         |    tf.tf * CAST(round(1e6 * ln((nd.n_docs + 1) /
+         |      CAST(dfreq.n_df + 1 AS DOUBLE))) AS BIGINT) AS weight_micro,
+         |    ${dh("'w|' || CAST(tf.bucket AS VARCHAR)")} % 2001 - 1000 AS wt
+         |  FROM tf JOIN dfreq USING (bucket) CROSS JOIN nd),
+         |scores AS (SELECT doc_id,
+         |    CAST(sum(weight_micro * wt) AS BIGINT) AS score_units,
+         |    CAST(count(*) AS INT) AS n_feats
+         |  FROM feats GROUP BY doc_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM scores),
+         |ranked AS (SELECT doc_id, n_feats, score_units,
+         |    CAST(row_number() OVER (ORDER BY score_units DESC, doc_id)
+         |      AS INT) AS rk
+         |  FROM scores)
+         |SELECT doc_id, n_feats, score_units, rk,
+         |  CAST(((CAST(rk AS BIGINT) - 1) * 10) // n.n_docs AS INT) AS decile
+         |FROM ranked CROSS JOIN n ORDER BY rk""".stripMargin,
+
+    "td53_mixture_plan" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(round(1e6 * sqrt(CAST(n_toks AS DOUBLE)))
+        |    AS BIGINT) AS weight_micro FROM c),
+        |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tot_w FROM w),
+        |a AS (SELECT source, n_docs, n_toks, weight_micro,
+        |    CAST((200000 * weight_micro) // tot_w AS BIGINT) AS target_toks
+        |  FROM w CROSS JOIN t)
+        |SELECT source, n_docs, n_toks, weight_micro, target_toks,
+        |  CAST((1000000 * target_toks) // n_toks AS BIGINT) AS epochs_micro
+        |FROM a ORDER BY source""".stripMargin,
+
+    "td54_leakage_split" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+         |comps AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+         |  FROM reach GROUP BY a),
+         |assigned AS (SELECT d.doc_id,
+         |    CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS comp
+         |  FROM documents d LEFT JOIN comps c USING (doc_id))
+         |SELECT doc_id, comp,
+         |  CAST(${dh("CAST(comp AS VARCHAR)")} % 10 AS INT) AS split_bucket,
+         |  CASE WHEN ${dh("CAST(comp AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |       WHEN ${dh("CAST(comp AS VARCHAR)")} % 10 = 8 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin),
 
     "td44_winnowing" -> (winnowFpsCte +
       "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),

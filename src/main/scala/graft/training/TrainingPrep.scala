@@ -549,4 +549,116 @@ object TrainingPrep {
         size(col("ck")).as("n_tokens"),
         array_join(col("ck"), " ").as("chunk_text"))
   }
+
+  /** Linear quality-classifier scoring — the model-scoring plumbing every
+    * curation pipeline runs (a fastText/logreg quality filter applied at
+    * corpus scale): score = w · x over the [[hashedTfIdf]] features, then
+    * rank and decile the corpus. The weight vector here is deterministic
+    * (a seeded per-bucket hash in [-1000, 1000]) so the op is
+    * oracle-checkable; production swaps in trained weights — the PLUMBING
+    * (sparse features, per-bucket weights as pure arithmetic, map-side-
+    * combinable dot product, one narrow ranking pass) is what carries to
+    * 100 TB, not the toy weights.
+    *
+    * Exactness: features are integer micro-units (td43), weights are
+    * integer, the dot product is an integer sum — no FP anywhere. The
+    * decile is integer arithmetic over the row_number, not ntile, so tie
+    * handling is explicit (`score desc, id asc`).
+    *
+    * Scale shape: weights are ARITHMETIC on the bucket id — no weight
+    * table, no join, nothing to broadcast; the dot product is one hash
+    * aggregate over the sparse feature rows (map-side partials); only
+    * narrow `(id, score)` rows reach the final ranking window. At 100 TB
+    * replace the global row_number with a quantile-threshold filter
+    * (td31's shape) — the score computation is unchanged.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val feats = hashedTfIdf(df, idCol, textCol, dim)
+    // seeded weight in [-1000, 1000]: portable hash of "w|<bucket>"
+    val w = Hashing.portableHash(
+      concat(lit("w|"), col("bucket").cast("string"))) % 2001 - 1000
+    val scores = feats
+      .withColumn("wt", w)
+      .groupBy(idCol)
+      .agg(sum(col("weight_micro") * col("wt")).cast("bigint")
+          .as("score_units"),
+        count(lit(1)).cast("int").as("n_feats"))
+    val nDocs = scores.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val rk = Window.orderBy(col("score_units").desc, col(idCol))
+    scores.crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(rk).cast("int"))
+      .withColumn("decile",
+        expr("((CAST(rk AS BIGINT) - 1) * 10) div n_docs").cast("int"))
+      .select(col(idCol), col("n_feats"), col("score_units"), col("rk"),
+        col("decile"))
+  }
+
+  /** Mixture/epoch plan — the LLaMA-style sampling table: given a token
+    * budget and sqrt-temperature source weighting, how many tokens to
+    * draw from each source and the implied repetition factor (epochs).
+    * Down-weighted sources get epochs < 1 (subsample); up-weighted small
+    * sources get epochs > 1 (repeat) — the thing Bernoulli sampling
+    * (td28) cannot express.
+    *
+    * Exactness: per-source token counts are integers; the only FP op is
+    * one IEEE-exact sqrt per source, rounded once to micro-units; budget
+    * allocation and epoch factors are integer `div` over those. (Keep
+    * `budget * weight_micro` inside 2^63: fine up to ~exabyte corpora at
+    * practical budgets; normalize weights first beyond that.)
+    *
+    * Scale shape: one map-side-combinable aggregate over the corpus
+    * (token counts per source), then arithmetic on a |sources|-row table.
+    * Source count is a dimension, not a key space.
+    */
+  def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val perSrc = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("bigint"))
+          .cast("bigint").as("n_toks"))
+      .withColumn("weight_micro",
+        round(lit(1e6) * sqrt(col("n_toks").cast("double"))).cast("bigint"))
+    val totW = perSrc.agg(sum("weight_micro").cast("bigint").as("tot_w"))
+    perSrc.crossJoin(broadcast(totW))
+      .withColumn("target_toks",
+        expr(s"($budgetTokens * weight_micro) div tot_w").cast("bigint"))
+      .withColumn("epochs_micro",
+        expr("(1000000 * target_toks) div n_toks").cast("bigint"))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("weight_micro"), col("target_toks"), col("epochs_micro"))
+  }
+
+  /** Leakage-free train/valid/test split: hash-assign documents to splits
+    * 80/10/10, but force every member of a near-dup cluster into its
+    * CLUSTER's split (hash of the canonical id, not the member id) — the
+    * eval-hygiene op that stops a train document's near-duplicate from
+    * landing in test and inflating benchmark scores. Pairs come from the
+    * same verified MinHash near-dup pipeline as td16; singleton documents
+    * are their own cluster.
+    *
+    * Scale shape: clustering is the existing O(log n)-round
+    * large-star/small-star; the split map is `(id, comp)` narrow rows
+    * joined back on the doc id (one co-partitioned shuffle); the split
+    * decision is pure hash arithmetic — no new corpus pass beyond the
+    * dedup signatures the pipeline already computes.
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = graft.dedup.Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)).cast("bigint"))
+      .withColumn("split_bucket",
+        pmod(Hashing.portableHash(col("comp").cast("string")), lit(10))
+          .cast("int"))
+    assigned.withColumn("split",
+      when(col("split_bucket") < 8, lit("train"))
+        .when(col("split_bucket") === 8, lit("valid"))
+        .otherwise(lit("test")))
+      .select(col(idCol), col("comp"), col("split_bucket"), col("split"))
+  }
 }

@@ -363,4 +363,101 @@ class TrainingPrepSpec extends SparkSpec {
         r.getAs[Long]("weight_micro"), r.getAs[Int]("rk")))
     assert(out.sortBy(_._3).sameElements(again.sortBy(_._3)))
   }
+
+  /** portable hash replicated in plain Scala (md5 first 8 hex chars). */
+  private def pHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("qualityScore: integer dot product matches plain-Scala recomputation; rank/decile arithmetic exact") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "b c d"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.qualityScore(df, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_feats"),
+        r.getAs[Long]("score_units"), r.getAs[Int]("rk"),
+        r.getAs[Int]("decile")))
+    // independent recomputation: buckets, tf, smoothed idf, seeded weights
+    val toks = Map(1L -> Seq("a", "b", "a", "c"), 2L -> Seq("b", "c", "d"),
+      3L -> Seq("a", "a", "a", "a"))
+    def bucket(t: String) = (pHash(t) % 8).toInt
+    val tf = toks.view.mapValues(_.groupBy(bucket).view
+      .mapValues(_.size.toLong).toMap).toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def idfMicro(b: Int) = math.round(1e6 * math.log(4.0 / (dfreq(b) + 1.0)))
+    def wt(b: Int) = pHash(s"w|$b") % 2001 - 1000
+    val want = tf.view.mapValues(
+      _.map { case (b, t) => t * idfMicro(b) * wt(b) }.sum).toMap
+    out.foreach { case (id, nf, score, _, _) =>
+      assert(score == want(id), s"doc $id: $score != ${want(id)}")
+      assert(nf == tf(id).size, s"doc $id n_feats")
+    }
+    // rank is dense over (score desc, id asc); 3 docs land deciles 0/3/6
+    assert(out.sortBy(_._4).map(_._4).toSeq == Seq(1, 2, 3))
+    assert(out.sortBy(_._4).map(_._5).toSeq == Seq(0, 3, 6))
+    val byRank = out.sortBy(_._4).map(r => (r._3, r._1))
+    assert(byRank.sameElements(byRank.sortBy { case (sc, id) => (-sc, id) }))
+  }
+
+  test("mixturePlan: sqrt-weighted budget split with exact integer epochs; allocation never exceeds budget") {
+    implicit val s = spark
+    import s.implicits._
+    // n_toks: s1=4, s2=9 → weights exactly 2e6 / 3e6 (IEEE-exact sqrts)
+    val df = Seq(("s1", "t t t t"), ("s2", "t t t t t t t t t"))
+      .toDF("source", "text")
+    val out = TrainingPrep.mixturePlan(df, "source", "text",
+        budgetTokens = 100L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("weight_micro") == 2000000L)
+    assert(out("s2").getAs[Long]("weight_micro") == 3000000L)
+    assert(out("s1").getAs[Long]("target_toks") == 40L)
+    assert(out("s2").getAs[Long]("target_toks") == 60L)
+    // repetition factors: s1 repeats 10x (upsample!), s2 6.67x — the
+    // epochs>1 regime Bernoulli sampling cannot express
+    assert(out("s1").getAs[Long]("epochs_micro") == 10000000L)
+    assert(out("s2").getAs[Long]("epochs_micro") == 6666666L)
+    // corpus-level: integer div never over-allocates the budget
+    val plan = TrainingPrep.mixturePlan(docs, "source", "text",
+      budgetTokens = 200000L)
+    assert(plan.agg(sum("target_toks")).head.getLong(0) <= 200000L)
+  }
+
+  test("leakageFreeSplit: near-dup cluster members always share a split; assignment is total and hash-exact") {
+    implicit val s = spark
+    import s.implicits._
+    val tiny = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = TrainingPrep.leakageFreeSplit(tiny, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("comp"), r.getAs[Int]("split_bucket"),
+          r.getAs[String]("split")))).toMap
+    // chain 1-2-3 collapses to canonical 1; singletons are their own comp
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).forall(_ == 1L))
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    assert(Seq(1L, 2L, 3L).map(out(_)._3).distinct.size == 1)
+    // the split decision is exactly hash(comp) mod 10 mapped 8/1/1
+    out.values.foreach { case (comp, b, split) =>
+      assert(b == (pHash(comp.toString) % 10).toInt)
+      val wantSplit = if (b < 8) "train" else if (b == 8) "valid" else "test"
+      assert(split == wantSplit)
+    }
+    // corpus-level leakage check: NO verified near-dup pair straddles a
+    // split boundary, and every document is assigned
+    val corpus = docs
+    val cPairs = graft.dedup.Dedup.minhashNearDups(corpus, "doc_id", "text")
+      .select("id_a", "id_b")
+    val splits = TrainingPrep.leakageFreeSplit(corpus, "doc_id", cPairs)
+    assert(splits.count() == corpus.count())
+    val straddle = cPairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0, "near-dup pair crossed a split boundary")
+  }
 }
