@@ -610,6 +610,37 @@ object TrainingQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher quality rule battery: word-count/word-length/alpha-fraction/
+    // stopword/repetition heuristics as exact integer micro-unit metrics
+    // with per-rule booleans — the standard pre-model web filter.
+    "td55_gopher_rules" -> ((s, dir) =>
+      graft.training.TrainingPrep.gopherRules(
+          Tables.documents(s, dir), "doc_id", "text", minWords = 20)
+        .orderBy("doc_id")),
+
+    // C4-style global exact span dedup: non-overlapping 5-token spans,
+    // first corpus-wide occurrence survives, documents reassembled from
+    // surviving spans.
+    "td56_span_dedup" -> ((s, dir) =>
+      graft.training.TrainingPrep.spanDedup(
+          Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id")),
+
+    // Deterministic corpus shuffle + sharding: seeded hash order, hash-mod
+    // shard assignment, in-shard position — the pre-tokenization step of
+    // every pretraining run.
+    "td57_corpus_shard" -> ((s, dir) =>
+      graft.training.TrainingPrep.corpusShard(
+          Tables.documents(s, dir), "doc_id", seed = 7, nShards = 8)
+        .orderBy("doc_id")),
+
+    // CCNet head/middle/tail: per-language surprisal terciles with
+    // explicit integer tie handling.
+    "td58_ccnet_buckets" -> ((s, dir) =>
+      graft.training.TrainingPrep.ccnetBuckets(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
     // Winnowing fingerprints (MOSS): window-min selected k-gram hashes —
     // any shared substring of >= w+k-1 tokens shares a fingerprint.
     "td44_winnowing" -> ((s, dir) =>
@@ -1482,6 +1513,86 @@ object TrainingQueries {
          |       WHEN ${dh("CAST(comp AS VARCHAR)")} % 10 = 8 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin),
+
+    "td55_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS char_sum,
+        |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(ts),
+        |      ['the','a','is','and','of','to'])) AS INT) AS n_stopwords,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, n_words, n_stopwords,
+        |  (1000000 * char_sum) // n_words AS mean_wlen_micro,
+        |  (1000000 * n_alpha) // n_words AS alpha_frac_micro,
+        |  (1000000 * (n_words - n_distinct)) // n_words AS dup_frac_micro,
+        |  (n_words >= 20 AND n_words <= 100000) AS ok_words,
+        |  (1000000 * char_sum) // n_words BETWEEN 3000000 AND 10000000 AS ok_wlen,
+        |  (1000000 * n_alpha) // n_words >= 800000 AS ok_alpha,
+        |  n_stopwords >= 2 AS ok_stop,
+        |  (1000000 * (n_words - n_distinct)) // n_words <= 500000 AS ok_rep,
+        |  ((n_words >= 20 AND n_words <= 100000)
+        |    AND (1000000 * char_sum) // n_words BETWEEN 3000000 AND 10000000
+        |    AND (1000000 * n_alpha) // n_words >= 800000
+        |    AND n_stopwords >= 2
+        |    AND (1000000 * (n_words - n_distinct)) // n_words <= 500000)
+        |    AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "td56_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+         |sp0 AS (SELECT doc_id, ts,
+         |    unnest(range(0, CAST(ceil(len(ts)/5.0) AS BIGINT))) AS i FROM t),
+         |sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+         |    array_to_string(ts[(CAST(i AS INT)*5+1):(CAST(i AS INT)*5+5)],
+         |      ' ') AS span
+         |  FROM sp0),
+         |h AS (SELECT *, ${dh("span")} AS h FROM sp),
+         |kept AS (SELECT doc_id, span_idx, span FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY h
+         |    ORDER BY doc_id, span_idx) = 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |    string_agg(span, ' ' ORDER BY span_idx) AS text_scrubbed
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(ceil(len(t.ts)/5.0) AS INT) AS n_spans,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.text_scrubbed, '') AS text_scrubbed
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "td57_corpus_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${dh("'7|' || CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS INT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "td58_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS v_size FROM vocab),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum(CAST(round(1e6 * ln((n_total + v_size) /
+        |      CAST(cnt + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS mean_unats
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN tot GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, sc.mean_unats
+        |  FROM documents d JOIN sc USING (doc_id)),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |  FROM j GROUP BY lang),
+        |r AS (SELECT j.doc_id, j.lang, j.mean_unats, n.n_lang,
+        |    CAST(row_number() OVER (PARTITION BY j.lang
+        |      ORDER BY j.mean_unats, j.doc_id) AS BIGINT) AS rk
+        |  FROM j JOIN n USING (lang))
+        |SELECT doc_id, lang, mean_unats, CAST(rk AS INT) AS rk,
+        |  CASE ((rk - 1) * 3) // n_lang WHEN 0 THEN 'head'
+        |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "td44_winnowing" -> (winnowFpsCte +
       "\nSELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp"),

@@ -661,4 +661,165 @@ object TrainingPrep {
         .otherwise(lit("test")))
       .select(col(idCol), col("comp"), col("split_bucket"), col("split"))
   }
+
+  /** Gopher-style quality rule battery (Rae et al. 2021 §A.1): the
+    * standard heuristic document filters every web-corpus pipeline runs
+    * before model-based scoring. Per document:
+    *   - `n_words` and the [minWords, maxWords] bound;
+    *   - mean word length in [3, 10] characters;
+    *   - fraction of words containing an alphabetic character >= 0.8;
+    *   - at least 2 DISTINCT common stopwords present (the "real prose"
+    *     probe);
+    *   - duplicate-token fraction (1 - distinct/total) <= 0.5 — the
+    *     cheap in-document repetition screen (td17 is the windowed one).
+    * Emits each metric (ratios as exact integer micro-units — one
+    * rounded division per doc, no FP accumulation) plus per-rule
+    * booleans and the conjunction `pass`, so downstream can audit WHICH
+    * rule fired, not just that one did.
+    *
+    * Scale shape: pure per-row column arithmetic over the token array —
+    * no explode, no shuffle, nothing global; pushes through the scan at
+    * 100 TB like any narrow projection. (Array lambdas are interpreted,
+    * not codegen'd, but stay per-row; the array is bound once per doc.)
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stop = Seq("the", "a", "is", "and", "of", "to")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol),
+        size(toks).cast("bigint").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("bigint").as("n_alpha"),
+        size(array_intersect(array_distinct(toks),
+          array(stop.map(lit): _*))).cast("int").as("n_stopwords"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct"))
+      // `div` (not `/` + cast): integer division agrees exactly across
+      // engines; a double divide truncates in Spark but rounds in DuckDB
+      .withColumn("mean_wlen_micro", expr("(1000000 * char_sum) div n_words"))
+      .withColumn("alpha_frac_micro", expr("(1000000 * n_alpha) div n_words"))
+      .withColumn("dup_frac_micro",
+        expr("(1000000 * (n_words - n_distinct)) div n_words"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_wlen", col("mean_wlen_micro").between(3000000L, 10000000L))
+      .withColumn("ok_alpha", col("alpha_frac_micro") >= 800000L)
+      .withColumn("ok_stop", col("n_stopwords") >= 2)
+      .withColumn("ok_rep", col("dup_frac_micro") <= 500000L)
+      .withColumn("pass", col("ok_words") && col("ok_wlen") &&
+        col("ok_alpha") && col("ok_stop") && col("ok_rep"))
+      .drop("char_sum", "n_alpha", "n_distinct")
+  }
+
+  /** Global exact span dedup (C4 §2.2 shape): chop every document into
+    * consecutive non-overlapping `k`-token spans, keep each distinct
+    * span's FIRST occurrence corpus-wide (document id, then position —
+    * the deterministic stand-in for C4's "keep one of the three-sentence
+    * spans"), and reassemble each document from its surviving spans.
+    * Catches copy-pasted passages EXACT dedup (whole-doc, td04) misses
+    * and boilerplate-frequency scrubbing (td41, needs `minDocs` hits)
+    * leaves behind: the second copy of a passage is removed even if it
+    * appears only twice.
+    *
+    * Returns `(id, n_spans, n_kept, text_scrubbed)` — empty string when
+    * every span was claimed earlier.
+    *
+    * Scale shape: only `(span_hash, id, span_idx)` rows shuffle — span
+    * TEXT stays columnar until reassembly, and reassembly shuffles each
+    * doc's surviving spans once, partitioned by id. First-occurrence is
+    * one min-struct aggregate per span hash (map-side combinable) +
+    * a broadcast-or-shuffle semi-join back; no windows over the corpus.
+    * 64-bit span-hash collisions: two colliding distinct spans would
+    * dedup as one — acceptable at p ~ n²/2^64 like every hash-dedup op
+    * here (td04's fingerprint caveat applies).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"span width must be positive: $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSpans = ceil(size(toks).cast("double") / k).cast("int")
+    val spans = df
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(toks, i * k + 1, lit(k)), " "))
+      ).as(Seq("span_idx", "span")))
+    val hashed = spans.withColumn("h", Hashing.portableHash(col("span")))
+    // first corpus-wide occurrence per span hash: min (id, idx) struct
+    val first = hashed.groupBy("h")
+      .agg(min(struct(col(idCol), col("span_idx"))).as("f"))
+      .select(col("h"), col("f").getField(idCol).as("f_id"),
+        col("f").getField("span_idx").as("f_idx"))
+    val kept = hashed.join(first, "h")
+      .filter(col(idCol) === col("f_id") && col("span_idx") === col("f_idx"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("span_idx"), col("span"))))
+          .getField("span"), " ").as("text_scrubbed"))
+      .join(df.select(col(idCol), nSpans.as("n_spans")), Seq(idCol), "right_outer")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
+  /** Deterministic corpus shuffle + sharding — the step that turns a
+    * curated corpus into training shards: global pseudo-random order from
+    * a seeded portable hash (reproducible across runs, engines,
+    * retries; re-seeding is a new permutation), shard assignment by hash
+    * range, and a position within the shard. Every pretraining pipeline
+    * runs exactly this before tokenize-and-pack.
+    *
+    * Returns `(id, shard, pos)`: `shard = h mod nShards`, `pos` = rank of
+    * `(h, id)` within the shard (ties on h broken by id — total and
+    * deterministic).
+    *
+    * Scale shape: the hash is per-row arithmetic; the per-shard ordering
+    * is a window PARTITIONED by shard (one hash shuffle into nShards
+    * groups — each shard sorts independently, no global sort). At 100 TB
+    * writers consume shards independently; a skew-free permutation is
+    * guaranteed by the hash's uniformity, not by a planner estimate.
+    */
+  def corpusShard(df: DataFrame, idCol: String, seed: Int,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = Hashing.portableHash(col(idCol).cast("string"), seed)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col(idCol))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** CCNet-style quality buckets (Wenzek et al. 2020): rank documents
+    * WITHIN each language by unigram-LM surprisal ([[unigramSurprisal]],
+    * the cheap perplexity stand-in) and split each language into
+    * head / middle / tail terciles — head = most fluent third. The
+    * language-relative cut is the point: an absolute threshold would
+    * keep only the majority language's idiom.
+    *
+    * Tercile boundaries are integer arithmetic over the rank
+    * (`((rank-1) * 3) div n_lang`), not `ntile`, so tie handling is
+    * explicit and engine-exact (`mean_unats` asc, id asc).
+    *
+    * Scale shape: surprisal is the existing two-shuffle op; the ranking
+    * is one window per language partition. At 100 TB replace the exact
+    * rank with per-language approximate quantile cuts (td31's shape) —
+    * the bucket semantics are unchanged.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = unigramSurprisal(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val n = scored.groupBy(langCol)
+      .agg(count(lit(1)).cast("bigint").as("n_lang"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_unats"), col(idCol))
+    scored.join(broadcast(n), Seq(langCol))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("bucket",
+        when(expr("((rk - 1) * 3) div n_lang") === 0, "head")
+          .when(expr("((rk - 1) * 3) div n_lang") === 1, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("mean_unats"),
+        col("rk").cast("int").as("rk"), col("bucket"))
+  }
 }

@@ -158,11 +158,15 @@ class SequinStreamHttpSpec extends SparkSpec {
       // OVER HTTP from another thread: with a single-threaded server the
       // nack would queue behind the park and the poll would time out —
       // here the nack interleaves between poll attempts and the parked
-      // receive returns the redelivered message well before its deadline
+      // receive returns the redelivered message well before its deadline.
+      // The park (30s) is deliberately far above the nack bound (15s) so
+      // scheduler starvation on a loaded box cannot blur the two
+      // outcomes: a QUEUED nack takes >= the park, a concurrent one
+      // stays well under the bound.
       @volatile var polled: Seq[String] = Nil
       val poller = new Thread(() => {
         val (_, body) = post(port, "/api/sequin_streams/c3/receive",
-          """{"wait_for": "10s", "max_batch_size": 1}""")
+          """{"wait_for": "30s", "max_batch_size": 1}""")
         polled = ackIds(body)
       })
       poller.start()
@@ -172,8 +176,8 @@ class SequinStreamHttpSpec extends SparkSpec {
         s"""{"ack_ids": ["$id"]}""")
       val nackMs = (System.nanoTime() - t0) / 1000000L
       assert(st == 200 && ok == """{"success":true}""")
-      assert(nackMs < 5000, s"nack blocked behind the long-poll: ${nackMs}ms")
-      poller.join(8000)
+      assert(nackMs < 15000, s"nack blocked behind the long-poll: ${nackMs}ms")
+      poller.join(30000)
       assert(!poller.isAlive, "long-poll never returned")
       assert(polled.size == 1, "redelivered message did not reach the poll")
     } finally { http.stop(); pull.stop() }

@@ -460,4 +460,104 @@ class TrainingPrepSpec extends SparkSpec {
       .filter(col("sa") =!= col("sb"))
     assert(straddle.count() == 0, "near-dup pair crossed a split boundary")
   }
+
+  test("gopherRules: hand-computed metrics, per-rule booleans, integer micro-units") {
+    implicit val s = spark
+    import s.implicits._
+    // doc 1: 6 words, all distinct-ish prose with 2 stopwords → passes all
+    //   but ok_words at minWords=5 it passes; chars=the(3)+cat(3)+sat(3)+
+    //   on(2)+a(1)+mat(3)=15 → mean 2.5 fails ok_wlen
+    // doc 2: "x x x x" → dup_frac 3/4 fails ok_rep, no stopwords
+    val df = Seq((1L, "the cat sat on a mat"), (2L, "x x x x"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.gopherRules(df, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 6L)
+    assert(d1.getAs[Long]("mean_wlen_micro") == (1000000L * 15) / 6)
+    assert(d1.getAs[Long]("alpha_frac_micro") == 1000000L)
+    assert(d1.getAs[Int]("n_stopwords") == 2) // the, a
+    assert(d1.getAs[Long]("dup_frac_micro") == 0L)
+    assert(d1.getAs[Boolean]("ok_words") && !d1.getAs[Boolean]("ok_wlen") &&
+      d1.getAs[Boolean]("ok_alpha") && d1.getAs[Boolean]("ok_stop") &&
+      d1.getAs[Boolean]("ok_rep") && !d1.getAs[Boolean]("pass"))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_words") == 4L)
+    assert(d2.getAs[Long]("dup_frac_micro") == 750000L)
+    assert(!d2.getAs[Boolean]("ok_rep") && !d2.getAs[Boolean]("ok_stop") &&
+      !d2.getAs[Boolean]("pass"))
+    // corpus-level: total, one row per doc, no nulls in any metric
+    val full = TrainingPrep.gopherRules(docs, "doc_id", "text")
+    assert(full.count() == docs.count())
+    assert(full.filter(col("mean_wlen_micro").isNull ||
+      col("pass").isNull).count() == 0)
+  }
+
+  test("spanDedup: first corpus-wide span occurrence survives, documents reassemble in order") {
+    implicit val s = spark
+    import s.implicits._
+    // k=2 spans: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [c d]
+    // doc1 claims [a b] and [c d]; doc2 keeps only [x y]; doc3 empties
+    val df = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.spanDedup(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_spans"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("text_scrubbed")))).toMap
+    assert(out(1L) == ((2, 2, "a b c d")))
+    assert(out(2L) == ((2, 1, "x y")))
+    assert(out(3L) == ((1, 0, "")))
+    // ragged tail: 5 tokens at k=2 → 3 spans, last is 1 token
+    val ragged = Seq((7L, "p q r s t")).toDF("doc_id", "text")
+    val r7 = TrainingPrep.spanDedup(ragged, "doc_id", "text", k = 2)
+      .head()
+    assert(r7.getAs[Int]("n_spans") == 3 &&
+      r7.getAs[String]("text_scrubbed") == "p q r s t")
+    // corpus-level conservation: kept spans never exceed spans, and a
+    // re-run of the scrubbed output removes nothing further (idempotent
+    // up to the spans the first pass already made unique)
+    val full = TrainingPrep.spanDedup(docs, "doc_id", "text", k = 5)
+    assert(full.filter(col("n_kept") > col("n_spans")).count() == 0)
+    val again = TrainingPrep.spanDedup(
+      full.select(col("doc_id"), col("text_scrubbed").as("text"))
+        .filter(col("text") =!= ""), "doc_id", "text", k = 5)
+    assert(again.filter(col("n_kept") < col("n_spans")).count() == 0,
+      "re-scrub removed spans the first pass left — not idempotent")
+  }
+
+  test("corpusShard: total deterministic permutation, contiguous in-shard positions, re-seed changes order") {
+    val a = TrainingPrep.corpusShard(docs, "doc_id", seed = 7, nShards = 8)
+    assert(a.count() == docs.count())
+    // every shard's positions are exactly 1..n_shard (dense, no gaps)
+    val byShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+    assert(byShard.filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count() == 0)
+    // shards are reasonably balanced (hash uniformity, 500 docs / 8 shards)
+    val sizes = byShard.select("n").collect().map(_.getLong(0))
+    assert(sizes.length == 8 && sizes.min > 30, sizes.mkString(","))
+    // deterministic: identical across runs
+    val b = TrainingPrep.corpusShard(docs, "doc_id", seed = 7, nShards = 8)
+    assert(a.exceptAll(b).count() == 0)
+    // a different seed is a different permutation (some doc moves)
+    val c = TrainingPrep.corpusShard(docs, "doc_id", seed = 8, nShards = 8)
+    assert(a.exceptAll(c).count() > 0)
+  }
+
+  test("ccnetBuckets: per-language terciles are balanced and ordered by surprisal") {
+    val out = TrainingPrep.ccnetBuckets(docs, "doc_id", "text", "lang")
+    assert(out.count() == docs.count())
+    // tercile sizes within each language differ by at most 1
+    val sizes = out.groupBy("lang", "bucket").count().collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.foreach { case (lang, ns) =>
+      assert(ns.max - ns.min <= 1, s"$lang terciles: ${ns.mkString(",")}")
+    }
+    // ordering: every head doc's surprisal <= every tail doc's, per lang
+    val agg = out.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("mean_unats"))).as("maxHead"),
+      min(when(col("bucket") === "tail", col("mean_unats"))).as("minTail"))
+    assert(agg.filter(col("maxHead") > col("minTail")).count() == 0)
+  }
 }
