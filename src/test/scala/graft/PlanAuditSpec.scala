@@ -211,4 +211,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan.linesIterator
       .filter(_.contains("partitioning")).mkString("\n"))
   }
+
+  test("td55 gopher rules are a pure projection — no shuffle before the final sort") {
+    val plan = formatted(q("td55_gopher_rules"))
+    // per-row rule arithmetic must never aggregate or hash-shuffle; the
+    // only exchange is the presentation orderBy's range partitioning
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("hashpartitioning"), plan.linesIterator
+      .filter(_.contains("partitioning")).mkString("\n"))
+    assert(!plan.contains("HashAggregate"), "gopher rules grew an aggregate")
+  }
+
+  test("td56 span dedup: first-occurrence is an equijoin on the span hash, no window over the corpus") {
+    val plan = formatted(q("td56_span_dedup"))
+    assert(!plan.contains("CartesianProduct"), "span dedup went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // corpus-wide first-occurrence must be the min-struct AGGREGATE, not
+    // a rank window (a window over every span would single-task at 100 TB
+    // if the partition key degenerated)
+    assert(!plan.contains("Window"), "span dedup uses a window")
+  }
+
+  test("td57 corpus shard: one hash shuffle into shards, per-shard sort only") {
+    val plan = formatted(q("td57_corpus_shard"))
+    // the in-shard position window partitions by shard — a missing
+    // PARTITION BY would move the whole corpus to one task
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("No Partition Defined"))
+    assert(plan.contains("hashpartitioning(shard"), plan.linesIterator
+      .filter(_.contains("partitioning")).mkString("\n"))
+  }
 }
