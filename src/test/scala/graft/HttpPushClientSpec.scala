@@ -138,6 +138,58 @@ class HttpPushClientSpec extends SparkSpec {
     assert(out.attempts == 2, "transport errors retry like 5xx")
   }
 
+  test("END TO END: a CDC stream delivers over real HTTP through retries, exactly once per batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.ChangeEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    def ev(lsn: Long, idx: Long, group: String): ChangeEvent =
+      ChangeEvent(lsn, idx, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "update", "public", "t0", 16384L, s"pk$lsn-$idx", lsn, group.toLong,
+        1.0, "{}", Some(0.5), s"$group:$lsn:$idx", group, 100L)
+
+    // first POST to the hook fails transiently — the ladder must absorb it
+    val srv = new RecordingServer(Map("/hook" -> Seq(503, 200)))
+    val results = new ConcurrentLinkedQueue[HttpPushClient.PushResult]()
+    try {
+      val endpoint = s"http://127.0.0.1:${srv.port}/hook"
+      val policy = HttpRetryPolicy.Policy(maxRetries = 2)
+      val input = MemoryStream[ChangeEvent]
+      // the reference's consumer shape end to end: stream → commit-ordered
+      // batched wire per micro-batch → LIVE socket delivery with retries
+      val query = input.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val wire = SinkAdapters.httpPushBatchedWire(batch, endpoint,
+            batchSize = 3, partitions = 2)
+          HttpPushClient.deliver(HttpPushClient.batchedRequests(wire),
+            policy, realSleep = false).collect().foreach(results.add)
+        }
+        .start()
+      try {
+        input.addData(ev(8, 0, "1"), ev(8, 1, "2"), ev(16, 0, "1"))
+        query.processAllAvailable()
+        input.addData(ev(24, 0, "1"), ev(24, 1, "3"))
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val rs = results.asScala.toSeq
+      assert(rs.nonEmpty && rs.forall(_.delivered), "a batch failed delivery")
+      // the scripted 503 cost exactly one extra attempt somewhere
+      assert(rs.map(_.attempts).sum == rs.size + 1)
+      // every event body crossed the socket (dedup on body: the 503 retry
+      // legitimately re-POSTs its batch)
+      val got = srv.received.asScala.map(_._2).toSet
+      val keys = Seq("1:8:0", "2:8:1", "1:16:0", "1:24:0", "3:24:1")
+      keys.foreach { k =>
+        assert(got.exists(_.contains(s""""idempotency_key":"$k"""")),
+          s"event $k never crossed the socket")
+      }
+    } finally srv.stop()
+  }
+
   test("the live ladder is bit-identical to HttpRetryPolicy.resolve over its own log") {
     implicit val s = spark
     val srv = new RecordingServer(Map(
