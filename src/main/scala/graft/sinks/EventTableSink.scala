@@ -285,13 +285,15 @@ object EventTableSink {
     * '30 days'`; pg_partman drops whole time partitions for high volume).
     *
     * Spark rendition at pg_partman parity: a per-(bucket,epoch) expiry
-    * probe (a thin ts-column scan — parquet footers + one column, never
-    * the payload) classifies each epoch dir. Fully-expired dirs are
+    * probe with the cutoff PUSHED into a thin ts-column scan (row-group
+    * ts stats skip fully-live epochs; the payload is never read)
+    * classifies each candidate epoch dir. Fully-expired dirs are
     * DROPPED outright — no read, no rewrite, O(1) data I/O each — and
     * only boundary dirs (mixed expired/live rows; with monotone commit
     * ts, one per bucket) are rewritten through the staged-write swap.
-    * Total cost ∝ expired rows + boundary dirs, NOT table size. Returns
-    * the number of rows evicted.
+    * Total cost ∝ expired rows + boundary dirs, NOT table size (probe
+    * included — dirs with no expired rows are never read or touched).
+    * Returns the number of rows evicted.
     */
   def retention(spark: SparkSession, path: String, tsCol: String,
       cutoff: Column, writer: Option[Writer] = None): Long = {
@@ -301,16 +303,39 @@ object EventTableSink {
     if (!Files.exists(target)) return 0L
     val t = Try(spark.read.option("mergeSchema", "true").parquet(path))
       .getOrElse(return 0L)
-    // NULL ts rows are NOT expired (they never match `< cutoff` — e.g.
-    // rows from dirs written before tsCol existed, read back as NULL
-    // under mergeSchema): they keep their dir off the full-drop path and
-    // survive any boundary rewrite
-    val stats = t.groupBy(col(BucketCol), col(EpochCol))
-      .agg(count(lit(1)).as("total"),
-        count(when(col(tsCol) < cutoff, 1)).as("expired"))
+    // Expiry probe, pass 1 — find EXPIRED rows with the cutoff PUSHED
+    // into the scan: parquet row-group ts stats skip fully-live epochs
+    // wholesale (commit ts correlates with the lsn-derived epoch, so a
+    // live epoch's min ts clears the cutoff), leaving data I/O ∝ expired
+    // + boundary rows, not table rows. NULL ts rows never match
+    // `< cutoff` (e.g. dirs written before tsCol existed, read back as
+    // NULL under mergeSchema): they keep their dir off the full-drop
+    // path and survive any boundary rewrite.
+    val expiredByPair = t.filter(col(tsCol) < cutoff)
+      .groupBy(col(BucketCol), col(EpochCol))
+      .agg(count(lit(1)).as("expired"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
+    if (expiredByPair.isEmpty) return 0L
+    // Pass 2 — totals for CANDIDATE dirs only (the ones holding any
+    // expired row): dirs with zero expired rows are never read or
+    // touched. Bounded: |candidates| ≤ expired rows.
+    val candDirs = expiredByPair.keys.toSeq.sorted
+      .map { case (b, e) => pairDir(path, b, e) }
+      .filter(Files.exists(_)).map(_.toString)
+    val totals =
+      if (candDirs.isEmpty) Map.empty[(Int, Int), Long]
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(candDirs: _*)
+        .groupBy(col(BucketCol), col(EpochCol))
+        .agg(count(lit(1)).as("total"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+    val stats = expiredByPair.map { case (pair, expired) =>
+      pair -> ((totals.getOrElse(pair, expired), expired))
+    }
     // .toSeq BEFORE collect: collecting (Int, Int) pairs out of a Map
     // would rebuild a Map keyed by bucket, silently collapsing all but
     // one epoch per bucket

@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** The replication TCP client — the last socket the engine was missing
+  * (`/root/reference/lib/sequin/runtime/slot_producer/slot_producer.ex:
+  * 246-270` connect + `handle_streaming(start_replication_query)`,
+  * `:371-378` COPY parse, `:501-523` keepalive, `:721-723` standby ack).
+  *
+  * Speaks the Postgres frontend/backend protocol (v3) in replication
+  * mode: StartupMessage with `replication=database`, the
+  * `START_REPLICATION SLOT ... LOGICAL 0/0 (proto_version '1',
+  * publication_names '...'[, messages 'true'])` query (byte-identical to
+  * the reference's `start_replication_query/1`), then the COPY-BOTH
+  * stream: XLogData (`'w'` + 24-byte header) payloads are raw pgoutput
+  * frames, keepalives (`'k'`) with reply-requested are answered with a
+  * Standby Status Update (`'r'`, written=flushed=applied — the
+  * reference acks its restart cursor the same way, `ack_message/1`).
+  *
+  * Division of labor mirrors the repo's ingest design: this client only
+  * MOVES BYTES — every XLogData payload is appended to a [[WalSpool]]
+  * segment (the durable hand-off the DSv2 streaming source tails), and
+  * all decoding stays in the existing cluster-parallel
+  * [[PgOutput]]/[[PgStream]] path. The socket is a single-node
+  * concern (one slot = one ordered TCP stream, exactly like the
+  * reference's single SlotProducer); everything downstream of the spool
+  * scales with executors. Acks carry the last lsn whose frames are
+  * DURABLY spooled (segment renamed into place), never merely-received
+  * bytes — `confirmed_flush_lsn` must not pass data that a crash could
+  * lose (the same contract as the reference's restart cursor).
+  *
+  * Zero-egress note: nothing here resolves hosts; the spec drives it
+  * against a scripted 127.0.0.1 server speaking the server half.
+  */
+object ReplicationClient {
+
+  /** Postgres epoch (2000-01-01) offset from unix epoch, microseconds. */
+  val PgEpochMicros: Long = 946684800000000L
+
+  def nowPgMicros(): Long =
+    System.currentTimeMillis() * 1000L - PgEpochMicros
+
+  /** `start_replication_query/1` parity (slot_producer.ex:763-768). */
+  def startReplicationQuery(slot: String, publication: String,
+      messages: Boolean): String =
+    if (messages)
+      s"START_REPLICATION SLOT $slot LOGICAL 0/0 (proto_version '1', " +
+        s"publication_names '$publication', messages 'true')"
+    else
+      s"START_REPLICATION SLOT $slot LOGICAL 0/0 (proto_version '1', " +
+        s"publication_names '$publication')"
+
+  // ---- frontend message encoders ---------------------------------------
+
+  /** StartupMessage: no type byte — int32 len, int32 protocol 3.0,
+    * null-terminated k/v pairs, trailing null. `replication=database`
+    * puts the session in logical-replication mode.
+    */
+  def startupMessage(user: String, database: String): Array[Byte] = {
+    val kvs = Seq("user" -> user, "database" -> database,
+      "replication" -> "database")
+    val body = kvs.flatMap { case (k, v) =>
+      k.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
+        v.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
+    }.toArray ++ Array[Byte](0)
+    val buf = ByteBuffer.allocate(8 + body.length)
+    buf.putInt(8 + body.length).putInt(196608).put(body) // 3 << 16
+    buf.array()
+  }
+
+  /** Simple Query ('Q'): type + int32 len + sql + null. */
+  def queryMessage(sql: String): Array[Byte] = {
+    val s = sql.getBytes(StandardCharsets.UTF_8)
+    val buf = ByteBuffer.allocate(1 + 4 + s.length + 1)
+    buf.put('Q'.toByte).putInt(4 + s.length + 1).put(s).put(0.toByte)
+    buf.array()
+  }
+
+  /** CopyData ('d') wrapper for COPY-BOTH payloads. */
+  def copyData(payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 + 4 + payload.length)
+    buf.put('d'.toByte).putInt(4 + payload.length).put(payload)
+    buf.array()
+  }
+
+  /** Standby Status Update payload (`ack_message/1`:
+    * `<<?r, lsn::64, lsn::64, lsn::64, clock::64, 0>>`).
+    */
+  def standbyStatusUpdate(flushedLsn: Long, clockMicros: Long): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 + 8 * 4 + 1)
+    buf.put('r'.toByte).putLong(flushedLsn).putLong(flushedLsn)
+      .putLong(flushedLsn).putLong(clockMicros).put(0.toByte)
+    buf.array()
+  }
+
+  // ---- COPY payload parse (slot_producer.ex:371-378) --------------------
+
+  sealed trait CopyPayload
+  /** `'w'` + wal_start::64 + wal_end::64 + clock::64 + pgoutput bytes. */
+  final case class XLogData(walStart: Long, walEnd: Long, clock: Long,
+      payload: Array[Byte]) extends CopyPayload
+  /** `'k'` + wal_end::64 + clock::64 + reply_requested::8. */
+  final case class Keepalive(walEnd: Long, clock: Long,
+      replyRequested: Boolean) extends CopyPayload
+
+  def parseCopyPayload(b: Array[Byte]): CopyPayload = {
+    val buf = ByteBuffer.wrap(b)
+    buf.get() match {
+      case 'w' =>
+        val ws = buf.getLong; val we = buf.getLong; val clk = buf.getLong
+        val rest = new Array[Byte](buf.remaining()); buf.get(rest)
+        XLogData(ws, we, clk, rest)
+      case 'k' =>
+        Keepalive(buf.getLong, buf.getLong, buf.get() == 1)
+      case t => throw new IllegalArgumentException(
+        s"unknown COPY payload type '${t.toChar}'")
+    }
+  }
+}
+
+/** Blocking client loop for one slot. Frames spool into `spoolDir` as
+  * bounded [[WalSpool]] segments ([[segmentFrames]] frames each, flushed
+  * early at Commit boundaries so a segment never splits mid-transaction
+  * ack horizon); `flushedLsn` advances only when a segment lands
+  * durably. Run [[start]] on its own thread; [[stop]] closes the socket
+  * and flushes the tail segment.
+  */
+final class ReplicationClient(host: String, port: Int, user: String,
+    database: String, slot: String, publication: String, spoolDir: String,
+    segmentFrames: Int = 256, messages: Boolean = true,
+    nowMicros: () => Long = ReplicationClient.nowPgMicros) {
+  import ReplicationClient._
+
+  @volatile private var socket: Socket = _
+  @volatile private var running = false
+  @volatile var flushedLsn: Long = 0L
+  @volatile var lastError: Option[Throwable] = None
+  private var segIdx: Long = 0L
+  private var pending = Vector.empty[PgStream.Frame]
+  private var pendingMaxLsn: Long = 0L
+  private var seq: Long = 0L
+
+  private def flushSegment(): Unit = if (pending.nonEmpty) {
+    WalSpool.writeSegment(spoolDir, WalSpool.segmentName(segIdx), pending)
+    segIdx += 1
+    // the segment is renamed into place: its lsns are now crash-durable
+    // and ackable
+    flushedLsn = math.max(flushedLsn, pendingMaxLsn)
+    pending = Vector.empty
+  }
+
+  /** Connect, start replication, stream until [[stop]] or EOF. */
+  def start(): Unit = {
+    running = true
+    socket = new Socket(host, port)
+    val in = new DataInputStream(socket.getInputStream)
+    val out = new DataOutputStream(socket.getOutputStream)
+    try {
+      out.write(startupMessage(user, database)); out.flush()
+      // drain server greeting until ReadyForQuery ('Z'); accept
+      // AuthenticationOk ('R' code 0), ParameterStatus ('S'),
+      // BackendKeyData ('K')
+      var ready = false
+      while (!ready) {
+        val (t, body) = readMessage(in)
+        t match {
+          case 'R' =>
+            val code = ByteBuffer.wrap(body).getInt
+            require(code == 0, s"unsupported auth request $code")
+          case 'Z' => ready = true
+          case 'E' => throw new IllegalStateException(
+            s"server error during startup: ${new String(body, "UTF-8")}")
+          case _ => // 'S', 'K', 'N' — informational
+        }
+      }
+      out.write(queryMessage(
+        startReplicationQuery(slot, publication, messages)))
+      out.flush()
+      val (t0, _) = readMessage(in)
+      require(t0 == 'W', s"expected CopyBothResponse, got '$t0'")
+
+      while (running) {
+        val (t, body) = readMessage(in)
+        t match {
+          case 'd' => parseCopyPayload(body) match {
+            case XLogData(ws, _, _, payload) =>
+              seq += 1
+              pending :+= PgStream.Frame(slot, seq, payload)
+              pendingMaxLsn = math.max(pendingMaxLsn, ws)
+              // Commit ('C') closes a txn — safe early segment boundary
+              if (pending.size >= segmentFrames ||
+                  (payload.nonEmpty && payload(0) == 'C'))
+                flushSegment()
+            case Keepalive(_, _, reply) =>
+              if (reply) {
+                flushSegment() // ack horizon = durably spooled lsn
+                out.write(copyData(
+                  standbyStatusUpdate(flushedLsn, nowMicros())))
+                out.flush()
+              }
+          }
+          case 'c' | 'C' | 'Z' => running = false // CopyDone / complete
+          case 'E' => throw new IllegalStateException(
+            s"server error: ${new String(body, "UTF-8")}")
+          case _ => // ignore
+        }
+      }
+    } catch {
+      case e: Throwable if !running => // stop() closed the socket — clean
+      case e: Throwable => lastError = Some(e); throw e
+    } finally {
+      flushSegment()
+      try socket.close() catch { case _: Exception => }
+    }
+  }
+
+  def stop(): Unit = {
+    running = false
+    try if (socket != null) socket.close() catch { case _: Exception => }
+  }
+
+  /** Read one typed backend message: type byte + int32 len (incl. self)
+    * + body.
+    */
+  private def readMessage(in: DataInputStream): (Char, Array[Byte]) = {
+    val t = in.readByte().toChar
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (t, body)
+  }
+}

@@ -208,8 +208,6 @@ class ScaleProbeSpec extends SparkSpec {
         numBuckets = 4, epochWidth = 2000)
       dir
     }
-    val small = build(2000)
-    val big = build(20000)
     def timeRet(dir: String): Double = {
       val t0 = System.nanoTime()
       val n = graft.sinks.EventTableSink.retention(spark, dir, "commit_ts",
@@ -217,8 +215,14 @@ class ScaleProbeSpec extends SparkSpec {
       assert(n == 500)
       (System.nanoTime() - t0) / 1e9
     }
-    val tS = math.max(timeRet(small), 0.2)
-    val tB = timeRet(big)
+    // retention is destructive, so min-of-2 runs on FRESH tables per
+    // size: the min reflects the plan's cost, not a GC pause or a
+    // co-tenant JVM stealing the box (observed: ratio 5.5 under external
+    // load vs ~2 in isolation on identical code)
+    def minRet(liveRows: Int): Double =
+      (1 to 2).map(_ => timeRet(build(liveRows))).min
+    val tS = math.max(minRet(2000), 0.2)
+    val tB = minRet(20000)
     val r = tB / tS
     info(f"retention: small=${tS}%.2fs big=${tB}%.2fs ratio=${r}%.1f")
     assert(r < 5, s"retention cost grew ${r}x for 10x live data")
