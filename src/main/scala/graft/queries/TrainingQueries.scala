@@ -641,6 +641,18 @@ object TrainingQueries {
           Tables.documents(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // Quality-aware dedup policy: within every near-dup cluster (td16's
+    // pipeline) keep the most fluent member (lowest unigram surprisal,
+    // ties by id) — the production "keep best" rule, fully auditable.
+    "td59_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      graft.training.TrainingPrep.keepBestOfCluster(docs, "doc_id", "text",
+          pairs)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS): window-min selected k-gram hashes —
     // any shared substring of >= w+k-1 tokens shares a fingerprint.
     "td44_winnowing" -> ((s, dir) =>
@@ -1513,6 +1525,39 @@ object TrainingQueries {
          |       WHEN ${dh("CAST(comp AS VARCHAR)")} % 10 = 8 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin),
+
+    "td59_keep_best" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+        |comps AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a),
+        |assigned AS (SELECT d.doc_id,
+        |    CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS comp
+        |  FROM documents d LEFT JOIN comps c USING (doc_id)),
+        |toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab2 AS (SELECT token, count(*) AS cnt FROM toks2 GROUP BY token),
+        |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS v_size FROM vocab2),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum(CAST(round(1e6 * ln((n_total + v_size) /
+        |      CAST(cnt + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS score
+        |  FROM toks2 JOIN vocab2 USING (token) CROSS JOIN tot2
+        |  GROUP BY doc_id),
+        |ranked AS (SELECT a.doc_id, a.comp, sc.score,
+        |    CAST(row_number() OVER (PARTITION BY a.comp
+        |      ORDER BY sc.score, a.doc_id) AS INT) AS rank_in_cluster
+        |  FROM assigned a JOIN sc USING (doc_id))
+        |SELECT doc_id, comp, score, rank_in_cluster,
+        |  rank_in_cluster = 1 AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin),
 
     "td55_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),

@@ -789,6 +789,42 @@ object TrainingPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Quality-aware dedup policy — keep the BEST member of every near-dup
+    * cluster, not an arbitrary first: clusters from the verified
+    * large-star/small-star pipeline (td16), quality from the unigram-LM
+    * surprisal score (td26; LOWER = more fluent), winner = (score asc,
+    * id asc) within the cluster. This is what production pipelines
+    * actually run — td13's "drop all but one" with the kept copy chosen
+    * by quality instead of id order.
+    *
+    * Returns `(id, comp, score, rank_in_cluster, kept)` — every document
+    * present, so the decision is auditable (the filter is the caller's
+    * one-liner).
+    *
+    * Scale shape: clustering is O(log n) rounds over pair edges;
+    * scoring is the existing two-shuffle surprisal op; the winner pick
+    * is ONE min-struct-shaped window per component key (hash-partitioned
+    * by comp — components are near-dup clusters, bounded by the dedup
+    * radius, so no giant partitions).
+    */
+  def keepBestOfCluster(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = graft.dedup.Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val scored = unigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("mean_unats").as("score"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("score"), col(idCol))
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)).cast("bigint"))
+      .join(scored, Seq(idCol))
+      .withColumn("rank_in_cluster", row_number().over(w).cast("int"))
+      .withColumn("kept", col("rank_in_cluster") === 1)
+      .select(col(idCol), col("comp"), col("score"),
+        col("rank_in_cluster"), col("kept"))
+  }
+
   /** CCNet-style quality buckets (Wenzek et al. 2020): rank documents
     * WITHIN each language by unigram-LM surprisal ([[unigramSurprisal]],
     * the cheap perplexity stand-in) and split each language into

@@ -544,6 +544,40 @@ class TrainingPrepSpec extends SparkSpec {
     assert(a.exceptAll(c).count() > 0)
   }
 
+  test("keepBestOfCluster: exactly one winner per cluster, and it is the most fluent member") {
+    implicit val s = spark
+    import s.implicits._
+    // cluster {1,2,3} (chain), singletons 4, 5; doc 2's text is all
+    // high-frequency tokens → strictly lowest surprisal → the keeper
+    val tiny = Seq(
+      (1L, "a b zzz"), (2L, "a b a"), (3L, "a b qqq"),
+      (4L, "a a a"), (5L, "xyzzy"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = TrainingPrep.keepBestOfCluster(tiny, "doc_id", "text", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("comp"), r.getAs[Long]("score"),
+          r.getAs[Int]("rank_in_cluster"), r.getAs[Boolean]("kept")))).toMap
+    assert(out.size == 5)
+    // cluster members share comp 1; singletons are their own comp
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).forall(_ == 1L))
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    // one keeper per comp; it has rank 1 and the cluster-min score
+    val cluster = Seq(1L, 2L, 3L).map(id => id -> out(id))
+    val keepers = cluster.filter(_._2._4)
+    assert(keepers.size == 1)
+    assert(keepers.head._2._2 == cluster.map(_._2._2).min)
+    assert(out(2L)._4, "the common-token doc must win its cluster")
+    assert(out(4L)._4 && out(5L)._4, "singletons keep themselves")
+    // corpus-level: keepers partition the corpus 1:1 with components
+    val full = TrainingPrep.keepBestOfCluster(docs, "doc_id", "text",
+      graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b"))
+    assert(full.count() == docs.count())
+    assert(full.filter(col("kept")).count() ==
+      full.select("comp").distinct().count())
+  }
+
   test("ccnetBuckets: per-language terciles are balanced and ordered by surprisal") {
     val out = TrainingPrep.ccnetBuckets(docs, "doc_id", "text", "lang")
     assert(out.count() == docs.count())
