@@ -686,7 +686,56 @@ object TrainingQueries {
         .collect().map(_.getString(0)).toSeq
       graft.training.TrainingPrep.bpeEncode(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // BM25 keyword retrieval (Okapi, Lucene idf variant): top-25 docs
+    // for a fixed query-term bag, scores in exact integer micro-nats —
+    // the lexical half of hybrid (sparse + dense) retrieval.
+    "td60_bm25_topk" -> ((s, dir) =>
+      graft.text.Retrieval.bm25TopK(Tables.documents(s, dir),
+          "doc_id", "text", Bm25Terms, k = 25)
+        .orderBy("rk")),
+
+    // HyperLogLog distinct-token estimate per source (m=64 registers,
+    // small/large-range corrections), exact count alongside — the
+    // fixed-size answer to count-distinct at corpus scale.
+    "td61_hll_distinct" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      graft.sketch.Sketches.hllDistinct(toks, "source", "t")
+        .orderBy("source")
+    }),
+
+    // Bloom-filter decontamination: a 2^18-bit filter over src0's 5-gram
+    // shingles probed by every other document; per-doc flagged count vs
+    // exact overlap exposes the false-positive rate on the row.
+    "td62_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.sketch.Sketches.bloomDecontam(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Count-Min heavy hitters: 4x1024 counter sketch over the token
+    // stream, top-20 tokens by min-cell estimate with the exact count
+    // alongside (est >= exact always; the gap is collision noise).
+    "td63_cms_heavy" -> ((s, dir) =>
+      graft.sketch.Sketches.cmsHeavyHitters(
+          Tables.documents(s, dir), "text", k = 20)
+        .orderBy("rk")),
+
+    // Exact per-source token-length quantiles (percentile_disc
+    // semantics, deterministic tie order) — the curation report that
+    // sets chunking/truncation budgets.
+    "td64_length_quantiles" -> ((s, dir) =>
+      graft.training.TrainingPrep.lengthQuantiles(
+          Tables.documents(s, dir), "source", "doc_id", "text")
+        .orderBy("source")))
+
+  /** td60's fixed query-term bag (mid-frequency corpus tokens). */
+  private val Bm25Terms = Seq("hash", "join", "vector", "stream")
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
@@ -1707,7 +1756,155 @@ object TrainingQueries {
         |         substr(w, CAST(i + 1 AS INT), 1))) AS pair FROM ww)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY pair
-        |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin)
+        |ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // NOTE: every FP literal below is e-notation (5e-1, 2.2e0, …) — DuckDB
+    // parses bare decimals as DECIMAL, and decimal arithmetic would diverge
+    // from Spark's doubles before the per-scalar round.
+    "td60_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |q AS (SELECT unnest(['hash','join','vector','stream']) AS t),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS n_df
+        |  FROM tf GROUP BY 1),
+        |contrib AS (SELECT tf.doc_id, CAST(round(1e6 *
+        |    ln(1e0 + (n_docs - n_df + 5e-1) / (n_df + 5e-1)) *
+        |    (tf * 2.2e0 / (tf + 1.2e0 * (2.5e-1 +
+        |      7.5e-1 * dl / (sum_dl / CAST(n_docs AS DOUBLE))))))
+        |    AS BIGINT) AS c_micro
+        |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, n_terms_hit, score_micro,
+        |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |    AS INT) AS rk
+        |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |    CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY 1)
+        |ORDER BY rk LIMIT 25""".stripMargin,
+
+    "td61_hll_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS t
+         |  FROM documents),
+         |hs AS (SELECT source, t, ${dh("t")} AS h FROM tok),
+         |regs AS (SELECT source, CAST(h % 64 AS INT) AS bucket,
+         |    CAST(max(27 - length(ltrim(bin(h // 64), '0'))) AS INT) AS reg
+         |  FROM hs GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(count(*) AS INT) AS n_filled,
+         |    CAST(sum(1::BIGINT << (27 - reg)) AS BIGINT) AS s_filled
+         |  FROM regs GROUP BY 1),
+         |tot AS (SELECT source, n_filled,
+         |    CAST(64 - n_filled AS INT) AS v_empty,
+         |    s_filled + CAST(64 - n_filled AS BIGINT) * 134217728
+         |      AS s_total FROM agg),
+         |raws AS (SELECT source, n_filled, v_empty,
+         |    7.09e-1 * 4.096e3 * 134217728e0 / CAST(s_total AS DOUBLE)
+         |      AS raw FROM tot),
+         |ests AS (SELECT source, n_filled, v_empty, CAST(round(
+         |    CASE WHEN raw <= 1.6e2 AND v_empty > 0
+         |           THEN 6.4e1 * ln(6.4e1 / CAST(v_empty AS DOUBLE))
+         |         WHEN raw > 4294967296e0 / 3e1
+         |           THEN -4294967296e0 * ln(1e0 - raw / 4294967296e0)
+         |         ELSE raw END) AS BIGINT) AS est FROM raws),
+         |ex AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT)
+         |    AS n_exact FROM tok GROUP BY 1)
+         |SELECT source, n_filled, v_empty, est, n_exact
+         |FROM ests JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "td62_bloom_decontam" ->
+      s"""WITH bsh AS (SELECT unnest(list_transform(
+         |    range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+         |    i -> array_to_string(string_split(text,' ')
+         |      [CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS sh
+         |  FROM documents WHERE source = 'src0'),
+         |coeffs AS (SELECT * FROM (VALUES ${bloomCoeffValues}) t(pi, a, b)),
+         |bprobe AS (SELECT ((a * ((${dh("sh")}) % 2147483647) + b)
+         |    % 2147483647) % 262144 AS bit FROM bsh CROSS JOIN coeffs),
+         |filt AS (SELECT CAST(bit // 32 AS INT) AS word,
+         |    CAST(bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS BIGINT)
+         |      AS wbits
+         |  FROM bprobe GROUP BY 1),
+         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+         |    i -> array_to_string(string_split(text,' ')
+         |      [CAST(i AS INT):CAST(i + 4 AS INT)], ' ')))) AS sh
+         |  FROM documents WHERE source <> 'src0'),
+         |cprobe AS (SELECT doc_id, sh,
+         |    CAST((((a * ((${dh("sh")}) % 2147483647) + b) % 2147483647)
+         |      % 262144) // 32 AS INT) AS word,
+         |    1::BIGINT << CAST((((a * ((${dh("sh")}) % 2147483647) + b)
+         |      % 2147483647) % 262144) % 32 AS INT) AS mask
+         |  FROM csh CROSS JOIN coeffs),
+         |hits AS (SELECT doc_id, sh, CASE WHEN sum(CASE WHEN
+         |      wbits IS NOT NULL AND (wbits & mask) = mask
+         |      THEN 1 ELSE 0 END) = 3 THEN 1 ELSE 0 END AS flagged
+         |  FROM cprobe LEFT JOIN filt USING (word) GROUP BY 1, 2),
+         |ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM csh WHERE sh IN (SELECT DISTINCT sh FROM bsh)
+         |  GROUP BY 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(flagged) AS BIGINT) AS n_flagged
+         |  FROM hits GROUP BY 1)
+         |SELECT agg.doc_id, n_shingles, n_flagged,
+         |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true
+         |FROM agg LEFT JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "td63_cms_heavy" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS t
+         |  FROM documents),
+         |hs AS (SELECT t, ${dh("t")} AS h FROM tok),
+         |coeffs AS (SELECT * FROM (VALUES ${cmsCoeffValues}) t(i, a, b)),
+         |cells AS (SELECT i,
+         |    CAST(((a * (h % 2147483647) + b) % 2147483647) % 1024 AS INT)
+         |      AS c, CAST(count(*) AS BIGINT) AS cell
+         |  FROM hs CROSS JOIN coeffs GROUP BY 1, 2),
+         |cand AS (SELECT t, h, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM hs GROUP BY 1, 2),
+         |probe AS (SELECT cand.t, cand.n_exact, i,
+         |    CAST(((a * (h % 2147483647) + b) % 2147483647) % 1024 AS INT)
+         |      AS c FROM cand CROSS JOIN coeffs),
+         |est AS (SELECT t, n_exact, CAST(min(cell) AS BIGINT) AS est
+         |  FROM probe JOIN cells USING (i, c) GROUP BY 1, 2)
+         |SELECT t, est, n_exact,
+         |  CAST(row_number() OVER (ORDER BY est DESC, t) AS INT) AS rk
+         |FROM est ORDER BY rk LIMIT 20""".stripMargin,
+
+    "td64_length_quantiles" ->
+      """WITH dl AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |r AS (SELECT source, dl,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY dl, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM dl)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(5e-1 *
+        |    CAST(n AS DOUBLE)) AS BIGINT)) THEN dl END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(9e-1 *
+        |    CAST(n AS DOUBLE)) AS BIGINT)) THEN dl END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(9.9e-1 *
+        |    CAST(n AS DOUBLE)) AS BIGINT)) THEN dl END) AS BIGINT) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
+  private lazy val bloomCoeffValues: String =
+    (0 until 3).map { i =>
+      val (a, b) = graft.functions.Hashing.affineCoeffs(i)
+      s"($i, ${a}::BIGINT, ${b}::BIGINT)"
+    }.mkString(", ")
+
+  /** CMS d=4 affine-coefficient VALUES rows. */
+  private lazy val cmsCoeffValues: String =
+    (0 until 4).map { i =>
+      val (a, b) = graft.functions.Hashing.affineCoeffs(i)
+      s"($i, ${a}::BIGINT, ${b}::BIGINT)"
+    }.mkString(", ")
 
   /** Winnowing (k=4-gram hashes, w=4 window minima, distinct) — mirrors
     * Dedup.winnowingFingerprints.

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — the lexical complement to
+  * the embedding-based similarity stack in [[graft.similarity.Ann]].
+  * A curation pipeline uses this to pull topic slices out of a raw corpus
+  * ("give me the top-k docs about X") without a trained model, and as the
+  * sparse half of hybrid (BM25 + dense) retrieval.
+  *
+  * Exactness discipline (the td26 pattern): the BM25 term contribution is
+  * pure per-scalar IEEE-double arithmetic — identical literal constants,
+  * identical expression shape in Spark and the DuckDB oracle — rounded to
+  * integer micro-nats PER (doc, term) and only then summed, so document
+  * scores are exact bigint sums and rank ties break deterministically.
+  *
+  * Scale shape: one token explode + hash agg for per-doc term frequencies;
+  * the query-term table is tiny and broadcast into a semi-filter; document
+  * length and the single-row corpus stats broadcast likewise. Nothing
+  * shuffles more than once and nothing is quadratic — at 100 TB this is
+  * the same two-hash-agg plan, and the final top-k is a
+  * TakeOrderedAndProject, not a global sort.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: rank documents against a bag of query terms.
+    *
+    * idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))   (Robertson-
+    * Sparck Jones, the Lucene variant — always positive)
+    * contrib(d, t) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    * score(d)      = Σ_t round(1e6 * contrib)               (exact bigint)
+    *
+    * Returns (doc col, n_terms_hit, score_micro, rk) for the top `k`
+    * by (score desc, doc id asc).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    // per-doc length (every token counts toward dl, query term or not)
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("dl"))
+    // corpus stats: N docs, avgdl — one row, broadcast
+    val stats = dl.agg(count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).cast("bigint").as("sum_dl"))
+    // tf restricted to query terms (broadcast semi-filter, then hash agg)
+    val terms = queryTerms.toDF("t")
+    val tf = toks.join(broadcast(terms), Seq("t"), "left_semi")
+      .groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    // df per query term — at most |queryTerms| rows
+    val dfreq = tf.groupBy(col("t"))
+      .agg(count(lit(1)).cast("bigint").as("n_df"))
+
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("n_df") + lit(0.5)) /
+          (col("n_df") + lit(0.5))))
+      .withColumn("norm",
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("sum_dl") / col("n_docs").cast("double")))))
+      .withColumn("c_micro",
+        round(lit(1e6) * col("idf") * col("norm")).cast("bigint"))
+
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_terms_hit"),
+        sum(col("c_micro")).cast("bigint").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("score_micro").desc, col(idCol).asc)).cast("int"))
+  }
+}

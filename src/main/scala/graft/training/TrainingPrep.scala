@@ -858,4 +858,41 @@ object TrainingPrep {
       .select(col(idCol), col(langCol), col("mean_unats"),
         col("rk").cast("int").as("rk"), col("bucket"))
   }
+
+  /** Exact per-group token-length quantiles (percentile_disc semantics):
+    * the p-quantile is the value at sorted 1-based index
+    * `max(1, ceil(p * n))` with the deterministic tie order
+    * (length asc, id asc). No interpolation, no floating percentile — the
+    * selected value is an actual corpus length, engine-exact.
+    *
+    * A curation report reads p50/p90/p99 per source to set chunking and
+    * truncation budgets (td42's inputs come from exactly this table).
+    *
+    * Scale shape: one token-count agg, then one window
+    * (row_number + count) per group partition. Exact quantiles need the
+    * per-group sort at any scale — that's inherent; at 100 TB you either
+    * pay this single range-partitioned sort per group or downgrade to
+    * td31's approximate quantiles. Groups are independent, so skew is
+    * bounded by the largest group, not the corpus.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val dl = df.select(col(groupCol), col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("dl"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("dl").asc, col(idCol).asc)
+    val ranked = dl
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))).cast("bigint"))
+    def pick(p: Double) = max(when(
+      col("rn") === greatest(lit(1L),
+        ceil(lit(p) * col("n").cast("double")).cast("bigint")),
+      col("dl")))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).cast("bigint").as("n_docs"),
+        pick(0.5).cast("bigint").as("p50"),
+        pick(0.9).cast("bigint").as("p90"),
+        pick(0.99).cast("bigint").as("p99"))
+  }
 }

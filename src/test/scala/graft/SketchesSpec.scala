@@ -1,0 +1,117 @@
+package graft
+
+import graft.sketch.Sketches
+import graft.text.Retrieval
+import graft.training.TrainingPrep
+import org.apache.spark.sql.functions._
+
+/** Specs for the sketch family (HLL / Bloom / Count-Min), BM25 retrieval,
+  * and exact quantiles — structural guarantees a hash mismatch wouldn't
+  * catch: sketch error bounds, no-false-negative membership, score formula
+  * equivalence against a Scala-side mirror.
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("hllDistinct: estimate within 15% on the documents corpus") {
+    val toks = Tables.documents(spark, sf("sf0.01"))
+      .select(lit("all").as("g"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+    val r = Sketches.hllDistinct(toks, "g", "t").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val est = row.getAs[Long]("est").toDouble
+    val exact = row.getAs[Long]("n_exact").toDouble
+    assert(exact > 0)
+    // m=64 gives a ~1.04/sqrt(64) = 13% standard error; 15% is one sigma
+    // plus slack — a register bug lands far outside it
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"est=$est exact=$exact off by ${math.abs(est - exact) / exact}")
+    assert(row.getAs[Int]("n_filled") + row.getAs[Int]("v_empty") == 64)
+  }
+
+  test("hllDistinct: linear counting regime is near-exact for small sets") {
+    import spark.implicits._
+    // 10 distinct values in 64 buckets: mostly-empty registers → the
+    // small-range correction applies, so est = round(m * ln(m / V))
+    // computed from the observed empty-bucket count V (bucket collisions
+    // are the hash's business; the correction formula is ours)
+    val df = (1 to 1000).map(i => ("g", s"v${i % 10}")).toDF("g", "t")
+    val row = Sketches.hllDistinct(df, "g", "t").collect().head
+    val est = row.getAs[Long]("est")
+    val v = row.getAs[Int]("v_empty")
+    assert(v >= 54, s"10 distinct values cannot fill ${64 - v} buckets")
+    val expected = math.round(64.0 * math.log(64.0 / v))
+    assert(est == expected, s"est=$est, linear counting gives $expected")
+  }
+
+  test("bm25TopK matches a Scala-side mirror of the formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a x"), (2L, "b c"), (3L, "a a a a"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"))).toMap
+    // mirror: N=4, avgdl=13/4; df(a)=2, df(b)=2
+    val n = 4.0; val avgdl = 13.0 / 4.0; val k1 = 1.2; val b = 0.75
+    def idf(dfq: Double) = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    def contrib(tf: Long, dl: Long, dfq: Double) = math.round(1e6 *
+      idf(dfq) * (tf * (k1 + 1.0) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))))
+    val exp = Map(
+      1L -> (contrib(2, 4, 2) + contrib(1, 4, 2)),
+      2L -> contrib(1, 2, 2),
+      3L -> contrib(4, 4, 2))
+    assert(got == exp, s"got=$got exp=$exp")
+    // doc 4 has no query terms — absent from the ranking
+    assert(!got.contains(4L))
+  }
+
+  test("bloomDecontam: no false negatives, flagged >= true overlap") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val r = Sketches.bloomDecontam(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"),
+      "doc_id", "text", n = 5).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val flagged = row.getAs[Long]("n_flagged")
+      val exact = row.getAs[Long]("n_true")
+      val total = row.getAs[Long]("n_shingles")
+      // Bloom's contract: a present element ALWAYS hits (no false negs)
+      assert(flagged >= exact,
+        s"doc ${row.get(0)}: flagged=$flagged < true=$exact")
+      assert(flagged <= total)
+    }
+  }
+
+  test("cmsHeavyHitters: estimate dominates exact count; top token sane") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val hh = Sketches.cmsHeavyHitters(docs, "text", k = 20).collect()
+    assert(hh.length == 20)
+    hh.foreach { row =>
+      // the CMS one-sided error guarantee
+      assert(row.getAs[Long]("est") >= row.getAs[Long]("n_exact"),
+        s"token ${row.get(0)}: est < exact")
+    }
+    // with 4x1024 cells over this corpus, collision noise is far below
+    // the head of the distribution: sketch top-1 = exact top-1
+    val exactTop = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).first()
+    assert(hh.head.getAs[String]("t") == exactTop.getAs[String]("t"))
+  }
+
+  test("lengthQuantiles: percentile_disc semantics on a known ladder") {
+    import spark.implicits._
+    // token lengths exactly 1..10 → p50 = 5, p90 = 9, p99 = ceil(9.9) = 10
+    val docs = (1 to 10).map(i => ("g", i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val row = TrainingPrep.lengthQuantiles(docs, "source", "doc_id", "text")
+      .collect().head
+    assert(row.getAs[Long]("n_docs") == 10L)
+    assert(row.getAs[Long]("p50") == 5L)
+    assert(row.getAs[Long]("p90") == 9L)
+    assert(row.getAs[Long]("p99") == 10L)
+  }
+}
