@@ -130,7 +130,7 @@ object Sketches {
     val candSh = cand.select(col(idCol),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
     val hits = bloomProbes(candSh, Hashing.portableHash(col("sh")))
-      .join(filter, Seq("word"), "left_outer")
+      .join(broadcast(filter), Seq("word"), "left_outer")
       .withColumn("hit",
         when(col("wbits").isNotNull &&
           (col("wbits").bitwiseAND(col("mask")) === col("mask")), 1)
@@ -138,7 +138,7 @@ object Sketches {
       .groupBy(col(idCol), col("sh"))
       .agg((sum(col("hit")) === lit(BloomK)).as("flagged"))
     val exact = candSh.join(
-        benchSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+        broadcast(benchSh.select(col("sh")).distinct()), Seq("sh"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("bigint").as("n_true"))
     hits.groupBy(col(idCol))
@@ -193,7 +193,7 @@ object Sketches {
             .when(col("i") === 2, Hashing.affinePerm(col("h"), 2))
             .otherwise(Hashing.affinePerm(col("h"), 3)),
           lit(CmsW)).cast("int"))
-      .join(cells, Seq("i", "c"))
+      .join(broadcast(cells), Seq("i", "c"))
       .groupBy(col("t"), col("n_exact"))
       .agg(min(col("cell")).cast("bigint").as("est"))
     est.orderBy(col("est").desc, col("t").asc).limit(k)

@@ -241,4 +241,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"), plan.linesIterator
       .filter(_.contains("partitioning")).mkString("\n"))
   }
+
+  test("td62 bloom decontam: the filter words broadcast, candidates never shuffle against them") {
+    val plan = formatted(q("td62_bloom_decontam"))
+    // the 8192-word filter (~32 KB) must be the broadcast side — a
+    // sort-merge join here would shuffle every candidate probe at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("td63 cms heavy hitters: the 4096-cell sketch broadcasts into the readback join") {
+    val plan = formatted(q("td63_cms_heavy"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+    // final top-k is a TakeOrdered, not a global sort of all tokens
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("td60 bm25: query terms and corpus stats broadcast; top-k is TakeOrdered") {
+    val plan = formatted(q("td60_bm25_topk"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("td61 hll: registers reduce via partial aggregation (map-side combine)") {
+    val plan = formatted(q("td61_hll_distinct"))
+    // two-phase hash agg: partial per input partition, final per group —
+    // the sketch property that makes it beat count-distinct at scale
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
