@@ -732,7 +732,31 @@ object TrainingQueries {
     "td64_length_quantiles" -> ((s, dir) =>
       graft.training.TrainingPrep.lengthQuantiles(
           Tables.documents(s, dir), "source", "doc_id", "text")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // Positional inverted index: (term, doc) -> tf + position csv — the
+    // storage half of the retrieval stack (td60 scores, this serves
+    // phrase queries).
+    "td65_inverted_index" -> ((s, dir) =>
+      graft.text.Retrieval.invertedIndex(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("t", "doc_id")),
+
+    // KMV bottom-k sketch set ops over per-source 3-gram shingle sets:
+    // distinct/union/Jaccard estimates per source pair with the exact
+    // Jaccard audit column (the approximate path for td51's matrix).
+    "td66_kmv_setops" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"),
+        explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("v"))
+      graft.sketch.Sketches.kmvSetOps(sh, "source", "v", k = 64)
+        .orderBy("ga", "gb")
+    }),
+
+    // PMI collocations: adjacent-token pairs in integer micro-nats, the
+    // phrase-detection pass (word2vec phrases) over the token stream.
+    "td67_collocations" -> ((s, dir) =>
+      graft.training.TrainingPrep.collocations(
+          Tables.documents(s, dir), "text", minCount = 25L, k = 30)))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -1890,7 +1914,88 @@ object TrainingQueries {
         |    CAST(n AS DOUBLE)) AS BIGINT)) THEN dl END) AS BIGINT) AS p90,
         |  CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(9.9e-1 *
         |    CAST(n AS DOUBLE)) AS BIGINT)) THEN dl END) AS BIGINT) AS p99
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "td65_inverted_index" ->
+      """WITH tt AS (SELECT doc_id, string_split(text,' ') AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(tk) AS t,
+        |    unnest(range(0, len(tk))) AS p FROM tt)
+        |SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |  string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS pos_csv
+        |FROM p GROUP BY 1, 2 ORDER BY t, doc_id""".stripMargin,
+
+    "td66_kmv_setops" ->
+      s"""WITH sh AS (SELECT source, unnest(list_transform(
+         |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(text,' ')
+         |      [CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS v
+         |  FROM documents),
+         |dv AS (SELECT DISTINCT source AS g, v FROM sh),
+         |hh AS (SELECT g, v, ${dh("v")} AS h FROM dv),
+         |sk AS (SELECT g, h FROM (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+         |  FROM hh) WHERE rn <= 64),
+         |pg AS (SELECT g, CAST(count(*) AS INT) AS n_sk, max(h) AS h_max
+         |  FROM sk GROUP BY 1),
+         |pr AS (SELECT a.g AS ga, a.n_sk AS n_a, a.h_max AS ha,
+         |    b.g AS gb, b.n_sk AS n_b, b.h_max AS hb
+         |  FROM pg a JOIN pg b ON a.g < b.g),
+         |mg AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (
+         |    SELECT pr.ga, pr.gb, sk.h, 1 AS in_a, 0 AS in_b
+         |    FROM pr JOIN sk ON sk.g = pr.ga
+         |    UNION ALL
+         |    SELECT pr.ga, pr.gb, sk.h, 0 AS in_a, 1 AS in_b
+         |    FROM pr JOIN sk ON sk.g = pr.gb)
+         |  GROUP BY 1, 2, 3),
+         |uk AS (SELECT ga, gb, CAST(count(*) AS INT) AS n_uk,
+         |    max(h) AS h_uk, CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+         |  FROM (SELECT ga, gb, h, in_a, in_b,
+         |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |    FROM mg) WHERE rn <= 64 GROUP BY 1, 2),
+         |ex AS (SELECT a.g AS ga, b.g AS gb,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM dv a JOIN dv b ON a.v = b.v AND a.g < b.g GROUP BY 1, 2),
+         |nx AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM dv GROUP BY 1)
+         |SELECT ga, gb,
+         |  CASE WHEN n_a < 64 THEN CAST(n_a AS BIGINT)
+         |    ELSE CAST(round(63e0 * 4294967296e0 / CAST(ha AS DOUBLE))
+         |      AS BIGINT) END AS est_a,
+         |  CASE WHEN n_b < 64 THEN CAST(n_b AS BIGINT)
+         |    ELSE CAST(round(63e0 * 4294967296e0 / CAST(hb AS DOUBLE))
+         |      AS BIGINT) END AS est_b,
+         |  CASE WHEN n_uk < 64 THEN CAST(n_uk AS BIGINT)
+         |    ELSE CAST(round(63e0 * 4294967296e0 / CAST(h_uk AS DOUBLE))
+         |      AS BIGINT) END AS est_union,
+         |  CAST(round(1e6 * CAST(n_common AS DOUBLE) /
+         |    CAST(least(n_uk, 64) AS DOUBLE)) AS BIGINT) AS jaccard_micro,
+         |  CAST(round(1e6 * CAST(coalesce(n_inter, 0) AS DOUBLE) /
+         |    CAST(nxa.n_exact + nxb.n_exact - coalesce(n_inter, 0)
+         |      AS DOUBLE)) AS BIGINT) AS exact_jaccard_micro
+         |FROM pr JOIN uk USING (ga, gb) LEFT JOIN ex USING (ga, gb)
+         |JOIN nx nxa ON nxa.g = ga JOIN nx nxb ON nxb.g = gb
+         |ORDER BY ga, gb""".stripMargin,
+
+    "td67_collocations" ->
+      """WITH tt AS (SELECT string_split(text,' ') AS tk FROM documents),
+        |pairs AS (SELECT unnest(tk[1:len(tk)-1]) AS x,
+        |    unnest(tk[2:len(tk)]) AS y FROM tt WHERE len(tk) >= 2),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 25),
+        |cu AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t
+        |  FROM (SELECT unnest(tk) AS t FROM tt) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs)
+        |    AS n_pairs,
+        |  (SELECT CAST(sum(c_t) AS BIGINT) FROM cu) AS n_toks)
+        |SELECT x, y, c_xy, CAST(round(1e6 * ln(
+        |    (c_xy / CAST(n_pairs AS DOUBLE)) /
+        |    ((cx.c_t / CAST(n_toks AS DOUBLE)) *
+        |     (cy.c_t / CAST(n_toks AS DOUBLE))))) AS BIGINT) AS pmi_micro
+        |FROM cxy JOIN cu cx ON cx.t = cxy.x JOIN cu cy ON cy.t = cxy.y
+        |CROSS JOIN tot
+        |ORDER BY pmi_micro DESC, x, y LIMIT 30""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -149,6 +149,92 @@ object Sketches {
       .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
   }
 
+  // ---- KMV (bottom-k) ---------------------------------------------------
+
+  /** KMV estimator: with k order statistics over a hash uniform on
+    * [0, 2^32), distinct ≈ (k-1) * 2^32 / h_(k); fewer than k distinct
+    * values means the sketch IS the exact set.
+    */
+  private def kmvEstimate(nSketch: org.apache.spark.sql.Column,
+      hMax: org.apache.spark.sql.Column, k: Int) =
+    when(nSketch < k, nSketch.cast("bigint"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
+        hMax.cast("double")).cast("bigint"))
+
+  /** Bottom-k (KMV) sketch set operations between every group pair:
+    * per-group distinct estimates, the union estimate from the merged
+    * bottom-k, and the Jaccard estimate (shared fraction of the union's
+    * k smallest — the standard KMV intersection trick), with the exact
+    * Jaccard alongside for the error audit.
+    *
+    * This is the sketch HLL cannot be: KMV supports INTERSECTION, so
+    * cross-source overlap matrices (td51's exact form) get a fixed-size
+    * approximate path. Scale shape: one distinct + one bottom-k window
+    * per group (k rows survive per group — the shuffle payload is the
+    * sketch), then pair algebra over |G|^2/2 * 2k rows, independent of
+    * corpus size. The exact-Jaccard audit join is test-scale only.
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String, k: Int)
+      : DataFrame = {
+    require(k > 1, s"k must be > 1: $k")
+    val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v")).distinct()
+    val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
+    // bottom-k per group (ties on h broken by value for determinism)
+    val wG = Window.partitionBy(col("g")).orderBy(col("h").asc, col("v").asc)
+    val sk = hashed.withColumn("rn", row_number().over(wG))
+      .where(col("rn") <= k)
+      .select(col("g"), col("h"))
+    val perGroup = sk.groupBy(col("g"))
+      .agg(count(lit(1)).cast("int").as("n_sk"), max(col("h")).as("h_max"))
+    val pairs = perGroup.select(col("g").as("ga"), col("n_sk").as("n_a"),
+        col("h_max").as("ha"))
+      .crossJoin(perGroup.select(col("g").as("gb"), col("n_sk").as("n_b"),
+        col("h_max").as("hb")))
+      .where(col("ga") < col("gb"))
+    // merged bottom-k of each pair's union, with membership flags
+    val aSide = broadcast(pairs.select("ga", "gb"))
+      .join(sk.withColumnRenamed("g", "ga"), Seq("ga"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+    val bSide = broadcast(pairs.select("ga", "gb"))
+      .join(sk.withColumnRenamed("g", "gb"), Seq("gb"))
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+    val merged = aSide.select("ga", "gb", "h", "in_a", "in_b")
+      .union(bSide.select("ga", "gb", "h", "in_a", "in_b"))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wP = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h").asc)
+    val unionK = merged.withColumn("rn", row_number().over(wP))
+      .where(col("rn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).cast("int").as("n_uk"), max(col("h")).as("h_uk"),
+        sum(col("in_a") * col("in_b")).cast("bigint").as("n_common"))
+    // exact audit: distinct-value intersection per pair
+    val exact = dv.withColumnRenamed("g", "ga")
+      .join(dv.withColumnRenamed("g", "gb"), Seq("v"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).cast("bigint").as("n_inter"))
+    val nExact = dv.groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("n_exact"))
+    pairs.join(unionK, Seq("ga", "gb"))
+      .join(exact, Seq("ga", "gb"), "left_outer")
+      .join(broadcast(nExact.select(col("g").as("ga"),
+        col("n_exact").as("nxa"))), Seq("ga"))
+      .join(broadcast(nExact.select(col("g").as("gb"),
+        col("n_exact").as("nxb"))), Seq("gb"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("ga"), col("gb"),
+        kmvEstimate(col("n_a"), col("ha"), k).as("est_a"),
+        kmvEstimate(col("n_b"), col("hb"), k).as("est_b"),
+        kmvEstimate(col("n_uk"), col("h_uk"), k).as("est_union"),
+        round(lit(1e6) * col("n_common").cast("double") /
+          least(col("n_uk"), lit(k)).cast("double")).cast("bigint")
+          .as("jaccard_micro"),
+        round(lit(1e6) * col("n_inter").cast("double") /
+          (col("nxa") + col("nxb") - col("n_inter")).cast("double"))
+          .cast("bigint").as("exact_jaccard_micro"))
+  }
+
   // ---- Count-Min --------------------------------------------------------
 
   /** CMS geometry: d = 4 rows × w = 1024 counters (4096 cells — ~32 KB,

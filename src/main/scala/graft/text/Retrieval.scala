@@ -82,4 +82,23 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window.orderBy(
           col("score_micro").desc, col(idCol).asc)).cast("int"))
   }
+
+  /** Positional inverted index — the storage half of the retrieval stack
+    * (BM25 above is the scoring half; phrase queries need the positions).
+    * One row per (term, doc): term frequency + the 0-based positions as a
+    * canonical csv (a flat string, not a nested array, so the parquet
+    * output is engine-hash-comparable and row-group friendly).
+    *
+    * Scale shape: one posexplode (a row per token) and ONE hash agg keyed
+    * (term, doc) — collect_list stays inside a single doc's token set, so
+    * no partial-agg blowup; the index partitions by term hash downstream
+    * (each executor owns a term shard, the classic sharded index build).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p", "t")))
+      .groupBy(col("t"), col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("tf"),
+        array_join(sort_array(collect_list(col("p"))), ",").as("pos_csv"))
 }

@@ -895,4 +895,51 @@ object TrainingPrep {
         pick(0.9).cast("bigint").as("p90"),
         pick(0.99).cast("bigint").as("p99"))
   }
+
+  /** Collocation mining: adjacent-token pairs ranked by pointwise mutual
+    * information — the corpus-analysis op behind phrase detection
+    * (word2vec's phrase pass, quality-signal "glued" bigrams).
+    *
+    * pmi = ln( (c_xy / N_pairs) / ((c_x / N_toks) * (c_y / N_toks)) ),
+    * in integer micro-nats (per-scalar FP, rounded once — the td26
+    * discipline). A `minCount` floor drops the unstable long tail (PMI
+    * of a count-1 pair is noise), then top-k by (pmi desc, x, y).
+    *
+    * Scale shape: pairs come from a per-row array transform (no
+    * self-join on positions), then ONE pair hash agg + a broadcast of
+    * the unigram table and the two 1-row totals. Nothing quadratic; the
+    * unigram broadcast is vocabulary-sized, which at 100 TB is still
+    * MB-scale after the same minCount floor.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = df.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    val pairs = toks.where(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("x"),
+          element_at(col("tk"), i + 2).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).cast("bigint").as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val uni = df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).cast("bigint").as("c_t"))
+    val totals = pairs.agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .crossJoin(uni.agg(sum(col("c_t")).cast("bigint").as("n_toks")))
+    cxy
+      .join(broadcast(uni.select(col("t").as("x"), col("c_t").as("c_x"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("t").as("y"), col("c_t").as("c_y"))),
+        Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro", round(lit(1e6) *
+        log((col("c_xy") / col("n_pairs").cast("double")) /
+          ((col("c_x") / col("n_toks").cast("double")) *
+           (col("c_y") / col("n_toks").cast("double")))))
+        .cast("bigint"))
+      .select(col("x"), col("y"), col("c_xy"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
 }

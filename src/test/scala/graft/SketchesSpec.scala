@@ -102,6 +102,73 @@ class SketchesSpec extends SparkSpec {
     assert(hh.head.getAs[String]("t") == exactTop.getAs[String]("t"))
   }
 
+  test("invertedIndex round-trips: positions reconstruct every document") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).limit(50).cache()
+    try {
+      val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+      // re-assemble each doc by placing every term at its listed positions
+      val rebuilt = idx
+        .select(col("doc_id"), col("t"),
+          explode(split(col("pos_csv"), ",")).as("ps"))
+        .select(col("doc_id"), col("t"), col("ps").cast("int").as("p"))
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          s => s.getField("t")), " ").as("text2"))
+      val diff = docs.join(rebuilt, "doc_id")
+        .where(col("text") =!= col("text2")).count()
+      assert(diff == 0)
+      // tf equals the number of listed positions
+      val badTf = idx.where(
+        size(split(col("pos_csv"), ",")) =!= col("tf")).count()
+      assert(badTf == 0)
+    } finally docs.unpersist()
+  }
+
+  test("kmvSetOps: exact below k, estimates track exact Jaccard above it") {
+    import spark.implicits._
+    // two sets of 20 distinct values sharing 10: under k=64 the sketch IS
+    // the set, so every estimate must be exact
+    val rows = ((1 to 20).map(i => ("a", s"v$i")) ++
+      (11 to 30).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val r = Sketches.kmvSetOps(rows, "g", "v", k = 64).collect().head
+    assert(r.getAs[Long]("est_a") == 20L)
+    assert(r.getAs[Long]("est_b") == 20L)
+    assert(r.getAs[Long]("est_union") == 30L)
+    assert(r.getAs[Long]("jaccard_micro") == r.getAs[Long]("exact_jaccard_micro"))
+    assert(r.getAs[Long]("exact_jaccard_micro") ==
+      math.round(1e6 * 10.0 / 30.0))
+    // above k: corpus shingle sets — the estimate stays in the right
+    // ballpark (KMV k=64 has ~12.5% relative error at one sigma)
+    val sh = Tables.documents(spark, sf("sf0.01")).select(col("source"),
+      explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("v"))
+    val pairs = Sketches.kmvSetOps(sh, "source", "v", k = 64).collect()
+    assert(pairs.length > 100)
+    pairs.foreach { row =>
+      val est = row.getAs[Long]("jaccard_micro").toDouble
+      val ex = row.getAs[Long]("exact_jaccard_micro").toDouble
+      assert(math.abs(est - ex) < 250000,
+        s"${row.get(0)}-${row.get(1)}: jacc est=$est exact=$ex")
+    }
+  }
+
+  test("collocations: planted glued bigram tops the PMI ranking") {
+    import spark.implicits._
+    // 'aa bb' always adjacent; 'cc' and 'dd' never adjacent to each other
+    val docs = Seq.fill(30)("aa bb cc dd").toDF("text")
+    val r = TrainingPrep.collocations(docs, "text", minCount = 5L, k = 10)
+      .collect()
+    // pairs: (aa,bb) (bb,cc) (cc,dd) each 30 times; all tokens c_t=30
+    // p(xy)=30/90, p(x)p(y)=(30/120)^2 → pmi = ln(16/3) for every pair —
+    // degenerate corpus gives ties; check the exact value and tie order
+    val expected = math.round(1e6 * math.log((30.0 / 90.0) / ((30.0 / 120.0) * (30.0 / 120.0))))
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("pmi_micro") == expected))
+    assert(r.map(row => (row.getString(0), row.getString(1))).toSeq ==
+      Seq(("aa", "bb"), ("bb", "cc"), ("cc", "dd")))
+  }
+
   test("lengthQuantiles: percentile_disc semantics on a known ladder") {
     import spark.implicits._
     // token lengths exactly 1..10 → p50 = 5, p90 = 9, p99 = ceil(9.9) = 10
