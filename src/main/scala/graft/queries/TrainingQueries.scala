@@ -756,7 +756,17 @@ object TrainingQueries {
     // phrase-detection pass (word2vec phrases) over the token stream.
     "td67_collocations" -> ((s, dir) =>
       graft.training.TrainingPrep.collocations(
-          Tables.documents(s, dir), "text", minCount = 25L, k = 30)))
+          Tables.documents(s, dir), "text", minCount = 25L, k = 30)),
+
+    // Hybrid retrieval (retrieve-then-rerank): BM25 top-50 lexical
+    // candidates re-ranked by dense cosine against a query embedding —
+    // sparse recall then dense precision, the production search shape.
+    "td68_hybrid_rerank" -> ((s, dir) =>
+      graft.text.Retrieval.hybridRerank(
+          Tables.documents(s, dir), Tables.embeddings(s, dir),
+          "doc_id", "text", Bm25Terms, queryVecId = 42L,
+          kLex = 50, k = 10)
+        .orderBy("rk")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -1995,7 +2005,42 @@ object TrainingQueries {
         |     (cy.c_t / CAST(n_toks AS DOUBLE))))) AS BIGINT) AS pmi_micro
         |FROM cxy JOIN cu cx ON cx.t = cxy.x JOIN cu cy ON cy.t = cxy.y
         |CROSS JOIN tot
-        |ORDER BY pmi_micro DESC, x, y LIMIT 30""".stripMargin)
+        |ORDER BY pmi_micro DESC, x, y LIMIT 30""".stripMargin,
+
+    "td68_hybrid_rerank" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |q AS (SELECT unnest(['hash','join','vector','stream']) AS t),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+         |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS n_df
+         |  FROM tf GROUP BY 1),
+         |contrib AS (SELECT tf.doc_id, CAST(round(1e6 *
+         |    ln(1e0 + (n_docs - n_df + 5e-1) / (n_df + 5e-1)) *
+         |    (tf * 2.2e0 / (tf + 1.2e0 * (2.5e-1 +
+         |      7.5e-1 * dl / (sum_dl / CAST(n_docs AS DOUBLE))))))
+         |    AS BIGINT) AS c_micro
+         |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats),
+         |lex AS (SELECT doc_id, score_micro,
+         |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |      AS INT) AS rk_lex
+         |  FROM (SELECT doc_id, CAST(sum(c_micro) AS BIGINT)
+         |      AS score_micro FROM contrib GROUP BY 1)
+         |  ORDER BY score_micro DESC, doc_id LIMIT 50),
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 42),
+         |scored AS (SELECT lex.doc_id, lex.score_micro, lex.rk_lex,
+         |    ${duckCos("qv.embedding", "c.embedding", 64)} AS cos
+         |  FROM lex JOIN embeddings c ON c.vec_id = lex.doc_id
+         |  CROSS JOIN qv)
+         |SELECT doc_id, score_micro, rk_lex, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+         |    AS rk
+         |FROM scored ORDER BY rk LIMIT 10""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

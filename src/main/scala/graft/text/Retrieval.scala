@@ -83,6 +83,42 @@ object Retrieval {
           col("score_micro").desc, col(idCol).asc)).cast("int"))
   }
 
+  /** Hybrid retrieval, the retrieve-then-rerank pattern: BM25 pulls a
+    * lexical candidate set (`kLex` docs), dense cosine against a query
+    * embedding re-ranks it, top `k` survive. This is the production
+    * retrieval shape — sparse recall (cheap over the whole corpus, an
+    * inverted-index lookup at scale) followed by dense precision over a
+    * candidate set small enough to score exactly.
+    *
+    * Scale shape: stage 1 is td60's two-hash-agg plan; stage 2 touches
+    * only `kLex` rows joined against the embedding table (an id equi-join
+    * that prunes to the candidate set) with the 1-row query vector
+    * broadcast. The expensive float work never sees the corpus.
+    */
+  def hybridRerank(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], queryVecId: Long,
+      kLex: Int, k: Int): DataFrame = {
+    import graft.similarity.Ann
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, kLex)
+      .withColumnRenamed("rk", "rk_lex")
+    val q = broadcast(emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"),
+        Ann.norm(col("embedding")).as("q_norm")))
+    val cand = lex
+      .join(emb.select(col("vec_id"), col("embedding").as("c_emb"),
+        Ann.norm(col("embedding")).as("c_norm")),
+        col(idCol) === col("vec_id"))
+      .crossJoin(q)
+      .withColumn("cos", Ann.dot(col("q_emb"), col("c_emb")) /
+        (col("q_norm") * col("c_norm")))
+    cand.orderBy(col("cos").desc, col(idCol).asc).limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("cos").desc, col(idCol).asc)).cast("int"))
+      .select(col(idCol), col("score_micro"), col("rk_lex"), col("cos"),
+        col("rk"))
+  }
+
   /** Positional inverted index — the storage half of the retrieval stack
     * (BM25 above is the scoring half; phrase queries need the positions).
     * One row per (term, doc): term frequency + the 0-based positions as a

@@ -67,6 +67,27 @@ class SketchesSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("hybridRerank: dense cosine re-orders the lexical candidates") {
+    import spark.implicits._
+    // docs 1-3 all match term 'a' (same tf, same dl → same BM25 score);
+    // embeddings point doc 3 at the query vector, doc 1 away from it
+    val docs = Seq((1L, "a p q"), (2L, "a r s"), (3L, "a t u"),
+      (4L, "z z z")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(-1f, 0f)), (2L, Array(0.5f, 0.5f)), (3L, Array(1f, 0.1f)),
+      (4L, Array(0f, 1f)), (42L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRerank(docs, emb, "doc_id", "text",
+      Seq("a"), queryVecId = 42L, kLex = 3, k = 3).collect()
+    // rerank order by cosine to (1,0): doc 3 (~0.995), doc 2 (0.707),
+    // doc 1 (-1); doc 4 never entered the lexical candidate set
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
+    // lexical ranks survive into the output (ties broke by doc_id)
+    assert(r.map(row => row.getAs[Long]("doc_id") ->
+      row.getAs[Int]("rk_lex")).toMap == Map(3L -> 3, 2L -> 2, 1L -> 1))
+    assert(r.head.getAs[Double]("cos") > 0.99)
+  }
+
   test("bloomDecontam: no false negatives, flagged >= true overlap") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val r = Sketches.bloomDecontam(
