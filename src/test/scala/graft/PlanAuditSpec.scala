@@ -272,4 +272,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("td65 inverted index: one hash agg, no window, no join") {
+    val plan = formatted(q("td65_inverted_index"))
+    assert(plan.contains("HashAggregate"), plan)
+    // positions collect within a (term, doc) group — a window over the
+    // token stream would single-task on a degenerate key at 100 TB
+    assert(!plan.contains("Window"), "index build grew a window")
+    assert(!plan.contains("Join"), "index build grew a join")
+  }
+
+  test("td66 kmv: bottom-k windows are group-partitioned, merges broadcast") {
+    val plan = formatted(q("td66_kmv_setops"))
+    // a window without PARTITION BY would sort every distinct value on
+    // one task; the sketch windows must partition by group / pair
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("No Partition Defined"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("td67 collocations: broadcast unigram table, top-k is TakeOrdered") {
+    val plan = formatted(q("td67_collocations"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("td68 hybrid rerank: candidate join broadcasts, rerank is TakeOrdered") {
+    val plan = formatted(q("td68_hybrid_rerank"))
+    // the 50-row lexical candidate set must be the broadcast side of the
+    // embedding join — the float work never shuffles the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

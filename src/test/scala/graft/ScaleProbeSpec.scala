@@ -241,4 +241,44 @@ class ScaleProbeSpec extends SparkSpec {
       assert(r < 60, s"semDedup 10x growth ratio $r suggests a pair-space cliff")
     } finally { small.unpersist(); big.unpersist() }
   }
+
+  test("bloom decontamination grows near-linearly over 10x candidates") {
+    import org.apache.spark.sql.functions.col
+    // the benchmark filter is FIXED-size (2^18 bits) — only the candidate
+    // probe volume scales, so the ratio must track the explode, never a
+    // candidate x benchmark join
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.sketch.Sketches.bloomDecontam(
+          small.where(col("doc_id") < 200), small.where(col("doc_id") >= 200),
+          "doc_id", "text", n = 5).count(),
+        graft.sketch.Sketches.bloomDecontam(
+          big.where(col("doc_id") < 200), big.where(col("doc_id") >= 200),
+          "doc_id", "text", n = 5).count(),
+        "bloom-decontam")
+      assert(r < 30, s"bloom 10x growth ratio $r suggests a join explosion")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("KMV set ops stay pair-algebra-bounded over 10x values") {
+    import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, pmod}
+    import graft.text.TextAnalysis
+    // 16 groups at both sizes: group size grows 10x but each sketch stays
+    // k rows, so the pair stage is constant and only the bottom-k windows
+    // scale — linear, never |values|^2
+    def grouped(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("g", concat_ws("", lit("g"), pmod(col("doc_id"), lit(16))))
+      .select(col("g"), explode(TextAnalysis.shingles(col("text"), 3)).as("v"))
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.sketch.Sketches.kmvSetOps(grouped(small), "g", "v", k = 64).count(),
+        graft.sketch.Sketches.kmvSetOps(grouped(big), "g", "v", k = 64).count(),
+        "kmv-setops")
+      assert(r < 30, s"kmv 10x growth ratio $r suggests a pair-space cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
 }
