@@ -766,7 +766,16 @@ object TrainingQueries {
           Tables.documents(s, dir), Tables.embeddings(s, dir),
           "doc_id", "text", Bm25Terms, queryVecId = 42L,
           kLex = 50, k = 10)
-        .orderBy("rk")))
+        .orderBy("rk")),
+
+    // Heaps'-law vocabulary growth: cumulative distinct vocab at
+    // 10%..100% token checkpoints (doc-id stream order) — does more
+    // data keep buying new vocabulary? Two-level prefix sum, no
+    // corpus-sized window.
+    "td69_vocab_growth" -> ((s, dir) =>
+      graft.training.TrainingPrep.vocabGrowth(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("j")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2040,7 +2049,28 @@ object TrainingQueries {
          |SELECT doc_id, score_micro, rk_lex, cos,
          |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
          |    AS rk
-         |FROM scored ORDER BY rk LIMIT 10""".stripMargin)
+         |FROM scored ORDER BY rk LIMIT 10""".stripMargin,
+
+    "td69_vocab_growth" ->
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |off AS (SELECT doc_id, CAST(coalesce(sum(dl) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS doc_off FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t,
+        |    unnest(range(0, len(string_split(text,' ')))) AS p
+        |  FROM documents),
+        |fp AS (SELECT t, min(doc_off + p + 1) AS fp
+        |  FROM tok JOIN off USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS n_total FROM dl),
+        |cp AS (SELECT CAST(j AS INT) AS j,
+        |    CAST((j * n_total) // 10 AS BIGINT) AS n_cum
+        |  FROM range(1, 11) r(j) CROSS JOIN tot)
+        |SELECT j, n_cum,
+        |  CAST(sum(CASE WHEN fp <= n_cum THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab
+        |FROM fp CROSS JOIN cp GROUP BY 1, 2 ORDER BY j""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -896,6 +896,56 @@ object TrainingPrep {
         pick(0.99).cast("bigint").as("p99"))
   }
 
+  /** Vocabulary growth curve (Heaps' law report): cumulative distinct
+    * vocabulary at 10%..100% token checkpoints of the corpus in doc-id
+    * order — the curve that says whether more data keeps buying new
+    * vocabulary (sub-linear growth flattening = diminishing corpus
+    * returns, the scaling-law input for tokenizer/corpus sizing).
+    *
+    * Each token's GLOBAL stream position comes from a two-level prefix
+    * sum — within-block window (partitioned by `doc_id div 1024`) plus a
+    * block-offset window over block TOTALS — so no window ever sees more
+    * than max(1024 docs, n_blocks) rows on one task; the naive global
+    * `Window.orderBy(doc_id)` would single-task the whole corpus.
+    * vocab(n) then = count of tokens whose FIRST position ≤ n (one agg),
+    * evaluated at 10 broadcast checkpoints. All integer arithmetic.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val dl = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("dl"))
+      .withColumn("blk", expr(s"$idCol div 1024"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = dl.withColumn("pre_in",
+      coalesce(sum(col("dl")).over(wIn), lit(0L)))
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = dl.groupBy(col("blk"))
+      .agg(sum(col("dl")).as("blk_total"))
+      .withColumn("blk_off", coalesce(sum(col("blk_total")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    val offsets = inBlk.join(broadcast(blkOff), Seq("blk"))
+      .select(col(idCol), (col("pre_in") + col("blk_off")).as("doc_off"))
+    val firstPos = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p", "t")))
+      .join(offsets, Seq(idCol))
+      .groupBy(col("t"))
+      .agg(min(col("doc_off") + col("p") + 1).as("fp"))
+    val total = dl.agg(sum(col("dl")).cast("bigint").as("n_total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cp = (1 to 10).toDF("j").crossJoin(broadcast(total))
+      .select(col("j"),
+        expr("(j * n_total) div 10").cast("bigint").as("n_cum"))
+    firstPos.crossJoin(broadcast(cp))
+      .groupBy(col("j"), col("n_cum"))
+      .agg(sum(when(col("fp") <= col("n_cum"), 1L).otherwise(0L))
+        .cast("bigint").as("vocab"))
+      .select(col("j"), col("n_cum"), col("vocab"))
+  }
+
   /** Collocation mining: adjacent-token pairs ranked by pointwise mutual
     * information — the corpus-analysis op behind phrase detection
     * (word2vec's phrase pass, quality-signal "glued" bigrams).

@@ -190,6 +190,43 @@ class SketchesSpec extends SparkSpec {
       Seq(("aa", "bb"), ("bb", "cc"), ("cc", "dd")))
   }
 
+  test("vocabGrowth: hand-computed curve on a two-doc corpus") {
+    import spark.implicits._
+    // stream: a b | b c → N=4; first positions a=1 b=2 c=4
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val r = TrainingPrep.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("j").collect()
+      .map(row => (row.getAs[Int]("j"), row.getAs[Long]("n_cum"),
+        row.getAs[Long]("vocab")))
+    assert(r.length == 10)
+    // n_cum = (j*4) div 10; vocab = |{fp <= n_cum}|
+    val exp = (1 to 10).map { j =>
+      val n = (j * 4L) / 10
+      (j, n, Seq(1L, 2L, 4L).count(_ <= n).toLong)
+    }
+    assert(r.toSeq == exp)
+    // the curve is monotone by construction
+    assert(r.map(_._3).toSeq == r.map(_._3).sorted.toSeq)
+  }
+
+  test("vocabGrowth: block-split prefix sums equal the corpus-order stream") {
+    // > 1024 docs forces multiple blocks: the two-level offset must give
+    // the same first positions as a single global prefix sum would
+    import spark.implicits._
+    val docs = (0 until 1500).map { i =>
+      (i.toLong, s"a${i % 97} b${i % 13} common")
+    }.toDF("doc_id", "text")
+    val r = TrainingPrep.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("j").collect()
+    // total = 4500 tokens; full-corpus checkpoint sees the whole vocab
+    assert(r.last.getAs[Long]("n_cum") == 4500L)
+    assert(r.last.getAs[Long]("vocab") == 97L + 13L + 1L)
+    // 10% checkpoint (450 tokens = 150 docs): docs 0..149 contain all 13
+    // w%13 tokens, w%97 values 0..96 only for i<97 → 97... i%97 cycles
+    // fully within 150 docs, so vocab(10%) is already the full 111
+    assert(r.head.getAs[Long]("vocab") == 111L)
+  }
+
   test("lengthQuantiles: percentile_disc semantics on a known ladder") {
     import spark.implicits._
     // token lengths exactly 1..10 → p50 = 5, p90 = 9, p99 = ceil(9.9) = 10
