@@ -775,7 +775,15 @@ object TrainingQueries {
     "td69_vocab_growth" -> ((s, dir) =>
       graft.training.TrainingPrep.vocabGrowth(
           Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("j")))
+        .orderBy("j")),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis, log
+    // form): 100 docs proportional to n_chars via deterministic hashed
+    // uniforms — per-row projection + TakeOrdered, no corpus shuffle.
+    "td70_weighted_sample" -> ((s, dir) =>
+      graft.training.TrainingPrep.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", k = 100)
+        .orderBy("rk")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2070,7 +2078,19 @@ object TrainingQueries {
         |SELECT j, n_cum,
         |  CAST(sum(CASE WHEN fp <= n_cum THEN 1 ELSE 0 END) AS BIGINT)
         |    AS vocab
-        |FROM fp CROSS JOIN cp GROUP BY 1, 2 ORDER BY j""".stripMargin)
+        |FROM fp CROSS JOIN cp GROUP BY 1, 2 ORDER BY j""".stripMargin,
+
+    "td70_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(round(1e9 * ln(
+         |      CAST(${dh("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) /
+         |        4294967296e0) /
+         |      CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_micro
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, w, key_micro,
+         |  CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+         |    AS INT) AS rk
+         |FROM s ORDER BY rk LIMIT 100""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -946,6 +946,35 @@ object TrainingPrep {
       .select(col("j"), col("n_cum"), col("vocab"))
   }
 
+  /** Weighted sampling without replacement, the Efraimidis–Spirakis
+    * one-pass form: each row draws a deterministic uniform u from the
+    * portable hash of its id and ranks by ln(u)/w — the top `k` keys ARE
+    * a weighted sample without replacement (u^(1/w) order, taken in log
+    * space so no cross-engine pow). The standard "sample 1M docs
+    * proportional to quality weight" curation step.
+    *
+    * Deterministic end to end: u = (hash(id)+1)/2^32 is seeded by the
+    * id, the key is one ln + one divide (per-scalar FP, micro-rounded),
+    * ties break by id. Scale shape: a per-row projection + ONE
+    * TakeOrdered top-k — no shuffle of the corpus, no global sort; at
+    * 100 TB each partition keeps its local top-k and the driver merges
+    * k rows per partition.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (Hashing.portableHash(col(idCol)) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    df.select(col(idCol), col(weightCol).cast("bigint").as("w"))
+      .where(col("w") > 0)
+      .withColumn("key_micro",
+        round(lit(1e9) * log(u) / col("w").cast("double")).cast("bigint"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("key_micro").desc, col(idCol).asc)).cast("int"))
+  }
+
   /** Collocation mining: adjacent-token pairs ranked by pointwise mutual
     * information — the corpus-analysis op behind phrase detection
     * (word2vec's phrase pass, quality-signal "glued" bigrams).

@@ -299,6 +299,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("td70 weighted sample: per-row keys + TakeOrdered, no shuffle before the top-k") {
+    val plan = formatted(q("td70_weighted_sample"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "weighted sample grew a hash shuffle")
+  }
+
   test("td68 hybrid rerank: candidate join broadcasts, rerank is TakeOrdered") {
     val plan = formatted(q("td68_hybrid_rerank"))
     // the 50-row lexical candidate set must be the broadcast side of the

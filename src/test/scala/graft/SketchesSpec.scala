@@ -190,6 +190,29 @@ class SketchesSpec extends SparkSpec {
       Seq(("aa", "bb"), ("bb", "cc"), ("cc", "dd")))
   }
 
+  test("weightedSample: keys match the Scala mirror; weight skews the draw") {
+    import spark.implicits._
+    // 500 light rows (w=1) vs 500 heavy rows (w=100): heavy rows should
+    // dominate the sample far beyond their 50% share
+    val rows = ((0L until 500L).map(i => (i, 1L)) ++
+      (500L until 1000L).map(i => (i, 100L))).toDF("doc_id", "wt")
+    val got = TrainingPrep.weightedSample(rows, "doc_id", "wt", k = 100)
+      .collect()
+    // exact key parity against the Scala md5 mirror
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Long]("w")
+      val h = graft.streaming.StreamingSketch.portableHash(id.toString)
+      val exp = math.round(1e9 * math.log((h + 1).toDouble / 4294967296.0) / w)
+      assert(r.getAs[Long]("key_micro") == exp, s"id=$id")
+    }
+    val heavy = got.count(_.getAs[Long]("doc_id") >= 500L)
+    assert(heavy > 85, s"only $heavy/100 heavy rows sampled")
+    // E-S keys are <= 0 and ranks are dense 1..100
+    assert(got.forall(_.getAs[Long]("key_micro") <= 0L))
+    assert(got.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 100))
+  }
+
   test("vocabGrowth: hand-computed curve on a two-doc corpus") {
     import spark.implicits._
     // stream: a b | b c → N=4; first positions a=1 b=2 c=4
