@@ -109,4 +109,43 @@ object Joins {
       .select(left.columns.map(col) ++
         payload.map(p => col(s"__match.$p").as(p)): _*)
   }
+
+  /** Banded range (interval) join — beyond the reference; the scale-safe
+    * form of `points.ts BETWEEN intervals.start AND intervals.end` with
+    * equality on `keys` (the attribution-window / maintenance-window /
+    * point-in-validity-period shape). Handing Catalyst the raw inequality
+    * pair yields a BroadcastNestedLoopJoin — an O(|points|·|intervals|)
+    * pair space that is a cliff at 100 TB. Here both sides are mapped
+    * onto fixed-width time bands (floor-div of BIGINT micros by
+    * `bandMicros`), turning the join into an EQUI-join on (keys, band)
+    * plus a residual filter: an interval explodes into one row per band
+    * it touches, a point lives in exactly ONE band, so every qualifying
+    * (point, interval) pair meets exactly once — no post-join dedup.
+    *
+    * Choose `bandMicros` ≈ the typical interval length: the explosion
+    * factor stays ≤ 2 while the band key keeps temporally-unrelated rows
+    * out of the same shuffle bucket. Banding uses true floor division
+    * (`(x - pmod(x, w)) div w`), so negative epochs band correctly —
+    * plain `div` truncates toward zero and would shift pre-1970 rows by
+    * one band. Inner-join semantics (recover unmatched intervals with a
+    * left_anti if needed); NULL keys or bounds drop, as in SQL. Hot keys
+    * compose with [[Skew.saltedJoin]] upstream. Column names must not
+    * collide across the two sides (alias first), and the three ts
+    * columns are BIGINT micros.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTs: String, startCol: String, endCol: String,
+      bandMicros: Long): DataFrame = {
+    require(bandMicros > 0, s"bandMicros must be positive: $bandMicros")
+    def bandOf(c: String): Column =
+      expr(s"(($c - pmod($c, ${bandMicros}L)) div ${bandMicros}L)")
+    val p = points.withColumn("__band", bandOf(pointTs))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__band",
+        explode(sequence(bandOf(startCol), bandOf(endCol))))
+    p.join(iv, keys :+ "__band")
+      .filter(col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol))
+      .drop("__band")
+  }
 }

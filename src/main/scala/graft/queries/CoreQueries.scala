@@ -443,6 +443,29 @@ object CoreQueries {
           gapMicros = 12L * 3600 * 1000000, valueCol = "value")
         .orderBy("user_id", "session_idx")),
 
+    // Banded range join (Spark has no built-in interval join — a raw
+    // BETWEEN pair predicate falls to a nested loop): each purchase is
+    // an attribution window [ts-12h, ts) collecting the same user's
+    // prior events — count + exact-cents value. Band = window width, so
+    // each window explodes to ≤2 band rows and the pair space is an
+    // equi-join on (user, band), never O(events × purchases).
+    "q59_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("w_start", col("c_us") - lit(43200000000L))
+        .withColumn("w_end", col("c_us") - lit(1L))
+      Joins.rangeJoin(pts, conv, Seq("user_id"), "p_us", "w_start", "w_end",
+          bandMicros = 43200000000L)
+        .groupBy("conv_id", "user_id", "c_us")
+        .agg(count(lit(1)).as("n_prior"),
+          sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+        .orderBy("conv_id")
+    }),
+
     // P4b — nested-record mutation via the config transform surface: a
     // dotted transform name rewrites a field INSIDE the struct-typed
     // record (the MiniElixir put_in / jsonb_set analog) — both REPLACING
@@ -791,6 +814,19 @@ object CoreQueries {
           |FROM purch p ASOF LEFT JOIN clicks c
           |  ON p.user_id = c.user_id AND p.ts_us >= c.prior_ts_us
           |ORDER BY p.event_id""".stripMargin,
+
+      "q59_range_join" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, value,
+          |    event_type FROM events),
+          |conv AS (SELECT event_id AS conv_id, user_id, us AS c_us
+          |  FROM ev WHERE event_type = 'purchase')
+          |SELECT c.conv_id, c.user_id, c.c_us,
+          |  CAST(count(*) AS BIGINT) AS n_prior,
+          |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+          |    AS value_cents
+          |FROM conv c JOIN ev p ON p.user_id = c.user_id
+          |  AND p.us BETWEEN c.c_us - 43200000000 AND c.c_us - 1
+          |GROUP BY 1, 2, 3 ORDER BY c.conv_id""".stripMargin,
 
       "q55_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value

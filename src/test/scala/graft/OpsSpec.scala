@@ -190,6 +190,44 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[String]("sval") == "zzz")
   }
 
+  test("rangeJoin: inclusive bounds, key isolation, multi-band exactly-once") {
+    import spark.implicits._
+    // band = 10: interval [5, 25] touches bands 0, 1, 2
+    val pts = Seq((1L, 5L, "at_start"), (1L, 25L, "at_end"),
+      (1L, 15L, "mid"), (1L, 4L, "before"), (1L, 26L, "after"),
+      (2L, 15L, "wrong_key"))
+      .toDF("k", "pus", "pid")
+    val iv = Seq((1L, 5L, 25L, "w1")).toDF("k", "ws", "we", "wid")
+    val out = Joins.rangeJoin(pts, iv, Seq("k"), "pus", "ws", "we",
+      bandMicros = 10L).collect()
+    // every qualifying pair appears EXACTLY once despite the 3-band
+    // explosion; bounds are inclusive on both ends; keys isolate
+    assert(out.map(_.getAs[String]("pid")).sorted.toSeq ==
+      Seq("at_end", "at_start", "mid"))
+  }
+
+  test("rangeJoin: parity with the naive nested-loop join; negative epochs band correctly") {
+    import spark.implicits._
+    // pseudo-random small corpus straddling zero (pre-1970 epochs):
+    // truncating div would shift negative bands by one — floor-div must not
+    val pts = (0 until 200).map { i =>
+      (i.toLong % 5, (i * 37 % 61).toLong - 30, i.toLong)
+    }.toDF("k", "pus", "pid")
+    val iv = (0 until 40).map { j =>
+      val s = (j * 53 % 47).toLong - 25
+      (j.toLong % 5, s, s + (j % 13).toLong, j.toLong)
+    }.toDF("k", "ws", "we", "wid")
+    val got = Joins.rangeJoin(pts, iv, Seq("k"), "pus", "ws", "we",
+        bandMicros = 7L)
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pts.as("p").join(iv.as("i"),
+        col("p.k") === col("i.k") &&
+          col("pus") >= col("ws") && col("pus") <= col("we"))
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == got.distinct.length)   // no duplicate pairs
+  }
+
   test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
     import spark.implicits._
     val df = Seq(

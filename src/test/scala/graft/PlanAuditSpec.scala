@@ -299,6 +299,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q59 range join: banding keeps the pair space an equi-join — no nested loop") {
+    val plan = formatted(q("q59_range_join"))
+    // the whole point of banding: a raw BETWEEN-pair predicate would fall
+    // to BroadcastNestedLoopJoin (O(points × intervals))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "range join lost its equi-join shape")
+  }
+
   test("td70 weighted sample: per-row keys + TakeOrdered, no shuffle before the top-k") {
     val plan = formatted(q("td70_weighted_sample"))
     assert(plan.contains("TakeOrderedAndProject"), plan)
