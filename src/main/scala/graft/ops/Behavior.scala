@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream (beyond the reference —
+  * these are the queries its users run downstream of delivery, expressed
+  * engine-side): ordered-step funnels, event-transition matrices, cohort
+  * retention. All integer micros end to end; every op is one-or-few
+  * map-side-combinable aggregations over a single (user) shuffle — no
+  * self-joins of the raw event table against itself.
+  */
+object Behavior {
+
+  /** Ordered-step funnel: for each user, the earliest strictly-ordered
+    * completion chain through `steps` — t1 = min ts of step 1,
+    * t_i = min ts of step i AFTER t_{i-1} — plus the reached depth.
+    * Users who never hit step 1 are excluded (depth-0 rows carry no
+    * information the total user count doesn't).
+    *
+    * Scale shape: the chained conditional minima are whole-partition
+    * window aggregates over ONE hash partitioning on `userCol` — k steps
+    * cost k Window passes over the same Exchange, not k self-joins of
+    * the 100 TB event table. `tsCol` is BIGINT micros.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(userCol)
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"t${i}_us")
+      df.withColumn(s"t${i + 1}_us", min(when(cond, col(tsCol))).over(w))
+    }
+    val tCols = steps.indices.map(i => s"t${i + 1}_us")
+    // t_i non-null implies t_{i-1} non-null (the chain), so depth is just
+    // the count of reached stages
+    val depth = tCols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    withTs
+      .groupBy(col(userCol))
+      .agg(max(col(tCols.head)).as(tCols.head),
+        tCols.tail.map(c => max(col(c)).as(c)): _*)
+      .filter(col(tCols.head).isNotNull)
+      .withColumn("depth", depth.cast("int"))
+  }
+
+  /** Event-type transition matrix: adjacent-pair counts in each user's
+    * ts-ordered stream, with the per-source total and an integer
+    * parts-per-million transition probability (exact `div` — no FP).
+    * `tieCol` breaks equal-ts ordering deterministically.
+    *
+    * One (user) shuffle for the lead window, then two tiny aggregations
+    * over the |types|² pair space.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+    pairs
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("prob_ppm", expr("(n * 1000000L) div n_from"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the epoch-week of their
+    * first event (the cohort), counted once per (cohort, week-offset)
+    * they were active in. The classic retention triangle.
+    *
+    * Scale shape: the raw table collapses to distinct (user, week) FIRST
+    * (map-side combined), so the cohort join touches one row per
+    * user-week, never raw events; the cohort side is one row per user.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val active = events
+      .select(col(userCol), expr(s"$tsCol div ${weekUs}L").as("wk"))
+      .distinct()
+    val cohorts = active.groupBy(userCol).agg(min("wk").as("cohort_wk"))
+    active.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -466,6 +466,39 @@ object CoreQueries {
         .orderBy("conv_id")
     }),
 
+    // Ordered-step funnel signup → click → purchase: earliest strictly-
+    // ordered chain per user + reached depth. Chained conditional minima
+    // as whole-partition windows — ONE user shuffle, not k self-joins.
+    "q60_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      Behavior.funnel(ev, "user_id", "us", "event_type",
+          Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
+    // Event-type transition matrix: adjacent-pair counts in each user's
+    // ts-ordered stream + integer ppm probabilities. One lead window,
+    // then aggregation over the |types|² pair space.
+    "q61_event_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      Behavior.transitions(ev, "user_id", "us", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Weekly cohort retention triangle: users bucketed by first-event
+    // epoch week, counted per active week offset. Raw events collapse to
+    // distinct (user, week) before anything joins.
+    "q62_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      Behavior.cohortRetention(ev, "user_id", "us")
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // P4b — nested-record mutation via the config transform surface: a
     // dotted transform name rewrites a field INSIDE the struct-typed
     // record (the MiniElixir put_in / jsonb_set analog) — both REPLACING
@@ -827,6 +860,53 @@ object CoreQueries {
           |FROM conv c JOIN ev p ON p.user_id = c.user_id
           |  AND p.us BETWEEN c.c_us - 43200000000 AND c.c_us - 1
           |GROUP BY 1, 2, 3 ORDER BY c.conv_id""".stripMargin,
+
+      "q60_funnel" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+          |  FROM events),
+          |s1 AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'signup' THEN us END) AS t1_us
+          |  FROM e GROUP BY 1),
+          |s2 AS (SELECT e.user_id,
+          |    min(CASE WHEN e.event_type = 'click' AND e.us > s1.t1_us
+          |      THEN e.us END) AS t2_us
+          |  FROM e JOIN s1 USING (user_id) GROUP BY 1),
+          |s3 AS (SELECT e.user_id,
+          |    min(CASE WHEN e.event_type = 'purchase' AND e.us > s2.t2_us
+          |      THEN e.us END) AS t3_us
+          |  FROM e JOIN s2 USING (user_id) GROUP BY 1)
+          |SELECT s1.user_id, t1_us, t2_us, t3_us,
+          |  CAST(CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END
+          |     + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+          |     + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+          |    AS depth
+          |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+          |WHERE t1_us IS NOT NULL ORDER BY s1.user_id""".stripMargin,
+
+      "q61_event_transitions" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |    event_type FROM events),
+          |p AS (SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY us, event_id) AS to_type FROM e),
+          |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+          |  CAST((n * 1000000) //
+          |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+          |    AS BIGINT) AS prob_ppm
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+      "q62_cohort_retention" ->
+        """WITH a AS (SELECT DISTINCT user_id,
+          |    epoch_us(ts) // 604800000000 AS wk FROM events),
+          |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+          |SELECT c.cohort_wk, CAST(a.wk - c.cohort_wk AS INT)
+          |    AS week_offset,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM a JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
 
       "q55_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value

@@ -228,6 +228,64 @@ class OpsSpec extends SparkSpec {
     assert(got.length == got.distinct.length)   // no duplicate pairs
   }
 
+  test("funnel: strictly-ordered chain, depth counts, no-step-1 users dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "signup"), (2L, 5L, "click"),  // click BEFORE signup
+      (3L, 10L, "click"), (3L, 20L, "purchase"), // never signed up
+      (4L, 10L, "signup"), (4L, 10L, "click"),   // equal ts: strict >
+      // click-after-signup is at 20, so the purchase at 15 doesn't chain
+      (5L, 10L, "signup"), (5L, 5L, "click"), (5L, 20L, "click"),
+      (5L, 15L, "purchase"))
+      .toDF("user_id", "us", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "us", "event_type",
+      Seq("signup", "click", "purchase")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Int]("depth"), Option(r.getAs[Any]("t2_us")))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))   // user 3 dropped
+    assert(out(1L) == (3, Some(20L)))
+    assert(out(2L) == (1, None))                 // pre-signup click ignored
+    assert(out(4L) == (1, None))                 // ts tie is not "after"
+    assert(out(5L) == (2, Some(20L)))            // purchase predates t2
+  }
+
+  test("transitions: lead pairs per user, event_id tiebreak, integer ppm") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 stream: a b a b  →  a→b ×2, b→a ×1
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (1L, 4L, 40L, "b"),
+      // user 2 stream: a b c  →  a→b, b→c ; b and c share ts=20, the
+      // event_id tiebreak orders b before c
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "b"), (2L, 7L, 20L, "c"))
+      .toDF("user_id", "event_id", "us", "event_type")
+    val out = Behavior.transitions(ev, "user_id", "us", "event_id",
+        "event_type").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"),
+          r.getAs[Long]("prob_ppm"))).toMap
+    assert(out == Map(
+      ("a", "b") -> (3L, 3L, 1000000L),
+      ("b", "a") -> (1L, 2L, 500000L),
+      ("b", "c") -> (1L, 2L, 500000L)))
+  }
+
+  test("cohortRetention: first-week cohorts, user-weeks counted once") {
+    import spark.implicits._
+    val wk = 604800000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, wk + 5L),  // cohort 0: wk0 twice (dedups), wk1
+      (2L, wk * 2), (2L, wk * 4),         // cohort 2: offsets 0 and 2
+      (3L, wk * 2 + 3L))                  // cohort 2: offset 0
+      .toDF("user_id", "us")
+    val out = Behavior.cohortRetention(ev, "user_id", "us").collect()
+      .map(r => (r.getAs[Long]("cohort_wk"), r.getAs[Int]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map((0L, 0) -> 1L, (0L, 1) -> 1L,
+      (2L, 0) -> 2L, (2L, 2) -> 1L))
+  }
+
   test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
     import spark.implicits._
     val df = Seq(

@@ -262,6 +262,37 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("banded range join grows near-linearly over 10x (points + intervals)") {
+    import spark.implicits._
+    // time domain grows with n so per-(key, band) density is CONSTANT:
+    // ~10 points and ~2 intervals per cell at every scale. A nested-loop
+    // fallback would show ~100x on 10x data; banding must track ~10x.
+    def synth(n: Int) = {
+      val pts = (0 until n).map { i =>
+        (i.toLong % 50, (i.toLong * 997) % (n.toLong * 10), i.toLong)
+      }.toDF("k", "pus", "pid").repartition(32).cache()
+      val iv = (0 until n / 5).map { j =>
+        val s = (j.toLong * 4999) % (n.toLong * 10)
+        (j.toLong % 50, s, s + 5000L, j.toLong)
+      }.toDF("k", "ws", "we", "wid").repartition(32).cache()
+      (pts, iv)
+    }
+    val (ps, is_) = synth(SmallN * 4)
+    val (pb, ib) = synth(BigN * 4)
+    try {
+      val r = ratioOf(
+        graft.ops.Joins.rangeJoin(ps, is_, Seq("k"), "pus", "ws", "we",
+          bandMicros = 5000L).count(),
+        graft.ops.Joins.rangeJoin(pb, ib, Seq("k"), "pus", "ws", "we",
+          bandMicros = 5000L).count(),
+        "range-join")
+      assert(r < 30,
+        s"range join 10x growth ratio $r suggests a nested-loop fallback")
+    } finally {
+      ps.unpersist(); is_.unpersist(); pb.unpersist(); ib.unpersist()
+    }
+  }
+
   test("KMV set ops stay pair-algebra-bounded over 10x values") {
     import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, pmod}
     import graft.text.TextAnalysis
