@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over co-occurrence graphs (beyond the reference —
+  * centrality and clustering reports downstream of the event/order
+  * stream: product affinity, corpus link quality).
+  *
+  * Everything is exact-integer and deterministic: PageRank runs a FIXED
+  * iteration count in parts-per-million units with truncating division
+  * (identical on any engine — no FP convergence wobble), and triangle
+  * counting orients every edge from its lower-(degree, id) endpoint so
+  * each triangle is found exactly once and per-node probe work is bounded
+  * by oriented out-degree (the standard skew-proof formulation — a hub
+  * with degree d is the *target* of its edges, never the side that fans
+  * out d² wedge candidates).
+  */
+object GraphOps {
+
+  /** Distinct undirected co-occurrence edges `(a < b)` from a
+    * (group, item) incidence table: items sharing a group get an edge.
+    * The self-join shuffles on the group key only; group sizes are
+    * bounded by the basket/document width, so pair expansion per group
+    * is O(width²), never O(table).
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String)
+      : DataFrame = {
+    val inc = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    inc.join(inc.select(col("__g"), col("__i").as("__j")), Seq("__g"))
+      .filter(col("__i") < col("__j"))
+      .select(col("__i").as("a"), col("__j").as("b"))
+      .distinct()
+  }
+
+  /** Fixed-iteration integer PageRank over undirected edges `(a, b)`:
+    * r₀ = 1e6 ppm per node; rₜ₊₁(v) = 150000 + (850000 · Σ_{u∼v}
+    * (rₜ(u) div deg(u))) div 1e6 — damping 0.85 in exact ppm. Every node
+    * of an undirected graph has deg ≥ 1 and in-neighbors, so no dangling
+    * mass. Returns the top `k` nodes: (node_id, deg, rank_ppm).
+    *
+    * Scale shape: each iteration is one equi-join shuffle on the node id
+    * plus a map-side-combinable sum — the canonical distributed PageRank;
+    * the fixed `iters` bounds total cost at iters × one-pass.
+    */
+  def pageRank(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val adj = edges.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+    val deg = adj.groupBy(col("s"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+    var r = deg.select(col("s"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(r, Seq("s")).join(deg, Seq("s"))
+        .groupBy(col("d"))
+        .agg(sum(expr("r div deg")).cast("bigint").as("c"))
+      r = contrib.select(col("d").as("s"),
+        (lit(150000L) + expr("(c * 850000) div 1000000")).as("r"))
+    }
+    r.join(deg, Seq("s"))
+      .select(col("s").as("node_id"), col("deg"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("node_id").asc)
+      .limit(k)
+  }
+
+  /** Global triangle census over undirected edges `(a, b)`: node/edge
+    * counts, wedge count Σ deg·(deg−1)/2, triangle count, and the global
+    * clustering coefficient 3·Δ/wedges in exact ppm. One row.
+    *
+    * Each edge is oriented low→high by (degree, id); triangles close via
+    * two equi-joins over the oriented list, so a degree-d hub never fans
+    * out d² candidates (its edges point INTO it).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+    val deg = adj.groupBy(col("s"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("s").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("s").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("s"),
+      when(aFirst, col("b")).otherwise(col("a")).as("d"))
+    val e1 = oriented.select(col("s"), col("d").as("v"))
+    val e2 = oriented.select(col("s"), col("d").as("w"))
+    val wedges = e1.join(e2, Seq("s")).filter(col("v") < col("w"))
+    val triangles = wedges
+      .join(oriented.select(col("s").as("v"), col("d").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+    val base = deg.agg(
+      count(lit(1)).cast("bigint").as("n_nodes"),
+      expr("sum(deg) div 2").cast("bigint").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("bigint").as("n_wedges"))
+    base.crossJoin(triangles)
+      .withColumn("gcc_ppm",
+        expr("(3 * n_triangles * 1000000) div n_wedges"))
+  }
+}

@@ -69,6 +69,36 @@ object Behavior {
       .withColumn("prob_ppm", expr("(n * 1000000L) div n_from"))
   }
 
+  /** Trailing-window anomaly flags: an event is anomalous when its value
+    * deviates from the mean of the user's previous `lookback` values by
+    * more than `kSigma` standard deviations. The z² test is cross-
+    * multiplied into exact integers — with n = window count, s = Σc,
+    * q = Σc², flag iff `(n·c − s)² > k²·(n·q − s²)` — so there is no FP
+    * mean/variance anywhere and the flags are engine-reproducible.
+    *
+    * Scale shape: one hash partitioning on `userCol`, one bounded-frame
+    * window pass (three running sums share the frame); no self-join of
+    * the event table against its own history.
+    */
+  def anomalies(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, centsCol: String, lookback: Int = 20,
+      minN: Int = 10, kSigma: Int = 3): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val c = col(centsCol)
+    val flagged = events
+      .withColumn("win_n", count(c).over(w).cast("bigint"))
+      .withColumn("__s", sum(c).over(w))
+      .withColumn("__q", sum(c * c).over(w))
+      .withColumn("dev2",
+        (col("win_n") * c - col("__s")) * (col("win_n") * c - col("__s")))
+      .withColumn("thr", lit(kSigma.toLong * kSigma) *
+        (col("win_n") * col("__q") - col("__s") * col("__s")))
+    flagged
+      .filter(col("win_n") >= minN && col("dev2") > col("thr"))
+      .drop("__s", "__q")
+  }
+
   /** Weekly cohort retention: users bucketed by the epoch-week of their
     * first event (the cohort), counted once per (cohort, week-offset)
     * they were active in. The classic retention triangle.

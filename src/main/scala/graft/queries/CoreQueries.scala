@@ -499,6 +499,51 @@ object CoreQueries {
         .orderBy("cohort_wk", "week_offset")
     }),
 
+    // Interval-union coverage: per-user total covered time over value-
+    // scaled activity spans, by sweep line (two windows over one sort) —
+    // never an interval×interval self-join.
+    "q63_interval_coverage" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 100).cast("bigint") * 10000L).as("e_us"))
+      Intervals.coverage(iv, "user_id", "s_us", "e_us", "event_id")
+        .orderBy("user_id")
+    }),
+
+    // Trailing-window anomaly flags: value deviates from the user's
+    // previous-20 mean by >3σ, tested in cross-multiplied exact integers
+    // (no FP mean/variance).
+    "q64_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("bigint").as("value_cents"))
+      Behavior.anomalies(ev, "user_id", "us", "event_id", "value_cents")
+        .select("event_id", "user_id", "value_cents", "win_n", "dev2",
+          "thr")
+        .orderBy("event_id")
+    }),
+
+    // Fixed-iteration integer PageRank over the co-purchase graph
+    // (parts sharing an order): product centrality, deterministic ppm
+    // arithmetic, one equi-join shuffle per iteration.
+    "q65_pagerank" -> ((s, dir) => {
+      val edges = graft.graph.GraphOps.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.graph.GraphOps.pageRank(edges, iters = 3, k = 50)
+    }),
+
+    // Degree-oriented triangle census of the co-purchase graph: wedges,
+    // triangles, global clustering coefficient in exact ppm — each edge
+    // oriented low→high degree so hubs never fan out d² candidates.
+    "q66_triangles" -> ((s, dir) => {
+      val edges = graft.graph.GraphOps.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.graph.GraphOps.triangleStats(edges)
+    }),
+
     // P4b — nested-record mutation via the config transform surface: a
     // dotted transform name rewrites a field INSIDE the struct-typed
     // record (the MiniElixir put_in / jsonb_set analog) — both REPLACING
@@ -907,6 +952,102 @@ object CoreQueries {
           |  CAST(count(*) AS BIGINT) AS n_users
           |FROM a JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+
+      "q63_interval_coverage" ->
+        """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+          |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000
+          |      AS e_us
+          |  FROM events),
+          |sw AS (SELECT *, max(e_us) OVER (PARTITION BY user_id
+          |      ORDER BY s_us, e_us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |    AS prev_end FROM iv),
+          |fl AS (SELECT *, CASE WHEN prev_end IS NULL
+          |      OR s_us > prev_end THEN 1 ELSE 0 END AS is_new FROM sw),
+          |sp AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+          |      ORDER BY s_us, e_us, event_id ROWS UNBOUNDED PRECEDING)
+          |    AS span FROM fl),
+          |agg AS (SELECT user_id, span, min(s_us) AS ss, max(e_us) AS ee,
+          |    count(*) AS n FROM sp GROUP BY 1, 2)
+          |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+          |  CAST(count(*) AS BIGINT) AS n_spans,
+          |  CAST(sum(ee - ss) AS BIGINT) AS covered_us
+          |FROM agg GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      "q64_anomaly" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+          |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+          |w AS (SELECT event_id, user_id, c,
+          |    CAST(count(c) OVER win AS BIGINT) AS n,
+          |    CAST(sum(c) OVER win AS BIGINT) AS s,
+          |    CAST(sum(c * c) OVER win AS BIGINT) AS q
+          |  FROM e WINDOW win AS (PARTITION BY user_id
+          |    ORDER BY us, event_id ROWS BETWEEN 20 PRECEDING
+          |    AND 1 PRECEDING))
+          |SELECT event_id, user_id, c AS value_cents, n AS win_n,
+          |  (n * c - s) * (n * c - s) AS dev2,
+          |  9 * (n * q - s * s) AS thr
+          |FROM w WHERE n >= 10
+          |  AND (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
+          |ORDER BY event_id""".stripMargin,
+
+      "q65_pagerank" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |adj AS (SELECT a AS s, b AS d FROM ed
+          |  UNION ALL SELECT b, a FROM ed),
+          |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+          |  FROM adj GROUP BY 1),
+          |r0 AS (SELECT s, CAST(1000000 AS BIGINT) AS r FROM dg),
+          |c1 AS (SELECT adj.d AS s, CAST(sum(r0.r // dg.deg) AS BIGINT)
+          |    AS c FROM adj JOIN r0 ON r0.s = adj.s
+          |  JOIN dg ON dg.s = adj.s GROUP BY 1),
+          |r1 AS (SELECT s, CAST(150000 + (c * 850000) // 1000000
+          |    AS BIGINT) AS r FROM c1),
+          |c2 AS (SELECT adj.d AS s, CAST(sum(r1.r // dg.deg) AS BIGINT)
+          |    AS c FROM adj JOIN r1 ON r1.s = adj.s
+          |  JOIN dg ON dg.s = adj.s GROUP BY 1),
+          |r2 AS (SELECT s, CAST(150000 + (c * 850000) // 1000000
+          |    AS BIGINT) AS r FROM c2),
+          |c3 AS (SELECT adj.d AS s, CAST(sum(r2.r // dg.deg) AS BIGINT)
+          |    AS c FROM adj JOIN r2 ON r2.s = adj.s
+          |  JOIN dg ON dg.s = adj.s GROUP BY 1),
+          |r3 AS (SELECT s, CAST(150000 + (c * 850000) // 1000000
+          |    AS BIGINT) AS r FROM c3)
+          |SELECT r3.s AS node_id, dg.deg, r3.r AS rank_ppm
+          |FROM r3 JOIN dg ON dg.s = r3.s
+          |ORDER BY rank_ppm DESC, node_id LIMIT 50""".stripMargin,
+
+      "q66_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |adj AS (SELECT a AS s, b AS d FROM ed
+          |  UNION ALL SELECT b, a FROM ed),
+          |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+          |  FROM adj GROUP BY 1),
+          |o AS (SELECT CASE WHEN da.deg < db.deg
+          |      OR (da.deg = db.deg AND ed.a < ed.b) THEN ed.a
+          |      ELSE ed.b END AS s,
+          |    CASE WHEN da.deg < db.deg
+          |      OR (da.deg = db.deg AND ed.a < ed.b) THEN ed.b
+          |      ELSE ed.a END AS d
+          |  FROM ed JOIN dg da ON da.s = ed.a JOIN dg db ON db.s = ed.b),
+          |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.d < e2.d
+          |  JOIN o e3 ON e3.s = e1.d AND e3.d = e2.d)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_nodes,
+          |  (SELECT CAST(sum(deg) // 2 AS BIGINT) FROM dg) AS n_edges,
+          |  (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM dg)
+          |    AS n_wedges,
+          |  tri.n_triangles,
+          |  CAST((3 * tri.n_triangles * 1000000) //
+          |    (SELECT sum((deg * (deg - 1)) // 2) FROM dg) AS BIGINT)
+          |    AS gcc_ppm
+          |FROM tri""".stripMargin,
 
       "q55_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value

@@ -286,6 +286,42 @@ class OpsSpec extends SparkSpec {
       (2L, 0) -> 2L, (2L, 2) -> 1L))
   }
 
+  test("interval coverage: running-max sweep merges containment and touch") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: long interval CONTAINS the second; third starts before the
+      // long one ends — a lag-based sweep (prev row's end, not running
+      // max) would wrongly split after the short [10,20)
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 30L, 120L),
+      // key 2: touching intervals merge (half-open), then a gap
+      (2L, 4L, 0L, 10L), (2L, 5L, 10L, 20L), (2L, 6L, 25L, 30L))
+      .toDF("k", "id", "s_us", "e_us")
+    val got = Intervals.coverage(iv, "k", "s_us", "e_us", "id").collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("covered_us"))).toMap
+    assert(got(1L) == (3L, 1L, 120L))
+    assert(got(2L) == (3L, 2L, 25L))
+  }
+
+  test("anomalies: integer z² flags spikes, honors min-n and variance") {
+    import spark.implicits._
+    val flat = (1L to 12L).map(i => (1L, i, i, 100L))       // zero variance
+    val young = (1L to 5L).map(i => (2L, 100 + i, i, 100L)) // n < 10
+    val noisy = (1L to 10L).map(i =>                        // alternating
+      (3L, 200 + i, i, if (i % 2 == 0) 90L else 110L))      // 90/110
+    val ev = (flat ++ Seq((1L, 13L, 13L, 200L)) ++
+      young ++ Seq((2L, 106L, 6L, 9999L)) ++
+      noisy ++ Seq((3L, 211L, 11L, 110L), (3L, 212L, 12L, 200L)))
+      .toDF("user_id", "event_id", "us", "c")
+    val got = Behavior.anomalies(ev, "user_id", "us", "event_id", "c")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    // user 1: spike over a zero-variance window (thr = 0) flags;
+    // user 2: wild value but only 5 priors — under min-n, silent;
+    // user 3: 110 inside the noise band (dev² 10000 < thr 90000) is NOT
+    // flagged, 200 (dev² ~1e6) is. The 212 window holds 11 values.
+    assert(got == Set(13L, 212L))
+  }
+
   test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
     import spark.implicits._
     val df = Seq(

@@ -316,6 +316,29 @@ class PlanAuditSpec extends SparkSpec {
       "weighted sample grew a hash shuffle")
   }
 
+  test("graph queries: co-occurrence build and closures stay equi-joins") {
+    // the co-purchase self-join must be an equi-join on the order key
+    // (bounded groups), PageRank iterations equi-joins on the node id,
+    // and the triangle closure two equi-joins over the oriented list —
+    // any CartesianProduct/BNLJ here is the O(n²) cliff the degree
+    // orientation exists to avoid. (q66's final one-row stats crossJoin
+    // of two singleton aggregates is the only BNLJ-free exception and
+    // shows up as a broadcast of one row, not a nested loop over data.)
+    for (name <- Seq("q65_pagerank", "q66_triangles")) {
+      val plan = formatted(q(name))
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$name lost equi-join shape")
+    }
+  }
+
+  test("q63 interval coverage: sweep is windows over one sort, no self-join") {
+    val plan = formatted(q("q63_interval_coverage"))
+    assert(!plan.contains("Join"), "sweep grew a join — the O(n²) shape")
+    assert(plan.contains("RunningWindowFunction") ||
+      plan.contains("Window"), plan)
+  }
+
   test("td68 hybrid rerank: candidate join broadcasts, rerank is TakeOrdered") {
     val plan = formatted(q("td68_hybrid_rerank"))
     // the 50-row lexical candidate set must be the broadcast side of the
