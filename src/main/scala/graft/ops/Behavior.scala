@@ -99,6 +99,53 @@ object Behavior {
       .drop("__s", "__q")
   }
 
+  /** Per-key time-weighted average: each event's value is "held" until
+    * the key's next event; the TWAP is Σ(c·Δus) div Σ(Δus) in exact
+    * integer arithmetic (the final event has no holding period and drops
+    * out, as in any last-price-carried series). One lead window over one
+    * (key, ts) sort, then a map-side-combinable aggregation.
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, centsCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", col("__next") - col(tsCol))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("bigint").as("n_holds"),
+        sum(col("__dur")).cast("bigint").as("held_us"),
+        sum(col(centsCol) * col("__dur")).cast("bigint").as("weighted"))
+      .withColumn("twap_cents", expr("weighted div held_us"))
+  }
+
+  /** DAU/WAU stickiness: per day, the distinct actives that day (DAU),
+    * the distinct actives over the trailing 7 days (WAU), and their
+    * ratio in exact ppm. Distinct-over-a-sliding-window does NOT
+    * decompose from daily distincts, so each (user, day) row fans out to
+    * the ≤7 window-end days it supports — a bounded explode over the
+    * ALREADY-deduplicated user-day table (one row per user-day, never
+    * raw events), then one distinct + count per window.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val dayUs = 86400000000L
+    val active = events
+      .select(col(userCol), expr(s"$tsCol div ${dayUs}L").as("d"))
+      .distinct()
+    val dau = active.groupBy(col("d"))
+      .agg(count(lit(1)).cast("bigint").as("dau"))
+    val wau = active
+      .select(col(userCol),
+        explode(sequence(col("d"), col("d") + 6)).as("w"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("bigint").as("wau"))
+    dau.join(wau, col("d") === col("w"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+  }
+
   /** Weekly cohort retention: users bucketed by the epoch-week of their
     * first event (the cohort), counted once per (cohort, week-offset)
     * they were active in. The classic retention triangle.

@@ -526,6 +526,46 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // Time-weighted average value per user: each value held until the
+    // next event, TWAP = Σ(c·Δus) div Σ(Δus) in exact integers — one
+    // lead window, no history self-join.
+    "q67_twap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("bigint").as("c"))
+      Behavior.timeWeightedAvg(ev, "user_id", "us", "event_id", "c")
+        .orderBy("user_id")
+    }),
+
+    // DAU/WAU stickiness: sliding-window distinct actives via a bounded
+    // 7-way fanout of the deduplicated user-day table (distinct counts
+    // don't decompose; raw events are never exploded).
+    "q68_stickiness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      Behavior.stickiness(ev, "user_id", "us")
+        .orderBy("day")
+    }),
+
+    // Event-type pivot: per-user wide activity matrix (count per type)
+    // — Spark's pivot with a PINNED value list (deterministic schema,
+    // one shuffle; an unpinned pivot would need a values-discovery pass).
+    "q69_event_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy("user_id")
+    }),
+
     // Fixed-iteration integer PageRank over the co-purchase graph
     // (parts sharing an order): product centrality, deterministic ppm
     // arithmetic, one equi-join shuffle per iteration.
@@ -990,6 +1030,48 @@ object CoreQueries {
           |FROM w WHERE n >= 10
           |  AND (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
           |ORDER BY event_id""".stripMargin,
+
+      "q67_twap" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+          |h AS (SELECT user_id, c, us,
+          |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |      AS next_us FROM e)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+          |  CAST(sum(next_us - us) AS BIGINT) AS held_us,
+          |  CAST(sum(c * (next_us - us)) AS BIGINT) AS weighted,
+          |  CAST(sum(c * (next_us - us)) // sum(next_us - us) AS BIGINT)
+          |    AS twap_cents
+          |FROM h WHERE next_us IS NOT NULL
+          |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      "q68_stickiness" ->
+        """WITH a AS (SELECT DISTINCT user_id,
+          |    epoch_us(ts) // 86400000000 AS d FROM events),
+          |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+          |  FROM a GROUP BY 1),
+          |wins AS (SELECT DISTINCT user_id, d + o.o AS w FROM a
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o),
+          |wau AS (SELECT w, CAST(count(*) AS BIGINT) AS wau
+          |  FROM wins GROUP BY 1)
+          |SELECT dau.d AS day, dau.dau, wau.wau,
+          |  CAST((dau.dau * 1000000) // wau.wau AS BIGINT)
+          |    AS stickiness_ppm
+          |FROM dau JOIN wau ON wau.w = dau.d ORDER BY day""".stripMargin,
+
+      "q69_event_pivot" ->
+        """SELECT user_id,
+          |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+          |    AS n_click,
+          |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+          |    AS n_error,
+          |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+          |    AS n_purchase,
+          |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+          |    AS n_signup,
+          |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+          |    AS n_view
+          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       "q65_pagerank" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -322,6 +322,35 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(13L, 212L))
   }
 
+  test("timeWeightedAvg: holds until next event, single-event keys drop") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 100 held 10us, 200 held 20us → twap (1000+4000) div 30
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 200L), (1L, 3L, 30L, 50L),
+      (2L, 4L, 5L, 999L)) // single event: no holding period, no row
+      .toDF("user_id", "event_id", "us", "c")
+    val got = Behavior.timeWeightedAvg(ev, "user_id", "us", "event_id", "c")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_holds"), r.getAs[Long]("held_us"),
+          r.getAs[Long]("twap_cents"))).toMap
+    assert(got == Map(1L -> (2L, 30L, 166L)))
+  }
+
+  test("stickiness: sliding 7-day distinct actives from the user-day table") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, day + 1L),   // u1 active d0 (twice), d1
+      (2L, 2L), (2L, day * 8))              // u2 active d0, d8
+      .toDF("user_id", "us")
+    val got = Behavior.stickiness(ev, "user_id", "us").collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("stickiness_ppm"))).toMap
+    // d1's trailing week includes both users (u2's d0 supports w1..w6)
+    assert(got == Map(0L -> (2L, 2L, 1000000L),
+      1L -> (1L, 2L, 500000L), 8L -> (1L, 1L, 1000000L)))
+  }
+
   test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
     import spark.implicits._
     val df = Seq(
