@@ -293,6 +293,41 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("graph family (pagerank + triangles) grows near-linearly over 10x edges") {
+    import spark.implicits._
+    // constant average degree (~8) at every scale: both the per-iteration
+    // PageRank join volume and the oriented wedge space then grow ∝ n.
+    // An unoriented triangle closure (or a cartesian fallback) on a graph
+    // with hubs would blow up superlinearly — the probe graph includes a
+    // hub (node 0 touches n/50 edges) to punish exactly that.
+    def synth(n: Int) = (0 until n * 4).map { i =>
+      val u = math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((i, 1)), n).toLong
+      val v =
+        if (i % 50 == 0) 0L // hub edges
+        else math.floorMod(
+          scala.util.hashing.MurmurHash3.productHash((i, 2)), n).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter { case (a, b) => a != b }.distinct
+      .toDF("a", "b").repartition(32).cache()
+    val small = synth(SmallN)
+    val big = synth(BigN)
+    try {
+      val rPr = ratioOf(
+        graft.graph.GraphOps.pageRank(small, iters = 2, k = 10).count(),
+        graft.graph.GraphOps.pageRank(big, iters = 2, k = 10).count(),
+        "pagerank")
+      assert(rPr < 30,
+        s"pagerank 10x growth ratio $rPr suggests a quadratic cliff")
+      val rTri = ratioOf(
+        graft.graph.GraphOps.triangleStats(small).count(),
+        graft.graph.GraphOps.triangleStats(big).count(),
+        "triangles")
+      assert(rTri < 30,
+        s"triangle 10x growth ratio $rTri — orientation failed to bound wedges")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("KMV set ops stay pair-algebra-bounded over 10x values") {
     import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, pmod}
     import graft.text.TextAnalysis
