@@ -25,6 +25,29 @@ object Ordering {
   def totalOrder(df: DataFrame): DataFrame =
     df.orderBy(col("commit_lsn"), col("commit_idx"))
 
+  /** Exact global 1-based rank over `order` (which must be a TOTAL order
+    * — include a unique tiebreak) WITHOUT a single-partition window: the
+    * frame range-partitions and sorts (Spark's distributed sort), then
+    * `zipWithIndex` adds per-partition offsets in one extra count pass.
+    * A bare `row_number() OVER (ORDER BY ...)` collapses every row onto
+    * one task — fine at 10⁵ rows, fatal at 10⁹; this is the rank shape
+    * that survives the scale-up. The rank value depends only on the
+    * total order, not on where the range bounds fall, so output is
+    * deterministic across partitionings.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** W2/Q21 — deliverable head-of-line per group: oldest message per
     * `group_id` (`/root/reference/lib/sequin/runtime/
     * slot_message_store_state.ex:432-478`). Null groups deliver

@@ -566,6 +566,27 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // LTV decile report: users ranked by lifetime value (exact cents)
+    // into 10 rank-deciles via the range-partitioned globalRank — a bare
+    // row_number() OVER (ORDER BY ...) would collapse 10⁹ users onto one
+    // task at scale.
+    "q70_ltv_deciles" -> ((s, dir) => {
+      val ltv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("ltv_cents"))
+      val n = ltv.agg(count(lit(1)).cast("bigint").as("__n"))
+      Ordering.globalRank(ltv,
+          Seq(col("ltv_cents").desc, col("user_id").asc), "rk")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("CAST(((rk - 1) * 10) div __n AS INT)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("bigint").as("n_users"),
+          sum("ltv_cents").cast("bigint").as("total_cents"),
+          min("ltv_cents").cast("bigint").as("min_cents"),
+          max("ltv_cents").cast("bigint").as("max_cents"))
+        .orderBy("decile")
+    }),
+
     // Fixed-iteration integer PageRank over the co-purchase graph
     // (parts sharing an order): product centrality, deterministic ppm
     // arithmetic, one equi-join shuffle per iteration.
@@ -1072,6 +1093,21 @@ object CoreQueries {
           |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
           |    AS n_view
           |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      "q70_ltv_deciles" ->
+        """WITH l AS (SELECT user_id,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS ltv_cents
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT user_id, ltv_cents,
+          |    row_number() OVER (ORDER BY ltv_cents DESC, user_id) AS rk,
+          |    (SELECT count(*) FROM l) AS n FROM l)
+          |SELECT CAST(((rk - 1) * 10) // n AS INT) AS decile,
+          |  CAST(count(*) AS BIGINT) AS n_users,
+          |  CAST(sum(ltv_cents) AS BIGINT) AS total_cents,
+          |  CAST(min(ltv_cents) AS BIGINT) AS min_cents,
+          |  CAST(max(ltv_cents) AS BIGINT) AS max_cents
+          |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
       "q65_pagerank" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

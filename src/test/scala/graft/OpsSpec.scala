@@ -351,6 +351,21 @@ class OpsSpec extends SparkSpec {
       1L -> (1L, 2L, 500000L), 8L -> (1L, 1L, 1000000L)))
   }
 
+  test("globalRank: matches a single-partition row_number over a total order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = (1L to 500L).map(i => (i, (i * 7919) % 100)).toDF("id", "v")
+      .repartition(13) // scrambled input partitioning
+    val got = graft.ops.Ordering.globalRank(df,
+        Seq(col("v").desc, col("id").asc), "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rk",
+        row_number().over(W.orderBy(col("v").desc, col("id").asc))
+          .cast("long"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("sessionize: splits strictly past the gap, 0-based per-key indexes") {
     import spark.implicits._
     val df = Seq(

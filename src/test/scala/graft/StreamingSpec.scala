@@ -19,6 +19,69 @@ class StreamingSpec extends SparkSpec {
       "public", "t0", 16384L, pk, pk.toLong, group.toLong, value, """{"k":1}""",
       Some(value - 1), s"$lsn:$idx", group, 100L)
 
+  test("StreamingFunnel: in-order feed matches the batch funnel chain") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelEvent => FE}
+    val input = MemoryStream[FE]
+    val steps = Seq("signup", "click", "purchase")
+    val query = StreamingFunnel.track(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode("append").start()
+    try {
+      input.addData(FE(1L, 1L, 10L, "signup"), FE(1L, 2L, 10L, "click"),
+        FE(2L, 3L, 5L, "signup"))
+      query.processAllAvailable()
+      input.addData(FE(1L, 4L, 20L, "click"), FE(1L, 5L, 30L, "purchase"),
+        FE(2L, 6L, 7L, "purchase"))
+      query.processAllAvailable()
+      val prog = spark.table("funnel_prog")
+        .as[StreamingFunnel.FunnelProgress].collect()
+        .groupBy(_.user_id).view.mapValues(
+          _.sortBy(_.depth).map(p => (p.depth, p.t_us)).toSeq).toMap
+      // user 1: tie at us=10 must NOT chain (strict >); full chain by b2
+      assert(prog(1L) == Seq((1, 10L), (2, 20L), (3, 30L)))
+      // user 2: purchase can't skip the click step
+      assert(prog(2L) == Seq((1, 5L)))
+      // parity with the batch funnel on the union of both batches
+      val batch = graft.ops.Behavior.funnel(
+        Seq((1L, 10L, "signup"), (1L, 10L, "click"), (2L, 5L, "signup"),
+          (1L, 20L, "click"), (1L, 30L, "purchase"), (2L, 7L, "purchase"))
+          .toDF("user_id", "us", "event_type"),
+        "user_id", "us", "event_type", steps).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+      assert(batch == Map(1L -> 3, 2L -> 1))
+    } finally query.stop()
+  }
+
+  test("StreamingFunnel: a non-chaining arrival is dropped, not buffered") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelEvent => FE}
+    val input = MemoryStream[FE]
+    val query = StreamingFunnel.track(input.toDS(),
+        Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      // purchase@30 arrives while depth=1; the click@20 that unlocks it
+      // arrives a batch LATER — the purchase is not retried (documented
+      // lambda contract: batch funnel reconciles)
+      input.addData(FE(1L, 1L, 10L, "signup"), FE(1L, 2L, 30L, "purchase"))
+      query.processAllAvailable()
+      input.addData(FE(1L, 3L, 20L, "click"))
+      query.processAllAvailable()
+      val prog = spark.table("funnel_late")
+        .as[StreamingFunnel.FunnelProgress].collect().sortBy(_.depth)
+        .map(p => (p.depth, p.t_us)).toSeq
+      assert(prog == Seq((1, 10L), (2, 20L)))
+    } finally query.stop()
+  }
+
   test("GroupFifo: per-group order restored, duplicates across batches dropped") {
     implicit val s = spark
     import s.implicits._
