@@ -783,7 +783,17 @@ object TrainingQueries {
     "td70_weighted_sample" -> ((s, dir) =>
       graft.training.TrainingPrep.weightedSample(
           Tables.documents(s, dir), "doc_id", "n_chars", k = 100)
-        .orderBy("rk")))
+        .orderBy("rk")),
+
+    // Histogram-sketch quantiles (mergeable, 256 bins) of per-source doc
+    // lengths with the exact rank value alongside — the quantile that
+    // works at 100 TB (two hash aggs; exact percentile_disc needs a full
+    // per-group sort).
+    "td71_hist_quantiles" -> ((s, dir) =>
+      graft.sketch.Sketches.histQuantiles(
+          Tables.documents(s, dir), "source", "n_chars",
+          bins = 256, pcts = Seq(50, 90, 99))
+        .orderBy("source", "pct")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2090,7 +2100,33 @@ object TrainingQueries {
          |SELECT doc_id, w, key_micro,
          |  CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
          |    AS INT) AS rk
-         |FROM s ORDER BY rk LIMIT 100""".stripMargin)
+         |FROM s ORDER BY rk LIMIT 100""".stripMargin,
+
+    "td71_hist_quantiles" ->
+      """WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |stats AS (SELECT g, min(v) AS mn, max(v) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+        |cum AS (SELECT g, bin, sum(bc) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT g, ((v - mn) * 256) // (mx - mn + 1) AS bin,
+        |      CAST(count(*) AS BIGINT) AS bc
+        |    FROM base JOIN stats USING (g) GROUP BY 1, 2)),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |qb AS (SELECT g, pct, min(bin) AS qbin
+        |  FROM cum JOIN stats USING (g) CROSS JOIN p
+        |  WHERE cum >= (pct * n + 99) // 100 GROUP BY 1, 2),
+        |ex AS (SELECT r.g, p.pct, r.v AS exact_v
+        |  FROM (SELECT g, v, row_number() OVER (PARTITION BY g
+        |      ORDER BY v) AS rn FROM base) r
+        |  JOIN stats USING (g) CROSS JOIN p
+        |  WHERE rn = (pct * n + 99) // 100)
+        |SELECT qb.g AS source, qb.pct, stats.n,
+        |  CAST(mn + (qbin * (mx - mn + 1)) // 256 AS BIGINT) AS est_lo,
+        |  CAST(exact_v AS BIGINT) AS exact_v
+        |FROM qb JOIN stats USING (g)
+        |JOIN ex ON ex.g = qb.g AND ex.pct = qb.pct
+        |ORDER BY source, qb.pct""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -287,4 +287,60 @@ object Sketches {
         Window.orderBy(col("est").desc, col("t").asc)).cast("int"))
       .select(col("t"), col("est"), col("n_exact"), col("rk"))
   }
+
+  // ---- Histogram quantiles ---------------------------------------------
+
+  /** Per-group histogram-sketch quantiles with the exact rank value
+    * alongside. `bins` fixed-width buckets over [min, max] in pure
+    * integer arithmetic (`bin = ((v−min)·B) div (max−min+1)`); the
+    * p-percentile estimate is the LOWER BOUNDARY of the first bin whose
+    * cumulative count reaches ceil(p·n/100). Error ≤ one bin width, and
+    * the summary is mergeable (counts sum across partitions/batches).
+    *
+    * Scale shape: a stats agg + a bin-count agg (both map-side
+    * combinable; ≤ B rows per group survive) + a window over ≤ B bins.
+    * This is the quantile that works at 100 TB — exact percentile_disc
+    * (td64) needs a per-group sort over ALL rows. The exact companion
+    * column costs that sort here so the sketch error is readable off
+    * the row (the same contract as [[hllDistinct]]'s exact column);
+    * production drops the companion and keeps the sketch.
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      bins: Int, pcts: Seq[Int]): DataFrame = {
+    require(bins > 0 && pcts.nonEmpty, "need bins > 0 and at least one pct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol)
+    val base = df.select(g, col(valCol).cast("bigint").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = base.groupBy(g).agg(
+      min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).cast("bigint").as("n"))
+    val pctDf = pcts.toDF("pct")
+    val cum = base.join(broadcast(stats), Seq(groupCol))
+      .withColumn("bin", expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+      .groupBy(g, col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("bc"))
+      .withColumn("cum", sum(col("bc")).over(
+        Window.partitionBy(groupCol).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val qbin = cum.join(broadcast(stats), Seq(groupCol))
+      .crossJoin(broadcast(pctDf))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(g, col("pct"))
+      .agg(min(col("bin")).as("qbin"))
+    // ties in the rank window permute equal values only, so the value AT
+    // rank ceil(p·n/100) is deterministic
+    val exact = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("v"))).cast("bigint"))
+      .join(broadcast(stats), Seq(groupCol))
+      .crossJoin(broadcast(pctDf))
+      .filter(col("rn") === expr("(pct * n + 99) div 100"))
+      .select(g, col("pct"), col("v").as("exact_v"))
+    qbin.join(broadcast(stats), Seq(groupCol))
+      .join(exact, Seq(groupCol, "pct"))
+      .withColumn("est_lo", expr(s"mn + (qbin * (mx - mn + 1)) div $bins"))
+      .select(g, col("pct"), col("n"), col("est_lo"), col("exact_v"))
+  }
 }

@@ -262,4 +262,26 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("p90") == 9L)
     assert(row.getAs[Long]("p99") == 10L)
   }
+
+  test("histQuantiles: hand-computed bins, boundaries, exact companions") {
+    import spark.implicits._
+    // group a: values 0..99 with 10 bins → bin = v div 10, bin width 10.
+    // p50 target = 50 → bin 4 (cum 50), est_lo 40, exact rank-50 = 49.
+    // p90 target = 90 → bin 8, est_lo 80, exact 89.
+    // p99 target = 99 → bin 9 (cum 90 < 99), est_lo 90, exact 98.
+    // group b: constant 7 → single bin, est_lo = exact = 7 at every pct.
+    val df = ((0 until 100).map(v => ("a", v.toLong)) ++
+      Seq.fill(5)(("b", 7L))).toDF("g", "v")
+    val got = graft.sketch.Sketches
+      .histQuantiles(df, "g", "v", bins = 10, pcts = Seq(50, 90, 99))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("pct")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est_lo"),
+          r.getAs[Long]("exact_v"))).toMap
+    assert(got == Map(
+      ("a", 50) -> (100L, 40L, 49L), ("a", 90) -> (100L, 80L, 89L),
+      ("a", 99) -> (100L, 90L, 98L),
+      ("b", 50) -> (5L, 7L, 7L), ("b", 90) -> (5L, 7L, 7L),
+      ("b", 99) -> (5L, 7L, 7L)))
+  }
 }
