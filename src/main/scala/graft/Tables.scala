@@ -26,21 +26,30 @@ object Tables {
     spark.catalog.clearCache()
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
-    * not model natively (TimestampType is micros). Read it as a long and
-    * truncate ns → µs — exactly what DuckDB does on conversion, so the
-    * oracle sees identical values.
+  /** `events.ts` normalization — the driver has shipped the column under
+    * several parquet annotations across rounds (TIMESTAMP(NANOS), which
+    * Spark does not model natively; plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ). Every
+    * downstream query treats `ts` as session-TZ micros (TIMESTAMP_LTZ,
+    * `unix_micros`-able), and every entry point pins the session TZ to
+    * UTC, so both normalizations below are value-identical to what DuckDB
+    * sees on the same file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer div: ts/1000 in Column algebra is DOUBLE division, which
-        // loses precision at 1.7e18 ns epochs (53-bit mantissa)
+        // nanos epoch as long; integer div (ts/1000 in Column algebra is
+        // DOUBLE division, which loses precision at 1.7e18 ns epochs)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ → LTZ: under the UTC session TZ the wall-clock micros ARE
+        // the epoch micros, so the cast relabels without shifting values
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

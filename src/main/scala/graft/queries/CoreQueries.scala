@@ -587,6 +587,29 @@ object CoreQueries {
         .orderBy("decile")
     }),
 
+    // Incremental materialized-view maintenance: per-group live-row count
+    // and value sum kept current from the change stream ALONE — each
+    // change contributes f(new image) − f(old image) (the reference ships
+    // both images on every message precisely for this), so per-group
+    // deltas TELESCOPE: advancing the stored view@L1 by the (L1, L2]
+    // window lands exactly on view@L2, which the oracle recomputes
+    // directly at L2. Cost is O(window changes + view), never O(base
+    // table) — no joins, no base-table access, one partial-agg shuffle.
+    "q71_incremental_view" -> ((s, dir) => {
+      val all = cdc(s, dir)
+      val measures = Seq(
+        IncrementalView.liveCount(col("action")),
+        IncrementalView.sumOf("sum_cents", col("action"),
+          round(col("record_value") * 100).cast("bigint"),
+          round(col("old_value") * 100).cast("bigint")))
+      val atL1 = IncrementalView.delta(
+        all.filter(col("commit_lsn") <= 5000), col("group_id"), measures)
+      val window = all.filter(
+        col("commit_lsn") > 5000 && col("commit_lsn") <= 9000)
+      IncrementalView.advance(atL1, window, col("group_id"), measures)
+        .orderBy("group_key")
+    }),
+
     // Fixed-iteration integer PageRank over the co-purchase graph
     // (parts sharing an order): product centrality, deterministic ppm
     // arithmetic, one equi-join shuffle per iteration.
@@ -1108,6 +1131,19 @@ object CoreQueries {
           |  CAST(min(ltv_cents) AS BIGINT) AS min_cents,
           |  CAST(max(ltv_cents) AS BIGINT) AS max_cents
           |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+
+      "q71_incremental_view" -> (cte +
+        """SELECT group_id AS group_key,
+          |  CAST(sum((CASE WHEN action <> 'delete' THEN 1 ELSE 0 END)
+          |    - (CASE WHEN action <> 'insert' THEN 1 ELSE 0 END))
+          |    AS BIGINT) AS n,
+          |  CAST(sum(COALESCE(CASE WHEN action <> 'delete'
+          |        THEN CAST(round(record_value * 100) AS BIGINT) END, 0)
+          |    - COALESCE(CASE WHEN action <> 'insert'
+          |        THEN CAST(round(old_value * 100) AS BIGINT) END, 0))
+          |    AS BIGINT) AS sum_cents
+          |FROM cdc WHERE commit_lsn <= 9000
+          |GROUP BY 1 ORDER BY group_key""".stripMargin),
 
       "q65_pagerank" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -389,4 +389,69 @@ class OpsSpec extends SparkSpec {
       (10L, 1L, 21L, 21L, 1L, 300L),  // event 3 alone
       (77L, 0L, 0L, 0L, 1L, 500L)))
   }
+
+  test("incremental view: multi-window advance telescopes to ground truth " +
+      "under pk churn (insert→update→update→delete)") {
+    import spark.implicits._
+    // Synthesized pk HISTORIES (the oracle-gated q71 stream has one change
+    // per pk; this exercises the telescoping the gate can't): each pk runs
+    // insert(v0) → update(v0→v1) → update(v1→v2) → delete(v2), truncated
+    // at a random stage, interleaved across pks in lsn order.
+    val rnd = new scala.util.Random(42)
+    var lsn = 0L
+    val chs = (0 until 60).flatMap { p =>
+      val g = s"g${p % 7}"
+      val vals = Seq.fill(3)(rnd.nextInt(1000).toLong)
+      val stages = 1 + rnd.nextInt(4)
+      (0 until stages).map { st =>
+        lsn += 1 + rnd.nextInt(3)
+        val action =
+          if (st == 0) "insert" else if (st == 3) "delete" else "update"
+        val nv: java.lang.Long = if (action == "delete") null else vals(st)
+        val ov: java.lang.Long = if (st == 0) null else vals(st - 1)
+        (lsn, action, s"p$p", g, nv, ov)
+      }
+    }
+    val df = chs.toDF("lsn", "action", "pk", "g", "new_v", "old_v")
+    val measures = Seq(
+      IncrementalView.liveCount(col("action")),
+      IncrementalView.sumOf("s", col("action"), col("new_v"), col("old_v")))
+
+    // ground truth at a cursor: replay the live-row map
+    def truth(at: Long): Map[String, (Long, Long)] = {
+      val live = scala.collection.mutable.Map[String, (String, Long)]()
+      chs.filter(_._1 <= at).sortBy(_._1).foreach {
+        case (_, "delete", pk, _, _, _) => live.remove(pk)
+        case (_, _, pk, g, nv, _)       => live(pk) = (g, nv.longValue())
+      }
+      live.values.groupBy(_._1).map { case (g, vs) =>
+        g -> ((vs.size.toLong, vs.map(_._2).sum))
+      }
+    }
+    def viewMap(v: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      v.filter(col("n") =!= 0).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val cursors = Seq(lsn / 4, lsn / 2, (3 * lsn) / 4, lsn)
+    var view = IncrementalView.delta(
+      df.filter(col("lsn") <= cursors.head), col("g"), measures)
+    assert(viewMap(view) == truth(cursors.head))
+    cursors.sliding(2).foreach { case Seq(a, b) =>
+      view = IncrementalView.advance(view,
+        df.filter(col("lsn") > a && col("lsn") <= b), col("g"), measures)
+      assert(viewMap(view) == truth(b))
+    }
+    // telescoping: the multi-window result == one-shot delta over everything
+    val oneShot = IncrementalView.delta(df, col("g"), measures)
+    assert(viewMap(view) == viewMap(oneShot))
+    // with exact old images, a group emptied of live rows nets to exactly 0
+    assert(view.filter(col("n") === 0).collect()
+      .forall(_.getLong(2) == 0L))
+    // scale shape: maintenance is pure aggregation — no join anywhere in
+    // the physical plan, and the window is partially aggregated before
+    // its one shuffle
+    val plan = view.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    assert(plan.contains("HashAggregate"))
+  }
 }
