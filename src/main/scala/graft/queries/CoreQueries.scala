@@ -610,6 +610,26 @@ object CoreQueries {
         .orderBy("group_key")
     }),
 
+    // Multi-level OLAP rollup over the change stream: per (schema, table,
+    // action) counts and exact-cents revenue with every prefix subtotal
+    // and the grand total in ONE pass — Spark's Expand emits the 4 rollup
+    // groupings map-side and partially aggregates BEFORE the single
+    // shuffle, so subtotals at 100 TB cost one aggregation, not four
+    // scans. Keys are never NULL in this envelope, so the coalesced
+    // '(all)' marker is unambiguous and gives a total, hashable order.
+    "q72_rollup" -> ((s, dir) =>
+      cdc(s, dir)
+        .rollup(col("table_schema"), col("table_name"), col("action"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(round(col("record_value") * 100).cast("bigint"))
+            .cast("bigint").as("cents"))
+        .select(
+          coalesce(col("table_schema"), lit("(all)")).as("sch"),
+          coalesce(col("table_name"), lit("(all)")).as("tbl"),
+          coalesce(col("action"), lit("(all)")).as("act"),
+          col("n"), col("cents"))
+        .orderBy("sch", "tbl", "act")),
+
     // Fixed-iteration integer PageRank over the co-purchase graph
     // (parts sharing an order): product centrality, deterministic ppm
     // arithmetic, one equi-join shuffle per iteration.
@@ -1144,6 +1164,17 @@ object CoreQueries {
           |    AS BIGINT) AS sum_cents
           |FROM cdc WHERE commit_lsn <= 9000
           |GROUP BY 1 ORDER BY group_key""".stripMargin),
+
+      "q72_rollup" -> (cte +
+        """SELECT COALESCE(table_schema, '(all)') AS sch,
+          |  COALESCE(table_name, '(all)') AS tbl,
+          |  COALESCE(action, '(all)') AS act,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(record_value * 100) AS BIGINT)) AS BIGINT)
+          |    AS cents
+          |FROM cdc
+          |GROUP BY ROLLUP(table_schema, table_name, action)
+          |ORDER BY sch, tbl, act""".stripMargin),
 
       "q65_pagerank" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -213,6 +213,58 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental view maintained per micro-batch converges to the " +
+      "one-shot batch view under cross-batch pk churn") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.IncrementalView
+    // (lsn, action, pk, group, new_v, old_v) — pk lifecycles SPAN batches:
+    // a pk inserted in batch 1 is updated in batch 2 and deleted in
+    // batch 3, so each advance must subtract exactly the image the prior
+    // batch added.
+    val batches = Seq(
+      Seq((1L, "insert", "a", "g1", Some(10L), None),
+        (2L, "insert", "b", "g1", Some(20L), None),
+        (3L, "insert", "c", "g2", Some(5L), None)),
+      Seq((4L, "update", "a", "g1", Some(15L), Some(10L)),
+        (5L, "delete", "b", "g1", None, Some(20L)),
+        (6L, "insert", "d", "g2", Some(7L), None)),
+      Seq((7L, "delete", "a", "g1", None, Some(15L)),
+        (8L, "update", "c", "g2", Some(9L), Some(5L)),
+        (9L, "update", "d", "g2", Some(8L), Some(7L))))
+    val measures = Seq(
+      IncrementalView.liveCount(col("action")),
+      IncrementalView.sumOf("s", col("action"), col("new_v"), col("old_v")))
+
+    val input = MemoryStream[(Long, String, String, String, Option[Long], Option[Long])]
+    var view: Option[org.apache.spark.sql.DataFrame] = None
+    val query = input.toDF()
+      .toDF("lsn", "action", "pk", "g", "new_v", "old_v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint each generation: the view's lineage stays one
+        // step deep no matter how many micro-batches have been applied
+        view = Some((view match {
+          case None    => IncrementalView.delta(batch, col("g"), measures)
+          case Some(v) => IncrementalView.advance(v, batch, col("g"), measures)
+        }).localCheckpoint())
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    val got = view.get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ground truth: live rows after all 9 changes are c=9 and d=8 (g2)
+    assert(got == Map("g1" -> ((0L, 0L)), "g2" -> ((2L, 17L))))
+    val oneShot = IncrementalView.delta(
+      batches.flatten.toDF("lsn", "action", "pk", "g", "new_v", "old_v"),
+      col("g"), measures).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == oneShot)
+  }
+
   test("EventTableSink.upsert is idempotent and last-writer-wins") {
     implicit val s = spark
     import s.implicits._
