@@ -630,6 +630,33 @@ object CoreQueries {
           col("n"), col("cents"))
         .orderBy("sch", "tbl", "act")),
 
+    // SCD Type-2 dimension build: every change to a dimension key becomes
+    // a version row with a [valid_from, valid_to) cursor interval — one
+    // shuffle on the key + a lead window, never a history self-join
+    // (quadratic on hot keys). Deletes emit no row but CLOSE the prior
+    // version (lead runs before the delete filter).
+    "q73_scd2" -> ((s, dir) =>
+      Scd.type2(cdc(s, dir), "group_id")
+        .select(col("group_id"), col("record_id"),
+          round(col("record_value") * 100).cast("bigint").as("value_cents"),
+          col("commit_lsn").as("valid_from_lsn"),
+          col("commit_idx").as("valid_from_idx"),
+          col("valid_to_lsn"), col("valid_to_idx"), col("is_current"))
+        .orderBy("record_id")),
+
+    // Point-in-time dimension read over the SCD2 table: the version of
+    // each key current AT a WAL cursor is a pure interval filter — no
+    // window, no join, pushdown-able against a materialized version
+    // table. A key whose latest change before the cursor was a delete is
+    // ABSENT (its last version was closed at the delete's cursor).
+    "q74_version_at" -> ((s, dir) =>
+      Scd.versionAt(Scd.type2(cdc(s, dir), "group_id"), lsn = 6000L)
+        .select(col("group_id"), col("record_id"),
+          col("commit_lsn").as("valid_from_lsn"),
+          col("commit_idx").as("valid_from_idx"),
+          col("valid_to_lsn"), col("valid_to_idx"))
+        .orderBy("group_id", "record_id")),
+
     // Fixed-iteration integer PageRank over the co-purchase graph
     // (parts sharing an order): product centrality, deterministic ppm
     // arithmetic, one equi-join shuffle per iteration.
@@ -1175,6 +1202,36 @@ object CoreQueries {
           |FROM cdc
           |GROUP BY ROLLUP(table_schema, table_name, action)
           |ORDER BY sch, tbl, act""".stripMargin),
+
+      "q73_scd2" -> (cte +
+        """SELECT group_id, record_id,
+          |  CAST(round(record_value * 100) AS BIGINT) AS value_cents,
+          |  commit_lsn AS valid_from_lsn, commit_idx AS valid_from_idx,
+          |  valid_to_lsn, valid_to_idx, is_current
+          |FROM (
+          |  SELECT group_id, record_id, record_value, commit_lsn,
+          |    commit_idx, action,
+          |    lead(commit_lsn) OVER w AS valid_to_lsn,
+          |    lead(commit_idx) OVER w AS valid_to_idx,
+          |    CASE WHEN lead(commit_lsn) OVER w IS NULL THEN 1 ELSE 0 END
+          |      AS is_current
+          |  FROM cdc
+          |  WINDOW w AS (PARTITION BY group_id ORDER BY commit_lsn, commit_idx))
+          |WHERE action <> 'delete' ORDER BY record_id""".stripMargin),
+
+      "q74_version_at" -> (cte +
+        """SELECT group_id, record_id,
+          |  commit_lsn AS valid_from_lsn, commit_idx AS valid_from_idx,
+          |  valid_to_lsn, valid_to_idx
+          |FROM (
+          |  SELECT group_id, record_id, commit_lsn, commit_idx, action,
+          |    lead(commit_lsn) OVER w AS valid_to_lsn,
+          |    lead(commit_idx) OVER w AS valid_to_idx
+          |  FROM cdc
+          |  WINDOW w AS (PARTITION BY group_id ORDER BY commit_lsn, commit_idx))
+          |WHERE action <> 'delete' AND commit_lsn <= 6000
+          |  AND (valid_to_lsn IS NULL OR valid_to_lsn > 6000)
+          |ORDER BY group_id, record_id""".stripMargin),
 
       "q65_pagerank" ->
         """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -390,6 +390,36 @@ class OpsSpec extends SparkSpec {
       (77L, 0L, 0L, 0L, 1L, 500L)))
   }
 
+  test("SCD2: deletes close versions without emitting; re-insert reopens; " +
+      "versionAt honors closed intervals") {
+    import spark.implicits._
+    // one key's full lifecycle: insert v1 → update v2 → delete → insert v3
+    val df = Seq(
+      (10L, 0L, "insert", "k1", 1L),
+      (20L, 0L, "update", "k1", 2L),
+      (30L, 0L, "delete", "k1", 2L),
+      (40L, 0L, "insert", "k1", 3L),
+      (15L, 0L, "insert", "k2", 9L))
+      .toDF("commit_lsn", "commit_idx", "action", "g", "v")
+    val versions = Scd.type2(df, "g")
+      .select("g", "v", "commit_lsn", "valid_to_lsn", "is_current")
+      .orderBy("g", "commit_lsn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+    assert(versions.toSeq == Seq(
+      ("k1", 1L, 10L, Some(20L), 0),  // closed by the update
+      ("k1", 2L, 20L, Some(30L), 0),  // closed by the DELETE (no row for it)
+      ("k1", 3L, 40L, None, 1),       // reopened, current
+      ("k2", 9L, 15L, None, 1)))
+    def at(lsn: Long): Set[(String, Long)] =
+      Scd.versionAt(Scd.type2(df, "g"), lsn).select("g", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(at(25) == Set(("k1", 2L), ("k2", 9L)))
+    assert(at(35) == Set(("k2", 9L)))            // k1 deleted at 30
+    assert(at(45) == Set(("k1", 3L), ("k2", 9L)))
+    assert(at(5) == Set.empty)
+  }
+
   test("incremental view: multi-window advance telescopes to ground truth " +
       "under pk churn (insert→update→update→delete)") {
     import spark.implicits._
