@@ -188,6 +188,11 @@ object Bench {
 
     // ---- per-query sweep ------------------------------------------------
 
+    // SPARK_GRAFT_PROBES_ONLY=1 skips the ~140-query sweep: builder-side
+    // iteration on the headline probes (isolated-measurement parity
+    // checks) without paying 15+ min of sweep per data point.
+    val probesOnly = sys.env.get("SPARK_GRAFT_PROBES_ONLY").contains("1")
+
     // Adaptive min-of-reps per query: the first evaluation pays page-cache
     // misses, JIT and codegen compilation; the min reflects the PLAN's
     // steady-state cost, which is what round-over-round comparison needs.
@@ -199,7 +204,8 @@ object Bench {
     // Drop leftover checkpoint blocks between evaluations (observed: the
     // decode bench fell 4.8M -> 0.19M events/s behind 82 leaked sf0.1
     // checkpoints).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (if (probesOnly) Seq.empty[(String, (SparkSession, String) => DataFrame)]
+    else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true }
