@@ -339,6 +339,32 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("Window"), plan)
   }
 
+  test("q71 incremental view: pure aggregation — no join, partial agg " +
+      "before the shuffle") {
+    val plan = formatted(q("q71_incremental_view"))
+    assert(!plan.contains("Join"),
+      "view maintenance grew a join — it must read only view + window")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q72 rollup: subtotal levels come from ONE Expand pass, " +
+      "partially aggregated before the single shuffle") {
+    val plan = formatted(q("q72_rollup"))
+    assert(plan.contains("Expand"), plan)
+    // partial then final aggregate — the 4 grouping levels shuffle once,
+    // combined map-side, instead of 4 scans of the stream
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Join"))
+  }
+
+  test("q73 scd2: version intervals are one key shuffle + lead window, " +
+      "never a history self-join") {
+    val plan = formatted(q("q73_scd2"))
+    assert(!plan.contains("Join"),
+      "SCD2 grew a self-join — quadratic on hot keys")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("td68 hybrid rerank: candidate join broadcasts, rerank is TakeOrdered") {
     val plan = formatted(q("td68_hybrid_rerank"))
     // the 50-row lexical candidate set must be the broadcast side of the

@@ -347,4 +347,44 @@ class ScaleProbeSpec extends SparkSpec {
       assert(r < 30, s"kmv 10x growth ratio $r suggests a pair-space cliff")
     } finally { small.unpersist(); big.unpersist() }
   }
+
+  test("incremental view: advance cost tracks the window, not the table") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.IncrementalView
+    // same 2k-change window applied against views derived from 10x-
+    // different change histories: advance reads the (materialized) view +
+    // the window only, so its cost must stay flat while a full recompute
+    // scales with the history — the whole point of maintaining the view
+    // incrementally instead of rescanning at 100 TB.
+    def changes(n: Long) =
+      spark.range(n).select(col("id").as("lsn"), lit("insert").as("action"),
+        col("id").cast("string").as("pk"),
+        (col("id") % 200).cast("string").as("g"),
+        (col("id") % 1000).as("new_v"),
+        lit(null).cast("bigint").as("old_v"))
+    val measures = Seq(
+      IncrementalView.liveCount(col("action")),
+      IncrementalView.sumOf("s", col("action"), col("new_v"), col("old_v")))
+    val (smallN, bigN) = (2000000L, 20000000L)
+    def prep(n: Long) = (
+      IncrementalView.delta(changes(n).filter(col("lsn") < n - 2000),
+        col("g"), measures).localCheckpoint(),
+      changes(n).filter(col("lsn") >= n - 2000).localCheckpoint())
+    val (vS, wS) = prep(smallN)
+    val (vB, wB) = prep(bigN)
+    val rAdv = ratioOf(
+      IncrementalView.advance(vS, wS, col("g"), measures).count(),
+      IncrementalView.advance(vB, wB, col("g"), measures).count(),
+      "iv-advance")
+    assert(rAdv < 3, s"advance grew ${rAdv}x for 10x history — it is " +
+      "reading the history, not the view+window")
+    // and the maintained path must beat recomputing from all of history
+    val tRecompute = bestOf2(
+      IncrementalView.delta(changes(bigN), col("g"), measures).count())
+    val tAdvance = bestOf2(
+      IncrementalView.advance(vB, wB, col("g"), measures).count())
+    info(f"iv: advance=${tAdvance}%.2fs recompute=${tRecompute}%.2fs")
+    assert(tAdvance < tRecompute,
+      s"advance ($tAdvance s) not cheaper than recompute ($tRecompute s)")
+  }
 }
