@@ -95,4 +95,35 @@ object IncrementalView {
     val aggs = measures.map(m => sum(col(m.name)).as(m.name))
     view.unionByName(d).groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** ROLLUP form of [[delta]]: the per-level deltas of a maintained
+    * SUBTOTAL board. Expand emits every rollup level of each change
+    * map-side, so one window pass maintains all subtotal levels and the
+    * grand total at once; `gid` (grouping_id) tags the level so NULL
+    * group values in the data can never collide with a subtotal marker.
+    * Keys must be immutable per pk, like [[delta]]'s.
+    */
+  def deltaRollup(changes: DataFrame, keys: Seq[Column],
+      measures: Seq[Measure]): DataFrame = {
+    require(measures.nonEmpty, "at least one measure")
+    val aggs = grouping_id().as("gid") +: measures.map { m =>
+      sum(coalesce(m.newContrib.cast("bigint"), lit(0L)) -
+          coalesce(m.oldContrib.cast("bigint"), lit(0L))).as(m.name)
+    }
+    changes.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Advance a stored rollup board: union with the window's per-level
+    * deltas, re-aggregated by (keys, gid). Each level telescopes
+    * independently, so the whole subtotal hierarchy lands exactly on its
+    * recompute at the new cursor — O(window × levels + board), never a
+    * rescan.
+    */
+  def advanceRollup(view: DataFrame, windowChanges: DataFrame,
+      keys: Seq[String], measures: Seq[Measure]): DataFrame = {
+    val d = deltaRollup(windowChanges, keys.map(col), measures)
+    val aggs = measures.map(m => sum(col(m.name)).as(m.name))
+    view.unionByName(d).groupBy((keys :+ "gid").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -630,6 +630,31 @@ object CoreQueries {
           col("n"), col("cents"))
         .orderBy("sch", "tbl", "act")),
 
+    // Incrementally-maintained SUBTOTAL board: q71's telescoping algebra
+    // composed with q72's rollup — Expand emits every subtotal level of
+    // each window change map-side, so ONE window pass advances the whole
+    // hierarchy (per-table, per-schema, grand total) to exactly its
+    // recompute at L2. gid (grouping_id) keys the level in the stored
+    // board; O(window × levels + board), never a rescan.
+    "q75_incremental_rollup" -> ((s, dir) => {
+      val all = cdc(s, dir)
+      val measures = Seq(
+        IncrementalView.liveCount(col("action")),
+        IncrementalView.sumOf("sum_cents", col("action"),
+          round(col("record_value") * 100).cast("bigint"),
+          round(col("old_value") * 100).cast("bigint")))
+      val keys = Seq("table_schema", "table_name")
+      val atL1 = IncrementalView.deltaRollup(
+        all.filter(col("commit_lsn") <= 5000), keys.map(col), measures)
+      val window = all.filter(
+        col("commit_lsn") > 5000 && col("commit_lsn") <= 9000)
+      IncrementalView.advanceRollup(atL1, window, keys, measures)
+        .select(coalesce(col("table_schema"), lit("(all)")).as("sch"),
+          coalesce(col("table_name"), lit("(all)")).as("tbl"),
+          col("n"), col("sum_cents"))
+        .orderBy("sch", "tbl")
+    }),
+
     // SCD Type-2 dimension build: every change to a dimension key becomes
     // a version row with a [valid_from, valid_to) cursor interval — one
     // shuffle on the key + a lead window, never a history self-join
@@ -1202,6 +1227,21 @@ object CoreQueries {
           |FROM cdc
           |GROUP BY ROLLUP(table_schema, table_name, action)
           |ORDER BY sch, tbl, act""".stripMargin),
+
+      "q75_incremental_rollup" -> (cte +
+        """SELECT COALESCE(table_schema, '(all)') AS sch,
+          |  COALESCE(table_name, '(all)') AS tbl,
+          |  CAST(sum((CASE WHEN action <> 'delete' THEN 1 ELSE 0 END)
+          |    - (CASE WHEN action <> 'insert' THEN 1 ELSE 0 END))
+          |    AS BIGINT) AS n,
+          |  CAST(sum(COALESCE(CASE WHEN action <> 'delete'
+          |        THEN CAST(round(record_value * 100) AS BIGINT) END, 0)
+          |    - COALESCE(CASE WHEN action <> 'insert'
+          |        THEN CAST(round(old_value * 100) AS BIGINT) END, 0))
+          |    AS BIGINT) AS sum_cents
+          |FROM cdc WHERE commit_lsn <= 9000
+          |GROUP BY ROLLUP(table_schema, table_name)
+          |ORDER BY sch, tbl""".stripMargin),
 
       "q73_scd2" -> (cte +
         """SELECT group_id, record_id,

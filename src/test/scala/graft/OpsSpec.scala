@@ -390,6 +390,45 @@ class OpsSpec extends SparkSpec {
       (77L, 0L, 0L, 0L, 1L, 500L)))
   }
 
+  test("incremental rollup board: every subtotal level telescopes across " +
+      "windows and matches hand-computed totals") {
+    import spark.implicits._
+    // two-level key (region, city); lifecycles span the window split at
+    // lsn 4: the update and delete in window 2 must adjust THREE board
+    // rows each (city, region, grand total)
+    val chs = Seq(
+      (1L, "insert", "a", "r1", "c1", Some(10L), None),
+      (2L, "insert", "b", "r1", "c2", Some(20L), None),
+      (3L, "insert", "c", "r2", "c3", Some(40L), None),
+      (5L, "update", "a", "r1", "c1", Some(15L), Some(10L)),
+      (6L, "delete", "b", "r1", "c2", None, Some(20L)))
+    val df = chs.toDF("lsn", "action", "pk", "region", "city", "new_v", "old_v")
+    val measures = Seq(
+      IncrementalView.liveCount(col("action")),
+      IncrementalView.sumOf("s", col("action"), col("new_v"), col("old_v")))
+    val keys = Seq("region", "city")
+    val v1 = IncrementalView.deltaRollup(
+      df.filter(col("lsn") <= 4), keys.map(col), measures)
+    val advanced = IncrementalView.advanceRollup(
+      v1, df.filter(col("lsn") > 4), keys, measures)
+    def boardOf(v: org.apache.spark.sql.DataFrame) = v.collect().map { r =>
+      (Option(r.getString(0)).getOrElse("*"),
+        Option(r.getString(1)).getOrElse("*")) ->
+        ((r.getLong(3), r.getLong(4)))
+    }.toMap
+    val got = boardOf(advanced)
+    // live rows at the end: a=15 (r1/c1), c=40 (r2/c3)
+    assert(got == Map(
+      ("r1", "c1") -> ((1L, 15L)),
+      ("r1", "c2") -> ((0L, 0L)),     // b deleted — nets to zero
+      ("r1", "*") -> ((1L, 15L)),
+      ("r2", "c3") -> ((1L, 40L)),
+      ("r2", "*") -> ((1L, 40L)),
+      ("*", "*") -> ((2L, 55L))))
+    assert(got == boardOf(IncrementalView.deltaRollup(
+      df, keys.map(col), measures)))
+  }
+
   test("SCD2: deletes close versions without emitting; re-insert reopens; " +
       "versionAt honors closed intervals") {
     import spark.implicits._
