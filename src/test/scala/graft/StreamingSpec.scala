@@ -265,6 +265,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("replay windows from the STORED event table advance the " +
+      "incremental view to exactly the full-history recompute") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.ops.IncrementalView
+    // the 100 TB capstone: retained changes live in the epoch-partitioned
+    // event table (append-per-change log, the reference's consumer_events
+    // shape); a consumer snapshots its view at L1 and catches up to L2 by
+    // applying ONLY the (L1, L2] replay window — which the epoch layout
+    // prunes to in-window dirs (plan-audited elsewhere).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivr").toString + "/ev"
+    val rows = (1 to 120).map { i =>
+      val action = if (i % 10 == 0) "delete" else "insert"
+      ev(8L * i, 0, (i % 5).toString, i.toString, action = action,
+        value = (i % 30).toDouble)
+    }
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 2,
+      epochWidth = 128)
+    val measures = Seq(
+      IncrementalView.liveCount(col("action")),
+      IncrementalView.sumOf("cents", col("action"),
+        round(col("record_value") * 100).cast("bigint"),
+        round(col("old_value") * 100).cast("bigint")))
+    def window(from: Long, to: Long) =
+      EventTableSink.changesBetween(spark, dir, from, to, epochWidth = 128)
+    val v1 = IncrementalView.delta(window(0, 400), col("group_id"), measures)
+    val v2 = IncrementalView.advance(v1, window(400, 700), col("group_id"), measures)
+    val v3 = IncrementalView.advance(v2, window(700, 2000), col("group_id"), measures)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = IncrementalView.delta(rows.toDF(), col("group_id"), measures)
+    assert(m(v3) == m(oneShot))
+    assert(m(v3).values.map(_._1).sum == 120 - 2 * 12) // 12 deletes, ±1 each
+  }
+
   test("EventTableSink.upsert is idempotent and last-writer-wins") {
     implicit val s = spark
     import s.implicits._
