@@ -1,0 +1,230 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.streaming.ConsumerConfig
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import scala.collection.concurrent.TrieMap
+
+/** The management plane: declarative sink-consumer CRUD plus the
+  * config-as-code apply/plan/export trio, served over a REAL loopback
+  * HTTP listener — the API surface a reference operator drives with
+  * `curl`/CLI (`/root/reference/lib/sequin_web/router.ex:157-195`:
+  * `resources("/sinks", SinkConsumerController)`; `POST /config/apply`,
+  * `POST /config/plan`, `GET /config/export` →
+  * `yaml_controller.ex:18-90`), with the fallback plug's error shapes
+  * (`plugs/api_fallback_plug.ex`: 404 `{"summary"}`, 422 `{"summary",
+  * "validation_errors", "code"}`).
+  *
+  * Every write goes through [[PipelineSpec]] validation — the same
+  * parse + expression sandbox the YAML front-end uses — so a config the
+  * API accepts is exactly a config the pipeline builder will run.
+  * JDK-only (`com.sun.net.httpserver`), binds 127.0.0.1, zero egress.
+  *
+  * The registry is the management plane's in-memory state (the
+  * reference keeps these rows in Postgres; persistence here is the
+  * caller's concern — `export` gives the canonical YAML to store).
+  */
+final class ManagementApi {
+
+  private val registry = TrieMap.empty[String, ConsumerConfig]
+
+  private val pool = Executors.newFixedThreadPool(4)
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/api/", new Router)
+    s.setExecutor(pool)
+    s.start()
+    s
+  }
+
+  def port(): Int = server.getAddress.getPort
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+
+  /** Snapshot of the declared consumers (name-sorted). */
+  def consumers(): Seq[ConsumerConfig] =
+    registry.values.toSeq.sortBy(_.name)
+
+  private val mapper = PipelineSpec.mapper
+
+  private final class Router extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      try route(ex)
+      catch {
+        case e: Throwable =>
+          respond(ex, 500, err(s"internal error: ${e.getMessage}"))
+      } finally ex.close()
+    }
+
+    private def route(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      val method = ex.getRequestMethod
+      (method, path) match {
+        case ("GET", "/api/sinks")           => doIndex(ex)
+        case ("POST", "/api/sinks")          => doCreate(ex)
+        case ("POST", "/api/config/apply")   => doApply(ex)
+        case ("POST", "/api/config/plan")    => doPlan(ex)
+        case ("GET", "/api/config/export")   => doExport(ex)
+        case (m, p) if p.startsWith("/api/sinks/") =>
+          val name = p.stripPrefix("/api/sinks/")
+          m match {
+            case "GET"    => doShow(ex, name)
+            case "PUT"    => doUpdate(ex, name)
+            case "DELETE" => doDelete(ex, name)
+            case _        => respond(ex, 405, err("method not allowed"))
+          }
+        case _ => respond(ex, 404, err("route not found"))
+      }
+    }
+  }
+
+  private def doIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    consumers().foreach(c => arr.add(PipelineSpec.renderNode(c)))
+    respond(ex, 200, out.toString)
+  }
+
+  private def doShow(ex: HttpExchange, name: String): Unit =
+    registry.get(name) match {
+      case Some(c) => respond(ex, 200, PipelineSpec.renderNode(c).toString)
+      case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
+    }
+
+  private def doCreate(ex: HttpExchange): Unit =
+    parsedBody(ex).foreach { cfg =>
+      if (registry.putIfAbsent(cfg.name, cfg).isDefined)
+        respond(ex, 422,
+          validationErr(s"Sink consumer already exists: ${cfg.name}"))
+      else respond(ex, 200, PipelineSpec.renderNode(cfg).toString)
+    }
+
+  private def doUpdate(ex: HttpExchange, name: String): Unit =
+    if (!registry.contains(name))
+      respond(ex, 404, err(s"Sink consumer not found: $name"))
+    else parsedBody(ex).foreach { cfg =>
+      if (cfg.name != name)
+        respond(ex, 422,
+          validationErr(s"name is immutable: ${name} != ${cfg.name}"))
+      else { registry.update(name, cfg)
+        respond(ex, 200, PipelineSpec.renderNode(cfg).toString) }
+    }
+
+  private def doDelete(ex: HttpExchange, name: String): Unit =
+    registry.remove(name) match {
+      case Some(_) => respond(ex, 200, """{"success":true}""")
+      case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
+    }
+
+  /** `POST /config/apply {"yaml": ...}` — parse + validate EVERY sink
+    * first, then upsert all (all-or-nothing like the reference's loader:
+    * a bad document changes nothing).
+    */
+  private def doApply(ex: HttpExchange): Unit =
+    yamlBody(ex).foreach { yaml =>
+      withValidated(ex, yaml) { cfgs =>
+        cfgs.foreach(c => registry.update(c.name, c))
+        val out = mapper.createObjectNode()
+        val arr = out.putArray("resources")
+        cfgs.foreach { c =>
+          val r = arr.addObject()
+          r.put("kind", "sink_consumer"); r.put("name", c.name)
+        }
+        respond(ex, 200, out.toString)
+      }
+    }
+
+  /** `POST /config/plan` — the diff of a YAML document against the live
+    * registry: create / update / unchanged per declared sink, delete for
+    * live sinks the document omits (`yaml_controller.ex:46-76` envelope
+    * shape, action per resource).
+    */
+  private def doPlan(ex: HttpExchange): Unit =
+    yamlBody(ex).foreach { yaml =>
+      withValidated(ex, yaml) { cfgs =>
+        val declared = cfgs.map(c => c.name -> c).toMap
+        val out = mapper.createObjectNode()
+        val arr = out.putArray("changes")
+        def change(action: String, name: String): Unit = {
+          val c = arr.addObject()
+          c.put("action", action); c.put("name", name)
+        }
+        cfgs.foreach { c =>
+          registry.get(c.name) match {
+            case None                       => change("create", c.name)
+            case Some(cur) if cur != c      => change("update", c.name)
+            case Some(_)                    => change("unchanged", c.name)
+          }
+        }
+        registry.keys.toSeq.sorted
+          .filterNot(declared.contains).foreach(change("delete", _))
+        respond(ex, 200, out.toString)
+      }
+    }
+
+  private def doExport(ex: HttpExchange): Unit = {
+    val yaml = YamlSpec.renderAll(consumers())
+    val out = mapper.createObjectNode()
+    out.put("yaml", yaml)
+    respond(ex, 200, out.toString)
+  }
+
+  // ---- plumbing ---------------------------------------------------------
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  /** Parse + validate a sink-consumer JSON body; responds 422 (the
+    * fallback plug's ValidationError shape) and returns None on failure.
+    */
+  private def parsedBody(ex: HttpExchange): Option[ConsumerConfig] =
+    try Some(PipelineSpec.parse(body(ex)))
+    catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)); None }
+
+  private def yamlBody(ex: HttpExchange): Option[String] =
+    try {
+      val node = mapper.readTree(body(ex))
+      val y = node.get("yaml")
+      if (y == null || !y.isTextual) {
+        respond(ex, 422, validationErr("body must be {\"yaml\": \"...\"}"))
+        None
+      } else Some(y.asText())
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)); None }
+
+  private def withValidated(ex: HttpExchange, yaml: String)(
+      f: Seq[ConsumerConfig] => Unit): Unit =
+    try {
+      val cfgs = YamlSpec.parseSinks(yaml)
+      val dup = cfgs.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+      if (dup.nonEmpty)
+        respond(ex, 422, validationErr(s"duplicate sink names: ${dup.mkString(", ")}"))
+      else f(cfgs)
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  private def err(msg: String): String = {
+    val o = mapper.createObjectNode(); o.put("summary", msg); o.toString
+  }
+
+  /** 422 body in the fallback plug's ValidationError shape. */
+  private def validationErr(msg: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("summary", msg)
+    o.putObject("validation_errors")
+    o.put("code", "validation_error")
+    o.toString
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("content-type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

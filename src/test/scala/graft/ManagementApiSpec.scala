@@ -1,0 +1,127 @@
+package graft
+
+import graft.config.ManagementApi
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The management plane driven through its real loopback HTTP surface:
+  * sink CRUD with the fallback plug's error shapes, every write through
+  * the PipelineSpec validation sandbox, and the config-as-code
+  * apply/plan/export trio (router.ex: /api/sinks and the config routes).
+  */
+class ManagementApiSpec extends AnyFunSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(port: Int, method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def cfg(name: String, batch: Int = 5): String =
+    s"""{"name":"$name","source":{"include_schemas":["public"]},
+       |"batch_size":$batch,
+       |"destination":{"type":"kafka","topic":"t"}}""".stripMargin
+
+  test("sink CRUD lifecycle with the fallback plug's error shapes") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      val (cs, cb) = send(p, "POST", "/api/sinks", Some(cfg("orders")))
+      assert(cs == 200 && cb.contains("\"name\":\"orders\""))
+      // duplicate create → 422 in the ValidationError shape
+      val (ds, db) = send(p, "POST", "/api/sinks", Some(cfg("orders")))
+      assert(ds == 422 && db.contains("already exists") &&
+        db.contains("\"code\":\"validation_error\""))
+      val (is, ib) = send(p, "GET", "/api/sinks")
+      assert(is == 200 && ib.contains("\"orders\""))
+      val (ss, sb) = send(p, "GET", "/api/sinks/orders")
+      assert(ss == 200 && sb.contains("\"batch_size\":5"))
+      // update through validation; name immutable
+      val (us, ub) = send(p, "PUT", "/api/sinks/orders", Some(cfg("orders", 9)))
+      assert(us == 200 && ub.contains("\"batch_size\":9"))
+      val (ms, mb) = send(p, "PUT", "/api/sinks/orders", Some(cfg("renamed")))
+      assert(ms == 422 && mb.contains("immutable"))
+      val (xs, xb) = send(p, "DELETE", "/api/sinks/orders")
+      assert(xs == 200 && xb.contains("\"success\":true"))
+      val (ns, nb) = send(p, "GET", "/api/sinks/orders")
+      assert(ns == 404 && nb.contains("not found"))
+      assert(send(p, "DELETE", "/api/sinks/orders")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("writes run the expression sandbox: a clock-reading filter is refused") {
+    val api = new ManagementApi
+    try {
+      val bad =
+        """{"name":"sneaky","source":{"include_schemas":["public"]},
+          |"filter_function":"record_value > unix_timestamp()",
+          |"destination":{"type":"kafka","topic":"t"}}""".stripMargin
+      val (s, b) = send(api.port(), "POST", "/api/sinks", Some(bad))
+      assert(s == 422 && b.contains("\"code\":\"validation_error\""))
+      assert(api.consumers().isEmpty) // refused config never lands
+    } finally api.stop()
+  }
+
+  test("config apply/plan/export round-trips through a second instance") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      def yamlDoc(sinks: String*): String = {
+        val y = "sinks:\n" + sinks.mkString
+        s"""{"yaml": ${com.fasterxml.jackson.databind.node.JsonNodeFactory
+          .instance.textNode(y).toString}}"""
+      }
+      def sink(name: String, batch: Int) =
+        s"""  - name: "$name"
+           |    source:
+           |      include_schemas:
+           |        - "public"
+           |    batch_size: $batch
+           |    destination:
+           |      type: "kafka"
+           |      topic: "t"
+           |""".stripMargin
+      // plan against an empty registry: all creates, nothing applied yet
+      val (ps, pb) = send(p, "POST", "/api/config/plan",
+        Some(yamlDoc(sink("a", 1), sink("b", 2))))
+      assert(ps == 200 &&
+        pb.contains("""{"action":"create","name":"a"}""") &&
+        pb.contains("""{"action":"create","name":"b"}"""))
+      assert(api.consumers().isEmpty)
+      val (as_, ab) = send(p, "POST", "/api/config/apply",
+        Some(yamlDoc(sink("a", 1), sink("b", 2))))
+      assert(as_ == 200 && ab.contains("\"resources\""))
+      assert(api.consumers().map(_.name) == Seq("a", "b"))
+      // re-plan: a modified → update, b omitted → delete
+      val (p2s, p2b) = send(p, "POST", "/api/config/plan",
+        Some(yamlDoc(sink("a", 7))))
+      assert(p2s == 200 &&
+        p2b.contains("""{"action":"update","name":"a"}""") &&
+        p2b.contains("""{"action":"delete","name":"b"}"""))
+      // an invalid document changes NOTHING (all-or-nothing apply)
+      val badYaml = yamlDoc(sink("a", 7),
+        "  - name: \"z\"\n    actions:\n      - bogus\n")
+      assert(send(p, "POST", "/api/config/apply", Some(badYaml))._1 == 422)
+      assert(api.consumers().find(_.name == "a").get.batchSize.contains(1))
+      // export → apply into a FRESH instance → identical registry
+      val (es, eb) = send(p, "GET", "/api/config/export")
+      assert(es == 200)
+      val api2 = new ManagementApi
+      try {
+        val (rs, _) = send(api2.port(), "POST", "/api/config/apply", Some(eb))
+        assert(rs == 200)
+        assert(api2.consumers() == api.consumers())
+      } finally api2.stop()
+    } finally api.stop()
+  }
+}
