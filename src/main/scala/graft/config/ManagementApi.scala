@@ -30,7 +30,20 @@ import scala.collection.concurrent.TrieMap
   */
 final class ManagementApi {
 
+  /** Control-plane record of a backfill (the reference's `backfills`
+    * table, `consumers/backfill.ex:29-51`): state machine the API
+    * drives; EXECUTION is `graft.backfill.Backfill` (q47), which the
+    * runtime points at this record's table.
+    */
+  final case class BackfillRec(id: Int, table: String, state: String,
+      rowsProcessedCount: Long = 0L, rowsIngestedCount: Long = 0L)
+
+  private val BackfillStates =
+    Set("active", "completed", "cancelled", "failed", "paused")
+
   private val registry = TrieMap.empty[String, ConsumerConfig]
+  private val backfills = TrieMap.empty[String, Vector[BackfillRec]]
+  private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
@@ -69,12 +82,24 @@ final class ManagementApi {
         case ("POST", "/api/config/plan")    => doPlan(ex)
         case ("GET", "/api/config/export")   => doExport(ex)
         case (m, p) if p.startsWith("/api/sinks/") =>
-          val name = p.stripPrefix("/api/sinks/")
-          m match {
-            case "GET"    => doShow(ex, name)
-            case "PUT"    => doUpdate(ex, name)
-            case "DELETE" => doDelete(ex, name)
-            case _        => respond(ex, 405, err("method not allowed"))
+          p.stripPrefix("/api/sinks/").split("/", -1).toList match {
+            case name :: Nil => m match {
+              case "GET"    => doShow(ex, name)
+              case "PUT"    => doUpdate(ex, name)
+              case "DELETE" => doDelete(ex, name)
+              case _        => respond(ex, 405, err("method not allowed"))
+            }
+            case name :: "backfills" :: Nil => m match {
+              case "GET"  => doBackfillIndex(ex, name)
+              case "POST" => doBackfillCreate(ex, name)
+              case _      => respond(ex, 405, err("method not allowed"))
+            }
+            case name :: "backfills" :: id :: Nil => m match {
+              case "GET" => doBackfillShow(ex, name, id)
+              case "PUT" => doBackfillUpdate(ex, name, id)
+              case _     => respond(ex, 405, err("method not allowed"))
+            }
+            case _ => respond(ex, 404, err("route not found"))
           }
         case _ => respond(ex, 404, err("route not found"))
       }
@@ -171,6 +196,98 @@ final class ManagementApi {
     out.put("yaml", yaml)
     respond(ex, 200, out.toString)
   }
+
+  // ---- backfill control plane (backfill_controller.ex parity) -----------
+
+  private def renderBackfill(b: BackfillRec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", b.id); o.put("table", b.table); o.put("state", b.state)
+    o.put("rows_processed_count", b.rowsProcessedCount)
+    o.put("rows_ingested_count", b.rowsIngestedCount)
+    o
+  }
+
+  private def withSink(ex: HttpExchange, name: String)(f: => Unit): Unit =
+    if (registry.contains(name)) f
+    else respond(ex, 404, err(s"Sink consumer not found: $name"))
+
+  private def doBackfillIndex(ex: HttpExchange, name: String): Unit =
+    withSink(ex, name) {
+      val out = mapper.createObjectNode()
+      val arr = out.putArray("data")
+      backfills.getOrElse(name, Vector.empty).foreach(b => arr.add(renderBackfill(b)))
+      respond(ex, 200, out.toString)
+    }
+
+  private def doBackfillShow(ex: HttpExchange, name: String, id: String): Unit =
+    withSink(ex, name) {
+      backfills.getOrElse(name, Vector.empty).find(_.id.toString == id) match {
+        case Some(b) => respond(ex, 200, renderBackfill(b).toString)
+        case None    => respond(ex, 404, err(s"Backfill not found: $id"))
+      }
+    }
+
+  /** `POST /sinks/{name}/backfills {"table": "schema.table"}` — a new
+    * `active` record; a missing table reference is the controller's
+    * "Table reference is required" validation error.
+    */
+  private def doBackfillCreate(ex: HttpExchange, name: String): Unit =
+    withSink(ex, name) {
+      try {
+        val node = mapper.readTree(body(ex))
+        val t = node.get("table")
+        if (t == null || !t.isTextual || t.asText().isEmpty)
+          respond(ex, 422, validationErr("Table reference is required"))
+        else {
+          val rec = BackfillRec(backfillSeq.incrementAndGet(), t.asText(), "active")
+          backfills.updateWith(name) {
+            case Some(v) => Some(v :+ rec); case None => Some(Vector(rec))
+          }
+          respond(ex, 200, renderBackfill(rec).toString)
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 422, validationErr(e.getMessage)) }
+    }
+
+  /** `PUT` accepts ONLY `{"state": ...}` — any other field is the
+    * reference's "Unknown field: x" refusal
+    * (`transforms.ex:1608-1619`).
+    */
+  private def doBackfillUpdate(ex: HttpExchange, name: String, id: String): Unit =
+    withSink(ex, name) {
+      try {
+        val node = mapper.readTree(body(ex))
+        val fields = {
+          val it = node.fieldNames(); val b = Vector.newBuilder[String]
+          while (it.hasNext) b += it.next(); b.result()
+        }
+        fields.find(_ != "state") match {
+          case Some(unknown) =>
+            respond(ex, 422, validationErr(s"Unknown field: $unknown"))
+          case None =>
+            val st = Option(node.get("state")).map(_.asText())
+            if (!st.exists(BackfillStates.contains))
+              respond(ex, 422, validationErr(
+                s"state must be one of: ${BackfillStates.toSeq.sorted.mkString(", ")}"))
+            else {
+              var updated: Option[BackfillRec] = None
+              backfills.updateWith(name) {
+                case Some(v) => Some(v.map { b =>
+                  if (b.id.toString == id) {
+                    val n = b.copy(state = st.get); updated = Some(n); n
+                  } else b
+                })
+                case None => None
+              }
+              updated match {
+                case Some(b) => respond(ex, 200, renderBackfill(b).toString)
+                case None    => respond(ex, 404, err(s"Backfill not found: $id"))
+              }
+            }
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 422, validationErr(e.getMessage)) }
+    }
 
   // ---- plumbing ---------------------------------------------------------
 

@@ -72,6 +72,38 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("backfill control plane: create/list/show and the state-only update contract") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      // backfills hang off an existing sink
+      assert(send(p, "POST", "/api/sinks/ghost/backfills",
+        Some("""{"table":"public.orders"}"""))._1 == 404)
+      send(p, "POST", "/api/sinks", Some(cfg("orders")))
+      // table reference required (controller's validation summary)
+      val (ms, mb) = send(p, "POST", "/api/sinks/orders/backfills", Some("{}"))
+      assert(ms == 422 && mb.contains("Table reference is required"))
+      val (cs, cb) = send(p, "POST", "/api/sinks/orders/backfills",
+        Some("""{"table":"public.orders"}"""))
+      assert(cs == 200 && cb.contains("\"state\":\"active\""))
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(cb).get.group(1)
+      val (is, ib) = send(p, "GET", "/api/sinks/orders/backfills")
+      assert(is == 200 && ib.contains("\"data\"") && ib.contains(s"\"id\":$id"))
+      // update accepts ONLY state; unknown fields are refused by name
+      val (us, ub) = send(p, "PUT", s"/api/sinks/orders/backfills/$id",
+        Some("""{"rows_processed_count":99}"""))
+      assert(us == 422 && ub.contains("Unknown field: rows_processed_count"))
+      assert(send(p, "PUT", s"/api/sinks/orders/backfills/$id",
+        Some("""{"state":"bogus"}"""))._1 == 422)
+      val (ps, pb) = send(p, "PUT", s"/api/sinks/orders/backfills/$id",
+        Some("""{"state":"cancelled"}"""))
+      assert(ps == 200 && pb.contains("\"state\":\"cancelled\""))
+      val (ss, sb) = send(p, "GET", s"/api/sinks/orders/backfills/$id")
+      assert(ss == 200 && sb.contains("\"state\":\"cancelled\""))
+      assert(send(p, "GET", "/api/sinks/orders/backfills/999")._1 == 404)
+    } finally api.stop()
+  }
+
   test("config apply/plan/export round-trips through a second instance") {
     val api = new ManagementApi
     try {
