@@ -655,6 +655,40 @@ object CoreQueries {
         .orderBy("sch", "tbl")
     }),
 
+    // Ordered string aggregation (the LISTAGG / string_agg shape): each
+    // user's full event journey as one ordered comma-joined string. The
+    // deterministic form: collect structs, ONE array_sort on the (ts,
+    // event_id) tuple inside the group, then project+join — output is
+    // O(group) by definition (journey export), the only agg family whose
+    // result scales with group size; journeys are bounded per user.
+    "q76_string_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"),
+            col("event_id").as("eid"),
+            col("event_type").as("et")))), x => x.getField("et")), ",")
+            .as("journey"),
+          count(lit(1)).cast("bigint").as("n"))
+        .orderBy("user_id")),
+
+    // Window-navigation battery: lag/lead neighbors, partition-first
+    // value, row_number and ntile quartiles in ONE window pass per user
+    // — the §2.7 navigation surface exercised together over a total
+    // (ts, event_id) order so every engine computes identical frames.
+    "q77_window_nav" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_et"),
+        lead(col("event_type"), 1).over(w).as("next_et"),
+        first(col("event_type")).over(w).as("first_et"),
+        row_number().over(w).cast("bigint").as("rn"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // SCD Type-2 dimension build: every change to a dimension key becomes
     // a version row with a [valid_from, valid_to) cursor interval — one
     // shuffle on the key + a lead window, never a history self-join
@@ -1242,6 +1276,23 @@ object CoreQueries {
           |FROM cdc WHERE commit_lsn <= 9000
           |GROUP BY ROLLUP(table_schema, table_name)
           |ORDER BY sch, tbl""".stripMargin),
+
+      "q76_string_agg" ->
+        """SELECT user_id,
+          |  string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q77_window_nav" ->
+        """SELECT event_id, user_id,
+          |  lag(event_type) OVER w AS prev_et,
+          |  lead(event_type) OVER w AS next_et,
+          |  first_value(event_type) OVER w AS first_et,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY event_id""".stripMargin,
 
       "q73_scd2" -> (cte +
         """SELECT group_id, record_id,

@@ -225,7 +225,11 @@ class ScaleProbeSpec extends SparkSpec {
     val tB = minRet(20000)
     val r = tB / tS
     info(f"retention: small=${tS}%.2fs big=${tB}%.2fs ratio=${r}%.1f")
-    assert(r < 5, s"retention cost grew ${r}x for 10x live data")
+    // bound 7: isolated runs measure ~2-3; a co-tenant JVM stealing the
+    // box pushes identical code to 5.2-5.5 (observed twice), and the
+    // regression this guards against — O(table) expiry rewriting every
+    // bucket — shows 10-20x. 7 stays far from both.
+    assert(r < 7, s"retention cost grew ${r}x for 10x live data")
   }
 
   test("semDedup grows ~N^1.5 (cells ~ sqrt N) over 10x vectors, no cliff") {
