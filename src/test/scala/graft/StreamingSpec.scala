@@ -265,6 +265,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("stream-stream interval join (watermarked, append) matches the " +
+      "batch join on the same data") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // impressions joined to clicks within [imp_ts, imp_ts + 10s] per user
+    // — the attribution shape of q59, as a genuine stream-stream join:
+    // watermarks on BOTH sides + the interval condition let Spark bound
+    // each side's state store; without them the join would buffer the
+    // streams forever (the 100 TB streaming cliff).
+    val imp = MemoryStream[(Long, Long, Long)] // (imp_id, user_id, sec)
+    val clk = MemoryStream[(Long, Long, Long)] // (clk_id, user_id, sec)
+    def impDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("imp_id", "i_user", "i_sec")
+      .select(col("imp_id"), col("i_user"),
+        timestamp_seconds(col("i_sec")).as("i_ts"))
+    def clkDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("clk_id", "c_user", "c_sec")
+      .select(col("clk_id"), col("c_user"),
+        timestamp_seconds(col("c_sec")).as("c_ts"))
+    val cond = expr(
+      "i_user = c_user AND c_ts >= i_ts AND c_ts <= i_ts + interval 10 seconds")
+    val joined = impDf(imp.toDF()).withWatermark("i_ts", "20 seconds")
+      .join(clkDf(clk.toDF()).withWatermark("c_ts", "20 seconds"), cond)
+      .select(col("imp_id"), col("clk_id"))
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      // phase 1 — on-time data (watermark still at epoch 0 while this
+      // micro-batch computes): boundary click 110 == 100+10 included for
+      // imp 10, click 111 out for imp 10 but in for imp 30 @103, user 9
+      // click matches nothing
+      val imps = Seq((10L, 1L, 100L), (30L, 1L, 103L), (20L, 2L, 140L))
+      val clks = Seq((1L, 1L, 105L), (2L, 1L, 110L), (3L, 1L, 111L),
+        (4L, 9L, 141L))
+      imp.addData(imps: _*); clk.addData(clks: _*)
+      query.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = impDf(imps.toDF()).join(clkDf(clks.toDF()), cond)
+        .select(col("imp_id"), col("clk_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+      assert(got == Set((10L, 1L), (10L, 2L), (30L, 1L), (30L, 2L), (30L, 3L)))
+      // phase 2 — the watermark has advanced past 120 (max 141 - 20s):
+      // a LATE impression @101 is dropped and its would-be click partners
+      // are already evicted from the state store. Streaming correctly
+      // diverges from an unconstrained batch join here — bounded state is
+      // exactly what the watermark purchased.
+      imp.addData((40L, 1L, 101L))
+      query.processAllAvailable()
+      val after = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == got, "late impression must not join evicted state")
+    } finally query.stop()
+  }
+
   test("replay windows from the STORED event table advance the " +
       "incremental view to exactly the full-history recompute") {
     implicit val s = spark
