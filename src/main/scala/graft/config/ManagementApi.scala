@@ -44,6 +44,7 @@ final class ManagementApi {
   private val registry = TrieMap.empty[String, ConsumerConfig]
   private val backfills = TrieMap.empty[String, Vector[BackfillRec]]
   private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val endpoints = TrieMap.empty[String, YamlSpec.HttpEndpointSpec]
 
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
@@ -81,6 +82,17 @@ final class ManagementApi {
         case ("POST", "/api/config/apply")   => doApply(ex)
         case ("POST", "/api/config/plan")    => doPlan(ex)
         case ("GET", "/api/config/export")   => doExport(ex)
+        case ("GET", "/api/destinations/http_endpoints") =>
+          doEndpointIndex(ex)
+        case ("POST", "/api/destinations/http_endpoints") =>
+          doEndpointCreate(ex)
+        case (m, p) if p.startsWith("/api/destinations/http_endpoints/") =>
+          val name = p.stripPrefix("/api/destinations/http_endpoints/")
+          m match {
+            case "GET"    => doEndpointShow(ex, name)
+            case "DELETE" => doEndpointDelete(ex, name)
+            case _        => respond(ex, 405, err("method not allowed"))
+          }
         case (m, p) if p.startsWith("/api/sinks/") =>
           p.stripPrefix("/api/sinks/").split("/", -1).toList match {
             case name :: Nil => m match {
@@ -119,12 +131,29 @@ final class ManagementApi {
       case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
     }
 
+  /** The reference resolves `http_endpoint` names against the account's
+    * declared endpoints at sink create/update time
+    * (`sink_consumer_controller.ex:34-44` passes `http_endpoints` into
+    * `Transforms.from_external_sink_consumer`) — an http_push sink
+    * referencing an undeclared endpoint is refused.
+    */
+  private def endpointRef(cfg: ConsumerConfig,
+      extra: Set[String] = Set.empty): Option[String] =
+    cfg.sink.filter(_.sinkType == "http_push")
+      .flatMap(_.settings.get("http_endpoint"))
+      .filterNot(n => endpoints.contains(n) || extra.contains(n))
+
   private def doCreate(ex: HttpExchange): Unit =
     parsedBody(ex).foreach { cfg =>
-      if (registry.putIfAbsent(cfg.name, cfg).isDefined)
-        respond(ex, 422,
-          validationErr(s"Sink consumer already exists: ${cfg.name}"))
-      else respond(ex, 200, PipelineSpec.renderNode(cfg).toString)
+      endpointRef(cfg) match {
+        case Some(missing) =>
+          respond(ex, 422, validationErr(s"HTTP endpoint not found: $missing"))
+        case None =>
+          if (registry.putIfAbsent(cfg.name, cfg).isDefined)
+            respond(ex, 422,
+              validationErr(s"Sink consumer already exists: ${cfg.name}"))
+          else respond(ex, 200, PipelineSpec.renderNode(cfg).toString)
+      }
     }
 
   private def doUpdate(ex: HttpExchange, name: String): Unit =
@@ -134,8 +163,13 @@ final class ManagementApi {
       if (cfg.name != name)
         respond(ex, 422,
           validationErr(s"name is immutable: ${name} != ${cfg.name}"))
-      else { registry.update(name, cfg)
-        respond(ex, 200, PipelineSpec.renderNode(cfg).toString) }
+      else endpointRef(cfg) match {
+        case Some(missing) =>
+          respond(ex, 422, validationErr(s"HTTP endpoint not found: $missing"))
+        case None =>
+          registry.update(name, cfg)
+          respond(ex, 200, PipelineSpec.renderNode(cfg).toString)
+      }
     }
 
   private def doDelete(ex: HttpExchange, name: String): Unit =
@@ -144,16 +178,23 @@ final class ManagementApi {
       case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
     }
 
-  /** `POST /config/apply {"yaml": ...}` — parse + validate EVERY sink
-    * first, then upsert all (all-or-nothing like the reference's loader:
-    * a bad document changes nothing).
+  /** `POST /config/apply {"yaml": ...}` — parse + validate EVERY
+    * resource first (endpoints, then sinks — a sink may reference an
+    * endpoint declared in the SAME document), then upsert all
+    * (all-or-nothing like the reference's loader: a bad document changes
+    * nothing).
     */
   private def doApply(ex: HttpExchange): Unit =
     yamlBody(ex).foreach { yaml =>
-      withValidated(ex, yaml) { cfgs =>
+      withValidated(ex, yaml) { (eps, cfgs) =>
+        eps.foreach(e => endpoints.update(e.name, e))
         cfgs.foreach(c => registry.update(c.name, c))
         val out = mapper.createObjectNode()
         val arr = out.putArray("resources")
+        eps.foreach { e =>
+          val r = arr.addObject()
+          r.put("kind", "http_endpoint"); r.put("name", e.name)
+        }
         cfgs.foreach { c =>
           val r = arr.addObject()
           r.put("kind", "sink_consumer"); r.put("name", c.name)
@@ -169,13 +210,21 @@ final class ManagementApi {
     */
   private def doPlan(ex: HttpExchange): Unit =
     yamlBody(ex).foreach { yaml =>
-      withValidated(ex, yaml) { cfgs =>
+      withValidated(ex, yaml) { (eps, cfgs) =>
         val declared = cfgs.map(c => c.name -> c).toMap
         val out = mapper.createObjectNode()
         val arr = out.putArray("changes")
-        def change(action: String, name: String): Unit = {
+        def change(action: String, name: String,
+            kind: String = "sink_consumer"): Unit = {
           val c = arr.addObject()
-          c.put("action", action); c.put("name", name)
+          c.put("action", action); c.put("name", name); c.put("kind", kind)
+        }
+        eps.foreach { e =>
+          endpoints.get(e.name) match {
+            case None                  => change("create", e.name, "http_endpoint")
+            case Some(cur) if cur != e => change("update", e.name, "http_endpoint")
+            case Some(_)               => change("unchanged", e.name, "http_endpoint")
+          }
         }
         cfgs.foreach { c =>
           registry.get(c.name) match {
@@ -191,9 +240,24 @@ final class ManagementApi {
     }
 
   private def doExport(ex: HttpExchange): Unit = {
-    val yaml = YamlSpec.renderAll(consumers())
+    val epYaml =
+      if (endpoints.isEmpty) ""
+      else "http_endpoints:\n" + endpoints.values.toSeq.sortBy(_.name).map { e =>
+        val sb = new StringBuilder(s"""  - name: "${e.name}"""" + "\n")
+        e.url.foreach(u => sb.append(s"""    url: "$u"""" + "\n"))
+        if (e.local) sb.append("    local: \"true\"\n")
+        e.path.foreach(p => sb.append(s"""    path: "$p"""" + "\n"))
+        if (e.headers.nonEmpty) {
+          sb.append("    headers:\n")
+          e.headers.foreach { case (k, v) =>
+            sb.append(s"""      - key: "$k"""" + "\n")
+            sb.append(s"""        value: "$v"""" + "\n")
+          }
+        }
+        sb.toString
+      }.mkString
     val out = mapper.createObjectNode()
-    out.put("yaml", yaml)
+    out.put("yaml", epYaml + YamlSpec.renderAll(consumers()))
     respond(ex, 200, out.toString)
   }
 
@@ -314,15 +378,100 @@ final class ManagementApi {
       respond(ex, 422, validationErr(e.getMessage)); None }
 
   private def withValidated(ex: HttpExchange, yaml: String)(
-      f: Seq[ConsumerConfig] => Unit): Unit =
+      f: (Seq[YamlSpec.HttpEndpointSpec], Seq[ConsumerConfig]) => Unit): Unit =
     try {
+      val eps = YamlSpec.parseHttpEndpoints(yaml)
       val cfgs = YamlSpec.parseSinks(yaml)
       val dup = cfgs.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+      val dupE = eps.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+      val docEndpoints = eps.map(_.name).toSet
+      val missing = cfgs.flatMap(endpointRef(_, docEndpoints))
       if (dup.nonEmpty)
         respond(ex, 422, validationErr(s"duplicate sink names: ${dup.mkString(", ")}"))
-      else f(cfgs)
+      else if (dupE.nonEmpty)
+        respond(ex, 422, validationErr(s"duplicate endpoint names: ${dupE.mkString(", ")}"))
+      else if (missing.nonEmpty)
+        respond(ex, 422, validationErr(
+          s"HTTP endpoint not found: ${missing.distinct.mkString(", ")}"))
+      else f(eps, cfgs)
     } catch { case e: Throwable =>
       respond(ex, 422, validationErr(e.getMessage)) }
+
+  // ---- HTTP endpoint destinations (http_endpoint_controller.ex) ---------
+
+  private def renderEndpoint(e: YamlSpec.HttpEndpointSpec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("name", e.name)
+    e.url.foreach(o.put("url", _))
+    if (e.local) o.put("local", true)
+    e.path.foreach(o.put("path", _))
+    val hs = o.putArray("headers")
+    e.headers.foreach { case (k, v) =>
+      val h = hs.addObject(); h.put("key", k); h.put("value", v)
+    }
+    o
+  }
+
+  private def parseEndpointJson(node: JsonNode): YamlSpec.HttpEndpointSpec = {
+    val name = Option(node.get("name")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("http_endpoint requires a name"))
+    val url = Option(node.get("url")).map(_.asText())
+    val local = Option(node.get("local")).exists(_.asBoolean(false))
+    if (url.isEmpty && !local)
+      throw new IllegalArgumentException(
+        s"http_endpoint $name requires url or local: true")
+    if (url.nonEmpty && local)
+      throw new IllegalArgumentException(
+        s"http_endpoint $name: url and local are mutually exclusive")
+    val headers = Option(node.get("headers")).toSeq.flatMap { hs =>
+      (0 until hs.size()).map { i =>
+        val h = hs.get(i)
+        (h.get("key").asText(), h.get("value").asText())
+      }
+    }
+    YamlSpec.HttpEndpointSpec(name, url, local,
+      Option(node.get("path")).map(_.asText()), headers)
+  }
+
+  private def doEndpointIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    endpoints.values.toSeq.sortBy(_.name).foreach(e => arr.add(renderEndpoint(e)))
+    respond(ex, 200, out.toString)
+  }
+
+  private def doEndpointShow(ex: HttpExchange, name: String): Unit =
+    endpoints.get(name) match {
+      case Some(e) => respond(ex, 200, renderEndpoint(e).toString)
+      case None    => respond(ex, 404, err(s"HTTP endpoint not found: $name"))
+    }
+
+  private def doEndpointCreate(ex: HttpExchange): Unit =
+    try {
+      val e = parseEndpointJson(mapper.readTree(body(ex)))
+      if (endpoints.putIfAbsent(e.name, e).isDefined)
+        respond(ex, 422, validationErr(s"HTTP endpoint already exists: ${e.name}"))
+      else respond(ex, 200, renderEndpoint(e).toString)
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  /** Deleting an endpoint a live http_push sink still references is
+    * refused — the referential integrity the reference gets from its
+    * foreign key.
+    */
+  private def doEndpointDelete(ex: HttpExchange, name: String): Unit = {
+    val refs = registry.values.collect {
+      case c if c.sink.exists(s => s.sinkType == "http_push" &&
+        s.settings.get("http_endpoint").contains(name)) => c.name
+    }.toSeq.sorted
+    if (refs.nonEmpty)
+      respond(ex, 422, validationErr(
+        s"HTTP endpoint $name is referenced by: ${refs.mkString(", ")}"))
+    else endpoints.remove(name) match {
+      case Some(_) => respond(ex, 200, """{"success":true}""")
+      case None    => respond(ex, 404, err(s"HTTP endpoint not found: $name"))
+    }
+  }
 
   private def err(msg: String): String = {
     val o = mapper.createObjectNode(); o.put("summary", msg); o.toString

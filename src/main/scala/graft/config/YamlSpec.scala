@@ -53,6 +53,59 @@ object YamlSpec {
     all.head
   }
 
+  /** A declared HTTP endpoint destination (sequin-yaml.mdx:668-705):
+    * `name` + (`url` XOR `local: true` with optional `path`), plus plain
+    * headers. Encrypted headers are accepted and carried like plain ones
+    * (no secret store in scope — the split is the reference's at-rest
+    * encryption concern, not a wire-shape one).
+    */
+  final case class HttpEndpointSpec(name: String, url: Option[String],
+      local: Boolean, path: Option[String], headers: Seq[(String, String)])
+
+  /** Parse the document's `http_endpoints:` list. Absent section → Nil. */
+  def parseHttpEndpoints(yaml: String): Seq[HttpEndpointSpec] = {
+    val root = parseDocument(yaml) match {
+      case m: YMap => m
+      case _ => throw new IllegalArgumentException("top level must be a map")
+    }
+    root.entries.collectFirst { case ("http_endpoints", v) => v } match {
+      case None => Nil
+      case Some(YList(items)) => items.map {
+        case m: YMap => parseEndpoint(m)
+        case _ =>
+          throw new IllegalArgumentException("each http_endpoint must be a map")
+      }
+      case Some(_) =>
+        throw new IllegalArgumentException("`http_endpoints` must be a list")
+    }
+  }
+
+  private def parseEndpoint(m: YMap): HttpEndpointSpec = {
+    def scalarOf(key: String): Option[String] =
+      m.entries.collectFirst { case (`key`, YScalar(t, _)) => t }
+    val name = scalarOf("name").getOrElse(
+      throw new IllegalArgumentException("http_endpoint requires a name"))
+    val url = scalarOf("url")
+    val local = scalarOf("local").exists(_.toBoolean) ||
+      scalarOf("webhook.site").exists(_.toBoolean)
+    if (url.isEmpty && !local)
+      throw new IllegalArgumentException(
+        s"http_endpoint $name requires url or local: true")
+    if (url.nonEmpty && local)
+      throw new IllegalArgumentException(
+        s"http_endpoint $name: url and local are mutually exclusive")
+    val headers = (m.entries.collectFirst {
+      case (k, YList(items)) if k == "headers" || k == "encrypted_headers" =>
+        items
+    }.getOrElse(Vector.empty)).collect { case h: YMap =>
+      (h.entries.collectFirst { case ("key", YScalar(t, _)) => t }.getOrElse(
+        throw new IllegalArgumentException("header requires key")),
+        h.entries.collectFirst { case ("value", YScalar(t, _)) => t }.getOrElse(
+          throw new IllegalArgumentException("header requires value")))
+    }
+    HttpEndpointSpec(name, url, local, scalarOf("path"), headers)
+  }
+
   /** Parse a `sinks:` document (or a bare single-sink map) into one
     * validated [[ConsumerConfig]] per entry.
     */
@@ -67,7 +120,10 @@ object YamlSpec {
         case _ => throw new IllegalArgumentException("each sink must be a map")
       }
       case Some(_) => throw new IllegalArgumentException("`sinks` must be a list")
-      case None    => Vector(root) // bare single-sink document
+      // an endpoints-only document declares no sinks; anything else
+      // without a `sinks:` key is a bare single-sink document
+      case None if root.entries.exists(_._1 == "http_endpoints") => Vector.empty
+      case None => Vector(root)
     }
     sinkNodes.map(m => PipelineSpec.parseNode(normalize(m, tableOids)))
   }

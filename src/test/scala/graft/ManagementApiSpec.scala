@@ -104,6 +104,62 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("http endpoints: CRUD, sink referential integrity, and same-document " +
+      "declaration in apply") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      // an http_push sink referencing an undeclared endpoint is refused
+      def pushSink(name: String) =
+        s"""{"name":"$name","source":{"include_schemas":["public"]},
+           |"destination":{"type":"http_push","http_endpoint":"hooks"}}""".stripMargin
+      val (rs, rb) = send(p, "POST", "/api/sinks", Some(pushSink("web")))
+      assert(rs == 422 && rb.contains("HTTP endpoint not found: hooks"))
+      // declare it, then the sink lands
+      val ep = """{"name":"hooks","url":"https://example.test/hook",
+                 |"headers":[{"key":"X-T","value":"1"}]}""".stripMargin
+      assert(send(p, "POST", "/api/destinations/http_endpoints", Some(ep))._1 == 200)
+      assert(send(p, "POST", "/api/destinations/http_endpoints", Some(ep))._1 == 422)
+      assert(send(p, "POST", "/api/sinks", Some(pushSink("web")))._1 == 200)
+      // url XOR local validated
+      assert(send(p, "POST", "/api/destinations/http_endpoints",
+        Some("""{"name":"bad"}"""))._1 == 422)
+      // deleting a referenced endpoint is refused; unreferenced deletes
+      val (ds, db) = send(p, "DELETE", "/api/destinations/http_endpoints/hooks")
+      assert(ds == 422 && db.contains("referenced by: web"))
+      send(p, "DELETE", "/api/sinks/web")
+      assert(send(p, "DELETE", "/api/destinations/http_endpoints/hooks")._1 == 200)
+      // apply: a sink may reference an endpoint declared in the SAME doc;
+      // endpoints land in resources and survive the export round-trip
+      val yaml =
+        """http_endpoints:
+          |  - name: "hooks2"
+          |    url: "https://example.test/h2"
+          |sinks:
+          |  - name: "web2"
+          |    source:
+          |      include_schemas:
+          |        - "public"
+          |    destination:
+          |      type: "webhook"
+          |      http_endpoint: "hooks2"
+          |""".stripMargin
+      val body = s"""{"yaml": ${com.fasterxml.jackson.databind.node
+        .JsonNodeFactory.instance.textNode(yaml).toString}}"""
+      val (as_, ab) = send(p, "POST", "/api/config/apply", Some(body))
+      assert(as_ == 200 && ab.contains("http_endpoint") && ab.contains("web2"))
+      val (es, eb) = send(p, "GET", "/api/config/export")
+      assert(es == 200)
+      val api2 = new ManagementApi
+      try {
+        assert(send(api2.port(), "POST", "/api/config/apply", Some(eb))._1 == 200)
+        assert(api2.consumers() == api.consumers())
+        assert(send(api2.port(), "GET",
+          "/api/destinations/http_endpoints/hooks2")._1 == 200)
+      } finally api2.stop()
+    } finally api.stop()
+  }
+
   test("config apply/plan/export round-trips through a second instance") {
     val api = new ManagementApi
     try {
@@ -127,8 +183,8 @@ class ManagementApiSpec extends AnyFunSuite {
       val (ps, pb) = send(p, "POST", "/api/config/plan",
         Some(yamlDoc(sink("a", 1), sink("b", 2))))
       assert(ps == 200 &&
-        pb.contains("""{"action":"create","name":"a"}""") &&
-        pb.contains("""{"action":"create","name":"b"}"""))
+        pb.contains(""""action":"create","name":"a"""") &&
+        pb.contains(""""action":"create","name":"b""""))
       assert(api.consumers().isEmpty)
       val (as_, ab) = send(p, "POST", "/api/config/apply",
         Some(yamlDoc(sink("a", 1), sink("b", 2))))
@@ -138,8 +194,8 @@ class ManagementApiSpec extends AnyFunSuite {
       val (p2s, p2b) = send(p, "POST", "/api/config/plan",
         Some(yamlDoc(sink("a", 7))))
       assert(p2s == 200 &&
-        p2b.contains("""{"action":"update","name":"a"}""") &&
-        p2b.contains("""{"action":"delete","name":"b"}"""))
+        p2b.contains(""""action":"update","name":"a"""") &&
+        p2b.contains(""""action":"delete","name":"b""""))
       // an invalid document changes NOTHING (all-or-nothing apply)
       val badYaml = yamlDoc(sink("a", 7),
         "  - name: \"z\"\n    actions:\n      - bogus\n")
