@@ -45,6 +45,7 @@ final class ManagementApi {
   private val backfills = TrieMap.empty[String, Vector[BackfillRec]]
   private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val endpoints = TrieMap.empty[String, YamlSpec.HttpEndpointSpec]
+  private val retentions = TrieMap.empty[String, YamlSpec.ChangeRetentionSpec]
 
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
@@ -61,6 +62,10 @@ final class ManagementApi {
   /** Snapshot of the declared consumers (name-sorted). */
   def consumers(): Seq[ConsumerConfig] =
     registry.values.toSeq.sortBy(_.name)
+
+  /** Snapshot of the declared change-retention pipelines (name-sorted). */
+  def changeRetentions(): Seq[YamlSpec.ChangeRetentionSpec] =
+    retentions.values.toSeq.sortBy(_.name)
 
   private val mapper = PipelineSpec.mapper
 
@@ -186,19 +191,18 @@ final class ManagementApi {
     */
   private def doApply(ex: HttpExchange): Unit =
     yamlBody(ex).foreach { yaml =>
-      withValidated(ex, yaml) { (eps, cfgs) =>
+      withValidated(ex, yaml) { (eps, rets, cfgs) =>
         eps.foreach(e => endpoints.update(e.name, e))
+        rets.foreach(r => retentions.update(r.name, r))
         cfgs.foreach(c => registry.update(c.name, c))
         val out = mapper.createObjectNode()
         val arr = out.putArray("resources")
-        eps.foreach { e =>
-          val r = arr.addObject()
-          r.put("kind", "http_endpoint"); r.put("name", e.name)
+        def res(kind: String, name: String): Unit = {
+          val r = arr.addObject(); r.put("kind", kind); r.put("name", name)
         }
-        cfgs.foreach { c =>
-          val r = arr.addObject()
-          r.put("kind", "sink_consumer"); r.put("name", c.name)
-        }
+        eps.foreach(e => res("http_endpoint", e.name))
+        rets.foreach(r => res("change_retention", r.name))
+        cfgs.foreach(c => res("sink_consumer", c.name))
         respond(ex, 200, out.toString)
       }
     }
@@ -210,7 +214,7 @@ final class ManagementApi {
     */
   private def doPlan(ex: HttpExchange): Unit =
     yamlBody(ex).foreach { yaml =>
-      withValidated(ex, yaml) { (eps, cfgs) =>
+      withValidated(ex, yaml) { (eps, rets, cfgs) =>
         val declared = cfgs.map(c => c.name -> c).toMap
         val out = mapper.createObjectNode()
         val arr = out.putArray("changes")
@@ -224,6 +228,13 @@ final class ManagementApi {
             case None                  => change("create", e.name, "http_endpoint")
             case Some(cur) if cur != e => change("update", e.name, "http_endpoint")
             case Some(_)               => change("unchanged", e.name, "http_endpoint")
+          }
+        }
+        rets.foreach { r =>
+          retentions.get(r.name) match {
+            case None                  => change("create", r.name, "change_retention")
+            case Some(cur) if cur != r => change("update", r.name, "change_retention")
+            case Some(_)               => change("unchanged", r.name, "change_retention")
           }
         }
         cfgs.foreach { c =>
@@ -256,8 +267,39 @@ final class ManagementApi {
         }
         sb.toString
       }.mkString
+    val retYaml =
+      if (retentions.isEmpty) ""
+      else "change_retentions:\n" + changeRetentions().map { r =>
+        val sb = new StringBuilder(s"""  - name: "${r.name}"""" + "\n")
+        sb.append(s"""    source_database: "${r.sourceDatabase}"""" + "\n")
+        sb.append(s"""    source_table_schema: "${r.sourceSchema}"""" + "\n")
+        sb.append(s"""    source_table_name: "${r.sourceTable}"""" + "\n")
+        sb.append(s"""    destination_database: "${r.destinationDatabase}"""" + "\n")
+        sb.append(s"""    destination_table_schema: "${r.destinationSchema}"""" + "\n")
+        sb.append(s"""    destination_table_name: "${r.destinationTable}"""" + "\n")
+        sb.append("    actions:\n")
+        r.actions.foreach(a => sb.append(s"      - $a\n"))
+        if (r.filters.nonEmpty) {
+          sb.append("    filters:\n")
+          r.filters.foreach { fl =>
+            sb.append(s"""      - column_name: "${fl.field}"""" + "\n")
+            fl.jsonbPath.foreach(p =>
+              sb.append(s"""        field_path: "$p"""" + "\n"))
+            val op = if (fl.op == "==") "=" else fl.op
+            sb.append(s"""        operator: "$op"""" + "\n")
+            fl.values.headOption.foreach(v =>
+              sb.append(s"""        comparison_value: "$v"""" + "\n"))
+            sb.append(s"""        field_type: "${fl.valueType}"""" + "\n")
+          }
+        }
+        sb.toString
+      }.mkString
+    // a section with zero entries must be OMITTED — a bare `sinks:`
+    // header renders as an empty scalar and would not re-parse
+    val sinksYaml =
+      if (registry.isEmpty) "" else YamlSpec.renderAll(consumers())
     val out = mapper.createObjectNode()
-    out.put("yaml", epYaml + YamlSpec.renderAll(consumers()))
+    out.put("yaml", epYaml + retYaml + sinksYaml)
     respond(ex, 200, out.toString)
   }
 
@@ -377,23 +419,31 @@ final class ManagementApi {
     } catch { case e: Throwable =>
       respond(ex, 422, validationErr(e.getMessage)); None }
 
-  private def withValidated(ex: HttpExchange, yaml: String)(
-      f: (Seq[YamlSpec.HttpEndpointSpec], Seq[ConsumerConfig]) => Unit): Unit =
+  private def withValidated(ex: HttpExchange, rawYaml: String)(
+      f: (Seq[YamlSpec.HttpEndpointSpec], Seq[YamlSpec.ChangeRetentionSpec],
+        Seq[ConsumerConfig]) => Unit): Unit =
     try {
+      // ${VAR:-default} substitution happens before parse, like the
+      // reference loader
+      val yaml = YamlSpec.substituteEnv(rawYaml)
       val eps = YamlSpec.parseHttpEndpoints(yaml)
+      val rets = YamlSpec.parseChangeRetentions(yaml)
       val cfgs = YamlSpec.parseSinks(yaml)
       val dup = cfgs.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
       val dupE = eps.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+      val dupR = rets.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
       val docEndpoints = eps.map(_.name).toSet
       val missing = cfgs.flatMap(endpointRef(_, docEndpoints))
       if (dup.nonEmpty)
         respond(ex, 422, validationErr(s"duplicate sink names: ${dup.mkString(", ")}"))
       else if (dupE.nonEmpty)
         respond(ex, 422, validationErr(s"duplicate endpoint names: ${dupE.mkString(", ")}"))
+      else if (dupR.nonEmpty)
+        respond(ex, 422, validationErr(s"duplicate retention names: ${dupR.mkString(", ")}"))
       else if (missing.nonEmpty)
         respond(ex, 422, validationErr(
           s"HTTP endpoint not found: ${missing.distinct.mkString(", ")}"))
-      else f(eps, cfgs)
+      else f(eps, rets, cfgs)
     } catch { case e: Throwable =>
       respond(ex, 422, validationErr(e.getMessage)) }
 

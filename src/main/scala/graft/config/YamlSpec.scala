@@ -106,6 +106,105 @@ object YamlSpec {
     HttpEndpointSpec(name, url, local, scalarOf("path"), headers)
   }
 
+  /** A declared change-retention pipeline (sequin-yaml.mdx:706-729; the
+    * reference's wal_pipeline): scope one source table's changes, filter,
+    * and retain them in a destination event table — the config plane for
+    * `graft.sinks.EventTableSink`. The `*_database` fields are deployment
+    * references (carried, not resolved — same treatment as the sink
+    * document's `database`).
+    */
+  final case class ChangeRetentionSpec(name: String,
+      sourceDatabase: String, sourceSchema: String, sourceTable: String,
+      destinationDatabase: String, destinationSchema: String,
+      destinationTable: String,
+      actions: Seq[String], filters: Seq[graft.ops.ColumnFilter]) {
+
+    /** The declared pipeline's read side: scope to the source table,
+      * action filter, column filters — exactly what flows into the
+      * destination event table (`EventTableSink.upsert` keyed by the
+      * destination schema/table).
+      */
+    def scope(cdc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Filters.columnFilters(
+        graft.ops.Filters.actionFilter(
+          cdc.filter(col("table_schema") === sourceSchema &&
+            col("table_name") === sourceTable), actions), filters)
+    }
+  }
+
+  /** Parse the document's `change_retentions:` list. Absent → Nil. */
+  def parseChangeRetentions(yaml: String): Seq[ChangeRetentionSpec] = {
+    val root = parseDocument(yaml) match {
+      case m: YMap => m
+      case _ => throw new IllegalArgumentException("top level must be a map")
+    }
+    root.entries.collectFirst { case ("change_retentions", v) => v } match {
+      case None => Nil
+      case Some(YList(items)) => items.map {
+        case m: YMap => parseRetention(m)
+        case _ => throw new IllegalArgumentException(
+          "each change_retention must be a map")
+      }
+      case Some(_) =>
+        throw new IllegalArgumentException("`change_retentions` must be a list")
+    }
+  }
+
+  private def parseRetention(m: YMap): ChangeRetentionSpec = {
+    def scalarOf(key: String): Option[String] =
+      m.entries.collectFirst { case (`key`, YScalar(t, _)) => t }
+    def required(key: String): String = scalarOf(key).getOrElse(
+      throw new IllegalArgumentException(s"change_retention requires $key"))
+    val name = required("name")
+    val actions = m.entries.collectFirst { case ("actions", YList(items)) =>
+      items.collect { case YScalar(t, _) => t }
+    }.getOrElse(Vector("insert", "update", "delete"))
+    val bad = actions.filterNot(Set("insert", "update", "delete"))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"change_retention $name: invalid actions: ${bad.mkString(", ")}")
+    val filters = m.entries.collectFirst { case ("filters", YList(items)) =>
+      items.collect { case f: YMap =>
+        def fOf(key: String): Option[String] =
+          f.entries.collectFirst { case (`key`, YScalar(t, _)) => t }
+        val op = fOf("operator").getOrElse(throw new IllegalArgumentException(
+          s"change_retention $name: filter requires operator")) match {
+          case "=" => "==" // the retention doc spells equality "="
+          case other => other
+        }
+        graft.ops.ColumnFilter(
+          field = fOf("column_name").getOrElse(
+            throw new IllegalArgumentException(
+              s"change_retention $name: filter requires column_name")),
+          op = op,
+          values = fOf("comparison_value").toSeq,
+          valueType = fOf("field_type").getOrElse("string"),
+          jsonbPath = fOf("field_path"))
+      }
+    }.getOrElse(Vector.empty)
+    ChangeRetentionSpec(name,
+      required("source_database"), required("source_table_schema"),
+      required("source_table_name"),
+      required("destination_database"), required("destination_table_schema"),
+      required("destination_table_name"), actions, filters)
+  }
+
+  /** `${VAR:-default}` environment substitution (sequin-yaml.mdx "
+    * Environment variable substitution"): applied to the raw text before
+    * parsing; a referenced variable with no value and no default is an
+    * error rather than a silent empty string.
+    */
+  def substituteEnv(yaml: String,
+      env: String => Option[String] = sys.env.get): String = {
+    val re = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)(:-([^}]*))?\}".r
+    re.replaceAllIn(yaml, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env(m.group(1))
+          .orElse(Option(m.group(2)).map(_ => m.group(3)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"undefined environment variable: ${m.group(1)}"))))
+  }
+
   /** Parse a `sinks:` document (or a bare single-sink map) into one
     * validated [[ConsumerConfig]] per entry.
     */
@@ -120,9 +219,11 @@ object YamlSpec {
         case _ => throw new IllegalArgumentException("each sink must be a map")
       }
       case Some(_) => throw new IllegalArgumentException("`sinks` must be a list")
-      // an endpoints-only document declares no sinks; anything else
-      // without a `sinks:` key is a bare single-sink document
-      case None if root.entries.exists(_._1 == "http_endpoints") => Vector.empty
+      // a document holding only OTHER resource sections declares no
+      // sinks; anything else without a `sinks:` key is a bare
+      // single-sink document
+      case None if root.entries.exists(e =>
+        e._1 == "http_endpoints" || e._1 == "change_retentions") => Vector.empty
       case None => Vector(root)
     }
     sinkNodes.map(m => PipelineSpec.parseNode(normalize(m, tableOids)))

@@ -160,6 +160,59 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("change retentions + env substitution: documented shape parses, " +
+      "applies, round-trips; missing env var is an error") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      val yaml =
+        """change_retentions:
+          |  - name: "${RETENTION_NAME:-audit-retention}"
+          |    source_database: "source-db"
+          |    source_table_schema: "public"
+          |    source_table_name: "users"
+          |    destination_database: "dest-db"
+          |    destination_table_schema: "audit"
+          |    destination_table_name: "user_events"
+          |    actions:
+          |      - insert
+          |      - update
+          |    filters:
+          |      - column_name: "status"
+          |        operator: "="
+          |        comparison_value: "active"
+          |      - column_name: "metadata"
+          |        field_path: "type.name"
+          |        operator: "="
+          |        comparison_value: "premium"
+          |        field_type: "string"
+          |""".stripMargin
+      def wrap(y: String) = s"""{"yaml": ${com.fasterxml.jackson.databind
+        .node.JsonNodeFactory.instance.textNode(y).toString}}"""
+      val (as_, ab) = send(p, "POST", "/api/config/apply", Some(wrap(yaml)))
+      assert(as_ == 200, s"body=[$ab]")
+      assert(ab.contains(""""kind":"change_retention","name":"audit-retention""""))
+      val ret = api.changeRetentions().head
+      assert(ret.sourceTable == "users" && ret.actions == Seq("insert", "update"))
+      assert(ret.filters.map(_.op) == Seq("==", "=="))
+      assert(ret.filters(1).jsonbPath.contains("type.name"))
+      // export → apply into a fresh instance reproduces the spec exactly
+      val (es, eb) = send(p, "GET", "/api/config/export")
+      assert(es == 200)
+      val api2 = new ManagementApi
+      try {
+        val (r2s, r2b) = send(api2.port(), "POST", "/api/config/apply", Some(eb))
+        assert(r2s == 200, s"export=[$eb] body=[$r2b]")
+        assert(api2.changeRetentions() == api.changeRetentions())
+      } finally api2.stop()
+      // a referenced-but-undefined env var without default is refused
+      val bad = yaml.replace("${RETENTION_NAME:-audit-retention}",
+        "${GRAFT_SURELY_UNSET_VAR}")
+      val (bs, bb) = send(p, "POST", "/api/config/apply", Some(wrap(bad)))
+      assert(bs == 422 && bb.contains("undefined environment variable"))
+    } finally api.stop()
+  }
+
   test("config apply/plan/export round-trips through a second instance") {
     val api = new ManagementApi
     try {

@@ -196,4 +196,34 @@ class YamlSpecSpec extends SparkSpec {
     assert(out.exists(_.getAs[String]("t") == tbl))
     assert(out.exists(_.getAs[String]("t") != tbl))
   }
+
+  test("ChangeRetentionSpec.scope applies table, action and column filters") {
+    import spark.implicits._
+    val yaml =
+      """change_retentions:
+        |  - name: "r"
+        |    source_database: "d"
+        |    source_table_schema: "public"
+        |    source_table_name: "t0"
+        |    destination_database: "d2"
+        |    destination_table_schema: "a"
+        |    destination_table_name: "e"
+        |    actions:
+        |      - insert
+        |    filters:
+        |      - column_name: "record_value"
+        |        operator: ">"
+        |        comparison_value: "5"
+        |        field_type: "number"
+        |""".stripMargin
+    val spec = YamlSpec.parseChangeRetentions(yaml).head
+    val df = Seq(
+      ("public", "t0", "insert", 10.0, 1L),
+      ("public", "t0", "insert", 3.0, 2L),  // fails the value filter
+      ("public", "t0", "update", 10.0, 3L), // fails the action filter
+      ("public", "t1", "insert", 10.0, 4L)) // wrong source table
+      .toDF("table_schema", "table_name", "action", "record_value", "record_id")
+    val out = spec.scope(df).select("record_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
 }
