@@ -265,6 +265,65 @@ class StreamingSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("declare via REST, execute via Spark: an API-created sink consumer " +
+      "and an applied change_retention drive the real pipelines") {
+    implicit val s = spark
+    import s.implicits._
+    val api = new graft.config.ManagementApi
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String): Int = {
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${api.port()}$path"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+        client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      // the config the operator POSTs is the config the engine runs
+      assert(post("/api/sinks",
+        """{"name":"c1","source":{"include_schemas":["public"]},
+          |"actions":["insert"],
+          |"filter_function":"record_value >= 2.0",
+          |"destination":{"type":"kafka","topic":"t"}}""".stripMargin) == 200)
+      val rows = Seq(
+        ev(8, 0, "7", "1", action = "insert", value = 1.0),   // value filter
+        ev(16, 0, "7", "2", action = "insert", value = 5.0),  // passes
+        ev(24, 0, "7", "3", action = "update", value = 5.0))  // action filter
+      val out = graft.streaming.CdcPipeline
+        .build(rows.toDF(), api.consumers().head)
+        .select("record_pk").collect().map(_.getString(0))
+      assert(out.toSeq == Seq("2"))
+
+      // a change_retention applied as YAML scopes what the event table
+      // retains — the declared config drives EventTableSink end to end
+      val yaml =
+        """change_retentions:
+          |  - name: "keep-t0"
+          |    source_database: "d"
+          |    source_table_schema: "public"
+          |    source_table_name: "t0"
+          |    destination_database: "d"
+          |    destination_table_schema: "audit"
+          |    destination_table_name: "t0_events"
+          |    actions:
+          |      - insert
+          |""".stripMargin
+      val body = s"""{"yaml": ${com.fasterxml.jackson.databind.node
+        .JsonNodeFactory.instance.textNode(yaml).toString}}"""
+      assert(post("/api/config/apply", body) == 200)
+      val dir = java.nio.file.Files.createTempDirectory("graft_retcfg")
+        .toString + "/t0_events"
+      val cdcRows = Seq(
+        ev(8, 0, "7", "10", action = "insert", value = 1.0),
+        ev(16, 0, "7", "11", action = "delete", value = 2.0)) // action-scoped out
+      EventTableSink.upsert(spark,
+        api.changeRetentions().head.scope(cdcRows.toDF()), dir, numBuckets = 2)
+      assert(EventTableSink.read(spark, dir).select("record_pk")
+        .collect().map(_.getString(0)).toSeq == Seq("10"))
+    } finally api.stop()
+  }
+
   test("stream-stream interval join (watermarked, append) matches the " +
       "batch join on the same data") {
     implicit val s = spark
