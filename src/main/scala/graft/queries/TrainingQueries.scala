@@ -793,7 +793,12 @@ object TrainingQueries {
       graft.sketch.Sketches.histQuantiles(
           Tables.documents(s, dir), "source", "n_chars",
           bins = 256, pcts = Seq(50, 90, 99))
-        .orderBy("source", "pct")))
+        .orderBy("source", "pct")),
+
+    "td72_exact_substr" -> ((s, dir) =>
+      graft.training.TrainingPrep.exactSubstrScrub(
+          Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2126,7 +2131,41 @@ object TrainingQueries {
         |  CAST(exact_v AS BIGINT) AS exact_v
         |FROM qb JOIN stats USING (g)
         |JOIN ex ON ex.g = qb.g AND ex.pct = qb.pct
-        |ORDER BY source, qb.pct""".stripMargin)
+        |ORDER BY source, qb.pct""".stripMargin,
+
+    // td72: overlapping 8-token window hashes → all-but-first occurrences
+    // are duplicate starts → running-max interval coverage per doc
+    "td72_exact_substr" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, list_transform(
+        |    range(1, len(tk) - 6),
+        |    i -> ${dh("array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")}) AS hs
+        |  FROM t WHERE len(tk) >= 8),
+        |ix AS (SELECT doc_id, hs, unnest(range(1, len(hs) + 1)) AS i FROM w),
+        |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
+        |    hs[CAST(i AS INT)] AS h FROM ix),
+        |r AS (SELECT doc_id, s, row_number() OVER (PARTITION BY h
+        |    ORDER BY doc_id, s) AS rn FROM occ),
+        |dups AS (SELECT doc_id, s FROM r WHERE rn > 1),
+        |tokix AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS j FROM t),
+        |tok AS (SELECT doc_id, CAST(j AS INT) AS p,
+        |    tk[CAST(j + 1 AS INT)] AS tok FROM tokix),
+        |ev AS (SELECT doc_id, p, 1 AS kind, tok, NULL AS s FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, s AS p, 0 AS kind, NULL AS tok, s FROM dups),
+        |m AS (SELECT doc_id, p, kind, tok,
+        |    max(s) OVER (PARTITION BY doc_id ORDER BY p, kind
+        |      ROWS UNBOUNDED PRECEDING) AS rs
+        |  FROM ev),
+        |cv AS (SELECT doc_id, p, tok,
+        |    (rs IS NOT NULL AND rs >= p - 7) AS covered
+        |  FROM m WHERE kind = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_tokens,
+        |  coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+        |    ' ' ORDER BY p), '') AS text_scrubbed
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -760,6 +760,82 @@ object TrainingPrep {
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
   }
 
+  /** ExactSubstr scrub (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", §ExactSubstr — distributed
+    * rendition): every OVERLAPPING `k`-token window whose content occurs
+    * anywhere else in the corpus — except the globally-first occurrence
+    * (min `(doc, position)`) — marks its `k` token positions as
+    * duplicated; a document's duplicated positions are scrubbed and the
+    * survivors reassembled in order. Sliding windows catch SHIFTED
+    * copies the non-overlapping C4 chop ([[spanDedup]]) misses: a
+    * passage pasted mid-sentence lands on no span boundary but every one
+    * of its k-grams still collides. Within-document repetition dedups
+    * too (the second copy of a chorus is scrubbed).
+    *
+    * Returns `(id, n_tokens, n_dup_tokens, text_scrubbed)`; documents
+    * shorter than `k` tokens emit no windows and are never scrubbed.
+    *
+    * Scale shape (all stages linear in corpus tokens):
+    *   1. positional window hashes via the fused
+    *      [[graft.functions.VectorExpressions.all_shingle_hashes]]
+    *      kernel (one codegen'd pass per doc, no per-gram lambda);
+    *      only `(hash, id, pos)` rows shuffle — window TEXT never moves;
+    *   2. first-occurrence = one min-struct hash aggregate
+    *      (map-side combinable), joined back on the hash — no corpus
+    *      window functions, no self-join on text;
+    *   3. coverage = the interval trick: duplicate window STARTS and
+    *      token positions merge-sorted per doc, a running `max(start)`
+    *      marks token `j` covered iff `runmax >= j-k+1` — one window
+    *      partitioned by doc id (each doc sorts independently), never a
+    *      per-token × per-span product.
+    * The suffix-array construction the paper uses is a single-machine
+    * algorithm; the k-gram formulation is its corpus-parallel
+    * equivalent for duplicates of length ≥ k (every such substring
+    * contains a duplicated k-gram, and maximal runs of covered
+    * positions reconstruct the spans).
+    */
+  def exactSubstrScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens: $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // (id, pos, window-hash) occurrences; docs < k tokens emit none
+    val occ = df
+      .select(col(idCol), size(toks).cast("int").as("__n"),
+        graft.functions.VectorExpressions
+          .all_shingle_hashes(col(textCol), k).as("__hs"))
+      .filter(col("__n") >= k)
+      .select(col(idCol), posexplode(col("__hs")).as(Seq("s", "h")))
+    // globally-first occurrence per window content; every other
+    // occurrence is a duplicate start
+    val first = occ.groupBy("h")
+      .agg(min(struct(col(idCol), col("s"))).as("f"))
+    val dupStarts = occ.join(first, "h")
+      .filter(!(col(idCol) === col("f").getField(idCol) &&
+        col("s") === col("f").getField("s")))
+      .select(col(idCol), col("s"))
+    // merge-sort token rows with duplicate starts; running max start
+    // covers token j iff a duplicate window [s, s+k-1] contains it
+    val tokRows = df.select(col(idCol),
+        posexplode(toks).as(Seq("p", "tok")))
+      .select(col(idCol), col("p"), lit(1).as("kind"), col("tok"),
+        lit(null).cast("int").as("s"))
+    val startRows = dupStarts.select(col(idCol), col("s").as("p"),
+      lit(0).as("kind"), lit(null).cast("string").as("tok"), col("s"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokRows.unionByName(startRows)
+      .withColumn("__rs", max(col("s")).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("__cov",
+        col("__rs").isNotNull && col("__rs") >= col("p") - (k - 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_dup_tokens"),
+        coalesce(array_join(array_sort(collect_list(
+            when(!col("__cov"), struct(col("p"), col("tok")))))
+          .getField("tok"), " "), lit("")).as("text_scrubbed"))
+  }
+
   /** Deterministic corpus shuffle + sharding — the step that turns a
     * curated corpus into training shards: global pseudo-random order from
     * a seeded portable hash (reproducible across runs, engines,

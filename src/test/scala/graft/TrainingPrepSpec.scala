@@ -493,6 +493,45 @@ class TrainingPrepSpec extends SparkSpec {
       col("pass").isNull).count() == 0)
   }
 
+  test("exactSubstrScrub: shifted copies, within-doc repetition, short docs") {
+    implicit val s = spark
+    import s.implicits._
+    // k=3. doc2 embeds doc1's "a b c d" shifted by one token — no span
+    // BOUNDARY aligns, so the non-overlapping chop (spanDedup) would keep
+    // it, but every interior 3-gram collides: dup starts {1, 2} cover
+    // positions 1..4 → "z w" survives. doc3 repeats its own 3-token
+    // chorus: the second+third copies' windows (starts 3, 4, 5) cover
+    // 3..7, keeping exactly one copy. doc4 is shorter than k → untouched.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c d w"),
+      (3L, "p q r p q r p q"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = TrainingPrep.exactSubstrScrub(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[String]("text_scrubbed")))).toMap
+    assert(out(1L) == ((5L, 0L, "a b c d e")), "first occurrence untouched")
+    assert(out(2L) == ((6L, 4L, "z w")), "shifted copy scrubbed")
+    assert(out(3L) == ((8L, 5L, "p q r")), "self-repetition keeps one copy")
+    assert(out(4L) == ((2L, 0L, "a b")), "doc shorter than k untouched")
+    // corpus-level invariants at k=8: coverage bounded; short docs never
+    // scrubbed; a verbatim whole-doc duplicate (>= k tokens) empties —
+    // synthesized by appending a copy of an existing long doc
+    val long = docs.filter(size(split(col("text"), " ")) >= 8).limit(1)
+      .select(col("text")).head.getString(0)
+    val plus = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((900000L, long)).toDF("doc_id", "text"))
+    val full = TrainingPrep.exactSubstrScrub(plus, "doc_id", "text", k = 8)
+    assert(full.filter(col("n_dup_tokens") > col("n_tokens")).count() == 0)
+    assert(full.filter(size(split(col("text_scrubbed"), " ")) >
+      col("n_tokens")).count() == 0)
+    val copy = full.filter(col("doc_id") === 900000L).head
+    assert(copy.getAs[Long]("n_dup_tokens") == copy.getAs[Long]("n_tokens") &&
+      copy.getAs[String]("text_scrubbed") == "",
+      "a verbatim later copy of a long doc must scrub completely")
+  }
+
   test("spanDedup: first corpus-wide span occurrence survives, documents reassemble in order") {
     implicit val s = spark
     import s.implicits._
