@@ -689,6 +689,20 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // Time-series gap fill: hourly grid per user with LOCF + exact-cents
+    // linear interpolation — grid probes and observations merge-sorted
+    // in ONE shuffle (the as-of discipline run both directions), never a
+    // grid×obs range join.
+    "q78_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      TimeSeries.gapFill(ev, "user_id", "us", "cents",
+          stepMicros = 3600000000L)
+        .orderBy("user_id", "h_us")
+    }),
+
     // SCD Type-2 dimension build: every change to a dimension key becomes
     // a version row with a [valid_from, valid_to) cursor interval — one
     // shuffle on the key + a lead window, never a history self-join
@@ -1293,6 +1307,45 @@ object CoreQueries {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |ORDER BY event_id""".stripMargin,
+
+      // q78: union merge of observations (kind 0) and grid probes
+      // (kind 1); running last_value in both directions brackets each
+      // probe; portable floor division for the interpolation
+      "q78_gapfill" ->
+        """WITH obs AS (SELECT user_id, epoch_us(ts) AS t,
+          |    max(CAST(round(value * 100) AS BIGINT)) AS v
+          |  FROM events WHERE user_id < 200 AND ts IS NOT NULL
+          |  GROUP BY 1, 2),
+          |b AS (SELECT user_id,
+          |    ((min(t) + 3599999999) // 3600000000) * 3600000000 AS gs,
+          |    (max(t) // 3600000000) * 3600000000 AS ge
+          |  FROM obs GROUP BY 1),
+          |g AS (SELECT user_id, unnest(range(gs, ge + 1, 3600000000)) AS t
+          |  FROM b WHERE gs <= ge),
+          |u AS (SELECT user_id, t, 0 AS kind, v FROM obs
+          |  UNION ALL SELECT user_id, t, 1, NULL FROM g),
+          |m AS (SELECT user_id, t, kind,
+          |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+          |      OVER wa AS pt,
+          |    last_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+          |      OVER wa AS pv,
+          |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+          |      OVER wd AS nt,
+          |    last_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+          |      OVER wd AS nv
+          |  FROM u WINDOW
+          |    wa AS (PARTITION BY user_id ORDER BY t ASC, kind ASC
+          |      ROWS UNBOUNDED PRECEDING),
+          |    wd AS (PARTITION BY user_id ORDER BY t DESC, kind ASC
+          |      ROWS UNBOUNDED PRECEDING)),
+          |s AS (SELECT user_id, t AS h_us, pt, pv, nt, nv,
+          |    (nv - pv) * (t - pt) AS num, nt - pt AS den
+          |  FROM m WHERE kind = 1)
+          |SELECT user_id, h_us, pv AS locf_cents,
+          |  CASE WHEN den = 0 THEN pv
+          |    ELSE pv + (num - (((num % den) + den) % den)) // den
+          |  END AS interp_cents
+          |FROM s ORDER BY user_id, h_us""".stripMargin,
 
       "q73_scd2" -> (cte +
         """SELECT group_id, record_id,

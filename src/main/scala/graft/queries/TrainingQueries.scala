@@ -798,7 +798,12 @@ object TrainingQueries {
     "td72_exact_substr" -> ((s, dir) =>
       graft.training.TrainingPrep.exactSubstrScrub(
           Tables.documents(s, dir), "doc_id", "text", k = 8)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "td73_embed_pca" -> ((s, dir) =>
+      graft.similarity.Spectral.dominantComponent(
+          Tables.embeddings(s, dir), "embedding", dims = 64, iters = 2)
+        .orderBy("dim")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2165,7 +2170,45 @@ object TrainingQueries {
         |    AS n_dup_tokens,
         |  coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
         |    ' ' ORDER BY p), '') AS text_scrubbed
-        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // td73: two unrolled power-iteration rounds in exact integer
+    // micro-units (hugeint mirrors Spark's decimal(38,0) sums; the
+    // pmod mirror makes every division an exact floor)
+    "td73_embed_pca" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |px AS (SELECT vec_id, m, unnest(range(1, 65)) AS d FROM e),
+        |mv AS (SELECT vec_id, CAST(d AS INT) AS d,
+        |    m[CAST(d AS INT)] AS v FROM px),
+        |mu AS (SELECT d, sum(v) AS s, count(*) AS n FROM mv GROUP BY 1),
+        |mu2 AS (SELECT d,
+        |    (s - (((s % n) + n) % n)) // n AS mu FROM mu),
+        |c AS (SELECT mv.vec_id, mv.d, mv.v - mu2.mu AS c
+        |  FROM mv JOIN mu2 USING (d)),
+        |s1 AS (SELECT vec_id, sum(c * 1000000) AS s FROM c GROUP BY 1),
+        |w1 AS (SELECT d, sum(CAST(c.c AS HUGEINT) * s1.s) AS w
+        |  FROM c JOIN s1 USING (vec_id) GROUP BY d),
+        |n1 AS (SELECT max(abs(w)) AS wmax FROM w1),
+        |v1 AS (SELECT d, CASE WHEN wmax = 0 THEN 1000000
+        |    ELSE (w * 1000000 - ((((w * 1000000) % wmax) + wmax) % wmax))
+        |      // wmax END AS v
+        |  FROM w1, n1),
+        |s2 AS (SELECT vec_id, sum(CAST(c.c AS HUGEINT) * v1.v) AS s
+        |  FROM c JOIN v1 USING (d) GROUP BY vec_id),
+        |w2 AS (SELECT c.d, sum(CAST(c.c AS HUGEINT) * s2.s) AS w
+        |  FROM c JOIN s2 USING (vec_id) GROUP BY c.d),
+        |n2 AS (SELECT max(abs(w)) AS wmax FROM w2),
+        |v2 AS (SELECT d, CASE WHEN wmax = 0 THEN 1000000
+        |    ELSE (w * 1000000 - ((((w * 1000000) % wmax) + wmax) % wmax))
+        |      // wmax END AS v
+        |  FROM w2, n2)
+        |SELECT CAST(v2.d - 1 AS BIGINT) AS dim,
+        |  CAST(mu2.mu AS BIGINT) AS mean_micro,
+        |  CAST(v2.v AS BIGINT) AS pc_micro
+        |FROM v2 JOIN mu2 USING (d) ORDER BY dim""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

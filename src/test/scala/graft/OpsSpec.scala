@@ -145,6 +145,24 @@ class OpsSpec extends SparkSpec {
     assert(ts.select("action").distinct().count() > 1) // envelope intact
   }
 
+  test("gapFill: LOCF + exact interpolation, on-grid observation, negative slope") {
+    import spark.implicits._
+    // key 1: obs at t=5 (v 100) and t=25 (v 40) with step 10 → grid
+    // {10, 20}: locf 100 at both; interp is the exact floor of the
+    // negative-slope line: 100 + (40-100)*(h-5)/20
+    // key 2: a single obs exactly on the grid → locf = interp = itself
+    val obs = Seq((1L, 5L, 100L), (1L, 25L, 40L), (2L, 30L, 7L))
+      .toDF("k", "us", "cents")
+    val out = ops.TimeSeries.gapFill(obs, "k", "us", "cents", 10L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("h_us")) ->
+        ((r.getAs[Long]("locf_cents"), r.getAs[Long]("interp_cents"))))
+      .toMap
+    assert(out.size == 3)
+    assert(out((1L, 10L)) == ((100L, 85L)))  // 100 + (-60*5)/20 = 85
+    assert(out((1L, 20L)) == ((100L, 55L)))  // 100 + (-60*15)/20 = 55
+    assert(out((2L, 30L)) == ((7L, 7L)))     // den = 0 → the obs itself
+  }
+
   test("asOf join: latest at-or-before match, >= at equal ts, no-match nulls") {
     import spark.implicits._
     val probes = Seq((1L, 100L, "p_at_state"), (1L, 200L, "p_between"),

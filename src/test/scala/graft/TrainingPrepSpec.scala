@@ -493,6 +493,34 @@ class TrainingPrepSpec extends SparkSpec {
       col("pass").isNull).count() == 0)
   }
 
+  test("Spectral.dominantComponent: hand-computed 2-dim power iteration, exact integers") {
+    implicit val s = spark
+    import s.implicits._
+    // x-axis variance 4x the y-axis: iterates (1e6,1e6) -> (1e6,250000)
+    // -> (1e6,62500), every step exact integer arithmetic
+    val df = Seq(
+      Array(2.0f, 0.0f), Array(-2.0f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.0f, -1.0f)).toDF("embedding")
+    val out = graft.similarity.Spectral
+      .dominantComponent(df, "embedding", dims = 2, iters = 2)
+      .orderBy("dim").collect()
+    assert(out.map(_.getAs[Long]("mean_micro")).toSeq == Seq(0L, 0L))
+    assert(out.map(_.getAs[Long]("pc_micro")).toSeq == Seq(1000000L, 62500L))
+    // degenerate corpus (zero variance): documented all-ones fallback
+    val flat = Seq(Array(1.0f, 1.0f), Array(1.0f, 1.0f)).toDF("embedding")
+    val f = graft.similarity.Spectral
+      .dominantComponent(flat, "embedding", dims = 2, iters = 2)
+      .orderBy("dim").collect()
+    assert(f.map(_.getAs[Long]("pc_micro")).toSeq ==
+      Seq(1000000L, 1000000L))
+    // real corpus: 64 dims, iterate normalized to max-|component| = 1e6
+    val pcs = graft.similarity.Spectral
+      .dominantComponent(Tables.embeddings(spark, sf()), "embedding",
+        dims = 64, iters = 2)
+      .collect().map(_.getAs[Long]("pc_micro"))
+    assert(pcs.length == 64 && pcs.map(math.abs).max == 1000000L)
+  }
+
   test("exactSubstrScrub: shifted copies, within-doc repetition, short docs") {
     implicit val s = spark
     import s.implicits._
