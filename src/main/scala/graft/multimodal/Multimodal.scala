@@ -234,6 +234,91 @@ object Multimodal {
     }
   }
 
+  /** Integer 4×4 DCT-II basis, coefficients `round(1e4·cos(π(2k+1)u/8))`.
+    * Fixing the basis to exact integers (instead of runtime cosines)
+    * makes the whole pHash pipeline engine-reproducible bit-for-bit —
+    * the same constants appear as literals in the DuckDB oracle.
+    */
+  private[multimodal] val DctBasis: Array[Array[Long]] = Array(
+    Array(10000L, 10000L, 10000L, 10000L),
+    Array(9239L, 3827L, -3827L, -9239L),
+    Array(7071L, -7071L, -7071L, 7071L),
+    Array(3827L, -9239L, 9239L, -3827L))
+
+  final case class ImagePHash(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      phash: Long)
+
+  /** Perceptual DCT-hash (pHash) over DECODED pixels — [[imageAHash]]'s
+    * frequency-domain sibling, robust to uniform brightness shifts that
+    * flip many aHash bits: the image is block-averaged onto a 4×4 plane
+    * (integer floor means, exactly as aHash), transformed by the integer
+    * DCT basis `D = T·M·Tᵀ`, and each of the 15 AC coefficients
+    * contributes one sign bit (`D[u][v] > 0`, bit `u·4+v`; the DC term —
+    * always positive — is excluded, so overall luminance cancels).
+    * Every step is exact 64-bit integer arithmetic: |T·M·Tᵀ| ≤
+    * 1e4·255·1e4·16 ≈ 4.1e11. Images smaller than the grid are skipped.
+    */
+  def imagePHash(assets: Dataset[Asset])(
+      implicit spark: SparkSession): Dataset[ImagePHash] = {
+    import spark.implicits._
+    val grid = 4
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        MediaCodec.decodeValues(a.bytes) match {
+          case Some((fmt, vs))
+              if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
+            MediaCodec.decode(a.bytes).flatMap { m =>
+              val w = m.width.get
+              val h = m.height.get
+              if (w < grid || h < grid || vs.length != w * h) None
+              else {
+                val cells = grid * grid
+                val sums = new Array[Long](cells)
+                val counts = new Array[Long](cells)
+                var i = 0
+                while (i < vs.length) {
+                  val c = (i / w) * grid / h * grid + (i % w) * grid / w
+                  sums(c) += vs(i)
+                  counts(c) += 1
+                  i += 1
+                }
+                val means = Array.tabulate(cells)(c => sums(c) / counts(c))
+                var hash = 0L
+                var u = 0
+                while (u < grid) {
+                  var v = 0
+                  while (v < grid) {
+                    if (u != 0 || v != 0) {
+                      var d = 0L
+                      var r = 0
+                      while (r < grid) {
+                        var cc = 0
+                        while (cc < grid) {
+                          d += DctBasis(u)(r) * means(r * grid + cc) *
+                            DctBasis(v)(cc)
+                          cc += 1
+                        }
+                        r += 1
+                      }
+                      if (d > 0) hash |= (1L << (u * grid + v))
+                    }
+                    v += 1
+                  }
+                  u += 1
+                }
+                Some(ImagePHash(a.asset_id, fmt, w, h, hash))
+              }
+            }
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the
     * first stage of Shazam-style audio matching): samples split into
     * `frames` equal time blocks, each block's mean |amplitude| (integer

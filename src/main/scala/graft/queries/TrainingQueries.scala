@@ -803,7 +803,29 @@ object TrainingQueries {
     "td73_embed_pca" -> ((s, dir) =>
       graft.similarity.Spectral.dominantComponent(
           Tables.embeddings(s, dir), "embedding", dims = 64, iters = 2)
-        .orderBy("dim")))
+        .orderBy("dim")),
+
+    // Interpolated bigram LM fluency — the KenLM-shaped CCNet scorer
+    // one Markov order up from td26 (model trained on the corpus itself,
+    // scored per doc in exact integer micro-nats).
+    "td74_bigram_lm" -> ((s, dir) =>
+      graft.training.TrainingPrep.bigramSurprisal(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Frequency-domain perceptual hash (pHash): integer 4×4 DCT sign
+    // bits over genuinely decoded pixels — td48's DCT sibling, immune
+    // to uniform brightness shifts.
+    "td75_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.imagePHash(assets)(s).toDF()
+        .orderBy("asset_id")
+    }))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2208,7 +2230,71 @@ object TrainingQueries {
         |SELECT CAST(v2.d - 1 AS BIGINT) AS dim,
         |  CAST(mu2.mu AS BIGINT) AS mean_micro,
         |  CAST(v2.v AS BIGINT) AS pc_micro
-        |FROM v2 JOIN mu2 USING (d) ORDER BY dim""".stripMargin)
+        |FROM v2 JOIN mu2 USING (d) ORDER BY dim""".stripMargin,
+
+    // td74: interpolated bigram LM — one ln per DISTINCT bigram,
+    // rounded to integer micro-nats before the per-doc sum
+    "td74_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+        |    unnest(l[2:len(l)]) AS w2
+        |  FROM tk WHERE len(l) >= 2),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM cxy GROUP BY 1),
+        |uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT unnest(l) AS w2 FROM tk) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |sc AS (SELECT w1, w2,
+        |  CAST(round(-1e6 * ln((0.9 * c12) / c1 +
+        |    (0.1 * (c2 + 1)) / (n_total + v_size))) AS BIGINT) AS unats
+        |  FROM cxy JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(unats) AS BIGINT) AS surprisal_unats,
+        |  CAST(count(*) AS INT) AS n_bigrams,
+        |  CAST(sum(unats) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_unats
+        |FROM b JOIN sc USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // td75: integer-DCT pHash — td48's pixel CTEs, then D = T·M·Tᵀ with
+    // the literal integer basis (round(1e4·cos(π(2k+1)u/8))) and one
+    // sign bit per AC coefficient
+    "td75_image_phash" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
+        |       ELSE 1 + doc_id % 17 END AS BIGINT) AS w,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
+        |       ELSE 1 + (doc_id // 17) % 13 END AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |pf AS (SELECT * FROM p WHERE w >= 4 AND h >= 4),
+        |px AS (SELECT doc_id, m, w, h, unnest(range(0, w*h)) AS i FROM pf),
+        |pv AS (SELECT doc_id, m, w, h,
+        |  CASE m WHEN 0 THEN (doc_id + (i % w) + (i // w)) % 256
+        |         ELSE (doc_id + 3*(i % w) + 7*(i // w)) % 256 END AS v,
+        |  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c
+        |  FROM px),
+        |cells AS (SELECT doc_id, m, w, h, c, sum(v) // count(*) AS mean
+        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
+        |t(u, k, coef) AS (VALUES
+        |  (0,0,10000),(0,1,10000),(0,2,10000),(0,3,10000),
+        |  (1,0,9239),(1,1,3827),(1,2,-3827),(1,3,-9239),
+        |  (2,0,7071),(2,1,-7071),(2,2,-7071),(2,3,7071),
+        |  (3,0,3827),(3,1,-9239),(3,2,9239),(3,3,-3827)),
+        |d AS (SELECT doc_id, m, w, h, tu.u AS u, tv.u AS v,
+        |    sum(tu.coef * mean * tv.coef) AS dcoef
+        |  FROM cells
+        |  JOIN t tu ON tu.k = c // 4
+        |  JOIN t tv ON tv.k = c % 4
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id AS asset_id,
+        |  CASE m WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(CASE WHEN (u != 0 OR v != 0) AND dcoef > 0
+        |    THEN 1 << (u*4 + v) ELSE 0 END) AS BIGINT) AS phash
+        |FROM d GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

