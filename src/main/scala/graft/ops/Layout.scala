@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for multi-dimensional data skipping.
+  *
+  * At 100 TB, which predicates prune is decided before any query runs —
+  * by how rows were laid out into files. A single-column sort gives
+  * min/max pruning on that column only; every other predicate scans the
+  * whole table. Z-ordering (bit-interleaving the dimensions into one
+  * sort key, the Morton curve) trades a little pruning power on the
+  * first column for pruning power on ALL of them: each of k interleaved
+  * dimensions selects ~N^((k-1)/k) of N files for a point range instead
+  * of all N.
+  *
+  * The z-value itself is pure integer bit arithmetic (shift/and/or) —
+  * codegen'd end to end, exactly reproducible in any engine, and cheap
+  * enough to compute on the fly at write time. Spark then does the rest
+  * with stock machinery: `repartitionByRange(zval)` gives contiguous
+  * non-overlapping z-ranges per output file (one range-exchange — the
+  * same shuffle a plain sorted write pays), and parquet's footer stats
+  * make every file a prunable z-cube.
+  *
+  * Reference analog: none — the reference delivers events and leaves
+  * destination-table layout to Postgres. This is the Spark-side lever
+  * its event-log DESTINATIONS need at scale (the same reason
+  * Delta/Iceberg grew OPTIMIZE ZORDER BY).
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * long columns (a's bit i → z bit 2i, b's bit i → z bit 2i+1).
+    * Callers pick `bits` to cover the dimension domains (values beyond
+    * `bits` wrap into the same z-range, degrading locality but never
+    * correctness); for skewed real-valued dims, map to a bounded rank
+    * (bucket index) first.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val aa = a.cast("bigint")
+    val bb = b.cast("bigint")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(aa, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** The same z-value as ANSI SQL text (for oracles / pushdown-free
+    * engines) — kept in ONE place so the Spark column and the SQL can
+    * never drift.
+    */
+  def zValueSql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Write `df` z-ordered on (`a`, `b`) into `nFiles` files at `path`:
+    * one range exchange on the z-value (contiguous, non-overlapping
+    * z-ranges per file), sorted within each file so parquet page stats
+    * prune too. The z-column itself is not persisted — it is a layout
+    * decision, not data.
+    */
+  def zorderWrite(df: DataFrame, a: Column, b: Column, bits: Int,
+      path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

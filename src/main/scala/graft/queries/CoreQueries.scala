@@ -703,6 +703,20 @@ object CoreQueries {
         .orderBy("user_id", "h_us")
     }),
 
+    // Z-order (Morton) layout key: bit-interleave (custkey, order-day)
+    // into the multi-dimensional data-skipping sort key — the write-time
+    // layout lever that makes BOTH dims' predicates prune files at
+    // 100 TB (Layout.zorderWrite + LayoutSpec prove the pruning; this
+    // query gates the bit arithmetic itself, shared with the oracle via
+    // Layout.zValueSql so the two can never drift).
+    "q79_zorder" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          Layout.zValue(col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), lit("1992-01-01")),
+            bits = 20).as("zval"))
+        .orderBy("o_orderkey")),
+
     // SCD Type-2 dimension build: every change to a dimension key becomes
     // a version row with a [valid_from, valid_to) cursor interval — one
     // shuffle on the key + a lead window, never a history self-join
@@ -1346,6 +1360,16 @@ object CoreQueries {
           |    ELSE pv + (num - (((num % den) + den) % den)) // den
           |  END AS interp_cents
           |FROM s ORDER BY user_id, h_us""".stripMargin,
+
+      // q79: the exact bit-interleave formula is generated by
+      // Layout.zValueSql — one definition for both engines
+      "q79_zorder" ->
+        s"""WITH d AS (SELECT o_orderkey, o_custkey AS za,
+           |  date_diff('day', DATE '1992-01-01',
+           |    CAST(o_orderdate AS DATE)) AS zb FROM orders)
+           |SELECT o_orderkey,
+           |  CAST(${Layout.zValueSql("za", "zb", 20)} AS BIGINT) AS zval
+           |FROM d ORDER BY o_orderkey""".stripMargin,
 
       "q73_scd2" -> (cte +
         """SELECT group_id, record_id,
