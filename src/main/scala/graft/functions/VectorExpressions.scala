@@ -69,13 +69,19 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names, NOT fixed literals: two FloatVecDot calls in one
+        // codegen scope (cosine = dot/sqrt(dot·dot)) would otherwise
+        // redefine the same Java local and fail whole-stage compile
+        val n = ctx.freshName("fvdN")
+        val s = ctx.freshName("fvdS")
+        val i = ctx.freshName("fvdI")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
            |}
-           |${ev.value} = s;
+           |${ev.value} = $s;
          """.stripMargin
       })
 

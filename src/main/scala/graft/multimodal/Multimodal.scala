@@ -199,39 +199,84 @@ object Multimodal {
     require(grid >= 1 && grid * grid <= 64, s"grid² must fit 64 bits: $grid")
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        MediaCodec.decodeValues(a.bytes) match {
-          case Some((fmt, vs))
-              if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
-            MediaCodec.decode(a.bytes).flatMap { m =>
-              val w = m.width.get
-              val h = m.height.get
-              if (w < grid || h < grid || vs.length != w * h) None
-              else {
-                val cells = grid * grid
-                val sums = new Array[Long](cells)
-                val counts = new Array[Long](cells)
-                var i = 0
-                while (i < vs.length) {
-                  val c = (i / w) * grid / h * grid + (i % w) * grid / w
-                  sums(c) += vs(i)
-                  counts(c) += 1
-                  i += 1
-                }
-                val means = Array.tabulate(cells)(c => sums(c) / counts(c))
-                val global = means.sum / cells
-                var hash = 0L
-                var c = 0
-                while (c < cells) {
-                  if (means(c) >= global) hash |= (1L << c)
-                  c += 1
-                }
-                Some(ImageHash(a.asset_id, fmt, w, h, hash))
-              }
-            }
-          case _ => None
+        cellMeans(a.bytes, grid).map { case (fmt, w, h, means) =>
+          ImageHash(a.asset_id, fmt, w, h, ahashOf(means))
         }
       }
     }
+  }
+
+  /** Decode + `grid`×`grid` block-average (integer floor means) — the
+    * shared first stage of every perceptual image hash. `None` for
+    * non-image payloads and images smaller than the grid.
+    */
+  private[multimodal] def cellMeans(bytes: Array[Byte], grid: Int = 4)
+      : Option[(String, Int, Int, Array[Long])] =
+    MediaCodec.decodeValues(bytes) match {
+      case Some((fmt, vs))
+          if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
+        MediaCodec.decode(bytes).flatMap { m =>
+          val w = m.width.get
+          val h = m.height.get
+          if (w < grid || h < grid || vs.length != w * h) None
+          else {
+            val cells = grid * grid
+            val sums = new Array[Long](cells)
+            val counts = new Array[Long](cells)
+            var i = 0
+            while (i < vs.length) {
+              val c = (i / w) * grid / h * grid + (i % w) * grid / w
+              sums(c) += vs(i)
+              counts(c) += 1
+              i += 1
+            }
+            Some((fmt, w, h,
+              Array.tabulate(cells)(c => sums(c) / counts(c))))
+          }
+        }
+      case _ => None
+    }
+
+  /** Spatial bit per cell: mean ≥ global cell mean. */
+  private[multimodal] def ahashOf(means: Array[Long]): Long = {
+    val cells = means.length
+    val global = means.sum / cells
+    var hash = 0L
+    var c = 0
+    while (c < cells) {
+      if (means(c) >= global) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Frequency sign bit per AC coefficient of the integer 4×4 DCT. */
+  private[multimodal] def phashOf(means: Array[Long]): Long = {
+    val grid = 4
+    require(means.length == grid * grid, s"pHash needs a 4x4 plane")
+    var hash = 0L
+    var u = 0
+    while (u < grid) {
+      var v = 0
+      while (v < grid) {
+        if (u != 0 || v != 0) {
+          var d = 0L
+          var r = 0
+          while (r < grid) {
+            var cc = 0
+            while (cc < grid) {
+              d += DctBasis(u)(r) * means(r * grid + cc) * DctBasis(v)(cc)
+              cc += 1
+            }
+            r += 1
+          }
+          if (d > 0) hash |= (1L << (u * grid + v))
+        }
+        v += 1
+      }
+      u += 1
+    }
+    hash
   }
 
   /** Integer 4×4 DCT-II basis, coefficients `round(1e4·cos(π(2k+1)u/8))`.
@@ -265,58 +310,44 @@ object Multimodal {
   def imagePHash(assets: Dataset[Asset])(
       implicit spark: SparkSession): Dataset[ImagePHash] = {
     import spark.implicits._
-    val grid = 4
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        MediaCodec.decodeValues(a.bytes) match {
-          case Some((fmt, vs))
-              if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
-            MediaCodec.decode(a.bytes).flatMap { m =>
-              val w = m.width.get
-              val h = m.height.get
-              if (w < grid || h < grid || vs.length != w * h) None
-              else {
-                val cells = grid * grid
-                val sums = new Array[Long](cells)
-                val counts = new Array[Long](cells)
-                var i = 0
-                while (i < vs.length) {
-                  val c = (i / w) * grid / h * grid + (i % w) * grid / w
-                  sums(c) += vs(i)
-                  counts(c) += 1
-                  i += 1
-                }
-                val means = Array.tabulate(cells)(c => sums(c) / counts(c))
-                var hash = 0L
-                var u = 0
-                while (u < grid) {
-                  var v = 0
-                  while (v < grid) {
-                    if (u != 0 || v != 0) {
-                      var d = 0L
-                      var r = 0
-                      while (r < grid) {
-                        var cc = 0
-                        while (cc < grid) {
-                          d += DctBasis(u)(r) * means(r * grid + cc) *
-                            DctBasis(v)(cc)
-                          cc += 1
-                        }
-                        r += 1
-                      }
-                      if (d > 0) hash |= (1L << (u * grid + v))
-                    }
-                    v += 1
-                  }
-                  u += 1
-                }
-                Some(ImagePHash(a.asset_id, fmt, w, h, hash))
-              }
-            }
-          case _ => None
+        cellMeans(a.bytes).map { case (fmt, w, h, means) =>
+          ImagePHash(a.asset_id, fmt, w, h, phashOf(means))
         }
       }
     }
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash CONSENSUS: two
+    * assets are flagged only when BOTH the spatial hash ([[imageAHash]])
+    * and the frequency hash ([[imagePHash]]) agree exactly — the
+    * ensemble that cuts each single hash's false positives (aHash
+    * collides on similar brightness layouts, pHash on similar spectra;
+    * agreeing on both is a far stronger match). The analog of td05∧td07
+    * consensus for text.
+    *
+    * Scale shape: one decode pass produces both hashes per asset, then
+    * ONE self-equi-join on the composite (ahash, phash) key — pair
+    * blow-up is bounded by consensus-bucket sizes, never a cross join.
+    */
+  def imageNearDupPairs(assets: Dataset[Asset])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // ONE decode pass yields both hashes (cell means are shared)
+    val hashed = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        cellMeans(a.bytes).map { case (_, _, _, means) =>
+          (a.asset_id, ahashOf(means), phashOf(means))
+        }
+      }
+    }.toDF("asset_id", "ahash", "phash")
+    hashed.as("x").join(hashed.as("y"),
+        col("x.ahash") === col("y.ahash") &&
+        col("x.phash") === col("y.phash") &&
+        col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"),
+        col("x.ahash").as("ahash"), col("x.phash").as("phash"))
   }
 
   /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the

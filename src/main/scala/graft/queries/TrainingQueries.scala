@@ -825,6 +825,20 @@ object TrainingQueries {
         }
       graft.multimodal.Multimodal.imagePHash(assets)(s).toDF()
         .orderBy("asset_id")
+    }),
+
+    // Image near-dup pairs by aHash∧pHash CONSENSUS (spatial AND
+    // frequency agreement) — the ensemble cut: 477 consensus pairs vs
+    // 1593 aHash-only at sf0.01.
+    "td76_image_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.imageNearDupPairs(assets)(s)
+        .orderBy("id_a", "id_b")
     }))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
@@ -1803,30 +1817,13 @@ object TrainingQueries {
 
     // td48: cells and global mean recomputed with the same integer-floor
     // arithmetic from the synthesis closed forms (images >= 4x4 only)
-    "td48_image_ahash" ->
-      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
-        |       ELSE 1 + doc_id % 17 END AS BIGINT) AS w,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
-        |       ELSE 1 + (doc_id // 17) % 13 END AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
-        |pf AS (SELECT * FROM p WHERE w >= 4 AND h >= 4),
-        |px AS (SELECT doc_id, m, w, h, unnest(range(0, w*h)) AS i FROM pf),
-        |pv AS (SELECT doc_id, m, w, h,
-        |  CASE m WHEN 0 THEN (doc_id + (i % w) + (i // w)) % 256
-        |         ELSE (doc_id + 3*(i % w) + 7*(i // w)) % 256 END AS v,
-        |  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c
-        |  FROM px),
-        |cells AS (SELECT doc_id, m, w, h, c, sum(v) // count(*) AS mean
-        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
-        |gl AS (SELECT doc_id, sum(mean) // 16 AS global FROM cells GROUP BY 1)
-        |SELECT cells.doc_id AS asset_id,
+    "td48_image_ahash" -> (imageCellsCte + imageAhashCte +
+      """
+        |SELECT ah.doc_id AS asset_id,
         |  CASE m WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
-        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  CAST(sum(CASE WHEN mean >= global THEN 1 << c ELSE 0 END) AS BIGINT)
-        |    AS ahash
-        |FROM cells JOIN gl ON cells.doc_id = gl.doc_id
-        |GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height, ahash
+        |FROM ah JOIN pf ON ah.doc_id = pf.doc_id
+        |ORDER BY asset_id""".stripMargin),
 
     "td45_winnow_neardups" -> (winnowFpsCte +
       """,
@@ -2259,42 +2256,28 @@ object TrainingQueries {
         |FROM b JOIN sc USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // td75: integer-DCT pHash — td48's pixel CTEs, then D = T·M·Tᵀ with
-    // the literal integer basis (round(1e4·cos(π(2k+1)u/8))) and one
-    // sign bit per AC coefficient
-    "td75_image_phash" ->
-      """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
-        |       ELSE 1 + doc_id % 17 END AS BIGINT) AS w,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
-        |       ELSE 1 + (doc_id // 17) % 13 END AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
-        |pf AS (SELECT * FROM p WHERE w >= 4 AND h >= 4),
-        |px AS (SELECT doc_id, m, w, h, unnest(range(0, w*h)) AS i FROM pf),
-        |pv AS (SELECT doc_id, m, w, h,
-        |  CASE m WHEN 0 THEN (doc_id + (i % w) + (i // w)) % 256
-        |         ELSE (doc_id + 3*(i % w) + 7*(i // w)) % 256 END AS v,
-        |  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c
-        |  FROM px),
-        |cells AS (SELECT doc_id, m, w, h, c, sum(v) // count(*) AS mean
-        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
-        |t(u, k, coef) AS (VALUES
-        |  (0,0,10000),(0,1,10000),(0,2,10000),(0,3,10000),
-        |  (1,0,9239),(1,1,3827),(1,2,-3827),(1,3,-9239),
-        |  (2,0,7071),(2,1,-7071),(2,2,-7071),(2,3,7071),
-        |  (3,0,3827),(3,1,-9239),(3,2,9239),(3,3,-3827)),
-        |d AS (SELECT doc_id, m, w, h, tu.u AS u, tv.u AS v,
-        |    sum(tu.coef * mean * tv.coef) AS dcoef
-        |  FROM cells
-        |  JOIN t tu ON tu.k = c // 4
-        |  JOIN t tv ON tv.k = c % 4
-        |  GROUP BY 1, 2, 3, 4, 5, 6)
+    // td75: integer-DCT pHash — the shared pixel/cell CTEs, then
+    // D = T·M·Tᵀ with the literal integer basis and one sign bit per
+    // AC coefficient
+    "td75_image_phash" -> (imageCellsCte + imagePhashCte +
+      """
         |SELECT doc_id AS asset_id,
         |  CASE m WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
-        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  CAST(sum(CASE WHEN (u != 0 OR v != 0) AND dcoef > 0
-        |    THEN 1 << (u*4 + v) ELSE 0 END) AS BIGINT) AS phash
-        |FROM d GROUP BY 1, 2, 3, 4 ORDER BY asset_id""".stripMargin)
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height, phash
+        |FROM ph ORDER BY asset_id""".stripMargin),
+
+    // td76: near-dup pairs where BOTH perceptual hashes agree — the
+    // ensemble consensus (477 pairs vs 1593 aHash-only at sf0.01)
+    "td76_image_neardups" -> (imageCellsCte + imageAhashCte +
+      imagePhashCte +
+      """,
+        |hx AS (SELECT ah.doc_id, ahash, phash
+        |  FROM ah JOIN ph USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.ahash AS ahash, a.phash AS phash
+        |FROM hx a JOIN hx b ON a.ahash = b.ahash AND a.phash = b.phash
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =
@@ -2313,6 +2296,60 @@ object TrainingQueries {
   /** Winnowing (k=4-gram hashes, w=4 window minima, distinct) — mirrors
     * Dedup.winnowingFingerprints.
     */
+  /** Shared DuckDB CTE prefix for the perceptual-image oracles
+    * (td48/td75/td76): reconstructs the synthesized pixel planes
+    * arithmetically and block-averages them onto the 4×4 cell grid —
+    * mirrors MediaCodec.synthesizeAsset + Multimodal.cellMeans.
+    */
+  private lazy val imageCellsCte: String =
+    """WITH p AS (SELECT doc_id, doc_id % 3 AS m,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 31
+      |       ELSE 1 + doc_id % 17 END AS BIGINT) AS w,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 31) % 23
+      |       ELSE 1 + (doc_id // 17) % 13 END AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |pf AS (SELECT * FROM p WHERE w >= 4 AND h >= 4),
+      |px AS (SELECT doc_id, m, w, h, unnest(range(0, w*h)) AS i FROM pf),
+      |pv AS (SELECT doc_id, m, w, h,
+      |  CASE m WHEN 0 THEN (doc_id + (i % w) + (i // w)) % 256
+      |         ELSE (doc_id + 3*(i % w) + 7*(i // w)) % 256 END AS v,
+      |  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c
+      |  FROM px),
+      |cells AS (SELECT doc_id, m, w, h, c, sum(v) // count(*) AS mean
+      |  FROM pv GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
+  /** aHash over the shared cell grid (appends to [[imageCellsCte]]). */
+  private lazy val imageAhashCte: String =
+    """,
+      |gl AS (SELECT doc_id, sum(mean) // 16 AS global FROM cells
+      |  GROUP BY 1),
+      |ah AS (SELECT cells.doc_id,
+      |  CAST(sum(CASE WHEN mean >= global THEN 1 << c ELSE 0 END)
+      |    AS BIGINT) AS ahash
+      |  FROM cells JOIN gl ON cells.doc_id = gl.doc_id GROUP BY 1)""".stripMargin
+
+  /** pHash over the shared cell grid: integer DCT basis
+    * (round(1e4·cos(π(2k+1)u/8))) + one sign bit per AC coefficient.
+    */
+  private lazy val imagePhashCte: String =
+    """,
+      |t(u, k, coef) AS (VALUES
+      |  (0,0,10000),(0,1,10000),(0,2,10000),(0,3,10000),
+      |  (1,0,9239),(1,1,3827),(1,2,-3827),(1,3,-9239),
+      |  (2,0,7071),(2,1,-7071),(2,2,-7071),(2,3,7071),
+      |  (3,0,3827),(3,1,-9239),(3,2,9239),(3,3,-3827)),
+      |d AS (SELECT doc_id, m, w, h, tu.u AS u, tv.u AS v,
+      |    sum(tu.coef * mean * tv.coef) AS dcoef
+      |  FROM cells
+      |  JOIN t tu ON tu.k = c // 4
+      |  JOIN t tv ON tv.k = c % 4
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |ph AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN (u != 0 OR v != 0) AND dcoef > 0
+      |    THEN 1 << (u*4 + v) ELSE 0 END) AS BIGINT) AS phash,
+      |  max(m) AS m, max(w) AS w, max(h) AS h
+      |  FROM d GROUP BY 1)""".stripMargin
+
   private lazy val winnowFpsCte: String =
     s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, list_transform(

@@ -366,6 +366,25 @@ class MediaCodecSpec extends SparkSpec {
     assert(!out.contains(4L)) // sub-grid images have no defined hash
   }
 
+  test("imageNearDupPairs: consensus pairs identical+shifted copies, excludes the inverse") {
+    import spark.implicits._
+    val px = Array.tabulate(8, 8)((y, x) => (53 * x + 97 * y) % 150)
+    def bmp(id: Long, f: (Int, Int) => Int) =
+      Multimodal.Asset(id, "bmp", MediaCodec.encodeBmp(8, 8,
+        (x, y) => f(x, y) * 0x010101), "t")
+    val out = Multimodal.imageNearDupPairs(spark.createDataset(Seq(
+        bmp(1, (x, y) => px(y)(x)),
+        bmp(2, (x, y) => px(y)(x)),          // identical
+        bmp(3, (x, y) => px(y)(x) + 40),     // uniform brightness shift
+        bmp(4, (x, y) => 255 - px(y)(x))     // inverse — different image
+      )))(spark)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both hashes are brightness-shift invariant → {1,2,3} all pair up;
+    // the inverse flips both hashes' bits → never in consensus
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("audioFingerprint: identical streams equal, loud/quiet contour drives the bits") {
     import spark.implicits._
     // first half quiet (amp 10), second half loud (amp 1000): the loud
