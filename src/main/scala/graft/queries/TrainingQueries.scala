@@ -2277,7 +2277,7 @@ object TrainingQueries {
         |  a.ahash AS ahash, a.phash AS phash
         |FROM hx a JOIN hx b ON a.ahash = b.ahash AND a.phash = b.phash
         |  AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin))
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =
