@@ -38,8 +38,11 @@ object Layout {
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    val aa = a.cast("bigint")
-    val bb = b.cast("bigint")
+    // Mask to the sampled window first: arithmetic shiftright on a
+    // negative input would set every sampled bit (one giant z-bucket).
+    val window = lit((1L << bits) - 1)
+    val aa = a.cast("bigint").bitwiseAND(window)
+    val bb = b.cast("bigint").bitwiseAND(window)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc +
         shiftleft(shiftright(aa, i).bitwiseAND(lit(1L)), 2 * i) +
@@ -53,8 +56,9 @@ object Layout {
     */
   def zValueSql(a: String, b: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val m = (1L << bits) - 1
     (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+      s"(((($a & $m) >> $i) & 1) << ${2 * i}) + (((($b & $m) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
   }
 
@@ -65,10 +69,15 @@ object Layout {
     * decision, not data.
     */
   def zorderWrite(df: DataFrame, a: Column, b: Column, bits: Int,
-      path: String, nFiles: Int): Unit =
-    df.withColumn("__z", zValue(a, b, bits))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      path: String, nFiles: Int): Unit = {
+    // withColumn would silently replace (and drop then loses) a
+    // pre-existing column of the same name.
+    val zCol = Iterator.from(0).map(i => if (i == 0) "__z" else s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zCol, zValue(a, b, bits))
+      .repartitionByRange(nFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
+  }
 }
