@@ -2,7 +2,7 @@ package graft.config
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import graft.ops.{ColumnFilter, SourceScope}
-import graft.streaming.{ConsumerConfig, SinkSpec}
+import graft.streaming.{ConsumerConfig, IterateSpec, SinkSpec}
 import scala.jdk.CollectionConverters._
 
 /** Configuration-as-code: JSON pipeline spec → validated [[ConsumerConfig]]
@@ -263,6 +263,42 @@ object PipelineSpec {
           s"batch_size must be between 1 and 1000, got $b")
     }
 
+    // bounded iteration transforms (the loop-shaped MiniElixir slice):
+    // each entry unrolls at plan-build time, so `iterations` is the ONLY
+    // loop form — validated here against the same deny-list as every
+    // other user expression, and capped so unbounded recursion is
+    // unrepresentable (Iterate.MaxIterations)
+    val iterateFns = Option(root.get("iterate_functions")).map { n =>
+      if (!n.isObject)
+        throw new IllegalArgumentException(
+          "iterate_functions must be an object of name -> {init, step, var, iterations}")
+      n.fields().asScala.map { e =>
+        val o = e.getValue
+        val what = s"iterate_functions.${e.getKey}"
+        val init = validateExpr(s"$what.init", require(o, "init").asText())
+        val step = validateExpr(s"$what.step", require(o, "step").asText())
+        val v = require(o, "var").asText()
+        val itNode = require(o, "iterations")
+        if (!itNode.isIntegralNumber)
+          throw new IllegalArgumentException(
+            s"$what.iterations must be an integer literal (no expressions, " +
+              "no unbounded forms)")
+        val its = itNode.asInt()
+        if (its < 0 || its > graft.ops.Iterate.MaxIterations)
+          throw new IllegalArgumentException(
+            s"$what.iterations must be in [0, ${graft.ops.Iterate.MaxIterations}], got $its")
+        if (!v.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          throw new IllegalArgumentException(
+            s"$what.var must be a bare identifier, got '$v'")
+        e.getKey -> IterateSpec(init, step, v, its)
+      }.toSeq
+    }.getOrElse(Nil)
+    iterateFns.map(_._1).foreach { n =>
+      if (ReservedTransformNames(n.toLowerCase))
+        throw new IllegalArgumentException(
+          s"iterate_functions may not overwrite envelope/router columns: $n")
+    }
+
     ConsumerConfig(
       name = name,
       scope = scope,
@@ -290,6 +326,7 @@ object PipelineSpec {
       loadSheddingPolicy = shedPolicy,
       filterFunction = filterFn,
       transformFunctions = transformFns,
+      iterateFunctions = iterateFns,
       routingFunction = routingFn,
       sink = sink)
   }
@@ -366,6 +403,16 @@ object PipelineSpec {
     if (cfg.transformFunctions.nonEmpty) {
       val t = root.putObject("transform_functions")
       cfg.transformFunctions.foreach { case (k, v) => t.put(k, v) }
+    }
+    if (cfg.iterateFunctions.nonEmpty) {
+      val t = root.putObject("iterate_functions")
+      cfg.iterateFunctions.foreach { case (k, it) =>
+        val o = t.putObject(k)
+        o.put("init", it.init)
+        o.put("step", it.step)
+        o.put("var", it.varName)
+        o.put("iterations", it.n)
+      }
     }
     if (cfg.routingFunction.nonEmpty) {
       val r = root.putObject("routing_function")

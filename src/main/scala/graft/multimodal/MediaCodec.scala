@@ -9,6 +9,9 @@ package graft.multimodal
   * container layout, not from a hash fake. No OS codec or native library
   * is involved anywhere (ImageIO's PNG/JPEG/GIF readers are pure Java),
   * so everything runs in every Spark executor with zero extra deps.
+  * Compressed audio: G.711 µ-law/a-law WAV variants (format codes 7/6)
+  * decode through the standard CCITT expansion — bit-identical to the
+  * JDK's `javax.sound.sampled` ULAW/ALAW converters (spec-checked).
   * Remaining compressed formats (MP3/MP4/...) still fall back to the
   * declared stub in [[Multimodal.Decode]]; the dispatch lives in
   * [[decode]].
@@ -218,6 +221,91 @@ object MediaCodec {
     out
   }
 
+  // ---------- G.711 companding (µ-law / a-law WAV, format codes 7 / 6) ----------
+
+  /** G.711 µ-law byte → linear 16-bit sample. Same table the JDK's
+    * `javax.sound.sampled` UlawCodec builds (CCITT G.711): bias 0x84,
+    * 3-bit exponent, 4-bit mantissa, stored complemented.
+    */
+  def ulawToPcm(u: Int): Short = {
+    val b = ~u & 0xFF
+    var t = ((b & 0x0F) << 3) + 132
+    t <<= (b & 0x70) >> 4
+    (if ((b & 0x80) != 0) 132 - t else t - 132).toShort
+  }
+
+  /** Linear 16-bit sample → G.711 µ-law byte (clip 32635, bias 0x84). */
+  def pcmToUlaw(s0: Int): Byte = {
+    var sample = s0
+    val sign = if (sample < 0) { sample = -sample; 0x80 } else 0
+    if (sample > 32635) sample = 32635
+    sample += 132
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (sample & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (sample >> (exp + 3)) & 0x0F
+    (~(sign | (exp << 4) | mant) & 0xFF).toByte
+  }
+
+  /** G.711 a-law byte → linear 16-bit sample (JDK AlawCodec convention:
+    * after the 0x55 XOR, bit 0x80 SET means positive).
+    */
+  def alawToPcm(a0: Int): Short = {
+    val a = (a0 & 0xFF) ^ 0x55
+    var v = ((a & 0x0F) << 4) + 8
+    val seg = (a & 0x70) >> 4
+    if (seg >= 1) v += 0x100
+    if (seg > 1) v <<= seg - 1
+    (if ((a & 0x80) == 0) -v else v).toShort
+  }
+
+  /** Linear 16-bit sample → G.711 a-law byte. */
+  def pcmToAlaw(s0: Int): Byte = {
+    var sample = s0
+    val sign = if (sample >= 0) 0x80 else { sample = -sample; 0 }
+    if (sample > 32635) sample = 32635
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (sample & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant =
+      if (exp == 0) (sample >> 4) & 0x0F
+      else (sample >> (exp + 3)) & 0x0F
+    ((sign | (exp << 4) | mant) ^ 0x55).toByte
+  }
+
+  /** Encode a G.711-companded WAV (format code 7 = µ-law, 6 = a-law,
+    * 8 bits/sample): compress the 16-bit frames through the matching
+    * compressor and emit a standard RIFF/fmt/data layout. Decoding with
+    * [[decodeValues]] (or the JDK's `AudioSystem` ULAW/ALAW→PCM
+    * conversion) expands each stored byte back to its 16-bit code.
+    */
+  def encodeWavG711(sampleRate: Int, channels: Int, samples: Array[Short],
+      uLaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataSize = samples.length
+    val out = new Array[Byte](44 + dataSize)
+    putTag(out, 0, "RIFF")
+    putU32(out, 4, (36 + dataSize).toLong)
+    putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt ")
+    putU32(out, 16, 16L)
+    putU16(out, 20, if (uLaw) 7 else 6)   // WAVE_FORMAT_MULAW / ALAW
+    putU16(out, 22, channels)
+    putU32(out, 24, sampleRate.toLong)
+    putU32(out, 28, sampleRate.toLong * channels) // 1 byte per sample
+    putU16(out, 32, channels)
+    putU16(out, 34, 8)
+    putTag(out, 36, "data")
+    putU32(out, 40, dataSize.toLong)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + i) =
+        if (uLaw) pcmToUlaw(samples(i).toInt) else pcmToAlaw(samples(i).toInt)
+      i += 1
+    }
+    out
+  }
+
   /** Next chunk position after the one at `pos` with payload `size` —
     * word-aligned, computed in Long so a crafted 32-bit size field can
     * never wrap negative (infinite loop) or overflow the index space.
@@ -232,6 +320,7 @@ object MediaCodec {
   private def decodeWav(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     var pos = 12
+    var fmtCode = -1
     var channels = 0
     var rate = 0
     var bits = 0
@@ -241,6 +330,7 @@ object MediaCodec {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = u32(b, pos + 4)
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        fmtCode = u16(b, pos + 8)
         channels = u16(b, pos + 10)
         rate = u32(b, pos + 12).toInt
         bits = u16(b, pos + 22)
@@ -249,14 +339,22 @@ object MediaCodec {
       }
       pos = nextChunk(pos, size, b.length)
     }
+    // format name distinguishes companding: 1 = linear PCM ("wav"),
+    // 7 = G.711 µ-law, 6 = G.711 a-law (both 8 bits stored / sample)
+    val fmtName = fmtCode match {
+      case 1 => "wav"
+      case 7 => "wav_ulaw"
+      case 6 => "wav_alaw"
+      case _ => return None // compressed codecs beyond G.711: declared stub
+    }
     // bits must be a whole byte multiple (PCM container alignment): a
     // 12-bit depth would silently floor to 1 byte/sample and misreport
     // frame count and duration — reject instead
     if (channels <= 0 || rate <= 0 || bits < 8 || bits % 8 != 0 ||
-      bits > 64 || dataSize < 0) None
+      bits > 64 || dataSize < 0 || (fmtCode != 1 && bits != 8)) None
     else {
       val frames = dataSize / (channels.toLong * (bits / 8))
-      Some(MediaMeta("wav", None, None, channels, bits, Some(rate),
+      Some(MediaMeta(fmtName, None, None, channels, bits, Some(rate),
         Some(frames), Some(frames * 1000000L / rate)))
     }
   }
@@ -333,7 +431,8 @@ object MediaCodec {
       Some((meta.format, out))
     } else if (b.length >= 12 && tag(b, 0, "RIFF")) {
       val meta = decodeWav(b).getOrElse(return None)
-      if (meta.bitDepth != 16) return None
+      val companded = meta.format != "wav"
+      if (!companded && meta.bitDepth != 16) return None
       // re-walk chunks for the data offset
       var pos = 12
       var dataOff = -1
@@ -347,14 +446,31 @@ object MediaCodec {
         pos = nextChunk(pos, size, b.length)
       }
       if (dataOff < 0) return None
-      val n = (dataSize / 2).toInt
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        out(i) = u16(b, dataOff + i * 2).toShort.toInt // sign-extend
-        i += 1
+      if (companded) {
+        // G.711: each stored byte expands to one linear 16-bit sample —
+        // the SAME value contract as PCM16, so every downstream audio op
+        // (fingerprint, stats) runs unchanged over companded assets
+        val uLaw = meta.format == "wav_ulaw"
+        val n = dataSize.toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (uLaw) ulawToPcm(b(dataOff + i) & 0xFF).toInt
+            else alawToPcm(b(dataOff + i) & 0xFF).toInt
+          i += 1
+        }
+        Some((meta.format, out))
+      } else {
+        val n = (dataSize / 2).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = u16(b, dataOff + i * 2).toShort.toInt // sign-extend
+          i += 1
+        }
+        Some(("wav", out))
       }
-      Some(("wav", out))
     } else imageIoFormat(b) match {
       // compressed images: red channel row-major via the JDK decoder —
       // the same value contract as the raw paths, so aHash/perceptual

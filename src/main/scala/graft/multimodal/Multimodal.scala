@@ -369,7 +369,10 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         MediaCodec.decodeValues(a.bytes) match {
-          case Some(("wav", vs)) if vs.length >= frames =>
+          // companded G.711 variants expand to the same linear-sample
+          // contract as PCM16, so they fingerprint identically
+          case Some((fmt, vs))
+              if fmt.startsWith("wav") && vs.length >= frames =>
             val sums = new Array[Long](frames)
             val counts = new Array[Long](frames)
             var i = 0

@@ -717,6 +717,20 @@ object CoreQueries {
             bits = 20).as("zval"))
         .orderBy("o_orderkey")),
 
+    // Bounded user-code iteration (the loop-shaped MiniElixir slice):
+    // 12 Lehmer-LCG (MINSTD) steps per row, written as an iterate()
+    // transform and UNROLLED at plan-build time into one nested integer
+    // expression — no runtime loop exists, whole-stage codegen'd, and
+    // the iteration count is a config literal capped at 64 so unbounded
+    // recursion is unrepresentable. Oracle: the recursive-CTE rendition
+    // of the same fixed-count loop.
+    "q80_iterate" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          Iterate.unroll("o_orderkey % 2147483646 + 1",
+            "(x * 48271) % 2147483647", "x", 12).as("minstd"))
+        .orderBy("o_orderkey")),
+
     // SCD Type-2 dimension build: every change to a dimension key becomes
     // a version row with a [valid_from, valid_to) cursor interval — one
     // shuffle on the key + a lead window, never a history self-join
@@ -1370,6 +1384,18 @@ object CoreQueries {
            |SELECT o_orderkey,
            |  CAST(${Layout.zValueSql("za", "zb", 20)} AS BIGINT) AS zval
            |FROM d ORDER BY o_orderkey""".stripMargin,
+
+      // q80: the recursive-CTE rendition of the fixed-count loop the
+      // Spark side unrolls at plan-build time — i < 12 is the same bound
+      // as iterate(..., n = 12)
+      "q80_iterate" ->
+        """WITH RECURSIVE it(o_orderkey, i, x) AS (
+          |  SELECT o_orderkey, 0, o_orderkey % 2147483646 + 1 FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, i + 1, (x * 48271) % 2147483647
+          |  FROM it WHERE i < 12)
+          |SELECT o_orderkey, x AS minstd FROM it WHERE i = 12
+          |ORDER BY o_orderkey""".stripMargin,
 
       "q73_scd2" -> (cte +
         """SELECT group_id, record_id,

@@ -173,10 +173,23 @@ object Sketches {
     * per group (k rows survive per group — the shuffle payload is the
     * sketch), then pair algebra over |G|^2/2 * 2k rows, independent of
     * corpus size. The exact-Jaccard audit join is test-scale only.
+    *
+    * CONTRACT: `groupCol` must be a LOW-cardinality partition label
+    * (source tag, dataset split) — the pair space is quadratic in the
+    * number of groups. `maxGroups` makes that explicit: the group count
+    * is checked up front and the call fails fast instead of silently
+    * launching a |G|^2 job when someone feeds it user ids.
     */
-  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String, k: Int)
-      : DataFrame = {
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+      maxGroups: Int = 256): DataFrame = {
     require(k > 1, s"k must be > 1: $k")
+    require(maxGroups >= 2, s"maxGroups must be >= 2: $maxGroups")
+    val nGroups = df.select(col(groupCol)).distinct()
+      .limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"kmvSetOps: >$maxGroups distinct groups in '$groupCol' — the " +
+        s"group-pair space is quadratic; pass a low-cardinality label " +
+        s"or raise maxGroups deliberately")
     val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v")).distinct()
     val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
     // bottom-k per group (ties on h broken by value for determinism)

@@ -28,6 +28,17 @@ final case class SinkSpec(
     sinkType: String,
     settings: Map[String, String] = Map.empty)
 
+/** One bounded iteration transform: apply `step` to `init` exactly `n`
+  * times, `varName` being the loop variable inside `step` (see
+  * [[graft.ops.Iterate]] — unrolled at plan-build time, so `n` is a
+  * config literal, never a runtime value).
+  */
+final case class IterateSpec(
+    init: String,
+    step: String,
+    varName: String,
+    n: Int)
+
 final case class ConsumerConfig(
     name: String,
     scope: SourceScope = SourceScope(),
@@ -56,6 +67,9 @@ final case class ConsumerConfig(
     // surface"), checked for syntax + determinism at parse time
     filterFunction: Option[String] = None,
     transformFunctions: Seq[(String, String)] = Nil,
+    // bounded loop-shaped transforms: name -> (init, step, var, n),
+    // unrolled at plan-build time by [[graft.ops.Iterate]]
+    iterateFunctions: Seq[(String, IterateSpec)] = Nil,
     routingFunction: Map[String, String] = Map.empty,
     sink: Option[SinkSpec] = None) {
   /** Effective batch size: explicit, else the sink type's default. */
@@ -118,6 +132,13 @@ object CdcPipeline {
           df.withColumn(root, Transforms.recordSet(col(root), path, expr(e)))
         case _ => df.withColumn(name, expr(e))
       }
+    }
+    // P4b — bounded iteration transforms: the unroll happens here, at
+    // plan build, so the executed plan contains only an ordinary nested
+    // expression (codegen'd, no runtime loop)
+    cfg.iterateFunctions.foreach { case (name, it) =>
+      df = df.withColumn(name,
+        Iterate.unroll(it.init, it.step, it.varName, it.n))
     }
     // R2 — user routing function: overrides merged over the default
     // router through the per-sink allowed-key validation. The sink's OWN

@@ -88,6 +88,53 @@ class MediaCodecSpec extends SparkSpec {
     assert(m.width.isEmpty && m.height.isEmpty)
   }
 
+  test("G.711 µ-law/a-law WAV decodes sample-exactly vs the JDK codec") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // the JDK's own ULAW/ALAW→PCM converter is the independent oracle:
+    // our table-free expansion must match it on every stored byte
+    def jdkDecode(bytes: Array[Byte], rate: Int, ch: Int): Array[Int] = {
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, ch, ch * 2, rate.toFloat, false) // little-endian
+      val pcm = AudioSystem.getAudioInputStream(target, src)
+      val out = pcm.readAllBytes()
+      Array.tabulate(out.length / 2)(i =>
+        ((out(2 * i) & 0xFF) | (out(2 * i + 1) << 8)).toShort.toInt)
+    }
+    for (uLaw <- Seq(true, false)) {
+      val samples = Array.tabulate[Short](500)(i =>
+        ((i * 1237 + 89) % 65536 - 32768).toShort)
+      val bytes = MediaCodec.encodeWavG711(8000, 1, samples, uLaw)
+      assert(bytes.length == 44 + 500) // one byte per companded sample
+      val m = MediaCodec.decode(bytes).get
+      assert(m.format == (if (uLaw) "wav_ulaw" else "wav_alaw"))
+      assert(m.bitDepth == 8 && m.sampleRate.contains(8000))
+      assert(m.nSamples.contains(500L))
+      assert(m.durationUs.contains(500L * 1000000L / 8000))
+      val (fmt, ours) = MediaCodec.decodeValues(bytes).get
+      assert(fmt == m.format)
+      val jdk = jdkDecode(bytes, 8000, 1)
+      assert(ours.length == 500 && jdk.length == 500)
+      assert(ours.sameElements(jdk),
+        s"uLaw=$uLaw first diff at ${ours.zip(jdk).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
+  test("G.711 expansion/compression is value-stable on all 256 codewords") {
+    // decode→encode→decode must be the identity on decoded VALUES for
+    // every codeword (the +0/-0 dual zero makes raw codeword round-trip
+    // the wrong invariant)
+    for (c <- 0 until 256) {
+      val u = MediaCodec.ulawToPcm(c).toInt
+      assert(MediaCodec.ulawToPcm(MediaCodec.pcmToUlaw(u) & 0xFF).toInt == u,
+        s"ulaw codeword $c decodes to $u which re-encodes lossily")
+      val a = MediaCodec.alawToPcm(c).toInt
+      assert(MediaCodec.alawToPcm(MediaCodec.pcmToAlaw(a) & 0xFF).toInt == a,
+        s"alaw codeword $c decodes to $a which re-encodes lossily")
+    }
+  }
+
   test("WAV chunk walking skips non-fmt/data chunks") {
     val base = MediaCodec.encodeWav(8000, 1, Array.tabulate[Short](100)(_.toShort))
     // splice a LIST chunk (10 bytes payload -> padded) between WAVE and fmt
@@ -393,15 +440,24 @@ class MediaCodecSpec extends SparkSpec {
       (if (i < 160) 10 else 1000).toShort)
     def wav(id: Long, samples: Array[Short]) =
       Multimodal.Asset(id, "wav", MediaCodec.encodeWav(8000, 1, samples), "t")
+    // a µ-law asset must fingerprint exactly like a PCM asset holding the
+    // companded-then-expanded samples (the codec is lossy; the PIPELINE
+    // over companded bytes must not add any loss of its own)
+    val expanded = contour.map(s =>
+      MediaCodec.ulawToPcm(MediaCodec.pcmToUlaw(s.toInt) & 0xFF))
+    val ulawAsset = Multimodal.Asset(5L, "wav_ulaw",
+      MediaCodec.encodeWavG711(8000, 1, contour, uLaw = true), "t")
     val out = Multimodal.audioFingerprint(spark.createDataset(Seq(
         wav(1, contour), wav(2, contour),
         wav(3, contour.map(s => (-s).toShort)), // same |amplitude| contour
-        wav(4, Array.tabulate[Short](8)(_.toShort)))))(spark) // < 16 samples
+        wav(4, Array.tabulate[Short](8)(_.toShort)), // < 16 samples
+        ulawAsset, wav(6, expanded))))(spark)
       .collect().map(f => f.asset_id -> f.afp).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) == out(3L)) // fingerprint is |amplitude|-based
     assert(out(1L) == 0xFF00L) // frames 8-15 loud -> high byte set
     assert(!out.contains(4L))  // sub-frame streams have no fingerprint
+    assert(out(5L) == out(6L)) // µ-law bytes ≡ expanded PCM through the pipeline
   }
 
   test("payloadFeatures: integer stats + order-sensitive checksum + crossings") {

@@ -174,6 +174,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvSetOps: refuses high-cardinality group columns (quadratic guard)") {
+    import spark.implicits._
+    val manyGroups = (1 to 50).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$i")))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvSetOps(manyGroups, "g", "v", k = 16, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("quadratic"))
+    // at the bound it still runs
+    val ok = (1 to 10).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$i")))
+      .toDF("g", "v")
+    assert(Sketches.kmvSetOps(ok, "g", "v", k = 16, maxGroups = 10)
+      .count() == 45L)
+  }
+
   test("collocations: planted glued bigram tops the PMI ranking") {
     import spark.implicits._
     // 'aa bb' always adjacent; 'cc' and 'dd' never adjacent to each other

@@ -399,6 +399,54 @@ class TypesAndConfigSpec extends SparkSpec {
     }
   }
 
+  test("iterate_functions: bounded fixed-count loops unroll, apply, round-trip; unbounded forms rejected") {
+    val cfg = PipelineSpec.parse(
+      """{"name": "iter",
+        | "iterate_functions": {
+        |   "minstd12": {"init": "record_id % 2147483646 + 1",
+        |     "step": "(x * 48271) % 2147483647", "var": "x",
+        |     "iterations": 12},
+        |   "halving": {"init": "CAST(round(record_value * 100) AS BIGINT)",
+        |     "step": "acc div 2", "var": "acc", "iterations": 5}}}""".stripMargin)
+    assert(PipelineSpec.parse(PipelineSpec.render(cfg)) == cfg)
+    val cdc = Cdc.fromEvents(Tables.events(spark, sf()))
+    val out = graft.streaming.CdcPipeline.build(cdc, cfg)
+      .select("record_id", "record_value", "minstd12", "halving")
+      .collect()
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      var x = r.getLong(0) % 2147483646L + 1
+      (1 to 12).foreach(_ => x = (x * 48271) % 2147483647L)
+      assert(r.getLong(2) == x, s"id=${r.getLong(0)}")
+      var acc = math.round(r.getDouble(1) * 100)
+      (1 to 5).foreach(_ => acc /= 2)
+      assert(r.getLong(3) == acc)
+    }
+    // the executed plan contains NO runtime loop — n=0 is just init
+    assert(graft.ops.Iterate.unroll("7", "x * x", "x", 0) != null)
+
+    def bad(body: String) = assertThrows[IllegalArgumentException](
+      PipelineSpec.parse(s"""{"name":"x","iterate_functions":{"f": $body}}"""))
+    // unbounded / over-cap / negative / non-literal iteration counts
+    bad("""{"init":"0","step":"x+1","var":"x","iterations":65}""")
+    bad("""{"init":"0","step":"x+1","var":"x","iterations":-1}""")
+    bad("""{"init":"0","step":"x+1","var":"x","iterations":"record_id"}""")
+    // the deny-list walks init and step like any user expression
+    bad("""{"init":"rand()","step":"x+1","var":"x","iterations":3}""")
+    bad("""{"init":"0","step":"x + rand()","var":"x","iterations":3}""")
+    bad("""{"init":"0","step":"x + (SELECT 1)","var":"x","iterations":3}""")
+    // malformed loop variable / missing fields / reserved target
+    bad("""{"init":"0","step":"x+1","var":"x y","iterations":3}""")
+    bad("""{"init":"0","step":"x+1","iterations":3}""")
+    assertThrows[IllegalArgumentException](PipelineSpec.parse(
+      """{"name":"x","iterate_functions":{"commit_lsn":
+        | {"init":"0","step":"x+1","var":"x","iterations":3}}}""".stripMargin))
+    // a loop variable inside a string literal is NOT substituted
+    val lit = graft.ops.Iterate.unroll("'x'", "concat(x, 'x')", "x", 2)
+    val one = spark.range(1).select(lit.as("s")).collect().head.getString(0)
+    assert(one == "xxx", s"got '$one' — literal 'x' must stay a literal")
+  }
+
   test("sandbox: parenless literal functions (clock/user reads) are denied") {
     // `current_timestamp` with no parens parses as an UnresolvedAttribute,
     // and Spark's literal-function resolution binds it to the clock at
