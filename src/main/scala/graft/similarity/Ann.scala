@@ -358,6 +358,27 @@ object Ann {
       .parquet(s"$path/cells")
   }
 
+  /** Append new vectors to a materialized IVF index WITHOUT reseeding:
+    * the frozen centroids assign each new vector to its cell, and the
+    * rows append into the same partitioned layout (touching only the
+    * affected cell directories). This is the streaming-growth contract:
+    *   - the result is EXACTLY what a one-shot assignment of the grown
+    *     corpus against the same centroids would produce (spec-proven),
+    *     so queries see appended vectors immediately;
+    *   - recall degrades only as far as the centroids drift from the
+    *     grown corpus distribution — for append fractions ≤ ~30% the
+    *     probe gate (`DedupSpec`) holds recall; beyond that, rebuild
+    *     with [[buildIvfIndex]] (reseed + reassign) is the contract.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignToCentroids(centroids, newVectors, "corpus_id", 1)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/cells")
+  }
+
   /** Query a materialized IVF index: probe `nprobe` cells per query and
     * rank only their members. The probed centroid ids become a static
     * partition filter on the cells table, so the scan reads only those

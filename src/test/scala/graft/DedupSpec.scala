@@ -328,6 +328,60 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("centroid_id"), plan.take(1500))
   }
 
+  test("IVF append: 10% growth lands in the frozen-centroid cells; appended vectors are queryable at full recall vs rebuild") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val n = emb.count()
+    val cut = (n * 9 / 10).toInt
+    val base = emb.filter(col("vec_id") < cut)
+    val grow = emb.filter(col("vec_id") >= cut)
+    assert(grow.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+    Ann.buildIvfIndex(base, centroidEvery = 50, path = dir)
+    Ann.appendToIvfIndex(spark, dir, grow)
+    // 1) exactness: every vector present exactly once — the append is
+    //    indistinguishable from a one-shot assignment against the same
+    //    frozen centroids
+    val cells = spark.read.parquet(s"$dir/cells").cache()
+    assert(cells.count() == n)
+    assert(cells.select("corpus_id").distinct().count() == n)
+    // 2) each appended vector sits in its NEAREST frozen cell (recomputed
+    //    independently here from the collected centroid table)
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val appended = cells.filter(col("corpus_id") >= cut)
+      .select(col("corpus_id"),
+        col("centroid_id").cast("bigint").as("centroid_id"),
+        col("embedding")).collect()
+    assert(appended.length == grow.count())
+    appended.take(40).foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      val best = cents.maxBy { case (_, c) => cos(v, c) }._1
+      assert(r.getLong(1) == best,
+        s"vec ${r.getLong(0)} in cell ${r.getLong(1)}, nearest is $best")
+    }
+    // 3) appended vectors are immediately queryable — gate recall@5 for
+    //    appended-vector queries against the brute-force ground truth
+    val q = emb.filter(col("vec_id") >= cut).limit(10)
+    val truth = Ann.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    val got = Ann.ivfTopKIndexed(spark, dir, q, nprobe = 8, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    val recall = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    assert(recall >= 0.5, s"appended-vector recall@5 = $recall")
+    cells.unpersist(); emb.unpersist()
+  }
+
   test("dupClusters: chain components converge to the min id (multi-hop)") {
     import spark.implicits._
     // two components: a 5-chain 1-2-3-4-5 (diameter forces >1 round) and
