@@ -309,6 +309,37 @@ object Dedup {
     * stays on the lexically-sorted arrays, so the ordering choice cannot
     * change results — only candidate volume.
     */
+  /** Edit-distance fuzzy pairs: block on a normalized fixed-length
+    * prefix, verify candidates with exact levenshtein on a bounded key.
+    * The classic record-linkage shape (blocking + expensive verifier) —
+    * here both stages are BUILT-IN codegen'd expressions (`substring`,
+    * `lower`, `levenshtein`), no UDF.
+    *
+    * At 100 TB: the equi-join on the block key is an ordinary shuffle
+    * join whose pair space is block-local (Σ|block|², bounded by the
+    * blocking choice, never corpus²), and the verifier runs on a
+    * `keyLen`-char key, so each pair costs O(keyLen²) CONSTANT work —
+    * the distance computation can never scale with document size. Pairs
+    * sharing nothing in the first `blockLen` chars are out of recall by
+    * design (add a suffix-block union pass for robustness to head
+    * edits, as the pHash/aHash consensus does for images).
+    */
+  def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
+      keyLen: Int = 64, blockLen: Int = 12, maxDist: Int = 24): DataFrame = {
+    require(blockLen >= 1 && blockLen <= keyLen,
+      s"blockLen must be in [1, keyLen]: $blockLen")
+    val d = docs.select(col(idCol).as("__id"),
+        lower(substring(col(textCol), 1, keyLen)).as("__k"))
+      .withColumn("__blk", substring(col("__k"), 1, blockLen))
+    d.select(col("__id").as("id_a"), col("__k").as("ka"), col("__blk"))
+      .join(d.select(col("__id").as("id_b"), col("__k").as("kb"),
+        col("__blk")), Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int, blockCols: Seq[String], threshold: Double): DataFrame = {
     val sets = df.select(

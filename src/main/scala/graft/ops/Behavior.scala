@@ -166,4 +166,61 @@ object Behavior {
         (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Multi-touch attribution: each conversion event is credited from the
+    * touch set since the user's previous conversion — first-touch type,
+    * last-touch type, and exact-integer linear credit (`value_cents div
+    * n` to every touch, the remainder to the last touch, so credit sums
+    * to the conversion value EXACTLY — no FP split). Conversions with no
+    * preceding touch keep the full value as `remainder_cents` (organic).
+    * Touches after a user's last conversion credit nothing.
+    *
+    * Journey assignment is a running conversion counter, not a time-range
+    * join: a touch with k conversions strictly before it belongs to
+    * conversion k+1. Scale shape: ONE hash partitioning on `userCol`
+    * serves the counter window, the (user, conv_idx) equi-join (both
+    * sides inherit the partitioning), and the per-journey aggregate —
+    * never a raw-event self-join on time ranges.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, valueCol: String,
+      convType: String, touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and disjoint from the conversion type")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = events
+      .withColumn("__cents", round(col(valueCol) * 100).cast("bigint"))
+      .withColumn("__cum",
+        sum((col(typeCol) === convType).cast("int")).over(w))
+    val conv = cum.filter(col(typeCol) === convType)
+      .select(col(userCol), col("__cum").as("conv_idx"),
+        col(tieCol).as("conv_event_id"), col("__cents").as("value_cents"))
+    val touches = cum.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), (col("__cum") + 1).as("conv_idx"),
+        col(tsCol).as("t_ts"), col(tieCol).as("t_id"),
+        col(typeCol).as("t_type"))
+    val wa = Window.partitionBy(col(userCol), col("conv_idx"))
+      .orderBy(col("t_ts"), col("t_id"))
+    val wd = Window.partitionBy(col(userCol), col("conv_idx"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    val agg = touches
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rd", row_number().over(wd))
+      .groupBy(col(userCol), col("conv_idx"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(when(col("__ra") === 1, col("t_type"))).as("first_touch"),
+        max(when(col("__rd") === 1, col("t_type"))).as("last_touch"))
+    conv.join(agg, Seq(userCol, "conv_idx"), "left_outer")
+      .select(col(userCol), col("conv_idx"), col("conv_event_id"),
+        col("value_cents"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("first_touch"), col("last_touch"))
+      .withColumn("per_touch_cents",
+        when(col("n_touches") > 0,
+          expr("value_cents div n_touches")).otherwise(lit(0L)))
+      .withColumn("remainder_cents",
+        when(col("n_touches") > 0, col("value_cents") % col("n_touches"))
+          .otherwise(col("value_cents")))
+  }
 }

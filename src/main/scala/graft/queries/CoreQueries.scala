@@ -717,6 +717,20 @@ object CoreQueries {
             bits = 20).as("zval"))
         .orderBy("o_orderkey")),
 
+    // Multi-touch attribution: per conversion, the touch journey since
+    // the user's previous conversion — first/last touch + exact-integer
+    // linear credit split (div/mod, remainder to the last touch). One
+    // user-hash partitioning serves counter window, journey join, and
+    // aggregate — no time-range self-join of the event table.
+    "q81_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"), col("value"))
+      Behavior.attribution(ev, "user_id", "us", "event_id", "event_type",
+          "value", convType = "purchase", touchTypes = Seq("view", "click"))
+        .orderBy("user_id", "conv_idx")
+    }),
+
     // Bounded user-code iteration (the loop-shaped MiniElixir slice):
     // 12 Lehmer-LCG (MINSTD) steps per row, written as an iterate()
     // transform and UNROLLED at plan-build time into one nested integer
@@ -1384,6 +1398,46 @@ object CoreQueries {
            |SELECT o_orderkey,
            |  CAST(${Layout.zValueSql("za", "zb", 20)} AS BIGINT) AS zval
            |FROM d ORDER BY o_orderkey""".stripMargin,
+
+      // q81: the same running-counter journey assignment in SQL — the
+      // touch with k conversions strictly before it credits conversion
+      // k+1; linear credit split with DIV/%, remainder to the last touch
+      "q81_attribution" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |    epoch_us(ts) AS us, event_type,
+          |    CAST(round(value * 100) AS BIGINT) AS cents,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+          |  FROM events),
+          |o AS (SELECT *, SUM(is_conv) OVER (PARTITION BY user_id
+          |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM e),
+          |conv AS (SELECT user_id, CAST(cum AS BIGINT) AS conv_idx,
+          |    event_id AS conv_event_id, cents AS value_cents
+          |  FROM o WHERE is_conv = 1),
+          |touch AS (SELECT user_id, CAST(cum + 1 AS BIGINT) AS conv_idx,
+          |    us, event_id, event_type
+          |  FROM o WHERE event_type IN ('view', 'click')),
+          |tn AS (SELECT *,
+          |    row_number() OVER (PARTITION BY user_id, conv_idx
+          |      ORDER BY us, event_id) AS ra,
+          |    row_number() OVER (PARTITION BY user_id, conv_idx
+          |      ORDER BY us DESC, event_id DESC) AS rd
+          |  FROM touch),
+          |agg AS (SELECT user_id, conv_idx,
+          |    count(*) AS n_touches,
+          |    max(CASE WHEN ra = 1 THEN event_type END) AS first_touch,
+          |    max(CASE WHEN rd = 1 THEN event_type END) AS last_touch
+          |  FROM tn GROUP BY 1, 2)
+          |SELECT c.user_id, c.conv_idx, c.conv_event_id, c.value_cents,
+          |  coalesce(a.n_touches, 0) AS n_touches,
+          |  a.first_touch, a.last_touch,
+          |  CASE WHEN coalesce(a.n_touches, 0) > 0
+          |    THEN c.value_cents // a.n_touches ELSE 0 END AS per_touch_cents,
+          |  CASE WHEN coalesce(a.n_touches, 0) > 0
+          |    THEN c.value_cents % a.n_touches
+          |    ELSE c.value_cents END AS remainder_cents
+          |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
+          |ORDER BY user_id, conv_idx""".stripMargin,
 
       // q80: the recursive-CTE rendition of the fixed-count loop the
       // Spark side unrolls at plan-build time — i < 12 is the same bound

@@ -839,7 +839,16 @@ object TrainingQueries {
         }
       graft.multimodal.Multimodal.imageNearDupPairs(assets)(s)
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
+    // bounds the pair space block-locally, exact levenshtein on a
+    // 64-char normalized key verifies — both stages built-in codegen'd
+    // expressions, constant per-pair cost regardless of document size.
+    "td77_fuzzy_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.fuzzyPairs(Tables.documents(s, dir),
+          "doc_id", "text", keyLen = 64, blockLen = 12, maxDist = 24)
+        .orderBy("id_a", "id_b")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2277,7 +2286,19 @@ object TrainingQueries {
         |  a.ahash AS ahash, a.phash AS phash
         |FROM hx a JOIN hx b ON a.ahash = b.ahash AND a.phash = b.phash
         |  AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // td77: identical blocking + levenshtein in DuckDB (both engines'
+    // levenshtein is unit-cost edit distance — integer exact)
+    "td77_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, lower(substr(text, 1, 64)) AS k,
+        |    substr(lower(substr(text, 1, 64)), 1, 12) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 24
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =
