@@ -98,6 +98,22 @@ final class ManagementApi {
             case "DELETE" => doEndpointDelete(ex, name)
             case _        => respond(ex, 405, err("method not allowed"))
           }
+        case ("GET", "/api/postgres_databases")  => doDbIndex(ex)
+        case ("POST", "/api/postgres_databases") => doDbCreate(ex)
+        case (m, p) if p.startsWith("/api/postgres_databases/") =>
+          p.stripPrefix("/api/postgres_databases/").split("/", -1).toList match {
+            case name :: Nil => m match {
+              case "GET"    => doDbShow(ex, name)
+              case "PUT"    => doDbUpdate(ex, name)
+              case "DELETE" => doDbDelete(ex, name)
+              case _        => respond(ex, 405, err("method not allowed"))
+            }
+            case name :: "test_connection" :: Nil if m == "POST" =>
+              doDbTestConnection(ex, name)
+            case name :: "refresh_tables" :: Nil if m == "POST" =>
+              doDbRefreshTables(ex, name)
+            case _ => respond(ex, 404, err("route not found"))
+          }
         case (m, p) if p.startsWith("/api/sinks/") =>
           p.stripPrefix("/api/sinks/").split("/", -1).toList match {
             case name :: Nil => m match {
@@ -523,6 +539,212 @@ final class ManagementApi {
     }
   }
 
+  // ---- postgres databases (postgres_database_controller.ex) -------------
+
+  /** Catalog record of a connected database + its replication slot
+    * (`postgres_database.ex` changeset fields; the reference keeps these
+    * rows in its own Postgres). `tables` is the cached table list that
+    * `refresh_tables` re-reads over the wire (`databases.ex:486`).
+    */
+  final case class DatabaseRec(
+      name: String, hostname: String, port: Int, database: String,
+      username: String, password: String,
+      slotName: String, publicationName: String,
+      tables: Vector[TableRec] = Vector.empty)
+
+  /** One catalog table: the projection of `postgres.ex:345-372`'s
+    * fetch_tables_with_columns rows this plane stores.
+    */
+  final case class TableRec(schema: String, name: String, oid: Long,
+      columns: Vector[ColumnRec])
+  final case class ColumnRec(attnum: Int, name: String, pgType: String,
+      isPk: Boolean)
+
+  private val databases = TrieMap.empty[String, DatabaseRec]
+
+  /** The reference's catalog SQL, compacted to the columns we store
+    * (`postgres.ex:345-372`): tables + columns + pk flags, partition
+    * children excluded.
+    */
+  private[config] val CatalogTablesSql: String =
+    """select n.nspname, c.relname, c.oid, a.attnum, a.attname,
+      |  pg_catalog.format_type(a.atttypid, -1),
+      |  coalesce(i.indisprimary, false)
+      |from pg_class c
+      |join pg_namespace n on c.relnamespace = n.oid
+      |join pg_attribute a on c.oid = a.attrelid
+      |left join pg_index i on c.oid = i.indrelid and a.attnum = any(i.indkey)
+      |where c.relkind in ('r', 'p') and a.attnum > 0
+      |  and not a.attisdropped
+      |  and not exists (select 1 from pg_inherits inh
+      |    where inh.inhrelid = c.oid)
+      |order by n.nspname, c.relname, a.attnum""".stripMargin
+
+  private def obfuscate(secret: String): String =
+    ManagementApi.obfuscate(secret)
+
+  private def parseDbJson(node: JsonNode): DatabaseRec = {
+    def req(f: String): String = {
+      val v = Option(node.get(f)).map(_.asText()).filter(_.nonEmpty)
+      v.getOrElse(throw new IllegalArgumentException(
+        s"postgres_database requires $f"))
+    }
+    DatabaseRec(
+      name = req("name"),
+      hostname = req("hostname"),
+      port = Option(node.get("port")).map(_.asInt()).getOrElse(5432),
+      database = req("database"),
+      username = req("username"),
+      password = req("password"),
+      slotName = req("slot_name"),
+      publicationName = req("publication_name"))
+  }
+
+  private def renderDb(d: DatabaseRec, showSensitive: Boolean): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("name", d.name)
+    o.put("hostname", d.hostname)
+    o.put("port", d.port)
+    o.put("database", d.database)
+    o.put("username", d.username)
+    o.put("password", if (showSensitive) d.password else obfuscate(d.password))
+    val slots = o.putArray("replication_slots")
+    val s = slots.addObject()
+    s.put("publication_name", d.publicationName)
+    s.put("slot_name", d.slotName)
+    s.put("status", "active")
+    val ts = o.putArray("tables")
+    d.tables.foreach { t =>
+      val to = ts.addObject()
+      to.put("schema", t.schema)
+      to.put("name", t.name)
+      to.put("oid", t.oid)
+      val cs = to.putArray("columns")
+      t.columns.foreach { c =>
+        val co = cs.addObject()
+        co.put("attnum", c.attnum)
+        co.put("name", c.name)
+        co.put("type", c.pgType)
+        co.put("is_pk", c.isPk)
+      }
+    }
+    o
+  }
+
+  private def showSensitive(ex: HttpExchange): Boolean =
+    Option(ex.getRequestURI.getQuery).exists(
+      _.split("&").contains("show_sensitive=true"))
+
+  private def doDbIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    val sensitive = showSensitive(ex)
+    databases.values.toSeq.sortBy(_.name)
+      .foreach(d => arr.add(renderDb(d, sensitive)))
+    respond(ex, 200, out.toString)
+  }
+
+  /** Create tests the connection FIRST, like the reference's
+    * `test_db_conn` in the create with-chain
+    * (`postgres_database_controller.ex:34-44`): an unreachable database
+    * is refused, nothing is stored.
+    */
+  private def doDbCreate(ex: HttpExchange): Unit =
+    try {
+      val d = parseDbJson(mapper.readTree(body(ex)))
+      graft.sources.CatalogClient.testConnection(d.hostname, d.port,
+          d.username, d.database) match {
+        case Left(reason) =>
+          respond(ex, 422, validationErr(s"cannot connect: $reason"))
+        case Right(()) =>
+          if (databases.putIfAbsent(d.name, d).isDefined)
+            respond(ex, 422,
+              validationErr(s"Postgres database already exists: ${d.name}"))
+          else respond(ex, 201, renderDb(d, showSensitive = false).toString)
+      }
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  private def doDbShow(ex: HttpExchange, name: String): Unit =
+    databases.get(name) match {
+      case Some(d) => respond(ex, 200, renderDb(d, showSensitive(ex)).toString)
+      case None => respond(ex, 404, err(s"Postgres database not found: $name"))
+    }
+
+  private def doDbUpdate(ex: HttpExchange, name: String): Unit =
+    if (!databases.contains(name))
+      respond(ex, 404, err(s"Postgres database not found: $name"))
+    else try {
+      val d = parseDbJson(mapper.readTree(body(ex)))
+      if (d.name != name)
+        respond(ex, 422, validationErr(s"name is immutable: $name != ${d.name}"))
+      else {
+        // keep the cached table list across an update (refresh re-reads)
+        val prev = databases(name)
+        databases.update(name, d.copy(tables = prev.tables))
+        respond(ex, 200, renderDb(databases(name), showSensitive = false).toString)
+      }
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  private def doDbDelete(ex: HttpExchange, name: String): Unit =
+    databases.remove(name) match {
+      case Some(_) =>
+        respond(ex, 200, s"""{"success":true,"id":"$name"}""")
+      case None => respond(ex, 404, err(s"Postgres database not found: $name"))
+    }
+
+  /** `POST :id_or_name/test_connection`
+    * (`postgres_database_controller.ex:90-106`): live handshake over the
+    * wire; failure is 422 with the reason, parity with
+    * `format_error_reason`.
+    */
+  private def doDbTestConnection(ex: HttpExchange, name: String): Unit =
+    databases.get(name) match {
+      case None => respond(ex, 404, err(s"Postgres database not found: $name"))
+      case Some(d) =>
+        graft.sources.CatalogClient.testConnection(d.hostname, d.port,
+            d.username, d.database) match {
+          case Right(()) => respond(ex, 200, """{"success":true}""")
+          case Left(reason) =>
+            val o = mapper.createObjectNode()
+            o.put("success", false)
+            o.put("reason", reason)
+            respond(ex, 422, o.toString)
+        }
+    }
+
+  /** `POST :id_or_name/refresh_tables`
+    * (`postgres_database_controller.ex:129-144` → `databases.ex:486`
+    * update_tables): re-read the catalog over the wire, store the new
+    * table list.
+    */
+  private def doDbRefreshTables(ex: HttpExchange, name: String): Unit =
+    databases.get(name) match {
+      case None => respond(ex, 404, err(s"Postgres database not found: $name"))
+      case Some(d) =>
+        graft.sources.CatalogClient.query(d.hostname, d.port, d.username,
+            d.database, CatalogTablesSql) match {
+          case Left(_) => respond(ex, 422, """{"success":false}""")
+          case Right(rs) =>
+            val tables = rs.rows
+              .collect { case Seq(Some(sch), Some(tbl), Some(oid),
+                  Some(attnum), Some(cname), Some(ctype), Some(isPk)) =>
+                (sch, tbl, oid.toLong,
+                  ColumnRec(attnum.toInt, cname, ctype,
+                    isPk == "t" || isPk == "true"))
+              }
+              .groupBy(r => (r._1, r._2, r._3)).toVector
+              .sortBy { case ((sch, tbl, _), _) => (sch, tbl) }
+              .map { case ((sch, tbl, oid), cols) =>
+                TableRec(sch, tbl, oid,
+                  cols.map(_._4).sortBy(_.attnum).toVector)
+              }
+            databases.update(name, d.copy(tables = tables))
+            respond(ex, 200, """{"success":true}""")
+        }
+    }
+
   private def err(msg: String): String = {
     val o = mapper.createObjectNode(); o.put("summary", msg); o.toString
   }
@@ -542,5 +764,18 @@ final class ManagementApi {
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
+  }
+}
+
+object ManagementApi {
+  /** `Sequin.String.obfuscate/1` parity (`string.ex:5-35`): ≤5 chars
+    * full stars, 6-9 keep first+last, ≥10 keep first 3 + last.
+    */
+  def obfuscate(secret: String): String = {
+    val len = secret.length
+    if (len == 0) ""
+    else if (len <= 5) "*" * len
+    else if (len <= 9) s"${secret.head}${"*" * (len - 2)}${secret.last}"
+    else s"${secret.take(3)}${"*" * (len - 4)}${secret.last}"
   }
 }

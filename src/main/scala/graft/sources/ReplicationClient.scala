@@ -59,9 +59,17 @@ object ReplicationClient {
     * null-terminated k/v pairs, trailing null. `replication=database`
     * puts the session in logical-replication mode.
     */
-  def startupMessage(user: String, database: String): Array[Byte] = {
-    val kvs = Seq("user" -> user, "database" -> database,
-      "replication" -> "database")
+  def startupMessage(user: String, database: String): Array[Byte] =
+    startupMessage(user, database, replication = true)
+
+  /** Startup variant: `replication = false` opens a PLAIN session (the
+    * management plane's test_connection / catalog queries), `true` the
+    * logical-replication session above.
+    */
+  def startupMessage(user: String, database: String,
+      replication: Boolean): Array[Byte] = {
+    val kvs = Seq("user" -> user, "database" -> database) ++
+      (if (replication) Seq("replication" -> "database") else Nil)
     val body = kvs.flatMap { case (k, v) =>
       k.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
         v.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)

@@ -265,4 +265,169 @@ class ManagementApiSpec extends AnyFunSuite {
       } finally api2.stop()
     } finally api.stop()
   }
+
+  /** Scripted loopback Postgres catalog server: protocol-v3 startup
+    * handshake + simple-query replies for the pg_catalog table listing —
+    * what CatalogClient dials for test_connection / refresh_tables.
+    */
+  private final class ScriptedPgCatalog(
+      rows: Seq[(String, String, Long, Int, String, String, Boolean)]) {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.{InetAddress, ServerSocket}
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets.UTF_8
+    val receivedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var sawReplicationParam = false
+    private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    @volatile private var running = true
+
+    private def typed(t: Char, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(1 + 4 + body.length)
+      b.put(t.toByte).putInt(4 + body.length).put(body)
+      b.array()
+    }
+    private def cstr(s: String): Array[Byte] =
+      s.getBytes(UTF_8) ++ Array[Byte](0)
+    private def rowDescription(names: Seq[String]): Array[Byte] = {
+      val fields = names.flatMap { n =>
+        val meta = ByteBuffer.allocate(18)
+          .putInt(0).putShort(0).putInt(25).putShort(-1).putInt(-1).putShort(0)
+        cstr(n) ++ meta.array()
+      }
+      val b = ByteBuffer.allocate(2 + fields.length)
+      b.putShort(names.length.toShort).put(fields.toArray)
+      typed('T', b.array())
+    }
+    private def dataRow(vs: Seq[String]): Array[Byte] = {
+      val cells = vs.flatMap { v =>
+        val bytes = v.getBytes(UTF_8)
+        ByteBuffer.allocate(4).putInt(bytes.length).array() ++ bytes
+      }
+      val b = ByteBuffer.allocate(2 + cells.length)
+      b.putShort(vs.length.toShort).put(cells.toArray)
+      typed('D', b.array())
+    }
+
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          val len = in.readInt()
+          val body = new Array[Byte](len - 4); in.readFully(body)
+          if (new String(body.drop(4), UTF_8).contains("replication"))
+            sawReplicationParam = true
+          out.write(typed('R', ByteBuffer.allocate(4).putInt(0).array()))
+          out.write(typed('Z', Array('I'.toByte)))
+          out.flush()
+          try {
+            while (true) {
+              val t = in.readByte().toChar
+              val qlen = in.readInt()
+              val qbody = new Array[Byte](qlen - 4); in.readFully(qbody)
+              if (t == 'Q') {
+                val sql = new String(qbody.dropRight(1), UTF_8)
+                receivedSql.add(sql)
+                if (sql.contains("pg_class")) {
+                  out.write(rowDescription(Seq("nspname", "relname", "oid",
+                    "attnum", "attname", "format_type", "indisprimary")))
+                  rows.foreach { case (sch, tbl, oid, att, cn, ct, pk) =>
+                    out.write(dataRow(Seq(sch, tbl, oid.toString,
+                      att.toString, cn, ct, if (pk) "t" else "f")))
+                  }
+                }
+                out.write(typed('C', cstr("SELECT")))
+                out.write(typed('Z', Array('I'.toByte)))
+                out.flush()
+              }
+            }
+          } catch { case _: Exception => () } // client hung up
+          sock.close()
+        } catch { case _: Exception => () }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def stop(): Unit = { running = false; server.close() }
+  }
+
+  test("postgres_databases catalog plane: CRUD + test_connection + refresh_tables over real sockets") {
+    val pg = new ScriptedPgCatalog(Seq(
+      ("public", "orders", 16385L, 1, "id", "bigint", true),
+      ("public", "orders", 16385L, 2, "total", "numeric", false),
+      ("public", "users", 16386L, 1, "user_id", "bigint", true)))
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      def db(name: String, port: Int): String =
+        s"""{"name":"$name","hostname":"127.0.0.1","port":$port,
+           |"database":"app","username":"app_user","password":"secretcode",
+           |"slot_name":"sequin_slot","publication_name":"sequin_pub"}""".stripMargin
+      // create TESTS the connection first: a dead port is refused, 422
+      val tmp = new java.net.ServerSocket(0)
+      val dead = tmp.getLocalPort
+      tmp.close()
+      val (fs, fb) = send(p, "POST", "/api/postgres_databases",
+        Some(db("broken", dead)))
+      assert(fs == 422 && fb.contains("cannot connect"))
+      assert(send(p, "GET", "/api/postgres_databases/broken")._1 == 404)
+      // live create: plain-session handshake (NO replication param), 201
+      val (cs, cb) = send(p, "POST", "/api/postgres_databases",
+        Some(db("appdb", pg.port)))
+      assert(cs == 201 && cb.contains("\"name\":\"appdb\""))
+      assert(!pg.sawReplicationParam,
+        "management-plane sessions must not request replication mode")
+      // password obfuscated by default (Sequin.String.obfuscate parity:
+      // 'secretcode' → 'sec******e'), revealed with show_sensitive
+      assert(cb.contains("\"password\":\"sec******e\""))
+      val (_, showB) = send(p, "GET",
+        "/api/postgres_databases/appdb?show_sensitive=true")
+      assert(showB.contains("\"password\":\"secretcode\""))
+      // duplicate create refused
+      assert(send(p, "POST", "/api/postgres_databases",
+        Some(db("appdb", pg.port)))._1 == 422)
+      // test_connection round-trips the live handshake
+      val (ts, tb) = send(p, "POST",
+        "/api/postgres_databases/appdb/test_connection", Some(""))
+      assert(ts == 200 && tb.contains("\"success\":true"))
+      // refresh_tables issues the reference's catalog SQL over the wire
+      // and stores the grouped table list
+      val (rs, rb) = send(p, "POST",
+        "/api/postgres_databases/appdb/refresh_tables", Some(""))
+      assert(rs == 200 && rb.contains("\"success\":true"))
+      assert(pg.receivedSql.toArray.exists(
+        _.toString.contains("pg_class")))
+      val (_, sb) = send(p, "GET", "/api/postgres_databases/appdb")
+      assert(sb.contains("\"name\":\"orders\"") &&
+        sb.contains("\"oid\":16385") &&
+        sb.contains("\"name\":\"users\""))
+      assert(sb.contains("\"is_pk\":true") && sb.contains("\"is_pk\":false"))
+      // update keeps the cached tables; name immutable
+      val (us, ub) = send(p, "PUT", "/api/postgres_databases/appdb",
+        Some(db("appdb", pg.port)))
+      assert(us == 200 && ub.contains("\"name\":\"orders\""))
+      assert(send(p, "PUT", "/api/postgres_databases/appdb",
+        Some(db("renamed", pg.port)))._1 == 422)
+      // index lists it; delete removes it
+      val (is, ib) = send(p, "GET", "/api/postgres_databases")
+      assert(is == 200 && ib.contains("\"appdb\""))
+      assert(send(p, "DELETE", "/api/postgres_databases/appdb")._1 == 200)
+      assert(send(p, "DELETE", "/api/postgres_databases/appdb")._1 == 404)
+      // test_connection after the PG server dies: 422 with a reason
+      pg.stop()
+      val (c2, _) = send(p, "POST", "/api/postgres_databases",
+        Some(db("late", pg.port)))
+      assert(c2 == 422)
+    } finally { api.stop(); pg.stop() }
+  }
+
+  test("obfuscate matches Sequin.String.obfuscate band for band") {
+    // bands: ≤5 full stars, 6-9 first+last, ≥10 first3+last (string.ex:5-35)
+    assert(ManagementApi.obfuscate("12345") == "*****")
+    assert(ManagementApi.obfuscate("password") == "p******d")
+    assert(ManagementApi.obfuscate("secretcode") == "sec******e")
+    assert(ManagementApi.obfuscate("") == "")
+  }
 }
