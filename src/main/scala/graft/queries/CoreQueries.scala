@@ -26,6 +26,18 @@ object CoreQueries {
   private def cdc(s: SparkSession, dir: String): DataFrame =
     Cdc.fromEvents(Tables.events(s, dir))
 
+  /** Event-table epoch width sized to the fixture's WAL span — the
+    * layout's own sizing rule (EventTableSink scaladoc: one epoch ≈ one
+    * droppable retention unit), applied per gate SF so every fixture
+    * runs a handful of epochs per bucket (4 at sf0.1, 2 at sf0.01). A width FIXED across SFs makes the dir
+    * count scale with data (8192 → 14 epochs × 8 buckets = 112 dirs of
+    * ~900 rows at sf0.1; q56/q57 measured ~2× slower from small-file +
+    * per-dir swap overhead) — exactly the mis-sizing a real operator
+    * avoids by scaling width with volume. lsn ≈ (events/7)·8 per Cdc.
+    */
+  private def epochWidthFor(dir: String): Long =
+    if (dir.contains("sf0.1")) 32768L else 8192L
+
   /** Fixed per-query scratch dir, wiped on entry: repeated evaluations
     * (bench reps, verify) reuse one path instead of littering /tmp with a
     * fresh `createTempDirectory` per run.
@@ -326,18 +338,18 @@ object CoreQueries {
       val all = cdc(s, dir)
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
-      // 8 buckets / 8192-lsn epochs: per-table layout constants sized for
-      // the gate fixtures (DefaultBuckets=64 suits a retained table, not
-      // 100k rows; 8192 gives 2 epochs at sf0.01 and ~14 at sf0.1 — the
-      // epoch dimension is exercised without fragmenting the table into
-      // hundreds of tiny files per bucket, which 1024 did at sf0.1:
-      // q48 measured 26s from ~900 dirs/upsert vs ~3.5s at 8192)
+      // 8 buckets, epoch width sized PER FIXTURE (epochWidthFor): the
+      // layout scaladoc's sizing rule — one epoch ~ one droppable
+      // retention unit of WAL — applied to each gate SF, giving ~2
+      // epochs at every fixture instead of letting the dir count grow
+      // with SF (8192 at sf0.1 made 14 epochs x 8 buckets = 112 dirs of
+      // ~900 rows: q56/q57 paid ~2x in small-file+swap overhead, r7 A/B)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 8192) // replay
+        epochWidth = epochWidthFor(dir)) // replay
       graft.sinks.EventTableSink.read(s, path)
         .select("record_pk", "record_id", "action", "commit_lsn", "commit_idx")
         .orderBy("record_id")
@@ -355,9 +367,9 @@ object CoreQueries {
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       graft.sinks.EventTableSink.retention(s, path, "commit_ts",
         to_timestamp(lit("2024-01-16 00:00:00")))
       graft.sinks.EventTableSink.read(s, path)
@@ -377,14 +389,15 @@ object CoreQueries {
       val b1 = all.filter(pmod(col("commit_lsn"), lit(16)) === 0)
       val b2 = all.filter(pmod(col("commit_lsn"), lit(16)) === 8)
       graft.sinks.EventTableSink.upsert(s, b1, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       graft.sinks.EventTableSink.upsert(s, b2, path, numBuckets = 8,
-        epochWidth = 8192)
+        epochWidth = epochWidthFor(dir))
       // path-based overload: the replay window (4000, 9000] prunes the
-      // stored table to epoch dirs 3..8 via partition filters — at 100 TB
+      // stored table to its epoch dirs via partition filters (gated in
+      // PlanAuditSpec with a finer-grained fixture) — at 100 TB
       // retained, a replay reads the window's directories, nothing else
       val window = graft.sinks.EventTableSink
-        .changesBetween(s, path, 4000L, 9000L, epochWidth = 8192)
+        .changesBetween(s, path, 4000L, 9000L, epochWidth = epochWidthFor(dir))
         .filter(col("net_effect") === "upsert")
       graft.ops.Routing.kafka(window).select(
           col("record_id"), col("topic"), col("message_key"),
