@@ -841,6 +841,15 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cluster label purity: per medoid cell, exact-integer Gini
+    // impurity + majority share (ppm, integer div) over the label
+    // histogram — the clustering-quality diagnostic a curation pipeline
+    // reads before cluster-based sampling/dedup. One broadcast assign +
+    // map-side-combinable histograms; no pairwise work.
+    "td78_cluster_purity" -> ((s, dir) =>
+      Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
+        .orderBy("centroid_id")),
+
     // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
     // bounds the pair space block-locally, exact levenshtein on a
     // 64-char normalized key verifies — both stages built-in codegen'd
@@ -2287,6 +2296,34 @@ object TrainingQueries {
         |FROM hx a JOIN hx b ON a.ahash = b.ahash AND a.phash = b.phash
         |  AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // td78: the same medoid assignment as td32's CTE, with the label
+    // kept; purity metrics are pure integer arithmetic in both engines
+    "td78_cluster_purity" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (SELECT vec_id, centroid_id, label FROM (
+         |  SELECT x.vec_id, c.centroid_id, x.label,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |hist AS (SELECT centroid_id, label, count(*) AS c
+         |  FROM assign GROUP BY 1, 2),
+         |cell AS (SELECT centroid_id, CAST(sum(c) AS BIGINT) AS t,
+         |    CAST(sum(c * c) AS BIGINT) AS sq,
+         |    CAST(count(*) AS INT) AS n_labels
+         |  FROM hist GROUP BY 1),
+         |maj AS (SELECT centroid_id, label AS majority_label,
+         |    CAST(c AS BIGINT) AS mc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY centroid_id
+         |    ORDER BY c DESC, label) AS rn FROM hist) WHERE rn = 1)
+         |SELECT c.centroid_id, c.t AS n_vecs, c.n_labels, m.majority_label,
+         |  CAST((1000000 * m.mc) // c.t AS BIGINT) AS majority_micro,
+         |  CAST((1000000 * (c.t * c.t - c.sq)) // (c.t * c.t) AS BIGINT)
+         |    AS gini_micro
+         |FROM cell c JOIN maj m USING (centroid_id)
+         |ORDER BY c.centroid_id""".stripMargin,
 
     // td77: identical blocking + levenshtein in DuckDB (both engines'
     // levenshtein is unit-cost edit distance — integer exact)

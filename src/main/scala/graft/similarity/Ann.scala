@@ -441,6 +441,38 @@ object Ann {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** Cluster label-purity diagnostics over the medoid quantizer: per
+    * cell, the label histogram reduced to EXACT integer metrics — Gini
+    * impurity and majority share in parts-per-million (integer div, no
+    * FP) plus the distinct-label count. The dataset-curation read on a
+    * clustering: a high-impurity cell mixes sources/classes (sampling
+    * or relabeling target); a large pure cell is redundancy (dedup
+    * target). Scale shape: one broadcast assignment pass + label
+    * histograms (map-side combinable) — never a pairwise op.
+    */
+  def clusterPurity(corpus: DataFrame, centroidEvery: Int): DataFrame = {
+    val cents = medoidCentroids(corpus, centroidEvery)
+    val assigned = assignToCentroids(cents, corpus, "vec_id", 1)
+      .select("vec_id", "centroid_id")
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val hist = assigned.groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wm = Window.partitionBy("centroid_id")
+      .orderBy(col("c").desc, col("label"))
+    val maj = hist.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"), col("label").as("majority_label"),
+        col("c").as("mc"))
+    hist.groupBy("centroid_id")
+      .agg(sum(col("c")).as("t"), sum(col("c") * col("c")).as("sq"),
+        count(lit(1)).cast("int").as("n_labels"))
+      .join(maj, Seq("centroid_id"))
+      .select(col("centroid_id"), col("t").as("n_vecs"), col("n_labels"),
+        col("majority_label"),
+        expr("(1000000 * mc) div t").as("majority_micro"),
+        expr("(1000000 * (t * t - sq)) div (t * t)").as("gini_micro"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     * groups (label = coarse IVF-style partition). Pair space is per-block
     * O(m²), never global.
