@@ -744,6 +744,28 @@ object CoreQueries {
         .orderBy("user_id", "conv_idx")
     }),
 
+    // Path analysis: each user's first-3-event-type journey, counted
+    // across the user base (the Sankey/top-paths board). One user-hash
+    // window for the first-k selection, then a tiny path aggregation —
+    // the k-step cap keeps path cardinality bounded at any corpus size.
+    "q82_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val firstK = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      firstK.groupBy("user_id")
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("s1"),
+          max(when(col("rn") === 2, col("event_type"))).as("s2"),
+          max(when(col("rn") === 3, col("event_type"))).as("s3"))
+        .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     // Bounded user-code iteration (the loop-shaped MiniElixir slice):
     // 12 Lehmer-LCG (MINSTD) steps per row, written as an iterate()
     // transform and UNROLLED at plan-build time into one nested integer
@@ -1451,6 +1473,22 @@ object CoreQueries {
           |    ELSE c.value_cents END AS remainder_cents
           |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
           |ORDER BY user_id, conv_idx""".stripMargin,
+
+      // q82: identical first-k window + conditional pivot; concat_ws
+      // skips NULL steps in both engines (short journeys keep short paths)
+      "q82_paths" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |    event_type FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY us, event_id) AS rn FROM e),
+          |f AS (SELECT user_id,
+          |    max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+          |    max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+          |    max(CASE WHEN rn = 3 THEN event_type END) AS s3
+          |  FROM r WHERE rn <= 3 GROUP BY user_id)
+          |SELECT concat_ws('>', s1, s2, s3) AS path,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM f GROUP BY 1 ORDER BY n_users DESC, path""".stripMargin,
 
       // q80: the recursive-CTE rendition of the fixed-count loop the
       // Spark side unrolls at plan-build time — i < 12 is the same bound

@@ -850,6 +850,13 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Contrastive hard-negative mining: per vector, the most-similar
+    // DIFFERENT-label vector within its medoid cell (embedding-training
+    // staple). Cell-bounded pair space, shared assignment pass.
+    "td79_hard_negatives" -> ((s, dir) =>
+      Ann.hardNegatives(Tables.embeddings(s, dir), centroidEvery = 50)
+        .orderBy("vec_id")),
+
     // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
     // bounds the pair space block-locally, exact levenshtein on a
     // 64-char normalized key verifies — both stages built-in codegen'd
@@ -2324,6 +2331,28 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td79: same assignment CTE; both engines sum the 64-dim dot in
+    // ascending order, so the doubles (and the argmax) are bit-identical
+    "td79_hard_negatives" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (SELECT vec_id, centroid_id, label, embedding FROM (
+         |  SELECT x.vec_id, c.centroid_id, x.label, x.embedding,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |p AS (SELECT a.vec_id, b.vec_id AS neg_id,
+         |    ${duckCos("a.embedding", "b.embedding", 64)} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+         |   AND a.label <> b.label)
+         |SELECT vec_id, neg_id,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, neg_id) AS rn FROM p) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // td77: identical blocking + levenshtein in DuckDB (both engines'
     // levenshtein is unit-cost edit distance — integer exact)

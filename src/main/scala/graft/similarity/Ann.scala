@@ -473,6 +473,38 @@ object Ann {
         expr("(1000000 * (t * t - sq)) div (t * t)").as("gini_micro"))
   }
 
+  /** Contrastive hard-negative mining: for each vector, the
+    * highest-cosine neighbor with a DIFFERENT label inside its medoid
+    * cell — the embedding-model-training staple (a hard negative is
+    * similar in representation but semantically distinct). Anchors whose
+    * cell holds no other label are absent (no negative to mine).
+    *
+    * Scale shape: the cell bounds the candidate space exactly like
+    * [[semDedup]] — per-cell O(m²), never corpus² — and mining SHARES
+    * the assignment pass with the other cell-based curation ops.
+    * `cos_micro` is the similarity in integer micro-units.
+    */
+  def hardNegatives(corpus: DataFrame, centroidEvery: Int): DataFrame = {
+    val cents = medoidCentroids(corpus, centroidEvery)
+    val cells = assignToCentroids(cents, corpus, "vec_id", 1)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint()
+    val a = cells.select(col("centroid_id"), col("vec_id"), col("label"),
+      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+    val b = cells.select(col("centroid_id"), col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
+    val scored = a.join(b, Seq("centroid_id"))
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("neg_id"),
+        round(col("cos") * 1e6).cast("bigint").as("cos_micro"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within blocking
     * groups (label = coarse IVF-style partition). Pair space is per-block
     * O(m²), never global.
