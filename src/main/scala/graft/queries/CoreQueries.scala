@@ -766,6 +766,32 @@ object CoreQueries {
         .orderBy(col("n_users").desc, col("path"))
     }),
 
+    // Hourly value bands: EXACT p50/p95/max per hour bucket as integer
+    // order statistics (k-th smallest at k = ceil(q·n), integer cents —
+    // no FP percentile interpolation to drift cross-engine). One shuffle
+    // on the hour bucket; rank selection is a window over each bucket.
+    "q83_latency_bands" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        expr("unix_micros(ts) div 3600000000L").as("h"),
+        col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(col("cents"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .groupBy(col("h"), col("n"))
+        .agg(
+          max(when(col("rn") === expr("(n + 1) div 2"),
+            col("cents"))).as("p50_cents"),
+          max(when(col("rn") === expr("(n * 19 + 19) div 20"),
+            col("cents"))).as("p95_cents"),
+          max(col("cents")).as("max_cents"))
+        .select(col("h"), col("n").as("n_events"), col("p50_cents"),
+          col("p95_cents"), col("max_cents"))
+        .orderBy("h")
+    }),
+
     // Bounded user-code iteration (the loop-shaped MiniElixir slice):
     // 12 Lehmer-LCG (MINSTD) steps per row, written as an iterate()
     // transform and UNROLLED at plan-build time into one nested integer
@@ -1473,6 +1499,21 @@ object CoreQueries {
           |    ELSE c.value_cents END AS remainder_cents
           |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
           |ORDER BY user_id, conv_idx""".stripMargin,
+
+      // q83: identical rank arithmetic — k = ceil(q·n) as (n+1) div 2 and
+      // (19n+19) div 20, value at rank via conditional max
+      "q83_latency_bands" ->
+        """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_id,
+          |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY h
+          |      ORDER BY cents, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY h) AS n FROM e)
+          |SELECT h, CAST(n AS BIGINT) AS n_events,
+          |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+          |  max(CASE WHEN rn = (n * 19 + 19) // 20 THEN cents END)
+          |    AS p95_cents,
+          |  max(cents) AS max_cents
+          |FROM r GROUP BY h, n ORDER BY h""".stripMargin,
 
       // q82: identical first-k window + conditional pivot; concat_ws
       // skips NULL steps in both engines (short journeys keep short paths)

@@ -236,6 +236,45 @@ class RespClientSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("STREAMING: a CDC micro-batch stream XADDs over the live socket per batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.ChangeEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ev(lsn: Long, idx: Long, group: String): ChangeEvent =
+      ChangeEvent(lsn, idx, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "update", "public", "t0", 16384L, s"pk$lsn-$idx", lsn, group.toLong,
+        1.0, "{}", Some(0.5), s"$group:$lsn:$idx", group, 100L)
+    val srv = new ScriptedRedis()
+    val results = new ConcurrentLinkedQueue[RespResult]()
+    try {
+      val input = MemoryStream[ChangeEvent]
+      // stream → redis-stream wire per micro-batch → live RESP delivery:
+      // the same foreachBatch boundary the reference's sink pipeline draws
+      val query = input.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val wire = SinkAdapters.redisStreamWire(batch)
+          RespClient.deliver(RespClient.streamRequests(wire),
+            "127.0.0.1", srv.port).collect().foreach(results.add)
+        }
+        .start()
+      try {
+        input.addData(ev(8, 0, "1"), ev(8, 1, "2"))
+        query.processAllAvailable()
+        input.addData(ev(16, 0, "1"))
+        query.processAllAvailable()
+      } finally query.stop()
+      val rs = results.asScala.toSeq
+      assert(rs.size == 3 && rs.forall(_.ok))
+      val xadds = srv.commands.asScala.toVector.filter(_._1.head == "XADD")
+      assert(xadds.size == 3)
+      // stream key routing sequin.<schema>.<table> crossed the socket
+      assert(xadds.forall(_._1(1) == "sequin.public.t0"))
+    } finally srv.stop()
+  }
+
   test("ping + xlen match the reference test_connection/message_count shapes") {
     val srv = new ScriptedRedis()
     try {
