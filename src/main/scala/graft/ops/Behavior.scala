@@ -25,13 +25,35 @@ object Behavior {
     * the 100 TB event table. `tsCol` is BIGINT micros.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnel(events, userCol, tsCol, typeCol, steps, maxGapUs = None)
+
+  /** Funnel with an optional per-step CONVERSION WINDOW: step i counts
+    * only within `maxGapUs` of step i-1 (the "converted within an hour"
+    * form), FIRST-TOUCH ANCHORED: the chain is anchored at each step's
+    * EARLIEST qualifying occurrence (the standard product-analytics
+    * "first" counting mode). This is a deliberate semantics choice, not
+    * an optimization: a user whose first anchor times out but whose
+    * later anchor would have converted counts as NOT converted — the
+    * any-anchor variant is a different (and quadratic-leaning) query.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapUs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive")
     val w = Window.partitionBy(userCol)
     val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
       val cond =
         if (i == 0) col(typeCol) === step
-        else col(typeCol) === step && col(tsCol) > col(s"t${i}_us")
+        else {
+          val after = col(typeCol) === step && col(tsCol) > col(s"t${i}_us")
+          maxGapUs match {
+            case Some(gap) =>
+              after && col(tsCol) <= col(s"t${i}_us") + lit(gap)
+            case None => after
+          }
+        }
       df.withColumn(s"t${i + 1}_us", min(when(cond, col(tsCol))).over(w))
     }
     val tCols = steps.indices.map(i => s"t${i + 1}_us")

@@ -744,6 +744,20 @@ object CoreQueries {
         .orderBy("user_id", "conv_idx")
     }),
 
+    // Conversion-windowed funnel: the q60 chain with a 24h per-step
+    // budget, first-touch anchored (the product-analytics "first"
+    // counting mode — a timed-out first anchor counts as not converted,
+    // by declared semantics). Same one-partitioning window chain.
+    "q84_timed_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      Behavior.funnel(ev, "user_id", "us", "event_type",
+          Seq("signup", "click", "purchase"),
+          maxGapUs = Some(86400000000L))
+        .orderBy("user_id")
+    }),
+
     // Path analysis: each user's first-3-event-type journey, counted
     // across the user base (the Sankey/top-paths board). One user-hash
     // window for the first-k selection, then a tiny path aggregation —
@@ -1514,6 +1528,31 @@ object CoreQueries {
           |    AS p95_cents,
           |  max(cents) AS max_cents
           |FROM r GROUP BY h, n ORDER BY h""".stripMargin,
+
+      // q84: q60's chain with the 24h window bound on each step
+      "q84_timed_funnel" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+          |  FROM events),
+          |s1 AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'signup' THEN us END) AS t1_us
+          |  FROM e GROUP BY 1),
+          |s2 AS (SELECT e.user_id,
+          |    min(CASE WHEN e.event_type = 'click' AND e.us > s1.t1_us
+          |      AND e.us <= s1.t1_us + 86400000000
+          |      THEN e.us END) AS t2_us
+          |  FROM e JOIN s1 USING (user_id) GROUP BY 1),
+          |s3 AS (SELECT e.user_id,
+          |    min(CASE WHEN e.event_type = 'purchase' AND e.us > s2.t2_us
+          |      AND e.us <= s2.t2_us + 86400000000
+          |      THEN e.us END) AS t3_us
+          |  FROM e JOIN s2 USING (user_id) GROUP BY 1)
+          |SELECT s1.user_id, t1_us, t2_us, t3_us,
+          |  CAST(CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END
+          |     + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+          |     + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+          |    AS depth
+          |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+          |WHERE t1_us IS NOT NULL ORDER BY s1.user_id""".stripMargin,
 
       // q82: identical first-k window + conditional pivot; concat_ws
       // skips NULL steps in both engines (short journeys keep short paths)
