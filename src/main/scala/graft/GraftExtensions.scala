@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, StringType}
 
 /** Session extension wiring for the engine's custom Catalyst surface —
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -37,6 +37,12 @@ object GraftExtensions {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   /** (identifier, info, builder) triples in the shape
@@ -99,7 +105,21 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DistinctShingleCount].getName,
         "distinct_shingle_count"),
       (args: Seq[Expression]) => DistinctShingleCount(args(0),
-        intLit(args(1), "distinct_shingle_count n"))))
+        intLit(args(1), "distinct_shingle_count n"))),
+    // iterate('step_sql', 'var', n, init): a MACRO, not a runtime
+    // function — the builder unrolls the step n times at resolution,
+    // so the analyzed plan holds one ordinary nested expression (the
+    // same guarantee as ops.Iterate.unroll; n capped there at 64)
+    (FunctionIdentifier("iterate"),
+      new ExpressionInfo(graft.ops.Iterate.getClass.getName, "iterate"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "iterate expects (step_sql, var_name, n, init)")
+        graft.ops.Iterate.unrollExpr(args(3),
+          strLit(args(0), "iterate step_sql"),
+          strLit(args(1), "iterate var_name"),
+          intLit(args(2), "iterate n"))
+      }))
 
   /** Register on an already-built session (new sessions should prefer the
     * `spark.sql.extensions` config). Functions land in the session's

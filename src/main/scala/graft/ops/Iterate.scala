@@ -52,13 +52,21 @@ object Iterate {
     * three times.
     */
   def unroll(initSql: String, stepSql: String, varName: String,
-      n: Int): Column = {
+      n: Int): Column =
+    Bridge.column(unrollExpr(parse("iterate init", initSql), stepSql,
+      varName, n))
+
+  /** Expression-level unroll — shared by [[unroll]] and the SQL-function
+    * registration in `GraftExtensions` (`iterate('step', 'var', n,
+    * init)`), so the Column API and `spark.sql` can never diverge.
+    */
+  def unrollExpr(init: Expression, stepSql: String, varName: String,
+      n: Int): Expression = {
     require(n >= 0 && n <= MaxIterations,
       s"iterate: iterations must be in [0, $MaxIterations], got $n — " +
         "unbounded or unreasonably deep loops are not expressible")
     require(IdentRe.pattern.matcher(varName).matches(),
       s"iterate: loop variable must be a bare identifier, got '$varName'")
-    val init = parse("iterate init", initSql)
     val step = parse("iterate step", stepSql)
     var acc = init
     var i = 0
@@ -66,7 +74,7 @@ object Iterate {
       acc = substitute(step, varName, acc)
       i += 1
     }
-    Bridge.column(acc)
+    acc
   }
 
   private def parse(what: String, s: String): Expression =

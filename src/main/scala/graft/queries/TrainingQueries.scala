@@ -850,6 +850,23 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Effective-data report: per source, raw vs post-exact-dedup docs
+    // and tokens (global dedup, earliest copy credits its source),
+    // duplication in integer ppm — the curation review's first number.
+    "td81_effective_data" -> ((s, dir) =>
+      graft.training.TrainingPrep.effectiveData(
+          Tables.documents(s, dir), "doc_id", "source", "text")
+        .orderBy("source")),
+
+    // Pretraining mixture allocation: a 100k-token budget split across
+    // sources with temperature-2 weights (w ∝ √tokens) and
+    // largest-remainder rounding — integer allocations summing to the
+    // budget exactly. One corpus token count; algebra on |sources| rows.
+    "td80_mixture_alloc" -> ((s, dir) =>
+      graft.training.TrainingPrep.mixtureAllocation(
+          Tables.documents(s, dir), "source", "text", budget = 100000L)
+        .orderBy("source")),
+
     // Contrastive hard-negative mining: per vector, the most-similar
     // DIFFERENT-label vector within its medoid cell (embedding-training
     // staple). Cell-bounded pair space, shared assignment pass.
@@ -2331,6 +2348,47 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td81: same global-fingerprint dedup (md5 text), earliest copy
+    // credits its source; all-integer report
+    "td81_effective_data" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(text) AS fp FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM b GROUP BY fp)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unique_docs,
+        |  CAST(sum(CASE WHEN doc_id = canonical_id THEN n_toks ELSE 0 END)
+        |    AS BIGINT) AS effective_tokens,
+        |  CAST((1000000 * (sum(n_toks) -
+        |    sum(CASE WHEN doc_id = canonical_id THEN n_toks ELSE 0 END)))
+        |    // sum(n_toks) AS BIGINT) AS dup_tokens_ppm
+        |FROM b JOIN c USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // td80: identical integer Hamilton rounding — floor(sqrt) weights,
+    // div/mod quotas, leftovers by remainder rank
+    "td80_mixture_alloc" ->
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM c),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+        |q AS (SELECT source, n_tokens, weight,
+        |    (100000 * weight) // w_total AS alloc_floor,
+        |    (100000 * weight) % w_total AS rem
+        |  FROM w CROSS JOIN t),
+        |sp AS (SELECT CAST(100000 - sum(alloc_floor) AS BIGINT) AS spare
+        |  FROM q)
+        |SELECT source, n_tokens, weight,
+        |  CAST(alloc_floor + CASE WHEN
+        |    row_number() OVER (ORDER BY rem DESC, source) <= spare
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM q CROSS JOIN sp ORDER BY source""".stripMargin,
 
     // td79: same assignment CTE; both engines sum the 64-dim dot in
     // ascending order, so the doubles (and the argmax) are bit-identical

@@ -1152,4 +1152,67 @@ object TrainingPrep {
       // `div`, not `/`+cast — see unigramSurprisal
       .withColumn("mean_unats", expr("surprisal_unats div n_bigrams"))
   }
+
+  /** Effective-data report: per source, raw vs POST-EXACT-DEDUP volume —
+    * the first number a curation review asks for ("how much of this
+    * source is actually new data?"). Dedup is corpus-GLOBAL (a doc
+    * duplicated across sources credits only the source of its earliest
+    * copy — min id survives), duplication expressed as integer ppm of
+    * raw tokens. One fingerprint aggregation + one source aggregation,
+    * both map-side combinable.
+    */
+  def effectiveData(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(sourceCol).as("source"),
+        size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("n_toks"),
+        Hashing.fingerprint(col(textCol)).as("fp"))
+    val canon = base.groupBy("fp").agg(min(col("__id")).as("canonical_id"))
+    base.join(canon, Seq("fp"))
+      .withColumn("survives",
+        (col("__id") === col("canonical_id")).cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("raw_tokens"),
+        sum(col("survives")).cast("bigint").as("n_unique_docs"),
+        sum(col("survives") * col("n_toks")).cast("bigint")
+          .as("effective_tokens"))
+      .withColumn("dup_tokens_ppm",
+        expr("(1000000 * (raw_tokens - effective_tokens)) div raw_tokens"))
+  }
+
+  /** Pretraining mixture allocation: split a global token `budget`
+    * across sources with TEMPERATURE-2 weights (w ∝ √tokens — the
+    * standard flattening that keeps small sources represented without
+    * letting the largest source dominate) and LARGEST-REMAINDER
+    * (Hamilton) rounding so allocations are integers that sum to the
+    * budget EXACTLY — floor-only rounding silently under-spends, FP
+    * proportions drift cross-engine.
+    *
+    * Integer end to end: √n floors to bigint (exact in double far past
+    * any source's token count), quotas are `(budget·w) div/mod Σw`, the
+    * leftover units go one each to the largest remainders (ties by
+    * source name). Scale shape: one token-count aggregation over the
+    * corpus; the allocation algebra runs on |sources| rows.
+    */
+  def mixtureAllocation(df: DataFrame, sourceCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.select(col(sourceCol).as("source"),
+        size(TextAnalysis.tokens(col(textCol))).as("n"))
+      .groupBy("source").agg(sum(col("n")).cast("bigint").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("bigint"))
+    val tot = counts.agg(sum(col("weight")).cast("bigint").as("w_total"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr(s"(${budget}L * weight) div w_total"))
+      .withColumn("rem", expr(s"(${budget}L * weight) % w_total"))
+    val spare = quotas.agg((lit(budget) - sum(col("alloc_floor")))
+      .cast("bigint").as("spare"))
+    val wr = Window.orderBy(col("rem").desc, col("source"))
+    quotas.crossJoin(broadcast(spare))
+      .withColumn("rr", row_number().over(wr))
+      .withColumn("alloc_tokens",
+        col("alloc_floor") + when(col("rr") <= col("spare"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"))
+  }
 }

@@ -150,4 +150,23 @@ class ExtensionsSpec extends SparkSpec {
       .contains("floatvecdot"))
     assert(sumFold.collect().head.getDouble(0) == 10.0)
   }
+
+  test("iterate is callable from SQL as a resolution-time macro") {
+    // same MINSTD chain as q80, through ext.sql — the builder unrolls
+    // at resolution, so the plan carries one nested expression
+    val rows = ext.sql(
+      """SELECT id, iterate('(x * 48271) % 2147483647', 'x', 3,
+        |  id % 2147483646 + 1) AS v FROM range(5)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 5L) {
+      var x = id % 2147483646L + 1
+      (1 to 3).foreach(_ => x = (x * 48271) % 2147483647L)
+      assert(rows(id) == x, s"id=$id")
+    }
+    // non-literal loop metadata and over-cap depths are refused
+    intercept[Exception](ext.sql(
+      "SELECT iterate('x+1', 'x', CAST(id AS INT), 0) FROM range(1)").collect())
+    intercept[Exception](ext.sql(
+      "SELECT iterate('x+1', 'x', 65, 0) FROM range(1)").collect())
+  }
 }

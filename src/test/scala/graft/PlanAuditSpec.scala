@@ -50,6 +50,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains(" IN ") || plan.contains("dynamicpruning"))
   }
 
+  test("q80 iterate unrolls into one projection over the scan — no runtime loop, no extra operators") {
+    val df = q("q80_iterate")
+    val plan = formatted(df)
+    // the 12-step unroll must be an ordinary Project directly over the
+    // scan: no UDF boundary, no join, no generator — the expression IS
+    // the loop (codegen covers it like any hand-written projection)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SerializeFromObject"),
+      "iterate must not leave the expression path")
+    assert(!plan.contains("Join"), "iterate must not introduce joins")
+    assert(plan.contains("Project") && plan.contains("Scan parquet"))
+    // substitution depth is visible in the ANALYZED tree (the formatted
+    // detail section truncates long expressions): the MINSTD multiplier
+    // appears once per unrolled step
+    val analyzed = df.queryExecution.analyzed
+      .collect { case p => p.expressions.map(_.toString).mkString }.mkString
+    assert("48271".r.findAllIn(analyzed).size >= 12,
+      "expected the 12-step unroll inline in the projection")
+  }
+
+  test("td77 fuzzy pairs: blocked equi-join, levenshtein only post-join") {
+    val plan = formatted(q("td77_fuzzy_pairs"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "blocking must keep the pair space an equi-join")
+    assert(plan.contains("levenshtein"))
+  }
+
   test("dedup/ANN plans never fall back to cartesian or nested-loop joins") {
     for (name <- Seq("td05_minhash_neardups", "td07_simhash_neardups",
         "td08_ngram_jaccard", "td11_ann_lsh", "td15_embedding_neardups_lsh")) {

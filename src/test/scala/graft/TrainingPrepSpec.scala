@@ -686,4 +686,25 @@ class TrainingPrepSpec extends SparkSpec {
       min(when(col("bucket") === "tail", col("mean_unats"))).as("minTail"))
     assert(agg.filter(col("maxHead") > col("minTail")).count() == 0)
   }
+
+  test("mixtureAllocation: hand-computed Hamilton rounding, allocations sum exactly to the budget") {
+    import spark.implicits._
+    def doc(src: String, n: Int) = (src, ("w " * n).trim)
+    // token counts 100/400/2500 → √ weights 10/20/50, Σw = 80
+    // budget 1003: floors 125/250/626 (rem 30/60/70), spare 2 → c and b
+    val docs = Seq(doc("a", 100), doc("b", 400), doc("c", 2500))
+      .toDF("source", "text")
+    val out = graft.training.TrainingPrep
+      .mixtureAllocation(docs, "source", "text", budget = 1003L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((100L, 10L, 125L)))
+    assert(out("b") == ((400L, 20L, 251L)))
+    assert(out("c") == ((2500L, 50L, 627L)))
+    assert(out.values.map(_._3).sum == 1003L, "must spend the budget exactly")
+    // corpus-scale invariant at the gate fixture
+    val corpus = graft.training.TrainingPrep.mixtureAllocation(
+      Tables.documents(spark, sf("sf0.01")), "source", "text", 100000L)
+    assert(corpus.agg(sum("alloc_tokens")).head.getLong(0) == 100000L)
+  }
 }
