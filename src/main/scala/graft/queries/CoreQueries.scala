@@ -780,6 +780,20 @@ object CoreQueries {
         .orderBy(col("n_users").desc, col("path"))
     }),
 
+    // Rolling 7-day p50/p95 from MERGEABLE daily histogram sketches:
+    // per-day bin counts once, each window sums its days' bin vectors
+    // (O(days×bins) merge, raw values scanned exactly once) — the
+    // 100 TB rolling-percentile shape; exact form would re-sort 7 days
+    // of raw data per output day.
+    "q85_rolling_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      graft.sketch.Sketches.rollingHistQuantiles(ev, "day", "cents",
+          bins = 256, pcts = Seq(50, 95), windowDays = 7)
+        .orderBy("day", "pct")
+    }),
+
     // Hourly value bands: EXACT p50/p95/max per hour bucket as integer
     // order statistics (k-th smallest at k = ceil(q·n), integer cents —
     // no FP percentile interpolation to drift cross-engine). One shuffle
@@ -1513,6 +1527,34 @@ object CoreQueries {
           |    ELSE c.value_cents END AS remainder_cents
           |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
           |ORDER BY user_id, conv_idx""".stripMargin,
+
+      // q85: the identical sketch arithmetic in SQL — global bins,
+      // per-bin 7-day range window, per-day cumulative scan
+      "q85_rolling_quantiles" ->
+        """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+          |st AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+          |pdb AS (SELECT day, ((v - mn) * 256) // (mx - mn + 1) AS bin,
+          |    CAST(count(*) AS BIGINT) AS bc
+          |  FROM base CROSS JOIN st GROUP BY 1, 2),
+          |grid AS (SELECT d.day, b.bin, coalesce(p.bc, 0) AS bc
+          |  FROM (SELECT DISTINCT day FROM pdb) d
+          |  CROSS JOIN (SELECT DISTINCT bin FROM pdb) b
+          |  LEFT JOIN pdb p ON p.day = d.day AND p.bin = b.bin),
+          |rolled AS (SELECT day, bin, SUM(bc) OVER (PARTITION BY bin
+          |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |    AS rbc FROM grid),
+          |cum AS (SELECT day, bin,
+          |    SUM(rbc) OVER (PARTITION BY day ORDER BY bin
+          |      ROWS UNBOUNDED PRECEDING) AS cum,
+          |    SUM(rbc) OVER (PARTITION BY day) AS n FROM rolled),
+          |q AS (SELECT day, pct, n, min(bin) AS qbin
+          |  FROM cum CROSS JOIN (VALUES (50), (95)) pcts(pct)
+          |  WHERE n > 0 AND cum >= (pct * n + 99) // 100
+          |  GROUP BY 1, 2, 3)
+          |SELECT day, pct, CAST(n AS BIGINT) AS n_window,
+          |  CAST(mn + (qbin * (mx - mn + 1)) // 256 AS BIGINT) AS q_lo
+          |FROM q CROSS JOIN st ORDER BY day, pct""".stripMargin,
 
       // q83: identical rank arithmetic — k = ceil(q·n) as (n+1) div 2 and
       // (19n+19) div 20, value at rank via conditional max

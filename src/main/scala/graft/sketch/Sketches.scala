@@ -318,6 +318,59 @@ object Sketches {
     * the row (the same contract as [[hllDistinct]]'s exact column);
     * production drops the companion and keeps the sketch.
     */
+  /** ROLLING quantiles from mergeable histogram sketches: per-day bin
+    * counts built once (map-side combinable), every w-day window then
+    * SUMS its days' bin vectors (a range window per bin over the
+    * day×bin grid) — O(days × bins) merge work per corpus, the raw
+    * values are scanned exactly once. This is why the sketch is the
+    * 100 TB rolling-percentile answer: the per-window sort the exact
+    * form needs would re-touch w days of raw data PER DAY.
+    *
+    * Bins are fixed from the GLOBAL [min, max] so day sketches align
+    * and merge exactly; the reported `q_lo` is the deterministic lower
+    * boundary of the quantile bin (error ≤ bin width), integer end to
+    * end. Days absent from the data contribute nothing to the windows
+    * that span them (range frame by day VALUE, not row position).
+    */
+  def rollingHistQuantiles(df: DataFrame, dayCol: String, valCol: String,
+      bins: Int, pcts: Seq[Int], windowDays: Int): DataFrame = {
+    require(bins > 0 && pcts.nonEmpty && windowDays >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(dayCol).cast("bigint").as("day"),
+        col(valCol).cast("bigint").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = base.agg(min("v").as("mn"), max("v").as("mx"))
+    val perDayBin = base.crossJoin(broadcast(stats))
+      .withColumn("bin", expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+      .groupBy("day", "bin")
+      .agg(count(lit(1)).cast("bigint").as("bc"))
+    // complete day×bin grid (tiny: ≤ days × bins rows at ANY corpus
+    // size) so the per-bin range window sees an explicit 0 for empty
+    // (day, bin) cells
+    val grid = perDayBin.select("day").distinct()
+      .crossJoin(perDayBin.select("bin").distinct())
+      .join(perDayBin, Seq("day", "bin"), "left_outer")
+      .na.fill(0L, Seq("bc"))
+    val rolled = grid.withColumn("rbc", sum(col("bc")).over(
+      Window.partitionBy("bin").orderBy("day")
+        .rangeBetween(-(windowDays - 1).toLong, 0L)))
+    val cum = rolled
+      .withColumn("cum", sum(col("rbc")).over(
+        Window.partitionBy("day").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("rbc")).over(Window.partitionBy("day")))
+      .filter(col("n") > 0)
+    val pctDf = pcts.toDF("pct")
+    cum.crossJoin(broadcast(pctDf))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("day"), col("pct"), col("n").as("n_window"))
+      .agg(min(col("bin")).as("qbin"))
+      .crossJoin(broadcast(stats))
+      .withColumn("q_lo", expr(s"mn + (qbin * (mx - mn + 1)) div $bins"))
+      .select(col("day"), col("pct"), col("n_window"), col("q_lo"))
+  }
+
   def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
       bins: Int, pcts: Seq[Int]): DataFrame = {
     require(bins > 0 && pcts.nonEmpty, "need bins > 0 and at least one pct")

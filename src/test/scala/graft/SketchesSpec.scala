@@ -174,6 +174,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("rollingHistQuantiles: the bin containing the exact rolling quantile, every window") {
+    import spark.implicits._
+    // 10 days × 50 values with day-dependent drift; exact rolling
+    // quantiles recomputed in Scala from the raw multiset per window
+    val rows = for (d <- 0 until 10; i <- 0 until 50)
+      yield (d.toLong, (i * 37 + d * 100) % 1000L)
+    val df = rows.toDF("day", "v")
+    val bins = 64
+    val out = Sketches.rollingHistQuantiles(df, "day", "v", bins,
+        Seq(50, 95), windowDays = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val mn = rows.map(_._2).min
+    val mx = rows.map(_._2).max
+    val width = (mx - mn + 1 + bins - 1) / bins
+    for (d <- 0L until 10L; pct <- Seq(50, 95)) {
+      val window = rows.filter(r => r._1 >= d - 2 && r._1 <= d).map(_._2)
+        .sorted
+      val exact = window((((pct.toLong * window.length + 99) / 100) - 1).toInt)
+      val (n, qLo) = out((d, pct))
+      assert(n == window.length, s"day=$d n=$n != ${window.length}")
+      assert(qLo <= exact && exact < qLo + width,
+        s"day=$d pct=$pct exact=$exact outside bin [$qLo, ${qLo + width})")
+    }
+  }
+
   test("kmvSetOps: refuses high-cardinality group columns (quadratic guard)") {
     import spark.implicits._
     val manyGroups = (1 to 50).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$i")))
