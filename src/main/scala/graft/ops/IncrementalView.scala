@@ -126,4 +126,55 @@ object IncrementalView {
     view.unionByName(d).groupBy((keys :+ "gid").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incrementally maintain a per-group MAX — the NON-INVERTIBLE
+    * aggregate the telescoping delta algebra cannot express (a delete
+    * cannot "subtract" from a max). The production technique is a
+    * monotone fast path plus BOUNDED partial recompute:
+    *
+    *   - groups whose window only RAISES (every change's new value ≥ its
+    *     old, no removal at-or-above the stored max) advance as
+    *     `greatest(stored, max(new values))` — no state access;
+    *   - groups where a removal or lowering touches a value ≥ the stored
+    *     max recompute from the state snapshot at the new cursor,
+    *     PRUNED to exactly those groups (the join pushes the group keys
+    *     into the state scan).
+    *
+    * Cost: O(window + affected groups' state rows), never O(table).
+    * Soundness of the fast-path test: with a consistent view at L1,
+    * every live value ≤ stored max, so removing the max row always has
+    * `old ≥ stored max`; in-window churn chains keep the property
+    * because a chained change's old image is the previous in-window
+    * value, which the raise path already lifted past the stored max.
+    *
+    * Inputs: `view` = (group_key, mx) at L1; `window` = one row per
+    * change in (L1, L2] with `new_v` (NULL for deletes) and `old_v`
+    * (NULL when the row had no prior live image — the CDC old image);
+    * `stateAtL2` = (group_key, v) live rows at L2 (e.g. a pruned
+    * `EventTableSink.stateAsOf` read). Groups emptied at L2 disappear.
+    */
+  def advanceMax(view: DataFrame, window: DataFrame,
+      stateAtL2: DataFrame): DataFrame = {
+    val raises = window.filter(col("new_v").isNotNull)
+      .groupBy("group_key").agg(max(col("new_v")).as("raise_mx"))
+    // a change can threaten the stored max only by REMOVING or LOWERING
+    // a value at-or-above it; groups with NO stored row (born inside the
+    // window) treat the stored max as -∞, so any in-window lowering or
+    // delete still routes them to recompute (a raise-then-lower chain in
+    // a brand-new group must not surface the transient peak)
+    val shrinkGroups = window.join(view, Seq("group_key"), "left_outer")
+      .filter(col("old_v").isNotNull &&
+        (col("new_v").isNull || col("new_v") < col("old_v")) &&
+        col("old_v") >= coalesce(col("mx"), lit(Long.MinValue)))
+      .select("group_key").distinct()
+    val recomputed = stateAtL2.join(shrinkGroups, Seq("group_key"))
+      .groupBy("group_key").agg(max(col("v")).as("mx"))
+    val fast = view.join(shrinkGroups, Seq("group_key"), "left_anti")
+      .join(raises.join(shrinkGroups, Seq("group_key"), "left_anti"),
+        Seq("group_key"), "full_outer")
+      .select(col("group_key"),
+        greatest(coalesce(col("mx"), col("raise_mx")),
+          coalesce(col("raise_mx"), col("mx"))).as("mx"))
+    fast.unionByName(recomputed)
+  }
 }

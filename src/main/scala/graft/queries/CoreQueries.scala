@@ -780,6 +780,42 @@ object CoreQueries {
         .orderBy(col("n_users").desc, col("path"))
     }),
 
+    // Incrementally-maintained MAX — the non-invertible aggregate the
+    // telescoping delta algebra (q71/q75) cannot express: monotone fast
+    // path for raise-only groups, group-PRUNED partial recompute where
+    // a removal/lowering touches the stored max. The maintained state
+    // is the latest-image-per-user table; view advanced (4000, 9000]
+    // must land exactly on the direct recompute at 9000 (the oracle).
+    "q86_incremental_max" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user").orderBy(col("commit_lsn").desc,
+          col("commit_idx").desc)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("user").orderBy(col("commit_lsn"), col("commit_idx"))
+      val ch = cdc(s, dir).select(
+        col("record_user_id").as("user"), col("commit_lsn"),
+        col("commit_idx"), col("action"),
+        round(col("record_value") * 100).cast("bigint").as("cents"))
+      def liveStateAt(l: Long) = ch.filter(col("commit_lsn") <= l)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("action") =!= "delete")
+        .select(pmod(col("user"), lit(10)).as("group_key"),
+          col("cents").as("v"))
+      val view1 = liveStateAt(4000L).groupBy("group_key")
+        .agg(max(col("v")).as("mx"))
+      // window changes with CDC-style old images: the previous event's
+      // live value (null when the prior image was absent or a delete)
+      val win = ch.filter(col("commit_lsn") <= 9000L)
+        .withColumn("old_v", lag(
+          when(col("action") =!= "delete", col("cents")), 1).over(wl))
+        .filter(col("commit_lsn") > 4000L)
+        .select(pmod(col("user"), lit(10)).as("group_key"),
+          when(col("action") =!= "delete", col("cents")).as("new_v"),
+          col("old_v"))
+      IncrementalView.advanceMax(view1, win, liveStateAt(9000L))
+        .orderBy("group_key")
+    }),
+
     // Rolling 7-day p50/p95 from MERGEABLE daily histogram sketches:
     // per-day bin counts once, each window sums its days' bin vectors
     // (O(days×bins) merge, raw values scanned exactly once) — the
@@ -1527,6 +1563,19 @@ object CoreQueries {
           |    ELSE c.value_cents END AS remainder_cents
           |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
           |ORDER BY user_id, conv_idx""".stripMargin,
+
+      // q86: the DIRECT recompute at the advanced cursor — incremental
+      // maintenance must land on it exactly
+      "q86_incremental_max" -> (cte +
+        """, latest AS (SELECT record_user_id, action,
+          |    CAST(round(record_value * 100) AS BIGINT) AS cents,
+          |    row_number() OVER (PARTITION BY record_user_id
+          |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |  FROM cdc WHERE commit_lsn <= 9000)
+          |SELECT CAST(record_user_id % 10 AS BIGINT) AS group_key,
+          |  max(cents) AS mx
+          |FROM latest WHERE rn = 1 AND action <> 'delete'
+          |GROUP BY 1 ORDER BY group_key""".stripMargin),
 
       // q85: the identical sketch arithmetic in SQL — global bins,
       // per-bin 7-day range window, per-day cumulative scan

@@ -541,4 +541,53 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Join"))
     assert(plan.contains("HashAggregate"))
   }
+
+  test("advanceMax: fast path for raises, pruned recompute for max removals, transient peaks never surface") {
+    import spark.implicits._
+    type L = java.lang.Long
+    def l(v: Long): L = v
+    // prefix (lsn ≤ 10) builds the stored view; window is (10, 20]:
+    //   gA raise-only · gB delete of its max · gC lowering of its max ·
+    //   gD born in-window with a raise-then-lower chain (the transient
+    //   800 peak must NOT surface) · gE emptied entirely
+    val chs: Seq[(Long, String, String, String, L, L)] = Seq(
+      (1L, "insert", "a1", "gA", l(100), null),
+      (2L, "insert", "b1", "gB", l(500), null),
+      (3L, "insert", "b2", "gB", l(200), null),
+      (4L, "insert", "c1", "gC", l(900), null),
+      (5L, "insert", "c2", "gC", l(300), null),
+      (6L, "insert", "e1", "gE", l(50), null),
+      (11L, "insert", "a2", "gA", l(400), null),
+      (12L, "delete", "b1", "gB", null, l(500)),
+      (13L, "update", "c1", "gC", l(250), l(900)),
+      (14L, "insert", "d1", "gD", l(800), null),
+      (15L, "update", "d1", "gD", l(350), l(800)),
+      (16L, "delete", "e1", "gE", null, l(50)))
+    def stateAt(at: Long) = {
+      val live = scala.collection.mutable.Map[String, (String, Long)]()
+      chs.filter(_._1 <= at).sortBy(_._1).foreach {
+        case (_, "delete", pk, _, _, _) => live.remove(pk)
+        case (_, _, pk, g, nv, _)       => live(pk) = (g, nv.longValue())
+      }
+      live.values.toSeq.toDF("group_key", "v")
+    }
+    val view1 = stateAt(10).groupBy("group_key").agg(max(col("v")).as("mx"))
+    val win = chs.filter(c => c._1 > 10 && c._1 <= 20)
+      .map(c => (c._4, Option(c._5).map(_.longValue()),
+        Option(c._6).map(_.longValue())))
+      .toDF("group_key", "new_v", "old_v")
+    val out = IncrementalView.advanceMax(view1, win, stateAt(20))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("gA" -> 400L, "gB" -> 200L, "gC" -> 300L,
+      "gD" -> 350L), s"got $out")
+    assert(!out.contains("gE"), "an emptied group must disappear")
+    // prunedness: handing advanceMax a state containing ONLY the groups
+    // that genuinely need recompute must not change the answer — the
+    // fast-path groups never read it
+    val prunedState = stateAt(20)
+      .filter(col("group_key").isin("gB", "gC", "gD"))
+    val out2 = IncrementalView.advanceMax(view1, win, prunedState)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out, "fast-path groups must not depend on the state scan")
+  }
 }
