@@ -62,6 +62,29 @@ object Layout {
     }.mkString("(", " + ", ")")
   }
 
+  /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the
+    * point-lookup complement to [[zorderWrite]]. Min/max footer stats
+    * prune range predicates on SORTED dimensions; on a high-cardinality
+    * UNSORTED column (a random pk), every file's [min, max] spans the
+    * whole domain and stats prune nothing. A per-row-group bloom filter
+    * answers `pk = X` membership probabilistically (no false negatives),
+    * so an equality probe skips every row group whose filter says
+    * absent — at 100 TB, a pk lookup touches a handful of row groups
+    * instead of the table. `expectedNdv` sizes the filter (per row
+    * group); `LayoutSpec` proves the written filters answer presence
+    * exactly and absence with a low FP rate.
+    */
+  def bloomWrite(df: DataFrame, bloomCols: Seq[String], path: String,
+      nFiles: Int, expectedNdv: Long): Unit = {
+    require(bloomCols.nonEmpty && expectedNdv > 0)
+    val w0 = df.repartition(nFiles).write.mode("overwrite")
+    val w = bloomCols.foldLeft(w0) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Write `df` z-ordered on (`a`, `b`) into `nFiles` files at `path`:
     * one range exchange on the z-value (contiguous, non-overlapping
     * z-ranges per file), sorted within each file so parquet page stats

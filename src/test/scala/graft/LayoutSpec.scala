@@ -9,6 +9,66 @@ import org.apache.spark.sql.functions._
   */
 class LayoutSpec extends SparkSpec {
 
+  test("bloomWrite: row-group bloom filters answer presence exactly, absence at a low FP rate — where min/max stats cannot prune at all") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    // shuffled high-cardinality keys: every file's [min, max] spans the
+    // whole domain, so footer stats prune NOTHING for a point lookup
+    val n = 4000
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val keys = spark.range(n.toLong)
+      .select(concat(lit("pk-"), expr("xxhash64(id)")).as("pk"),
+        col("id").as("v"))
+    Layout.bloomWrite(keys, Seq("pk"), dir, nFiles = 4, expectedNdv = 1200)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 4)
+    var present = 0
+    var presentHits = 0
+    var absentHits = 0
+    val absentProbes = 500
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f),
+          new Configuration()))
+      try {
+        val footer = reader.getFooter
+        footer.getBlocks.asScala.foreach { block =>
+          val colMeta = block.getColumns.asScala
+            .find(_.getPath.toDotString == "pk").get
+          // the filter was actually written
+          assert(colMeta.getBloomFilterOffset > 0,
+            s"no bloom filter in $f")
+          val bloom = reader.getBloomFilterDataReader(block)
+            .readBloomFilter(colMeta)
+          // stats cannot prune: this row group's [min, max] brackets
+          // essentially any probe (shuffled keys)
+          // presence: every key IN this file must hit (no false negatives)
+          val inFile = spark.read.parquet(f).select("pk")
+            .collect().map(_.getString(0))
+          inFile.take(200).foreach { k =>
+            present += 1
+            if (bloom.findHash(bloom.hash(Binary.fromString(k))))
+              presentHits += 1
+          }
+          (0 until absentProbes).foreach { i =>
+            if (bloom.findHash(bloom.hash(Binary.fromString(s"absent-$i"))))
+              absentHits += 1
+          }
+        }
+      } finally reader.close()
+    }
+    assert(present > 0 && presentHits == present,
+      "bloom filters must never false-negative a present key")
+    val fp = absentHits.toDouble / (absentProbes * files.length)
+    assert(fp < 0.1, s"absent-key FP rate $fp — filter mis-sized")
+  }
+
   test("zValue: hand-checked interleave, SQL twin identical, bounds") {
     implicit val s = spark
     import s.implicits._
