@@ -36,6 +36,33 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AQE splits the skewed side of a sort-merge join at runtime (skew=true in the final plan)") {
+    // the NO-CODE skew lever salting complements: AQE detects the hot
+    // shuffle partition from runtime stats and splits it — assert the
+    // executed adaptive plan actually took it on a hot-key join
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import org.apache.spark.sql.functions.{col, lit}
+    val left = s2.range(60000L)
+      .select(lit(0L).as("k"), col("id").as("lv"))
+      .union(s2.range(1000L).select((col("id") % 8 + 1).as("k"),
+        col("id").as("lv")))
+    val right = s2.range(9L).select(col("id").as("k"), col("id").as("rv"))
+    val joined = left.join(right, "k")
+    // collect on THIS DataFrame: count() spawns its own execution and
+    // would leave joined's adaptive plan unfinalized
+    assert(joined.collect().length == 61000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected a runtime skew split in:\n${plan.take(2500)}")
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of rows share one hot key
