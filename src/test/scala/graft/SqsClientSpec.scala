@@ -22,31 +22,7 @@ class SqsClientSpec extends SparkSpec {
 
   private val creds = Credentials("AKIDTEST", "sekrit", "us-test-1")
 
-  /** Independent SigV4 implementation (from the published spec text). */
-  private object Verify {
-    private def hmac(key: Array[Byte], s: String): Array[Byte] = {
-      val m = Mac.getInstance("HmacSHA256")
-      m.init(new SecretKeySpec(key, "HmacSHA256"))
-      m.doFinal(s.getBytes(UTF_8))
-    }
-    private def sha(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("SHA-256").digest(b)
-        .map("%02x".format(_)).mkString
-    def signature(secret: String, region: String, amzDate: String,
-        headers: Seq[(String, String)], payload: Array[Byte]): String = {
-      val sorted = headers.sortBy(_._1)
-      val canonical = "POST\n/\n\n" +
-        sorted.map { case (k, v) => s"$k:${v.trim}\n" }.mkString + "\n" +
-        sorted.map(_._1).mkString(";") + "\n" + sha(payload)
-      val date = amzDate.take(8)
-      val scope = s"$date/$region/sqs/aws4_request"
-      val sts = "AWS4-HMAC-SHA256\n" + amzDate + "\n" + scope + "\n" +
-        sha(canonical.getBytes(UTF_8))
-      val k = hmac(hmac(hmac(hmac(("AWS4" + secret).getBytes(UTF_8), date),
-        region), "sqs"), "aws4_request")
-      hmac(k, sts).map("%02x".format(_)).mkString
-    }
-  }
+  // independent SigV4 implementation shared by the AWS-client specs
 
   private final class ScriptedSqs(failIds: Set[String] = Set.empty) {
     val entries = new ConcurrentLinkedQueue[String]() // raw entry JSON
@@ -67,8 +43,8 @@ class SqsClientSpec extends SparkSpec {
           "host" -> hs.getFirst("host"),
           "x-amz-date" -> amzDate,
           "x-amz-target" -> hs.getFirst("x-amz-target"))
-        val expected = Verify.signature(creds.secretKey, creds.region,
-          amzDate, headerSet, payload)
+        val expected = SigV4TestVerifier.signature(creds.secretKey,
+          creds.region, "sqs", amzDate, headerSet, payload)
         sigOk.add(auth != null && auth.endsWith(s"Signature=$expected") &&
           auth.contains(s"Credential=${creds.accessKey}/"))
         val root = mapper.readTree(new String(payload, UTF_8))
