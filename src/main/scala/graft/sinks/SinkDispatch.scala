@@ -1,0 +1,181 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.streaming.{AckDelivery, SinkSpec}
+import graft.streaming.AckDelivery.DeliveryCommand
+
+/** The last wiring of the delivery path: take a BUILT consumer pipeline
+  * (CdcPipeline.build output), the consumer's validated [[SinkSpec]],
+  * and an environment of endpoints/credentials, and run the full
+  * wire → live transport → ack/nack chain for that sink type — the
+  * Spark rendition of `sink_pipeline.ex:437-456`'s dispatch table.
+  *
+  * Each arm composes three existing, separately-specced layers:
+  * the sink's WIRE adapter (oracle-checked columns), its protocol
+  * CLIENT (loopback-specced socket/HTTP), and the
+  * [[AckDelivery.DeliveryCommand]] bridge. Nothing here invents
+  * behavior — this object only routes, so one config line switches a
+  * pipeline between transports exactly like the reference's
+  * `sink_module/1`.
+  *
+  * `Env` carries only what the chosen transport needs; unset fields
+  * fail fast with the sink type named (config error, not a mid-stream
+  * surprise).
+  */
+object SinkDispatch {
+
+  /** Transport endpoints/credentials, injected by the runtime (the
+    * reference resolves these from the sink row's columns).
+    */
+  final case class Env(
+      host: String = "",
+      port: Int = 0,
+      httpBase: String = "",
+      apiKey: String = "",
+      awsCreds: Option[SqsClient.Credentials] = None,
+      gcpCreds: Option[PubSubClient.Credentials] = None,
+      gcpProject: String = "",
+      sasCreds: Option[EventHubClient.SasCredentials] = None,
+      bearerToken: String = "")
+
+  /** One uniform delivery outcome row, whatever the transport. */
+  final case class Outcome(ack_id: String, group_id: String, ok: Boolean,
+      err: String)
+
+  private def need(cond: Boolean, sinkType: String, what: String): Unit =
+    require(cond, s"sink '$sinkType' requires $what in the dispatch Env")
+
+  /** Route `pipeline` (a CdcPipeline.build output) through `spec`'s
+    * transport; returns per-delivery outcomes.
+    */
+  def deliver(pipeline: DataFrame, spec: SinkSpec, env: Env)(
+      implicit spark: SparkSession): Dataset[Outcome] = {
+    import spark.implicits._
+    spec.sinkType match {
+      case "redis_stream" =>
+        need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
+        RespClient.deliver(
+            RespClient.streamRequests(SinkAdapters.redisStreamWire(pipeline)),
+            env.host, env.port)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "redis_string" =>
+        need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
+        RespClient.deliver(
+            RespClient.stringRequests(SinkAdapters.redisStringWire(pipeline)),
+            env.host, env.port)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "nats" =>
+        need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
+        NatsClient.deliver(
+            NatsClient.requests(SinkAdapters.natsWire(pipeline)),
+            env.host, env.port)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "kafka" =>
+        need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
+        KafkaProduceClient.deliver(
+            KafkaProduceClient.requests(SinkAdapters.kafkaWire(
+              graft.ops.Routing.kafka(pipeline))),
+            env.host, env.port)
+          .map(r => Outcome(r.ack_id, r.topic, r.ok, r.err))
+      case "rabbitmq" =>
+        need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
+        AmqpClient.deliver(
+            AmqpClient.requests(SinkAdapters.rabbitmqWire(pipeline,
+              spec.settings.getOrElse("exchange", "sequin"))),
+            env.host, env.port)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "http_push" =>
+        need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
+        HttpPushClient.deliver(
+            HttpPushClient.batchedRequests(
+              SinkAdapters.httpPushBatchedWire(pipeline, env.httpBase,
+                batchSize = spec.settings.get("batch_size")
+                  .map(_.toInt).getOrElse(10))),
+            HttpRetryPolicy.Policy(), realSleep = false)
+          .map(r => Outcome(r.ack_id, r.group_id, r.delivered,
+            if (r.delivered) "" else s"status ${r.final_status}"))
+      case "elasticsearch" =>
+        need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
+        val index = spec.settings.getOrElse("index_name", "events")
+        EsBulkClient.deliver(
+            EsBulkClient.requests(SinkAdapters.esBulkWire(pipeline, index)),
+            env.httpBase, index)
+          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+      case "typesense" =>
+        need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
+        TypesenseClient.deliver(
+            TypesenseClient.requests(SinkAdapters.typesenseWire(pipeline)),
+            env.httpBase, env.apiKey)
+          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+      case "meilisearch" =>
+        need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
+        MeilisearchClient.deliver(
+            MeilisearchClient.requests(SinkAdapters.meilisearchWire(pipeline,
+              spec.settings.getOrElse("index_name", "events"))),
+            env.httpBase, env.apiKey, realSleep = false)
+          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+      case "sqs" =>
+        need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,
+          "httpBase + awsCreds")
+        SqsClient.deliver(
+            SqsClient.requests(SinkAdapters.sqsWire(pipeline,
+              spec.settings.getOrElse("queue_url", "https://sqs/q"))),
+            env.httpBase, env.awsCreds.get)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "sns" =>
+        need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,
+          "httpBase + awsCreds")
+        SnsClient.deliver(
+            SnsClient.requests(SinkAdapters.snsWire(pipeline,
+              spec.settings.getOrElse("topic_arn", "arn:aws:sns:t"),
+              isFifo = true)),
+            env.httpBase, env.awsCreds.get)
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
+      case "kinesis" =>
+        need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,
+          "httpBase + awsCreds")
+        KinesisClient.deliver(
+            KinesisClient.requests(SinkAdapters.kinesisWire(pipeline,
+              spec.settings.getOrElse("stream_arn", "arn:aws:kinesis:s"))),
+            env.httpBase, env.awsCreds.get)
+          .map(r => Outcome(r.ack_id, r.partition_key, r.ok, r.err))
+      case "gcp_pubsub" =>
+        need(env.httpBase.nonEmpty && env.gcpCreds.nonEmpty, spec.sinkType,
+          "httpBase + gcpCreds")
+        PubSubClient.deliver(
+            PubSubClient.requests(SinkAdapters.pubsubWire(
+              graft.ops.Routing.gcpPubsub(pipeline))),
+            env.httpBase, env.gcpProject, env.gcpCreds.get)
+          .map(r => Outcome(r.ack_id, r.topic_id, r.ok, r.err))
+      case "azure_event_hub" =>
+        need(env.httpBase.nonEmpty && env.sasCreds.nonEmpty, spec.sinkType,
+          "httpBase + sasCreds")
+        EventHubClient.deliver(
+            EventHubClient.requests(SinkAdapters.eventHubWire(pipeline,
+              spec.settings.getOrElse("event_hub_name", "hub"))),
+            env.httpBase, env.sasCreds.get)
+          .map(r => Outcome(r.ack_id, r.hub, r.ok, r.err))
+      case "s2" =>
+        need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
+        S2Client.deliver(
+            S2Client.requests(SinkAdapters.s2Wire(pipeline,
+              spec.settings.getOrElse("basin", "b"),
+              spec.settings.getOrElse("stream", "s"))),
+            env.httpBase, env.bearerToken)
+          .map(r => Outcome(r.ack_id, r.stream, r.ok, r.err))
+      case other =>
+        throw new IllegalArgumentException(
+          s"no transport dispatch for sink type '$other'")
+    }
+  }
+
+  /** Outcomes → the delivery state machine's ack/nack commands. */
+  def commands(outcomes: Dataset[Outcome])(
+      implicit spark: SparkSession): Dataset[DeliveryCommand] = {
+    import spark.implicits._
+    outcomes.map { o =>
+      if (o.ok) AckDelivery.DeliveryCommand.ack(o.group_id, o.ack_id)
+      else AckDelivery.DeliveryCommand.nack(o.group_id, o.ack_id)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.config.PipelineSpec
+import graft.sinks.SinkDispatch
+import graft.streaming.CdcPipeline
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.io.InputStream
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** The full product path in one spec: a JSON consumer CONFIG (the same
+  * document the management API accepts) → PipelineSpec validation →
+  * CdcPipeline.build → SinkDispatch → a LIVE loopback transport →
+  * ack/nack commands. One config line switches the transport, like the
+  * reference's sink_pipeline dispatch table.
+  */
+class SinkDispatchSpec extends SparkSpec {
+
+  test("config → pipeline → live HTTP delivery → acks; one line switches to redis; bad env and unknown types fail fast") {
+    implicit val s = spark
+    // --- loopback webhook ---
+    val received = new ConcurrentLinkedQueue[String]()
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        received.add(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        ex.sendResponseHeaders(200, 2)
+        ex.getResponseBody.write("{}".getBytes(UTF_8))
+        ex.close()
+      }
+    })
+    http.start()
+    // --- loopback redis (minimal RESP array parser, replies $3 1-1) ---
+    val xadds = new ConcurrentLinkedQueue[String]()
+    val redis = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val redisThread = new Thread(() => {
+      try {
+        while (true) {
+          val sock = redis.accept()
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try {
+            while (true) {
+              val first = in.read()
+              if (first < 0) throw new java.io.EOFException
+              val n = line().toInt // after '*'
+              val args = (0 until n).map { _ =>
+                in.read() // '$'
+                val len = line().toInt
+                val buf = new Array[Byte](len)
+                var off = 0
+                while (off < len) off += in.read(buf, off, len - off)
+                in.read(); in.read() // CRLF
+                new String(buf, UTF_8)
+              }
+              if (args.head == "XADD") xadds.add(args(1))
+              out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+            }
+          } catch { case _: Exception => sock.close() }
+        }
+      } catch { case _: Exception => () }
+    })
+    redisThread.setDaemon(true)
+    redisThread.start()
+    try {
+      val cdc = graft.model.Cdc.fromEvents(Tables.events(spark, sf())).limit(12)
+      def cfgJson(dest: String): String =
+        s"""{"name": "e2e", "batch_size": 4, "destination": $dest}"""
+      // HTTP push arm
+      val cfg1 = PipelineSpec.parse(cfgJson(
+        s"""{"type": "http_push", "http_endpoint": "ep1"}"""))
+      val out1 = SinkDispatch.deliver(
+        CdcPipeline.build(cdc, cfg1), cfg1.sink.get,
+        SinkDispatch.Env(httpBase =
+          s"http://127.0.0.1:${http.getAddress.getPort}/hook")).collect()
+      assert(out1.nonEmpty && out1.forall(_.ok))
+      assert(received.asScala.nonEmpty)
+      // the SAME pipeline, one config line changed → redis transport
+      val cfg2 = PipelineSpec.parse(cfgJson(
+        s"""{"type": "redis_stream", "stream_key": "k"}"""))
+      val out2 = SinkDispatch.deliver(
+        CdcPipeline.build(cdc, cfg2), cfg2.sink.get,
+        SinkDispatch.Env(host = "127.0.0.1", port = redis.getLocalPort))
+        .collect()
+      assert(out2.length == 12 && out2.forall(_.ok))
+      assert(xadds.asScala.forall(_.startsWith("sequin.")))
+      // ack/nack bridge
+      val cmds = SinkDispatch.commands(
+        spark.createDataset(out2.toSeq)(
+          org.apache.spark.sql.Encoders.product[SinkDispatch.Outcome]))
+        .collect()
+      assert(cmds.length == 12 && cmds.forall(_.kind == "ack"))
+      // missing env fails fast with the sink named
+      val e = intercept[IllegalArgumentException](SinkDispatch.deliver(
+        CdcPipeline.build(cdc, cfg2), cfg2.sink.get, SinkDispatch.Env()))
+      assert(e.getMessage.contains("redis_stream"))
+      // unknown sink type refuses
+      intercept[IllegalArgumentException](SinkDispatch.deliver(
+        CdcPipeline.build(cdc, cfg1),
+        graft.streaming.SinkSpec("carrier_pigeon"), SinkDispatch.Env()))
+    } finally { http.stop(0); redis.close() }
+  }
+}
