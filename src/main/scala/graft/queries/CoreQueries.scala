@@ -780,6 +780,88 @@ object CoreQueries {
         .orderBy(col("n_users").desc, col("path"))
     }),
 
+    // Market-basket association rules over the order fact: brand pairs
+    // co-purchased in one order, with exact-ppm support / both-direction
+    // confidence / lift. Pair space is ORDER-LOCAL (≤ per-order distinct
+    // brands², never catalog²); dim lookup broadcasts; all counts
+    // map-side combinable.
+    "q87_basket" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o"), col("p_brand").as("b")).distinct()
+      val nOrders = baskets.select(countDistinct(col("o")).as("n"))
+      val brandCounts = baskets.groupBy(col("b"))
+        .agg(count(lit(1)).as("cb"))
+      val pairs = baskets.as("x")
+        .join(baskets.as("y"), col("x.o") === col("y.o") &&
+          col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+        .agg(count(lit(1)).as("pair_orders"))
+        .filter(col("pair_orders") >= 50)
+      pairs
+        .join(broadcast(brandCounts.select(col("b").as("brand_a"),
+          col("cb").as("ca"))), Seq("brand_a"))
+        .join(broadcast(brandCounts.select(col("b").as("brand_b"),
+          col("cb").as("cbb"))), Seq("brand_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("pair_orders"),
+          expr("(1000000 * pair_orders) div n").as("support_ppm"),
+          expr("(1000000 * pair_orders) div ca").as("conf_a_to_b_ppm"),
+          expr("(1000000 * pair_orders) div cbb").as("conf_b_to_a_ppm"),
+          expr("(1000000 * pair_orders * n) div (ca * cbb)").as("lift_micro"))
+        .orderBy("brand_a", "brand_b")
+    }),
+
+    // TPC-H Q1's pricing summary in EXACT integer cents: the discount
+    // and tax factors become integer percent multipliers, so both
+    // engines sum identical integers — no FP aggregation order to
+    // drift. One map-side-combinable aggregation over the fact scan
+    // with the date filter pushed down.
+    "q88_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity")).cast("bigint").as("qty"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("ext_cents"),
+          round(col("l_discount") * 100).cast("int").as("disc_pct"),
+          round(col("l_tax") * 100).cast("int").as("tax_pct"))
+        .withColumn("disc_cents", expr("(ext_cents * (100 - disc_pct)) div 100"))
+        .withColumn("charge_cents", expr("(disc_cents * (100 + tax_pct)) div 100"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("qty")).as("sum_qty"),
+          sum(col("ext_cents")).as("sum_base_cents"),
+          sum(col("disc_cents")).as("sum_disc_cents"),
+          sum(col("charge_cents")).as("sum_charge_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Revenue by region/nation across the full star join: dims
+    // broadcast (region → nation → customer), the fact side shuffles
+    // ONCE on the orders⋈lineitem key — the plan every warehouse wants
+    // on this shape at 100 TB.
+    "q89_nation_revenue" -> ((s, dir) => {
+      val custDim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name")))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("ext_cents"),
+          round(col("l_discount") * 100).cast("int").as("disc_pct"))
+        .withColumn("rev_cents", expr("(ext_cents * (100 - disc_pct)) div 100"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custDim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1563,6 +1645,60 @@ object CoreQueries {
           |    ELSE c.value_cents END AS remainder_cents
           |FROM conv c LEFT JOIN agg a USING (user_id, conv_idx)
           |ORDER BY user_id, conv_idx""".stripMargin,
+
+      // q87-q89: identical integer arithmetic in SQL
+      "q87_basket" ->
+        """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |n AS (SELECT count(DISTINCT o) AS n FROM baskets),
+          |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
+          |  FROM baskets GROUP BY b),
+          |p AS (SELECT x.b AS brand_a, y.b AS brand_b,
+          |    CAST(count(*) AS BIGINT) AS pair_orders
+          |  FROM baskets x JOIN baskets y ON x.o = y.o AND x.b < y.b
+          |  GROUP BY 1, 2 HAVING count(*) >= 50)
+          |SELECT brand_a, brand_b, pair_orders,
+          |  (1000000 * pair_orders) // n AS support_ppm,
+          |  (1000000 * pair_orders) // ca.cb AS conf_a_to_b_ppm,
+          |  (1000000 * pair_orders) // cb2.cb AS conf_b_to_a_ppm,
+          |  (1000000 * pair_orders * n) // (ca.cb * cb2.cb) AS lift_micro
+          |FROM p
+          |JOIN bc ca ON ca.b = brand_a
+          |JOIN bc cb2 ON cb2.b = brand_b
+          |CROSS JOIN n
+          |ORDER BY brand_a, brand_b""".stripMargin,
+
+      "q88_pricing_summary" ->
+        """WITH l AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(round(l_quantity) AS BIGINT) AS qty,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+          |    CAST(round(l_discount * 100) AS INT) AS disc_pct,
+          |    CAST(round(l_tax * 100) AS INT) AS tax_pct
+          |  FROM lineitem
+          |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+          |x AS (SELECT *, (ext_cents * (100 - disc_pct)) // 100 AS disc_cents
+          |  FROM l)
+          |SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+          |  CAST(sum(ext_cents) AS BIGINT) AS sum_base_cents,
+          |  CAST(sum(disc_cents) AS BIGINT) AS sum_disc_cents,
+          |  CAST(sum((disc_cents * (100 + tax_pct)) // 100) AS BIGINT)
+          |    AS sum_charge_cents,
+          |  CAST(count(*) AS BIGINT) AS count_order
+          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q89_nation_revenue" ->
+        """SELECT r_name, n_name,
+          |  CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) *
+          |    (100 - CAST(round(l_discount * 100) AS INT))) // 100)
+          |    AS BIGINT) AS revenue_cents,
+          |  CAST(count(*) AS BIGINT) AS n_lines
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // q86: the DIRECT recompute at the advanced cursor — incremental
       // maintenance must land on it exactly

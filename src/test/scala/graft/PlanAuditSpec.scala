@@ -77,6 +77,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("levenshtein"))
   }
 
+  test("q89 star join: every dimension broadcasts; only the fact⋈fact edge may shuffle") {
+    val plan = formatted(q("q89_nation_revenue"))
+    // customer/nation/region must ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "expected broadcast joins on the dimension chain")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the date-less fact scan reads only the needed columns
+    assert(plan.contains("l_extendedprice") && !plan.contains("l_comment"))
+  }
+
   test("dedup/ANN plans never fall back to cartesian or nested-loop joins") {
     for (name <- Seq("td05_minhash_neardups", "td07_simhash_neardups",
         "td08_ngram_jaccard", "td11_ann_lsh", "td15_embedding_neardups_lsh")) {
