@@ -862,6 +862,43 @@ object CoreQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // Late-shipment SLA by priority — the EXISTS shape (TPC-H Q4's):
+    // orders with ANY lineitem shipped > 90 days after order date,
+    // expressed as a LEFT SEMI join so the probe side deduplicates
+    // inside the join (no post-join distinct over the fact blowup).
+    "q90_late_orders" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+      orders.join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > date_add(to_date(col("o_orderdate")), 90)
+              .cast("timestamp"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Customers with no orders — the NOT EXISTS shape as a LEFT ANTI
+    // join (never a NOT IN, whose NULL semantics scan-and-broadcast the
+    // whole subquery): per market segment, how much of the customer
+    // base is dormant, in exact ppm.
+    "q91_dormant_customers" -> ((s, dir) => {
+      val custs = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val dormant = custs.join(Tables.orders(s, dir).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_dormant"))
+      custs.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .join(dormant, Seq("c_mktsegment"), "left_outer")
+        .na.fill(0L, Seq("n_dormant"))
+        .withColumn("dormant_ppm", expr("(1000000 * n_dormant) div n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1699,6 +1736,31 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q90_late_orders" ->
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_late_orders
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey
+          |    AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q91_dormant_customers" ->
+        """WITH d AS (SELECT c_mktsegment,
+          |    CAST(count(*) AS BIGINT) AS n_dormant
+          |  FROM customer
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders
+          |    WHERE o_custkey = c_custkey)
+          |  GROUP BY 1),
+          |t AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+          |  FROM customer GROUP BY 1)
+          |SELECT t.c_mktsegment, t.n_customers,
+          |  coalesce(d.n_dormant, 0) AS n_dormant,
+          |  (1000000 * coalesce(d.n_dormant, 0)) // t.n_customers
+          |    AS dormant_ppm
+          |FROM t LEFT JOIN d USING (c_mktsegment)
+          |ORDER BY t.c_mktsegment""".stripMargin,
 
       // q86: the DIRECT recompute at the advanced cursor — incremental
       // maintenance must land on it exactly
