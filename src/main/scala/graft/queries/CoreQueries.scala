@@ -899,6 +899,48 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Ratio-to-report: each nation's share of its region's revenue as a
+    // window aggregate OVER the grouped result (ppm, integer div) — the
+    // share is computed on |nations| rows, never a second fact pass.
+    "q92_revenue_share" -> ((s, dir) => {
+      val byNation = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("ext_cents"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"), col("n_regionkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(col("ext_cents")).as("revenue_cents"))
+      byNation
+        .withColumn("region_cents", sum(col("revenue_cents")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("n_regionkey")))
+        .select(col("n_regionkey"), col("n_name"), col("revenue_cents"),
+          expr("(1000000 * revenue_cents) div region_cents").as("share_ppm"))
+        .orderBy("n_regionkey", "n_name")
+    }),
+
+    // Year-over-year growth: yearly revenue + lag window + integer-ppm
+    // delta — the board every warehouse serves, shaped as one yearly
+    // aggregate and a |years|-row window.
+    "q93_yoy_revenue" -> ((s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("yr").agg(sum(col("cents")).as("revenue_cents"))
+      yearly
+        .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("yr")))
+        .withColumn("yoy_ppm",
+          when(col("prev_cents").isNotNull,
+            expr("(1000000 * (revenue_cents - prev_cents)) div prev_cents")))
+        .orderBy("yr")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1736,6 +1778,34 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q92_revenue_share" ->
+        """WITH bn AS (SELECT n_regionkey, n_name,
+          |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS revenue_cents
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT n_regionkey, n_name, revenue_cents,
+          |  CAST((1000000 * revenue_cents) //
+          |    SUM(revenue_cents) OVER (PARTITION BY n_regionkey)
+          |    AS BIGINT) AS share_ppm
+          |FROM bn ORDER BY n_regionkey, n_name""".stripMargin,
+
+      "q93_yoy_revenue" ->
+        """WITH y AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS revenue_cents
+          |  FROM orders GROUP BY 1)
+          |SELECT CAST(yr AS INT) AS yr, revenue_cents,
+          |  lag(revenue_cents) OVER (ORDER BY yr) AS prev_cents,
+          |  CASE WHEN lag(revenue_cents) OVER (ORDER BY yr) IS NOT NULL
+          |    THEN (1000000 * (revenue_cents -
+          |      lag(revenue_cents) OVER (ORDER BY yr))) //
+          |      lag(revenue_cents) OVER (ORDER BY yr) END AS yoy_ppm
+          |FROM y ORDER BY yr""".stripMargin,
 
       "q90_late_orders" ->
         """SELECT o_orderpriority,

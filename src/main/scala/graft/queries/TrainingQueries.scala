@@ -850,6 +850,31 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Label-distribution drift between two dataset snapshots (first vs
+    // second half of vec_ids): per-label rates and |Δ| in exact ppm —
+    // the drift monitor a training pipeline runs between refreshes. Two
+    // map-side-combinable histograms; no FP divergence formula to drift
+    // cross-engine.
+    "td82_label_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val half = emb.agg(expr("count(1) div 2").as("cut"))
+      val tagged = emb.crossJoin(broadcast(half))
+        .select(col("label"),
+          when(col("vec_id") < col("cut"), 1L).otherwise(0L).as("in_first"))
+      val hist = tagged.groupBy("label")
+        .agg(sum(col("in_first")).as("n_first"),
+          sum(lit(1L) - col("in_first")).as("n_second"))
+      val tot = hist.agg(sum(col("n_first")).as("t1"),
+        sum(col("n_second")).as("t2"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("label"), col("n_first"), col("n_second"),
+          expr("(1000000 * n_first) div t1").as("rate_first_ppm"),
+          expr("(1000000 * n_second) div t2").as("rate_second_ppm"),
+          expr("abs((1000000 * n_first) div t1 - " +
+            "(1000000 * n_second) div t2)").as("drift_ppm"))
+        .orderBy("label")
+    }),
+
     // Effective-data report: per source, raw vs post-exact-dedup docs
     // and tokens (global dedup, earliest copy credits its source),
     // duplication in integer ppm — the curation review's first number.
@@ -2348,6 +2373,25 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td82: identical halves + integer rate arithmetic
+    "td82_label_drift" ->
+      """WITH h AS (SELECT CAST(count(*) // 2 AS BIGINT) AS cut
+        |  FROM embeddings),
+        |t AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first,
+        |    CAST(sum(CASE WHEN vec_id < cut THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_second
+        |  FROM embeddings CROSS JOIN h GROUP BY label),
+        |tt AS (SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+        |    CAST(sum(n_second) AS BIGINT) AS t2 FROM t)
+        |SELECT label, n_first, n_second,
+        |  (1000000 * n_first) // t1 AS rate_first_ppm,
+        |  (1000000 * n_second) // t2 AS rate_second_ppm,
+        |  abs((1000000 * n_first) // t1 - (1000000 * n_second) // t2)
+        |    AS drift_ppm
+        |FROM t CROSS JOIN tt ORDER BY label""".stripMargin,
 
     // td81: same global-fingerprint dedup (md5 text), earliest copy
     // credits its source; all-integer report
