@@ -391,4 +391,60 @@ class ScaleProbeSpec extends SparkSpec {
     assert(tAdvance < tRecompute,
       s"advance ($tAdvance s) not cheaper than recompute ($tRecompute s)")
   }
+
+  test("blocked-levenshtein fuzzy pairs grow near-linearly over 10x docs") {
+    // random prefixes keep block sizes bounded, so the pair space is
+    // Σ|block|² ∝ N — a cartesian fallback or a degenerate blocking
+    // (everything in one block) would show ~100×
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        Dedup.fuzzyPairs(small, "doc_id", "text").count(),
+        Dedup.fuzzyPairs(big, "doc_id", "text").count(),
+        "fuzzy")
+      assert(r < 30, s"fuzzyPairs 10x growth ratio $r suggests a blocking cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("basket pair mining grows near-linearly over 10x orders (order-local pair space)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // n orders × 6 items from a 50-brand catalog: pair space per order
+    // is ≤ 6·5/2 regardless of n
+    def baskets(n: Int) = (0 until n).flatMap { o =>
+      (0 until 6).map(j => (o.toLong, s"B${math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((o, j)), 50)}"))
+    }.toDF("o", "b").distinct().repartition(32).cache()
+    val small = baskets(SmallN)
+    val big = baskets(BigN)
+    def pairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.as("x").join(df.as("y"),
+          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b"), col("y.b")).count().count()
+    try {
+      val r = ratioOf(pairs(small), pairs(big), "basket")
+      assert(r < 30, s"basket 10x growth ratio $r — pair space not order-local")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("rolling sketch quantiles: 10x days costs ~10x (O(days x bins) merge, one value scan)") {
+    import spark.implicits._
+    def series(days: Int) = (0 until days).flatMap { d =>
+      (0 until 200).map(i => (d.toLong,
+        math.floorMod(scala.util.hashing.MurmurHash3
+          .productHash((d, i)), 10000).toLong))
+    }.toDF("day", "v").repartition(32).cache()
+    val small = series(40)
+    val big = series(400)
+    try {
+      val r = ratioOf(
+        graft.sketch.Sketches.rollingHistQuantiles(small, "day", "v", 128,
+          Seq(50, 95), 7).count(),
+        graft.sketch.Sketches.rollingHistQuantiles(big, "day", "v", 128,
+          Seq(50, 95), 7).count(),
+        "rollingq")
+      assert(r < 30, s"rolling quantiles 10x ratio $r — window is re-scanning raw values")
+    } finally { small.unpersist(); big.unpersist() }
+  }
 }
