@@ -850,6 +850,19 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Dedup-aware mixture: the td80 allocation re-weighted by td81's
+    // EFFECTIVE (post-exact-dedup) tokens — a heavily duplicated source
+    // no longer buys budget with its duplicated bulk. Composition of two
+    // already-oracled ops through mixtureAllocationFromCounts.
+    "td83_dedup_mixture" -> ((s, dir) =>
+      graft.training.TrainingPrep.mixtureAllocationFromCounts(
+          graft.training.TrainingPrep.effectiveData(
+              Tables.documents(s, dir), "doc_id", "source", "text")
+            .select(col("source"),
+              col("effective_tokens").as("n_tokens")),
+          budget = 100000L)
+        .orderBy("source")),
+
     // Label-distribution drift between two dataset snapshots (first vs
     // second half of vec_ids): per-label rates and |Δ| in exact ppm —
     // the drift monitor a training pipeline runs between refreshes. Two
@@ -2373,6 +2386,31 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td83: td81's effective-token CTE feeding td80's Hamilton algebra
+    "td83_dedup_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(text) AS fp FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS canonical_id FROM b GROUP BY fp),
+        |eff AS (SELECT source,
+        |    CAST(sum(CASE WHEN doc_id = canonical_id THEN n_toks ELSE 0 END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM b JOIN c USING (fp) GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM eff),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+        |q AS (SELECT source, n_tokens, weight,
+        |    (100000 * weight) // w_total AS alloc_floor,
+        |    (100000 * weight) % w_total AS rem
+        |  FROM w CROSS JOIN t),
+        |sp AS (SELECT CAST(100000 - sum(alloc_floor) AS BIGINT) AS spare
+        |  FROM q)
+        |SELECT source, n_tokens, weight,
+        |  CAST(alloc_floor + CASE WHEN
+        |    row_number() OVER (ORDER BY rem DESC, source) <= spare
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM q CROSS JOIN sp ORDER BY source""".stripMargin,
 
     // td82: identical halves + integer rate arithmetic
     "td82_label_drift" ->

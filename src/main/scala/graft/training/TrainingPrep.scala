@@ -1195,11 +1195,22 @@ object TrainingPrep {
     * corpus; the allocation algebra runs on |sources| rows.
     */
   def mixtureAllocation(df: DataFrame, sourceCol: String, textCol: String,
+      budget: Long): DataFrame =
+    mixtureAllocationFromCounts(
+      df.select(col(sourceCol).as("source"),
+          size(TextAnalysis.tokens(col(textCol))).as("n"))
+        .groupBy("source").agg(sum(col("n")).cast("bigint").as("n_tokens")),
+      budget)
+
+  /** The allocation algebra over precomputed `(source, n_tokens)` rows —
+    * composes with other counters (e.g. [[effectiveData]]'s post-dedup
+    * tokens, so the mixture is weighted by what a source actually
+    * contributes, not by its duplicated bulk).
+    */
+  def mixtureAllocationFromCounts(counts0: DataFrame,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val counts = df.select(col(sourceCol).as("source"),
-        size(TextAnalysis.tokens(col(textCol))).as("n"))
-      .groupBy("source").agg(sum(col("n")).cast("bigint").as("n_tokens"))
+    val counts = counts0
       .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("bigint"))
     val tot = counts.agg(sum(col("weight")).cast("bigint").as("w_total"))
     val quotas = counts.crossJoin(broadcast(tot))
