@@ -941,6 +941,42 @@ object CoreQueries {
         .orderBy("yr")
     }),
 
+    // Demand-trend detection: per brand, the least-squares slope of
+    // monthly order volume — in EXACT integer arithmetic (slope_micro =
+    // 1e6·(nΣxy − ΣxΣy) div (nΣx² − (Σx)²) over integer month indexes
+    // and counts; no FP regression to drift cross-engine). Monthly
+    // rollup is map-side combinable; the regression runs on
+    // |brands × months| rows.
+    "q94_brand_trend" -> ((s, dir) => {
+      val monthly = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+            .cast("bigint").as("m"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("m"))
+        .agg(count(lit(1)).as("y"))
+      monthly
+        .withColumn("x", col("m") - min(col("m")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_brand")))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_months") > 1)
+        // portable FLOOR division (q78's trick): Spark div truncates
+        // toward zero, DuckDB // floors — align on floor for negative
+        // slopes by making the numerator exactly divisible first
+        .withColumn("num", expr("1000000 * (n_months * sxy - sx * sy)"))
+        .withColumn("den", expr("n_months * sxx - sx * sx"))
+        .select(col("p_brand"), col("n_months"),
+          expr("(num - (((num % den) + den) % den)) div den")
+            .as("slope_micro"))
+        .orderBy("p_brand")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1778,6 +1814,30 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q94_brand_trend" ->
+        """WITH monthly AS (SELECT p_brand,
+          |    CAST(EXTRACT(year FROM l_shipdate) * 12 +
+          |      EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+          |    CAST(count(*) AS BIGINT) AS y
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY 1, 2),
+          |xs AS (SELECT p_brand, y,
+          |    m - min(m) OVER (PARTITION BY p_brand) AS x
+          |  FROM monthly),
+          |agg AS (SELECT p_brand,
+          |    CAST(count(*) AS BIGINT) AS n_months,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM xs GROUP BY 1),
+          |d AS (SELECT p_brand, n_months,
+          |    1000000 * (n_months * sxy - sx * sy) AS num,
+          |    n_months * sxx - sx * sx AS den
+          |  FROM agg WHERE n_months > 1)
+          |SELECT p_brand, n_months,
+          |  (num - (((num % den) + den) % den)) // den AS slope_micro
+          |FROM d ORDER BY p_brand""".stripMargin,
 
       "q92_revenue_share" ->
         """WITH bn AS (SELECT n_regionkey, n_name,
