@@ -977,6 +977,38 @@ object CoreQueries {
         .orderBy("p_brand")
     }),
 
+    // Fulfillment-latency SLA bands: exact p50/p95/max ship lag (days)
+    // per order priority — q83's integer order-statistic machinery on
+    // the order→lineitem join; one shuffle on the priority bucket.
+    "q95_ship_lag_bands" -> ((s, dir) => {
+      val lag = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("bigint").as("lag_days"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("prio")
+        .orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
+      lag.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("prio")))
+        .groupBy(col("prio"), col("n"))
+        .agg(
+          max(when(col("rn") === expr("(n + 1) div 2"),
+            col("lag_days"))).as("p50_days"),
+          max(when(col("rn") === expr("(n * 19 + 19) div 20"),
+            col("lag_days"))).as("p95_days"),
+          max(col("lag_days")).as("max_days"))
+        .select(col("prio"), col("n").as("n_lines"), col("p50_days"),
+          col("p95_days"), col("max_days"))
+        .orderBy("prio")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1814,6 +1846,22 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q95_ship_lag_bands" ->
+        """WITH lag AS (SELECT o_orderpriority AS prio, l_orderkey,
+          |    l_linenumber,
+          |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY prio
+          |      ORDER BY lag_days, l_orderkey, l_linenumber) AS rn,
+          |    count(*) OVER (PARTITION BY prio) AS n FROM lag)
+          |SELECT prio, CAST(n AS BIGINT) AS n_lines,
+          |  max(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS p50_days,
+          |  max(CASE WHEN rn = (n * 19 + 19) // 20 THEN lag_days END)
+          |    AS p95_days,
+          |  max(lag_days) AS max_days
+          |FROM r GROUP BY prio, n ORDER BY prio""".stripMargin,
 
       "q94_brand_trend" ->
         """WITH monthly AS (SELECT p_brand,

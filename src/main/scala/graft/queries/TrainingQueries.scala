@@ -850,6 +850,25 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Corpus burstiness: per-source variance-to-mean ratio of document
+    // token counts in exact micro units (VMR = (nΣy²−(Σy)²)/(n·Σy),
+    // integer div) — over-dispersion flags templated/bursty sources, the
+    // curation smell test before mixing. One map-side-combinable moment
+    // aggregation.
+    "td84_burstiness" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          size(graft.text.TextAnalysis.tokens(col("text")))
+            .cast("bigint").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("sy div n").as("mean_tokens"),
+          expr("(1000000 * (n * syy - sy * sy)) div (n * sy)")
+            .as("vmr_micro"))
+        .orderBy("source")),
+
     // Dedup-aware mixture: the td80 allocation re-weighted by td81's
     // EFFECTIVE (post-exact-dedup) tokens — a heavily duplicated source
     // no longer buys budget with its duplicated bulk. Composition of two
@@ -2386,6 +2405,19 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td84: same exact-moment arithmetic
+    "td84_burstiness" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n AS n_docs, sy // n AS mean_tokens,
+        |  (1000000 * (n * syy - sy * sy)) // (n * sy) AS vmr_micro
+        |FROM a ORDER BY source""".stripMargin,
 
     // td83: td81's effective-token CTE feeding td80's Hamilton algebra
     "td83_dedup_mixture" ->
