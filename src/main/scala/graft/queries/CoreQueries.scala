@@ -1009,6 +1009,38 @@ object CoreQueries {
         .orderBy("prio")
     }),
 
+    // Repeat-purchase cadence: days between a customer's consecutive
+    // orders (lag window per customer), reduced to the exact median
+    // interval per market segment — purchase-frequency segmentation as
+    // one customer-hash window + one segment-hash order statistic.
+    "q96_repeat_cadence" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("od"), col("o_orderkey"))
+      val gaps = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .withColumn("prev_od", lag(col("od"), 1).over(wc))
+        .filter(col("prev_od").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("od"), col("prev_od")).cast("bigint").as("gap_days"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("gap_days"), col("o_orderkey"))
+      gaps.withColumn("rn", row_number().over(ws))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("c_mktsegment")))
+        .groupBy(col("c_mktsegment"), col("n"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"),
+          col("gap_days"))).as("median_gap_days"))
+        .select(col("c_mktsegment"), col("n").as("n_gaps"),
+          col("median_gap_days"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1846,6 +1878,24 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q96_repeat_cadence" ->
+        """WITH g AS (SELECT o_custkey, o_orderkey,
+          |    CAST(date_diff('day',
+          |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+          |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+          |  FROM orders),
+          |j AS (SELECT c_mktsegment, o_orderkey, gap_days
+          |  FROM g JOIN customer ON o_custkey = c_custkey
+          |  WHERE gap_days IS NOT NULL),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+          |      ORDER BY gap_days, o_orderkey) AS rn,
+          |    count(*) OVER (PARTITION BY c_mktsegment) AS n FROM j)
+          |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_gaps,
+          |  max(CASE WHEN rn = (n + 1) // 2 THEN gap_days END)
+          |    AS median_gap_days
+          |FROM r GROUP BY c_mktsegment, n ORDER BY c_mktsegment""".stripMargin,
 
       "q95_ship_lag_bands" ->
         """WITH lag AS (SELECT o_orderpriority AS prio, l_orderkey,

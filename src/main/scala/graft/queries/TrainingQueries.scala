@@ -850,6 +850,28 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Shared-prefix boilerplate families: documents opening with the
+    // same first-8-token prefix (the templated-intro detector whole-doc
+    // dedup misses and span dedup only catches span-wise); per source,
+    // the fraction of docs in multi-member families, in exact ppm. One
+    // prefix aggregation — no pairing.
+    "td85_prefix_families" -> ((s, dir) => {
+      val pref = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")),
+            1, 8)).as("prefix"))
+      val fams = pref.groupBy("prefix")
+        .agg(count(lit(1)).as("fam_size"))
+      pref.join(fams, Seq("prefix"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fam_size") > 1, 1L).otherwise(0L))
+            .as("n_in_families"))
+        .withColumn("boilerplate_ppm",
+          expr("(1000000 * n_in_families) div n_docs"))
+        .orderBy("source")
+    }),
+
     // Corpus burstiness: per-source variance-to-mean ratio of document
     // token counts in exact micro units (VMR = (nΣy²−(Σy)²)/(n·Σy),
     // integer div) — over-dispersion flags templated/bursty sources, the
@@ -2405,6 +2427,21 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td85: same prefix aggregation
+    "td85_prefix_families" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+        |  FROM documents),
+        |f AS (SELECT prefix, CAST(count(*) AS BIGINT) AS fam_size
+        |  FROM p GROUP BY prefix)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN fam_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_families,
+        |  (1000000 * CAST(sum(CASE WHEN fam_size > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS boilerplate_ppm
+        |FROM p JOIN f USING (prefix)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // td84: same exact-moment arithmetic
     "td84_burstiness" ->
