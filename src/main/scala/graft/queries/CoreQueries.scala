@@ -1041,6 +1041,28 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Supplier concentration per part type: the Herfindahl index in
+    // exact integer micro units — HHI_micro = Σr² div (T²/1e6) over
+    // supplier revenue in WHOLE DOLLARS (cents would overflow the
+    // BIGINT square past ~sf1; at larger SFs scale the unit again —
+    // the index is scale-free). Two map-side-combinable aggregations.
+    "q97_supplier_hhi" -> ((s, dir) => {
+      val bySupp = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice")).cast("bigint").as("dollars"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(col("dollars")).as("r"))
+      bySupp.groupBy("p_type")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r")).as("t"), sum(col("r") * col("r")).as("rr"))
+        .select(col("p_type"), col("n_suppliers"),
+          expr("rr div ((t * t) div 1000000)").as("hhi_micro"))
+        .orderBy("p_type")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1878,6 +1900,19 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q97_supplier_hhi" ->
+        """WITH bs AS (SELECT p_type, l_suppkey,
+          |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+          |      AS r
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY 1, 2),
+          |a AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |    CAST(sum(r) AS BIGINT) AS t, CAST(sum(r * r) AS BIGINT) AS rr
+          |  FROM bs GROUP BY 1)
+          |SELECT p_type, n_suppliers,
+          |  rr // ((t * t) // 1000000) AS hhi_micro
+          |FROM a ORDER BY p_type""".stripMargin,
 
       "q96_repeat_cadence" ->
         """WITH g AS (SELECT o_custkey, o_orderkey,

@@ -850,6 +850,32 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Document-frequency spectrum: vocabulary bucketed by how many docs
+    // each token appears in (hapax / rare / mid / stopword-like) with
+    // occurrence mass per bucket — the idf health check run before
+    // tuning retrieval or OOV thresholds. Two hash aggregations.
+    "td86_df_spectrum" -> ((s, dir) => {
+      val df_ = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.text.TextAnalysis.tokens(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val occ = Tables.documents(s, dir)
+        .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("occ"))
+      df_.join(occ, Seq("tok"))
+        .withColumn("df_bucket",
+          when(col("df") === 1, "1_hapax")
+            .when(col("df") <= 10, "2_rare")
+            .when(col("df") <= 100, "3_mid")
+            .otherwise("4_common"))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("occ")).as("occurrences"))
+        .orderBy("df_bucket")
+    }),
+
     // Shared-prefix boilerplate families: documents opening with the
     // same first-8-token prefix (the templated-intro detector whole-doc
     // dedup misses and span dedup only catches span-wise); per source,
@@ -2427,6 +2453,23 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td86: same two aggregations
+    "td86_df_spectrum" ->
+      """WITH df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+        |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS occ FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY tok)
+        |SELECT CASE WHEN df = 1 THEN '1_hapax'
+        |    WHEN df <= 10 THEN '2_rare'
+        |    WHEN df <= 100 THEN '3_mid'
+        |    ELSE '4_common' END AS df_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(occ) AS BIGINT) AS occurrences
+        |FROM df JOIN occ USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // td85: same prefix aggregation
     "td85_prefix_families" ->
