@@ -1063,6 +1063,38 @@ object CoreQueries {
         .orderBy("p_type")
     }),
 
+    // RFM segmentation: recency / frequency / monetary terciles by
+    // EXACT rank arithmetic (rank ≤ n/3 → bucket 1, ≤ 2n/3 → 2, else 3;
+    // ties broken by custkey so both engines cut identically), customers
+    // counted per (r, f, m) cell — the classic CRM cube from three
+    // windows over one customer aggregate.
+    "q98_rfm_segments" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_od"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      def tercile(rankCol: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        when(rankCol <= expr("n div 3"), 1)
+          .when(rankCol <= expr("(2 * n) div 3"), 2)
+          .otherwise(3)
+      val W = org.apache.spark.sql.expressions.Window
+      val n = base.withColumn("n", count(lit(1)).over(W.partitionBy()))
+        .withColumn("r_rank", row_number().over(
+          W.orderBy(col("last_od").desc, col("o_custkey"))))
+        .withColumn("f_rank", row_number().over(
+          W.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_rank", row_number().over(
+          W.orderBy(col("cents").desc, col("o_custkey"))))
+      n.select(tercile(col("r_rank")).as("r"),
+          tercile(col("f_rank")).as("f"),
+          tercile(col("m_rank")).as("m"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1900,6 +1932,30 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q98_rfm_segments" ->
+        """WITH base AS (SELECT o_custkey,
+          |    max(CAST(o_orderdate AS DATE)) AS last_od,
+          |    CAST(count(*) AS BIGINT) AS freq,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM orders GROUP BY 1),
+          |rk AS (SELECT *,
+          |    CAST(count(*) OVER () AS BIGINT) AS n,
+          |    row_number() OVER (ORDER BY last_od DESC, o_custkey) AS r_rank,
+          |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rank,
+          |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS m_rank
+          |  FROM base),
+          |seg AS (SELECT
+          |    CASE WHEN r_rank <= n // 3 THEN 1
+          |      WHEN r_rank <= (2 * n) // 3 THEN 2 ELSE 3 END AS r,
+          |    CASE WHEN f_rank <= n // 3 THEN 1
+          |      WHEN f_rank <= (2 * n) // 3 THEN 2 ELSE 3 END AS f,
+          |    CASE WHEN m_rank <= n // 3 THEN 1
+          |      WHEN m_rank <= (2 * n) // 3 THEN 2 ELSE 3 END AS m
+          |  FROM rk)
+          |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+          |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "q97_supplier_hhi" ->
         """WITH bs AS (SELECT p_type, l_suppkey,

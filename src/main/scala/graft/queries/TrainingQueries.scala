@@ -850,6 +850,25 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Cross-source duplication matrix: which sources share the same
+    // document OPENING (200-char prefix fingerprint — syndicated content
+    // keeps its lead even when tails diverge) — the provenance
+    // diagnostic that tells you who syndicates whom before choosing a
+    // canonical source. Pair space is bounded per fingerprint family,
+    // never corpus².
+    "td87_source_copy_matrix" -> ((s, dir) => {
+      val fps = Tables.documents(s, dir)
+        .select(graft.functions.Hashing.fingerprint(
+            substring(col("text"), 1, 200)).as("fp"),
+          col("source")).distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_docs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Document-frequency spectrum: vocabulary bucketed by how many docs
     // each token appears in (hapax / rare / mid / stopword-like) with
     // occurrence mass per bucket — the idf health check run before
@@ -2453,6 +2472,16 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td87: same fingerprint-family pairing
+    "td87_source_copy_matrix" ->
+      """WITH fps AS (SELECT DISTINCT md5(substr(text, 1, 200)) AS fp,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_docs
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // td86: same two aggregations
     "td86_df_spectrum" ->
