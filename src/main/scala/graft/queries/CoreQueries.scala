@@ -1095,6 +1095,25 @@ object CoreQueries {
         .orderBy("r", "f", "m")
     }),
 
+    // Supplier reliability: late-line rate (ship > 90 days after order)
+    // in exact ppm per supplier with at least 50 lines — the OTIF
+    // scorecard; one fact join + one supplier aggregate.
+    "q99_supplier_late_rate" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          when(col("l_shipdate") >
+            date_add(to_date(col("o_orderdate")), 90).cast("timestamp"),
+            1L).otherwise(0L).as("late"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"), sum(col("late")).as("n_late"))
+        .filter(col("n_lines") >= 50)
+        .withColumn("late_ppm", expr("(1000000 * n_late) div n_lines"))
+        .orderBy("l_suppkey")),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1932,6 +1951,19 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q99_supplier_late_rate" ->
+        """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CASE WHEN l_shipdate >
+          |    CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          |  (1000000 * CAST(sum(CASE WHEN l_shipdate >
+          |    CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+          |    AS late_ppm
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 HAVING count(*) >= 50
+          |ORDER BY 1""".stripMargin,
 
       "q98_rfm_segments" ->
         """WITH base AS (SELECT o_custkey,

@@ -850,6 +850,23 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Embedding norm health per label: squared-norm stats in integer
+    // micro units (both engines sum the 64 squares in ascending index
+    // order, so the doubles — and their micro roundings — are
+    // bit-identical). Collapsed or exploded norms flag a broken encoder
+    // batch before anything trains on it.
+    "td88_norm_health" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          round(graft.similarity.Ann.dot(col("embedding"), col("embedding"))
+            * 1e6).cast("bigint").as("norm2_micro"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("norm2_micro")).as("min_norm2_micro"),
+          max(col("norm2_micro")).as("max_norm2_micro"),
+          expr("sum(norm2_micro) div count(1)").as("mean_norm2_micro"))
+        .orderBy("label")),
+
     // Cross-source duplication matrix: which sources share the same
     // document OPENING (200-char prefix fingerprint — syndicated content
     // keeps its lead even when tails diverge) — the provenance
@@ -2472,6 +2489,21 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td88: the same ascending-order dot in SQL
+    "td88_norm_health" ->
+      s"""WITH n AS (SELECT label,
+         |    CAST(round(1000000 * list_aggregate(list_transform(
+         |      range(1, 65), i -> CAST(embedding[i] AS DOUBLE) *
+         |        CAST(embedding[i] AS DOUBLE)), 'sum')) AS BIGINT)
+         |      AS norm2_micro
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  min(norm2_micro) AS min_norm2_micro,
+         |  max(norm2_micro) AS max_norm2_micro,
+         |  CAST(sum(norm2_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS mean_norm2_micro
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     // td87: same fingerprint-family pairing
     "td87_source_copy_matrix" ->
