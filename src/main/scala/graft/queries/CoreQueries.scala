@@ -1042,7 +1042,7 @@ object CoreQueries {
     }),
 
     // Supplier concentration per part type: the Herfindahl index in
-    // exact integer micro units — HHI_micro = Σr² div (T²/1e6) over
+    // integer micro units — per-supplier ppm shares squared and summed (Σ share_ppm² div 1e6; T² would overflow BIGINT on big fixtures) over
     // supplier revenue in WHOLE DOLLARS (cents would overflow the
     // BIGINT square past ~sf1; at larger SFs scale the unit again —
     // the index is scale-free). Two map-side-combinable aggregations.
@@ -1055,11 +1055,15 @@ object CoreQueries {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"), col("l_suppkey"))
         .agg(sum(col("dollars")).as("r"))
-      bySupp.groupBy("p_type")
+      // per-supplier ppm shares first: t² overflows BIGINT on big
+      // fixtures, Σ share_ppm² never can (≤ 1e12·|suppliers|)
+      bySupp
+        .withColumn("t", sum(col("r")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_type")))
+        .withColumn("share_ppm", expr("(1000000 * r) div t"))
+        .groupBy("p_type")
         .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("r")).as("t"), sum(col("r") * col("r")).as("rr"))
-        .select(col("p_type"), col("n_suppliers"),
-          expr("rr div ((t * t) div 1000000)").as("hhi_micro"))
+          expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_micro"))
         .orderBy("p_type")
     }),
 
@@ -1995,12 +1999,14 @@ object CoreQueries {
           |      AS r
           |  FROM lineitem JOIN part ON l_partkey = p_partkey
           |  GROUP BY 1, 2),
-          |a AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
-          |    CAST(sum(r) AS BIGINT) AS t, CAST(sum(r * r) AS BIGINT) AS rr
-          |  FROM bs GROUP BY 1)
-          |SELECT p_type, n_suppliers,
-          |  rr // ((t * t) // 1000000) AS hhi_micro
-          |FROM a ORDER BY p_type""".stripMargin,
+          |sh AS (SELECT p_type,
+          |    (1000000 * r) // SUM(r) OVER (PARTITION BY p_type)
+          |      AS share_ppm
+          |  FROM bs)
+          |SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT)
+          |    AS hhi_micro
+          |FROM sh GROUP BY 1 ORDER BY p_type""".stripMargin,
 
       "q96_repeat_cadence" ->
         """WITH g AS (SELECT o_custkey, o_orderkey,
