@@ -1118,6 +1118,31 @@ object CoreQueries {
         .withColumn("late_ppm", expr("(1000000 * n_late) div n_lines"))
         .orderBy("l_suppkey")),
 
+    // The executive one-liner: global KPIs in a single fact pass +
+    // one broadcast count — orders, revenue, active customers, average
+    // order value, late-line rate, all exact-integer.
+    "q100_kpis" -> ((s, dir) => {
+      val lines = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+          col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+      lines.agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate") >
+            date_add(to_date(col("o_orderdate")), 90).cast("timestamp"),
+            1L).otherwise(0L)).as("n_late"))
+        .select(col("n_orders"), col("n_customers"), col("revenue_cents"),
+          col("n_lines"),
+          expr("revenue_cents div n_orders").as("avg_order_cents"),
+          expr("(1000000 * n_late) div n_lines").as("late_ppm"))
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -1955,6 +1980,25 @@ object CoreQueries {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q100_kpis" ->
+        """WITH j AS (SELECT o_orderkey, o_custkey,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          |    CASE WHEN l_shipdate >
+          |      CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+          |      THEN 1 ELSE 0 END AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |a AS (SELECT
+          |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+          |    CAST(sum(cents) AS BIGINT) AS revenue_cents,
+          |    CAST(count(*) AS BIGINT) AS n_lines,
+          |    CAST(sum(late) AS BIGINT) AS n_late
+          |  FROM j)
+          |SELECT n_orders, n_customers, revenue_cents, n_lines,
+          |  revenue_cents // n_orders AS avg_order_cents,
+          |  (1000000 * n_late) // n_lines AS late_ppm
+          |FROM a""".stripMargin,
 
       "q99_supplier_late_rate" ->
         """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

@@ -850,6 +850,20 @@ object TrainingQueries {
       Ann.clusterPurity(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("centroid_id")),
 
+    // Lexical diversity: type-token ratio per source in exact ppm
+    // (distinct tokens vs occurrences) — low TTR = repetitive/templated,
+    // suspiciously high = noise/codes. Two combinable aggregations.
+    "td89_type_token_ratio" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      toks.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+        .withColumn("ttr_ppm", expr("(1000000 * n_types) div n_tokens"))
+        .orderBy("source")
+    }),
+
     // Embedding norm health per label: squared-norm stats in integer
     // micro units (both engines sum the 64 squares in ascending index
     // order, so the doubles — and their micro roundings — are
@@ -2489,6 +2503,16 @@ object TrainingQueries {
          |    AS gini_micro
          |FROM cell c JOIN maj m USING (centroid_id)
          |ORDER BY c.centroid_id""".stripMargin,
+
+    // td89: same two aggregations
+    "td89_type_token_ratio" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+        |  (1000000 * CAST(count(DISTINCT tok) AS BIGINT)) //
+        |    CAST(count(*) AS BIGINT) AS ttr_ppm
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // td88: the same ascending-order dot in SQL
     "td88_norm_health" ->
