@@ -163,6 +163,42 @@ class NatsClientSpec extends SparkSpec {
     assert(out2.forall(r => !r.ok && r.err == "no_connection"))
   }
 
+  test("STREAMING: a CDC micro-batch stream HPUBs over the live socket per batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.ChangeEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ev(lsn: Long, idx: Long, group: String): ChangeEvent =
+      ChangeEvent(lsn, idx, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "update", "public", "t0", 16384L, s"pk$lsn-$idx", lsn, group.toLong,
+        1.0, "{}", Some(0.5), s"$group:$lsn:$idx", group, 100L)
+    val srv = new ScriptedNats()
+    val results = new ConcurrentLinkedQueue[NatsClient.NatsResult]()
+    try {
+      val input = MemoryStream[ChangeEvent]
+      val query = input.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          NatsClient.deliver(
+            NatsClient.requests(SinkAdapters.natsWire(batch)),
+            "127.0.0.1", srv.port).collect().foreach(results.add)
+        }
+        .start()
+      try {
+        input.addData(ev(8, 0, "1"), ev(8, 1, "2"))
+        query.processAllAvailable()
+        input.addData(ev(16, 0, "3"))
+        query.processAllAvailable()
+      } finally query.stop()
+      val rs = results.asScala.toSeq
+      assert(rs.size == 3 && rs.forall(_.ok))
+      val subjects = srv.frames.asScala.toVector.map(_.split(" ")(1))
+      assert(subjects.size == 3 &&
+        subjects.forall(_ == "sequin.postgres.public.t0.update"))
+    } finally srv.stop()
+  }
+
   test("test_connection parity: SUB + UNSUB + PUB, echo confirms the session") {
     val srv = new ScriptedNats()
     try {
