@@ -108,4 +108,51 @@ class SinkDispatchSpec extends SparkSpec {
         graft.streaming.SinkSpec("carrier_pigeon"), SinkDispatch.Env()))
     } finally { http.stop(0); redis.close() }
   }
+
+  test("a dead transport's nacks drive AckDelivery to redeliver — the failure loop closes") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.ChangeEvent
+    import graft.streaming.AckDelivery
+    import graft.streaming.AckDelivery.DeliveryCommand
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    // a port with nothing listening: every delivery nacks
+    val tmp = new ServerSocket(0)
+    val dead = tmp.getLocalPort
+    tmp.close()
+    def ev(lsn: Long): ChangeEvent =
+      ChangeEvent(lsn, 0L, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "update", "public", "t0", 16384L, s"pk$lsn", lsn, 1L, 1.0, "{}",
+        Some(0.5), s"1:$lsn:0", "1", 100L)
+    val cfg = PipelineSpec.parse(
+      """{"name":"loop","destination":{"type":"redis_stream","stream_key":"k"}}""")
+    val events = Seq(ev(8))
+    val pipeline = CdcPipeline.build(spark.createDataset(events).toDF(), cfg)
+    val outcomes = SinkDispatch.deliver(pipeline, cfg.sink.get,
+      SinkDispatch.Env(host = "127.0.0.1", port = dead)).collect()
+    assert(outcomes.nonEmpty && outcomes.forall(!_.ok))
+    // the event enters the ledger; the transport's nack arrives with the
+    // EVENT's identity (ack by idempotency key); a visibility-expired
+    // tick then redelivers — at-least-once, not silent loss
+    val in = MemoryStream[DeliveryCommand]
+    val q = AckDelivery.run(in.toDS(), ackWaitMs = 1L, maxRetry = 3)
+      .writeStream.format("memory").queryName("dispatch_loop")
+      .outputMode("append").start()
+    try {
+      in.addData(DeliveryCommand.event(events.head))
+      q.processAllAvailable()
+      val first = spark.table("dispatch_loop").collect()
+      assert(first.length == 1 && first.head.getString(0) == "deliver")
+      val ackId = first.head.getString(1)
+      in.addData(DeliveryCommand.nack("1", ackId))
+      Thread.sleep(5)
+      in.addData(DeliveryCommand.tick("1"))
+      q.processAllAvailable()
+      val kinds = spark.table("dispatch_loop").collect().map(_.getString(0))
+      assert(kinds.count(_ == "redeliver") >= 1,
+        s"expected a redelivery after the nack, got ${kinds.mkString(",")}")
+    } finally q.stop()
+  }
 }
