@@ -1070,28 +1070,37 @@ object CoreQueries {
     // RFM segmentation: recency / frequency / monetary terciles by
     // EXACT rank arithmetic (rank ≤ n/3 → bucket 1, ≤ 2n/3 → 2, else 3;
     // ties broken by custkey so both engines cut identically), customers
-    // counted per (r, f, m) cell — the classic CRM cube from three
-    // windows over one customer aggregate.
+    // counted per (r, f, m) cell — the classic CRM cube. Each of the
+    // three ranks is Ordering.globalRank (range-partitioned distributed
+    // sort + zipWithIndex, ≡ row_number — proven in q70): customers
+    // scale with the data, so a bare Window.orderBy here would
+    // single-task every customer at 100 TB. The customer aggregate is
+    // localCheckpoint'd once and feeds all three rank passes.
     "q98_rfm_segments" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_od"),
           count(lit(1)).as("freq"),
           sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        .localCheckpoint()
       def tercile(rankCol: org.apache.spark.sql.Column)
           : org.apache.spark.sql.Column =
         when(rankCol <= expr("n div 3"), 1)
           .when(rankCol <= expr("(2 * n) div 3"), 2)
           .otherwise(3)
-      val W = org.apache.spark.sql.expressions.Window
-      val n = base.withColumn("n", count(lit(1)).over(W.partitionBy()))
-        .withColumn("r_rank", row_number().over(
-          W.orderBy(col("last_od").desc, col("o_custkey"))))
-        .withColumn("f_rank", row_number().over(
-          W.orderBy(col("freq").desc, col("o_custkey"))))
-        .withColumn("m_rank", row_number().over(
-          W.orderBy(col("cents").desc, col("o_custkey"))))
-      n.select(tercile(col("r_rank")).as("r"),
+      val n1 = base.agg(count(lit(1)).cast("bigint").as("n"))
+      val rr = Ordering.globalRank(base.select(col("o_custkey"), col("last_od")),
+        Seq(col("last_od").desc, col("o_custkey").asc), "r_rank")
+        .select("o_custkey", "r_rank")
+      val fr = Ordering.globalRank(base.select(col("o_custkey"), col("freq")),
+        Seq(col("freq").desc, col("o_custkey").asc), "f_rank")
+        .select("o_custkey", "f_rank")
+      val mr = Ordering.globalRank(base.select(col("o_custkey"), col("cents")),
+        Seq(col("cents").desc, col("o_custkey").asc), "m_rank")
+        .select("o_custkey", "m_rank")
+      rr.join(fr, "o_custkey").join(mr, "o_custkey")
+        .crossJoin(broadcast(n1))
+        .select(tercile(col("r_rank")).as("r"),
           tercile(col("f_rank")).as("f"),
           tercile(col("m_rank")).as("m"))
         .groupBy("r", "f", "m")

@@ -449,9 +449,9 @@ object TrainingPrep {
     * Scale shape: two map-side-combinable token aggregates build the
     * dim-row ratio table, which BROADCASTS back onto the exploded token
     * stream (corpus text never shuffles; the per-doc aggregate shuffles
-    * (id, bucket-sum) partials only); the final ranking is a window over
-    * narrow (id, weight) rows — swap for TakeOrdered/approx-threshold at
-    * 100 TB if the doc-id space outgrows one sort.
+    * (id, bucket-sum) partials only); the final top-k is a distributed
+    * TakeOrderedAndProject (per-partition heads merged on the driver,
+    * k rows), never a global sort.
     */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, dim: Int, keep: Int): DataFrame = {
@@ -480,9 +480,15 @@ object TrainingPrep {
       .groupBy(idCol)
       .agg(sum("ratio_micro").cast("bigint").as("weight_micro"),
         count(lit(1)).cast("int").as("n_toks"))
-    val w = Window.orderBy(col("weight_micro").desc, col(idCol))
-    weights.withColumn("rk", row_number().over(w).cast("int"))
-      .filter(col("rk") <= keep)
+    // Top-k via distributed TakeOrderedAndProject (per-partition top-k
+    // merged on the driver), THEN a window over only the k survivors —
+    // never a global row_number over the whole corpus (the bm25TopK /
+    // weightedSample shape; a bare Window.orderBy collapses all docs
+    // onto one task).
+    weights.orderBy(col("weight_micro").desc, col(idCol).asc)
+      .limit(keep)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("weight_micro").desc, col(idCol).asc)).cast("int"))
   }
 
   /** Cross-source contamination matrix: for every pair of corpus sources,
@@ -557,8 +563,8 @@ object TrainingPrep {
     * (a seeded per-bucket hash in [-1000, 1000]) so the op is
     * oracle-checkable; production swaps in trained weights — the PLUMBING
     * (sparse features, per-bucket weights as pure arithmetic, map-side-
-    * combinable dot product, one narrow ranking pass) is what carries to
-    * 100 TB, not the toy weights.
+    * combinable dot product, one range-partitioned distributed ranking
+    * pass) is what carries to 100 TB, not the toy weights.
     *
     * Exactness: features are integer micro-units (td43), weights are
     * integer, the dot product is an integer sum — no FP anywhere. The
@@ -569,8 +575,8 @@ object TrainingPrep {
     * table, no join, nothing to broadcast; the dot product is one hash
     * aggregate over the sparse feature rows (map-side partials); only
     * narrow `(id, score)` rows reach the final ranking window. At 100 TB
-    * replace the global row_number with a quantile-threshold filter
-    * (td31's shape) — the score computation is unchanged.
+    * the rank is [[graft.ops.Ordering.globalRank]] — a range-partitioned
+    * distributed sort + zipWithIndex, never a single-partition window.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
@@ -586,9 +592,13 @@ object TrainingPrep {
           .as("score_units"),
         count(lit(1)).cast("int").as("n_feats"))
     val nDocs = scores.agg(count(lit(1)).cast("bigint").as("n_docs"))
-    val rk = Window.orderBy(col("score_units").desc, col(idCol))
-    scores.crossJoin(broadcast(nDocs))
-      .withColumn("rk", row_number().over(rk).cast("int"))
+    // Output is per-doc, so no limit() can bound it — rank with the
+    // range-partitioned distributed sort (Ordering.globalRank, proven
+    // ≡ row_number in q70) instead of a single-partition window.
+    val ranked = graft.ops.Ordering.globalRank(scores,
+      Seq(col("score_units").desc, col(idCol).asc), "rk_l")
+    ranked.crossJoin(broadcast(nDocs))
+      .withColumn("rk", col("rk_l").cast("int"))
       .withColumn("decile",
         expr("((CAST(rk AS BIGINT) - 1) * 10) div n_docs").cast("int"))
       .select(col(idCol), col("n_feats"), col("score_units"), col("rk"),

@@ -411,4 +411,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("REGISTRY-WIDE: no unpartitioned WindowExec over unbounded input " +
+      "in any registered query") {
+    // The td50/td52 class of defect: row_number() OVER (ORDER BY ...)
+    // with no PARTITION BY collapses the whole input onto one task —
+    // correct at sf0.1, a single-task sort at 100 TB. An empty partition
+    // spec is only acceptable when the window's input is already bounded
+    // to a constant row count by a limit (TakeOrderedAndProject /
+    // GlobalLimit / CollectLimit below it in the same plan) — the
+    // bm25TopK "rank k survivors" shape. Everything else must either
+    // PARTITION BY or use Ordering.globalRank.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec,
+      GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    // Documented exceptions: the empty-partition window runs over an
+    // AGGREGATE of a bounded DIMENSION, so its input cardinality does
+    // not grow with corpus bytes — each justified at its definition.
+    val dimensionBounded = Set(
+      "q18_running_counts", // |hours| — running sum over the time dimension
+      "q93_yoy_revenue",    // |years| — lag over yearly rollup
+      "td69_vocab_growth",  // block TOTALS (n_docs/1024 narrow rows) —
+                            // the two-level prefix sum's top level
+      "td80_mixture_alloc", // |sources| — largest-remainder ranking
+      "td83_dedup_mixture") // |sources| — same algebra over dedup'd counts
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !dimensionBounded.contains(name)) {
+      spark.catalog.clearCache()
+      val df = fn(spark, sf())
+      df.queryExecution.sparkPlan.foreach {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += name
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: " +
+        offenders.distinct.sorted.mkString(", "))
+  }
 }
