@@ -242,11 +242,11 @@ object AmqpClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[AmqpRequest] = {
     import spark.implicits._
-    wire.select(col("exchange"), col("routing_key"), col("message_id"),
-        col("payload"))
-      .as[(String, String, String, String)]
-      .map { case (ex, rk, mid, payload) =>
-        AmqpRequest(mid, rk, ex, rk, mid, payload)
+    wire.select(col("ack_id"), col("ledger_group_id"), col("exchange"),
+        col("routing_key"), col("message_id"), col("payload"))
+      .as[(String, String, String, String, String, String)]
+      .map { case (ackId, groupId, ex, rk, mid, payload) =>
+        AmqpRequest(ackId, groupId, ex, rk, mid, payload)
       }
   }
 

@@ -33,12 +33,14 @@ import java.time.Duration
 object EsBulkClient {
 
   final case class EsRequest(
-      ack_id: String,   // = es_doc_id
+      ack_id: String,   // = idempotency key (ledger identity)
+      group_id: String,
       op: String,       // index | delete
       bulk_lines: String)
 
   final case class EsResult(
       ack_id: String,
+      group_id: String,
       op: String,
       ok: Boolean,
       status: Int,
@@ -50,11 +52,11 @@ object EsBulkClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[EsRequest] = {
     import spark.implicits._
-    wire.select(col("es_doc_id"), col("bulk_lines"))
-      .as[(String, String)]
-      .map { case (id, lines) =>
+    wire.select(col("ack_id"), col("ledger_group_id"), col("bulk_lines"))
+      .as[(String, String, String)]
+      .map { case (ackId, groupId, lines) =>
         val op = if (lines.startsWith("""{"delete"""")) "delete" else "index"
-        EsRequest(id, op, lines)
+        EsRequest(ackId, groupId, op, lines)
       }
   }
 
@@ -71,7 +73,7 @@ object EsBulkClient {
       batch: Seq[EsRequest], timeoutMs: Long): Seq[EsResult] = {
     val ndjson = batch.map(_.bulk_lines).mkString("", "\n", "\n")
     val fail = (status: Int, msg: String) =>
-      batch.map(r => EsResult(r.ack_id, r.op, ok = false, status, msg))
+      batch.map(r => EsResult(r.ack_id, r.group_id, r.op, ok = false, status, msg))
     try {
       val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_bulk"))
         .timeout(Duration.ofMillis(timeoutMs))
@@ -99,7 +101,7 @@ object EsBulkClient {
             else Option(opNode.get("error"))
               .flatMap(e => Option(e.get("reason")).map(_.asText()))
               .getOrElse(s"status $status")
-          EsResult(r.ack_id, r.op, ok, status, err)
+          EsResult(r.ack_id, r.group_id, r.op, ok, status, err)
         }
       }
     } catch { case e: Exception =>
@@ -121,8 +123,8 @@ object EsBulkClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.ack_id, r.ack_id)
-      else DeliveryCommand.nack(r.ack_id, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

@@ -30,12 +30,14 @@ object EventHubClient {
 
   final case class EhRequest(
       ack_id: String,
+      group_id: String,
       hub: String,
       partition_key: String,
       body: String)
 
   final case class EhResult(
       ack_id: String,
+      group_id: String,
       hub: String,
       ok: Boolean,
       err: String)
@@ -44,10 +46,11 @@ object EventHubClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[EhRequest] = {
     import spark.implicits._
-    wire.select(col("event_hub_name"), col("partition_key"), col("body"))
-      .as[(String, String, String)]
-      .map { case (hub, pk, body) =>
-        EhRequest(s"$pk:${body.hashCode}", hub, pk, body)
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("event_hub_name"), col("partition_key"), col("body"))
+      .as[(String, String, String, String, String)]
+      .map { case (ackId, groupId, hub, pk, body) =>
+        EhRequest(ackId, groupId, hub, pk, body)
       }
   }
 
@@ -75,7 +78,7 @@ object EventHubClient {
   private def postBatch(endpoint: String, creds: SasCredentials,
       batch: Seq[EhRequest], timeoutMs: Long): Seq[EhResult] = {
     val fail = (msg: String) =>
-      batch.map(r => EhResult(r.ack_id, r.hub, ok = false, msg))
+      batch.map(r => EhResult(r.ack_id, r.group_id, r.hub, ok = false, msg))
     try {
       val url = s"$endpoint/${batch.head.hub}/messages"
       val expiry = System.currentTimeMillis() / 1000 + 3600
@@ -91,7 +94,7 @@ object EventHubClient {
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 201)
-        batch.map(r => EhResult(r.ack_id, r.hub, ok = true, ""))
+        batch.map(r => EhResult(r.ack_id, r.group_id, r.hub, ok = true, ""))
       else fail(s"publish failed: ${resp.statusCode()}")
     } catch { case e: Exception =>
       fail(s"transport error: ${e.getClass.getSimpleName}")
@@ -122,8 +125,8 @@ object EventHubClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.hub, r.ack_id)
-      else DeliveryCommand.nack(r.hub, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }
@@ -138,12 +141,14 @@ object S2Client {
 
   final case class S2Request(
       ack_id: String,
+      group_id: String,
       basin: String,
       stream: String,
       body: String)
 
   final case class S2Result(
       ack_id: String,
+      group_id: String,
       stream: String,
       ok: Boolean,
       err: String)
@@ -151,10 +156,11 @@ object S2Client {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[S2Request] = {
     import spark.implicits._
-    wire.select(col("basin"), col("stream"), col("body"))
-      .as[(String, String, String)]
-      .map { case (basin, stream, body) =>
-        S2Request(s"$stream:${body.hashCode}", basin, stream, body)
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("basin"), col("stream"), col("body"))
+      .as[(String, String, String, String, String)]
+      .map { case (ackId, groupId, basin, stream, body) =>
+        S2Request(ackId, groupId, basin, stream, body)
       }
   }
 
@@ -170,7 +176,7 @@ object S2Client {
     reqs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val fail = (msg: String) =>
-          batch.map(r => S2Result(r.ack_id, r.stream, ok = false, msg))
+          batch.map(r => S2Result(r.ack_id, r.group_id, r.stream, ok = false, msg))
         try {
           val records = batch.map(r =>
             s"""{"body":${mapper.writeValueAsString(r.body)}}""")
@@ -185,7 +191,7 @@ object S2Client {
             .build()
           val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
           if (resp.statusCode() / 100 == 2)
-            batch.map(r => S2Result(r.ack_id, r.stream, ok = true, ""))
+            batch.map(r => S2Result(r.ack_id, r.group_id, r.stream, ok = true, ""))
           else fail(s"append failed: ${resp.statusCode()}")
         } catch { case e: Exception =>
           fail(s"transport error: ${e.getClass.getSimpleName}")
@@ -198,8 +204,8 @@ object S2Client {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.stream, r.ack_id)
-      else DeliveryCommand.nack(r.stream, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

@@ -175,28 +175,32 @@ object KafkaProduceClient {
 
   final case class KafkaRequest(
       ack_id: String,
+      group_id: String,
       topic: String,
       key: Option[String],
       value: String)
 
   final case class KafkaResult(
       ack_id: String,
+      group_id: String,
       topic: String,
       ok: Boolean,
       base_offset: Long,
       err: String)
 
-  /** [[SinkAdapters.kafkaWire]] rows → produce requests; the message key
-    * doubles as the ack identity prefix (ordering unit).
+  /** [[SinkAdapters.kafkaWire]] rows → produce requests. `ack_id` /
+    * `group_id` are the wire's LEDGER identity (the event's idempotency
+    * key + AckDelivery group), so the broker's per-batch outcome acks
+    * the exact in-flight entries it covered.
     */
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[KafkaRequest] = {
     import spark.implicits._
-    wire.select(col("topic"), col("key"), col("value"))
-      .as[(String, Option[String], String)]
-      .map { case (topic, key, value) =>
-        KafkaRequest(s"$topic:${key.getOrElse("")}:${value.hashCode}",
-          topic, key, value)
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("topic"), col("key"), col("value"))
+      .as[(String, String, String, Option[String], String)]
+      .map { case (ackId, groupId, topic, key, value) =>
+        KafkaRequest(ackId, groupId, topic, key, value)
       }
   }
 
@@ -234,7 +238,7 @@ object KafkaProduceClient {
         runs.foreach { chunk =>
           broken match {
             case Some(e) =>
-              chunk.foreach(r => results += KafkaResult(r.ack_id, r.topic,
+              chunk.foreach(r => results += KafkaResult(r.ack_id, r.group_id, r.topic,
                 ok = false, -1L, e))
             case None =>
               try {
@@ -243,21 +247,21 @@ object KafkaProduceClient {
                     r.value.getBytes(UTF_8))))
                 if (err == 0)
                   chunk.zipWithIndex.foreach { case (r, i) =>
-                    results += KafkaResult(r.ack_id, r.topic, ok = true,
-                      base + i, "")
+                    results += KafkaResult(r.ack_id, r.group_id, r.topic,
+                      ok = true, base + i, "")
                   }
                 else
                   chunk.foreach(r => results += KafkaResult(r.ack_id,
-                    r.topic, ok = false, -1L, errorName(err)))
+                    r.group_id, r.topic, ok = false, -1L, errorName(err)))
               } catch {
                 case _: java.net.SocketTimeoutException =>
                   broken = Some("timeout")
                   chunk.foreach(r => results += KafkaResult(r.ack_id,
-                    r.topic, ok = false, -1L, "timeout"))
+                    r.group_id, r.topic, ok = false, -1L, "timeout"))
                 case _: Exception =>
                   broken = Some("no_connection")
                   chunk.foreach(r => results += KafkaResult(r.ack_id,
-                    r.topic, ok = false, -1L, "no_connection"))
+                    r.group_id, r.topic, ok = false, -1L, "no_connection"))
               }
           }
         }
@@ -271,8 +275,8 @@ object KafkaProduceClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.topic, r.ack_id)
-      else DeliveryCommand.nack(r.topic, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

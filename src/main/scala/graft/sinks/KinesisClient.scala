@@ -23,12 +23,14 @@ object KinesisClient {
 
   final case class KinesisRequest(
       ack_id: String,
+      group_id: String,
       partition_key: String,
       stream_arn: String,
       data_b64: String)
 
   final case class KinesisResult(
       ack_id: String,
+      group_id: String,
       partition_key: String,
       ok: Boolean,
       sequence_number: String,
@@ -37,10 +39,11 @@ object KinesisClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[KinesisRequest] = {
     import spark.implicits._
-    wire.select(col("stream_arn"), col("partition_key"), col("data"))
-      .as[(String, String, String)]
-      .map { case (arn, pk, data) =>
-        KinesisRequest(s"$pk:${data.hashCode}", pk, arn, data)
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("stream_arn"), col("partition_key"), col("data"))
+      .as[(String, String, String, String, String)]
+      .map { case (ackId, groupId, arn, pk, data) =>
+        KinesisRequest(ackId, groupId, pk, arn, data)
       }
   }
 
@@ -53,7 +56,7 @@ object KinesisClient {
   private def putBatch(endpoint: String, creds: SqsClient.Credentials,
       batch: Seq[KinesisRequest], timeoutMs: Long): Seq[KinesisResult] = {
     val fail = (msg: String) => batch.map(r =>
-      KinesisResult(r.ack_id, r.partition_key, ok = false, "", msg))
+      KinesisResult(r.ack_id, r.group_id, r.partition_key, ok = false, "", msg))
     try {
       val records = batch.map { r =>
         s"""{"Data":${jstr(r.data_b64)},"PartitionKey":${jstr(r.partition_key)}}"""
@@ -94,9 +97,9 @@ object KinesisClient {
           val seq = Option(item.get("SequenceNumber")).map(_.asText())
           seq match {
             case Some(sn) =>
-              KinesisResult(r.ack_id, r.partition_key, ok = true, sn, "")
+              KinesisResult(r.ack_id, r.group_id, r.partition_key, ok = true, sn, "")
             case None =>
-              KinesisResult(r.ack_id, r.partition_key, ok = false, "",
+              KinesisResult(r.ack_id, r.group_id, r.partition_key, ok = false, "",
                 Option(item.get("ErrorCode")).map(_.asText())
                   .getOrElse("failed"))
           }
@@ -125,8 +128,8 @@ object KinesisClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.partition_key, r.ack_id)
-      else DeliveryCommand.nack(r.partition_key, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

@@ -27,13 +27,16 @@ import java.time.Duration
 object MeilisearchClient {
 
   final case class MsRequest(
-      ack_id: String,      // = doc id
+      ack_id: String,      // = idempotency key (ledger identity)
+      group_id: String,
+      doc_id: String,
       index: String,
       op: String,          // import | delete
       document: Option[String])
 
   final case class MsResult(
       ack_id: String,
+      group_id: String,
       index: String,
       op: String,
       ok: Boolean,
@@ -44,11 +47,11 @@ object MeilisearchClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[MsRequest] = {
     import spark.implicits._
-    wire.select(col("index_name"), col("ms_action"), col("doc_id"),
-        col("document"))
-      .as[(String, String, String, Option[String])]
-      .map { case (index, action, id, doc) =>
-        MsRequest(id, index,
+    wire.select(col("ack_id"), col("ledger_group_id"), col("doc_id"),
+        col("index_name"), col("ms_action"), col("document"))
+      .as[(String, String, String, String, String, Option[String])]
+      .map { case (ackId, groupId, docId, index, action, doc) =>
+        MsRequest(ackId, groupId, docId, index,
           if (action == "delete") "delete" else "import", doc)
       }
   }
@@ -103,13 +106,13 @@ object MeilisearchClient {
       timeoutMs: Long): Seq[MsResult] = {
     val op = batch.head.op
     val fail = (msg: String) => batch.map(r =>
-      MsResult(r.ack_id, r.index, r.op, ok = false, -1L, 0, msg))
+      MsResult(r.ack_id, r.group_id, r.index, r.op, ok = false, -1L, 0, msg))
     try {
       val resp =
         if (op == "delete")
           post(s"$baseUrl/indexes/${batch.head.index}/documents/delete-batch",
             apiKey, "application/json",
-            batch.map(r => mapper.writeValueAsString(r.ack_id))
+            batch.map(r => mapper.writeValueAsString(r.doc_id))
               .mkString("[", ",", "]"), timeoutMs)
         else
           post(s"$baseUrl/indexes/${batch.head.index}/documents",
@@ -123,7 +126,7 @@ object MeilisearchClient {
           .getOrElse(return fail("response missing taskUid"))
         val (ok, polls, err) = waitForTask(baseUrl, apiKey, uid, maxPolls,
           realSleep, timeoutMs)
-        batch.map(r => MsResult(r.ack_id, r.index, r.op, ok, uid, polls, err))
+        batch.map(r => MsResult(r.ack_id, r.group_id, r.index, r.op, ok, uid, polls, err))
       }
     } catch { case e: Exception =>
       fail(s"transport error: ${e.getClass.getSimpleName}")
@@ -156,8 +159,8 @@ object MeilisearchClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.ack_id, r.ack_id)
-      else DeliveryCommand.nack(r.ack_id, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

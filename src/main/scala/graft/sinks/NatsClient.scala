@@ -171,13 +171,11 @@ object NatsClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[NatsRequest] = {
     import spark.implicits._
-    wire.select(col("subject"), map_entries(col("headers")).as("hs"),
-        col("payload"))
-      .as[(String, Seq[(String, String)], String)]
-      .map { case (subject, hs, payload) =>
-        val msgId = hs.collectFirst { case ("Nats-Msg-Id", v) => v }
-          .getOrElse(subject)
-        NatsRequest(msgId, subject, subject, hs, payload)
+    wire.select(col("ack_id"), col("ledger_group_id"), col("subject"),
+        map_entries(col("headers")).as("hs"), col("payload"))
+      .as[(String, String, String, Seq[(String, String)], String)]
+      .map { case (ackId, groupId, subject, hs, payload) =>
+        NatsRequest(ackId, groupId, subject, hs, payload)
       }
   }
 

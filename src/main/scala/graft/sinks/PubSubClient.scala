@@ -41,6 +41,7 @@ object PubSubClient {
 
   final case class PubSubRequest(
       ack_id: String,
+      group_id: String,
       topic_id: String,
       data_b64: String,
       attributes: Map[String, String],
@@ -48,6 +49,7 @@ object PubSubClient {
 
   final case class PubSubResult(
       ack_id: String,
+      group_id: String,
       topic_id: String,
       ok: Boolean,
       message_id: String,
@@ -56,12 +58,11 @@ object PubSubClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[PubSubRequest] = {
     import spark.implicits._
-    wire.select(col("topic_id"), col("data"), col("attributes"),
-        col("ordering_key"))
-      .as[(String, String, Map[String, String], String)]
-      .map { case (topic, data, attrs, ordKey) =>
-        PubSubRequest(attrs.getOrElse("trace_id", s"$topic:${data.hashCode}"),
-          topic, data, attrs, ordKey)
+    wire.select(col("ack_id"), col("ledger_group_id"), col("topic_id"),
+        col("data"), col("attributes"), col("ordering_key"))
+      .as[(String, String, String, String, Map[String, String], String)]
+      .map { case (ackId, groupId, topic, data, attrs, ordKey) =>
+        PubSubRequest(ackId, groupId, topic, data, attrs, ordKey)
       }
   }
 
@@ -141,7 +142,7 @@ object PubSubClient {
       creds: Credentials, batch: Seq[PubSubRequest],
       timeoutMs: Long): Seq[PubSubResult] = {
     val fail = (msg: String) => batch.map(r =>
-      PubSubResult(r.ack_id, r.topic_id, ok = false, "", msg))
+      PubSubResult(r.ack_id, r.group_id, r.topic_id, ok = false, "", msg))
     accessToken(creds, timeoutMs) match {
       case Left(e) => fail(e)
       case Right(token) =>
@@ -168,7 +169,7 @@ object PubSubClient {
             if (ids == null || ids.size() != batch.size)
               fail("malformed publish response")
             else batch.zipWithIndex.map { case (r, i) =>
-              PubSubResult(r.ack_id, r.topic_id, ok = true,
+              PubSubResult(r.ack_id, r.group_id, r.topic_id, ok = true,
                 ids.get(i).asText(), "")
             }
           }
@@ -209,8 +210,8 @@ object PubSubClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.topic_id, r.ack_id)
-      else DeliveryCommand.nack(r.topic_id, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

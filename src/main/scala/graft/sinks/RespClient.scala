@@ -179,12 +179,12 @@ object RespClient {
   def streamRequests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[RespRequest] = {
     import spark.implicits._
-    wire.select(col("stream_key"), col("entry_id"),
+    // ack_id / group_id are the wire's LEDGER identity (idempotency key
+    // + AckDelivery group) — not transport-local ids — so the result's
+    // ack lands on the exact in-flight entry the delivery covers
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("stream_key"), col("entry_id"),
         map_entries(col("fields")).as("fs"))
-      .withColumn("rn", monotonically_increasing_id())
-      .select(col("rn").cast("string").as("ack_id"),
-        col("stream_key").as("group_id"),
-        col("stream_key"), col("entry_id"), col("fs"))
       .as[(String, String, String, String, Seq[(String, String)])]
       .map { case (ackId, groupId, key, entryId, fs) =>
         RespRequest(ackId, groupId,
@@ -199,9 +199,10 @@ object RespClient {
   def stringRequests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[RespRequest] = {
     import spark.implicits._
-    wire.select(col("key"), col("value"), col("op"), col("ttl"))
-      .as[(String, Option[String], String, Option[Long])]
-      .map { case (key, value, op, ttl) =>
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("key"), col("value"), col("op"), col("ttl"))
+      .as[(String, String, String, Option[String], String, Option[Long])]
+      .map { case (ackId, groupId, key, value, op, ttl) =>
         val args: Vector[String] =
           if (op == "DEL") Vector("DEL", key)
           else ttl match {
@@ -209,7 +210,7 @@ object RespClient {
               "PX", (s * 1000L).toString)
             case None => Vector("SET", key, value.getOrElse(""))
           }
-        RespRequest(key, key, args)
+        RespRequest(ackId, groupId, args)
       }
   }
 

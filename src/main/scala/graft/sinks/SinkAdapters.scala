@@ -25,6 +25,21 @@ object SinkAdapters {
     "sqs" -> 10, "sns" -> 10, "s2" -> 10, "azure_event_hub" -> 10,
     "redis_string" -> 10, "gcp_pubsub" -> 1).withDefaultValue(1)
 
+  /** Delivery-ledger identity, carried on every wire row so the
+    * transport's per-delivery result can ack the EXACT
+    * [[graft.streaming.AckDelivery]] entry it delivered: `ack_id` is the
+    * event's idempotency key (what `Delivery.ack_id` is) and
+    * `ledger_group_id` is the group id with the same `__pk:` fallback
+    * `DeliveryCommand.event` uses to key the state machine. Without
+    * these, acks would be keyed by transport-local identity (stream key,
+    * topic, doc id) that the ledger has never heard of — the delivery
+    * would succeed but stay in flight forever and redeliver.
+    */
+  private def ledgerIdentity: Seq[org.apache.spark.sql.Column] = Seq(
+    col("idempotency_key").as("ack_id"),
+    coalesce(col("group_id"), concat(lit("__pk:"), col("record_pk")))
+      .as("ledger_group_id"))
+
   private def recordStruct: org.apache.spark.sql.Column =
     struct(col("record_id").as("id"), col("record_user_id").as("user_id"),
       col("record_value").as("value"), col("record_props").as("props"))
@@ -59,43 +74,43 @@ object SinkAdapters {
     * (topic, key, value) (kafka_pipeline.ex:1-134).
     */
   def kafkaWire(routed: DataFrame): DataFrame =
-    routed.select(col("topic"), col("message_key").as("key"),
-      envelope.as("value"))
+    routed.select(ledgerIdentity ++ Seq(col("topic"),
+      col("message_key").as("key"), envelope.as("value")): _*)
 
   /** Redis string wire: SET key→envelope with TTL, DEL on delete action
     * (redis_string_sink.ex:117; routing `redis_string.ex`).
     */
   def redisStringWire(df: DataFrame, ttlSeconds: Option[Long] = None): DataFrame =
-    Routing.redisKey(df).select(
-      col("redis_key").as("key"),
-      when(col("action") === "delete", lit(null)).otherwise(envelope).as("value"),
-      when(col("action") === "delete", "DEL").otherwise("SET").as("op"),
-      lit(ttlSeconds.map(Long.box).orNull).cast("bigint").as("ttl"))
+    Routing.redisKey(df).select(ledgerIdentity :+
+      col("redis_key").as("key") :+
+      when(col("action") === "delete", lit(null)).otherwise(envelope).as("value") :+
+      when(col("action") === "delete", "DEL").otherwise("SET").as("op") :+
+      lit(ttlSeconds.map(Long.box).orNull).cast("bigint").as("ttl"): _*)
 
   /** Elasticsearch bulk-API lines: action metadata line + document line;
     * upsert on insert/update/read, delete on delete
     * (routing/consumers/elasticsearch.ex).
     */
   def esBulkWire(df: DataFrame, index: String): DataFrame =
-    Routing.elasticsearch(df).select(
-      col("es_doc_id"),
+    Routing.elasticsearch(df).select(ledgerIdentity :+
+      col("es_doc_id") :+
       when(col("es_op") === "delete",
         concat(lit(s"""{"delete":{"_index":"$index","_id":""""),
           col("es_doc_id"), lit("\"}}")))
         .otherwise(concat(
           lit(s"""{"index":{"_index":"$index","_id":""""),
-          col("es_doc_id"), lit("\"}}\n"), envelope)).as("bulk_lines"))
+          col("es_doc_id"), lit("\"}}\n"), envelope)).as("bulk_lines"): _*)
 
   /** SQS FIFO wire: MessageGroupId = delivery group (ordering unit),
     * MessageDeduplicationId = idempotency key (exactly-once)
     * (sqs_sink.ex:188).
     */
   def sqsWire(df: DataFrame, queueUrl: String): DataFrame =
-    df.select(
+    df.select(ledgerIdentity ++ Seq(
       lit(queueUrl).as("queue_url"),
       coalesce(col("group_id"), col("record_pk")).as("message_group_id"),
       col("idempotency_key").as("message_dedup_id"),
-      envelope.as("body"))
+      envelope.as("body")): _*)
 
   /** Redis stream wire: `XADD <stream_key> * field value ...` — the
     * transformed message map flattened to field/value pairs, non-string
@@ -103,115 +118,115 @@ object SinkAdapters {
     * routing `routing/consumers/redis_stream.ex:23-25`).
     */
   def redisStreamWire(df: DataFrame): DataFrame =
-    Routing.redisStream(df).select(
+    Routing.redisStream(df).select(ledgerIdentity ++ Seq(
       col("stream_key"),
       lit("*").as("entry_id"), // server-assigned
       map(
         lit("record"), to_json(recordStruct),
         lit("changes"), coalesce(col("old_value").cast("string"), lit("null")),
         lit("action"), col("action"),
-        lit("metadata"), to_json(metadataStruct)).as("fields"))
+        lit("metadata"), to_json(metadataStruct)).as("fields")): _*)
 
   /** SNS wire: publish-batch entries; FIFO topics add group + dedup ids
     * (sns_pipeline.ex:87-98, routing `routing/consumers/sns.ex`).
     */
   def snsWire(df: DataFrame, topicArn: String, isFifo: Boolean = false): DataFrame =
-    df.select(
-      lit(topicArn).as("topic_arn"),
+    df.select(ledgerIdentity :+
+      lit(topicArn).as("topic_arn") :+
       (if (isFifo) coalesce(col("group_id"), col("record_pk"))
-       else lit(null).cast("string")).as("message_group_id"),
+       else lit(null).cast("string")).as("message_group_id") :+
       (if (isFifo) col("idempotency_key")
-       else lit(null).cast("string")).as("message_dedup_id"),
-      envelope.as("message"))
+       else lit(null).cast("string")).as("message_dedup_id") :+
+      envelope.as("message"): _*)
 
   /** Kinesis wire: PutRecords entries — base64 Data + partition key from
     * the delivery group, truncated to the 256B limit
     * (kinesis_pipeline.ex:78-83).
     */
   def kinesisWire(df: DataFrame, streamArn: String): DataFrame =
-    df.select(
+    df.select(ledgerIdentity ++ Seq(
       lit(streamArn).as("stream_arn"),
       Routing.truncateWithHash(
         coalesce(col("group_id"), col("record_pk")), 256).as("partition_key"),
-      base64Unchunked(envelope.cast("binary")).as("data"))
+      base64Unchunked(envelope.cast("binary")).as("data")): _*)
 
   /** S2 wire: append records to a basin/stream (s2_sink.ex; routing
     * `routing/consumers/s2.ex`).
     */
   def s2Wire(df: DataFrame, basin: String, stream: String): DataFrame =
-    df.select(lit(basin).as("basin"), lit(stream).as("stream"),
-      envelope.as("body"))
+    df.select(ledgerIdentity ++ Seq(lit(basin).as("basin"),
+      lit(stream).as("stream"), envelope.as("body")): _*)
 
   /** GCP Pub/Sub wire: base64 data + attributes + ordering key
     * (gcp_pubsub_pipeline.ex:86-99).
     */
   def pubsubWire(df: DataFrame): DataFrame =
-    Routing.gcpPubsub(df).select(
-      col("topic_id"),
-      base64Unchunked(envelope.cast("binary")).as("data"),
+    Routing.gcpPubsub(df).select(ledgerIdentity :+
+      col("topic_id") :+
+      base64Unchunked(envelope.cast("binary")).as("data") :+
       map(
         lit("trace_id"), col("idempotency_key"),
         lit("type"), lit("event"),
         lit("table_name"), col("table_name"),
-        lit("action"), col("action")).as("attributes"),
-      col("ordering_key"))
+        lit("action"), col("action")).as("attributes") :+
+      col("ordering_key"): _*)
 
   /** NATS wire: subject + `Nats-Msg-Id` header + payload
     * (routing/consumers/nats.ex:25-30, nats_pipeline.ex).
     */
   def natsWire(df: DataFrame, databaseName: String = "postgres"): DataFrame =
-    Routing.nats(df, databaseName).select(
+    Routing.nats(df, databaseName).select(ledgerIdentity ++ Seq(
       col("subject"),
       map(lit("Nats-Msg-Id"), col("nats_msg_id")).as("headers"),
-      envelope.as("payload"))
+      envelope.as("payload")): _*)
 
   /** RabbitMQ wire: exchange + routing key + message id + payload
     * (routing/consumers/rabbitmq.ex:30-38, rabbitmq_pipeline.ex).
     */
   def rabbitmqWire(df: DataFrame, exchange: String,
       databaseName: String = "postgres"): DataFrame =
-    Routing.rabbitmq(df, databaseName).select(
+    Routing.rabbitmq(df, databaseName).select(ledgerIdentity ++ Seq(
       lit(exchange).as("exchange"),
       col("routing_key"),
       col("message_id"),
-      envelope.as("payload"))
+      envelope.as("payload")): _*)
 
   /** Azure Event Hub wire: hub name + partition key + body
     * (azure_event_hub_pipeline.ex; routing `routing/consumers/
     * azure_event_hub.ex`).
     */
   def eventHubWire(df: DataFrame, eventHubName: String): DataFrame =
-    df.select(
+    df.select(ledgerIdentity ++ Seq(
       lit(eventHubName).as("event_hub_name"),
       coalesce(col("group_id"), col("record_pk")).as("partition_key"),
-      envelope.as("body"))
+      envelope.as("body")): _*)
 
   /** Typesense wire: per-collection JSONL emplace-import lines; deletes
     * carry the doc id only (sinks/typesense/client.ex:89-100,161-170;
     * routing `routing/consumers/typesense.ex:25-36`).
     */
   def typesenseWire(df: DataFrame): DataFrame =
-    Routing.typesense(df).select(
+    Routing.typesense(df).select(ledgerIdentity ++ Seq(
       col("collection_name"),
       col("ts_action"),
       col("record_pk").as("doc_id"),
       when(col("ts_action") === "delete", lit(null))
         .otherwise(to_json(struct(col("record_pk").as("id"),
           col("record_id"), col("record_user_id"), col("record_value"),
-          col("record_props")))).as("document"))
+          col("record_props")))).as("document")): _*)
 
   /** Meilisearch wire: add-or-replace documents / delete by primary key
     * (meilisearch_sink.ex; routing `routing/consumers/meilisearch.ex:24-32`).
     */
   def meilisearchWire(df: DataFrame, indexName: String): DataFrame =
-    Routing.meilisearch(df).select(
+    Routing.meilisearch(df).select(ledgerIdentity ++ Seq(
       lit(indexName).as("index_name"),
       col("ms_action"),
       col("record_pk").as("doc_id"),
       when(col("ms_action") === "delete", lit(null))
         .otherwise(to_json(struct(col("record_pk").as("id"),
           col("record_id"), col("record_user_id"), col("record_value"),
-          col("record_props")))).as("document"))
+          col("record_props")))).as("document")): _*)
 
   /** HTTP webhook push wire, batched form: requests of ≤ batchSize
     * messages with body `{"data": [env, ...]}` in commit order
@@ -242,12 +257,23 @@ object SinkAdapters {
         // commit-ordered member array: sort (lsn, idx, env) structs, then
         // project the envelope strings back out
         array_sort(collect_list(struct(col("commit_lsn"), col("commit_idx"),
-          envelope.as("env")))).as("members"))
+          envelope.as("env")))).as("members"),
+        // per-member ledger identity: one batch POST acks each member
+        // event individually in AckDelivery (the reference's per-batch
+        // ack granularity expands to per-message ledger entries)
+        array_sort(collect_list(struct(col("commit_lsn"), col("commit_idx"),
+          col("idempotency_key").as("ack_id"),
+          coalesce(col("group_id"), concat(lit("__pk:"), col("record_pk")))
+            .as("ledger_group_id")))).as("member_ids0"))
       .select(
         lit("POST").as("method"),
         lit(endpoint).as("endpoint"),
         col("partition"), col("batch_idx"), col("n"),
         col("first_seq"), col("last_seq"),
+        transform(col("member_ids0"), m =>
+          struct(m.getField("ack_id").as("ack_id"),
+            m.getField("ledger_group_id").as("ledger_group_id")))
+          .as("member_ids"),
         concat(lit("""{"data":["""),
           array_join(transform(col("members"), m => m.getField("env")), ","),
           lit("]}")).as("body"))

@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.streaming.{AckDelivery, SinkSpec}
 import graft.streaming.AckDelivery.DeliveryCommand
 
@@ -38,7 +39,13 @@ object SinkDispatch {
       sasCreds: Option[EventHubClient.SasCredentials] = None,
       bearerToken: String = "")
 
-  /** One uniform delivery outcome row, whatever the transport. */
+  /** One uniform delivery outcome row, whatever the transport.
+    * `ack_id` is the event's idempotency key and `group_id` its
+    * AckDelivery ledger group (`__pk:`-fallback form) — the SAME
+    * identity [[AckDelivery.run]] keys its in-flight map with, carried
+    * end to end through the wire adapters and transport clients, so
+    * [[commands]] output closes the at-least-once loop instead of
+    * no-op'ing against ids the ledger never issued. */
   final case class Outcome(ack_id: String, group_id: String, ok: Boolean,
       err: String)
 
@@ -76,7 +83,7 @@ object SinkDispatch {
             KafkaProduceClient.requests(SinkAdapters.kafkaWire(
               graft.ops.Routing.kafka(pipeline))),
             env.host, env.port)
-          .map(r => Outcome(r.ack_id, r.topic, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "rabbitmq" =>
         need(env.host.nonEmpty && env.port > 0, spec.sinkType, "host/port")
         AmqpClient.deliver(
@@ -86,34 +93,45 @@ object SinkDispatch {
           .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "http_push" =>
         need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
-        HttpPushClient.deliver(
-            HttpPushClient.batchedRequests(
-              SinkAdapters.httpPushBatchedWire(pipeline, env.httpBase,
-                batchSize = spec.settings.get("batch_size")
-                  .map(_.toInt).getOrElse(10))),
-            HttpRetryPolicy.Policy(), realSleep = false)
-          .map(r => Outcome(r.ack_id, r.group_id, r.delivered,
-            if (r.delivered) "" else s"status ${r.final_status}"))
+        // one POST carries a whole batch; its outcome fans out to one
+        // ledger ack/nack PER MEMBER event (the wire's member_ids)
+        val wire = SinkAdapters.httpPushBatchedWire(pipeline, env.httpBase,
+          batchSize = spec.settings.get("batch_size")
+            .map(_.toInt).getOrElse(10))
+        val results = HttpPushClient.deliver(
+          HttpPushClient.batchedRequests(wire),
+          HttpRetryPolicy.Policy(), realSleep = false)
+        val members = wire.select(
+          concat_ws("-", col("partition"), col("batch_idx")).as("batch_key"),
+          explode(col("member_ids")).as("m"))
+        results.toDF().join(members, col("ack_id") === col("batch_key"))
+          .select(col("m.ack_id").as("member_ack_id"),
+            col("m.ledger_group_id").as("member_group_id"),
+            col("delivered"), col("final_status"))
+          .as[(String, String, Boolean, Int)]
+          .map { case (ackId, groupId, ok, status) =>
+            Outcome(ackId, groupId, ok, if (ok) "" else s"status $status")
+          }
       case "elasticsearch" =>
         need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
         val index = spec.settings.getOrElse("index_name", "events")
         EsBulkClient.deliver(
             EsBulkClient.requests(SinkAdapters.esBulkWire(pipeline, index)),
             env.httpBase, index)
-          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "typesense" =>
         need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
         TypesenseClient.deliver(
             TypesenseClient.requests(SinkAdapters.typesenseWire(pipeline)),
             env.httpBase, env.apiKey)
-          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "meilisearch" =>
         need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
         MeilisearchClient.deliver(
             MeilisearchClient.requests(SinkAdapters.meilisearchWire(pipeline,
               spec.settings.getOrElse("index_name", "events"))),
             env.httpBase, env.apiKey, realSleep = false)
-          .map(r => Outcome(r.ack_id, r.ack_id, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "sqs" =>
         need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,
           "httpBase + awsCreds")
@@ -138,7 +156,7 @@ object SinkDispatch {
             KinesisClient.requests(SinkAdapters.kinesisWire(pipeline,
               spec.settings.getOrElse("stream_arn", "arn:aws:kinesis:s"))),
             env.httpBase, env.awsCreds.get)
-          .map(r => Outcome(r.ack_id, r.partition_key, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "gcp_pubsub" =>
         need(env.httpBase.nonEmpty && env.gcpCreds.nonEmpty, spec.sinkType,
           "httpBase + gcpCreds")
@@ -146,7 +164,7 @@ object SinkDispatch {
             PubSubClient.requests(SinkAdapters.pubsubWire(
               graft.ops.Routing.gcpPubsub(pipeline))),
             env.httpBase, env.gcpProject, env.gcpCreds.get)
-          .map(r => Outcome(r.ack_id, r.topic_id, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "azure_event_hub" =>
         need(env.httpBase.nonEmpty && env.sasCreds.nonEmpty, spec.sinkType,
           "httpBase + sasCreds")
@@ -154,7 +172,7 @@ object SinkDispatch {
             EventHubClient.requests(SinkAdapters.eventHubWire(pipeline,
               spec.settings.getOrElse("event_hub_name", "hub"))),
             env.httpBase, env.sasCreds.get)
-          .map(r => Outcome(r.ack_id, r.hub, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "s2" =>
         need(env.httpBase.nonEmpty, spec.sinkType, "httpBase")
         S2Client.deliver(
@@ -162,7 +180,7 @@ object SinkDispatch {
               spec.settings.getOrElse("basin", "b"),
               spec.settings.getOrElse("stream", "s"))),
             env.httpBase, env.bearerToken)
-          .map(r => Outcome(r.ack_id, r.stream, r.ok, r.err))
+          .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case other =>
         throw new IllegalArgumentException(
           s"no transport dispatch for sink type '$other'")

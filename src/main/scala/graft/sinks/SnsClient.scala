@@ -39,12 +39,11 @@ object SnsClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[SnsRequest] = {
     import spark.implicits._
-    wire.select(col("topic_arn"), col("message_group_id"),
-        col("message_dedup_id"), col("message"))
-      .as[(String, Option[String], Option[String], String)]
-      .map { case (arn, group, dedup, message) =>
-        SnsRequest(dedup.getOrElse(s"sns-${message.hashCode}"),
-          group.getOrElse(arn), arn, message)
+    wire.select(col("ack_id"), col("ledger_group_id"),
+        col("topic_arn"), col("message"))
+      .as[(String, String, String, String)]
+      .map { case (ackId, group, arn, message) =>
+        SnsRequest(ackId, group, arn, message)
       }
   }
 

@@ -98,11 +98,11 @@ object SqsClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[SqsRequest] = {
     import spark.implicits._
-    wire.select(col("message_dedup_id"), col("message_group_id"),
+    wire.select(col("ack_id"), col("ledger_group_id"),
         col("queue_url"), col("body"))
       .as[(String, String, String, String)]
-      .map { case (dedup, group, queue, body) =>
-        SqsRequest(dedup, group, queue, body)
+      .map { case (ackId, group, queue, body) =>
+        SqsRequest(ackId, group, queue, body)
       }
   }
 

@@ -23,13 +23,16 @@ import java.time.Duration
 object TypesenseClient {
 
   final case class TsRequest(
-      ack_id: String,      // = doc id
+      ack_id: String,      // = idempotency key (ledger identity)
+      group_id: String,
+      doc_id: String,
       collection: String,
       op: String,          // emplace | delete
       document: Option[String])
 
   final case class TsResult(
       ack_id: String,
+      group_id: String,
       collection: String,
       op: String,
       ok: Boolean,
@@ -39,11 +42,11 @@ object TypesenseClient {
   def requests(wire: DataFrame)(
       implicit spark: SparkSession): Dataset[TsRequest] = {
     import spark.implicits._
-    wire.select(col("collection_name"), col("ts_action"), col("doc_id"),
-        col("document"))
-      .as[(String, String, String, Option[String])]
-      .map { case (coll, action, id, doc) =>
-        TsRequest(id, coll,
+    wire.select(col("ack_id"), col("ledger_group_id"), col("doc_id"),
+        col("collection_name"), col("ts_action"), col("document"))
+      .as[(String, String, String, String, String, Option[String])]
+      .map { case (ackId, groupId, docId, coll, action, doc) =>
+        TsRequest(ackId, groupId, docId, coll,
           if (action == "delete") "delete" else "emplace", doc)
       }
   }
@@ -56,7 +59,7 @@ object TypesenseClient {
   private def importBatch(baseUrl: String, apiKey: String,
       batch: Seq[TsRequest], timeoutMs: Long): Seq[TsResult] = {
     val fail = (msg: String) => batch.map(r =>
-      TsResult(r.ack_id, r.collection, r.op, ok = false, msg))
+      TsResult(r.ack_id, r.group_id, r.collection, r.op, ok = false, msg))
     try {
       val body = batch.flatMap(_.document).mkString("\n")
       val req = HttpRequest.newBuilder(URI.create(
@@ -75,7 +78,7 @@ object TypesenseClient {
         else batch.zip(lines).map { case (r, line) =>
           val node = mapper.readTree(line)
           val ok = Option(node.get("success")).exists(_.asBoolean(false))
-          TsResult(r.ack_id, r.collection, r.op, ok,
+          TsResult(r.ack_id, r.group_id, r.collection, r.op, ok,
             if (ok) "" else Option(node.get("error")).map(_.asText())
               .getOrElse("rejected"))
         }
@@ -89,17 +92,17 @@ object TypesenseClient {
       timeoutMs: Long): TsResult =
     try {
       val req = HttpRequest.newBuilder(URI.create(
-          s"$baseUrl/collections/${r.collection}/documents/${r.ack_id}?ignore_not_found=true"))
+          s"$baseUrl/collections/${r.collection}/documents/${r.doc_id}?ignore_not_found=true"))
         .timeout(Duration.ofMillis(timeoutMs))
         .header("X-TYPESENSE-API-KEY", apiKey)
         .DELETE()
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       val ok = resp.statusCode() >= 200 && resp.statusCode() < 300
-      TsResult(r.ack_id, r.collection, r.op, ok,
+      TsResult(r.ack_id, r.group_id, r.collection, r.op, ok,
         if (ok) "" else s"delete failed: ${resp.statusCode()}")
     } catch { case e: Exception =>
-      TsResult(r.ack_id, r.collection, r.op, ok = false,
+      TsResult(r.ack_id, r.group_id, r.collection, r.op, ok = false,
         s"transport error: ${e.getClass.getSimpleName}")
     }
 
@@ -134,8 +137,8 @@ object TypesenseClient {
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {
     import spark.implicits._
     results.map { r =>
-      if (r.ok) DeliveryCommand.ack(r.ack_id, r.ack_id)
-      else DeliveryCommand.nack(r.ack_id, r.ack_id)
+      if (r.ok) DeliveryCommand.ack(r.group_id, r.ack_id)
+      else DeliveryCommand.nack(r.group_id, r.ack_id)
     }
   }
 }

@@ -63,9 +63,9 @@ class EsBulkClientSpec extends SparkSpec {
     def stop(): Unit = server.stop(0)
   }
 
-  private def idx(id: String): EsRequest = EsRequest(id, "index",
+  private def idx(id: String): EsRequest = EsRequest(id, s"g-$id", "index",
     s"""{"index":{"_index":"events","_id":"$id"}}\n{"v":1}""")
-  private def del(id: String): EsRequest = EsRequest(id, "delete",
+  private def del(id: String): EsRequest = EsRequest(id, s"g-$id", "delete",
     s"""{"delete":{"_index":"events","_id":"$id"}}""")
 
   test("per-item results: a poison doc nacks alone; delete-of-absent is success") {
@@ -121,7 +121,7 @@ class EsBulkClientSpec extends SparkSpec {
       r.err.startsWith("transport error")))
   }
 
-  test("END TO END: the esBulkWire delivers upserts and deletes with doc-id identity") {
+  test("END TO END: the esBulkWire delivers upserts and deletes with ledger identity") {
     implicit val s = spark
     val srv = new ScriptedEs()
     try {
@@ -131,9 +131,11 @@ class EsBulkClientSpec extends SparkSpec {
           s"http://127.0.0.1:${srv.port}", "events", batchSize = 10)
         .collect()
       assert(out.length == 30 && out.forall(_.ok))
-      val wireIds = wire.select("es_doc_id").collect()
-        .map(_.getString(0)).toSet
-      assert(out.map(_.ack_id).toSet == wireIds)
+      // results ack with the LEDGER identity (idempotency key + group)
+      // so they land on AckDelivery's in-flight map, not the ES doc id
+      val ledger = wire.select("ack_id", "ledger_group_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out.map(r => (r.ack_id, r.group_id)).toSet == ledger)
       // deletes took the delete path (the cdc stream has 'error' deletes)
       assert(out.exists(_.op == "delete") && out.exists(_.op == "index"))
     } finally srv.stop()

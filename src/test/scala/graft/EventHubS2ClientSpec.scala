@@ -63,7 +63,7 @@ class EventHubS2ClientSpec extends SparkSpec {
     val srv = new ScriptedEventHub()
     try {
       val reqs = (1 to 12).map(i =>
-        EhRequest(s"m$i", "hub1", s"g${i % 3}", s"""{"n":$i}"""))
+        EhRequest(s"m$i", s"g${i % 3}", "hub1", s"g${i % 3}", s"""{"n":$i}"""))
       val out = EventHubClient.deliver(
         spark.createDataset(reqs).repartition(1),
         s"http://127.0.0.1:${srv.port}", creds).collect()
@@ -113,7 +113,7 @@ class EventHubS2ClientSpec extends SparkSpec {
     })
     server.start()
     try {
-      val reqs = (1 to 7).map(i => S2Request(s"a$i", "basin1", "stream1", s"b$i"))
+      val reqs = (1 to 7).map(i => S2Request(s"a$i", s"g$i", "basin1", "stream1", s"b$i"))
       val out = S2Client.deliver(spark.createDataset(reqs).repartition(1),
         s"http://127.0.0.1:${server.getAddress.getPort}", "s2-token")
         .collect()

@@ -134,7 +134,7 @@ class KafkaProduceClientSpec extends SparkSpec {
     import s.implicits._
     val srv = new ScriptedBroker()
     try {
-      val reqs = (1 to 60).map(i => KafkaRequest(s"m$i", "cdc.t0",
+      val reqs = (1 to 60).map(i => KafkaRequest(s"m$i", s"g$i", "cdc.t0",
         Some(s"k${i % 7}"), s"""{"n":$i}"""))
       val out = KafkaProduceClient.deliver(
         spark.createDataset(reqs).repartition(1), "127.0.0.1", srv.port,
@@ -160,8 +160,8 @@ class KafkaProduceClientSpec extends SparkSpec {
     import s.implicits._
     val srv = new ScriptedBroker(failTopics = Map("doomed" -> 3.toShort))
     try {
-      val reqs = Seq(KafkaRequest("a", "doomed", None, "x"),
-        KafkaRequest("b", "doomed", None, "y"))
+      val reqs = Seq(KafkaRequest("a", "ga", "doomed", None, "x"),
+        KafkaRequest("b", "gb", "doomed", None, "y"))
       val out = KafkaProduceClient.deliver(
         spark.createDataset(reqs).repartition(1), "127.0.0.1", srv.port)
         .collect()
@@ -175,7 +175,7 @@ class KafkaProduceClientSpec extends SparkSpec {
     val dead = tmp.getLocalPort
     tmp.close()
     val out2 = KafkaProduceClient.deliver(
-      spark.createDataset(Seq(KafkaRequest("a", "t", None, "v")))
+      spark.createDataset(Seq(KafkaRequest("a", "ga", "t", None, "v")))
         .repartition(1), "127.0.0.1", dead).collect()
     assert(out2.forall(r => !r.ok && r.err == "no_connection"))
   }

@@ -70,9 +70,9 @@ class KinesisClientSpec extends SparkSpec {
     val srv = new ScriptedKinesis(failKeys = Set("hot"))
     try {
       val reqs = Seq(
-        KinesisRequest("a", "k1", "arn:stream", "QUJD"),
-        KinesisRequest("b", "hot", "arn:stream", "REVG"),
-        KinesisRequest("c", "k2", "arn:stream", "R0hJ"))
+        KinesisRequest("a", "ga", "k1", "arn:stream", "QUJD"),
+        KinesisRequest("b", "gb", "hot", "arn:stream", "REVG"),
+        KinesisRequest("c", "gc", "k2", "arn:stream", "R0hJ"))
       val out = KinesisClient.deliver(spark.createDataset(reqs).repartition(1),
           s"http://127.0.0.1:${srv.port}/", creds)
         .collect().map(r => r.ack_id -> r).toMap

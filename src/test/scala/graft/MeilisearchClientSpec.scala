@@ -74,10 +74,10 @@ class MeilisearchClientSpec extends SparkSpec {
     val srv = new ScriptedMeili(failIndexes = Set("broken"))
     try {
       val reqs = Seq(
-        MsRequest("a", "events", "import", Some("""{"id":"a"}""")),
-        MsRequest("b", "events", "import", Some("""{"id":"b"}""")),
-        MsRequest("c", "events", "delete", None),
-        MsRequest("x", "broken", "import", Some("""{"id":"x"}""")))
+        MsRequest("a", "ga", "a", "events", "import", Some("""{"id":"a"}""")),
+        MsRequest("b", "gb", "b", "events", "import", Some("""{"id":"b"}""")),
+        MsRequest("c", "gc", "c", "events", "delete", None),
+        MsRequest("x", "gx", "x", "broken", "import", Some("""{"id":"x"}""")))
       val out = MeilisearchClient.deliver(
           spark.createDataset(reqs).repartition(1),
           s"http://127.0.0.1:${srv.port}", "meili-key", realSleep = false)

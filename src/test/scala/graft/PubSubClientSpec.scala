@@ -103,7 +103,7 @@ class PubSubClientSpec extends SparkSpec {
     import s.implicits._
     val srv = new ScriptedPubSub()
     try {
-      val reqs = (1 to 30).map(i => PubSubRequest(s"t$i", "cdc-topic",
+      val reqs = (1 to 30).map(i => PubSubRequest(s"t$i", s"g$i", "cdc-topic",
         Base64.getEncoder.encodeToString(s"m$i".getBytes(UTF_8)),
         Map("trace_id" -> s"t$i", "action" -> "insert"), s"ord${i % 5}"))
       val out = PubSubClient.deliver(spark.createDataset(reqs).repartition(1),
@@ -134,7 +134,7 @@ class PubSubClientSpec extends SparkSpec {
         Base64.getEncoder.encodeToString(
           other.generateKeyPair().getPrivate.getEncoded))
       val out = PubSubClient.deliver(
-        spark.createDataset(Seq(PubSubRequest("a", "t", "QQ==", Map.empty, "o")))
+        spark.createDataset(Seq(PubSubRequest("a", "ga", "t", "QQ==", Map.empty, "o")))
           .repartition(1),
         s"http://127.0.0.1:${srv.port}", "proj-1", badCreds).collect()
       assert(out.forall(r => !r.ok && r.err.contains("token exchange failed")))

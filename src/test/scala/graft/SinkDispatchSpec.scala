@@ -109,6 +109,103 @@ class SinkDispatchSpec extends SparkSpec {
     } finally { http.stop(0); redis.close() }
   }
 
+  test("ROUND-TRIP: a live transport's acks carry the LEDGER identity and clear AckDelivery in-flight — no redelivery, the at-least-once loop closes on success") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.ChangeEvent
+    import graft.streaming.AckDelivery
+    import graft.streaming.AckDelivery.DeliveryCommand
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    // loopback redis: replies to every XADD
+    val redis = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val redisThread = new Thread(() => {
+      try {
+        while (true) {
+          val sock = redis.accept()
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try {
+            while (true) {
+              if (in.read() < 0) throw new java.io.EOFException
+              val n = line().toInt
+              (0 until n).foreach { _ =>
+                in.read()
+                val len = line().toInt
+                val buf = new Array[Byte](len)
+                var off = 0
+                while (off < len) off += in.read(buf, off, len - off)
+                in.read(); in.read()
+              }
+              out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+            }
+          } catch { case _: Exception => sock.close() }
+        }
+      } catch { case _: Exception => () }
+    })
+    redisThread.setDaemon(true)
+    redisThread.start()
+    try {
+      def ev(lsn: Long, group: String): ChangeEvent =
+        ChangeEvent(lsn, 0L, Timestamp.valueOf("2024-01-01 00:00:00"),
+          "update", "public", "t0", 16384L, s"pk$lsn", lsn, 1L, 1.0, "{}",
+          Some(0.5), s"1:$lsn:0", group, 100L)
+      // one null group exercises the __pk: fallback — the identity
+      // DeliveryCommand.event keys the state machine with
+      val events = Seq(ev(8, "g1"), ev(16, "g1"), ev(24, null))
+      val cfg = PipelineSpec.parse(
+        """{"name":"rt","destination":{"type":"redis_stream","stream_key":"k"}}""")
+      val pipeline =
+        CdcPipeline.build(spark.createDataset(events).toDF(), cfg)
+      val outcomes = SinkDispatch.deliver(pipeline, cfg.sink.get,
+        SinkDispatch.Env(host = "127.0.0.1", port = redis.getLocalPort))
+        .collect()
+      assert(outcomes.length == 3 && outcomes.forall(_.ok))
+      val cmds = SinkDispatch.commands(
+        spark.createDataset(outcomes.toSeq)(
+          org.apache.spark.sql.Encoders.product[SinkDispatch.Outcome]))
+        .collect()
+      // transport outcomes must ack with the EVENT's ledger identity —
+      // idempotency key + AckDelivery group (incl. the __pk: fallback) —
+      // not transport-local ids (stream key / synthetic counters)
+      assert(cmds.flatMap(_.ack_id).toSet ==
+        events.map(_.idempotency_key).toSet)
+      assert(cmds.map(_.group_id).toSet == Set("g1", "__pk:pk24"))
+      // feed them into the REAL state machine: events enter, transport
+      // acks must clear the in-flight entries, so a visibility-expired
+      // tick produces NO redelivery and NO dlq
+      val in = MemoryStream[DeliveryCommand]
+      val q = AckDelivery.run(in.toDS(), ackWaitMs = 1L, maxInflight = 4,
+          maxRetry = 3)
+        .writeStream.format("memory").queryName("dispatch_rt")
+        .outputMode("append").start()
+      try {
+        in.addData(events.map(DeliveryCommand.event))
+        q.processAllAvailable()
+        val delivered = spark.table("dispatch_rt").collect()
+        assert(delivered.length == 3 &&
+          delivered.forall(_.getString(0) == "deliver"))
+        in.addData(cmds.toSeq)
+        q.processAllAvailable()
+        Thread.sleep(5)
+        in.addData(DeliveryCommand.tick("g1"),
+          DeliveryCommand.tick("__pk:pk24"))
+        q.processAllAvailable()
+        val kinds = spark.table("dispatch_rt").collect().map(_.getString(0))
+        assert(kinds.count(_ == "redeliver") == 0 &&
+          kinds.count(_ == "dlq") == 0,
+          s"acked deliveries redelivered: ${kinds.mkString(",")}")
+      } finally q.stop()
+    } finally redis.close()
+  }
+
   test("a dead transport's nacks drive AckDelivery to redeliver — the failure loop closes") {
     implicit val s = spark
     import s.implicits._

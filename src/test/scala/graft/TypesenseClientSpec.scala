@@ -61,10 +61,10 @@ class TypesenseClientSpec extends SparkSpec {
     val srv = new ScriptedTypesense(rejectIds = Set("r2"))
     try {
       val reqs = Seq(
-        TsRequest("r1", "events", "emplace", Some("""{"id":"r1","v":1}""")),
-        TsRequest("r2", "events", "emplace", Some("""{"id":"r2","v":2}""")),
-        TsRequest("r3", "events", "delete", None),
-        TsRequest("r4", "events", "emplace", Some("""{"id":"r4","v":4}""")))
+        TsRequest("r1", "g1", "r1", "events", "emplace", Some("""{"id":"r1","v":1}""")),
+        TsRequest("r2", "g2", "r2", "events", "emplace", Some("""{"id":"r2","v":2}""")),
+        TsRequest("r3", "g3", "r3", "events", "delete", None),
+        TsRequest("r4", "g4", "r4", "events", "emplace", Some("""{"id":"r4","v":4}""")))
       val out = TypesenseClient.deliver(
           spark.createDataset(reqs).repartition(1),
           s"http://127.0.0.1:${srv.port}", "ts-key")
@@ -94,8 +94,11 @@ class TypesenseClientSpec extends SparkSpec {
         s"http://127.0.0.1:${srv.port}", "ts-key").collect()
       assert(out.length == 30 && out.forall(_.ok))
       assert(out.exists(_.op == "delete") && out.exists(_.op == "emplace"))
-      val wireIds = wire.select("doc_id").collect().map(_.getString(0)).toSet
-      assert(out.map(_.ack_id).toSet == wireIds)
+      // results ack with the LEDGER identity (idempotency key + group),
+      // not the typesense doc id — that's what AckDelivery keys by
+      val ledger = wire.select("ack_id", "ledger_group_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out.map(r => (r.ack_id, r.group_id)).toSet == ledger)
     } finally srv.stop()
   }
 }
