@@ -690,7 +690,9 @@ final class ManagementApi {
   private def doDbDelete(ex: HttpExchange, name: String): Unit =
     databases.remove(name) match {
       case Some(_) =>
-        respond(ex, 200, s"""{"success":true,"id":"$name"}""")
+        val o = mapper.createObjectNode()
+        o.put("success", true); o.put("id", name)
+        respond(ex, 200, o.toString)
       case None => respond(ex, 404, err(s"Postgres database not found: $name"))
     }
 
@@ -737,8 +739,15 @@ final class ManagementApi {
               .groupBy(r => (r._1, r._2, r._3)).toVector
               .sortBy { case ((sch, tbl, _), _) => (sch, tbl) }
               .map { case ((sch, tbl, oid), cols) =>
-                TableRec(sch, tbl, oid,
-                  cols.map(_._4).sortBy(_.attnum).toVector)
+                // the pg_index left join multiplies rows for a column in
+                // more than one index — the reference collapses with
+                // `distinct on (...attnum) order by indisprimary desc`;
+                // same effect here: one ColumnRec per attnum, pk if ANY
+                // containing index is the primary
+                val byAttnum = cols.map(_._4).groupBy(_.attnum).toVector
+                  .map { case (_, dups) =>
+                    dups.find(_.isPk).getOrElse(dups.head) }
+                TableRec(sch, tbl, oid, byAttnum.sortBy(_.attnum).toVector)
               }
             databases.update(name, d.copy(tables = tables))
             respond(ex, 200, """{"success":true}""")

@@ -42,6 +42,13 @@ object Iterate {
     */
   val MaxIterations = 64
 
+  /** Hard cap on the UNROLLED tree's node count — the depth cap alone
+    * does not bound size when the step references the loop variable more
+    * than once (k occurrences → k^n growth). 100k nodes is far beyond
+    * any legitimate inline transform yet still a sub-second plan build.
+    */
+  val MaxUnrolledNodes = 100000L
+
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
 
   /** Parse-and-unroll. `varName` must be a bare identifier; occurrences
@@ -68,6 +75,29 @@ object Iterate {
     require(IdentRe.pattern.matcher(varName).matches(),
       s"iterate: loop variable must be a bare identifier, got '$varName'")
     val step = parse("iterate step", stepSql)
+    // A step referencing the loop variable k>1 times grows the unrolled
+    // tree ~k^n (e.g. "x + x" at n=40 → 2^40 nodes — an OOM at plan
+    // build, long before execution, defeating the depth cap alone). The
+    // node count is exact arithmetic: each substitution replaces the k
+    // variable leaves with copies of the accumulated tree, so
+    //   size(i+1) = size(step) − k + k · size(i).
+    // Budget the FINAL tree before building anything.
+    val k = step.collect {
+      case a: UnresolvedAttribute
+          if a.nameParts.lengthCompare(1) == 0 &&
+            a.nameParts.head.equalsIgnoreCase(varName) => a
+    }.size.toLong
+    val stepSize = step.collect { case x => x }.size.toLong
+    var estSize = init.collect { case x => x }.size.toLong
+    var j = 0
+    while (j < n) {
+      estSize = stepSize - k + k * estSize
+      require(estSize <= MaxUnrolledNodes,
+        s"iterate: unrolled expression would exceed $MaxUnrolledNodes " +
+          s"nodes (loop variable occurs $k times per step over $n " +
+          "iterations) — restructure the step or lower the iteration count")
+      j += 1
+    }
     var acc = init
     var i = 0
     while (i < n) {

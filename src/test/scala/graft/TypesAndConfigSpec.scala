@@ -424,6 +424,15 @@ class TypesAndConfigSpec extends SparkSpec {
     }
     // the executed plan contains NO runtime loop — n=0 is just init
     assert(graft.ops.Iterate.unroll("7", "x * x", "x", 0) != null)
+    // a step referencing the loop variable k>1 times grows the tree k^n
+    // ("x + x" @ 40 ⇒ ~2^40 nodes) — must reject at plan build, never
+    // OOM the driver; single-occurrence steps at max depth stay fine
+    assertThrows[IllegalArgumentException](
+      graft.ops.Iterate.unroll("1", "x + x", "x", 40))
+    assertThrows[IllegalArgumentException](
+      graft.ops.Iterate.unroll("1", "x * x + x * x", "x", 30))
+    assert(graft.ops.Iterate.unroll("1", "x + 1", "x", 64) != null)
+    assert(graft.ops.Iterate.unroll("1", "x + x", "x", 8) != null)
 
     def bad(body: String) = assertThrows[IllegalArgumentException](
       PipelineSpec.parse(s"""{"name":"x","iterate_functions":{"f": $body}}"""))
@@ -572,11 +581,11 @@ class TypesAndConfigSpec extends SparkSpec {
     val routed = graft.ops.Routing.kafka(cdc)
 
     val kafka = SinkAdapters.kafkaWire(routed)
-    assert(kafka.columns.toSeq == Seq("topic", "key", "value"))
+    assert(kafka.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("topic", "key", "value"))
     assert(kafka.filter(col("value").isNull).count() == 0)
 
     val redis = SinkAdapters.redisStringWire(cdc, ttlSeconds = Some(60))
-    assert(redis.columns.toSeq == Seq("key", "value", "op", "ttl"))
+    assert(redis.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("key", "value", "op", "ttl"))
     val delOps = redis.filter(col("op") === "DEL")
     assert(delOps.count() ==
       cdc.filter(col("action") === "delete").count())
@@ -613,8 +622,10 @@ class TypesAndConfigSpec extends SparkSpec {
     val deletes = cdc.filter(col("action") === "delete").count()
 
     val xadd = SinkAdapters.redisStreamWire(cdc)
-    assert(xadd.columns.toSeq == Seq("stream_key", "entry_id", "fields"))
-    val row = xadd.head()
+    assert(xadd.columns.toSeq ==
+      Seq("ack_id", "ledger_group_id") ++
+        Seq("stream_key", "entry_id", "fields"))
+    val row = xadd.select("stream_key", "entry_id", "fields").head()
     assert(row.getString(0).startsWith("sequin."))
     assert(row.getString(1) == "*")
     val fields = row.getMap[String, String](2)
@@ -622,43 +633,44 @@ class TypesAndConfigSpec extends SparkSpec {
 
     val sns = SinkAdapters.snsWire(cdc, "arn:aws:sns:us-east-1:1:t", isFifo = true)
     assert(sns.columns.toSeq ==
-      Seq("topic_arn", "message_group_id", "message_dedup_id", "message"))
+      Seq("ack_id", "ledger_group_id") ++ Seq("topic_arn", "message_group_id", "message_dedup_id", "message"))
     assert(sns.filter(col("message_dedup_id").isNull).count() == 0)
     val snsStd = SinkAdapters.snsWire(cdc, "arn:aws:sns:us-east-1:1:t")
     assert(snsStd.filter(col("message_group_id").isNotNull).count() == 0)
 
     val kin = SinkAdapters.kinesisWire(cdc, "arn:aws:kinesis:us-east-1:1:stream/s")
-    assert(kin.columns.toSeq == Seq("stream_arn", "partition_key", "data"))
+    assert(kin.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("stream_arn", "partition_key", "data"))
     assert(kin.filter(length(col("partition_key")) > 256).count() == 0)
     assert(kin.filter(col("data").rlike("^[A-Za-z0-9+/=]+$")).count() == 50)
 
     val s2 = SinkAdapters.s2Wire(cdc, "basin1", "stream1")
-    assert(s2.columns.toSeq == Seq("basin", "stream", "body"))
+    assert(s2.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("basin", "stream", "body"))
 
     val ps = SinkAdapters.pubsubWire(cdc)
-    assert(ps.columns.toSeq == Seq("topic_id", "data", "attributes", "ordering_key"))
-    val attrs = ps.head().getMap[String, String](2)
+    assert(ps.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("topic_id", "data", "attributes", "ordering_key"))
+    val attrs = ps.select("attributes").head().getMap[String, String](0)
     assert(attrs("type") == "event")
     assert(Set("insert", "update", "delete").contains(attrs("action")))
 
     val nats = SinkAdapters.natsWire(cdc)
-    assert(nats.columns.toSeq == Seq("subject", "headers", "payload"))
+    assert(nats.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("subject", "headers", "payload"))
     assert(nats.filter(col("subject").rlike(
       "^sequin\\.postgres\\.(public|audit)\\.t[0-4]\\.(insert|update|delete)$"))
       .count() == 50)
-    assert(nats.head().getMap[String, String](1).contains("Nats-Msg-Id"))
+    assert(nats.select("headers").head().getMap[String, String](0)
+      .contains("Nats-Msg-Id"))
 
     val rmq = SinkAdapters.rabbitmqWire(cdc, "sequin-exchange")
     assert(rmq.columns.toSeq ==
-      Seq("exchange", "routing_key", "message_id", "payload"))
+      Seq("ack_id", "ledger_group_id") ++ Seq("exchange", "routing_key", "message_id", "payload"))
     assert(rmq.select("message_id").distinct().count() == 50)
 
     val hub = SinkAdapters.eventHubWire(cdc, "hub1")
-    assert(hub.columns.toSeq == Seq("event_hub_name", "partition_key", "body"))
+    assert(hub.columns.toSeq == Seq("ack_id", "ledger_group_id") ++ Seq("event_hub_name", "partition_key", "body"))
 
     val ts = SinkAdapters.typesenseWire(cdc)
     assert(ts.columns.toSeq ==
-      Seq("collection_name", "ts_action", "doc_id", "document"))
+      Seq("ack_id", "ledger_group_id") ++ Seq("collection_name", "ts_action", "doc_id", "document"))
     assert(ts.filter(col("ts_action") === "delete").count() == deletes)
     assert(ts.filter(col("ts_action") === "delete" &&
       col("document").isNotNull).count() == 0)
