@@ -47,6 +47,84 @@ final class ManagementApi {
   private val endpoints = TrieMap.empty[String, YamlSpec.HttpEndpointSpec]
   private val retentions = TrieMap.empty[String, YamlSpec.ChangeRetentionSpec]
 
+  // ---- API tokens (router.ex:24-28 `plug VerifyApiToken`;
+  // api_tokens/api_token.ex:11-46: 48 random bytes base64url, stored as
+  // a sha256 hash, looked up by hash) ------------------------------------
+
+  /** One bearer token. The raw token is kept only for the obfuscated
+    * index render (the catalog-password discipline); verification always
+    * goes through the sha256 hash with a constant-time compare.
+    */
+  final case class ApiTokenRec(id: String, name: String,
+      hashed: Array[Byte], token: String, insertedAt: java.time.Instant)
+
+  private val apiTokens = TrieMap.empty[String, ApiTokenRec]
+  private val tokenSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sha256(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
+
+  /** `gen_token` parity (api_token.ex:40-44): 48 strong-random bytes,
+    * base64url without padding (double-click-copyable).
+    */
+  private def genToken(): String = {
+    val b = new Array[Byte](48)
+    new java.security.SecureRandom().nextBytes(b)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  private def registerToken(name: String): ApiTokenRec = {
+    require(name.nonEmpty, "api token requires name")
+    require(!apiTokens.values.exists(_.name == name),
+      s"api token already exists: $name")
+    val t = genToken()
+    val rec = ApiTokenRec(s"tok-${tokenSeq.incrementAndGet()}", name,
+      sha256(t), t, java.time.Instant.now())
+    apiTokens.put(rec.id, rec)
+    rec
+  }
+
+  /** The instance's first token, created at construction so the plane is
+    * never unreachable (the reference provisions the first token through
+    * the console; a library embedding has no console). Read it once and
+    * mint scoped tokens through `POST /api/api_keys`.
+    */
+  val bootstrapToken: String = registerToken("bootstrap").token
+
+  /** Constant-time bearer verification with the reference's failure
+    * taxonomy (plugs/verify_api_token.ex:23-72: missing header, missing
+    * Bearer prefix, more than one header, unknown token — each its own
+    * message). Responds 401 and returns false on failure.
+    */
+  private def authenticate(ex: HttpExchange): Boolean = {
+    val hs = Option(ex.getRequestHeaders.get("Authorization"))
+      .map(_.size()).getOrElse(0)
+    def deny(msg: String): Boolean = {
+      respond(ex, 401, err(msg)); false
+    }
+    if (hs == 0)
+      deny("Please provide a valid API token in the Authorization header.")
+    else if (hs > 1)
+      deny("Please provide exactly one Authorization header in your request.")
+    else {
+      val h = ex.getRequestHeaders.getFirst("Authorization")
+      if (!h.startsWith("Bearer "))
+        deny("Please provide a valid API token in the Authorization " +
+          "header. Ensure your Authorization value is prefixed with " +
+          "\"Bearer\".")
+      else {
+        val candidate = sha256(h.stripPrefix("Bearer "))
+        // MessageDigest.isEqual is constant-time; scanning all tokens
+        // keeps the compare count independent of which token matches
+        val ok = apiTokens.values.foldLeft(false) { (acc, t) =>
+          java.security.MessageDigest.isEqual(t.hashed, candidate) || acc
+        }
+        if (ok) true
+        else deny("The API token you provided is invalid or has expired.")
+      }
+    }
+  }
+
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -81,7 +159,13 @@ final class ManagementApi {
     private def route(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
+      // every /api route passes bearer verification (router.ex:24-28)
+      if (!authenticate(ex)) return
       (method, path) match {
+        case ("GET", "/api/api_keys")        => doTokenIndex(ex)
+        case ("POST", "/api/api_keys")       => doTokenCreate(ex)
+        case ("DELETE", p) if p.startsWith("/api/api_keys/") =>
+          doTokenDelete(ex, p.stripPrefix("/api/api_keys/"))
         case ("GET", "/api/sinks")           => doIndex(ex)
         case ("POST", "/api/sinks")          => doCreate(ex)
         case ("POST", "/api/config/apply")   => doApply(ex)
@@ -138,6 +222,46 @@ final class ManagementApi {
       }
     }
   }
+
+  // ---- /api/api_keys (router.ex:162 `resources("/api_keys", ...,
+  // only: [:index, :create, :delete])`; api_key_controller.ex) ----------
+
+  private def renderToken(t: ApiTokenRec, showSensitive: Boolean): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", t.id)
+    o.put("name", t.name)
+    o.put("inserted_at", t.insertedAt.toString)
+    // full token only in the create response (shown once); the index
+    // obfuscates like the catalog passwords
+    o.put("token", if (showSensitive) t.token
+      else ManagementApi.obfuscate(t.token))
+    o
+  }
+
+  private def doTokenIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    apiTokens.values.toSeq.sortBy(_.id)
+      .foreach(t => arr.add(renderToken(t, showSensitive = false)))
+    respond(ex, 200, out.toString)
+  }
+
+  private def doTokenCreate(ex: HttpExchange): Unit =
+    try {
+      val node = mapper.readTree(ex.getRequestBody)
+      val name = Option(node.get("name")).map(_.asText()).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "api token requires name"))
+      val rec = registerToken(name)
+      respond(ex, 200, renderToken(rec, showSensitive = true).toString)
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  private def doTokenDelete(ex: HttpExchange, id: String): Unit =
+    apiTokens.remove(id) match {
+      case Some(_) => respond(ex, 200, """{"success":true}""")
+      case None    => respond(ex, 404, err(s"API token not found: $id"))
+    }
 
   private def doIndex(ex: HttpExchange): Unit = {
     val out = mapper.createObjectNode()

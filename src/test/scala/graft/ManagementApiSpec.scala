@@ -15,9 +15,12 @@ class ManagementApiSpec extends AnyFunSuite {
   private val client = HttpClient.newHttpClient()
 
   private def send(port: Int, method: String, path: String,
-      body: Option[String] = None): (Int, String) = {
-    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      body: Option[String] = None)(
+      implicit token: String): (Int, String) = {
+    val b0 = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .header("Content-Type", "application/json")
+    val b = if (token.isEmpty) b0
+      else b0.header("Authorization", s"Bearer $token")
     val req = (method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
@@ -34,6 +37,7 @@ class ManagementApiSpec extends AnyFunSuite {
 
   test("sink CRUD lifecycle with the fallback plug's error shapes") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       val (cs, cb) = send(p, "POST", "/api/sinks", Some(cfg("orders")))
@@ -61,6 +65,7 @@ class ManagementApiSpec extends AnyFunSuite {
 
   test("writes run the expression sandbox: a clock-reading filter is refused") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val bad =
         """{"name":"sneaky","source":{"include_schemas":["public"]},
@@ -74,6 +79,7 @@ class ManagementApiSpec extends AnyFunSuite {
 
   test("backfill control plane: create/list/show and the state-only update contract") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       // backfills hang off an existing sink
@@ -107,6 +113,7 @@ class ManagementApiSpec extends AnyFunSuite {
   test("http endpoints: CRUD, sink referential integrity, and same-document " +
       "declaration in apply") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       // an http_push sink referencing an undeclared endpoint is refused
@@ -152,10 +159,11 @@ class ManagementApiSpec extends AnyFunSuite {
       assert(es == 200)
       val api2 = new ManagementApi
       try {
-        assert(send(api2.port(), "POST", "/api/config/apply", Some(eb))._1 == 200)
+        assert(send(api2.port(), "POST", "/api/config/apply", Some(eb))(api2.bootstrapToken)._1 == 200)
         assert(api2.consumers() == api.consumers())
         assert(send(api2.port(), "GET",
-          "/api/destinations/http_endpoints/hooks2")._1 == 200)
+          "/api/destinations/http_endpoints/hooks2")(api2.bootstrapToken)
+          ._1 == 200)
       } finally api2.stop()
     } finally api.stop()
   }
@@ -163,6 +171,7 @@ class ManagementApiSpec extends AnyFunSuite {
   test("change retentions + env substitution: documented shape parses, " +
       "applies, round-trips; missing env var is an error") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       val yaml =
@@ -201,7 +210,8 @@ class ManagementApiSpec extends AnyFunSuite {
       assert(es == 200)
       val api2 = new ManagementApi
       try {
-        val (r2s, r2b) = send(api2.port(), "POST", "/api/config/apply", Some(eb))
+        val (r2s, r2b) = send(api2.port(), "POST", "/api/config/apply",
+          Some(eb))(api2.bootstrapToken)
         assert(r2s == 200, s"export=[$eb] body=[$r2b]")
         assert(api2.changeRetentions() == api.changeRetentions())
       } finally api2.stop()
@@ -215,6 +225,7 @@ class ManagementApiSpec extends AnyFunSuite {
 
   test("config apply/plan/export round-trips through a second instance") {
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       def yamlDoc(sinks: String*): String = {
@@ -259,10 +270,59 @@ class ManagementApiSpec extends AnyFunSuite {
       assert(es == 200)
       val api2 = new ManagementApi
       try {
-        val (rs, _) = send(api2.port(), "POST", "/api/config/apply", Some(eb))
+        val (rs, _) = send(api2.port(), "POST", "/api/config/apply",
+          Some(eb))(api2.bootstrapToken)
         assert(rs == 200)
         assert(api2.consumers() == api.consumers())
       } finally api2.stop()
+    } finally api.stop()
+  }
+
+  test("API authentication: bearer verification on every /api route, " +
+      "401 taxonomy, token lifecycle with obfuscated index") {
+    val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
+    try {
+      val p = api.port()
+      // no Authorization header → 401 (verify_api_token.ex:38-47)
+      val (n1, nb) = send(p, "GET", "/api/sinks")("")
+      assert(n1 == 401 && nb.contains("Authorization header"))
+      // Authorization without the Bearer prefix → its own 401 message
+      val raw = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/api/sinks"))
+        .header("Authorization", "Token abc").GET().build()
+      val rawResp = client.send(raw, HttpResponse.BodyHandlers.ofString())
+      assert(rawResp.statusCode() == 401 &&
+        rawResp.body().contains("Bearer"))
+      // unknown token → 401 invalid/expired
+      val (w1, wb) = send(p, "GET", "/api/sinks")("not-a-real-token")
+      assert(w1 == 401 && wb.contains("invalid or has expired"))
+      // writes are fenced too, and a refused write never lands
+      assert(send(p, "POST", "/api/sinks", Some(cfg("x")))("")._1 == 401)
+      assert(api.consumers().isEmpty)
+      // the bootstrap token opens every route
+      assert(send(p, "GET", "/api/sinks")._1 == 200)
+      // mint a scoped token: full value shown ONCE in the create response
+      val (cs, cb) = send(p, "POST", "/api/api_keys",
+        Some("""{"name":"ci"}"""))
+      assert(cs == 200 && cb.contains("\"name\":\"ci\""))
+      val tok2 = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(cb).get.group(1)
+      assert(tok2.length > 40) // 48 bytes base64url
+      assert(send(p, "GET", "/api/sinks")(tok2)._1 == 200)
+      // the index obfuscates every token (catalog-password discipline)
+      val (is, ib) = send(p, "GET", "/api/api_keys")
+      assert(is == 200 && ib.contains("\"bootstrap\"") &&
+        ib.contains("\"ci\"") && !ib.contains(tok2) &&
+        !ib.contains(api.bootstrapToken))
+      // names are unique; empty names refused
+      assert(send(p, "POST", "/api/api_keys",
+        Some("""{"name":"ci"}"""))._1 == 422)
+      assert(send(p, "POST", "/api/api_keys", Some("{}"))._1 == 422)
+      // delete revokes immediately
+      val id = "\"id\":\"(tok-[0-9]+)\"".r.findFirstMatchIn(cb).get.group(1)
+      assert(send(p, "DELETE", s"/api/api_keys/$id")._1 == 200)
+      assert(send(p, "GET", "/api/sinks")(tok2)._1 == 401)
+      assert(send(p, "DELETE", s"/api/api_keys/$id")._1 == 404)
     } finally api.stop()
   }
 
@@ -359,6 +419,7 @@ class ManagementApiSpec extends AnyFunSuite {
       ("public", "orders", 16385L, 2, "total", "numeric", false),
       ("public", "users", 16386L, 1, "user_id", "bigint", true)))
     val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
     try {
       val p = api.port()
       def db(name: String, port: Int): String =
