@@ -125,10 +125,18 @@ final class ManagementApi {
     }
   }
 
+  /** The plane's health registry — runtime components put events here;
+    * `/health` and `/api/health` read it (`lib/sequin/health/health.ex`).
+    */
+  val health = new Health.Registry()
+
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/api/", new Router)
+    // /health sits OUTSIDE the authenticated :api pipeline
+    // (router.ex:149-154 — load balancers probe it unauthenticated)
+    s.createContext("/health", new HealthRouter)
     s.setExecutor(pool)
     s.start()
     s
@@ -162,6 +170,12 @@ final class ManagementApi {
       // every /api route passes bearer verification (router.ex:24-28)
       if (!authenticate(ex)) return
       (method, path) match {
+        case ("GET", "/api/health") => doHealthIndex(ex)
+        case ("GET", p) if p.startsWith("/api/health/") =>
+          p.stripPrefix("/api/health/").split("/", -1).toList match {
+            case kind :: id :: Nil => doHealthShow(ex, kind, id)
+            case _ => respond(ex, 404, err("route not found"))
+          }
         case ("GET", "/api/api_keys")        => doTokenIndex(ex)
         case ("POST", "/api/api_keys")       => doTokenCreate(ex)
         case ("DELETE", p) if p.startsWith("/api/api_keys/") =>
@@ -222,6 +236,67 @@ final class ManagementApi {
       }
     }
   }
+
+  // ---- /health + /api/health (router.ex:149-154;
+  // health_check_controller.ex; health.ex check JSON) --------------------
+
+  private final class HealthRouter extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, err("method not allowed"))
+        else health.system() match {
+          case Right(()) =>
+            val o = mapper.createObjectNode()
+            o.put("ok", true)
+            o.put("rev", "graft")
+            respond(ex, 200, o.toString)
+          case Left(reason) =>
+            val o = mapper.createObjectNode()
+            o.put("ok", false)
+            o.put("error", s"Error with service: $reason")
+            respond(ex, 500, o.toString)
+        }
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, err(s"internal error: ${e.getMessage}"))
+      } finally ex.close()
+  }
+
+  private def renderHealth(h: Health.EntityHealth): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("entity_kind", h.entityKind)
+    o.put("entity_id", h.entityId)
+    o.put("status", h.status)
+    val arr = o.putArray("checks")
+    h.checks.foreach { c =>
+      val co = mapper.createObjectNode()
+      co.put("slug", c.slug)
+      co.put("status", c.status)
+      c.error.foreach(co.put("error", _))
+      c.lastHealthyAtMs.foreach(co.put("last_healthy_at", _))
+      c.erroringSinceMs.foreach(co.put("erroring_since", _))
+      arr.add(co)
+    }
+    h.lastHealthyAtMs.foreach(o.put("last_healthy_at", _))
+    h.erroringSinceMs.foreach(o.put("erroring_since", _))
+    o
+  }
+
+  private def doHealthIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    health.entities().foreach { case (k, i) =>
+      arr.add(renderHealth(health.health(k, i)))
+    }
+    respond(ex, 200, out.toString)
+  }
+
+  private def doHealthShow(ex: HttpExchange, kind: String,
+      id: String): Unit =
+    if (!Health.EntityKinds.contains(kind))
+      respond(ex, 404, err(s"unknown entity kind: $kind"))
+    else respond(ex, 200, renderHealth(health.health(kind, id)).toString)
 
   // ---- /api/api_keys (router.ex:162 `resources("/api_keys", ...,
   // only: [:index, :create, :delete])`; api_key_controller.ex) ----------

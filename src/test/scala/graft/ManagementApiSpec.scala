@@ -326,6 +326,65 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("health surface: unauthenticated /health probe, per-entity check " +
+      "laddering, paused precedence, degraded states over HTTP") {
+    val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
+    try {
+      val p = api.port()
+      def probe(): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // LB probe: no auth, ok with no entities (health_check_controller)
+      val (p0, b0) = probe()
+      assert(p0 == 200 && b0.contains("\"ok\":true"))
+      // a fully-healthy replication slot
+      Seq("reachable", "replication_configuration",
+        "replication_connected", "replication_messages")
+        .foreach(s =>
+          api.health.putEvent("postgres_replication_slot", "db1", s,
+            "success"))
+      val (hs, hb) = send(p, "GET",
+        "/api/health/postgres_replication_slot/db1")
+      assert(hs == 200 && hb.contains("\"status\":\"healthy\""),
+        s"body=$hb")
+      // degrade the FIRST rung: dependents ladder to initializing even
+      // though their own events are healthy (health.ex:366-375), the
+      // entity errors, and the system probe 500s naming the entity
+      api.health.putEvent("postgres_replication_slot", "db1",
+        "reachable", "fail", Some("connection refused"))
+      val (ds, db) = send(p, "GET",
+        "/api/health/postgres_replication_slot/db1")
+      assert(ds == 200 && db.contains("\"entity_id\":\"db1\""))
+      assert(db.contains("\"status\":\"error\""))
+      assert(db.contains(
+        "\"slug\":\"replication_connected\",\"status\":\"initializing\""),
+        s"laddering lost: $db")
+      assert(db.contains("connection refused"))
+      val (p1, b1) = probe()
+      assert(p1 == 500 && b1.contains("\"ok\":false") && b1.contains("db1"))
+      // sink consumer: config healthy, filtered/pending default `waiting`,
+      // ingestion `initializing` → aggregated initializing; paused wins
+      api.health.putEvent("sink_consumer", "orders",
+        "sink_configuration", "success")
+      val (ss, sb) = send(p, "GET", "/api/health/sink_consumer/orders")
+      assert(ss == 200 && sb.contains("\"status\":\"initializing\""))
+      assert(sb.contains(
+        "\"slug\":\"messages_filtered\",\"status\":\"waiting\""))
+      api.health.setPaused("sink_consumer", "orders", isPaused = true)
+      val (_, pb) = send(p, "GET", "/api/health/sink_consumer/orders")
+      assert(pb.contains("\"status\":\"paused\""))
+      // the check index requires auth and lists every entity
+      assert(send(p, "GET", "/api/health")("")._1 == 401)
+      val (is, ib) = send(p, "GET", "/api/health")
+      assert(is == 200 && ib.contains("db1") && ib.contains("orders"))
+      assert(send(p, "GET", "/api/health/not_a_kind/x")._1 == 404)
+    } finally api.stop()
+  }
+
   /** Scripted loopback Postgres catalog server: protocol-v3 startup
     * handshake + simple-query replies for the pg_catalog table listing —
     * what CatalogClient dials for test_connection / refresh_tables.

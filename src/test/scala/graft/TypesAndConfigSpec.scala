@@ -746,4 +746,26 @@ class TypesAndConfigSpec extends SparkSpec {
     resized.zip(again).foreach { case (x, y) =>
       assert(x.bytes.sameElements(y.bytes)) }
   }
+
+  test("Health.ingestSnapshot: the q41 batch snapshot feeds the health " +
+      "registry (active tables healthy, silent tables warn)") {
+    val reg = new graft.config.Health.Registry()
+    val snapshot = SparkEntry.queries("q41_health_snapshot")(spark, sf())
+    reg.ingestSnapshot(snapshot)
+    val ids = snapshot.select("table_schema", "table_name").collect()
+      .map(r => s"${r.getString(0)}.${r.getString(1)}")
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      val h = reg.health("sink_consumer", id)
+      val ing = h.checks.find(_.slug == "messages_ingested").get
+      assert(ing.status == "healthy", s"$id: $ing")
+    }
+    // a table with zero events in the window warns instead of lying
+    import spark.implicits._
+    reg.ingestSnapshot(Seq(("public", "silent", 0L))
+      .toDF("table_schema", "table_name", "n"))
+    val h = reg.health("sink_consumer", "public.silent")
+    assert(h.checks.find(_.slug == "messages_ingested").get
+      .status == "warning")
+  }
 }
