@@ -130,6 +130,12 @@ final class ManagementApi {
     */
   val health = new Health.Registry()
 
+  /** The plane's Prometheus registry — delivery/streaming feeds write
+    * here; `GET /metrics` serves the text exposition
+    * (`lib/sequin/metrics/prometheus.ex` + `prometheus_exporter.ex`).
+    */
+  val metrics = new Metrics.Registry()
+
   private val pool = Executors.newFixedThreadPool(4)
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -137,6 +143,8 @@ final class ManagementApi {
     // /health sits OUTSIDE the authenticated :api pipeline
     // (router.ex:149-154 — load balancers probe it unauthenticated)
     s.createContext("/health", new HealthRouter)
+    // /metrics likewise sits outside :api (PlugExporter mount)
+    s.createContext("/metrics", new MetricsRouter)
     s.setExecutor(pool)
     s.start()
     s
@@ -256,6 +264,25 @@ final class ManagementApi {
             o.put("ok", false)
             o.put("error", s"Error with service: $reason")
             respond(ex, 500, o.toString)
+        }
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, err(s"internal error: ${e.getMessage}"))
+      } finally ex.close()
+  }
+
+  private final class MetricsRouter extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, err("method not allowed"))
+        else {
+          val body = metrics.exposition().getBytes(UTF_8)
+          ex.getResponseHeaders.set("content-type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
         }
       } catch {
         case e: Throwable =>

@@ -1,0 +1,206 @@
+package graft.config
+
+import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+import scala.collection.concurrent.TrieMap
+
+/** Prometheus metrics for the running plane — the reference's registry +
+  * exporter (`/root/reference/lib/sequin/metrics/prometheus.ex:1-605`
+  * declares the metric families; `prometheus_exporter.ex` mounts the
+  * text-format scrape endpoint). Same metric names, same label sets, so
+  * dashboards written against the reference scrape unchanged.
+  *
+  * The Spark rendition has three feeds:
+  *   - the DELIVERY path: [[Metrics.Registry.recordOutcomes]] folds a
+  *     [[graft.sinks.SinkDispatch]] outcome batch into
+  *     attempt/success/failure counters and delivered bytes;
+  *   - the STREAMING path: [[Metrics.listener]] is a
+  *     `StreamingQueryListener` that turns each micro-batch progress
+  *     event into ingested-message counts and batch latency
+  *     observations — attach it with
+  *     `spark.streams.addListener(Metrics.listener(registry, ...))`;
+  *   - direct setters for the replication client (ingestion latency).
+  *
+  * Exposition is Prometheus text format 0.0.4 (`# HELP` / `# TYPE`,
+  * histograms with cumulative `_bucket{le=...}` + `_sum` + `_count`),
+  * served at `GET /metrics` on the management listener, outside the
+  * authenticated pipeline like the reference's PlugExporter mount.
+  */
+object Metrics {
+
+  /** Histogram bucket bounds in microseconds (latency families). */
+  val LatencyBucketsUs: Vector[Double] =
+    Vector(1e3, 1e4, 1e5, 1e6, 1e7)
+
+  private final case class Key(name: String, labels: Vector[(String, String)])
+
+  private final class Histo(buckets: Vector[Double]) {
+    val counts = Array.fill(buckets.length + 1)(new LongAdder)
+    val sum = new DoubleAdder
+    val n = new LongAdder
+    def observe(v: Double): Unit = {
+      var i = 0
+      while (i < buckets.length && v > buckets(i)) i += 1
+      counts(i).increment(); sum.add(v); n.increment()
+    }
+  }
+
+  final class Registry {
+    private val counters = TrieMap.empty[Key, LongAdder]
+    private val gauges = TrieMap.empty[Key, DoubleAdder]
+    private val histos = TrieMap.empty[Key, Histo]
+    // name → (type, help), declared lazily on first touch
+    private val families = TrieMap.empty[String, (String, String)]
+
+    private def declare(name: String, typ: String, help: String): Unit = {
+      families.putIfAbsent(name, (typ, help)); ()
+    }
+
+    def inc(name: String, labels: Seq[(String, String)], by: Long = 1L,
+        help: String = ""): Unit = {
+      declare(name, "counter", help)
+      counters.getOrElseUpdate(Key(name, labels.toVector), new LongAdder)
+        .add(by)
+    }
+
+    def set(name: String, labels: Seq[(String, String)], v: Double,
+        help: String = ""): Unit = {
+      declare(name, "gauge", help)
+      val g = gauges.getOrElseUpdate(Key(name, labels.toVector),
+        new DoubleAdder)
+      g.reset(); g.add(v)
+    }
+
+    def observe(name: String, labels: Seq[(String, String)], v: Double,
+        help: String = ""): Unit = {
+      declare(name, "histogram", help)
+      histos.getOrElseUpdate(Key(name, labels.toVector),
+        new Histo(LatencyBucketsUs)).observe(v)
+    }
+
+    // ---- the reference's metric surface (prometheus.ex) ----------------
+
+    /** `increment_message_deliver_attempt/success/failure`
+      * (prometheus.ex:308-322) + delivered bytes (:178) from one
+      * SinkDispatch outcome batch.
+      */
+    def recordOutcomes(consumerId: String, consumerName: String,
+        outcomes: Seq[graft.sinks.SinkDispatch.Outcome],
+        bytes: Long = 0L): Unit = {
+      val l = Seq("consumer_id" -> consumerId,
+        "consumer_name" -> consumerName)
+      inc("sequin_message_deliver_attempt_count", l, outcomes.size.toLong,
+        "Total number of message delivery attempts.")
+      inc("sequin_message_deliver_success_count", l,
+        outcomes.count(_.ok).toLong,
+        "Total number of successful message deliveries.")
+      inc("sequin_message_deliver_failure_count", l,
+        outcomes.count(!_.ok).toLong,
+        "Total number of failed message deliveries.")
+      if (bytes > 0)
+        inc("sequin_bytes_delivered_total", l, bytes,
+          "Total number of bytes delivered.")
+    }
+
+    /** `observe_delivery_latency` (prometheus.ex:345-354). */
+    def observeDeliveryLatencyUs(consumerId: String, consumerName: String,
+        success: Boolean, us: Double): Unit =
+      observe("sequin_delivery_latency_us",
+        Seq("consumer_id" -> consumerId, "consumer_name" -> consumerName,
+          "success" -> success.toString), us,
+        "The delivery latency in microseconds.")
+
+    /** `observe_ingestion_latency` (prometheus.ex:334-338). */
+    def setIngestionLatencyUs(slotId: String, slotName: String,
+        us: Double): Unit =
+      set("sequin_ingestion_latency_us",
+        Seq("replication_slot_id" -> slotId, "slot_name" -> slotName), us,
+        "The ingestion latency between Postgres and the plane in microseconds.")
+
+    /** `sequin_messages_ingested_count` (prometheus.ex:57-61). */
+    def incMessagesIngested(slotId: String, slotName: String,
+        n: Long): Unit =
+      inc("sequin_messages_ingested_count",
+        Seq("replication_slot_id" -> slotId, "slot_name" -> slotName), n,
+        "Total number of messages ingested.")
+
+    // ---- exposition ----------------------------------------------------
+
+    private def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+    private def fmtLabels(ls: Vector[(String, String)],
+        extra: Option[(String, String)] = None): String = {
+      val all = ls ++ extra.toVector
+      if (all.isEmpty) ""
+      else all.map { case (k, v) => s"""$k="${esc(v)}"""" }
+        .mkString("{", ",", "}")
+    }
+
+    private def fmtD(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+
+    /** Text format 0.0.4. Families sort by name, series by labels —
+      * deterministic scrapes, diff-able in tests.
+      */
+    def exposition(): String = {
+      val sb = new StringBuilder
+      families.toVector.sortBy(_._1).foreach { case (name, (typ, help)) =>
+        if (help.nonEmpty) sb.append(s"# HELP $name ${esc(help)}\n")
+        sb.append(s"# TYPE $name $typ\n")
+        typ match {
+          case "counter" =>
+            counters.toVector.filter(_._1.name == name)
+              .sortBy(_._1.labels.toString).foreach { case (k, v) =>
+                sb.append(s"$name${fmtLabels(k.labels)} ${v.sum()}\n")
+              }
+          case "gauge" =>
+            gauges.toVector.filter(_._1.name == name)
+              .sortBy(_._1.labels.toString).foreach { case (k, v) =>
+                sb.append(s"$name${fmtLabels(k.labels)} ${fmtD(v.sum())}\n")
+              }
+          case "histogram" =>
+            histos.toVector.filter(_._1.name == name)
+              .sortBy(_._1.labels.toString).foreach { case (k, h) =>
+                var cum = 0L
+                LatencyBucketsUs.zipWithIndex.foreach { case (b, i) =>
+                  cum += h.counts(i).sum()
+                  sb.append(s"${name}_bucket${fmtLabels(k.labels,
+                    Some("le" -> fmtD(b)))} $cum\n")
+                }
+                cum += h.counts(LatencyBucketsUs.length).sum()
+                sb.append(s"${name}_bucket${fmtLabels(k.labels,
+                  Some("le" -> "+Inf"))} $cum\n")
+                sb.append(s"${name}_sum${fmtLabels(k.labels)} " +
+                  s"${fmtD(h.sum.sum())}\n")
+                sb.append(s"${name}_count${fmtLabels(k.labels)} ${h.n.sum()}\n")
+              }
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Streaming feed: each micro-batch progress event increments the
+    * slot's ingested-message counter and observes the batch's internal
+    * latency — the Spark analog of the reference's telemetry handlers
+    * (prometheus.ex:275-306 fold Ecto/GenStage telemetry the same way).
+    */
+  def listener(reg: Registry, slotId: String,
+      slotName: String): org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          reg.incMessagesIngested(slotId, slotName, p.numInputRows)
+        Option(p.durationMs.get("triggerExecution")).foreach(ms =>
+          reg.observe("sequin_internal_latency_us",
+            Seq("replication_slot_id" -> slotId, "slot_name" -> slotName),
+            ms.toDouble * 1000.0,
+            "The internal processing latency in microseconds."))
+      }
+    }
+}

@@ -385,6 +385,63 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/metrics: Prometheus text exposition with the reference's metric " +
+      "names; counters and histograms move when deliveries are recorded") {
+    val api = new ManagementApi
+    try {
+      val p = api.port()
+      def scrape(): (Int, String, String) = {
+        val r = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body(),
+          r.headers().firstValue("content-type").orElse(""))
+      }
+      val (s0, b0, ct) = scrape()
+      assert(s0 == 200 && ct.startsWith("text/plain; version=0.0.4"))
+      assert(b0.isEmpty) // nothing recorded yet
+      // a delivery batch: 3 attempts, 2 ok, 1 failed, 4096 bytes
+      import graft.sinks.SinkDispatch.Outcome
+      api.metrics.recordOutcomes("c1", "orders",
+        Seq(Outcome("a", "g", ok = true, ""),
+          Outcome("b", "g", ok = true, ""),
+          Outcome("c", "g", ok = false, "timeout")), bytes = 4096L)
+      api.metrics.observeDeliveryLatencyUs("c1", "orders",
+        success = true, 2500.0)
+      api.metrics.observeDeliveryLatencyUs("c1", "orders",
+        success = true, 150000.0)
+      api.metrics.setIngestionLatencyUs("slot1", "main", 820.5)
+      val (_, b1, _) = scrape()
+      val lines = b1.linesIterator.toVector
+      def series(prefix: String): String =
+        lines.find(_.startsWith(prefix)).getOrElse(s"<missing $prefix>")
+      // reference metric names with reference label sets
+      assert(series("sequin_message_deliver_attempt_count") ==
+        """sequin_message_deliver_attempt_count{consumer_id="c1",consumer_name="orders"} 3""")
+      assert(series("sequin_message_deliver_success_count").endsWith(" 2"))
+      assert(series("sequin_message_deliver_failure_count").endsWith(" 1"))
+      assert(series("sequin_bytes_delivered_total").endsWith(" 4096"))
+      assert(series("sequin_ingestion_latency_us").endsWith(" 820.5"))
+      assert(lines.contains("# TYPE sequin_delivery_latency_us histogram"))
+      // cumulative buckets: 2500us ≤ 1e4, 150000us ≤ 1e6
+      def bucket(le: String): String = lines.find(l =>
+        l.startsWith("sequin_delivery_latency_us_bucket") &&
+          l.contains(s"""le="$le"""")).getOrElse(s"<missing le=$le>")
+      assert(bucket("1000").endsWith(" 0"))
+      assert(bucket("10000").endsWith(" 1"))
+      assert(bucket("1000000").endsWith(" 2"))
+      assert(bucket("+Inf").endsWith(" 2"))
+      assert(series("sequin_delivery_latency_us_sum").endsWith(" 152500"))
+      assert(series("sequin_delivery_latency_us_count").endsWith(" 2"))
+      // counters accumulate across batches
+      api.metrics.recordOutcomes("c1", "orders",
+        Seq(Outcome("d", "g", ok = true, "")))
+      val (_, b2, _) = scrape()
+      assert(b2.linesIterator.exists(_ ==
+        """sequin_message_deliver_attempt_count{consumer_id="c1",consumer_name="orders"} 4"""))
+    } finally api.stop()
+  }
+
   /** Scripted loopback Postgres catalog server: protocol-v3 startup
     * handshake + simple-query replies for the pg_catalog table listing —
     * what CatalogClient dials for test_connection / refresh_tables.

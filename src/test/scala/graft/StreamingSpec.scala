@@ -276,6 +276,7 @@ class StreamingSpec extends SparkSpec {
         val req = java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(s"http://127.0.0.1:${api.port()}$path"))
           .header("Content-Type", "application/json")
+          .header("Authorization", s"Bearer ${api.bootstrapToken}")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
         client.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
@@ -835,6 +836,37 @@ class StreamingSpec extends SparkSpec {
     assert(EventTableSink.read(spark, dir)
       .select("record_pk").collect().map(_.getString(0).toInt)
       .sorted.toSeq == (21 to 40))
+  }
+
+  test("Metrics.listener: micro-batch progress feeds the Prometheus " +
+      "ingested counter and internal-latency histogram") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = new graft.config.Metrics.Registry()
+    val listener = graft.config.Metrics.listener(reg, "slot1", "main")
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Int]
+    val query = input.toDS().writeStream.format("memory")
+      .queryName("metrics_probe").outputMode("append").start()
+    try {
+      input.addData(1 to 7: _*)
+      query.processAllAvailable()
+      input.addData(8 to 10: _*)
+      query.processAllAvailable()
+      // listener events are async — wait for the counter to land
+      val deadline = System.currentTimeMillis() + 10000
+      def counted(): Boolean = reg.exposition().linesIterator.exists(_ ==
+        """sequin_messages_ingested_count{replication_slot_id="slot1",slot_name="main"} 10""")
+      while (!counted() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(counted(), reg.exposition())
+      assert(reg.exposition().contains(
+        "sequin_internal_latency_us_count{replication_slot_id=\"slot1\""))
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
 }
