@@ -46,6 +46,9 @@ final class ManagementApi {
   private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val endpoints = TrieMap.empty[String, YamlSpec.HttpEndpointSpec]
   private val retentions = TrieMap.empty[String, YamlSpec.ChangeRetentionSpec]
+  private val replications = TrieMap.empty[String, ReplicationRec]
+  private val replSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ReplStatuses = Set("active", "disabled")
 
   // ---- API tokens (router.ex:24-28 `plug VerifyApiToken`;
   // api_tokens/api_token.ex:11-46: 48 random bytes base64url, stored as
@@ -202,6 +205,16 @@ final class ManagementApi {
           m match {
             case "GET"    => doEndpointShow(ex, name)
             case "DELETE" => doEndpointDelete(ex, name)
+            case _        => respond(ex, 405, err("method not allowed"))
+          }
+        case ("GET", "/api/postgres_replications")  => doReplIndex(ex)
+        case ("POST", "/api/postgres_replications") => doReplCreate(ex)
+        case (m, p) if p.startsWith("/api/postgres_replications/") =>
+          val id = p.stripPrefix("/api/postgres_replications/")
+          m match {
+            case "GET"    => doReplShow(ex, id)
+            case "PUT"    => doReplUpdate(ex, id)
+            case "DELETE" => doReplDelete(ex, id)
             case _        => respond(ex, 405, err("method not allowed"))
           }
         case ("GET", "/api/postgres_databases")  => doDbIndex(ex)
@@ -913,13 +926,141 @@ final class ManagementApi {
     } catch { case e: Throwable =>
       respond(ex, 422, validationErr(e.getMessage)) }
 
-  private def doDbDelete(ex: HttpExchange, name: String): Unit =
-    databases.remove(name) match {
+  private def doDbDelete(ex: HttpExchange, name: String): Unit = {
+    // FK parity (postgres_replication_slots_postgres_database_id_fkey):
+    // a database a replication references cannot be deleted
+    val refs = replications.values.filter(_.postgresDatabase == name)
+      .map(_.id).toVector.sorted
+    if (refs.nonEmpty)
+      respond(ex, 422, validationErr(
+        s"Postgres database '$name' is referenced by postgres_replications: " +
+          refs.mkString(", ")))
+    else databases.remove(name) match {
       case Some(_) =>
         val o = mapper.createObjectNode()
         o.put("success", true); o.put("id", name)
         respond(ex, 200, o.toString)
       case None => respond(ex, 404, err(s"Postgres database not found: $name"))
+    }
+  }
+
+  // ---- /api/postgres_replications (router.ex:164;
+  // replication/postgres_replication_slot.ex:1-97 — the slot/publication
+  // resource that wires a catalog database to the WAL source) ------------
+
+  /** `postgres_replication_slots` row (postgres_replication_slot.ex:33-55):
+    * slot + publication on a declared catalog database; `status`
+    * active|disabled (disabled ⇒ the health entity reads `paused`);
+    * `partition_count` sizes the parallel decode stage. This record is
+    * what [[graft.sources.ReplicationClient]] / `WalSpool` take their
+    * slot/publication config from.
+    */
+  final case class ReplicationRec(id: Int, postgresDatabase: String,
+      slotName: String, publicationName: String, status: String,
+      partitionCount: Int)
+
+  private def renderRepl(r: ReplicationRec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", r.id)
+    o.put("postgres_database", r.postgresDatabase)
+    o.put("slot_name", r.slotName)
+    o.put("publication_name", r.publicationName)
+    o.put("status", r.status)
+    o.put("partition_count", r.partitionCount)
+    o
+  }
+
+  private def parseReplJson(node: JsonNode,
+      existing: Option[ReplicationRec]): ReplicationRec = {
+    def opt(f: String): Option[String] =
+      Option(node.get(f)).map(_.asText()).filter(_.nonEmpty)
+    def req(f: String, prev: Option[String]): String =
+      opt(f).orElse(prev).getOrElse(throw new IllegalArgumentException(
+        s"postgres_replication requires $f"))
+    val db = existing match {
+      case Some(r) =>
+        // the reference's update_changeset does not cast
+        // postgres_database_id — the database link is immutable
+        opt("postgres_database").foreach { d =>
+          if (d != r.postgresDatabase) throw new IllegalArgumentException(
+            s"postgres_database is immutable: $d != ${r.postgresDatabase}")
+        }
+        r.postgresDatabase
+      case None => req("postgres_database", None)
+    }
+    if (!databases.contains(db))
+      throw new IllegalArgumentException(s"Postgres database not found: $db")
+    val status = opt("status").orElse(existing.map(_.status))
+      .getOrElse("active")
+    if (!ReplStatuses.contains(status))
+      throw new IllegalArgumentException(s"invalid status: $status")
+    val pc = Option(node.get("partition_count")).map(_.asInt())
+      .orElse(existing.map(_.partitionCount)).getOrElse(1)
+    if (pc < 1) throw new IllegalArgumentException(
+      s"partition_count must be >= 1: $pc")
+    ReplicationRec(
+      existing.map(_.id).getOrElse(replSeq.incrementAndGet()),
+      db,
+      req("slot_name", existing.map(_.slotName)),
+      req("publication_name", existing.map(_.publicationName)),
+      status, pc)
+  }
+
+  private def doReplIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    replications.values.toVector.sortBy(_.id)
+      .foreach(r => arr.add(renderRepl(r)))
+    respond(ex, 200, out.toString)
+  }
+
+  private def doReplCreate(ex: HttpExchange): Unit =
+    try {
+      val r = parseReplJson(mapper.readTree(ex.getRequestBody), None)
+      // unique_constraint([:slot_name, :postgres_database_id])
+      if (replications.values.exists(x =>
+          x.slotName == r.slotName && x.postgresDatabase == r.postgresDatabase))
+        throw new IllegalArgumentException(
+          s"slot '${r.slotName}' already declared on database " +
+            s"'${r.postgresDatabase}'")
+      replications.put(r.id.toString, r)
+      health.setPaused("postgres_replication_slot", r.id.toString,
+        r.status == "disabled")
+      respond(ex, 200, renderRepl(r).toString)
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
+
+  private def doReplShow(ex: HttpExchange, id: String): Unit =
+    replications.get(id) match {
+      case Some(r) => respond(ex, 200, renderRepl(r).toString)
+      case None    =>
+        respond(ex, 404, err(s"Postgres replication not found: $id"))
+    }
+
+  private def doReplUpdate(ex: HttpExchange, id: String): Unit =
+    replications.get(id) match {
+      case None =>
+        respond(ex, 404, err(s"Postgres replication not found: $id"))
+      case Some(prev) =>
+        try {
+          val r = parseReplJson(mapper.readTree(ex.getRequestBody),
+            Some(prev))
+          replications.put(id, r)
+          health.setPaused("postgres_replication_slot", id,
+            r.status == "disabled")
+          respond(ex, 200, renderRepl(r).toString)
+        } catch { case e: Throwable =>
+          respond(ex, 422, validationErr(e.getMessage)) }
+    }
+
+  private def doReplDelete(ex: HttpExchange, id: String): Unit =
+    replications.remove(id) match {
+      case Some(_) =>
+        val o = mapper.createObjectNode()
+        o.put("success", true); o.put("id", id)
+        respond(ex, 200, o.toString)
+      case None =>
+        respond(ex, 404, err(s"Postgres replication not found: $id"))
     }
 
   /** `POST :id_or_name/test_connection`

@@ -529,6 +529,63 @@ class ManagementApiSpec extends AnyFunSuite {
     def stop(): Unit = { running = false; server.close() }
   }
 
+  test("postgres_replications: slot/publication CRUD tied to a catalog " +
+      "database, FK delete fence, disabled status pauses health") {
+    val pg = new ScriptedPgCatalog(Seq(
+      ("public", "orders", 16385L, 1, "id", "bigint", true)))
+    val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
+    try {
+      val p = api.port()
+      // a replication must reference a DECLARED catalog database
+      val (os, ob) = send(p, "POST", "/api/postgres_replications",
+        Some("""{"postgres_database":"ghost","slot_name":"s1",
+               |"publication_name":"p1"}""".stripMargin))
+      assert(os == 422 && ob.contains("Postgres database not found"))
+      assert(send(p, "POST", "/api/postgres_databases",
+        Some(s"""{"name":"appdb","hostname":"127.0.0.1","port":${pg.port},
+                 |"database":"app","username":"u","password":"pw",
+                 |"slot_name":"sequin_slot","publication_name":"sequin_pub"}"""
+          .stripMargin))._1 == 201)
+      // required fields enforced
+      assert(send(p, "POST", "/api/postgres_replications",
+        Some("""{"postgres_database":"appdb","slot_name":"s1"}"""))._1 == 422)
+      val (cs, cb) = send(p, "POST", "/api/postgres_replications",
+        Some("""{"postgres_database":"appdb","slot_name":"s1",
+               |"publication_name":"p1","partition_count":4}""".stripMargin))
+      assert(cs == 200 && cb.contains("\"slot_name\":\"s1\"") &&
+        cb.contains("\"status\":\"active\"") &&
+        cb.contains("\"partition_count\":4"), cb)
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(cb).get.group(1)
+      // unique (slot_name, database)
+      assert(send(p, "POST", "/api/postgres_replications",
+        Some("""{"postgres_database":"appdb","slot_name":"s1",
+               |"publication_name":"p2"}""".stripMargin))._1 == 422)
+      val (is, ib) = send(p, "GET", "/api/postgres_replications")
+      assert(is == 200 && ib.contains("\"data\"") && ib.contains("\"s1\""))
+      assert(send(p, "GET", s"/api/postgres_replications/$id")._1 == 200)
+      // the database link is immutable on update (update_changeset does
+      // not cast postgres_database_id)
+      assert(send(p, "PUT", s"/api/postgres_replications/$id",
+        Some("""{"postgres_database":"other","slot_name":"s1",
+               |"publication_name":"p1"}""".stripMargin))._1 == 422)
+      // disabling pauses the slot's health entity (health.ex:215-217)
+      val (us, ub) = send(p, "PUT", s"/api/postgres_replications/$id",
+        Some("""{"status":"disabled"}"""))
+      assert(us == 200 && ub.contains("\"status\":\"disabled\""), ub)
+      val (_, hb) = send(p, "GET",
+        s"/api/health/postgres_replication_slot/$id")
+      assert(hb.contains("\"status\":\"paused\""))
+      // FK fence: the referenced database refuses deletion until the
+      // replication goes first
+      val (ds, db2) = send(p, "DELETE", "/api/postgres_databases/appdb")
+      assert(ds == 422 && db2.contains("referenced by"), db2)
+      assert(send(p, "DELETE", s"/api/postgres_replications/$id")._1 == 200)
+      assert(send(p, "DELETE", s"/api/postgres_replications/$id")._1 == 404)
+      assert(send(p, "DELETE", "/api/postgres_databases/appdb")._1 == 200)
+    } finally { api.stop(); pg.stop() }
+  }
+
   test("postgres_databases catalog plane: CRUD + test_connection + refresh_tables over real sockets") {
     val pg = new ScriptedPgCatalog(Seq(
       ("public", "orders", 16385L, 1, "id", "bigint", true),
