@@ -25,9 +25,11 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** Sink-side latency samples for the continuous-trigger probe; a
-    * static field because ForeachWriter instances are serialized to
-    * tasks (local mode: same JVM, so the samples land here).
+  /** Sink-side latency samples in MICROSECONDS for the continuous-trigger
+    * probe (whole-ms sampling floored sub-ms latencies to an
+    * indistinguishable-from-dead 0.0); a static field because
+    * ForeachWriter instances are serialized to tasks (local mode: same
+    * JVM, so the samples land here).
     */
   val continuousLatencies =
     new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
@@ -211,9 +213,19 @@ object Bench {
         .writeStream
         .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
           override def open(partitionId: Long, epochId: Long): Boolean = true
-          override def process(r: org.apache.spark.sql.Row): Unit =
-            Bench.continuousLatencies.add(
-              System.currentTimeMillis() - r.getTimestamp(0).getTime)
+          override def process(r: org.apache.spark.sql.Row): Unit = {
+            // µs resolution end to end: Instant.now() reads
+            // CLOCK_REALTIME at ns granularity; the event Timestamp
+            // carries full sub-second nanos
+            val now = java.time.Instant.now()
+            val nowUs = now.getEpochSecond * 1000000L + now.getNano / 1000L
+            val ts = r.getTimestamp(0)
+            // getTime repeats the ms part of getNanos — rebuild from
+            // whole seconds + full sub-second nanos
+            val evtUs = math.floorDiv(ts.getTime, 1000L) * 1000000L +
+              ts.getNanos / 1000L
+            Bench.continuousLatencies.add(nowUs - evtUs)
+          }
           override def close(errorOrNull: Throwable): Unit = ()
         })
         .trigger(Trigger.Continuous("1 second"))
@@ -222,8 +234,9 @@ object Bench {
       q.stop()
       import scala.jdk.CollectionConverters._
       val all = Bench.continuousLatencies.asScala.toVector
-      // drop the startup second (task scheduling), then p50
-      val settled = all.drop(all.length / 3).map(_.toDouble).sorted
+      // drop the startup second (task scheduling), then p50 — samples
+      // are µs; report ms downstream, µs alongside
+      val settled = all.drop(all.length / 3).map(_.toDouble / 1000.0).sorted
       if (settled.isEmpty) -1.0 else settled(settled.length / 2)
     } catch { case _: Throwable => -1.0 }
 
@@ -279,7 +292,15 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}"""
+    println(json)
+    // the driver keeps only the tail of stdout — persist the FULL
+    // artifact so per-query times survive without a re-run
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench-report.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench-report.json: $e") }
     spark.stop()
   }
 }
