@@ -37,10 +37,17 @@ final class SequinStreamPull(
     ackWaitMs: Long = 30000L,
     maxInflight: Int = 1,
     maxRetry: Int = 3,
+    maxAckPending: Int = 10000,
+    fullPolicy: String = "pause_on_full",
     nowMs: () => Long = () => System.currentTimeMillis())(
     implicit spark: SparkSession) {
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  require(maxAckPending >= 1, s"max_ack_pending must be >= 1: $maxAckPending")
+  require(SequinStreamPull.FullPolicies.contains(fullPolicy),
+    s"load-shedding policy must be one of " +
+      s"${SequinStreamPull.FullPolicies.mkString("/")}: $fullPolicy")
 
   // not-yet-handed-out deliveries + observed dead letters, drained
   // incrementally from each micro-batch (guarded by `this`)
@@ -66,7 +73,10 @@ final class SequinStreamPull(
         if (batchId > maxSeenBatchId) {
           maxSeenBatchId = batchId
           rows.foreach { d =>
-            if (d.kind == "dlq") dlq += d else pending += d
+            if (d.kind == "dlq") {
+              dlq += d
+              unresolved -= d.ack_id // dead-lettering resolves the slot
+            } else pending += d
           }
         }
       }
@@ -85,12 +95,55 @@ final class SequinStreamPull(
     */
   private val commandLock = new Object
 
-  /** Feed source events (the slot's decoded stream) into the store. */
-  def ingest(events: Seq[ChangeEvent]): Unit = commandLock.synchronized {
-    events.foreach(e => knownGroups += Option(e.group_id)
-      .getOrElse(s"__pk:${e.record_pk}"))
-    input.addData(events.map(DeliveryCommand.event))
-    query.processAllAvailable()
+  /** Events discarded by `discard_on_full` (spec/metrics hook). */
+  private[graft] var droppedCount: Long = 0L
+
+  /** Idempotency keys of admitted events not yet resolved (acked or
+    * dead-lettered) — the reference's max_ack_pending quantity, keyed so
+    * an at-least-once REPLAY of an unresolved event passes through
+    * without consuming capacity (the state machine dedups it; admission
+    * must not leak a slot for it). Guarded by `this` (foreachBatch
+    * resolves DLQs from the stream thread). Size ≤ maxAckPending by
+    * construction — the driver-path bound.
+    */
+  private val unresolved = scala.collection.mutable.Set.empty[String]
+
+  /** Admitted-but-unresolved count (spec/metrics hook). */
+  private[graft] def outstandingEvents: Int =
+    this.synchronized(unresolved.size)
+
+  /** Feed source events (the slot's decoded stream) into the store,
+    * bounded by `max_ack_pending` (sink_consumer.ex:86-90): the driver
+    * buffer + unresolved hand-outs never exceed the cap, so a flood
+    * batch cannot grow the driver path without bound. Returns the number
+    * ADMITTED. Overflow follows the consumer's load-shedding policy
+    * (W8, `pause_on_full` | `discard_on_full`): pause admits up to
+    * capacity and the caller MUST re-offer the remainder once acks free
+    * space (backpressure, the reference's producer demand contract);
+    * discard counts the remainder dropped and moves on.
+    */
+  def ingest(events: Seq[ChangeEvent]): Int = commandLock.synchronized {
+    val admitted = this.synchronized {
+      val adm = Vector.newBuilder[ChangeEvent]
+      var stop = false
+      events.foreach { e =>
+        if (!stop) {
+          if (unresolved.contains(e.idempotency_key)) adm += e // replay, free
+          else if (unresolved.size < maxAckPending) {
+            unresolved += e.idempotency_key; adm += e
+          } else if (fullPolicy == "discard_on_full") droppedCount += 1
+          else stop = true // pause: stop at the first overflow (in order)
+        }
+      }
+      adm.result()
+    }
+    if (admitted.nonEmpty) {
+      admitted.foreach(e => knownGroups += Option(e.group_id)
+        .getOrElse(s"__pk:${e.record_pk}"))
+      input.addData(admitted.map(DeliveryCommand.event))
+      query.processAllAvailable()
+    }
+    admitted.size
   }
 
   /** Pull up to `maxBatchSize` deliveries; long-polls up to `waitForMs`
@@ -110,10 +163,15 @@ final class SequinStreamPull(
     batch
   }
 
-  /** Permanently complete deliveries (idempotent; unknown ids no-op). */
-  def ack(ackIds: Seq[String]): Unit = sendFor(ackIds, DeliveryCommand.ack)
+  /** Permanently complete deliveries (idempotent; unknown ids no-op).
+    * Acking frees max_ack_pending capacity for the next ingest.
+    */
+  def ack(ackIds: Seq[String]): Unit = {
+    sendFor(ackIds, DeliveryCommand.ack)
+    this.synchronized(ackIds.foreach(unresolved -= _))
+  }
 
-  /** Make deliveries immediately redeliverable. */
+  /** Make deliveries immediately redeliverable (still outstanding). */
   def nack(ackIds: Seq[String]): Unit = sendFor(ackIds, DeliveryCommand.nack)
 
   /** Dead-lettered messages observed so far. */
@@ -153,4 +211,12 @@ final class SequinStreamPull(
       fresh
     }
   }
+}
+
+object SequinStreamPull {
+  /** W8 load-shedding policies (sink_consumer.ex `load_shedding_policy`):
+    * `pause_on_full` backpressures the producer (ingest admits up to
+    * capacity, caller re-offers); `discard_on_full` drops overflow.
+    */
+  val FullPolicies: Set[String] = Set("pause_on_full", "discard_on_full")
 }

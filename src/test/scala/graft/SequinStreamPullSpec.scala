@@ -121,4 +121,53 @@ class SequinStreamPullSpec extends SparkSpec {
       assert(got.size == 1)
     } finally pull.stop()
   }
+
+  test("max_ack_pending bounds the driver path: pause_on_full " +
+      "backpressures, acks free capacity, replays ride free") {
+    implicit val s = spark
+    Clock.now = 0L
+    val pull = new SequinStreamPull(ackWaitMs = 60000L, maxInflight = 10,
+      maxAckPending = 50, nowMs = PullClock.get)
+    try {
+      // a 500-event flood (500 distinct groups): only 50 admitted
+      val flood = (1 to 500).map(i => ev(8L * i, i.toString))
+      val admitted = pull.ingest(flood)
+      assert(admitted == 50)
+      assert(pull.outstandingEvents == 50)
+      // re-offering the SAME unresolved events consumes no capacity
+      assert(pull.ingest(flood.take(50)) == 50)
+      assert(pull.outstandingEvents == 50)
+      // ...and fresh ones are refused while full
+      assert(pull.ingest(flood.slice(50, 60)) == 0)
+      // ack 20 → capacity frees exactly 20 (the backpressure contract:
+      // the producer re-offers the remainder)
+      val batch = pull.receive(maxBatchSize = 20)
+      assert(batch.size == 20)
+      pull.ack(batch.map(_.ack_id))
+      assert(pull.outstandingEvents == 30)
+      assert(pull.ingest(flood.slice(50, 500)) == 20)
+      assert(pull.outstandingEvents == 50)
+      assert(pull.droppedCount == 0L)
+    } finally pull.stop()
+  }
+
+  test("discard_on_full drops overflow and counts it; admitted events " +
+      "deliver normally") {
+    implicit val s = spark
+    Clock.now = 0L
+    val pull = new SequinStreamPull(ackWaitMs = 60000L, maxInflight = 10,
+      maxAckPending = 25, fullPolicy = "discard_on_full",
+      nowMs = PullClock.get)
+    try {
+      val flood = (1 to 100).map(i => ev(8L * i, i.toString))
+      assert(pull.ingest(flood) == 25)
+      assert(pull.droppedCount == 75L)
+      assert(pull.outstandingEvents == 25)
+      val got = pull.receive(maxBatchSize = 1000)
+      assert(got.size == 25)
+      // policy names are validated up front
+      intercept[IllegalArgumentException](
+        new SequinStreamPull(fullPolicy = "explode_on_full"))
+    } finally pull.stop()
+  }
 }
