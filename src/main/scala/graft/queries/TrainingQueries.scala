@@ -288,6 +288,20 @@ object TrainingQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // N-gram novelty between corpus snapshots: per source, how many of
+    // the NEW snapshot's distinct 3-gram shingles never occur in the OLD
+    // snapshot (novelty in exact integer ppm) — does the refresh crawl
+    // buy new content or re-crawl the corpus? Snapshots split
+    // deterministically on doc_id parity so the oracle reproduces them.
+    "td25_ngram_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.training.TrainingPrep.ngramNovelty(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "source", n = 3)
+        .orderBy("source")
+    }),
+
     // Unigram-LM quality scoring (CCNet-style): per-doc token surprisal
     // under the corpus's own add-one-smoothed unigram model, in integer
     // micro-nats (rounded per token — exact integer aggregation)
@@ -1522,6 +1536,24 @@ object TrainingQueries {
          |WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 10000 <
          |  CAST(floor(rate * 10000) AS INT)
          |ORDER BY doc_id""".stripMargin,
+
+    "td25_ngram_novelty" ->
+      s"""WITH grams AS (SELECT doc_id, source, ${dhWide("s")} AS h FROM (
+         |  SELECT doc_id, source, unnest(list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |    AS s
+         |  FROM documents)),
+         |old AS (SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0),
+         |nw AS (SELECT DISTINCT source, h FROM grams WHERE doc_id % 2 = 1)
+         |SELECT nw.source,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN old.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  (1000000 * CAST(sum(CASE WHEN old.h IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_ppm
+         |FROM nw LEFT JOIN old ON nw.h = old.h
+         |GROUP BY nw.source ORDER BY nw.source""".stripMargin,
 
     "td26_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

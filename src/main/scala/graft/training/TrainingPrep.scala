@@ -530,6 +530,40 @@ object TrainingPrep {
         "jaccard_micro")
   }
 
+  /** N-gram novelty between two corpus snapshots — the refresh-review
+    * question "what does the new crawl actually ADD?": per group (e.g.
+    * source) in the NEW snapshot, how many distinct word n-gram shingles
+    * exist at all, how many never occur anywhere in the OLD snapshot,
+    * and the novelty rate in exact integer ppm. A slice whose novelty
+    * collapses toward 0 is re-crawling what the corpus already has —
+    * the scaling-law input for whether another dump buys anything.
+    *
+    * Exactness: shingles reduce to 60-bit portable hashes (the td51
+    * kernel — identical on every engine); counts are distinct-set sizes;
+    * the rate is integer `div`. Scale shape: two distinct hash
+    * aggregates (old universe, new per-group universe) and ONE equi-join
+    * on the shingle hash — no pair space, no window; both sides shuffle
+    * narrow (hash) or (group, hash) rows only, never document text.
+    */
+  def ngramNovelty(dfOld: DataFrame, dfNew: DataFrame, textCol: String,
+      groupCol: String, n: Int): DataFrame = {
+    def sh(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ explode(graft.functions.VectorExpressions
+        .shingle_hashes(col(textCol), n, hexChars = 15)).as("h"): _*)
+    val oldSh = sh(dfOld, Nil).distinct()
+      .withColumn("seen_old", lit(1))
+    val newSh = sh(dfNew, Seq(col(groupCol).as("grp"))).distinct()
+    newSh.join(oldSh, Seq("h"), "left_outer")
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("seen_old").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * n_novel) div n_shingles"))
+      .select(col("grp").as(groupCol), col("n_shingles"), col("n_novel"),
+        col("novelty_ppm"))
+  }
+
   /** Sliding-window chunking for context-window prep: token windows of
     * `chunkSize` advancing by `stride` (overlap = chunkSize − stride),
     * last window partial. Pure per-row explode — embarrassingly parallel,
