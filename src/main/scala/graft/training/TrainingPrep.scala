@@ -625,6 +625,10 @@ object TrainingPrep {
       .agg(sum(col("weight_micro") * col("wt")).cast("bigint")
           .as("score_units"),
         count(lit(1)).cast("int").as("n_feats"))
+      // globalRank's zipWithIndex runs an offset-count job before the
+      // real one — materialize the (narrow) score rows once so the
+      // TF-IDF aggregation isn't computed twice
+      .localCheckpoint()
     val nDocs = scores.agg(count(lit(1)).cast("bigint").as("n_docs"))
     // Output is per-doc, so no limit() can bound it — rank with the
     // range-partitioned distributed sort (Ordering.globalRank, proven
