@@ -187,6 +187,42 @@ object SinkDispatch {
     }
   }
 
+  /** [[deliver]] + observability: one micro-batch's outcomes collected
+    * (bounded by the batch — this is the `foreachBatch` consumption
+    * point where the runtime turns outcomes into ack/nack commands
+    * anyway) and folded into the plane's Prometheus registry
+    * (attempt/success/failure counters + delivery-latency histogram,
+    * the reference's `increment_message_deliver_*` /
+    * `observe_delivery_latency` feeds) and the consumer's health entity
+    * (`messages_delivered` success/fail — the check the console badge
+    * reads). The pipeline itself is untouched; observability is a
+    * side-channel on the already-materialized outcome rows.
+    */
+  def deliverObserved(pipeline: DataFrame, spec: SinkSpec, env: Env,
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String, consumerName: String)(
+      implicit spark: SparkSession): Seq[Outcome] = {
+    val t0 = System.nanoTime()
+    val outcomes = deliver(pipeline, spec, env).collect().toSeq
+    val elapsedUs = (System.nanoTime() - t0) / 1000.0
+    metrics.recordOutcomes(consumerId, consumerName, outcomes)
+    if (outcomes.nonEmpty) {
+      val perDeliveryUs = elapsedUs / outcomes.size
+      outcomes.groupBy(_.ok).foreach { case (ok, group) =>
+        metrics.observeDeliveryLatencyUs(consumerId, consumerName, ok,
+          perDeliveryUs * group.size)
+      }
+      val failures = outcomes.filterNot(_.ok)
+      health.putEvent("sink_consumer", consumerId, "messages_delivered",
+        if (failures.isEmpty) "success" else "fail",
+        if (failures.isEmpty) None
+        else Some(s"${failures.size}/${outcomes.size} deliveries failed: " +
+          failures.head.err))
+    }
+    outcomes
+  }
+
   /** Outcomes → the delivery state machine's ack/nack commands. */
   def commands(outcomes: Dataset[Outcome])(
       implicit spark: SparkSession): Dataset[DeliveryCommand] = {

@@ -206,6 +206,85 @@ class SinkDispatchSpec extends SparkSpec {
     } finally redis.close()
   }
 
+  test("deliverObserved: real outcomes feed the Prometheus counters and " +
+      "the consumer's messages_delivered health check") {
+    implicit val s = spark
+    // loopback redis replying to every command
+    val redis = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val redisThread = new Thread(() => {
+      try {
+        while (true) {
+          val sock = redis.accept()
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try {
+            while (true) {
+              if (in.read() < 0) throw new java.io.EOFException
+              val n = line().toInt
+              (0 until n).foreach { _ =>
+                in.read()
+                val len = line().toInt
+                val buf = new Array[Byte](len)
+                var off = 0
+                while (off < len) off += in.read(buf, off, len - off)
+                in.read(); in.read()
+              }
+              out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+            }
+          } catch { case _: Exception => sock.close() }
+        }
+      } catch { case _: Exception => () }
+    })
+    redisThread.setDaemon(true)
+    redisThread.start()
+    try {
+      val metrics = new graft.config.Metrics.Registry()
+      val health = new graft.config.Health.Registry()
+      val cdc = graft.model.Cdc.fromEvents(Tables.events(spark, sf())).limit(5)
+      val cfg = PipelineSpec.parse(
+        """{"name":"obs","destination":{"type":"redis_stream","stream_key":"k"}}""")
+      def delivered() = health.health("sink_consumer", "c-obs")
+        .checks.find(_.slug == "messages_delivered").get
+      val ok = SinkDispatch.deliverObserved(
+        CdcPipeline.build(cdc, cfg), cfg.sink.get,
+        SinkDispatch.Env(host = "127.0.0.1", port = redis.getLocalPort),
+        metrics, health, "c-obs", "obs")
+      assert(ok.size == 5 && ok.forall(_.ok))
+      val exp = metrics.exposition()
+      assert(exp.contains("sequin_message_deliver_attempt_count" +
+        """{consumer_id="c-obs",consumer_name="obs"} 5"""), exp)
+      assert(exp.contains("sequin_message_deliver_success_count" +
+        """{consumer_id="c-obs",consumer_name="obs"} 5"""))
+      assert(exp.contains(
+        """sequin_delivery_latency_us_count{consumer_id="c-obs",consumer_name="obs",success="true"} 1"""))
+      assert(delivered().status == "healthy")
+      // the same consumer against a dead port: failures counted, the
+      // health check flips to error with the transport reason
+      val tmp = new ServerSocket(0)
+      val dead = tmp.getLocalPort
+      tmp.close()
+      val bad = SinkDispatch.deliverObserved(
+        CdcPipeline.build(cdc, cfg), cfg.sink.get,
+        SinkDispatch.Env(host = "127.0.0.1", port = dead),
+        metrics, health, "c-obs", "obs")
+      assert(bad.nonEmpty && bad.forall(!_.ok))
+      val exp2 = metrics.exposition()
+      assert(exp2.contains("sequin_message_deliver_attempt_count" +
+        """{consumer_id="c-obs",consumer_name="obs"} 10"""))
+      assert(exp2.contains("sequin_message_deliver_failure_count" +
+        """{consumer_id="c-obs",consumer_name="obs"} 5"""))
+      assert(delivered().status == "error" &&
+        delivered().error.exists(_.contains("deliveries failed")))
+      assert(health.health("sink_consumer", "c-obs").status == "error")
+    } finally redis.close()
+  }
+
   test("a dead transport's nacks drive AckDelivery to redeliver — the failure loop closes") {
     implicit val s = spark
     import s.implicits._
