@@ -1,0 +1,149 @@
+package graft
+
+import graft.config.PipelineSpec
+import graft.model.ChangeEvent
+import graft.sinks.SinkDispatch
+import graft.streaming.ConsumerRuntime
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.jdk.CollectionConverters._
+
+/** The assembled runtime end to end: streaming events → pipeline filters
+  * → AckDelivery ledger → live loopback transport → acks → metrics +
+  * health. One `start()` call runs the whole library.
+  */
+class ConsumerRuntimeSpec extends SparkSpec {
+
+  /** Loopback redis recording XADD stream keys + lsn-bearing payloads. */
+  private final class ScriptedRedis {
+    val xadds = new ConcurrentLinkedQueue[String]()
+    private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val thread = new Thread(() => {
+      try {
+        while (true) {
+          val sock = server.accept()
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try {
+            while (true) {
+              if (in.read() < 0) throw new java.io.EOFException
+              val n = line().toInt
+              val args = (0 until n).map { _ =>
+                in.read()
+                val len = line().toInt
+                val buf = new Array[Byte](len)
+                var off = 0
+                while (off < len) off += in.read(buf, off, len - off)
+                in.read(); in.read()
+                new String(buf, UTF_8)
+              }
+              if (args.head == "XADD")
+                xadds.add(args.mkString("|"))
+              out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+            }
+          } catch { case _: Exception => sock.close() }
+        }
+      } catch { case _: Exception => () }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def stop(): Unit = server.close()
+  }
+
+  private def ev(lsn: Long, group: String, value: Double,
+      action: String = "insert"): ChangeEvent =
+    ChangeEvent(lsn, 0L, Timestamp.valueOf("2024-01-01 00:00:00"), action,
+      "public", "t0", 16384L, s"pk$group-$lsn", lsn, group.toLong, value,
+      "{}", Some(0.5), s"$group:$lsn", group, 100L)
+
+  test("END TO END: streaming events through filters, ledger, live " +
+      "transport, acks, metrics and health in one runtime") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    try {
+      val cfg = PipelineSpec.parse(
+        """{"name":"rt","actions":["insert"],
+          |"filter_function":"record_value >= 2.0",
+          |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+          .stripMargin)
+      val input = MemoryStream[ChangeEvent]
+      val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+        SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+        metrics, health, "c-rt")
+      try {
+        // 2 groups × 2 events pass; one filtered by value, one by action
+        input.addData(ev(8, "1", 5.0), ev(16, "1", 5.0),
+          ev(8, "2", 5.0), ev(16, "2", 1.0), ev(24, "2", 5.0, "update"))
+        handle.query.processAllAvailable()
+        assert(srv.xadds.size == 3, srv.xadds.asScala.mkString("\n"))
+        // per-group FIFO: group 1's lsn 8 XADD precedes its lsn 16
+        val g1 = srv.xadds.asScala.toVector.filter(_.contains("\"1:"))
+        assert(g1.size == 2 && g1.head.contains("1:8") &&
+          g1.last.contains("1:16"))
+        // ledger fully drained — every delivery acked by its identity
+        assert(handle.ledger.outstandingEvents == 0)
+        assert(handle.ledger.deadLetters().isEmpty)
+        // a SECOND micro-batch flows through the same runtime
+        input.addData(ev(24, "1", 3.0))
+        handle.query.processAllAvailable()
+        assert(srv.xadds.size == 4)
+        assert(handle.ledger.outstandingEvents == 0)
+        // observability moved with the real deliveries
+        val exp = metrics.exposition()
+        assert(exp.contains("sequin_message_deliver_attempt_count" +
+          """{consumer_id="c-rt",consumer_name="rt"} 4"""), exp)
+        assert(exp.contains("sequin_message_deliver_success_count" +
+          """{consumer_id="c-rt",consumer_name="rt"} 4"""))
+        val h = health.health("sink_consumer", "c-rt")
+        assert(h.status == "healthy", h)
+        assert(h.checks.find(_.slug == "messages_delivered")
+          .get.status == "healthy")
+      } finally handle.stop()
+    } finally srv.stop()
+  }
+
+  test("dead transport: retries exhaust into the DLQ, the stream keeps " +
+      "going, health flips to error") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = new ServerSocket(0)
+    val dead = tmp.getLocalPort
+    tmp.close()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val cfg = PipelineSpec.parse(
+      """{"name":"doom","ack_wait_ms":1,"max_retry_count":2,
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    val input = MemoryStream[ChangeEvent]
+    val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = dead),
+      metrics, health, "c-doom")
+    try {
+      input.addData(ev(8, "1", 5.0), ev(8, "2", 5.0))
+      handle.query.processAllAvailable() // terminates: retry → DLQ
+      assert(handle.ledger.deadLetters().size == 2)
+      assert(handle.ledger.outstandingEvents == 0)
+      assert(health.health("sink_consumer", "c-doom").status == "error")
+      val exp = metrics.exposition()
+      assert(exp.contains("sequin_message_deliver_failure_count"))
+      // the stream is still alive for the next batch
+      assert(handle.query.isActive)
+    } finally handle.stop()
+  }
+}
