@@ -412,6 +412,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("td25 snapshot novelty: distinct hash aggs + ONE equi-join on the " +
+      "shingle hash — no pair space, no window") {
+    val plan = formatted(q("td25_ngram_novelty"))
+    assert(!plan.contains("CartesianProduct"), "novelty went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window"), "novelty grew a window")
+    // the old-snapshot universe joins the new per-group universe as an
+    // equi-join (broadcast at gate SF, sort-merge at scale — either is
+    // the linear shape)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("REGISTRY-WIDE: no unpartitioned WindowExec over unbounded input " +
       "in any registered query") {
     // The td50/td52 class of defect: row_number() OVER (ORDER BY ...)
