@@ -86,6 +86,25 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("ngram snapshot novelty grows near-linearly over 10x docs") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    import org.apache.spark.sql.functions.col
+    def run(df: DataFrame): Long =
+      graft.training.TrainingPrep.ngramNovelty(
+        df.filter(col("doc_id") % 2 === 0),
+        df.filter(col("doc_id") % 2 === 1)
+          .withColumn("source", (col("doc_id") % 10).cast("string")),
+        "text", "source", n = 3).count()
+    try {
+      val r = ratioOf(run(small), run(big), "ngram_novelty")
+      // two distinct hash aggs + one equi-join on the shingle hash:
+      // strictly linear in shingle volume; a pair-space fallback would
+      // show ~100x
+      assert(r < 30, s"novelty 10x growth ratio $r suggests a cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("simhash banded near-dups grow near-linearly over 10x docs") {
     val small = synthDocs(SmallN)
     val big = synthDocs(BigN)
