@@ -1043,6 +1043,19 @@ object TrainingQueries {
       Ann.hardNegatives(Tables.embeddings(s, dir), centroidEvery = 50)
         .orderBy("vec_id")),
 
+    // Dedup survivorship funnel: per source, docs surviving raw → exact
+    // (first copy per md5 fingerprint) → near-dup (cluster canonical
+    // among exact survivors, clusters from the verified MinHash
+    // pipeline), with per-stage drops in exact integer ppm — WHERE a
+    // source loses its data.
+    "td90_dedup_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.training.TrainingPrep.dedupFunnel(docs, "doc_id", "source",
+          "text", graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+            .select("id_a", "id_b"))
+        .orderBy("source")
+    }),
+
     // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
     // bounds the pair space block-locally, exact levenshtein on a
     // 64-char normalized key verifies — both stages built-in codegen'd
@@ -2725,6 +2738,43 @@ object TrainingQueries {
 
     // td77: identical blocking + levenshtein in DuckDB (both engines'
     // levenshtein is unit-cost edit distance — integer exact)
+    "td90_dedup_funnel" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+         |comps AS (SELECT a AS doc_id, least(a, min(b)) AS comp
+         |  FROM reach GROUP BY a),
+         |b0 AS (SELECT d.doc_id, d.source, md5(d.text) AS fp,
+         |    coalesce(c.comp, d.doc_id) AS comp2
+         |  FROM documents d LEFT JOIN comps c USING (doc_id)),
+         |cn AS (SELECT fp, min(doc_id) AS cid FROM b0 GROUP BY fp),
+         |s1 AS (SELECT b0.*, (b0.doc_id = cn.cid) AS exact_surv
+         |  FROM b0 JOIN cn USING (fp)),
+         |ms AS (SELECT comp2, min(doc_id) AS min_surv FROM s1
+         |  WHERE exact_surv GROUP BY comp2),
+         |f AS (SELECT s1.source, s1.exact_surv,
+         |    (s1.exact_surv AND s1.doc_id = ms.min_surv) AS final_surv
+         |  FROM s1 LEFT JOIN ms USING (comp2)),
+         |agg AS (SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN exact_surv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact,
+         |    CAST(sum(CASE WHEN final_surv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_final
+         |  FROM f GROUP BY source)
+         |SELECT source, n_docs, n_exact, n_final,
+         |  (1000000 * (n_docs - n_exact)) // n_docs AS drop_exact_ppm,
+         |  CASE WHEN n_exact = 0 THEN 0
+         |    ELSE (1000000 * (n_exact - n_final)) // n_exact END
+         |    AS drop_neardup_ppm,
+         |  (1000000 * n_final) // n_docs AS retained_ppm
+         |FROM agg ORDER BY source""".stripMargin),
+
     "td77_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, lower(substr(text, 1, 64)) AS k,
         |    substr(lower(substr(text, 1, 64)), 1, 12) AS blk

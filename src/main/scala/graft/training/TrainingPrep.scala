@@ -530,6 +530,53 @@ object TrainingPrep {
         "jaccard_micro")
   }
 
+  /** Dedup survivorship funnel — the curation review's second number
+    * (after [[effectiveData]]'s token accounting): per source, how many
+    * documents survive each dedup stage in sequence — raw → EXACT
+    * (first copy per content fingerprint, earliest id canonical) →
+    * NEAR-DUP (cluster canonical among the exact survivors; clusters
+    * from the caller's verified pair set, e.g. MinHash-LSH) — with the
+    * per-stage drop and overall retention in exact integer ppm. The
+    * funnel says WHERE a source loses its data: a mirror-heavy crawl
+    * drops at exact, a template-heavy one at near-dup.
+    *
+    * Policy: stage order matters and is pinned — near-dup canonicals
+    * are chosen among EXACT survivors (min id), so a cluster whose
+    * minimum member was an exact duplicate still keeps exactly one
+    * survivor. Docs in no cluster pass stage 2 untouched.
+    *
+    * Scale shape: fingerprint canonicalization is one hash agg;
+    * cluster membership joins on id; everything that shuffles is
+    * narrow (id, fp/comp) rows — document text never moves. The pair
+    * set is the caller's (banded/verified — never all-pairs).
+    */
+  def dedupFunnel(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, nearDupPairs: DataFrame): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      Hashing.fingerprint(col(textCol)).as("fp"))
+    val canon = base.groupBy("fp").agg(min(col("id")).as("cid"))
+    val s1 = base.join(canon, "fp")
+      .withColumn("exact_surv", col("id") === col("cid"))
+    val comps = graft.dedup.Dedup.dupClusters(nearDupPairs)
+    val withComp = s1.join(comps, Seq("id"), "left_outer")
+      .withColumn("comp2", coalesce(col("comp"), col("id")))
+    val minSurv = withComp.filter(col("exact_surv"))
+      .groupBy("comp2").agg(min(col("id")).as("min_surv"))
+    withComp.join(minSurv, Seq("comp2"), "left_outer")
+      .withColumn("final_surv",
+        col("exact_surv") && col("id") === col("min_surv"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("exact_surv").cast("bigint")).cast("bigint").as("n_exact"),
+        sum(col("final_surv").cast("bigint")).cast("bigint").as("n_final"))
+      .withColumn("drop_exact_ppm",
+        expr("(1000000 * (n_docs - n_exact)) div n_docs"))
+      .withColumn("drop_neardup_ppm",
+        when(col("n_exact") === 0L, 0L)
+          .otherwise(expr("(1000000 * (n_exact - n_final)) div n_exact")))
+      .withColumn("retained_ppm", expr("(1000000 * n_final) div n_docs"))
+  }
+
   /** N-gram novelty between two corpus snapshots — the refresh-review
     * question "what does the new crawl actually ADD?": per group (e.g.
     * source) in the NEW snapshot, how many distinct word n-gram shingles
