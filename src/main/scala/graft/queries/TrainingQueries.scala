@@ -1056,6 +1056,31 @@ object TrainingQueries {
         .orderBy("source")
     }),
 
+    // Packing efficiency: per language, context-window fill rate under
+    // the td21 contiguous packing model at a 2048-token budget — the
+    // utilization number that sizes a training run.
+    "td91_packing_efficiency" -> ((s, dir) =>
+      graft.training.TrainingPrep.packingEfficiency(
+          Tables.documents(s, dir), "text", "lang", "doc_id", budget = 2048)
+        .orderBy("lang")),
+
+    // Tokenizer fertility: per language, characters per whitespace token
+    // in exact integer milli-units — the compression-rate read that
+    // drives tokenizer/vocab sizing per language slice.
+    "td92_tokenizer_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          length(col("text")).cast("bigint").as("chars"),
+          graft.text.TextAnalysis.wsTokenCount(col("text"))
+            .cast("bigint").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("chars")).cast("bigint").as("n_chars"),
+          sum(col("toks")).cast("bigint").as("n_tokens"))
+        .withColumn("chars_per_token_milli",
+          expr("(1000 * n_chars) div n_tokens"))
+        .orderBy("lang")),
+
     // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
     // bounds the pair space block-locally, exact levenshtein on a
     // 64-char normalized key verifies — both stages built-in codegen'd
@@ -2774,6 +2799,33 @@ object TrainingQueries {
          |    AS drop_neardup_ppm,
          |  (1000000 * n_final) // n_docs AS retained_ppm
          |FROM agg ORDER BY source""".stripMargin),
+
+    "td91_packing_efficiency" ->
+      """WITH p AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST((CAST(sum(len(string_split(text, ' '))) OVER w AS BIGINT)
+        |      - 1) // 2048 AS BIGINT) AS pack_idx
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT pack_idx) AS BIGINT) AS n_packs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT pack_idx) AS BIGINT) * 2048 AS capacity,
+        |  (1000000 * CAST(sum(n_toks) AS BIGINT)) //
+        |    (CAST(count(DISTINCT pack_idx) AS BIGINT) * 2048) AS fill_ppm
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "td92_tokenizer_fertility" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  (1000 * CAST(sum(len(text)) AS BIGINT)) //
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS chars_per_token_milli
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "td77_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, lower(substr(text, 1, 64)) AS k,

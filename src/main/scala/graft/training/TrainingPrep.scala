@@ -53,6 +53,26 @@ object TrainingPrep {
         ((sum(col("n_toks")).over(w) - lit(1)) / lit(budget)).cast("bigint"))
   }
 
+  /** Packing-efficiency report over [[packSequences]] — the
+    * context-window utilization number that sizes a training run: per
+    * stratum, documents, packs, total tokens, nominal capacity
+    * (packs × budget) and the fill rate in exact integer ppm. Fill can
+    * exceed 1e6 when oversized documents overflow their bin under the
+    * contiguous model (they keep their tokens in one pack) — that
+    * overflow is itself the signal to raise the budget or pre-chunk
+    * (td42). One aggregate over the packed frame; |strata| output rows.
+    */
+  def packingEfficiency(df: DataFrame, textCol: String, partCol: String,
+      orderCol: String, budget: Int): DataFrame =
+    packSequences(df, textCol, partCol, orderCol, budget)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct(col("pack_idx")).cast("bigint").as("n_packs"),
+        sum(col("n_toks")).cast("bigint").as("total_tokens"))
+      .withColumn("capacity", col("n_packs") * budget)
+      .withColumn("fill_ppm",
+        expr("(1000000 * total_tokens) div capacity"))
+
   /** Boilerplate passages: word n-gram spans appearing in at least
     * `minDocs` DISTINCT documents (C4-style repeated-span detection —
     * navigation chrome, license headers, templates). Returns
