@@ -88,4 +88,94 @@ object StreamingSketch {
     val (filled, vEmpty, est) = estimate(regs)
     Iterator.single(HllEstimate(group, filled, vEmpty, est, n))
   }
+
+  // ---- streaming Count-Min heavy hitters -------------------------------
+
+  /** Live top-k board: the continuous counterpart of the batch Count-Min
+    * in [[graft.sketch.Sketches.cmsHeavyHitters]] — "the k hottest
+    * tokens per group so far" over an unbounded stream, in O(d·w + C)
+    * state per group.
+    *
+    * The sketch is BIT-IDENTICAL to the batch op's (same portable md5
+    * hash, same affine-permutation rows d=4, same width w=1024, same
+    * min-cell estimate), so streaming a corpus through in micro-batches
+    * lands on the batch sweep's numbers — the merge property (cells
+    * sum) is what makes CMS streamable. Alongside the sketch lives a
+    * bounded CANDIDATE table (the Misra-Gries-style companion every
+    * sketch-based top-k needs): each arrival refreshes its token's
+    * current estimate, and the table prunes to `maxCandidates` by
+    * estimate — the classic guarantee that anything with count ≥ n/C
+    * stays resident.
+    *
+    * Scale posture: state is d·w longs (32 KB) + ≤ maxCandidates
+    * entries per group, hash-partitioned by group, RocksDB-backed in
+    * production. Emitted rows are the group's current top-k.
+    */
+  final case class Tok(group: String, token: String)
+  final case class CmsState(cells: Array[Long],
+      candidates: Map[String, Long], nSeen: Long)
+  final case class HeavyHitter(group: String, token: String, est: Long,
+      rk: Int, n_seen: Long)
+
+  private val CmsD = 4
+  private val CmsW = 1024
+  private val AffineP = 2147483647L
+
+  /** Scala mirror of [[graft.functions.Hashing.affinePerm]] ∘ pmod:
+    * the batch op's cell index for permutation row `i`.
+    */
+  def cmsCell(h: Long, i: Int): Int = {
+    val a = ((2654435761L * (i + 1)) % AffineP) | 1L
+    val b = (40503L * (i + 7)) % AffineP
+    (((a * (h % AffineP) + b) % AffineP) % CmsW).toInt
+  }
+
+  /** `toks` is a STREAMING Dataset of (group, token) arrivals; emits
+    * each touched group's current top-k once per micro-batch.
+    */
+  def cmsHeavyHitters(toks: Dataset[Tok], k: Int,
+      maxCandidates: Int = 256)(implicit spark: SparkSession)
+      : Dataset[HeavyHitter] = {
+    import spark.implicits._
+    require(k >= 1 && maxCandidates >= k,
+      s"need 1 <= k <= maxCandidates: $k, $maxCandidates")
+    toks.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[Tok], state: GroupState[CmsState]) =>
+          val prior = state.getOption.getOrElse(
+            CmsState(new Array[Long](CmsD * CmsW), Map.empty, 0L))
+          val cells = prior.cells.clone()
+          var cand = prior.candidates
+          var n = prior.nSeen
+          def estOf(t: String): Long = {
+            val h = portableHash(t)
+            var e = Long.MaxValue
+            var i = 0
+            while (i < CmsD) {
+              e = math.min(e, cells(i * CmsW + cmsCell(h, i))); i += 1
+            }
+            e
+          }
+          rows.foreach { r =>
+            val h = portableHash(r.token)
+            var i = 0
+            while (i < CmsD) { cells(i * CmsW + cmsCell(h, i)) += 1; i += 1 }
+            cand = cand.updated(r.token, 0L) // placeholder, refreshed below
+            n += 1
+          }
+          // estimates are ALWAYS re-read from the current cells (never a
+          // stale per-arrival snapshot), so the emitted numbers are
+          // exactly the batch op's min-cell reads over the same counts
+          cand = cand.map { case (t, _) => t -> estOf(t) }
+          if (cand.size > maxCandidates)
+            cand = cand.toVector.sortBy { case (t, e) => (-e, t) }
+              .take(maxCandidates).toMap
+          state.update(CmsState(cells, cand, n))
+          cand.toVector.sortBy { case (t, e) => (-e, t) }.take(k)
+            .zipWithIndex.iterator.map { case ((t, e), idx) =>
+              HeavyHitter(group, t, e, idx + 1, n)
+            }
+      }
+  }
 }

@@ -88,4 +88,66 @@ class StreamingSketchSpec extends SparkSpec {
       assert(rows(1)._3 >= rows(0)._3)
     } finally q.stop()
   }
+
+  test("streaming CMS top-k lands on the batch sweep's numbers over the " +
+      "same corpus (cells sum — the merge property)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamingSketch.Tok
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val toks = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => Tok("all", r.getString(0)))
+    val (b1, b2) = toks.splitAt(toks.length / 2)
+    // maxCandidates > vocabulary: every token stays resident, so the
+    // final board must EQUAL the batch op (set, estimates, and order)
+    val in = MemoryStream[Tok]
+    val q = StreamingSketch.cmsHeavyHitters(in.toDS(), k = 10,
+        maxCandidates = 1000000)
+      .writeStream.format("memory").queryName("cms_board")
+      .outputMode("update").start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_board")
+        .where(col("n_seen") === toks.length.toLong)
+        .orderBy("rk")
+        .collect().map(r => (r.getAs[String]("token"),
+          r.getAs[Long]("est"), r.getAs[Int]("rk"))).toSeq
+      val batch = graft.sketch.Sketches.cmsHeavyHitters(docs, "text", 10)
+        .orderBy("rk")
+        .collect().map(r => (r.getAs[String]("t"),
+          r.getAs[Long]("est"), r.getAs[Int]("rk"))).toSeq
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming CMS candidate table stays bounded; residency favors " +
+      "the heavy tokens") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamingSketch.Tok
+    // zipf-ish: token i arrives ~200/i times; 400 distinct >> cap of 32
+    val arrivals = (1 to 400).flatMap(i =>
+      Seq.fill(math.max(200 / i, 1))(Tok("g", f"tok$i%03d")))
+    val in = MemoryStream[Tok]
+    val q = StreamingSketch.cmsHeavyHitters(in.toDS(), k = 5,
+        maxCandidates = 32)
+      .writeStream.format("memory").queryName("cms_bounded")
+      .outputMode("update").start()
+    try {
+      arrivals.grouped(500).foreach { g =>
+        in.addData(g); q.processAllAvailable()
+      }
+      val last = spark.table("cms_bounded")
+        .orderBy(col("n_seen").desc, col("rk")).limit(5)
+        .collect().map(_.getAs[String]("token")).toSeq
+      // the unambiguous heavy head survives candidate pruning
+      assert(last.take(3) == Seq("tok001", "tok002", "tok003"), last)
+    } finally q.stop()
+  }
 }
