@@ -465,6 +465,24 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ (the FAISS IVFADC composition): queries probe their 4
+    // nearest medoid cells and ADC-score only those cells' PQ codes —
+    // partition-pruned access + 4-byte/subspace storage, the full
+    // 100 TB ANN shape (td14's access path × td30's representation).
+    "td93_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeds = graft.similarity.Quantize.pqCodebooks(
+        emb, "embedding", m = 8, k = 16, step = 25, dims = 64)
+      val books = graft.similarity.Quantize.refineCodebooks(
+        emb, "embedding", seeds, m = 8, dims = 64, iters = 1)
+      val codes = graft.similarity.Quantize.pqEncode(
+        emb, "embedding", books, m = 8, dims = 64)
+      graft.similarity.Quantize.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          emb, codes, books, "embedding", m = 8, dims = 64,
+          centroidEvery = 50, nprobe = 4, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Benchmark decontamination: distinct 3-gram overlap of each corpus
     // doc against the eval set's shingle universe (docs ≡ 0 mod 50 stand
     // in for the held-out benchmark); contaminated at ≥ 0.5 overlap.
@@ -1094,6 +1112,43 @@ object TrainingQueries {
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
 
   private val CCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)), 'sum')))"
+
+  /** Squared-L2 over an 8-dim subvector pair (the PQ subspace metric). */
+  private def pqDist(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 9), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
+
+  /** The PQ model CTEs shared by td30 (flat ADC) and td93 (IVF-PQ):
+    * medoid-seeded sub-codebooks, one integer-micro Lloyd round, corpus
+    * encoded to (vec_id, m, code). Mirrors `Quantize.pqCodebooks` +
+    * `refineCodebooks(iters=1)` + `pqEncode` exactly.
+    */
+  private lazy val PqCtes: String =
+    s"""sub AS (SELECT unnest(range(0, 8)) AS m),
+       |books0 AS (SELECT m, CAST(vec_id // 25 AS INT) AS code,
+       |    embedding[(m*8+1):(m*8+8)] AS cvec
+       |  FROM embeddings, sub WHERE vec_id % 25 = 0 AND vec_id < 400),
+       |pieces AS (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS svec
+       |  FROM embeddings, sub),
+       |assign0 AS (SELECT vec_id, m, code, svec FROM (
+       |  SELECT p.vec_id, p.m, b.code, p.svec,
+       |    row_number() OVER (PARTITION BY p.vec_id, p.m
+       |      ORDER BY ${pqDist("svec", "cvec")}, b.code) AS rn
+       |  FROM pieces p JOIN books0 b ON p.m = b.m) WHERE rn = 1),
+       |bsum AS (SELECT m, code, t.i AS dim,
+       |    SUM(CAST(round(CAST(svec[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+       |    COUNT(*) AS n
+       |  FROM assign0 CROSS JOIN range(1, 9) t(i) GROUP BY m, code, t.i),
+       |books AS (SELECT m, code,
+       |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cvec
+       |  FROM bsum GROUP BY m, code),
+       |scored AS (SELECT vec_id, p.m, code, ${pqDist("svec", "cvec")} AS dist
+       |  FROM pieces p JOIN books b ON p.m = b.m),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |  SELECT vec_id, m, code, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM scored)
+       |  WHERE rn = 1)""".stripMargin
   private val QCOS_EXPR = "list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(m.c_emb[i] AS DOUBLE) * CAST(m.c_emb[i] AS DOUBLE)), 'sum')))"
 
   /** Shared DuckDB CTE prefix: shingle sets → hashes → minhash
@@ -1456,37 +1511,10 @@ object TrainingQueries {
         |       ELSE 'kept' END AS reason
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    "td30_ann_pq" -> {
-      def dist(a: String, b: String) =
-        s"list_aggregate(list_transform(range(1, 9), i -> " +
-          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
-      s"""WITH sub AS (SELECT unnest(range(0, 8)) AS m),
-         |books0 AS (SELECT m, CAST(vec_id // 25 AS INT) AS code,
-         |    embedding[(m*8+1):(m*8+8)] AS cvec
-         |  FROM embeddings, sub WHERE vec_id % 25 = 0 AND vec_id < 400),
-         |pieces AS (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS svec
-         |  FROM embeddings, sub),
-         |assign0 AS (SELECT vec_id, m, code, svec FROM (
-         |  SELECT p.vec_id, p.m, b.code, p.svec,
-         |    row_number() OVER (PARTITION BY p.vec_id, p.m
-         |      ORDER BY ${dist("svec", "cvec")}, b.code) AS rn
-         |  FROM pieces p JOIN books0 b ON p.m = b.m) WHERE rn = 1),
-         |bsum AS (SELECT m, code, t.i AS dim,
-         |    SUM(CAST(round(CAST(svec[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
-         |    COUNT(*) AS n
-         |  FROM assign0 CROSS JOIN range(1, 9) t(i) GROUP BY m, code, t.i),
-         |books AS (SELECT m, code,
-         |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cvec
-         |  FROM bsum GROUP BY m, code),
-         |scored AS (SELECT vec_id, p.m, code, ${dist("svec", "cvec")} AS dist
-         |  FROM pieces p JOIN books b ON p.m = b.m),
-         |codes AS (SELECT vec_id, m, code FROM (
-         |  SELECT vec_id, m, code, row_number() OVER (
-         |    PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM scored)
-         |  WHERE rn = 1),
+    "td30_ann_pq" ->
+      (s"""WITH $PqCtes,
          |adc AS (SELECT q.vec_id AS query_id, b.m, b.code,
-         |    CAST(round(${dist("qvec", "cvec")} * 1e6) AS BIGINT) AS dist_micro
+         |    CAST(round(${pqDist("qvec", "cvec")} * 1e6) AS BIGINT) AS dist_micro
          |  FROM (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS qvec
          |        FROM embeddings, sub WHERE vec_id < 5) q
          |  JOIN books b ON q.m = b.m),
@@ -1499,8 +1527,43 @@ object TrainingQueries {
          |  SELECT query_id, corpus_id, adist_micro, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY adist_micro, corpus_id) AS INT)
          |    AS rank FROM agg)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "td93_ivfpq" ->
+      (s"""WITH $PqCtes,
+         |cents0 AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |cellassign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT x.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents0 c) WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+         |  SELECT x.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents0 c WHERE x.vec_id < 5)
+         |  WHERE crank <= 4),
+         |allowed AS (SELECT p.query_id, a.vec_id AS corpus_id
+         |  FROM probes p JOIN cellassign a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |adc AS (SELECT q.vec_id AS query_id, b.m, b.code,
+         |    CAST(round(${pqDist("qvec", "cvec")} * 1e6) AS BIGINT) AS dist_micro
+         |  FROM (SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS qvec
+         |        FROM embeddings, sub WHERE vec_id < 5) q
+         |  JOIN books b ON q.m = b.m),
+         |agg AS (SELECT al.query_id, al.corpus_id,
+         |    CAST(sum(a.dist_micro) AS BIGINT) AS adist_micro
+         |  FROM allowed al
+         |  JOIN codes c ON c.vec_id = al.corpus_id
+         |  JOIN adc a ON a.m = c.m AND a.code = c.code
+         |    AND a.query_id = al.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, adist_micro, rank FROM (
+         |  SELECT query_id, corpus_id, adist_micro, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist_micro, corpus_id) AS INT)
+         |    AS rank FROM agg)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "td29_decontam" -> (toksCte +
       """,

@@ -151,6 +151,71 @@ object Quantize {
         col("rank").cast("int").as("rank"))
   }
 
+  /** IVF-PQ top-k (the FAISS IVFADC composition — coarse quantizer +
+    * product codes): queries probe their `nprobe` nearest IVF cells and
+    * ADC-score ONLY the PQ codes of vectors living in those cells — the
+    * full 100 TB ANN shape, combining the partition-pruned access path
+    * (cost ∝ probed cells, not corpus) with the 4-byte/subspace storage
+    * (queries never touch corpus floats).
+    *
+    * Determinism: cells are the medoid coarse quantizer (cosine argmin,
+    * ties by centroid id — the [[Ann]] assignment), the ADC table is
+    * integer micro-units summed exactly (td30's contract), final rank
+    * ties break by corpus id. Scale shape: centroids and codebooks
+    * broadcast; the corpus shuffles once into cells; each query's
+    * candidate set is its probed cells' members only.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, vecCol: String, m: Int, dims: Int,
+      centroidEvery: Int, nprobe: Int, k: Int): DataFrame = {
+    import graft.similarity.Ann.{dot, norm}
+    val centroids = corpus
+      .filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("centroid_id"), col(vecCol).as("cent_emb"))
+    def ccos = dot(col(vecCol), col("cent_emb")) /
+      (norm(col(vecCol)) * norm(col("cent_emb")))
+    val cells = corpus.select(col("vec_id"), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("ccos", ccos)
+      .groupBy("vec_id")
+      .agg(min_by(col("centroid_id"),
+        struct((-col("ccos")).as("neg_cos"), col("centroid_id")))
+        .as("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("ccos", ccos)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "centroid_id")
+    val allowed = probes
+      .join(cells.select(col("vec_id").as("corpus_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+    val d = dims / m
+    val sub = queries.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    val adc = queries.crossJoin(sub)
+      .select(col("vec_id").as("query_id"), col("m"),
+        slice(col(vecCol), col("m") * d + 1, lit(d)).as("qvec"))
+      .join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(sqDist(col("qvec"), col("cvec")) * 1e6).cast("bigint")
+          .as("dist_micro"))
+    val scored = allowed
+      .join(codes.select(col("vec_id").as("corpus_id"), col("m"), col("code")),
+        Seq("corpus_id"))
+      .join(broadcast(adc), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum("dist_micro").as("adist_micro"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_micro"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adist_micro"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Adds `codes` (int8-style), `vmin`, `scale`, and `max_err` — the
     * per-vector max |dequantized − original| reconstruction error, which
     * is bounded by scale/2.
