@@ -152,7 +152,7 @@ object Bench {
     // point that crosses recall 0.7; raising nlist at fixed scan fraction
     // LOWERS recall here (measured 80 cells @ nprobe=16: 0.665) — cells
     // fragment faster than probes recover.
-    val (ivfRecall, ivfRecall8, ivfRecall16, lshRecall) = try {
+    val (ivfRecall, ivfRecall8, ivfRecall16, lshRecall, ivfpqRecall) = try {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
       val q = emb.filter(col("vec_id") < 20)
@@ -165,9 +165,26 @@ object Bench {
       val lsh = similarity.Ann.lshTopK(q, emb,
         tables = similarity.Ann.LshTables, bits = similarity.Ann.LshBits,
         dims = 64, k = 10) // td11's config
+      // IVF-PQ (td93's config at nprobe=16): the compressed-storage point
+      // on the same tradeoff curve — recall lost to BOTH cell pruning and
+      // 8-byte code quantization, measured against the same exact top-10
+      val ivfpq = {
+        val books0 = similarity.Quantize.pqCodebooks(
+          emb, "embedding", m = 8, k = 64, step = 25, dims = 64)
+        val books = similarity.Quantize.refineCodebooks(
+          emb, "embedding", books0, m = 8, dims = 64, iters = 1)
+        val codes = similarity.Quantize.pqEncode(
+          emb, "embedding", books, m = 8, dims = 64)
+        (similarity.Quantize.ivfPqTopK(q, emb, codes, books, "embedding",
+          m = 8, dims = 64, centroidEvery = 50, nprobe = 16, k = 10),
+          similarity.Quantize.ivfPqRerankTopK(q, emb, codes, books,
+            "embedding", m = 8, dims = 64, centroidEvery = 50,
+            nprobe = 16, shortlist = 200, k = 10))
+      }
       (recallOf(ivfAt(2), exact), recallOf(ivfAt(8), exact),
-        recallOf(ivfAt(16), exact), recallOf(lsh, exact))
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+        recallOf(ivfAt(16), exact), recallOf(lsh, exact),
+        (recallOf(ivfpq._1, exact), recallOf(ivfpq._2, exact)))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, (-1.0, -1.0)) }
 
     // Streaming delivery latency: wall time for ONE event to clear the
     // full consumer pipeline as its own micro-batch (MemoryStream →
@@ -303,7 +320,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

@@ -216,6 +216,38 @@ object Quantize {
         col("rank").cast("int").as("rank"))
   }
 
+  /** IVF-PQ with exact re-ranking — the full production retrieval shape
+    * (FAISS's refine stage): [[ivfPqTopK]] shortlists `shortlist`
+    * candidates per query from the compressed codes, then ONLY those
+    * candidates' float vectors are fetched and exactly cosine-scored for
+    * the final top-k. The corpus-sized scan touches 4-byte codes; floats
+    * are read for shortlist × queries rows — the recall of exact scoring
+    * at (almost) the IO cost of PQ.
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, vecCol: String, m: Int,
+      dims: Int, centroidEvery: Int, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    import graft.similarity.Ann.{dot, norm}
+    require(shortlist >= k, s"shortlist must be >= k: $shortlist, $k")
+    val cand = ivfPqTopK(queries, corpus, codes, codebooks, vecCol, m,
+      dims, centroidEvery, nprobe, shortlist)
+      .select("query_id", "corpus_id")
+    val rescored = cand
+      .join(queries.select(col("vec_id").as("query_id"),
+        col(vecCol).as("q_emb")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col(vecCol).as("c_emb")), Seq("corpus_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
+        (norm(col("q_emb")) * norm(col("c_emb"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Adds `codes` (int8-style), `vmin`, `scale`, and `max_err` — the
     * per-vector max |dequantized − original| reconstruction error, which
     * is bounded by scale/2.

@@ -500,6 +500,43 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("IVF-PQ rerank: exact rescoring of the ADC shortlist never hurts " +
+      "recall and orders by true cosine") {
+    val emb = Tables.embeddings(spark, sf()).localCheckpoint()
+    val q = emb.filter(col("vec_id") < 5)
+    val seeds = graft.similarity.Quantize.pqCodebooks(
+      emb, "embedding", m = 8, k = 16, step = 25, dims = 64)
+    val books = graft.similarity.Quantize.refineCodebooks(
+      emb, "embedding", seeds, m = 8, dims = 64, iters = 1)
+    val codes = graft.similarity.Quantize.pqEncode(
+      emb, "embedding", books, m = 8, dims = 64)
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Ann.bruteForceTopK(q, emb, k = 5)
+      val hits = exact.select("query_id", "corpus_id")
+        .join(approx.select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val raw = graft.similarity.Quantize.ivfPqTopK(q, emb, codes, books,
+      "embedding", m = 8, dims = 64, centroidEvery = 50, nprobe = 4, k = 5)
+    val rr = graft.similarity.Quantize.ivfPqRerankTopK(q, emb, codes,
+      books, "embedding", m = 8, dims = 64, centroidEvery = 50,
+      nprobe = 4, shortlist = 50, k = 5)
+    assert(recallOf(rr) >= recallOf(raw),
+      s"rerank recall ${recallOf(rr)} < raw ADC ${recallOf(raw)}")
+    // rerank output is ordered by TRUE cosine (descending per query)
+    val rows = rr.orderBy("query_id", "rank").collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // shortlist >= k enforced
+    intercept[IllegalArgumentException](
+      graft.similarity.Quantize.ivfPqRerankTopK(q, emb, codes, books,
+        "embedding", m = 8, dims = 64, centroidEvery = 50,
+        nprobe = 4, shortlist = 3, k = 5))
+  }
+
   test("kMeansParallelSeeds is deterministic and beats medoid seeding on recall") {
     val emb = Tables.embeddings(spark, sf()).localCheckpoint()
     def seedIds() = Ann.kMeansParallelSeeds(emb, k = 10)
