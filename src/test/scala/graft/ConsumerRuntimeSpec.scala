@@ -116,6 +116,78 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("FULL STACK: WAL segments on disk → DSv2 stream → binary pgoutput " +
+      "decode → CDC envelope → runtime → live transport → acks") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.sources.{PgOutput, PgStream, WalSpool, WalSpoolProvider}
+    import graft.sources.PgOutput._
+    import org.apache.spark.sql.functions._
+    val srv = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val dir = java.nio.file.Files.createTempDirectory("rt_wal").toString
+    // the events_src relation (BinaryIngestE2E shape)
+    val relation = Relation(16384L, "public", "events_src", "d", Seq(
+      RelationColumn("event_id", isKey = true, 20L, -1),
+      RelationColumn("user_id", isKey = false, 20L, -1),
+      RelationColumn("event_type", isKey = false, 25L, -1),
+      RelationColumn("value", isKey = false, 701L, -1),
+      RelationColumn("props", isKey = false, 3802L, -1)))
+    def txn(eventId: Long, userId: Long, eventType: String, value: Double,
+        seqBase: Long): Seq[PgStream.Frame] = {
+      val lsn = (eventId / 7) * 8
+      val cells = Seq(Cell.Text(eventId.toString), Cell.Text(userId.toString),
+        Cell.Text(eventType), Cell.Text(java.lang.Double.toString(value)),
+        Cell.Text("{}"))
+      Seq(
+        PgStream.Frame("slot", seqBase,
+          PgOutput.encode(Begin(lsn, eventId * 1000, eventId))),
+        PgStream.Frame("slot", seqBase + 1,
+          PgOutput.encode(Insert(16384L, cells))),
+        PgStream.Frame("slot", seqBase + 2,
+          PgOutput.encode(Commit(0, lsn, lsn + 8, eventId * 1000))))
+    }
+    // segment 0: relation + three txns (one 'error' event filters out as
+    // a delete under actions=[insert,update])
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 1L, PgOutput.encode(relation)) +:
+        (txn(7, 1, "purchase", 5.0, 10) ++ txn(14, 2, "error", 5.0, 20) ++
+          txn(21, 1, "click", 3.0, 30)))
+    val decoded = PgStream.decodeStateful(
+      spark.readStream.format(classOf[WalSpoolProvider].getName)
+        .option("path", dir).load().as[PgStream.Frame])
+    val typed = PgStream.toRecords(decoded.toDF(), relation)
+      .select(col("event_id"),
+        timestamp_micros(col("commit_ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val envelope = graft.model.Cdc.fromEvents(typed)
+    val cfg = PipelineSpec.parse(
+      """{"name":"fs","actions":["insert","update"],
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    val handle = ConsumerRuntime.start(envelope, cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      metrics, health, "c-fs")
+    try {
+      handle.query.processAllAvailable()
+      // 3 decoded txns, the 'error' delete filtered → 2 delivered
+      assert(srv.xadds.size == 2, srv.xadds.asScala.mkString("\n"))
+      assert(handle.ledger.outstandingEvents == 0)
+      // a SECOND segment lands on disk; the stream tails it through the
+      // same decode + delivery chain
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+        txn(28, 3, "view", 9.0, 40))
+      handle.query.processAllAvailable()
+      assert(srv.xadds.size == 3)
+      assert(handle.ledger.outstandingEvents == 0)
+      assert(health.health("sink_consumer", "c-fs").status == "healthy")
+      val exp = metrics.exposition()
+      assert(exp.contains("sequin_message_deliver_success_count" +
+        """{consumer_id="c-fs",consumer_name="fs"} 3"""), exp)
+    } finally { handle.stop(); srv.stop() }
+  }
+
   test("dead transport: retries exhaust into the DLQ, the stream keeps " +
       "going, health flips to error") {
     implicit val s = spark
