@@ -160,6 +160,25 @@ final class ManagementApi {
   def consumers(): Seq[ConsumerConfig] =
     registry.values.toSeq.sortBy(_.name)
 
+  /** Start the DECLARED consumer `name` as a running
+    * [[graft.streaming.ConsumerRuntime]] over `events` (a streaming CDC
+    * envelope) against `env`'s transport — the operator loop closed: the
+    * config the API validated is the config the engine runs, and the
+    * running consumer's deliveries surface on THIS plane's `/metrics`
+    * and `/api/health` automatically (the runtime is handed the plane's
+    * registries).
+    */
+  def startConsumer(name: String,
+      events: org.apache.spark.sql.DataFrame,
+      env: graft.sinks.SinkDispatch.Env)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : graft.streaming.ConsumerRuntime.Handle = {
+    val cfg = registry.getOrElse(name, throw new NoSuchElementException(
+      s"Sink consumer not found: $name"))
+    graft.streaming.ConsumerRuntime.start(events, cfg, env, metrics,
+      health, consumerId = name)
+  }
+
   /** Snapshot of the declared change-retention pipelines (name-sorted). */
   def changeRetentions(): Seq[YamlSpec.ChangeRetentionSpec] =
     retentions.values.toSeq.sortBy(_.name)

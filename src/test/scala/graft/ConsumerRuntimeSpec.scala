@@ -188,6 +188,57 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("OPERATOR LOOP: declare via REST, start from the plane, watch the " +
+      "deliveries on /metrics and /api/health over HTTP") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new ScriptedRedis()
+    val api = new graft.config.ManagementApi
+    val client = java.net.http.HttpClient.newHttpClient()
+    def get(path: String, auth: Boolean): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:${api.port()}$path"))
+      if (auth) b.header("Authorization", s"Bearer ${api.bootstrapToken}")
+      val r = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // declare through the authenticated API
+      val post = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${api.port()}/api/sinks"))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer ${api.bootstrapToken}")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"name":"ops","actions":["insert"],
+            |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+            .stripMargin)).build()
+      assert(client.send(post,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      // unknown consumers refuse to start
+      intercept[NoSuchElementException](api.startConsumer("ghost",
+        spark.emptyDataFrame, SinkDispatch.Env()))
+      // start the DECLARED consumer; its runtime reports to the plane
+      val input = MemoryStream[ChangeEvent]
+      val handle = api.startConsumer("ops", input.toDS().toDF(),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv.port))
+      try {
+        input.addData(ev(8, "1", 5.0), ev(16, "2", 4.0))
+        handle.query.processAllAvailable()
+        assert(srv.xadds.size == 2)
+        // the plane's OWN endpoints show the running consumer
+        val (ms, mb) = get("/metrics", auth = false)
+        assert(ms == 200 && mb.contains(
+          """sequin_message_deliver_success_count{consumer_id="ops",consumer_name="ops"} 2"""),
+          mb)
+        val (hs, hb) = get("/api/health/sink_consumer/ops", auth = true)
+        assert(hs == 200 && hb.contains("\"status\":\"healthy\""), hb)
+      } finally handle.stop()
+    } finally { api.stop(); srv.stop() }
+  }
+
   test("dead transport: retries exhaust into the DLQ, the stream keeps " +
       "going, health flips to error") {
     implicit val s = spark
