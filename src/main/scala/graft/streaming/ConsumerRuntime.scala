@@ -64,6 +64,7 @@ object ConsumerRuntime {
       metrics: graft.config.Metrics.Registry,
       health: graft.config.Health.Registry,
       consumerId: String,
+      enrichment: Option[(DataFrame, String, String)] = None,
       nowMs: () => Long = () => System.currentTimeMillis())(
       implicit spark: SparkSession): Handle = {
     import spark.implicits._
@@ -87,7 +88,7 @@ object ConsumerRuntime {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // 2. filters first — a filtered event is DONE, it must not
         //    head-of-line-block its group in the ledger
-        val survivors = CdcPipeline.build(batch, cfg)
+        val survivors = CdcPipeline.build(batch, cfg, enrichment)
           .select(EventCols.head, EventCols.tail: _*)
           .as[ChangeEvent].collect().toSeq
         health.putEvent("sink_consumer", consumerId, "messages_filtered",
@@ -106,7 +107,7 @@ object ConsumerRuntime {
           while (round.nonEmpty) {
             val df = spark.createDataset(round.map(_.event)).toDF()
             val outcomes = SinkDispatch.deliverObserved(
-              CdcPipeline.build(df, cfg), sink, env, metrics, health,
+              CdcPipeline.build(df, cfg, enrichment), sink, env, metrics, health,
               consumerId, cfg.name)
             val ok = outcomes.filter(_.ok).map(_.ack_id)
             val bad = outcomes.filterNot(_.ok).map(_.ack_id)
