@@ -65,6 +65,7 @@ object ConsumerRuntime {
       health: graft.config.Health.Registry,
       consumerId: String,
       enrichment: Option[(DataFrame, String, String)] = None,
+      checkpointLocation: Option[String] = None,
       nowMs: () => Long = () => System.currentTimeMillis())(
       implicit spark: SparkSession): Handle = {
     import spark.implicits._
@@ -84,7 +85,14 @@ object ConsumerRuntime {
     val batchCap = math.min(1000,
       cfg.batchSize.getOrElse(graft.sinks.SinkAdapters
         .defaultBatchSizes(sink.sinkType)) max 1)
-    val query = events.writeStream.outputMode("append")
+    // with a checkpoint, a restart resumes at the source's committed
+    // offsets: completed batches never replay (their events were acked
+    // and the sink is external), an interrupted batch replays whole —
+    // at-least-once, the reference's delivery contract
+    val writer0 = events.writeStream.outputMode("append")
+    val writer = checkpointLocation
+      .fold(writer0)(p => writer0.option("checkpointLocation", p))
+    val query = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // 2. filters first — a filtered event is DONE, it must not
         //    head-of-line-block its group in the ledger
