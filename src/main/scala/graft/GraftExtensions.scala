@@ -50,6 +50,15 @@ object GraftExtensions {
     */
   val functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "normalize_text expects (text, form)")
+        val form = strLit(args(1), "normalize_text form")
+        require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+          s"normalize_text form must be NFC|NFD|NFKC|NFKD: $form")
+        NormalizeText(args(0), form)
+      }),
     (FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),

@@ -211,6 +211,31 @@ object VectorExpressions {
     * loop instead of a ~32-way `when` tree whose generated code dominated
     * td06's runtime.
     */
+  /** Unicode normalization (NFC / NFD / NFKC / NFKD via the JDK's
+    * `java.text.Normalizer`) — the first stage of every real text
+    * pipeline: é-composed vs e+combining-acute must fingerprint, shingle
+    * and dedup identically, and NFKC folds compatibility forms
+    * (ligatures ﬁ→fi, full-width digits, superscripts) that would
+    * otherwise split token statistics. Pure per-row projection, no
+    * shuffle; the JDK normalizer is Unicode-standard and stable across
+    * JVMs (oracle parity with DuckDB's `nfc_normalize` for NFC;
+    * NFKC/NFKD have no DuckDB counterpart and are spec-pinned).
+    */
+  case class NormalizeText(child: Expression, form: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+
+    @transient private lazy val f: java.text.Normalizer.Form =
+      java.text.Normalizer.Form.valueOf(form)
+
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, f))
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class SimhashBits(child: Expression, bits: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -548,6 +573,12 @@ object VectorExpressions {
 
   def simhash_bits(hs: Column, bits: Int): Column =
     column(SimhashBits(expression(hs), bits))
+
+  def normalize_text(text: Column, form: String): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"normalize_text form must be NFC|NFD|NFKC|NFKD: $form")
+    column(NormalizeText(expression(text), form))
+  }
 
   def bpe_encode(text: Column, merges: Seq[String]): Column =
     column(BpeEncode(expression(text), merges))

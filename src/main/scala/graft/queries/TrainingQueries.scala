@@ -1099,6 +1099,38 @@ object TrainingQueries {
           expr("(1000 * n_chars) div n_tokens"))
         .orderBy("lang")),
 
+    // Unicode text normalization battery: NFC composition (é from
+    // e+combining-acute) + debris scrub (zero-width chars, controls,
+    // ragged whitespace) over deterministically synthesized dirty text —
+    // the pre-processing stage every crawl pipeline runs before
+    // fingerprint/shingle/dedup (a composed and a decomposed é MUST
+    // dedup together). NFKC compatibility folding (ligatures,
+    // full-width forms) is spec-pinned (no DuckDB counterpart).
+    "td94_text_normalization" -> ((s, dir) => {
+      import graft.functions.VectorExpressions
+      // escapes, not raw chars: e + U+0301 combining acute (DECOMPOSED,
+      // the oracle builds the same), U+FB01 ligature, U+200B zero-width
+      // space, U+0007 BEL -- raw control bytes in source are the
+      // undiffable-file trap
+      val dirty = concat(
+        lit("cafe\u0301 "),
+        when(col("doc_id") % 2 === 0, lit("\uFB01le"))
+          .otherwise(lit("file")),
+        lit("  x\u200By"),
+        lit("\u0007z "),
+        col("doc_id").cast("string"))
+      val nfc = VectorExpressions.normalize_text(dirty, "NFC")
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(nfc,
+        "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+        "[ \\t\\n\\r]+", " "))
+      Tables.documents(s, dir).select(col("doc_id"),
+          length(dirty).cast("int").as("raw_len"),
+          nfc.as("nfc"), length(nfc).cast("int").as("nfc_len"),
+          clean.as("clean"), length(clean).cast("int").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
     // Edit-distance fuzzy pairs (record-linkage shape): prefix blocking
     // bounds the pair space block-locally, exact levenshtein on a
     // 64-char normalized key verifies — both stages built-in codegen'd
@@ -2889,6 +2921,27 @@ object TrainingQueries {
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
         |    AS chars_per_token_milli
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "td94_text_normalization" ->
+      """WITH d AS (SELECT doc_id,
+        |    'cafe' || chr(769) || ' ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(64257) || 'le'
+        |         ELSE 'file' END ||
+        |    '  x' || chr(8203) || 'y' || chr(7) || 'z ' ||
+        |    CAST(doc_id AS VARCHAR) AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+        |c AS (SELECT doc_id, dirty, nfc,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(nfc,
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS INT) AS raw_len,
+        |  nfc, CAST(length(nfc) AS INT) AS nfc_len,
+        |  clean, CAST(length(clean) AS INT) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "td77_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, lower(substr(text, 1, 64)) AS k,

@@ -488,6 +488,38 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
   }
 
+  test("normalize_text: NFC composes, NFKC folds compatibility forms, " +
+      "both reachable from SQL; dedup unifies composed/decomposed text") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.normalize_text
+    val composed = "caf\u00e9"          // precomposed e-acute
+    val decomposed = "cafe\u0301"       // e + combining acute
+    val compat = "\uFB01le \uFF12"     // fi ligature + FULLWIDTH TWO
+    val df = Seq((1L, decomposed), (2L, composed), (3L, compat))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        normalize_text(col("t"), "NFC").as("nfc"),
+        normalize_text(col("t"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == composed) // decomposed composes
+    assert(out(0).getString(1) == out(1).getString(1)) // 1 == 2 post-NFC
+    assert(out(0).getString(2) == out(1).getString(2))
+    // NFC leaves compatibility forms alone; NFKC folds them
+    assert(out(2).getString(1) == compat)
+    assert(out(2).getString(2) == "file 2")
+    // fingerprints unify after normalization -- the dedup motivation
+    val fp = df.select(graft.functions.Hashing.fingerprint(
+      normalize_text(col("t"), "NFC")).as("f")).collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+    // SQL surface (GraftExtensions)
+    graft.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT normalize_text('$decomposed', 'NFC')").head().getString(0)
+    assert(viaSql == composed)
+    intercept[Exception](
+      spark.sql("SELECT normalize_text('x', 'NFX')").collect())
+  }
+
   test("ANN brute-force top-k ranks the exact nearest vector first") {
     import spark.implicits._
     val vecs = Seq(
