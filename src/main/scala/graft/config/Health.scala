@@ -179,6 +179,18 @@ object Health {
         raw.flatMap(_.erroringSinceMs).minOption)
     }
 
+    /** Forget an entity entirely — called when its resource is DELETED
+      * (a removed replication/sink must not live on as a phantom row in
+      * `/api/health`, nor keep `/health` erroring over a resource that
+      * no longer exists).
+      */
+    def removeEntity(kind: String, id: String): Unit = {
+      events.keysIterator.filter(k => k._1 == kind && k._2 == id)
+        .toVector.foreach(events.remove)
+      paused.remove((kind, id))
+      ()
+    }
+
     /** Every entity that has ever reported (or been paused), per kind. */
     def entities(): Vector[(String, String)] =
       (events.keysIterator.map(k => (k._1, k._2)) ++ paused.keysIterator)

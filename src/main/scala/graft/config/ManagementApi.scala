@@ -453,7 +453,9 @@ final class ManagementApi {
 
   private def doDelete(ex: HttpExchange, name: String): Unit =
     registry.remove(name) match {
-      case Some(_) => respond(ex, 200, """{"success":true}""")
+      case Some(_) =>
+        health.removeEntity("sink_consumer", name)
+        respond(ex, 200, """{"success":true}""")
       case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
     }
 
@@ -1064,6 +1066,13 @@ final class ManagementApi {
         try {
           val r = parseReplJson(mapper.readTree(ex.getRequestBody),
             Some(prev))
+          // unique (slot_name, database) holds on UPDATE too
+          if (replications.exists { case (k, x) => k != id &&
+              x.slotName == r.slotName &&
+              x.postgresDatabase == r.postgresDatabase })
+            throw new IllegalArgumentException(
+              s"slot '${r.slotName}' already declared on database " +
+                s"'${r.postgresDatabase}'")
           replications.put(id, r)
           health.setPaused("postgres_replication_slot", id,
             r.status == "disabled")
@@ -1075,6 +1084,9 @@ final class ManagementApi {
   private def doReplDelete(ex: HttpExchange, id: String): Unit =
     replications.remove(id) match {
       case Some(_) =>
+        // a deleted replication must not linger as a phantom (possibly
+        // paused/erroring) entity on the health surface
+        health.removeEntity("postgres_replication_slot", id)
         val o = mapper.createObjectNode()
         o.put("success", true); o.put("id", id)
         respond(ex, 200, o.toString)

@@ -208,11 +208,14 @@ object SinkDispatch {
     val elapsedUs = (System.nanoTime() - t0) / 1000.0
     metrics.recordOutcomes(consumerId, consumerName, outcomes)
     if (outcomes.nonEmpty) {
+      // ONE observation per delivery (the reference's per-message
+      // observe_delivery_latency semantics): the batch wall time is
+      // amortized equally — _count matches delivery count, so
+      // sum/count reads as true mean per-delivery latency
       val perDeliveryUs = elapsedUs / outcomes.size
-      outcomes.groupBy(_.ok).foreach { case (ok, group) =>
-        metrics.observeDeliveryLatencyUs(consumerId, consumerName, ok,
-          perDeliveryUs * group.size)
-      }
+      outcomes.foreach(o =>
+        metrics.observeDeliveryLatencyUs(consumerId, consumerName, o.ok,
+          perDeliveryUs))
       val failures = outcomes.filterNot(_.ok)
       health.putEvent("sink_consumer", consumerId, "messages_delivered",
         if (failures.isEmpty) "success" else "fail",

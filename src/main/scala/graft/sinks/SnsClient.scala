@@ -22,8 +22,9 @@ import java.time.Duration
 object SnsClient {
 
   final case class SnsRequest(
-      ack_id: String,      // = entry Id = dedup id (or idempotent hash)
-      group_id: String,
+      ack_id: String,      // ledger identity (idempotency key)
+      group_id: String,    // ledger group (acks key AckDelivery by this)
+      message_group_id: Option[String], // FIFO ordering unit ON THE WIRE
       topic_arn: String,
       message: String)
 
@@ -40,10 +41,10 @@ object SnsClient {
       implicit spark: SparkSession): Dataset[SnsRequest] = {
     import spark.implicits._
     wire.select(col("ack_id"), col("ledger_group_id"),
-        col("topic_arn"), col("message"))
-      .as[(String, String, String, String)]
-      .map { case (ackId, group, arn, message) =>
-        SnsRequest(ackId, group, arn, message)
+        col("message_group_id"), col("topic_arn"), col("message"))
+      .as[(String, String, Option[String], String, String)]
+      .map { case (ackId, group, msgGroup, arn, message) =>
+        SnsRequest(ackId, group, msgGroup, arn, message)
       }
   }
 
@@ -66,7 +67,8 @@ object SnsClient {
         batch.zipWithIndex.flatMap { case (r, i) =>
           val p = s"PublishBatchRequestEntries.member.${i + 1}"
           Seq(s"$p.Id" -> r.ack_id, s"$p.Message" -> r.message) ++
-            (if (fifo) Seq(s"$p.MessageGroupId" -> r.group_id,
+            (if (fifo) Seq(
+              s"$p.MessageGroupId" -> r.message_group_id.getOrElse(""),
               s"$p.MessageDeduplicationId" -> r.ack_id)
              else Nil)
         }

@@ -80,8 +80,9 @@ object SigV4 {
 object SqsClient {
 
   final case class SqsRequest(
-      ack_id: String,      // = entry Id = message_dedup_id
-      group_id: String,
+      ack_id: String,      // ledger identity (idempotency key)
+      group_id: String,    // ledger group (acks key AckDelivery by this)
+      message_group_id: String, // FIFO ordering unit ON THE WIRE
       queue_url: String,
       body: String)
 
@@ -99,10 +100,10 @@ object SqsClient {
       implicit spark: SparkSession): Dataset[SqsRequest] = {
     import spark.implicits._
     wire.select(col("ack_id"), col("ledger_group_id"),
-        col("queue_url"), col("body"))
-      .as[(String, String, String, String)]
-      .map { case (ackId, group, queue, body) =>
-        SqsRequest(ackId, group, queue, body)
+        col("message_group_id"), col("queue_url"), col("body"))
+      .as[(String, String, String, String, String)]
+      .map { case (ackId, group, msgGroup, queue, body) =>
+        SqsRequest(ackId, group, msgGroup, queue, body)
       }
   }
 
@@ -120,7 +121,7 @@ object SqsClient {
     try {
       val entries = batch.map { r =>
         s"""{"Id":${jstr(r.ack_id)},"MessageBody":${jstr(r.body)},""" +
-          s""""MessageGroupId":${jstr(r.group_id)},""" +
+          s""""MessageGroupId":${jstr(r.message_group_id)},""" +
           s""""MessageDeduplicationId":${jstr(r.ack_id)}}"""
       }.mkString("[", ",", "]")
       val payload =

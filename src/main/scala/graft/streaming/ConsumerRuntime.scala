@@ -3,6 +3,7 @@ package graft.streaming
 import graft.model.ChangeEvent
 import graft.sinks.SinkDispatch
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The assembled consumer runtime — every layer of this library wired
@@ -95,8 +96,20 @@ object ConsumerRuntime {
     val query = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // 2. filters first — a filtered event is DONE, it must not
-        //    head-of-line-block its group in the ledger
-        val survivors = CdcPipeline.build(batch, cfg, enrichment)
+        //    head-of-line-block its group in the ledger. The ledger
+        //    stores the ORIGINAL event columns (joined back by
+        //    idempotency key) with only the BUILT group id grafted on:
+        //    the dispatch round re-runs the pipeline on pristine inputs,
+        //    so user transforms apply exactly ONCE and the filter
+        //    verdict cannot flip between admission and dispatch (a
+        //    transformed value fed back through the filter could strand
+        //    an admitted event unacked forever).
+        val built = CdcPipeline.build(batch, cfg, enrichment)
+          .select(col("idempotency_key"),
+            col("group_id").as("__built_group"))
+        val survivors = batch.drop("group_id")
+          .join(built, "idempotency_key")
+          .withColumnRenamed("__built_group", "group_id")
           .select(EventCols.head, EventCols.tail: _*)
           .as[ChangeEvent].collect().toSeq
         health.putEvent("sink_consumer", consumerId, "messages_filtered",

@@ -116,26 +116,34 @@ final class SequinStreamPull(
     * bounded by `max_ack_pending` (sink_consumer.ex:86-90): the driver
     * buffer + unresolved hand-outs never exceed the cap, so a flood
     * batch cannot grow the driver path without bound. Returns the number
-    * ADMITTED. Overflow follows the consumer's load-shedding policy
-    * (W8, `pause_on_full` | `discard_on_full`): pause admits up to
-    * capacity and the caller MUST re-offer the remainder once acks free
-    * space (backpressure, the reference's producer demand contract);
-    * discard counts the remainder dropped and moves on.
+    * of input events CONSUMED — the caller re-offers
+    * `events.drop(returned)` (and nothing else). Overflow follows the
+    * consumer's load-shedding policy (W8):
+    *   - `pause_on_full` consumes an in-order PREFIX up to capacity and
+    *     the caller MUST re-offer the remainder once acks free space
+    *     (backpressure, the reference's producer demand contract);
+    *   - `discard_on_full` consumes EVERYTHING — events beyond capacity
+    *     are counted dropped exactly once and must never be re-offered
+    *     (re-offering would both deliver the "dropped" events and
+    *     double-count the drop metric).
     */
   def ingest(events: Seq[ChangeEvent]): Int = commandLock.synchronized {
-    val admitted = this.synchronized {
+    val (admitted, consumed) = this.synchronized {
       val adm = Vector.newBuilder[ChangeEvent]
+      var used = 0
       var stop = false
       events.foreach { e =>
         if (!stop) {
-          if (unresolved.contains(e.idempotency_key)) adm += e // replay, free
-          else if (unresolved.size < maxAckPending) {
-            unresolved += e.idempotency_key; adm += e
-          } else if (fullPolicy == "discard_on_full") droppedCount += 1
-          else stop = true // pause: stop at the first overflow (in order)
+          if (unresolved.contains(e.idempotency_key)) {
+            adm += e; used += 1 // replay, free
+          } else if (unresolved.size < maxAckPending) {
+            unresolved += e.idempotency_key; adm += e; used += 1
+          } else if (fullPolicy == "discard_on_full") {
+            droppedCount += 1; used += 1
+          } else stop = true // pause: stop at the first overflow (in order)
         }
       }
-      adm.result()
+      (adm.result(), used)
     }
     if (admitted.nonEmpty) {
       admitted.foreach(e => knownGroups += Option(e.group_id)
@@ -143,7 +151,7 @@ final class SequinStreamPull(
       input.addData(admitted.map(DeliveryCommand.event))
       query.processAllAvailable()
     }
-    admitted.size
+    consumed
   }
 
   /** Pull up to `maxBatchSize` deliveries; long-polls up to `waitForMs`

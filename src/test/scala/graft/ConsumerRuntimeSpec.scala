@@ -188,6 +188,43 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("user transforms apply exactly ONCE through the runtime, and the " +
+      "filter verdict is decided on ORIGINAL values — no unacked limbo") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    try {
+      // the trap: filter on record_value + transform that CHANGES
+      // record_value. value 6 passes (6 < 10) and must deliver as 12
+      // (one application, not 24); a naive double-build would re-filter
+      // the transformed 12 (> 10), strand the admitted event unacked,
+      // and redeliver it forever
+      val cfg = PipelineSpec.parse(
+        """{"name":"tf","actions":["insert"],
+          |"filter_function":"record_value < 10",
+          |"transform_functions":{"record_value":"record_value * 2"},
+          |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+          .stripMargin)
+      val input = MemoryStream[ChangeEvent]
+      val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+        SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+        metrics, health, "c-tf")
+      try {
+        input.addData(ev(8, "1", 6.0), ev(16, "2", 20.0))
+        handle.query.processAllAvailable()
+        // value 20 filtered; value 6 delivered exactly once, DOUBLED once
+        assert(srv.xadds.size == 1, srv.xadds.asScala.mkString("\n"))
+        assert(srv.xadds.asScala.head.contains("\"value\":12.0"),
+          srv.xadds.asScala.head)
+        assert(handle.ledger.outstandingEvents == 0)
+        assert(handle.ledger.deadLetters().isEmpty)
+      } finally handle.stop()
+    } finally srv.stop()
+  }
+
   test("RESTART CONTINUITY: a checkpointed runtime resumes at committed " +
       "source offsets — completed batches never redeliver") {
     implicit val s = spark

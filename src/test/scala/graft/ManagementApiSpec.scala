@@ -576,6 +576,16 @@ class ManagementApiSpec extends AnyFunSuite {
       val (_, hb) = send(p, "GET",
         s"/api/health/postgres_replication_slot/$id")
       assert(hb.contains("\"status\":\"paused\""))
+      // unique (slot_name, database) holds on UPDATE too: a second
+      // replication cannot be renamed onto s1
+      val (c2s, c2b) = send(p, "POST", "/api/postgres_replications",
+        Some("""{"postgres_database":"appdb","slot_name":"s9",
+               |"publication_name":"p9"}""".stripMargin))
+      assert(c2s == 200)
+      val id2 = "\"id\":(\\d+)".r.findFirstMatchIn(c2b).get.group(1)
+      assert(send(p, "PUT", s"/api/postgres_replications/$id2",
+        Some("""{"slot_name":"s1"}"""))._1 == 422)
+      assert(send(p, "DELETE", s"/api/postgres_replications/$id2")._1 == 200)
       // FK fence: the referenced database refuses deletion until the
       // replication goes first
       val (ds, db2) = send(p, "DELETE", "/api/postgres_databases/appdb")
@@ -583,6 +593,10 @@ class ManagementApiSpec extends AnyFunSuite {
       assert(send(p, "DELETE", s"/api/postgres_replications/$id")._1 == 200)
       assert(send(p, "DELETE", s"/api/postgres_replications/$id")._1 == 404)
       assert(send(p, "DELETE", "/api/postgres_databases/appdb")._1 == 200)
+      // the deleted (paused) replication is NOT a phantom health entity
+      val (hs2, hb2) = send(p, "GET", "/api/health")
+      assert(hs2 == 200 &&
+        !hb2.contains(s"\"entity_id\":\"$id\""), hb2)
     } finally { api.stop(); pg.stop() }
   }
 

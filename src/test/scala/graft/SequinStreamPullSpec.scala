@@ -160,7 +160,9 @@ class SequinStreamPullSpec extends SparkSpec {
       nowMs = PullClock.get)
     try {
       val flood = (1 to 100).map(i => ev(8L * i, i.toString))
-      assert(pull.ingest(flood) == 25)
+      // discard CONSUMES the whole offer: 25 admitted, 75 dropped —
+      // nothing left for the caller to re-offer
+      assert(pull.ingest(flood) == 100)
       assert(pull.droppedCount == 75L)
       assert(pull.outstandingEvents == 25)
       val got = pull.receive(maxBatchSize = 1000)

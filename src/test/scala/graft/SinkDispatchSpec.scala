@@ -261,8 +261,10 @@ class SinkDispatchSpec extends SparkSpec {
         """{consumer_id="c-obs",consumer_name="obs"} 5"""), exp)
       assert(exp.contains("sequin_message_deliver_success_count" +
         """{consumer_id="c-obs",consumer_name="obs"} 5"""))
+      // one observation PER DELIVERY (5 ok outcomes -> count 5), so
+      // sum/count reads as true mean per-delivery latency
       assert(exp.contains(
-        """sequin_delivery_latency_us_count{consumer_id="c-obs",consumer_name="obs",success="true"} 1"""))
+        """sequin_delivery_latency_us_count{consumer_id="c-obs",consumer_name="obs",success="true"} 5"""))
       assert(delivered().status == "healthy")
       // the same consumer against a dead port: failures counted, the
       // health check flips to error with the transport reason

@@ -78,7 +78,7 @@ class SnsClientSpec extends SparkSpec {
     val srv = new ScriptedSns(failIds = Set("d2"))
     try {
       val reqs = (1 to 14).map(i => SnsRequest(s"d$i", s"g${i % 2}",
-        "arn:aws:sns:topic.fifo", s"""{"n":$i}"""))
+        Some(s"mg${i % 2}"), "arn:aws:sns:topic.fifo", s"""{"n":$i}"""))
       val out = SnsClient.deliver(spark.createDataset(reqs).repartition(1),
           s"http://127.0.0.1:${srv.port}/", creds)
         .collect().map(r => r.ack_id -> r).toMap

@@ -78,7 +78,7 @@ class SqsClientSpec extends SparkSpec {
     val srv = new ScriptedSqs()
     try {
       val reqs = (1 to 23).map(i => SqsRequest(s"d$i", s"g${i % 3}",
-        "https://sqs.example/q", s"""{"n":$i}"""))
+        s"mg${i % 3}", "https://sqs.example/q", s"""{"n":$i}"""))
       val out = SqsClient.deliver(spark.createDataset(reqs).repartition(1),
         s"http://127.0.0.1:${srv.port}/", creds).collect()
       assert(out.length == 23 && out.forall(_.ok))
@@ -98,8 +98,8 @@ class SqsClientSpec extends SparkSpec {
     import s.implicits._
     val srv = new ScriptedSqs(failIds = Set("d2"))
     try {
-      val reqs = Seq(SqsRequest("d1", "g", "q", "a"),
-        SqsRequest("d2", "g", "q", "b"), SqsRequest("d3", "g", "q", "c"))
+      val reqs = Seq(SqsRequest("d1", "g", "mg", "q", "a"),
+        SqsRequest("d2", "g", "mg", "q", "b"), SqsRequest("d3", "g", "mg", "q", "c"))
       val out = SqsClient.deliver(spark.createDataset(reqs).repartition(1),
           s"http://127.0.0.1:${srv.port}/", creds)
         .collect().map(r => r.ack_id -> r).toMap
@@ -115,7 +115,7 @@ class SqsClientSpec extends SparkSpec {
     val dead = tmp.getAddress.getPort
     tmp.stop(0)
     val out2 = SqsClient.deliver(
-      spark.createDataset(Seq(SqsRequest("a", "g", "q", "x")))
+      spark.createDataset(Seq(SqsRequest("a", "g", "mg", "q", "x")))
         .repartition(1), s"http://127.0.0.1:$dead/", creds).collect()
     assert(out2.forall(r => !r.ok && r.err.startsWith("transport error")))
   }
