@@ -107,11 +107,14 @@ object ConsumerRuntime {
         val built = CdcPipeline.build(batch, cfg, enrichment)
           .select(col("idempotency_key"),
             col("group_id").as("__built_group"))
-        val survivors = batch.drop("group_id")
+          .dropDuplicates("idempotency_key")
+        val survivors = batch.dropDuplicates("idempotency_key")
+          .drop("group_id")
           .join(built, "idempotency_key")
           .withColumnRenamed("__built_group", "group_id")
           .select(EventCols.head, EventCols.tail: _*)
-          .as[ChangeEvent].collect().toSeq
+          .as[ChangeEvent].collect().toSeq // dedup'd: an in-batch replay
+          // of the same idempotency key must not fan the join out
         health.putEvent("sink_consumer", consumerId, "messages_filtered",
           "success")
         if (survivors.nonEmpty)
