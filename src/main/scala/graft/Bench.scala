@@ -132,6 +132,17 @@ object Bench {
       n / best
     } catch { case _: Throwable => -1.0 }
 
+    // Assembled-runtime delivered throughput + latency: the shape of the
+    // reference's published benchmark (docs/performance.mdx:8,24-26 —
+    // 50k ops/s sustained, 55 ms avg / 253 ms p99 delivered latency).
+    // ConsumerRuntime.start() end to end: WAL segments on disk → DSv2
+    // spool stream → binary pgoutput decode → CDC envelope → pipeline →
+    // AckDelivery ledger → live loopback RESP transport → acks. The
+    // number is DELIVERED events/sec measured at the transport (the
+    // loopback server counts XADDs), not pipeline rows/sec.
+    val rt = try RuntimeBench.run(spark)
+      catch { case _: Throwable => RuntimeBench.Result(-1, -1, -1, -1) }
+
     // ANN quality tracking: recall@10 of the approximate paths vs the
     // exact brute-force ranking on the same 20 queries — runtime numbers
     // alone would hide a recall regression (e.g. a centroid-seeding
@@ -320,7 +331,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

@@ -1,0 +1,268 @@
+package graft
+
+import graft.sinks.SinkDispatch
+import graft.sources.{PgOutput, PgStream, WalSpool, WalSpoolProvider}
+import graft.sources.PgOutput._
+import graft.streaming.ConsumerRuntime
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Assembled-runtime benchmark: measures what [[ConsumerRuntime.start]]
+  * actually DELIVERS per second, end to end, against the reference's
+  * published single-node benchmark (`docs/performance.mdx:8,24-26` —
+  * 50k ops/s sustained, 55 ms avg / 253 ms p99).
+  *
+  * The chain under test is the production one, nothing mocked:
+  * WAL segments on disk → [[WalSpool]] DSv2 micro-batch stream → binary
+  * pgoutput decode ([[PgStream.decodeStateful]]) → typed CDC envelope →
+  * [[graft.streaming.CdcPipeline]] → AckDelivery ledger (per-group FIFO,
+  * max_ack_pending admission) → live RESP transport over a real TCP
+  * socket → acks back into the ledger. The far end is a loopback Redis
+  * that parses every frame and answers each XADD — so the number counts
+  * bytes actually written to and acknowledged over a socket, not rows
+  * that evaporated in a `count()`.
+  *
+  * Three numbers:
+  *   - `groupedOps`: delivered events/sec with message grouping ON
+  *     (default per-PK groups — the reference benchmark's insert-stream
+  *     shape, where every event is its own group);
+  *   - `ungroupedOps`: `message_grouping=false` — the runtime's fast
+  *     path dispatches straight off the pipeline DataFrame;
+  *   - `latP50Ms`/`latP99Ms`: per-event delivered latency (segment
+  *     write → XADD observed) for single-event micro-batches — the
+  *     micro-batch regime's latency price, measured not guessed.
+  */
+object RuntimeBench {
+
+  final case class Result(groupedOps: Double, ungroupedOps: Double,
+      latP50Ms: Double, latP99Ms: Double)
+
+  /** Minimal but complete loopback Redis: parses RESP command frames,
+    * counts XADDs, answers every command — one daemon thread per
+    * connection (one connection per dispatch partition-task).
+    */
+  private final class LoopbackRedis {
+    val xadds = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val server =
+      new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def line(in: InputStream): String = {
+      val sb = new StringBuilder(8)
+      var c = in.read()
+      while (c != '\r') {
+        if (c < 0) throw new EOFException
+        sb.append(c.toChar)
+        c = in.read()
+      }
+      in.read() // \n
+      sb.toString
+    }
+
+    private def handle(sock: Socket): Unit = {
+      try {
+        sock.setTcpNoDelay(true)
+        val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+        val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        val okXadd = "$3\r\n1-1\r\n".getBytes(UTF_8)
+        val okSimple = "+OK\r\n".getBytes(UTF_8)
+        while (true) {
+          val t = in.read()
+          if (t < 0) throw new EOFException
+          val n = line(in).toInt // '*' argument count
+          var cmd: String = null
+          var i = 0
+          while (i < n) {
+            in.read() // '$'
+            val len = line(in).toInt
+            if (i == 0) {
+              val buf = new Array[Byte](len)
+              var off = 0
+              while (off < len) {
+                val r = in.read(buf, off, len - off)
+                if (r < 0) throw new EOFException
+                off += r
+              }
+              cmd = new String(buf, UTF_8)
+            } else {
+              var left = len.toLong
+              while (left > 0) {
+                val s = in.skip(left)
+                if (s <= 0) { if (in.read() < 0) throw new EOFException else left -= 1 }
+                else left -= s
+              }
+            }
+            in.read(); in.read() // CRLF
+            i += 1
+          }
+          if (cmd == "XADD") { xadds.incrementAndGet(); out.write(okXadd) }
+          else if (cmd == "PING") out.write("+PONG\r\n".getBytes(UTF_8))
+          else out.write(okSimple)
+          // amortized flush: reply-per-command but one syscall per
+          // pipelined chunk — flush only when the client has stopped
+          // sending (it is now blocked reading our replies)
+          if (in.available() == 0) out.flush()
+        }
+      } catch { case _: Exception => () }
+      finally { try sock.close() catch { case _: Exception => () } }
+    }
+
+    def stop(): Unit = try server.close() catch { case _: Exception => () }
+  }
+
+  private val relation = Relation(16384L, "public", "events_src", "d", Seq(
+    RelationColumn("event_id", isKey = true, 20L, -1),
+    RelationColumn("user_id", isKey = false, 20L, -1),
+    RelationColumn("event_type", isKey = false, 25L, -1),
+    RelationColumn("value", isKey = false, 701L, -1),
+    RelationColumn("props", isKey = false, 3802L, -1)))
+
+  /** One single-row transaction (Begin + Insert + Commit) for event id
+    * `id` — distinct PKs, so default per-PK grouping gives the
+    * insert-stream shape of the reference benchmark.
+    */
+  private def txn(id: Long): Seq[PgStream.Frame] = {
+    val lsn = (id + 1) * 8
+    val cells = Seq(Cell.Text(id.toString), Cell.Text((id % 150).toString),
+      Cell.Text("purchase"), Cell.Text("5.0"), Cell.Text("{\"k\":1}"))
+    Seq(
+      PgStream.Frame("slot", id * 3 + 1,
+        PgOutput.encode(Begin(lsn, id * 1000, id))),
+      PgStream.Frame("slot", id * 3 + 2,
+        PgOutput.encode(Insert(16384L, cells))),
+      PgStream.Frame("slot", id * 3 + 3,
+        PgOutput.encode(Commit(0, lsn, lsn + 8, id * 1000))))
+  }
+
+  private def startRuntime(dir: String, port: Int, grouped: Boolean)(
+      implicit spark: SparkSession): ConsumerRuntime.Handle = {
+    import spark.implicits._
+    val decoded = PgStream.decodeStateful(
+      spark.readStream.format(classOf[WalSpoolProvider].getName)
+        .option("path", dir).load().as[PgStream.Frame])
+    // one slot = one serial decode task (WAL order); repartition spreads
+    // the downstream typed casts + envelope construction across cores —
+    // order is the ledger's job (it sorts on (commit_lsn, commit_idx)),
+    // not the partitioning's
+    val typed = PgStream.toRecords(decoded.toDF().repartition(32), relation)
+      .select(col("event_id"),
+        timestamp_micros(col("commit_ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    // group_columns = record PK: the reference's DEFAULT grouping
+    // (sink_consumer groups by record_pks unless group_column_names
+    // overrides) — an insert stream of distinct rows is the published
+    // benchmark's shape, so every event is its own FIFO group and the
+    // ledger drains in one wave per micro-batch
+    val cfg = config.PipelineSpec.parse(
+      s"""{"name":"rtbench","message_grouping":$grouped,
+         |"max_ack_pending":1000000,
+         |"group_columns":["record_id"],
+         |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    ConsumerRuntime.start(model.Cdc.fromEvents(typed), cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = port),
+      new config.Metrics.Registry(), new config.Health.Registry(),
+      "rtbench")
+  }
+
+  private def await(cond: () => Boolean, timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var ok = cond()
+    while (!ok && System.nanoTime() < deadline) { Thread.sleep(1); ok = cond() }
+    ok
+  }
+
+  /** Throughput phase: warm the runtime with `warm` events (absorbs
+    * stream/codegen startup), then land `n` pre-encoded events as new
+    * segments and time first-write → last-XADD-acknowledged.
+    */
+  private def throughput(spark: SparkSession, grouped: Boolean, n: Int,
+      warm: Int, segments: Int): Double = {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("bench_rt").toString
+    val srv = new LoopbackRedis
+    try {
+      // pre-encode everything so the measured window is runtime, not
+      // driver-side frame construction
+      val warmFrames = PgStream.Frame("slot", 0L,
+        PgOutput.encode(relation)) +:
+        (0 until warm).flatMap(i => txn(i.toLong))
+      val per = n / segments
+      val bigs = (0 until segments).map { sgi =>
+        (sgi + 1, (0 until per).flatMap(i =>
+          txn((warm + sgi.toLong * per + i).toLong)))
+      }
+      WalSpool.writeSegment(dir, WalSpool.segmentName(0), warmFrames)
+      val handle = startRuntime(dir, srv.port, grouped)
+      try {
+        if (!await(() => srv.xadds.get() >= warm, 120000L))
+          return -1.0
+        val total = warm.toLong + per.toLong * segments
+        val t0 = System.nanoTime()
+        bigs.foreach { case (idx, fr) =>
+          WalSpool.writeSegment(dir, WalSpool.segmentName(idx), fr) }
+        if (!await(() => srv.xadds.get() >= total, 600000L)) return -1.0
+        val sec = (System.nanoTime() - t0) / 1e9
+        (per.toLong * segments) / sec
+      } finally handle.stop()
+    } finally srv.stop()
+  }
+
+  /** Latency phase: single-event segments, paced — per-event delivered
+    * latency is segment-write → XADD-observed (poll granularity 1 ms,
+    * two orders below the measured values).
+    */
+  private def latency(spark: SparkSession, samples: Int): (Double, Double) = {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("bench_rtl").toString
+    val srv = new LoopbackRedis
+    try {
+      WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+        PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+          txn(0L))
+      val handle = startRuntime(dir, srv.port, grouped = true)
+      try {
+        if (!await(() => srv.xadds.get() >= 1, 120000L)) return (-1.0, -1.0)
+        val lat = (1 to samples).flatMap { i =>
+          val frames = txn(1000000L + i)
+          val before = srv.xadds.get()
+          val t0 = System.nanoTime()
+          WalSpool.writeSegment(dir, WalSpool.segmentName(i), frames)
+          if (await(() => srv.xadds.get() > before, 60000L))
+            Some((System.nanoTime() - t0) / 1e6)
+          else None
+        }
+        // drop warm samples (first trigger cycles still JIT-ing)
+        val settled = lat.drop(math.min(5, lat.length / 2)).sorted
+        if (settled.isEmpty) (-1.0, -1.0)
+        else (settled(settled.length / 2),
+          settled(math.min(settled.length - 1,
+            math.ceil(settled.length * 0.99).toInt - 1)))
+      } finally handle.stop()
+    } finally srv.stop()
+  }
+
+  def run(spark: SparkSession): Result = {
+    val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
+      .getOrElse(500000)
+    val grouped = throughput(spark, grouped = true, n = n, warm = 2000,
+      segments = 4)
+    val ungrouped = throughput(spark, grouped = false, n = n, warm = 2000,
+      segments = 4)
+    val (p50, p99) = latency(spark, samples = 30)
+    Result(grouped, ungrouped, p50, p99)
+  }
+}

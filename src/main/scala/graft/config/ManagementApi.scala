@@ -392,7 +392,16 @@ final class ManagementApi {
       respond(ex, 422, validationErr(e.getMessage)) }
 
   private def doTokenDelete(ex: HttpExchange, id: String): Unit =
-    apiTokens.remove(id) match {
+    // refuse deleting the FINAL token: in a library embedding there is
+    // no console to mint a replacement, so removing the last credential
+    // permanently locks every authenticated /api route — the same
+    // no-unreachable-plane rationale that mints the bootstrap token
+    if (apiTokens.contains(id) && apiTokens.size == 1)
+      respond(ex, 422, validationErr(
+        "cannot delete the last remaining API token: the management " +
+          "plane would become permanently unreachable; create a " +
+          "replacement token first"))
+    else apiTokens.remove(id) match {
       case Some(_) => respond(ex, 200, """{"success":true}""")
       case None    => respond(ex, 404, err(s"API token not found: $id"))
     }

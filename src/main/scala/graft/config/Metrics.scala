@@ -1,6 +1,6 @@
 package graft.config
 
-import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+import java.util.concurrent.atomic.{AtomicLong, DoubleAdder, LongAdder}
 import scala.collection.concurrent.TrieMap
 
 /** Prometheus metrics for the running plane — the reference's registry +
@@ -46,7 +46,10 @@ object Metrics {
 
   final class Registry {
     private val counters = TrieMap.empty[Key, LongAdder]
-    private val gauges = TrieMap.empty[Key, DoubleAdder]
+    // gauges are SET, not accumulated: an AtomicLong of doubleToLongBits
+    // makes the write atomic — the previous reset+add on a DoubleAdder
+    // let a concurrent scrape observe 0 or a doubled value
+    private val gauges = TrieMap.empty[Key, AtomicLong]
     private val histos = TrieMap.empty[Key, Histo]
     // name → (type, help), declared lazily on first touch
     private val families = TrieMap.empty[String, (String, String)]
@@ -65,9 +68,8 @@ object Metrics {
     def set(name: String, labels: Seq[(String, String)], v: Double,
         help: String = ""): Unit = {
       declare(name, "gauge", help)
-      val g = gauges.getOrElseUpdate(Key(name, labels.toVector),
-        new DoubleAdder)
-      g.reset(); g.add(v)
+      gauges.getOrElseUpdate(Key(name, labels.toVector), new AtomicLong)
+        .set(java.lang.Double.doubleToLongBits(v))
     }
 
     def observe(name: String, labels: Seq[(String, String)], v: Double,
@@ -157,7 +159,8 @@ object Metrics {
           case "gauge" =>
             gauges.toVector.filter(_._1.name == name)
               .sortBy(_._1.labels.toString).foreach { case (k, v) =>
-                sb.append(s"$name${fmtLabels(k.labels)} ${fmtD(v.sum())}\n")
+                sb.append(s"$name${fmtLabels(k.labels)} " +
+                  s"${fmtD(java.lang.Double.longBitsToDouble(v.get()))}\n")
               }
           case "histogram" =>
             histos.toVector.filter(_._1.name == name)

@@ -143,11 +143,20 @@ object SinkDispatch {
       case "sns" =>
         need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,
           "httpBase + awsCreds")
+        // FIFO comes off the SINK SPEC, not a hardcode — the reference
+        // gates on `consumer.sink.is_fifo` (sns_pipeline.ex:88), derived
+        // there from the `.fifo` topic suffix; an explicit `is_fifo`
+        // setting overrides. The SAME verdict feeds the wire adapter
+        // (group/dedup entry fields) and the client (publish params), so
+        // a standard topic never receives FIFO-only parameters and a
+        // FIFO topic never loses them.
+        val topicArn = spec.settings.getOrElse("topic_arn", "arn:aws:sns:t")
+        val isFifo = spec.settings.get("is_fifo").map(_.toBoolean)
+          .getOrElse(topicArn.endsWith(".fifo"))
         SnsClient.deliver(
-            SnsClient.requests(SinkAdapters.snsWire(pipeline,
-              spec.settings.getOrElse("topic_arn", "arn:aws:sns:t"),
-              isFifo = true)),
-            env.httpBase, env.awsCreds.get)
+            SnsClient.requests(SinkAdapters.snsWire(pipeline, topicArn,
+              isFifo = isFifo)),
+            env.httpBase, env.awsCreds.get, fifo = isFifo)
           .map(r => Outcome(r.ack_id, r.group_id, r.ok, r.err))
       case "kinesis" =>
         need(env.httpBase.nonEmpty && env.awsCreds.nonEmpty, spec.sinkType,

@@ -59,7 +59,14 @@ object SnsClient {
       timeoutMs: Long): Seq[SnsResult] = {
     val fail = (msg: String) =>
       batch.map(r => SnsResult(r.ack_id, r.group_id, ok = false, msg))
-    try {
+    // a FIFO publish without a MessageGroupId is an SNS 400 — fail the
+    // batch with a config-shaped error instead of shipping an empty
+    // group the service rejects
+    if (fifo && batch.exists(_.message_group_id.forall(_.isEmpty)))
+      fail("fifo publish requires message_group_id (wire adapter derives " +
+        "group_id/record_pk for .fifo topics — was the wire built with " +
+        "isFifo = false?)")
+    else try {
       val fields = Seq(
         "Action" -> "PublishBatch",
         "Version" -> "2010-03-31",
@@ -68,7 +75,7 @@ object SnsClient {
           val p = s"PublishBatchRequestEntries.member.${i + 1}"
           Seq(s"$p.Id" -> r.ack_id, s"$p.Message" -> r.message) ++
             (if (fifo) Seq(
-              s"$p.MessageGroupId" -> r.message_group_id.getOrElse(""),
+              s"$p.MessageGroupId" -> r.message_group_id.get, // guarded above
               s"$p.MessageDeduplicationId" -> r.ack_id)
              else Nil)
         }
@@ -132,7 +139,7 @@ object SnsClient {
 
   /** PublishBatch caps at 10 entries — the API limit. */
   def deliver(reqs: Dataset[SnsRequest], endpoint: String,
-      creds: SqsClient.Credentials, fifo: Boolean = true,
+      creds: SqsClient.Credentials, fifo: Boolean = false,
       timeoutMs: Long = 15000)(
       implicit spark: SparkSession): Dataset[SnsResult] = {
     import spark.implicits._

