@@ -778,8 +778,12 @@ object TrainingQueries {
     // distinct/union/Jaccard estimates per source pair with the exact
     // Jaccard audit column (the approximate path for td51's matrix).
     "td66_kmv_setops" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir).select(col("source"),
-        explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("v"))
+      // documents is a single parquet file => 1-2 scan partitions; the
+      // tokenize+shingle explode is the query's CPU (not the sketch) —
+      // spread it across cores before exploding
+      val sh = Tables.documents(s, dir).repartition(32)
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("v"))
       graft.sketch.Sketches.kmvSetOps(sh, "source", "v", k = 64)
         .orderBy("ga", "gb")
     }),

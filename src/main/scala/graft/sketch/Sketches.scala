@@ -184,19 +184,47 @@ object Sketches {
       maxGroups: Int = 256): DataFrame = {
     require(k > 1, s"k must be > 1: $k")
     require(maxGroups >= 2, s"maxGroups must be >= 2: $maxGroups")
-    val nGroups = df.select(col(groupCol)).distinct()
+    // COST STRUCTURE (this was the sweep's slowest query two rounds
+    // running): the expensive relation is `dv` — for td66 that is the
+    // full distinct (source, shingle) stream materialized from a
+    // tokenize+shingle explode — and it feeds SIX consumers (the group
+    // guard, the sketch, both sides of the pair algebra via `sk`, both
+    // sides of the exact-Jaccard audit, and the per-group exact counts).
+    // Uncached, Spark re-ran the explode+distinct for each; caching `dv`
+    // and `sk` makes the input pass happen once, and the quadratic-guard
+    // count runs over the CACHE instead of a fresh scan (the guard fires
+    // after one linear pass instead of before any work — still strictly
+    // before the |G|^2 pair stage it exists to prevent). The pair
+    // algebra itself is |G|^2/2 × 2k rows — noise.
+    val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .distinct().persist()
+    val nGroups = dv.select(col("g")).distinct()
       .limit(maxGroups + 1).count()
     require(nGroups <= maxGroups,
       s"kmvSetOps: >$maxGroups distinct groups in '$groupCol' — the " +
         s"group-pair space is quadratic; pass a low-cardinality label " +
         s"or raise maxGroups deliberately")
-    val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v")).distinct()
     val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
-    // bottom-k per group (ties on h broken by value for determinism)
+    // bottom-k per group, TWO-PHASE (ties on h broken by value for
+    // determinism): groupCol is low-cardinality by contract, so a single
+    // row_number window would funnel the whole corpus through ≤|G|
+    // tasks. Phase 1 takes each partition's local bottom-k (a global
+    // bottom-k element is bottom-k in its partition — the classic
+    // distributed top-k identity), phase 2 ranks the surviving
+    // |partitions|×k rows per group — the only serial step is over
+    // sketch-sized data.
+    val wLocal = Window.partitionBy(col("g"), col("p"))
+      .orderBy(col("h").asc, col("v").asc)
+    val partial = hashed
+      .withColumn("p", spark_partition_id() % 32)
+      .withColumn("rn", row_number().over(wLocal))
+      .where(col("rn") <= k)
+      .select(col("g"), col("h"), col("v"))
     val wG = Window.partitionBy(col("g")).orderBy(col("h").asc, col("v").asc)
-    val sk = hashed.withColumn("rn", row_number().over(wG))
+    val sk = partial.withColumn("rn", row_number().over(wG))
       .where(col("rn") <= k)
       .select(col("g"), col("h"))
+      .persist()
     val perGroup = sk.groupBy(col("g"))
       .agg(count(lit(1)).cast("int").as("n_sk"), max(col("h")).as("h_max"))
     val pairs = perGroup.select(col("g").as("ga"), col("n_sk").as("n_a"),
