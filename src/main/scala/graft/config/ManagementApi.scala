@@ -28,7 +28,28 @@ import scala.collection.concurrent.TrieMap
   * reference keeps these rows in Postgres; persistence here is the
   * caller's concern — `export` gives the canonical YAML to store).
   */
-final class ManagementApi {
+final class ManagementApi(vaultKeyBase64: Option[String] = None) {
+
+  /** Secrets-at-rest vault (reference `vault.ex` + `encrypted/field.ex`):
+    * database passwords and `encrypted_headers` values are SEALED the
+    * moment they enter the catalog and stay sealed in every at-rest
+    * form (the in-memory store, `GET /api/config/export` YAML); they are
+    * revealed only at transport/catalog-client construction and for the
+    * obfuscated API previews. Pass a base64 32-byte key to share sealed
+    * exports across instances; omitted, a per-instance random key still
+    * gives at-rest encryption (but exports are only re-openable here).
+    */
+  private[config] val vault: Vault =
+    vaultKeyBase64.map(Vault.fromBase64).getOrElse(Vault.generate())
+
+  /** Seal the values of the endpoint's declared encrypted headers
+    * (idempotent — an exported ciphertext re-applies unchanged).
+    */
+  private def sealEndpoint(
+      e: YamlSpec.HttpEndpointSpec): YamlSpec.HttpEndpointSpec =
+    e.copy(headers = e.headers.map { case (k, v) =>
+      if (e.encryptedHeaderKeys(k)) (k, vault.seal(v)) else (k, v)
+    })
 
   /** Control-plane record of a backfill (the reference's `backfills`
     * table, `consumers/backfill.ex:29-51`): state machine the API
@@ -175,7 +196,19 @@ final class ManagementApi {
       : graft.streaming.ConsumerRuntime.Handle = {
     val cfg = registry.getOrElse(name, throw new NoSuchElementException(
       s"Sink consumer not found: $name"))
-    graft.streaming.ConsumerRuntime.start(events, cfg, env, metrics,
+    // decrypt-at-client-construction: a http_push sink referencing a
+    // declared endpoint gets that endpoint's headers RESOLVED here —
+    // sealed values leave the vault only on their way into the live
+    // transport client (encrypted/field.ex discipline)
+    val envResolved = cfg.sink
+      .filter(_.sinkType == "http_push")
+      .flatMap(_.settings.get("http_endpoint"))
+      .flatMap(endpoints.get)
+      .fold(env) { ep =>
+        env.copy(headers = env.headers ++
+          ep.headers.map { case (k, v) => (k, vault.reveal(v)) })
+      }
+    graft.streaming.ConsumerRuntime.start(events, cfg, envResolved, metrics,
       health, consumerId = name)
   }
 
@@ -477,7 +510,7 @@ final class ManagementApi {
   private def doApply(ex: HttpExchange): Unit =
     yamlBody(ex).foreach { yaml =>
       withValidated(ex, yaml) { (eps, rets, cfgs) =>
-        eps.foreach(e => endpoints.update(e.name, e))
+        eps.foreach(e => endpoints.update(e.name, sealEndpoint(e)))
         rets.foreach(r => retentions.update(r.name, r))
         cfgs.foreach(c => registry.update(c.name, c))
         val out = mapper.createObjectNode()
@@ -543,11 +576,22 @@ final class ManagementApi {
         e.url.foreach(u => sb.append(s"""    url: "$u"""" + "\n"))
         if (e.local) sb.append("    local: \"true\"\n")
         e.path.foreach(p => sb.append(s"""    path: "$p"""" + "\n"))
-        if (e.headers.nonEmpty) {
+        val (enc, plain) = e.headers.partition(h =>
+          e.encryptedHeaderKeys(h._1))
+        if (plain.nonEmpty) {
           sb.append("    headers:\n")
-          e.headers.foreach { case (k, v) =>
+          plain.foreach { case (k, v) =>
             sb.append(s"""      - key: "$k"""" + "\n")
             sb.append(s"""        value: "$v"""" + "\n")
+          }
+        }
+        // at-rest form: the CIPHERTEXT is what leaves the process —
+        // an exported config never contains the secret bytes
+        if (enc.nonEmpty) {
+          sb.append("    encrypted_headers:\n")
+          enc.foreach { case (k, v) =>
+            sb.append(s"""      - key: "$k"""" + "\n")
+            sb.append(s"""        value: "${vault.seal(v)}"""" + "\n")
           }
         }
         sb.toString
@@ -742,7 +786,9 @@ final class ManagementApi {
     e.path.foreach(o.put("path", _))
     val hs = o.putArray("headers")
     e.headers.foreach { case (k, v) =>
-      val h = hs.addObject(); h.put("key", k); h.put("value", v)
+      val h = hs.addObject(); h.put("key", k)
+      h.put("value",
+        if (e.encryptedHeaderKeys(k)) obfuscate(vault.reveal(v)) else v)
     }
     o
   }
@@ -758,14 +804,18 @@ final class ManagementApi {
     if (url.nonEmpty && local)
       throw new IllegalArgumentException(
         s"http_endpoint $name: url and local are mutually exclusive")
-    val headers = Option(node.get("headers")).toSeq.flatMap { hs =>
-      (0 until hs.size()).map { i =>
-        val h = hs.get(i)
-        (h.get("key").asText(), h.get("value").asText())
+    def headerList(field: String): Seq[(String, String)] =
+      Option(node.get(field)).toSeq.flatMap { hs =>
+        (0 until hs.size()).map { i =>
+          val h = hs.get(i)
+          (h.get("key").asText(), h.get("value").asText())
+        }
       }
-    }
+    val plain = headerList("headers")
+    val enc = headerList("encrypted_headers")
     YamlSpec.HttpEndpointSpec(name, url, local,
-      Option(node.get("path")).map(_.asText()), headers)
+      Option(node.get("path")).map(_.asText()), plain ++ enc,
+      enc.map(_._1).toSet)
   }
 
   private def doEndpointIndex(ex: HttpExchange): Unit = {
@@ -783,7 +833,7 @@ final class ManagementApi {
 
   private def doEndpointCreate(ex: HttpExchange): Unit =
     try {
-      val e = parseEndpointJson(mapper.readTree(body(ex)))
+      val e = sealEndpoint(parseEndpointJson(mapper.readTree(body(ex))))
       if (endpoints.putIfAbsent(e.name, e).isDefined)
         respond(ex, 422, validationErr(s"HTTP endpoint already exists: ${e.name}"))
       else respond(ex, 200, renderEndpoint(e).toString)
@@ -864,7 +914,7 @@ final class ManagementApi {
       port = Option(node.get("port")).map(_.asInt()).getOrElse(5432),
       database = req("database"),
       username = req("username"),
-      password = req("password"),
+      password = vault.seal(req("password")), // sealed at rest
       slotName = req("slot_name"),
       publicationName = req("publication_name"))
   }
@@ -876,7 +926,8 @@ final class ManagementApi {
     o.put("port", d.port)
     o.put("database", d.database)
     o.put("username", d.username)
-    o.put("password", if (showSensitive) d.password else obfuscate(d.password))
+    o.put("password", if (showSensitive) vault.reveal(d.password)
+      else obfuscate(vault.reveal(d.password)))
     val slots = o.putArray("replication_slots")
     val s = slots.addObject()
     s.put("publication_name", d.publicationName)

@@ -60,7 +60,11 @@ object YamlSpec {
     * encryption concern, not a wire-shape one).
     */
   final case class HttpEndpointSpec(name: String, url: Option[String],
-      local: Boolean, path: Option[String], headers: Seq[(String, String)])
+      local: Boolean, path: Option[String], headers: Seq[(String, String)],
+      // keys declared under `encrypted_headers` — their values are
+      // vault-sealed at rest by the management plane (sequin-yaml.mdx
+      // encrypted_headers; reference stores them via Cloak vault columns)
+      encryptedHeaderKeys: Set[String] = Set.empty)
 
   /** Parse the document's `http_endpoints:` list. Absent section → Nil. */
   def parseHttpEndpoints(yaml: String): Seq[HttpEndpointSpec] = {
@@ -94,16 +98,19 @@ object YamlSpec {
     if (url.nonEmpty && local)
       throw new IllegalArgumentException(
         s"http_endpoint $name: url and local are mutually exclusive")
-    val headers = (m.entries.collectFirst {
-      case (k, YList(items)) if k == "headers" || k == "encrypted_headers" =>
-        items
-    }.getOrElse(Vector.empty)).collect { case h: YMap =>
-      (h.entries.collectFirst { case ("key", YScalar(t, _)) => t }.getOrElse(
-        throw new IllegalArgumentException("header requires key")),
-        h.entries.collectFirst { case ("value", YScalar(t, _)) => t }.getOrElse(
-          throw new IllegalArgumentException("header requires value")))
-    }
-    HttpEndpointSpec(name, url, local, scalarOf("path"), headers)
+    def headerList(section: String): Seq[(String, String)] =
+      (m.entries.collectFirst {
+        case (`section`, YList(items)) => items
+      }.getOrElse(Vector.empty)).collect { case h: YMap =>
+        (h.entries.collectFirst { case ("key", YScalar(t, _)) => t }.getOrElse(
+          throw new IllegalArgumentException("header requires key")),
+          h.entries.collectFirst { case ("value", YScalar(t, _)) => t }.getOrElse(
+            throw new IllegalArgumentException("header requires value")))
+      }
+    val plainHeaders = headerList("headers")
+    val encHeaders = headerList("encrypted_headers")
+    HttpEndpointSpec(name, url, local, scalarOf("path"),
+      plainHeaders ++ encHeaders, encHeaders.map(_._1).toSet)
   }
 
   /** A declared change-retention pipeline (sequin-yaml.mdx:706-729; the

@@ -37,7 +37,11 @@ object SinkDispatch {
       gcpCreds: Option[PubSubClient.Credentials] = None,
       gcpProject: String = "",
       sasCreds: Option[EventHubClient.SasCredentials] = None,
-      bearerToken: String = "")
+      bearerToken: String = "",
+      // request headers for http_push — resolved (vault-revealed) by the
+      // management plane at consumer start, the decrypt-at-client-
+      // construction point of the reference's encrypted_headers
+      headers: Seq[(String, String)] = Nil)
 
   /** One uniform delivery outcome row, whatever the transport.
     * `ack_id` is the event's idempotency key and `group_id` its
@@ -100,7 +104,8 @@ object SinkDispatch {
             .map(_.toInt).getOrElse(10))
         val results = HttpPushClient.deliver(
           HttpPushClient.batchedRequests(wire),
-          HttpRetryPolicy.Policy(), realSleep = false)
+          HttpRetryPolicy.Policy(), realSleep = false,
+          headers = env.headers)
         val members = wire.select(
           concat_ws("-", col("partition"), col("batch_idx")).as("batch_key"),
           explode(col("member_ids")).as("m"))

@@ -343,6 +343,59 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { api.stop(); srv.stop() }
   }
 
+  test("VAULT → TRANSPORT: encrypted_headers decrypt only at client " +
+      "construction — the live http_push request carries the plaintext " +
+      "the catalog never stored") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // loopback webhook recording the Authorization header of every POST
+    val seenAuth = new ConcurrentLinkedQueue[String]()
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .foreach(seenAuth.add)
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, 2L)
+      ex.getResponseBody.write("ok".getBytes)
+      ex.close()
+    })
+    http.start()
+    val api = new graft.config.ManagementApi(Some(
+      java.util.Base64.getEncoder.encodeToString(Array.fill[Byte](32)(5))))
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String): Int =
+      client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${api.port()}$path"))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer ${api.bootstrapToken}")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    try {
+      assert(post("/api/destinations/http_endpoints",
+        """{"name":"hooks","url":"http://example.test/sink",
+          |"encrypted_headers":[
+          |  {"key":"Authorization","value":"Bearer s3cr3t-hook"}]}"""
+          .stripMargin) == 200)
+      assert(post("/api/sinks",
+        """{"name":"vh","actions":["insert"],
+          |"destination":{"type":"http_push","http_endpoint":"hooks"}}"""
+          .stripMargin) == 200)
+      val input = MemoryStream[ChangeEvent]
+      val handle = api.startConsumer("vh", input.toDS().toDF(),
+        SinkDispatch.Env(
+          httpBase = s"http://127.0.0.1:${http.getAddress.getPort}/hook"))
+      try {
+        input.addData(ev(8, "1", 5.0))
+        handle.query.processAllAvailable()
+        assert(seenAuth.asScala.toSeq.contains("Bearer s3cr3t-hook"),
+          seenAuth.asScala.toSeq)
+      } finally handle.stop()
+    } finally { api.stop(); http.stop(0) }
+  }
+
   test("dead transport: retries exhaust into the DLQ, the stream keeps " +
       "going, health flips to error") {
     implicit val s = spark

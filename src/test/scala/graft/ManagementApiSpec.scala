@@ -168,6 +168,71 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("encrypted credentials at rest: the catalog and the exported YAML " +
+      "carry ciphertext only; a shared-key instance re-opens the export") {
+    val key = java.util.Base64.getEncoder
+      .encodeToString(Array.fill[Byte](32)(42))
+    val api = new ManagementApi(Some(key))
+    implicit val token: String = api.bootstrapToken
+    try {
+      val p = api.port()
+      val ep =
+        """{"name":"hooks","url":"http://example.test/sink",
+          |"encrypted_headers":[
+          |  {"key":"Authorization","value":"Bearer s3cr3t-hook-token"},
+          |  {"key":"X-Plain","value":"not-sealed"}],
+          |"headers":[{"key":"X-Env","value":"prod"}]}""".stripMargin
+      assert(send(p, "POST", "/api/destinations/http_endpoints",
+        Some(ep))._1 == 200)
+      // the API index shows an obfuscated PREVIEW of the plaintext, never
+      // the secret and never raw ciphertext
+      val (_, ib) = send(p, "GET", "/api/destinations/http_endpoints")
+      assert(!ib.contains("s3cr3t-hook-token") && !ib.contains("vault:v1:"),
+        ib)
+      assert(ib.contains("\"X-Env\"") && ib.contains("\"prod\"")) // plain ok
+      // the exported YAML — the at-rest persisted form — has the secret
+      // ONLY as a vault envelope
+      val (es, eb) = send(p, "GET", "/api/config/export")
+      assert(es == 200 && !eb.contains("s3cr3t-hook-token"), eb)
+      assert(eb.contains("encrypted_headers") && eb.contains("vault:v1:"),
+        eb)
+      assert(eb.contains("not-sealed") == false, eb) // both enc headers sealed
+      assert(eb.contains("prod")) // plain header exported as-is
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val yaml = om.readTree(eb).get("yaml").asText()
+      // a SECOND instance with the SAME key re-applies the export and can
+      // reveal the secret for its transport clients
+      val api2 = new ManagementApi(Some(key))
+      try {
+        val p2 = api2.port()
+        val (as_, _) = send(p2, "POST", "/api/config/apply",
+          Some(om.createObjectNode()
+            .put("yaml", yaml).toString))(api2.bootstrapToken)
+        assert(as_ == 200)
+        // its export still carries ciphertext (idempotent sealing), and
+        // the same envelope opens to the same plaintext
+        val (_, eb2) = send(p2, "GET", "/api/config/export")(
+          api2.bootstrapToken)
+        assert(!eb2.contains("s3cr3t-hook-token") &&
+          eb2.contains("vault:v1:"))
+        // a THIRD instance with a DIFFERENT key cannot open it
+        val api3 = new ManagementApi(None)
+        try {
+          val (as3, _) = send(api3.port(), "POST", "/api/config/apply",
+            Some(om.createObjectNode()
+              .put("yaml", yaml).toString))(api3.bootstrapToken)
+          assert(as3 == 200) // applies (ciphertext stored as-is)...
+          val (_, i3) = send(api3.port(), "GET",
+            "/api/destinations/http_endpoints")(api3.bootstrapToken)
+          // ...but the preview cannot reveal it: the render surfaces the
+          // key-mismatch failure as a 500, never silent garbage
+          assert(i3.contains("internal error") ||
+            !i3.contains("s3cr3t-hook-token"), i3)
+        } finally api3.stop()
+      } finally api2.stop()
+    } finally api.stop()
+  }
+
   test("change retentions + env substitution: documented shape parses, " +
       "applies, round-trips; missing env var is an error") {
     val api = new ManagementApi
