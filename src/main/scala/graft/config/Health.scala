@@ -36,7 +36,7 @@ object Health {
     "initializing", "waiting", "paused")
 
   val EntityKinds: Set[String] = Set("postgres_replication_slot",
-    "sink_consumer", "http_endpoint", "wal_pipeline")
+    "sink_consumer", "http_endpoint", "wal_pipeline", "system")
 
   /** Expected check slugs per entity kind, in render order
     * (health.ex:360-423).
@@ -50,7 +50,13 @@ object Health {
       "messages_delivered"),
     "http_endpoint" -> Vector("endpoint_reachable"),
     "wal_pipeline" -> Vector("messages_filtered", "messages_ingested",
-      "destination_insert"))
+      "destination_insert"),
+    // infra-level probes (check_system_health.ex:1-70 pings the system
+    // Postgres + Redis and distinguishes can't-reach from can't-use; the
+    // Spark plane's infra is the checkpoint volume, the WAL spool volume
+    // and the sink transport endpoint)
+    "system" -> Vector("checkpoint_dir_writable", "spool_dir_readable",
+      "transport_reachable"))
 
   final case class Event(slug: String, status: String, atMs: Long,
       error: Option[String], lastHealthyAtMs: Option[Long],
@@ -205,8 +211,16 @@ object Health {
         .map { case (k, i) => health(k, i) }
         .find(_.status == "error")
       bad match {
-        case Some(h) => Left(s"${h.entityKind} ${h.entityId} is erroring")
-        case None    => Right(())
+        case Some(h) =>
+          // name the failing CHECK too (check_system_health.ex returns a
+          // per-service error, not just "unhealthy") so the LB probe body
+          // says what to fix
+          val failing = h.checks.find(_.status == "error")
+          val detail = failing.map(c =>
+            s" (${c.slug}${c.error.map(e => s": $e").getOrElse("")})")
+            .getOrElse("")
+          Left(s"${h.entityKind} ${h.entityId} is erroring$detail")
+        case None => Right(())
       }
     }
 
@@ -218,6 +232,73 @@ object Health {
       * observed nothing), matching the check-worker discipline of
       * always writing SOMETHING.
       */
+    /** Run the infra-level probes once and record their verdicts on the
+      * `system` entity (`check_system_health.ex:1-70` shape: each
+      * dependency actively exercised — not just pinged — and failures
+      * carry a can't-reach vs can't-use distinction where possible).
+      * Probes:
+      *   - `checkpoint_dir_writable`: create + delete a marker file (a
+      *     read-only or missing checkpoint volume kills every stateful
+      *     stream at its next commit — fail BEFORE the streams do);
+      *   - `spool_dir_readable`: the WAL spool directory lists;
+      *   - `transport_reachable`: TCP connect to the sink transport.
+      * Unconfigured probes record `healthy` vacuously is WRONG — they
+      * are simply skipped, so the check shows its base state and the
+      * surface never claims a probe it did not run.
+      */
+    def runSystemProbes(
+        checkpointDir: Option[String] = None,
+        spoolDir: Option[String] = None,
+        transport: Option[(String, Int)] = None,
+        connectTimeoutMs: Int = 2000): Unit = {
+      checkpointDir.foreach { dir =>
+        val verdict =
+          try {
+            val d = java.nio.file.Paths.get(dir)
+            if (!java.nio.file.Files.isDirectory(d))
+              Some(s"checkpoint dir is not a directory: $dir")
+            else {
+              val probe = java.nio.file.Files.createTempFile(d,
+                ".graft_health_probe", "")
+              java.nio.file.Files.delete(probe)
+              None
+            }
+          } catch { case e: Exception =>
+            Some(s"checkpoint dir not writable: ${e.getMessage}") }
+        putEvent("system", "system", "checkpoint_dir_writable",
+          verdict.fold("success")(_ => "fail"), verdict)
+      }
+      spoolDir.foreach { dir =>
+        val verdict =
+          try {
+            val d = java.nio.file.Paths.get(dir)
+            if (!java.nio.file.Files.isDirectory(d))
+              Some(s"spool dir is not a directory: $dir")
+            else {
+              val st = java.nio.file.Files.list(d)
+              try { st.count(); () } finally st.close()
+              None
+            }
+          } catch { case e: Exception =>
+            Some(s"spool dir not readable: ${e.getMessage}") }
+        putEvent("system", "system", "spool_dir_readable",
+          verdict.fold("success")(_ => "fail"), verdict)
+      }
+      transport.foreach { case (host, port) =>
+        val verdict =
+          try {
+            val sock = new java.net.Socket()
+            try sock.connect(
+              new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+            finally sock.close()
+            None
+          } catch { case e: Exception =>
+            Some(s"transport $host:$port unreachable: ${e.getMessage}") }
+        putEvent("system", "system", "transport_reachable",
+          verdict.fold("success")(_ => "fail"), verdict)
+      }
+    }
+
     def ingestSnapshot(snapshot: org.apache.spark.sql.DataFrame): Unit =
       snapshot.select("table_schema", "table_name", "n").collect()
         .foreach { r =>

@@ -62,12 +62,80 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   private val BackfillStates =
     Set("active", "completed", "cancelled", "failed", "paused")
 
-  private val registry = TrieMap.empty[String, ConsumerConfig]
-  private val backfills = TrieMap.empty[String, Vector[BackfillRec]]
+  // ---- accounts (lib/sequin/accounts/account.ex: id + name + timestamps;
+  // every API resource belongs to exactly one account and every API token
+  // is bound to one — sink_consumer_controller.ex:16-27 scopes each
+  // request to `conn.assigns.account_id`) --------------------------------
+
+  final case class AccountRec(id: String, name: String,
+      insertedAt: java.time.Instant)
+
+  private val accounts = TrieMap.empty[String, AccountRec]
+  private val accountSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def registerAccount(name: String): AccountRec = {
+    require(name.nonEmpty && name.length <= 80,
+      "account requires a name of at most 80 characters")
+    val rec = AccountRec(s"acct-${accountSeq.incrementAndGet()}", name,
+      java.time.Instant.now())
+    accounts.put(rec.id, rec)
+    rec
+  }
+
+  /** The instance's first account — the reference's default "Personal"
+    * account (account.ex `maybe_put_name`). The bootstrap token belongs
+    * to it, and library-facing methods (consumers(), startConsumer)
+    * operate in it.
+    */
+  val bootstrapAccountId: String = registerAccount("Personal").id
+
+  /** The account the CURRENT request (or library caller) acts as. HTTP
+    * requests set it from the verified token's binding; non-HTTP callers
+    * default to the bootstrap account.
+    */
+  private val currentAccount: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => bootstrapAccountId)
+
+  /** An account-scoped resource map: every read/write is keyed by
+    * (current account, name), so two accounts' resource sets are
+    * disjoint BY CONSTRUCTION — a cross-account name lookup simply
+    * misses, which the handlers surface as 404 (the reference's
+    * discipline: `find_sink_consumer(account_id, ...)` returns NotFound,
+    * never Forbidden — resource EXISTENCE is account-private).
+    * Mirrors the TrieMap call surface so handler code reads unchanged.
+    */
+  private final class Scoped[V] {
+    private val m = TrieMap.empty[(String, String), V]
+    private def acct: String = currentAccount.get()
+    def get(name: String): Option[V] = m.get((acct, name))
+    def getOrElse(name: String, default: => V): V =
+      m.getOrElse((acct, name), default)
+    def contains(name: String): Boolean = m.contains((acct, name))
+    def put(name: String, v: V): Option[V] = m.put((acct, name), v)
+    def putIfAbsent(name: String, v: V): Option[V] =
+      m.putIfAbsent((acct, name), v)
+    def update(name: String, v: V): Unit = m.update((acct, name), v)
+    def remove(name: String): Option[V] = m.remove((acct, name))
+    def values: Iterable[V] =
+      m.collect { case ((a, _), v) if a == acct => v }
+    def keys: Iterable[String] =
+      m.keysIterator.collect { case (a, n) if a == acct => n }.toVector
+    def updateWith(name: String)(f: Option[V] => Option[V]): Option[V] =
+      m.updateWith((acct, name))(f)
+    def exists(p: ((String, V)) => Boolean): Boolean =
+      m.exists { case ((a, n), v) => a == acct && p((n, v)) }
+    /** Is `name` a resource of ANY account (tenancy visibility test)? */
+    def containsAnywhere(name: String): Boolean =
+      m.keysIterator.exists(_._2 == name)
+    def isEmpty: Boolean = !m.keysIterator.exists(_._1 == acct)
+  }
+
+  private val registry = new Scoped[ConsumerConfig]
+  private val backfills = new Scoped[Vector[BackfillRec]]
   private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val endpoints = TrieMap.empty[String, YamlSpec.HttpEndpointSpec]
-  private val retentions = TrieMap.empty[String, YamlSpec.ChangeRetentionSpec]
-  private val replications = TrieMap.empty[String, ReplicationRec]
+  private val endpoints = new Scoped[YamlSpec.HttpEndpointSpec]
+  private val retentions = new Scoped[YamlSpec.ChangeRetentionSpec]
+  private val replications = new Scoped[ReplicationRec]
   private val replSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ReplStatuses = Set("active", "disabled")
 
@@ -80,7 +148,8 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * goes through the sha256 hash with a constant-time compare.
     */
   final case class ApiTokenRec(id: String, name: String,
-      hashed: Array[Byte], token: String, insertedAt: java.time.Instant)
+      hashed: Array[Byte], token: String, insertedAt: java.time.Instant,
+      accountId: String)
 
   private val apiTokens = TrieMap.empty[String, ApiTokenRec]
   private val tokenSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -97,13 +166,15 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
   }
 
-  private def registerToken(name: String): ApiTokenRec = {
+  private def registerToken(name: String, accountId: String): ApiTokenRec = {
     require(name.nonEmpty, "api token requires name")
-    require(!apiTokens.values.exists(_.name == name),
+    // name unique PER ACCOUNT (api_tokens_account_id_name_index)
+    require(!apiTokens.values.exists(t =>
+      t.name == name && t.accountId == accountId),
       s"api token already exists: $name")
     val t = genToken()
     val rec = ApiTokenRec(s"tok-${tokenSeq.incrementAndGet()}", name,
-      sha256(t), t, java.time.Instant.now())
+      sha256(t), t, java.time.Instant.now(), accountId)
     apiTokens.put(rec.id, rec)
     rec
   }
@@ -113,18 +184,23 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * the console; a library embedding has no console). Read it once and
     * mint scoped tokens through `POST /api/api_keys`.
     */
-  val bootstrapToken: String = registerToken("bootstrap").token
+  val bootstrapToken: String =
+    registerToken("bootstrap", bootstrapAccountId).token
 
   /** Constant-time bearer verification with the reference's failure
     * taxonomy (plugs/verify_api_token.ex:23-72: missing header, missing
     * Bearer prefix, more than one header, unknown token — each its own
-    * message). Responds 401 and returns false on failure.
+    * message). Responds 401 and returns None on failure; on success
+    * returns the verified token's ACCOUNT binding — the reference plug
+    * assigns `conn.assigns.account_id` the same way
+    * (verify_api_token.ex:24-28), and every resource handler scopes to
+    * it.
     */
-  private def authenticate(ex: HttpExchange): Boolean = {
+  private def authenticate(ex: HttpExchange): Option[String] = {
     val hs = Option(ex.getRequestHeaders.get("Authorization"))
       .map(_.size()).getOrElse(0)
-    def deny(msg: String): Boolean = {
-      respond(ex, 401, err(msg)); false
+    def deny(msg: String): Option[String] = {
+      respond(ex, 401, err(msg)); None
     }
     if (hs == 0)
       deny("Please provide a valid API token in the Authorization header.")
@@ -140,11 +216,17 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
         val candidate = sha256(h.stripPrefix("Bearer "))
         // MessageDigest.isEqual is constant-time; scanning all tokens
         // keeps the compare count independent of which token matches
-        val ok = apiTokens.values.foldLeft(false) { (acc, t) =>
-          java.security.MessageDigest.isEqual(t.hashed, candidate) || acc
+        val matched = apiTokens.values.foldLeft(Option.empty[ApiTokenRec]) {
+          (acc, t) =>
+            if (java.security.MessageDigest.isEqual(t.hashed, candidate))
+              Some(t)
+            else acc
         }
-        if (ok) true
-        else deny("The API token you provided is invalid or has expired.")
+        matched match {
+          case Some(t) => Some(t.accountId)
+          case None =>
+            deny("The API token you provided is invalid or has expired.")
+        }
       }
     }
   }
@@ -230,9 +312,22 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     private def route(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
-      // every /api route passes bearer verification (router.ex:24-28)
-      if (!authenticate(ex)) return
+      // every /api route passes bearer verification (router.ex:24-28);
+      // the verified token BINDS the request to its account — all
+      // resource access below is scoped to it
+      authenticate(ex) match {
+        case None => return
+        case Some(acct) => currentAccount.set(acct)
+      }
+      try routeScoped(ex, method, path)
+      finally currentAccount.remove()
+    }
+
+    private def routeScoped(ex: HttpExchange, method: String,
+        path: String): Unit = {
       (method, path) match {
+        case ("GET", "/api/accounts")  => doAccountIndex(ex)
+        case ("POST", "/api/accounts") => doAccountCreate(ex)
         case ("GET", "/api/health") => doHealthIndex(ex)
         case ("GET", p) if p.startsWith("/api/health/") =>
           p.stripPrefix("/api/health/").split("/", -1).toList match {
@@ -375,11 +470,38 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     o
   }
 
+  /** Does the CURRENT account own the resource a health entity belongs
+    * to? Health itself is account-agnostic (runtime components report by
+    * entity id); the API boundary applies the tenancy filter, so one
+    * account never observes another's consumer/endpoint health — same
+    * 404-not-403 discipline as the resource routes. Kinds with no
+    * account-scoped catalog (wal_pipeline → retentions) follow their
+    * store; anything unmatched stays visible (infra-level entities).
+    */
+  private def ownsEntity(kind: String, id: String): Boolean = {
+    // visible iff the caller owns the matching resource, or NO account
+    // claims that id (library-driven entities reported straight into the
+    // health registry have no catalog row — hiding them would blind the
+    // single-tenant embedding; what tenancy must hide is exactly what
+    // ANOTHER tenant owns)
+    def visible(owned: Boolean, claimed: Boolean): Boolean =
+      owned || !claimed
+    kind match {
+      case "sink_consumer" =>
+        visible(registry.contains(id), registry.containsAnywhere(id))
+      case "http_endpoint" =>
+        visible(endpoints.contains(id), endpoints.containsAnywhere(id))
+      case "wal_pipeline" =>
+        visible(retentions.contains(id), retentions.containsAnywhere(id))
+      case _ => true
+    }
+  }
+
   private def doHealthIndex(ex: HttpExchange): Unit = {
     val out = mapper.createObjectNode()
     val arr = out.putArray("data")
     health.entities().foreach { case (k, i) =>
-      arr.add(renderHealth(health.health(k, i)))
+      if (ownsEntity(k, i)) arr.add(renderHealth(health.health(k, i)))
     }
     respond(ex, 200, out.toString)
   }
@@ -388,6 +510,8 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       id: String): Unit =
     if (!Health.EntityKinds.contains(kind))
       respond(ex, 404, err(s"unknown entity kind: $kind"))
+    else if (!ownsEntity(kind, id))
+      respond(ex, 404, err(s"$kind not found: $id"))
     else respond(ex, 200, renderHealth(health.health(kind, id)).toString)
 
   // ---- /api/api_keys (router.ex:162 `resources("/api_keys", ...,
@@ -408,10 +532,49 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   private def doTokenIndex(ex: HttpExchange): Unit = {
     val out = mapper.createObjectNode()
     val arr = out.putArray("data")
-    apiTokens.values.toSeq.sortBy(_.id)
+    apiTokens.values.toSeq
+      .filter(_.accountId == currentAccount.get()) // own tokens only
+      .sortBy(_.id)
       .foreach(t => arr.add(renderToken(t, showSensitive = false)))
     respond(ex, 200, out.toString)
   }
+
+  // ---- /api/accounts (accounts/account.ex; a library embedding has no
+  // console signup, so account provisioning lives on the API: creating
+  // an account mints its first token — shown once, like api-key create) --
+
+  private def renderAccount(a: AccountRec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", a.id)
+    o.put("name", a.name)
+    o.put("inserted_at", a.insertedAt.toString)
+    o
+  }
+
+  /** Shows only the CALLER's account — tenancy means other accounts'
+    * existence is not observable.
+    */
+  private def doAccountIndex(ex: HttpExchange): Unit = {
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("data")
+    accounts.get(currentAccount.get()).foreach(a => arr.add(renderAccount(a)))
+    respond(ex, 200, out.toString)
+  }
+
+  private def doAccountCreate(ex: HttpExchange): Unit =
+    try {
+      val node = mapper.readTree(ex.getRequestBody)
+      val name = Option(node.get("name")).map(_.asText()).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "account requires name"))
+      val acct = registerAccount(name)
+      val tok = registerToken("bootstrap", acct.id)
+      val o = renderAccount(acct)
+      // the new account's first credential, shown exactly once
+      o.set[ObjectNode]("api_token", renderToken(tok, showSensitive = true))
+      respond(ex, 200, o.toString)
+    } catch { case e: Throwable =>
+      respond(ex, 422, validationErr(e.getMessage)) }
 
   private def doTokenCreate(ex: HttpExchange): Unit =
     try {
@@ -419,25 +582,35 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       val name = Option(node.get("name")).map(_.asText()).filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "api token requires name"))
-      val rec = registerToken(name)
+      // minted in the CALLER's account — a token can only ever widen
+      // access within its own tenancy
+      val rec = registerToken(name, currentAccount.get())
       respond(ex, 200, renderToken(rec, showSensitive = true).toString)
     } catch { case e: Throwable =>
       respond(ex, 422, validationErr(e.getMessage)) }
 
-  private def doTokenDelete(ex: HttpExchange, id: String): Unit =
-    // refuse deleting the FINAL token: in a library embedding there is
-    // no console to mint a replacement, so removing the last credential
-    // permanently locks every authenticated /api route — the same
-    // no-unreachable-plane rationale that mints the bootstrap token
-    if (apiTokens.contains(id) && apiTokens.size == 1)
-      respond(ex, 422, validationErr(
-        "cannot delete the last remaining API token: the management " +
-          "plane would become permanently unreachable; create a " +
-          "replacement token first"))
-    else apiTokens.remove(id) match {
-      case Some(_) => respond(ex, 200, """{"success":true}""")
-      case None    => respond(ex, 404, err(s"API token not found: $id"))
+  private def doTokenDelete(ex: HttpExchange, id: String): Unit = {
+    val acct = currentAccount.get()
+    apiTokens.get(id).filter(_.accountId == acct) match {
+      // a foreign account's token id is indistinguishable from a
+      // nonexistent one — 404, never 403 (existence is account-private)
+      case None => respond(ex, 404, err(s"API token not found: $id"))
+      case Some(_)
+          if apiTokens.values.count(_.accountId == acct) == 1 =>
+        // refuse deleting the account's FINAL token: with no console to
+        // mint a replacement, removing the last credential permanently
+        // locks the account out of every authenticated /api route — the
+        // same no-unreachable-plane rationale that mints the bootstrap
+        // token
+        respond(ex, 422, validationErr(
+          "cannot delete the last remaining API token: the management " +
+            "plane would become permanently unreachable; create a " +
+            "replacement token first"))
+      case Some(_) =>
+        apiTokens.remove(id)
+        respond(ex, 200, """{"success":true}""")
     }
+  }
 
   private def doIndex(ex: HttpExchange): Unit = {
     val out = mapper.createObjectNode()

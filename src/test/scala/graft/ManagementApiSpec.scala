@@ -168,6 +168,64 @@ class ManagementApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("account-scoped multi-tenancy: two tokens see DISJOINT resource " +
+      "sets over real HTTP; cross-account access is 404, never 403") {
+    val api = new ManagementApi
+    val tokenA = api.bootstrapToken
+    try {
+      val p = api.port()
+      // account A declares resources
+      assert(send(p, "POST", "/api/sinks", Some(cfg("orders", 5)))(tokenA)._1 == 200)
+      assert(send(p, "POST", "/api/sinks", Some(cfg("audit", 5)))(tokenA)._1 == 200)
+      assert(send(p, "POST", "/api/destinations/http_endpoints",
+        Some("""{"name":"hooks","url":"https://a.test/h"}"""))(tokenA)._1 == 200)
+      // provision account B over the API: its first token is minted with
+      // the account and shown once
+      val (bs, bb) = send(p, "POST", "/api/accounts",
+        Some("""{"name":"TeamB"}"""))(tokenA)
+      assert(bs == 200 && bb.contains("\"name\":\"TeamB\""), bb)
+      val tokenB = "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(bb).get.group(1)
+      assert(tokenB != tokenA)
+      // B sees NONE of A's resources — list empty, direct access 404
+      val (ls, lb) = send(p, "GET", "/api/sinks")(tokenB)
+      assert(ls == 200 && !lb.contains("orders") && !lb.contains("audit"))
+      assert(send(p, "GET", "/api/sinks/orders")(tokenB)._1 == 404)
+      assert(send(p, "DELETE", "/api/sinks/orders")(tokenB)._1 == 404)
+      assert(send(p, "PUT", "/api/sinks/orders",
+        Some(cfg("orders", 9)))(tokenB)._1 == 404)
+      assert(send(p, "GET",
+        "/api/destinations/http_endpoints/hooks")(tokenB)._1 == 404)
+      // names are PER-ACCOUNT: B can own its own "orders" without
+      // colliding with A's, and each account sees its own record
+      assert(send(p, "POST", "/api/sinks", Some(cfg("orders", 7)))(tokenB)._1 == 200)
+      assert(send(p, "GET", "/api/sinks/orders")(tokenB)
+        ._2.contains("\"batch_size\":7"))
+      assert(send(p, "GET", "/api/sinks/orders")(tokenA)
+        ._2.contains("\"batch_size\":5"))
+      // config export is tenant-scoped
+      val (_, exA) = send(p, "GET", "/api/config/export")(tokenA)
+      val (_, exB) = send(p, "GET", "/api/config/export")(tokenB)
+      assert(exA.contains("audit") && !exB.contains("audit"))
+      // api_keys: each account lists only its own; a foreign token id
+      // reads as nonexistent; the per-account last-token guard holds
+      val (_, kA) = send(p, "GET", "/api/api_keys")(tokenA)
+      val (_, kB) = send(p, "GET", "/api/api_keys")(tokenB)
+      val idA = "\"id\":\"(tok-[0-9]+)\"".r.findFirstMatchIn(kA).get.group(1)
+      val idB = "\"id\":\"(tok-[0-9]+)\"".r.findFirstMatchIn(kB).get.group(1)
+      assert(idA != idB && !kB.contains(idA) && !kA.contains(idB))
+      assert(send(p, "DELETE", s"/api/api_keys/$idA")(tokenB)._1 == 404)
+      val (gs, gb) = send(p, "DELETE", s"/api/api_keys/$idB")(tokenB)
+      assert(gs == 422 && gb.contains("last remaining"), gb)
+      // accounts index shows only the caller's tenancy
+      val (_, accB) = send(p, "GET", "/api/accounts")(tokenB)
+      assert(accB.contains("TeamB") && !accB.contains("Personal"))
+      // health is tenancy-filtered at the API boundary: A's consumer
+      // entity is invisible to B (404), visible to A
+      assert(send(p, "GET", "/api/health/sink_consumer/audit")(tokenA)._1 == 200)
+      assert(send(p, "GET", "/api/health/sink_consumer/audit")(tokenB)._1 == 404)
+    } finally api.stop()
+  }
+
   test("encrypted credentials at rest: the catalog and the exported YAML " +
       "carry ciphertext only; a shared-key instance re-opens the export") {
     val key = java.util.Base64.getEncoder
@@ -455,6 +513,51 @@ class ManagementApiSpec extends AnyFunSuite {
       val (is, ib) = send(p, "GET", "/api/health")
       assert(is == 200 && ib.contains("db1") && ib.contains("orders"))
       assert(send(p, "GET", "/api/health/not_a_kind/x")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("infra system probes: checkpoint/spool/transport checks feed the " +
+      "system entity; a scripted failure flips /health to 500 naming " +
+      "the probe") {
+    val api = new ManagementApi
+    implicit val token: String = api.bootstrapToken
+    try {
+      val p = api.port()
+      def probe(): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val good = java.nio.file.Files.createTempDirectory("probe_ok")
+      // all three probes exercised against live infra: the checkpoint
+      // volume (write+delete), the spool volume (list), the transport
+      // (TCP connect to the plane's own listener)
+      api.health.runSystemProbes(
+        checkpointDir = Some(good.toString),
+        spoolDir = Some(good.toString),
+        transport = Some(("127.0.0.1", p)))
+      assert(probe()._1 == 200)
+      val (hs, hb) = send(p, "GET", "/api/health/system/system")
+      assert(hs == 200 && hb.contains("\"status\":\"healthy\""), hb)
+      assert(hb.contains("checkpoint_dir_writable") &&
+        hb.contains("spool_dir_readable") &&
+        hb.contains("transport_reachable"))
+      // scripted failure: the spool volume vanishes
+      api.health.runSystemProbes(
+        spoolDir = Some("/nonexistent/graft_spool"))
+      val (fs, fb) = probe()
+      assert(fs == 500, s"$fs $fb")
+      assert(fb.contains("system") && fb.contains("spool_dir_readable"), fb)
+      // and a dead transport is its own named failure
+      val tmp = new java.net.ServerSocket(0)
+      val dead = tmp.getLocalPort
+      tmp.close()
+      api.health.runSystemProbes(
+        spoolDir = Some(good.toString), // recovers
+        transport = Some(("127.0.0.1", dead)))
+      val (ts, tb) = probe()
+      assert(ts == 500 && tb.contains("transport_reachable"), tb)
     } finally api.stop()
   }
 
