@@ -265,6 +265,79 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("dedup survivorship funnel grows near-linearly over 10x docs " +
+      "(narrow id/fp shuffles + component join, no text shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    def run(df: DataFrame): Long =
+      graft.training.TrainingPrep.dedupFunnel(
+        df.withColumn("source", (col("doc_id") % 10).cast("string")),
+        "doc_id", "source", "text",
+        Dedup.minhashNearDups(df, "doc_id", "text").select("id_a", "id_b")
+      ).count()
+    try {
+      val r = ratioOf(run(small), run(big), "dedup_funnel")
+      // exact stage = fingerprint groupBy; near-dup stage = the (already
+      // linear) LSH pairs + large-star/small-star components over PAIRS;
+      // survivors re-join by component id — all linear-shaped
+      assert(r < 30, s"funnel 10x growth ratio $r suggests a cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("IVF-PQ (train + encode + ADC search) grows ~N^1.5 over 10x " +
+      "vectors (cells ~ sqrt N), no pair-space cliff") {
+    import org.apache.spark.sql.functions.col
+    // same regime as the semDedup probe: centers scale 10x (dup
+    // structure keeps pace), centroidEvery scales sqrt(10) so the coarse
+    // quantizer's cell count grows as sqrt N — cell ASSIGNMENT (N x
+    // cells) is the dominant super-linear term, expected ratio ~31.6
+    val small = synthEmbeddings(SmallN, centers = 250)
+    val big = synthEmbeddings(BigN, centers = 2500)
+    def run(df: DataFrame, centroidEvery: Int): Long = {
+      val books0 = graft.similarity.Quantize.pqCodebooks(
+        df, "embedding", m = 4, k = 16, step = 25, dims = 16)
+      val books = graft.similarity.Quantize.refineCodebooks(
+        df, "embedding", books0, m = 4, dims = 16, iters = 1)
+      val codes = graft.similarity.Quantize.pqEncode(
+        df, "embedding", books, m = 4, dims = 16)
+      graft.similarity.Quantize.ivfPqTopK(
+        df.filter(col("vec_id") < 5), df, codes, books, "embedding",
+        m = 4, dims = 16, centroidEvery = centroidEvery, nprobe = 4,
+        k = 5).count()
+    }
+    try {
+      val r = ratioOf(run(small, 32), run(big, 101), "ivfpq")
+      assert(r < 60, s"IVF-PQ 10x growth ratio $r suggests a cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("unicode normalization chain grows near-linearly over 10x docs " +
+      "(pure per-row map, no shuffle)") {
+    import org.apache.spark.sql.functions._
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    def run(df: DataFrame): Long = {
+      // the td94 chain: decomposed-accent + ligature + zero-width +
+      // control debris through NFC then the scrub regexes
+      val dirty = concat(lit("cafe\u0301 \uFB01le x\u200Byz \u0007"),
+        col("text"))
+      val nfc = graft.functions.VectorExpressions
+        .normalize_text(dirty, "NFC")
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(nfc,
+        "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+        "[ \\t\\n\\r]+", " "))
+      df.select(length(clean).as("l"))
+        .agg(sum(col("l"))).collect()
+      df.count()
+    }
+    try {
+      val r = ratioOf(run(small), run(big), "normalize")
+      assert(r < 30, s"normalization 10x growth ratio $r suggests a cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("bloom decontamination grows near-linearly over 10x candidates") {
     import org.apache.spark.sql.functions.col
     // the benchmark filter is FIXED-size (2^18 bits) — only the candidate
