@@ -3,7 +3,7 @@ package graft.streaming
 import graft.model.ChangeEvent
 import graft.sinks.SinkDispatch
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct}
+import org.apache.spark.sql.functions.{col, concat_ws, struct}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The assembled consumer runtime — every layer of this library wired
@@ -65,12 +65,108 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ConsumerRuntime {
 
   /** A running consumer: the streaming query plus its ledger (exposed
-    * for inspection, DLQ reads, and clean shutdown).
+    * for inspection, DLQ reads, and clean shutdown) and, when declared,
+    * the consumer's backfill runner.
     */
   final class Handle private[ConsumerRuntime] (
       val query: StreamingQuery,
-      val ledger: DeliveryLedger) {
+      val ledger: DeliveryLedger,
+      val backfill: Option[BackfillRunner] = None) {
     def stop(): Unit = { query.stop(); ledger.stop() }
+  }
+
+  /** A declared initial-sync backfill for the consumer
+    * (`table_reader_server.ex` + `backfill.ex`): `table` is the keyset-
+    * scannable snapshot source, `sortCols` its cursor tuple (PK order),
+    * `toEnvelope` lifts a page (rows carrying `action = "read"`) into
+    * the CDC envelope the pipeline consumes — it must derive the same
+    * `table_schema`/`table_name`/`record_pk`/`idempotency_key` identity
+    * the live stream uses, so the fence and the ledger see ONE identity
+    * space.
+    */
+  final case class BackfillSpec(
+      // by-name: re-evaluated per page, the way a JDBC keyset query hits
+      // the LIVE table — rows landing mid-scan are visible to later pages
+      // (and then fenced if CDC already delivered them)
+      table: () => DataFrame,
+      sortCols: Seq[String],
+      toEnvelope: DataFrame => DataFrame,
+      pageSize: Int = 1000,
+      pageTimeBudgetMs: Long = 5000L)
+
+  /** Drives a consumer's backfill one keyset page at a time, interleaved
+    * with the live CDC stream through the SAME pipeline, transport and
+    * ledger (W3 priority merge in time: pages and micro-batches serialize
+    * on the dispatch lock). Exactly-once across the two sources comes
+    * from the reference's fence protocol (`message_handler.ex:66-94`
+    * `pks_seen` + the table reader's flush watermark):
+    *
+    *   1. the runtime records the `(schema.table, pk)` of every event the
+    *      LIVE stream delivers while a backfill is active;
+    *   2. after reading a page, [[step]] waits for the stream to drain
+    *      (`processAllAvailable` — the WATERMARK FENCE: every CDC event
+    *      committed before the page was read has now been recorded);
+    *   3. page rows whose identity the stream has already delivered are
+    *      DROPPED — CDC wins on PK conflict (its image is newer), and a
+    *      row inserted mid-backfill arrives exactly once (via CDC; the
+    *      later page that would re-read it is fenced).
+    *
+    * Per-group order holds because a group's backfill `read` only ships
+    * while NO CDC event for it has been seen, and any later CDC event
+    * lands in a later, strictly-after dispatch.
+    */
+  final class BackfillRunner private[ConsumerRuntime] (
+      spec: BackfillSpec,
+      query: () => StreamingQuery,
+      seenKeys: () => Set[String],
+      deliver: DataFrame => Unit)(implicit spark: SparkSession) {
+    import graft.backfill.{Backfill, PageSizeOptimizer}
+    private val optimizer = new PageSizeOptimizer(spec.pageSize,
+      maxTimeoutMs = spec.pageTimeBudgetMs, maxPageSize = spec.pageSize * 50)
+    private var cursor: Option[Seq[Any]] = None
+    private var finished = false
+    private[graft] var rowsDelivered = 0L
+
+    def isDone: Boolean = finished
+
+    /** Read + fence + deliver ONE page; false when the scan is complete. */
+    def step(): Boolean = this.synchronized {
+      if (finished) false
+      else {
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val (pageDf, next, n) =
+          Backfill.page(spec.table(), spec.sortCols, cursor,
+            optimizer.pageSize)
+        // watermark fence: every CDC event committed before the page
+        // read is processed (and its identity recorded) before we decide
+        // what the page still needs to deliver
+        query().processAllAvailable()
+        if (n > 0) {
+          val envelope = spec.toEnvelope(pageDf)
+          val seen = seenKeys()
+          val fenced =
+            if (seen.isEmpty) envelope
+            else {
+              val seenDf = org.apache.spark.sql.functions.broadcast(
+                seen.toSeq.toDF("__seen_key"))
+              envelope.join(seenDf,
+                concat_ws("#", concat_ws(".", col("table_schema"),
+                  col("table_name")), col("record_pk")) === col("__seen_key"),
+                "left_anti")
+            }
+          deliver(fenced)
+          rowsDelivered += n
+        }
+        optimizer.record((System.nanoTime() - t0) / 1000000L)
+        cursor = next
+        finished = next.isEmpty
+        !finished
+      }
+    }
+
+    /** Page until the scan completes; returns rows read. */
+    def run(): Long = { while (step()) (); rowsDelivered }
   }
 
   private val EventCols = Seq("commit_lsn", "commit_idx", "commit_ts",
@@ -88,6 +184,7 @@ object ConsumerRuntime {
       consumerId: String,
       enrichment: Option[(DataFrame, String, String)] = None,
       checkpointLocation: Option[String] = None,
+      backfill: Option[BackfillSpec] = None,
       nowMs: () => Long = () => System.currentTimeMillis())(
       implicit spark: SparkSession): Handle = {
     import spark.implicits._
@@ -173,12 +270,33 @@ object ConsumerRuntime {
     // offsets: completed batches never replay (their events were acked
     // and the sink is external), an interrupted batch replays whole —
     // at-least-once, the reference's delivery contract
-    val writer0 = events.writeStream.outputMode("append")
-    val writer = checkpointLocation
-      .fold(writer0)(p => writer0.option("checkpointLocation", p))
-    val query = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cached(batch) { deduped =>
+    // identities the LIVE stream has delivered while a backfill scan is
+    // active — the fence set the reference's table reader consults
+    // (message_handler.ex:66-94 pks_seen). Bounded by the backfilled
+    // table's churn DURING the scan; cleared when the scan completes.
+    val backfillSeen = scala.collection.mutable.Set.empty[String]
+    @volatile var backfillRunner: Option[BackfillRunner] = None
+    // pages and micro-batches SERIALIZE through one dispatch lock — the
+    // in-time form of the W3 priority merge (CDC batches never interleave
+    // inside a page delivery, and vice versa)
+    val dispatchLock = new Object
+
+    def deliverBatch(deduped: DataFrame): Unit = dispatchLock.synchronized {
+      if (backfillRunner.exists(!_.isDone)) {
+        // record delivered identities for the backfill fence (only while
+        // a scan is active — zero overhead otherwise)
+        val keys = deduped.select(
+            concat_ws("#",
+              concat_ws(".", col("table_schema"), col("table_name")),
+              col("record_pk")))
+          .collect().map(_.getString(0))
+        backfillSeen.synchronized { backfillSeen ++= keys }
+      }
+      deliverBody(deduped)
+    }
+
+    def deliverBody(deduped: DataFrame): Unit = {
+        {
           // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
           // Spark action, straight off the distributed pipeline plan
           // (events never round-trip through the driver). Per-group
@@ -239,8 +357,26 @@ object ConsumerRuntime {
             ledgerLoop(failed)
           }
         }
+    }
+    val writer0 = events.writeStream.outputMode("append")
+    val writer = checkpointLocation
+      .fold(writer0)(p => writer0.option("checkpointLocation", p))
+    val query = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cached(batch)(deliverBatch)
       }
       .start()
-    new Handle(query, ledger)
+    val runner = backfill.map { spec =>
+      new BackfillRunner(spec, () => query,
+        () => backfillSeen.synchronized(backfillSeen.toSet),
+        // a fenced PAGE delivers through the same body, already inside
+        // its own cached() wrapper; it must not re-record its own rows as
+        // "seen" (they are backfill, not CDC), hence not deliverBatch —
+        // but it DOES serialize on the dispatch lock
+        fenced => cached(fenced)(df =>
+          dispatchLock.synchronized(deliverBody(df))))
+    }
+    backfillRunner = runner
+    new Handle(query, ledger, runner)
   }
 }

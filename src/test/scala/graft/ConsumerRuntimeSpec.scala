@@ -343,6 +343,99 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { api.stop(); srv.stop() }
   }
 
+  test("BACKFILL INTEGRATION: keyset pages flow as :read events through " +
+      "the same pipeline + ledger; a row inserted mid-backfill arrives " +
+      "exactly once; CDC wins on PK conflict; per-group order holds") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val srv = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val tableDir = java.nio.file.Files.createTempDirectory("bf_table").toString
+    // the source table snapshot: rows 1..5 (business shape: id + value)
+    def writeRows(rows: Seq[(Long, Double)], part: String): Unit =
+      rows.toDF("id", "value").write.mode("append")
+        .parquet(tableDir)
+    writeRows((1L to 5L).map(i => (i, i * 1.0)), "seed")
+    // page rows → the CDC envelope: identity MUST match the live
+    // stream's (schema.table + pk); reads sort under lsn 0 (before any
+    // CDC commit), idempotency key "r:<pk>"
+    def toEnvelope(page: org.apache.spark.sql.DataFrame) =
+      page.select(
+        lit(0L).as("commit_lsn"), col("id").as("commit_idx"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("commit_ts"),
+        col("action"), lit("public").as("table_schema"),
+        lit("t0").as("table_name"), lit(16384L).as("table_oid"),
+        concat(lit("pk"), col("id")).as("record_pk"),
+        col("id").as("record_id"), col("id").as("record_user_id"),
+        col("value").as("record_value"), lit("{}").as("record_props"),
+        lit(null).cast("double").as("old_value"),
+        concat(lit("r:"), col("id")).as("idempotency_key"),
+        col("id").cast("string").as("group_id"),
+        lit(100L).as("byte_size"))
+    val cfg = PipelineSpec.parse(
+      """{"name":"bf","destination":{"type":"redis_stream","stream_key":"k"}}""")
+    val input = MemoryStream[ChangeEvent]
+    val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      metrics, health, "c-bf",
+      backfill = Some(ConsumerRuntime.BackfillSpec(
+        table = () => spark.read.parquet(tableDir),
+        sortCols = Seq("id"),
+        toEnvelope = toEnvelope,
+        pageSize = 2)))
+    val bf = handle.backfill.get
+    try {
+      def ev2(lsn: Long, id: Long, value: Double,
+          action: String = "insert"): ChangeEvent =
+        ChangeEvent(lsn, 0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          action, "public", "t0", 16384L, s"pk$id", id, id, value, "{}",
+          Some(0.5), s"$id:$lsn", id.toString, 100L)
+      // CDC lands BEFORE the scan reaches those rows: an update to an
+      // existing row (pk3) and an insert of a brand-new row (pk10)
+      input.addData(ev2(8, 3, 33.0, "update"), ev2(16, 10, 100.0))
+      handle.query.processAllAvailable()
+      assert(srv.xadds.size == 2)
+      // page 1 delivers reads for rows 1,2 (no CDC seen for them)
+      assert(bf.step())
+      assert(srv.xadds.asScala.count(_.contains("|action|read|")) == 2,
+        srv.xadds.asScala.mkString("\n"))
+      // a row is INSERTED mid-backfill, arriving via CDC; the table also
+      // grows (a later page would re-read it)
+      writeRows(Seq((6L, 6.0)), "mid")
+      input.addData(ev2(24, 6, 6.0))
+      handle.query.processAllAvailable()
+      // page 2 covers rows 3,4: pk3 is FENCED (CDC update won — the read
+      // image is stale), pk4 delivers
+      assert(bf.step())
+      // page 3 covers rows 5,6: pk6 is FENCED (already delivered via its
+      // CDC insert — exactly once), pk5 delivers
+      bf.step()
+      bf.run() // drain to completion (end-of-table probe)
+      assert(bf.isDone)
+      val reads = srv.xadds.asScala.toVector
+        .filter(_.contains("|action|read|"))
+      def pkOf(x: String) =
+        "\"idempotency_key\":\"r:(\\d+)\"".r.findFirstMatchIn(x)
+          .map(_.group(1))
+      assert(reads.flatMap(pkOf).sorted == Vector("1", "2", "4", "5"),
+        reads.mkString("\n"))
+      // row 6 appears exactly once (its CDC insert; the page re-read was
+      // fenced), and row 3's read never shipped (its CDC update did)
+      val all = srv.xadds.asScala.toVector
+      assert(all.count(_.contains("\"id\":6,")) == 1, all.mkString("\n"))
+      assert(all.count(_.contains("\"id\":3,")) == 1)
+      assert(handle.ledger.outstandingEvents == 0)
+      assert(handle.ledger.deadLetters().isEmpty)
+      // CDC wins on PK conflict: row 3's single delivery is the UPDATE
+      // image (value 33), not the stale table read
+      val pk3 = all.filter(_.contains("\"id\":3,"))
+      assert(pk3.head.contains("33.0"), pk3.head)
+    } finally { handle.stop(); srv.stop() }
+  }
+
   test("VAULT → TRANSPORT: encrypted_headers decrypt only at client " +
       "construction — the live http_push request carries the plaintext " +
       "the catalog never stored") {
