@@ -47,7 +47,12 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    # optional per-query ORACLE budget (seconds) for large-SF sweeps:
+    # some oracle replications (regex scrubs, pair algebra) are
+    # impractical in DuckDB at 10x the gate SF while the Spark side is
+    # fine — a skip records an oracle-resource limit, not a failure.
+    budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "0") or 0)
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -57,12 +62,26 @@ def main():
             print(f"FAIL {name}: no spark output at {spark_path}")
             n_fail += 1
             continue
+        timer = None
+        timed_out = []
+        if budget > 0:
+            import threading
+            timer = threading.Timer(budget,
+                lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
             duck = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            if timer: timer.cancel()
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer: timer.cancel()
         spark = pd.read_parquet(spark_path)
         duck, spark = norm(duck), norm(spark)
         if list(duck.columns) != list(spark.columns):
@@ -84,7 +103,8 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name} ({len(duck)} rows)")
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    skip_note = f", {n_skip} oracle-skipped" if n_skip else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{skip_note}")
     sys.exit(1 if n_fail else 0)
 
 
