@@ -323,6 +323,54 @@ object Bench {
         times += rep()
       name -> times.flatten.reduceOption(_ min _).getOrElse(-1.0)
     }
+    // ---- sf1 scale section ---------------------------------------------
+    // A 10x-sf jump over a representative slice of the registry (scan,
+    // broadcast join, global agg, total-order sort, LSH dedup, HLL,
+    // KMV, tokenizer stats, RFM ranks) — catches cliffs the synthetic
+    // 10x probes can't (real TPC-H-ish skew, 6M-row lineitem). The sf1
+    // dataset is built by tools/gen_sf1.py (FK-consistent replication);
+    // the section only runs when it exists, so the bench is unchanged
+    // where it hasn't been generated.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/target/sf1")
+    val Sf1Queries = Seq("q01_keyset_page", "q15_enrich_join", "q19_stats",
+      "q20_total_order", "q98_rfm_segments", "td05_minhash_neardups",
+      "td61_hll_distinct", "td66_kmv_setops", "td92_tokenizer_fertility",
+      "q100_kpis")
+    val sf1Results: Seq[(String, Double)] =
+      if (probesOnly || !new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
+        Seq.empty
+      else Sf1Queries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        .map { case (name, fn) =>
+          def rep(): Option[Double] = {
+            val t0 = System.nanoTime()
+            val ok = try { force(fn(spark, sf1Dir)); true }
+              catch { case _: Throwable => false }
+            val t = (System.nanoTime() - t0) / 1e9
+            Tables.dropCachedBlocks(spark)
+            System.gc()
+            if (ok) Some(t) else None
+          }
+          name -> Seq(rep(), rep()).flatten.reduceOption(_ min _)
+            .getOrElse(-1.0)
+        }
+    val sf1Json =
+      if (sf1Results.isEmpty) ""
+      else {
+        val qs1 = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val tot1 = sf1Results.collect { case (_, v) if v >= 0 => v }.sum
+        // ratio vs the same queries' sf0.1 sweep times (min-of-reps both)
+        val base = results.toMap
+        val ratios = sf1Results.collect {
+          case (k, v) if v >= 0 && base.get(k).exists(_ > 0) => v / base(k)
+        }
+        val med =
+          if (ratios.isEmpty) -1.0
+          else ratios.sorted.apply(ratios.length / 2)
+        s""","sf1_total":$tot1,"sf1_queries":$qs1,"sf1_vs_sf01_median_ratio":${"%.1f".format(med)}"""
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries report -1.0 per-query but must not poison the
@@ -331,7 +379,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run
