@@ -191,40 +191,65 @@ object Sketches {
     // guard, the sketch, both sides of the pair algebra via `sk`, both
     // sides of the exact-Jaccard audit, and the per-group exact counts).
     // Uncached, Spark re-ran the explode+distinct for each; caching `dv`
-    // and `sk` makes the input pass happen once, and the quadratic-guard
-    // count runs over the CACHE instead of a fresh scan (the guard fires
-    // after one linear pass instead of before any work — still strictly
-    // before the |G|^2 pair stage it exists to prevent). The pair
-    // algebra itself is |G|^2/2 × 2k rows — noise.
+    // makes the input pass happen once, and the quadratic-guard count
+    // runs over the CACHE instead of a fresh scan (the guard fires after
+    // one linear pass instead of before any work — still strictly before
+    // the |G|^2 pair stage it exists to prevent).
+    //
+    // LIFECYCLE: everything the corpus pass produces is SKETCH-SIZED by
+    // the maxGroups contract — the bottom-k relation is ≤ |G|×k rows,
+    // the exact pair audit ≤ |G|²/2, the per-group counts ≤ |G| — so the
+    // eager phase collects those locally and UNPERSISTS `dv` before
+    // returning (a persisted relation is otherwise pinned in the
+    // session's CacheManager forever; repeated sweeps would accumulate
+    // executor cache pressure). The returned plan is the |G|²/2 × 2k
+    // pair algebra over the local sketch relations — cheap, leak-free,
+    // and re-runnable without touching the corpus again.
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    def local(d: DataFrame): DataFrame =
+      spark.createDataFrame(d.collect().toList.asJava, d.schema)
     val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .distinct().persist()
-    val nGroups = dv.select(col("g")).distinct()
-      .limit(maxGroups + 1).count()
-    require(nGroups <= maxGroups,
-      s"kmvSetOps: >$maxGroups distinct groups in '$groupCol' — the " +
-        s"group-pair space is quadratic; pass a low-cardinality label " +
-        s"or raise maxGroups deliberately")
-    val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
-    // bottom-k per group, TWO-PHASE (ties on h broken by value for
-    // determinism): groupCol is low-cardinality by contract, so a single
-    // row_number window would funnel the whole corpus through ≤|G|
-    // tasks. Phase 1 takes each partition's local bottom-k (a global
-    // bottom-k element is bottom-k in its partition — the classic
-    // distributed top-k identity), phase 2 ranks the surviving
-    // |partitions|×k rows per group — the only serial step is over
-    // sketch-sized data.
-    val wLocal = Window.partitionBy(col("g"), col("p"))
-      .orderBy(col("h").asc, col("v").asc)
-    val partial = hashed
-      .withColumn("p", spark_partition_id() % 32)
-      .withColumn("rn", row_number().over(wLocal))
-      .where(col("rn") <= k)
-      .select(col("g"), col("h"), col("v"))
-    val wG = Window.partitionBy(col("g")).orderBy(col("h").asc, col("v").asc)
-    val sk = partial.withColumn("rn", row_number().over(wG))
-      .where(col("rn") <= k)
-      .select(col("g"), col("h"))
-      .persist()
+    val (sk, exact, nExact) =
+      try {
+        val nGroups = dv.select(col("g")).distinct()
+          .limit(maxGroups + 1).count()
+        require(nGroups <= maxGroups,
+          s"kmvSetOps: >$maxGroups distinct groups in '$groupCol' — the " +
+            s"group-pair space is quadratic; pass a low-cardinality label " +
+            s"or raise maxGroups deliberately")
+        val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
+        // bottom-k per group, TWO-PHASE (ties on h broken by value for
+        // determinism): groupCol is low-cardinality by contract, so a
+        // single row_number window would funnel the whole corpus through
+        // ≤|G| tasks. Phase 1 takes each partition's local bottom-k (a
+        // global bottom-k element is bottom-k in its partition — the
+        // classic distributed top-k identity), phase 2 ranks the
+        // surviving |partitions|×k rows per group — the only serial step
+        // is over sketch-sized data.
+        val wLocal = Window.partitionBy(col("g"), col("p"))
+          .orderBy(col("h").asc, col("v").asc)
+        val partial = hashed
+          .withColumn("p", spark_partition_id() % 32)
+          .withColumn("rn", row_number().over(wLocal))
+          .where(col("rn") <= k)
+          .select(col("g"), col("h"), col("v"))
+        val wG = Window.partitionBy(col("g"))
+          .orderBy(col("h").asc, col("v").asc)
+        val skPlan = partial.withColumn("rn", row_number().over(wG))
+          .where(col("rn") <= k)
+          .select(col("g"), col("h"))
+        // exact audit: distinct-value intersection per pair
+        val exactPlan = dv.withColumnRenamed("g", "ga")
+          .join(dv.withColumnRenamed("g", "gb"), Seq("v"))
+          .where(col("ga") < col("gb"))
+          .groupBy(col("ga"), col("gb"))
+          .agg(count(lit(1)).cast("bigint").as("n_inter"))
+        val nExactPlan = dv.groupBy(col("g"))
+          .agg(count(lit(1)).cast("bigint").as("n_exact"))
+        (local(skPlan), local(exactPlan), local(nExactPlan))
+      } finally { dv.unpersist(blocking = false); () }
     val perGroup = sk.groupBy(col("g"))
       .agg(count(lit(1)).cast("int").as("n_sk"), max(col("h")).as("h_max"))
     val pairs = perGroup.select(col("g").as("ga"), col("n_sk").as("n_a"),
@@ -249,16 +274,8 @@ object Sketches {
       .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).cast("int").as("n_uk"), max(col("h")).as("h_uk"),
         sum(col("in_a") * col("in_b")).cast("bigint").as("n_common"))
-    // exact audit: distinct-value intersection per pair
-    val exact = dv.withColumnRenamed("g", "ga")
-      .join(dv.withColumnRenamed("g", "gb"), Seq("v"))
-      .where(col("ga") < col("gb"))
-      .groupBy(col("ga"), col("gb"))
-      .agg(count(lit(1)).cast("bigint").as("n_inter"))
-    val nExact = dv.groupBy(col("g"))
-      .agg(count(lit(1)).cast("bigint").as("n_exact"))
     pairs.join(unionK, Seq("ga", "gb"))
-      .join(exact, Seq("ga", "gb"), "left_outer")
+      .join(broadcast(exact), Seq("ga", "gb"), "left_outer")
       .join(broadcast(nExact.select(col("g").as("ga"),
         col("n_exact").as("nxa"))), Seq("ga"))
       .join(broadcast(nExact.select(col("g").as("gb"),

@@ -91,6 +91,14 @@ object ConsumerRuntime {
       table: () => DataFrame,
       sortCols: Seq[String],
       toEnvelope: DataFrame => DataFrame,
+      // the identity of the table being backfilled — the fence records
+      // ONLY this table's delivered pks (the reference's
+      // `active_table_oids` check in message_handler.ex: pks_seen is
+      // per-backfilled-table, not a log of every delivery), so the seen
+      // set is bounded by THIS table's churn during the scan no matter
+      // how many tables the consumer's stream carries
+      tableSchema: String,
+      tableName: String,
       pageSize: Int = 1000,
       pageTimeBudgetMs: Long = 5000L)
 
@@ -116,51 +124,53 @@ object ConsumerRuntime {
     * lands in a later, strictly-after dispatch.
     */
   final class BackfillRunner private[ConsumerRuntime] (
-      spec: BackfillSpec,
+      private[ConsumerRuntime] val spec: BackfillSpec,
       query: () => StreamingQuery,
-      seenKeys: () => Set[String],
-      deliver: DataFrame => Unit)(implicit spark: SparkSession) {
+      deliver: DataFrame => Unit,
+      onFinished: () => Unit)(implicit spark: SparkSession) {
     import graft.backfill.{Backfill, PageSizeOptimizer}
     private val optimizer = new PageSizeOptimizer(spec.pageSize,
       maxTimeoutMs = spec.pageTimeBudgetMs, maxPageSize = spec.pageSize * 50)
     private var cursor: Option[Seq[Any]] = None
-    private var finished = false
+    @volatile private var finished = false
     private[graft] var rowsDelivered = 0L
 
     def isDone: Boolean = finished
+
+    /** True while the scan is in progress — a declared backfill is an
+      * active table reader from the moment it exists (reference: the
+      * table reader process starts with the backfill), so the fence
+      * records from runner creation until the scan completes. The set
+      * stays bounded regardless: only [[BackfillSpec.tableSchema]]/
+      * [[BackfillSpec.tableName]] identities are recorded (the
+      * reference's `active_table_oids` scoping), and `onFinished`
+      * releases the set the moment the scan ends.
+      */
+    def isActive: Boolean = !finished
 
     /** Read + fence + deliver ONE page; false when the scan is complete. */
     def step(): Boolean = this.synchronized {
       if (finished) false
       else {
-        import spark.implicits._
         val t0 = System.nanoTime()
         val (pageDf, next, n) =
           Backfill.page(spec.table(), spec.sortCols, cursor,
             optimizer.pageSize)
         // watermark fence: every CDC event committed before the page
         // read is processed (and its identity recorded) before we decide
-        // what the page still needs to deliver
+        // what the page still needs to deliver. The fence DECISION (the
+        // seen-set snapshot + anti-join) happens inside `deliver`, under
+        // the dispatch lock — no CDC micro-batch can deliver (and record)
+        // a newer image between the snapshot and the page dispatch.
         query().processAllAvailable()
         if (n > 0) {
-          val envelope = spec.toEnvelope(pageDf)
-          val seen = seenKeys()
-          val fenced =
-            if (seen.isEmpty) envelope
-            else {
-              val seenDf = org.apache.spark.sql.functions.broadcast(
-                seen.toSeq.toDF("__seen_key"))
-              envelope.join(seenDf,
-                concat_ws("#", concat_ws(".", col("table_schema"),
-                  col("table_name")), col("record_pk")) === col("__seen_key"),
-                "left_anti")
-            }
-          deliver(fenced)
+          deliver(spec.toEnvelope(pageDf))
           rowsDelivered += n
         }
         optimizer.record((System.nanoTime() - t0) / 1000000L)
         cursor = next
         finished = next.isEmpty
+        if (finished) onFinished()
         !finished
       }
     }
@@ -271,9 +281,10 @@ object ConsumerRuntime {
     // and the sink is external), an interrupted batch replays whole —
     // at-least-once, the reference's delivery contract
     // identities the LIVE stream has delivered while a backfill scan is
-    // active — the fence set the reference's table reader consults
-    // (message_handler.ex:66-94 pks_seen). Bounded by the backfilled
-    // table's churn DURING the scan; cleared when the scan completes.
+    // ACTIVELY running (first step() → finished) — the fence set the
+    // reference's table reader consults (message_handler.ex:66-94
+    // pks_seen). Bounded by the backfilled table's churn DURING the
+    // scan; cleared by the runner's onFinished when the scan completes.
     val backfillSeen = scala.collection.mutable.Set.empty[String]
     @volatile var backfillRunner: Option[BackfillRunner] = None
     // pages and micro-batches SERIALIZE through one dispatch lock — the
@@ -282,10 +293,16 @@ object ConsumerRuntime {
     val dispatchLock = new Object
 
     def deliverBatch(deduped: DataFrame): Unit = dispatchLock.synchronized {
-      if (backfillRunner.exists(!_.isDone)) {
-        // record delivered identities for the backfill fence (only while
-        // a scan is active — zero overhead otherwise)
-        val keys = deduped.select(
+      backfillRunner.filter(_.isActive).foreach { r =>
+        // record delivered identities for the backfill fence — only
+        // while a scan is active, and only for the BACKFILLED table
+        // (the reference's active_table_oids scoping): the set is
+        // bounded by that one table's churn during the scan, not the
+        // consumer's whole delivery history
+        val keys = deduped
+          .where(col("table_schema") === r.spec.tableSchema &&
+            col("table_name") === r.spec.tableName)
+          .select(
             concat_ws("#",
               concat_ws(".", col("table_schema"), col("table_name")),
               col("record_pk")))
@@ -368,13 +385,30 @@ object ConsumerRuntime {
       .start()
     val runner = backfill.map { spec =>
       new BackfillRunner(spec, () => query,
-        () => backfillSeen.synchronized(backfillSeen.toSet),
-        // a fenced PAGE delivers through the same body, already inside
-        // its own cached() wrapper; it must not re-record its own rows as
-        // "seen" (they are backfill, not CDC), hence not deliverBatch —
-        // but it DOES serialize on the dispatch lock
-        fenced => cached(fenced)(df =>
-          dispatchLock.synchronized(deliverBody(df))))
+        // fence + deliver: the seen-set SNAPSHOT and the anti-join both
+        // evaluate INSIDE the dispatch lock, so no CDC micro-batch can
+        // deliver (and record) a newer image of a pk between the fence
+        // decision and the page dispatch (that interleave would ship the
+        // page's stale `read` AFTER the CDC image, violating "CDC wins
+        // on PK conflict"). Pages deliver through the same cached body
+        // but must not re-record their own rows as "seen" (they are
+        // backfill, not CDC), hence deliverBody not deliverBatch.
+        envelope => dispatchLock.synchronized {
+          val seen = backfillSeen.synchronized(backfillSeen.toSet)
+          val fenced =
+            if (seen.isEmpty) envelope
+            else {
+              val seenDf = org.apache.spark.sql.functions.broadcast(
+                seen.toSeq.toDF("__seen_key"))
+              envelope.join(seenDf,
+                concat_ws("#", concat_ws(".", col("table_schema"),
+                  col("table_name")), col("record_pk")) === col("__seen_key"),
+                "left_anti")
+            }
+          cached(fenced)(deliverBody)
+        },
+        // scan complete: the fence set has done its job — release it
+        onFinished = () => backfillSeen.synchronized { backfillSeen.clear(); () })
     }
     backfillRunner = runner
     new Handle(query, ledger, runner)

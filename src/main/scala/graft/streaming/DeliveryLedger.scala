@@ -164,11 +164,22 @@ final class DeliveryLedger(
         while (g.inflight.size < maxInflight && g.pending.nonEmpty) {
           val (cursor, (e, base)) = g.pending.head
           g.pending.remove(cursor)
-          val n = base + 1
-          g.inflight.put(e.idempotency_key, Inflight(e, n, now + ackWaitMs))
-          groupOfAck(e.idempotency_key) = gid
-          out += Delivery(if (base == 0) "deliver" else "redeliver",
-            e.idempotency_key, n, e)
+          if (base >= maxRetry) {
+            // the base count alone exhausts the budget (max_retry = max
+            // TOTAL attempts): dead-letter WITHOUT another hand-out —
+            // the reference DLQs when deliver_count >= max_retry_count
+            // rather than burning an extra attempt
+            dlq += Delivery("dlq", e.idempotency_key, base, e)
+            g.advanceAcked(e.commit_lsn, e.commit_idx)
+            unresolved -= e.idempotency_key
+            groupOfAck -= e.idempotency_key
+          } else {
+            val n = base + 1
+            g.inflight.put(e.idempotency_key, Inflight(e, n, now + ackWaitMs))
+            groupOfAck(e.idempotency_key) = gid
+            out += Delivery(if (base == 0) "deliver" else "redeliver",
+              e.idempotency_key, n, e)
+          }
         }
         if (g.pending.isEmpty && g.inflight.isEmpty) emptied += gid
       }

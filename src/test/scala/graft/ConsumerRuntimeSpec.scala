@@ -385,6 +385,7 @@ class ConsumerRuntimeSpec extends SparkSpec {
         table = () => spark.read.parquet(tableDir),
         sortCols = Seq("id"),
         toEnvelope = toEnvelope,
+        tableSchema = "public", tableName = "t0",
         pageSize = 2)))
     val bf = handle.backfill.get
     try {

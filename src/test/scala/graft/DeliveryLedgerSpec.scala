@@ -121,6 +121,20 @@ class DeliveryLedgerSpec extends AnyFunSuite {
     assert(l.outstandingEvents == 0)
   }
 
+  test("base count alone exhausting the budget dead-letters WITHOUT " +
+      "another hand-out (max_retry = max TOTAL attempts)") {
+    // maxRetry = 1 and the batch dispatch already burned attempt #1:
+    // the pending hand-out must go straight to the DLQ — handing it out
+    // again would make 2 total attempts (the reference DLQs when
+    // deliver_count >= max_retry_count without another delivery)
+    val l = ledger(() => 0L, maxRetry = 1)
+    l.ingest(Seq(ev(8, "1"), ev(16, "1")), initialDeliverCount = 1)
+    assert(l.drainDeliverable().isEmpty)
+    assert(l.deadLetters().map(d => (d.ack_id, d.deliver_count)) ==
+      Seq(("1:8", 1), ("1:16", 1)))
+    assert(l.outstandingEvents == 0) // capacity freed, cursor advanced
+  }
+
   test("global commit order across groups in a drained wave") {
     val l = ledger(() => 0L)
     l.ingest(Seq(ev(24, "3"), ev(8, "1"), ev(16, "2")))

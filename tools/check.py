@@ -64,13 +64,24 @@ def main():
             continue
         timer = None
         timed_out = []
+        # budgeted oracles run on a PER-QUERY cursor (its own connection
+        # to the same catalog): the Timer's interrupt can fire after the
+        # query returns but before cancel() lands, and on a shared
+        # connection that poisons the NEXT query into a spurious FAIL —
+        # a discarded per-query cursor absorbs the late interrupt.
+        qcon = con.cursor() if budget > 0 else con
         if budget > 0:
             import threading
-            timer = threading.Timer(budget,
-                lambda: (timed_out.append(True), con.interrupt()))
+            def _interrupt():
+                timed_out.append(True)
+                try:
+                    qcon.interrupt()
+                except Exception:
+                    pass
+            timer = threading.Timer(budget, _interrupt)
             timer.start()
         try:
-            duck = con.execute(oracle[name]).df()
+            duck = qcon.execute(oracle[name]).df()
         except Exception as e:
             if timer: timer.cancel()
             if timed_out:
@@ -82,6 +93,11 @@ def main():
             continue
         finally:
             if timer: timer.cancel()
+            if qcon is not con:
+                try:
+                    qcon.close()
+                except Exception:
+                    pass
         spark = pd.read_parquet(spark_path)
         duck, spark = norm(duck), norm(spark)
         if list(duck.columns) != list(spark.columns):
