@@ -75,6 +75,27 @@ object PgStream {
   val AnnotationSetPrefix = "sequin:transaction_annotations.set"
   val AnnotationClearPrefix = "sequin:transaction_annotations.clear"
 
+  /** A session clone tuned for running a CDC consumer's STREAMING query.
+    *
+    * The only keyed state in the chain is the per-SLOT decode below —
+    * one group per replication slot, single digits in any deployment —
+    * so a session default of 32+ shuffle partitions means 31+ EMPTY
+    * state stores whose per-micro-batch delta commits are pure fixed
+    * overhead. Measured on the assembled runtime ([[graft.RuntimeBench]],
+    * local[32]): dropping the streaming query to 8 cut single-event
+    * delivered p50 845 ms → 464 ms and lifted ungrouped delivered
+    * throughput 63k → 73k ev/s; 8 also keeps the micro-batch
+    * dedup/dispatch shuffle wide enough for parallel transport
+    * connections (1 measurably starves dispatch). Conf is session-local:
+    * batch analytics on the parent session keep their own width.
+    */
+  def streamingSession(spark: SparkSession,
+      shufflePartitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    s
+  }
+
   /** Streaming decode with a checkpointed relation cache per slot. */
   def decodeStateful(frames: Dataset[Frame])(
       implicit spark: SparkSession): Dataset[Decoded] = {

@@ -58,9 +58,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (`maxSegmentsPerBatch` / `maxOffsetsPerTrigger` — the contract every
   * structured-streaming sink shares); the ledger is ≤ max_ack_pending
   * entries by construction. Measured end to end (WAL segments → decode →
-  * pipeline → loopback RESP transport, [[graft.RuntimeBench]]): 55k
-  * delivered events/s grouped, 69k ungrouped at 500k-event batches —
-  * past the reference's published 50k ops/s single-node peak.
+  * pipeline → loopback RESP transport, [[graft.RuntimeBench]], with the
+  * streaming query on a [[graft.sources.PgStream.streamingSession]]
+  * clone): 71k delivered events/s grouped, 75k ungrouped at 500k-event
+  * batches — past the reference's published 50k ops/s single-node peak.
   */
 object ConsumerRuntime {
 
