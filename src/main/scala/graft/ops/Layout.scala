@@ -103,4 +103,61 @@ object Layout {
       .drop(zCol)
       .write.mode("overwrite").parquet(path)
   }
+
+  // ---- bucketed co-located joins ----------------------------------------
+
+  /** Write `df` as a BUCKETED, bucket-sorted parquet table: rows are
+    * hash-clustered on `key` into `buckets` files, and the clustering is
+    * recorded in the catalog so every later reader knows it.
+    *
+    * This is pre-shuffling as a LAYOUT decision — the complement of
+    * [[zorderWrite]] (which buys predicate pruning; this buys join
+    * locality). A fact-fact join (lineitem ⋈ orders, delivery-ledger
+    * audits, event-table reconciliation) otherwise shuffles BOTH sides
+    * on every query; two tables bucketed on their join keys with the
+    * same bucket count join bucket-i-against-bucket-i — a SortMergeJoin
+    * with NO Exchange on either side, at any scale. At 100 TB the
+    * repeated join is exactly where AQE cannot save you: a shuffle
+    * avoided beats a shuffle optimized, and the write-time shuffle is
+    * paid ONCE for every downstream join that reuses the layout.
+    *
+    * The pre-write `repartition(buckets, key)` uses the SAME hash Spark
+    * assigns bucket ids with, so each task owns exactly one bucket →
+    * one file per bucket — the single-file-per-bucket layout that also
+    * lets the reader skip the join's Sort, not just its Exchange.
+    *
+    * The table is written EXTERNAL under `path` and re-registered
+    * per-session (the default in-memory catalog forgets definitions
+    * across JVMs; the files persist).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val dir = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .option("path", dir.getAbsolutePath)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket keys, pinned to the merge
+    * strategy the bucketing exists for (a broadcast would work on a toy
+    * side but is the wrong proof at scale: the plan gate asserts the
+    * co-located SortMergeJoin shape — zero Exchange).
+    */
+  def coLocatedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"),
+        col(leftKey) === col(rightKey))
 }

@@ -1152,6 +1152,33 @@ object CoreQueries {
           expr("(1000000 * n_late) div n_lines").as("late_ppm"))
     }),
 
+    // Bucketed co-located fact-fact join: both tables hash-clustered on
+    // the join key at write time (Layout.writeBucketed), so the join
+    // itself is a SortMergeJoin with ZERO Exchange — the layout lever
+    // for 100 TB joins that repeat (the write-time shuffle is paid once
+    // for every downstream join reusing it). PlanAuditSpec gates the
+    // exchange-free shape; the oracle checks the values match a plain
+    // join.
+    "q101_bucketed_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("ext_cents"),
+          round(col("l_discount") * 100).cast("int").as("disc_pct"))
+        .withColumn("rev_cents", expr("(ext_cents * (100 - disc_pct)) div 100"))
+        .select("l_orderkey", "rev_cents")
+      Layout.writeBucketed(o, "graft_bkt_orders", "o_orderkey", 16,
+        "target/bucketed/graft_bkt_orders")
+      Layout.writeBucketed(l, "graft_bkt_lineitem", "l_orderkey", 16,
+        "target/bucketed/graft_bkt_lineitem")
+      Layout.coLocatedJoin(s, "graft_bkt_lineitem", "l_orderkey",
+          "graft_bkt_orders", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -2008,6 +2035,18 @@ object CoreQueries {
           |  revenue_cents // n_orders AS avg_order_cents,
           |  (1000000 * n_late) // n_lines AS late_ppm
           |FROM a""".stripMargin,
+
+      // the oracle proves the bucketed layout changes the PLAN, not the
+      // answer: values must equal the plain (shuffling) join
+      "q101_bucketed_join" ->
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) *
+          |    (100 - CAST(round(l_discount * 100) AS INT))) // 100)
+          |    AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q99_supplier_late_rate" ->
         """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

@@ -330,6 +330,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q101 bucketed join: co-located SortMergeJoin, ZERO Exchange") {
+    // build via the registry once — this writes + registers the bucketed
+    // tables in this session's catalog
+    q("q101_bucketed_join")
+    // the property under audit is the JOIN stage itself (the registry
+    // query adds a groupBy whose hash-agg exchange is expected): two
+    // tables bucketed on their join keys with the same bucket count
+    // must join with no shuffle AND no sort on either side
+    val j = graft.ops.Layout.coLocatedJoin(spark,
+      "graft_bkt_lineitem", "l_orderkey", "graft_bkt_orders", "o_orderkey")
+    val plan = formatted(j)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join grew a shuffle:\n$plan")
+    // one file per bucket (Layout pre-repartitions on the bucket hash),
+    // so the bucket-sorted layout also satisfies the join's ordering
+    assert(!plan.contains("Sort ["), s"bucketed join re-sorted:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("td67 collocations: broadcast unigram table, top-k is TakeOrdered") {
     val plan = formatted(q("td67_collocations"))
     assert(plan.contains("BroadcastHashJoin"), plan)
