@@ -1142,7 +1142,22 @@ object TrainingQueries {
     "td77_fuzzy_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.fuzzyPairs(Tables.documents(s, dir),
           "doc_id", "text", keyLen = 64, blockLen = 12, maxDist = 24)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // Margin-based bitext mining (Artetxe-Schwenk ratio margin, the
+    // CCMatrix parallel-pair miner): cross-side LSH candidates, cosine
+    // normalized by each endpoint's top-k neighborhood density, mutual
+    // best above margin 1.0. Sides split deterministically on vec_id
+    // parity so the oracle reproduces them.
+    "td95_bitext_margin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bitextMarginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          dims = 64, k = 4, tables = Ann.LshTables, bits = Ann.LshBits,
+          marginThresholdMicro = 1000000L)
+        .orderBy("src_id")
+    }))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -2955,7 +2970,56 @@ object TrainingQueries {
         |  CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.k, b.k) <= 24
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "td95_bitext_margin" -> {
+      import graft.similarity.Ann.{LshTables, LshBits}
+      val k = 4
+      val bucketCols = (0 until LshTables).map(t =>
+        s"CAST(${duckLshBucket(t, LshBits, 64)} AS BIGINT) AS b$t")
+        .mkString(",\n  ")
+      val orJoin = (0 until LshTables).map(t => s"s.b$t = t.b$t")
+        .mkString(" OR ")
+      val bNames = (0 until LshTables).map(t => s"b$t").mkString(", ")
+      val cos = duckCos("s_emb", "t_emb", 64)
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  $bucketCols
+         |  FROM embeddings),
+         |s AS (SELECT vec_id AS src_id, embedding AS s_emb, $bNames
+         |  FROM e WHERE vec_id % 2 = 0),
+         |t AS (SELECT vec_id AS tgt_id, embedding AS t_emb, $bNames
+         |  FROM e WHERE vec_id % 2 = 1),
+         |cand AS (SELECT DISTINCT src_id, tgt_id,
+         |    CAST(round(1e6 * $cos) AS BIGINT) AS cos_micro
+         |  FROM s JOIN t ON ($orJoin)),
+         |r AS (SELECT src_id, tgt_id, cos_micro,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos_micro DESC, tgt_id) AS rn_s,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY cos_micro DESC, src_id) AS rn_t
+         |  FROM cand),
+         |da AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sum_a,
+         |    CAST(count(*) AS BIGINT) AS n_a
+         |  FROM r WHERE rn_s <= $k GROUP BY src_id),
+         |db AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sum_b,
+         |    CAST(count(*) AS BIGINT) AS n_b
+         |  FROM r WHERE rn_t <= $k GROUP BY tgt_id),
+         |m AS (SELECT c.src_id, c.tgt_id, cos_micro,
+         |    (2 * cos_micro * n_a * n_b * 1000000) //
+         |      (sum_a * n_b + sum_b * n_a) AS margin_micro
+         |  FROM cand c JOIN da ON c.src_id = da.src_id
+         |    JOIN db ON c.tgt_id = db.tgt_id
+         |  WHERE sum_a * n_b + sum_b * n_a > 0),
+         |best AS (SELECT src_id, tgt_id, cos_micro, margin_micro,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin_micro DESC, tgt_id) AS bs,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY margin_micro DESC, src_id) AS bt
+         |  FROM m)
+         |SELECT src_id, tgt_id, cos_micro, margin_micro
+         |FROM best WHERE bs = 1 AND bt = 1 AND margin_micro >= 1000000
+         |ORDER BY src_id""".stripMargin
+    })
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

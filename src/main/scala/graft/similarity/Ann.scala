@@ -529,6 +529,88 @@ object Ann {
     * label at 100 TB splits across 2^bits buckets per table; recall
     * trades against (tables, bits) exactly like [[lshTopK]].
     */
+  /** Margin-based bitext mining (the ratio-margin criterion of
+    * Artetxe & Schwenk, ACL'19 — the CCMatrix/LASER parallel-pair
+    * miner): score every cross-side candidate pair by cos(x,y) RELATIVE
+    * to each endpoint's own neighborhood density, keep MUTUAL best
+    * matches above a margin threshold. Raw cosine mining drowns in hub
+    * vectors that score high against everything; dividing by the
+    * average of each side's top-k candidate cosines normalizes the hubs
+    * away — margin > 1 means "closer than your usual neighbors".
+    *
+    * Exactness discipline: each pair's cosine is ONE double expression
+    * (identical op order in both engines), rounded to integer micro
+    * units per pair BEFORE any aggregation; the neighborhood sums and
+    * the margin ratio are then exact bigint arithmetic —
+    *   margin_micro = (2·cos·n_a·n_b·1e6) div (sum_a·n_b + sum_b·n_a)
+    * with n = min(k, candidates) — reproducible bit-for-bit in SQL.
+    *
+    * Scale shape: the pair space is LSH-bounded, never |src|×|tgt| —
+    * candidates are hyperplane-bucket collisions (`tables`×`bits`, the
+    * td11/td15 machinery), every window partitions by a vector id with
+    * bucket-bounded partition sizes, and the neighborhood aggregates
+    * are hash aggs over the candidate relation. At 100 TB the candidate
+    * relation shuffles (src_id, tgt_id, cos_micro) triples only — no
+    * embedding payload moves past the bucket join.
+    *
+    * SIZING CONTRACT: `bits` must grow with the corpus — per-table
+    * bucket count 2^bits should track N / (target per-bucket size), or
+    * bucket collisions (and with them the candidate relation) grow
+    * quadratically in N. The scale probe enforces this: constant bits
+    * over 10x vectors measured a 109x cost ratio; log2-scaled bits
+    * restore ~linear growth. Same knob discipline as the IVF family's
+    * cell count (~sqrt N cells) — the index geometry is part of the
+    * deployment, not a constant.
+    */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, dims: Int, k: Int,
+      tables: Int, bits: Int, marginThresholdMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def keyed(df: DataFrame, side: String) =
+      df.select(col("vec_id").as(s"${side}_id"),
+          col("embedding").as(s"${side}_emb"),
+          norm(col("embedding")).as(s"${side}_nrm"),
+          explode(hyperplaneKeys(col("embedding"), tables, bits, dims))
+            .as("tb"))
+        .select(col(s"${side}_id"), col(s"${side}_emb"),
+          col(s"${side}_nrm"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+    val cand = keyed(src, "src").join(keyed(tgt, "tgt"), Seq("tbl", "bucket"))
+      .select("src_id", "tgt_id", "src_emb", "src_nrm", "tgt_emb", "tgt_nrm")
+      .distinct() // a pair colliding in several tables is one candidate
+      .withColumn("cos_micro",
+        round(lit(1e6) * dot(col("src_emb"), col("tgt_emb")) /
+          (col("src_nrm") * col("tgt_nrm"))).cast("bigint"))
+      .select("src_id", "tgt_id", "cos_micro")
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_micro").desc, col("src_id").asc)
+    val ranked = cand
+      .withColumn("rn_s", row_number().over(wS))
+      .withColumn("rn_t", row_number().over(wT))
+    val denS = ranked.filter(col("rn_s") <= k).groupBy("src_id")
+      .agg(sum("cos_micro").as("sum_a"), count(lit(1)).as("n_a"))
+    val denT = ranked.filter(col("rn_t") <= k).groupBy("tgt_id")
+      .agg(sum("cos_micro").as("sum_b"), count(lit(1)).as("n_b"))
+    val margin = cand
+      .join(denS, Seq("src_id")).join(denT, Seq("tgt_id"))
+      // a non-positive neighborhood (all-negative cosines) has no
+      // meaningful density to normalize by — those vectors mine nothing
+      .filter(col("sum_a") * col("n_b") + col("sum_b") * col("n_a") > 0)
+      .withColumn("margin_micro", expr(
+        "(2 * cos_micro * n_a * n_b * 1000000) div (sum_a * n_b + sum_b * n_a)"))
+    val wSm = Window.partitionBy("src_id")
+      .orderBy(col("margin_micro").desc, col("tgt_id").asc)
+    val wTm = Window.partitionBy("tgt_id")
+      .orderBy(col("margin_micro").desc, col("src_id").asc)
+    margin
+      .withColumn("bs", row_number().over(wSm))
+      .withColumn("bt", row_number().over(wTm))
+      .filter(col("bs") === 1 && col("bt") === 1 &&
+        col("margin_micro") >= marginThresholdMicro)
+      .select("src_id", "tgt_id", "cos_micro", "margin_micro")
+  }
+
   def embeddingNearDupsLsh(df: DataFrame, tables: Int, bits: Int,
       dims: Int, threshold: Double): DataFrame = {
     val keyed = df.select(col("label"), col("vec_id"), col("embedding"),

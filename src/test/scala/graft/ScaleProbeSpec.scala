@@ -312,6 +312,49 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("bitext margin mining stays LSH-bounded over 10x vectors " +
+      "(candidates ~ bucket collisions, never |src| x |tgt|)") {
+    import org.apache.spark.sql.functions.col
+    // centers scale 10x with N (the dup/cluster structure keeps pace)
+    // AND bits scale log2(10) ~ 3-4 with N (the operator's sizing
+    // contract: buckets-per-table ~ N / target-bucket-size), so
+    // per-bucket density stays ~constant and the candidate relation
+    // grows ~linearly. Measured WITHOUT the bits scaling: ratio 109 —
+    // the quadratic collision cliff the contract exists to prevent.
+    // probe-local fixture: center directions are RANDOM +-1 vectors, so
+    // cross-center angles concentrate near 90 degrees and each vector's
+    // true-neighbor set is its own center only (bounded). The shared
+    // sin-curve fixture is wrong for PAIR-based probes — its centers lie
+    // on a 1-D curve, so a constant FRACTION of all pairs is genuinely
+    // similar and any miner's output is quadratic by construction.
+    def vecs(n: Int, centers: Int): DataFrame = {
+      import spark.implicits._
+      (0 until n).map { i =>
+        val c = i % centers
+        val emb = Array.tabulate(16) { d =>
+          val sign = if (math.floorMod(scala.util.hashing.MurmurHash3
+            .productHash((c, d)), 2) == 0) 1.0f else -1.0f
+          val noise = math.floorMod(scala.util.hashing.MurmurHash3
+            .productHash((i, d, 7)), 100) / 1000.0f
+          sign * 10.0f + noise
+        }
+        (i.toLong, emb)
+      }.toDF("vec_id", "embedding").repartition(32).cache()
+    }
+    val small = vecs(SmallN, centers = 250)
+    val big = vecs(BigN, centers = 2500)
+    def run(df: DataFrame, bits: Int): Long =
+      graft.similarity.Ann.bitextMarginMine(
+        df.filter(col("vec_id") % 2 === 0),
+        df.filter(col("vec_id") % 2 === 1),
+        dims = 16, k = 4, tables = graft.similarity.Ann.LshTables,
+        bits = bits, marginThresholdMicro = 1000000L).count()
+    try {
+      val r = ratioOf(run(small, 6), run(big, 10), "bitext-margin")
+      assert(r < 30, s"bitext 10x growth ratio $r suggests a pair-space cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("unicode normalization chain grows near-linearly over 10x docs " +
       "(pure per-row map, no shuffle)") {
     import org.apache.spark.sql.functions._

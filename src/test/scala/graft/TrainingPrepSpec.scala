@@ -707,4 +707,56 @@ class TrainingPrepSpec extends SparkSpec {
       Tables.documents(spark, sf("sf0.01")), "source", "text", 100000L)
     assert(corpus.agg(sum("alloc_tokens")).head.getLong(0) == 100000L)
   }
+
+  test("bitextMarginMine: planted parallel pair mined mutual-best; hub vector suppressed by the margin") {
+    import spark.implicits._
+    val dims = 64
+    // controlled cosine geometry: every vector = 0.5·g + 0.866·idio_i
+    // (g = the shared direction), so generic cross-side cos ≈ 0.25,
+    // cos(·, hub=g) ≈ 0.5, and the planted pair (shared idio) ≈ 1.0.
+    // The hub is every vector's second-best — the classic hubness trap
+    // raw-cosine mining falls into.
+    val g = (0 until dims).map(_ => 1.0 / math.sqrt(dims))
+    def idio(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      (0 until dims).map(_ => (if (r.nextBoolean()) 1.0 else -1.0) /
+        math.sqrt(dims))
+    }
+    def mix(seed: Int): Seq[Float] =
+      g.zip(idio(seed)).map { case (a, b) => (0.5 * a + 0.866 * b).toFloat }
+    val src = Seq(
+      (0L, mix(7)), (2L, mix(11)), (4L, mix(23)), (6L, mix(37)),
+      (8L, mix(41))).toDF("vec_id", "embedding")
+    // tgt 1 shares src 0's idiosyncratic component (the translation);
+    // tgt 3 is the hub; 5/7/9 are generic unpartnered targets
+    val tgtPlanted = mix(7).zipWithIndex
+      .map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val tgt = Seq(
+      (1L, tgtPlanted), (3L, g.map(_.toFloat)), (5L, mix(53)),
+      (7L, mix(61)), (9L, mix(71))).toDF("vec_id", "embedding")
+    def mine(thresholdMicro: Long) = graft.similarity.Ann
+      .bitextMarginMine(src, tgt, dims = dims, k = 2,
+        tables = graft.similarity.Ann.LshTables, bits = 4,
+        marginThresholdMicro = thresholdMicro)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // threshold 1.0: everything mutual-best survives, including the
+    // hub pairing with the partnerless src — but the MARGIN ORDERING
+    // must put the genuine translation pair far above any hub pair
+    // (that ordering is what the ratio criterion buys over raw cosine)
+    val all = mine(1000000L)
+    assert(all.contains((0L, 1L)), s"planted pair not mined: $all")
+    val plantedMargin = all((0L, 1L))
+    all.collect { case ((_, 3L), m) => m }.foreach { hubMargin =>
+      assert(plantedMargin > hubMargin + 200000L,
+        s"planted margin $plantedMargin not clear of hub $hubMargin")
+    }
+    // a production threshold (1.3) keeps the translation, drops the hub
+    val strict = mine(1300000L)
+    assert(strict.contains((0L, 1L)), s"planted pair lost: $strict")
+    assert(!strict.keys.exists(_._2 == 3L), s"hub survived 1.3: $strict")
+    // mutual-best: each src and each tgt appears at most once
+    assert(all.keys.toSeq.map(_._1).distinct.size == all.size)
+    assert(all.keys.toSeq.map(_._2).distinct.size == all.size)
+  }
 }
