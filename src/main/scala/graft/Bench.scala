@@ -336,7 +336,7 @@ object Bench {
     val Sf1Queries = Seq("q01_keyset_page", "q15_enrich_join", "q19_stats",
       "q20_total_order", "q98_rfm_segments", "td05_minhash_neardups",
       "td61_hll_distinct", "td66_kmv_setops", "td92_tokenizer_fertility",
-      "q100_kpis")
+      "q100_kpis", "q101_bucketed_join")
     val sf1Results: Seq[(String, Double)] =
       if (probesOnly || !new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
         Seq.empty

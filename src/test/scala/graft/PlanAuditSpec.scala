@@ -350,6 +350,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("AQE skew join: the runtime re-plan splits the skewed partition (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // the OTHER half of the skew story next to Skew.saltedJoin: salting
+    // is the deterministic pre-plan mitigation, AQE's OptimizeSkewedJoin
+    // is the runtime re-plan — this proves the knobs actually fire on a
+    // hot key (5/6 of rows on one key, padded so the skewed shuffle
+    // partition crosses the lowered threshold)
+    val skewed = spark.range(0, 60000L)
+      .select(when(col("id") < 50000L, lit(7L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        concat(lit("v"), col("id")).as("payload"),
+        lit("x" * 100).as("pad"))
+    val dim = spark.range(0, 100L).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("dname"))
+    withSqlConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = skewed.hint("merge").join(dim, Seq("k"))
+      // drive THIS dataset's own queryExecution (count() would plan a
+      // separate query and leave j's adaptive plan unfinalized)
+      assert(j.collect().length == 60000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join did not fire:\n${finalPlan.take(4000)}")
+    }
+  }
+
   test("td67 collocations: broadcast unigram table, top-k is TakeOrdered") {
     val plan = formatted(q("td67_collocations"))
     assert(plan.contains("BroadcastHashJoin"), plan)
