@@ -1157,7 +1157,23 @@ object TrainingQueries {
           dims = 64, k = 4, tables = Ann.LshTables, bits = Ann.LshBits,
           marginThresholdMicro = 1000000L)
         .orderBy("src_id")
-    }))
+    }),
+
+    // Deterministic training-order interleave: weighted fair queueing
+    // spreads every source uniformly over the global order — the
+    // reproducible data-order file a training run consumes
+    "td96_training_order" -> ((s, dir) =>
+      graft.training.TrainingPrep.trainingOrder(
+          Tables.documents(s, dir), "source", "doc_id")
+        .orderBy("global_pos")),
+
+    // Character-distribution entropy in integer micro-nats (gibberish /
+    // repeated-char spam signal; per-class-term micro rounding = td26's
+    // exact-aggregation discipline)
+    "td97_char_entropy" -> ((s, dir) =>
+      graft.training.TrainingPrep.charEntropy(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -3019,7 +3035,36 @@ object TrainingQueries {
          |SELECT src_id, tgt_id, cos_micro, margin_micro
          |FROM best WHERE bs = 1 AND bt = 1 AND margin_micro >= 1000000
          |ORDER BY src_id""".stripMargin
-    })
+    },
+
+    "td96_training_order" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |  (CAST(src_rank AS BIGINT) * 1000000) // n_s AS vtime_ppm,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (CAST(src_rank AS BIGINT) * 1000000) // n_s, source, doc_id)
+        |    AS BIGINT) AS global_pos
+        |FROM r ORDER BY global_pos""".stripMargin,
+
+    "td97_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS alphabet
+        |  FROM cnt GROUP BY 1),
+        |t AS (SELECT cnt.doc_id,
+        |    CAST(round(1e6 * c * (ln(len) - ln(c))) AS BIGINT) AS term,
+        |    len, alphabet
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+        |SELECT doc_id, max(len) AS len, max(alphabet) AS alphabet,
+        |  CAST(sum(term) AS BIGINT) // max(len) AS entropy_micro_nats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

@@ -1341,4 +1341,74 @@ object TrainingPrep {
       .select(col("source"), col("n_tokens"), col("weight"),
         col("alloc_tokens"))
   }
+
+  /** Deterministic training-order interleave — the reproducible "data
+    * order file" a training run consumes: every source is spread
+    * UNIFORMLY across the global order (weighted fair queueing with
+    * weight = source size, so all sources finish together and every
+    * prefix of the order is an unbiased sample of the mixture). Doc r of
+    * n_s in source s gets virtual time `r·1e6 div n_s`; the global order
+    * is (vtime, source, id) — total, integer-exact, identical on every
+    * engine and every rerun, which is what makes a training run
+    * re-startable mid-epoch.
+    *
+    * Scale shape: NO per-source window (source is low-cardinality — a
+    * `partitionBy(source)` window would funnel the corpus through
+    * |sources| tasks, the class `PlanAuditSpec` bans). Per-source ranks
+    * come from ONE distributed global rank over (source, id) minus each
+    * source's broadcast first-rank offset; the final position is a
+    * second global rank. Both are `Ordering.globalRank` — range-
+    * partitioned sort + zipWithIndex, the td50/td52 discipline.
+    */
+  def trainingOrder(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame = {
+    val ranked = graft.ops.Ordering.globalRank(
+      df.select(col(sourceCol).as("source"), col(idCol).as("doc_id")),
+      Seq(col("source"), col("doc_id")), "gr")
+    // ranks are contiguous per source in (source, id) order, so each
+    // source's min rank is its offset; the counts table is |sources|
+    val counts = ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_s"), min("gr").as("off"))
+    val vt = ranked.join(broadcast(counts), Seq("source"))
+      .withColumn("src_rank", col("gr") - col("off") + lit(1L))
+      .withColumn("vtime_ppm", expr("(src_rank * 1000000) div n_s"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("vtime_ppm"))
+    graft.ops.Ordering.globalRank(vt,
+      Seq(col("vtime_ppm"), col("source"), col("doc_id")), "global_pos")
+  }
+
+  /** Per-document character-distribution entropy in integer micro-nats
+    * (a gibberish/boilerplate quality signal: natural prose sits in a
+    * narrow entropy band; key-mash, base64 blobs and repeated-char spam
+    * fall outside it). H = Σ (c_i/L)·ln(L/c_i) over the doc's char
+    * histogram — each class term is rounded to micro-nats FIRST (the
+    * td26 surprisal discipline: per-term rounding makes the cross-row
+    * aggregation exact-integer, so engines agree bit-for-bit), then the
+    * integer sum divides by the length.
+    *
+    * Scale shape: char explode is linear in corpus bytes (the shingle
+    * ops' cost class); the histogram is a hash agg to ≤ alphabet rows
+    * per doc, and everything after is per-doc arithmetic.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum("c").as("len"), count(lit(1)).as("alphabet"))
+    counts.join(totals, Seq(idCol))
+      .withColumn("term_micro",
+        round(lit(1e6) * col("c").cast("double") *
+            (log(col("len").cast("double")) - log(col("c").cast("double"))))
+          .cast("bigint"))
+      .groupBy(col(idCol))
+      .agg(max("len").as("len"), max("alphabet").as("alphabet"),
+        sum("term_micro").as("sum_micro"))
+      .withColumn("entropy_micro_nats", expr("sum_micro div len"))
+      .select(col(idCol), col("len"), col("alphabet"),
+        col("entropy_micro_nats"))
+  }
 }

@@ -708,6 +708,50 @@ class TrainingPrepSpec extends SparkSpec {
     assert(corpus.agg(sum("alloc_tokens")).head.getLong(0) == 100000L)
   }
 
+  test("trainingOrder: exact WFQ interleave — every source spread uniformly, total order pinned") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", 1000L + i)) ++
+      (1 to 10).map(i => ("c", 2000L + i))
+    val docs = rows.toDF("source", "doc_id")
+    val out = graft.training.TrainingPrep
+      .trainingOrder(docs, "source", "doc_id")
+      .orderBy("global_pos").collect()
+    assert(out.length == 160)
+    // the op must equal the hand-computed WFQ order exactly
+    val sizes = Map("a" -> 100L, "b" -> 50L, "c" -> 10L)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._2).sorted.zipWithIndex.map { case (id, i) =>
+        ((i + 1) * 1000000L / sizes(src), src, id)
+      }
+    }.sorted.map(_._3)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expected)
+    assert(out.map(_.getAs[Long]("global_pos")).toSeq == (1L to 160L))
+    // proportional-prefix: after half the order, each source has emitted
+    // ~half of itself (the property that makes mid-epoch restarts fair)
+    val half = out.take(80).groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    assert(math.abs(half("a") - 50) <= 2, half.toString)
+    assert(math.abs(half("b") - 25) <= 2, half.toString)
+    assert(math.abs(half("c") - 5) <= 2, half.toString)
+  }
+
+  test("charEntropy: hand-computed micro-nats, degenerate and uniform cases") {
+    import spark.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = graft.training.TrainingPrep.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // H("aabb") = ln 2: per-class term round(1e6*2*(ln4-ln2)) = 1386294,
+    // sum 2772588, div 4 = 693147
+    assert(out(1L) == ((4L, 2L, 693147L)))
+    assert(out(2L) == ((4L, 1L, 0L)))  // constant-char spam -> 0
+    // uniform over 4 chars: ln 4 = 1386294 (term per class
+    // round(1e6*ln4) = 1386294, x4, div 4)
+    assert(out(3L) == ((4L, 4L, 1386294L)))
+  }
+
   test("bitextMarginMine: planted parallel pair mined mutual-best; hub vector suppressed by the margin") {
     import spark.implicits._
     val dims = 64
