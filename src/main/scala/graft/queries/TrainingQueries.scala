@@ -1173,6 +1173,22 @@ object TrainingQueries {
     "td97_char_entropy" -> ((s, dir) =>
       graft.training.TrainingPrep.charEntropy(
           Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Bradley–Terry preference ratings (RLHF comparison aggregation):
+    // block-local tournaments, 5 MM rounds in exact integer micros
+    "td98_preference_bt" -> ((s, dir) =>
+      graft.training.TrainingPrep.preferenceRatings(
+          Tables.documents(s, dir), "doc_id", "n_chars",
+          blockSize = 8, iters = 5)
+        .orderBy("doc_id")),
+
+    // Similarity-chained context packing: simhash-bucketed ordering so
+    // packed windows hold RELATED docs; ham_prev = within-pack adjacency
+    "td99_semantic_packing" -> ((s, dir) =>
+      graft.training.TrainingPrep.similarityPack(
+          Tables.documents(s, dir), "doc_id", "text",
+          budget = 1024, bucketBits = 6)
         .orderBy("doc_id")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
@@ -3064,7 +3080,64 @@ object TrainingQueries {
         |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
         |SELECT doc_id, max(len) AS len, max(alphabet) AS alphabet,
         |  CAST(sum(term) AS BIGINT) // max(len) AS entropy_micro_nats
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td98_preference_bt" -> td98Sql,
+
+    "td99_semantic_packing" ->
+      s"""$toksCte,
+         |hashed AS (SELECT doc_id, list_transform(toks, t -> ${dhWide("t")}) AS hs FROM sets),
+         |sims AS (SELECT doc_id, CAST(${duckSimhash(60)} AS BIGINT) AS simhash FROM hashed),
+         |base AS (SELECT d.doc_id, s.simhash, s.simhash >> 54 AS bucket,
+         |    CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks
+         |  FROM documents d JOIN sims s ON d.doc_id = s.doc_id),
+         |cum AS (SELECT *,
+         |    CAST((CAST(sum(n_toks) OVER w AS BIGINT) - 1) // 1024 AS BIGINT)
+         |      AS pack_idx,
+         |    lag(simhash) OVER w AS prev_sim
+         |  FROM base WINDOW w AS (PARTITION BY bucket
+         |    ORDER BY simhash, doc_id ROWS UNBOUNDED PRECEDING))
+         |SELECT doc_id, bucket, n_toks, pack_idx,
+         |  CASE WHEN lag(pack_idx) OVER w2 = pack_idx
+         |    THEN CAST(bit_count(xor(simhash, prev_sim)) AS INT) END AS ham_prev
+         |FROM cum WINDOW w2 AS (PARTITION BY bucket ORDER BY simhash, doc_id)
+         |ORDER BY doc_id""".stripMargin)
+
+  /** td98's oracle: the SAME MM rounds unrolled as chained CTEs — built
+    * by the same loop count as the Spark side so the two can never
+    * drift on iteration count.
+    */
+  private lazy val td98Sql: String = {
+    val iters = 5
+    val head =
+      """WITH blocks AS (SELECT doc_id AS item, n_chars AS score,
+        |    doc_id // 8 AS blk FROM documents),
+        |pairs AS (SELECT a.item AS i, b.item AS j,
+        |    CASE WHEN a.score >= b.score THEN 1 ELSE 0 END AS wi
+        |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.item < b.item),
+        |edges AS (SELECT i AS item, j AS opp, CAST(wi AS BIGINT) AS w FROM pairs
+        |  UNION ALL SELECT j, i, CAST(1 - wi AS BIGINT) FROM pairs),
+        |items AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins,
+        |    CAST(count(*) AS BIGINT) AS n_cmp FROM edges GROUP BY item),
+        |t0 AS (SELECT item, CAST(1000000 AS BIGINT) AS theta FROM items)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |d$k AS (SELECT e.item,
+         |    CAST(sum(1000000000000 // (ta.theta + tb.theta)) AS BIGINT) AS d
+         |  FROM edges e JOIN t${k - 1} ta ON e.item = ta.item
+         |    JOIN t${k - 1} tb ON e.opp = tb.item GROUP BY e.item),
+         |r$k AS (SELECT i.item,
+         |    greatest((i.wins * 1000000000000) // greatest(d.d, 1), 1000) AS raw
+         |  FROM items i JOIN d$k d ON i.item = d.item),
+         |t$k AS (SELECT item, greatest((raw * 1000000) //
+         |    (SELECT CAST(sum(raw) AS BIGINT) // count(*) FROM r$k), 1000)
+         |    AS theta FROM r$k)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT i.item AS doc_id, i.wins, i.n_cmp, t.theta AS rating_micro
+         |FROM items i JOIN t$iters t ON i.item = t.item ORDER BY doc_id""".stripMargin
+  }
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

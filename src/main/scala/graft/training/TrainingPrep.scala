@@ -1411,4 +1411,121 @@ object TrainingPrep {
       .select(col(idCol), col("len"), col("alphabet"),
         col("entropy_micro_nats"))
   }
+
+  /** Bradley–Terry preference ratings over block-local pairwise
+    * comparisons — the aggregation that turns raw preference judgments
+    * (RLHF comparison data, side-by-side evals) into a per-item strength
+    * score. Comparisons are derived deterministically: items are blocked
+    * into runs of `blockSize` consecutive ids (a bounded "tournament
+    * bracket" — pair space is `C(blockSize,2)` per block, LINEAR in
+    * items, never corpus²), each in-block pair is one comparison, and
+    * the higher `scoreCol` wins (tie → lower id).
+    *
+    * Ratings come from `iters` rounds of the standard MM update
+    * (Hunter 2004): θ_i ← W_i / Σ_{j∈N(i)} n_ij/(θ_i+θ_j), here with
+    * n_ij = 1. All arithmetic is exact integer micros — each edge term
+    * is `1e12 div (θ_i+θ_j)` (per-term rounding, the td26/td97
+    * discipline), the update floors at 1000 micros (a never-winning
+    * item's rating underflows to the floor instead of collapsing the
+    * next round's divisor), and each round renormalizes to mean 1e6 via
+    * the integer mean — so Spark and any ANSI engine agree bit-for-bit.
+    *
+    * Scale shape: the block self-join shuffles on `blk` (uniform by
+    * construction — consecutive-id runs), each MM round is two hash
+    * joins + one hash agg on item id, and state is one (item, θ) row per
+    * item. Bounds: wins ≤ blockSize−1, so `wins·1e12` and `raw·1e6`
+    * stay far inside int64 for any blockSize ≤ 1000.
+    */
+  def preferenceRatings(df: DataFrame, idCol: String, scoreCol: String,
+      blockSize: Int = 8, iters: Int = 5): DataFrame = {
+    require(blockSize >= 2 && blockSize <= 1000,
+      s"blockSize must be in [2,1000]: $blockSize")
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20]: $iters")
+    val blocks = df.select(col(idCol).cast("bigint").as("item"),
+        col(scoreCol).cast("bigint").as("score"))
+      .withColumn("blk", expr(s"item div $blockSize"))
+    val pairs = blocks.select(col("blk"), col("item").as("i"),
+        col("score").as("si"))
+      .join(blocks.select(col("blk"), col("item").as("j"),
+        col("score").as("sj")), Seq("blk"))
+      .filter(col("i") < col("j"))
+      // i < j always holds, so score tie → lower id wins
+      .withColumn("wi", when(col("si") >= col("sj"), 1L).otherwise(0L))
+    // direction-expanded edge list: one row per (item, opponent)
+    val edges = pairs.select(col("i").as("item"), col("j").as("opp"),
+        col("wi").as("w"))
+      .unionAll(pairs.select(col("j").as("item"), col("i").as("opp"),
+        (lit(1L) - col("wi")).as("w")))
+      .localCheckpoint() // reused 2x per MM round — cut the self-join replay
+    val items = edges.groupBy("item")
+      .agg(sum("w").cast("bigint").as("wins"),
+        count(lit(1)).cast("bigint").as("n_cmp"))
+      .localCheckpoint()
+    var theta = items.select(col("item"), lit(1000000L).as("theta"))
+    for (_ <- 1 to iters) {
+      val d = edges
+        .join(theta.select(col("item"), col("theta").as("ti")), Seq("item"))
+        .join(theta.select(col("item").as("opp"), col("theta").as("tj")),
+          Seq("opp"))
+        .groupBy("item")
+        .agg(sum(expr("1000000000000 div (ti + tj)")).cast("bigint").as("d"))
+      val raw = items.join(d, Seq("item"))
+        .withColumn("raw",
+          greatest(expr("(wins * 1000000000000) div greatest(d, 1)"),
+            lit(1000L)))
+      val mean = raw.agg(expr("sum(raw) div count(1)").as("mean"))
+      theta = raw.crossJoin(broadcast(mean))
+        .withColumn("theta",
+          greatest(expr("(raw * 1000000) div mean"), lit(1000L)))
+        .select("item", "theta")
+    }
+    items.join(theta, Seq("item"))
+      .select(col("item").as(idCol), col("wins"), col("n_cmp"),
+        col("theta").as("rating_micro"))
+  }
+
+  /** Similarity-chained context packing (in-context-pretraining style,
+    * Shi et al. 2023): instead of packing documents into context windows
+    * in arbitrary id order, cluster them by simhash bucket and order
+    * each bucket by (simhash, id) — near-identical prose lands adjacent,
+    * so each packed window reads as RELATED text, which is the whole
+    * point of long-context pretraining data. Packing itself is the td21
+    * contiguous running-sum model (`(cum−1) div budget`).
+    *
+    * `ham_prev` is the Hamming distance to the previous document in the
+    * SAME pack (null for pack heads) — the per-row relatedness signal; a
+    * corpus whose within-pack mean isn't well below the random-pair
+    * expectation (~bits/2) isn't being helped by the ordering.
+    *
+    * Scale shape: simhash is one linear pass (the td06 kernel); the
+    * window partitions on `2^bucketBits` simhash-prefix buckets — size
+    * bucketBits to the corpus (log₂(docs) − ~8 keeps buckets in the
+    * hundreds; the td95 log-scaled-width contract), never a constant at
+    * 1000× the data.
+    */
+  def similarityPack(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, bucketBits: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(bucketBits >= 1 && bucketBits <= 30,
+      s"bucketBits must be in [1,30]: $bucketBits")
+    val hashed = graft.dedup.Dedup
+      .withSimhash(df.select(col(idCol), col(textCol)), textCol)
+      .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits))
+      .withColumn("n_toks", TextAnalysis.wsTokenCount(col(textCol)))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("simhash"), col(idCol))
+    val packed = hashed
+      .withColumn("pack_idx",
+        ((sum(col("n_toks")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - lit(1)) / lit(budget)).cast("bigint"))
+      .withColumn("prev_sim", lag(col("simhash"), 1).over(w))
+    packed
+      .withColumn("prev_pack", lag(col("pack_idx"), 1).over(w))
+      .withColumn("ham_prev",
+        when(col("prev_pack") === col("pack_idx"),
+          bit_count(col("simhash").bitwiseXOR(col("prev_sim"))).cast("int")))
+      .select(col(idCol), col("bucket"), col("n_toks"), col("pack_idx"),
+        col("ham_prev"))
+  }
 }

@@ -803,4 +803,87 @@ class TrainingPrepSpec extends SparkSpec {
     assert(all.keys.toSeq.map(_._1).distinct.size == all.size)
     assert(all.keys.toSeq.map(_._2).distinct.size == all.size)
   }
+
+  test("preferenceRatings: block tournament — ratings monotone in strength, floor holds, singleton blocks excluded") {
+    import spark.implicits._
+    // block 0 = ids 0..2 (blockSize 8): a strict strength order; id 100
+    // sits alone in its block — no comparisons, excluded from output
+    val items = Seq((0L, 30L), (1L, 20L), (2L, 10L), (100L, 99L))
+      .toDF("doc_id", "n_chars")
+    val out = TrainingPrep.preferenceRatings(items, "doc_id", "n_chars",
+        blockSize = 8, iters = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), s"wrong item set: ${out.keySet}")
+    val (w0, n0, r0) = out(0L); val (w1, _, r1) = out(1L)
+    val (w2, _, r2) = out(2L)
+    assert((w0, w1, w2) == ((2L, 1L, 0L)), s"wins: ${(w0, w1, w2)}")
+    assert(n0 == 2L)
+    // MM ratings reproduce the strength order strictly
+    assert(r0 > r1 && r1 > r2, s"ratings not monotone: $r0 $r1 $r2")
+    // the never-winning item floors at 1000 micros, never collapses to 0
+    assert(r2 >= 1000L, s"floor violated: $r2")
+    // round-1 hand computation: d_i = 2 * (1e12 div 2e6) = 1e6 for all,
+    // raw = (2e12 div 1e6, 1e12 div 1e6, floor) = (2e6, 1e6, 1000);
+    // the mean renormalization then keeps the AVERAGE rating pinned
+    // near 1e6 every round
+    val mean = (r0 + r1 + r2) / 3.0
+    assert(math.abs(mean - 1e6) < 1e5, s"mean drifted: $mean")
+  }
+
+  test("preferenceRatings: ties break to the lower id, corpus run is deterministic") {
+    import spark.implicits._
+    val items = Seq((10L, 5L), (11L, 5L)).toDF("doc_id", "n_chars")
+    val out = TrainingPrep.preferenceRatings(items, "doc_id", "n_chars",
+        blockSize = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(10L)._1 == 1L && out(11L)._1 == 0L, s"tie rule: $out")
+    assert(out(10L)._2 > out(11L)._2)
+    val real = TrainingPrep.preferenceRatings(docs, "doc_id", "n_chars",
+      blockSize = 8, iters = 5)
+    val a = real.orderBy("doc_id").collect().toSeq
+    val b = TrainingPrep.preferenceRatings(docs, "doc_id", "n_chars",
+      blockSize = 8, iters = 5).orderBy("doc_id").collect().toSeq
+    assert(a == b, "corpus ratings not deterministic")
+  }
+
+  test("similarityPack: exact dups pack adjacent at distance 0; budget bounds hold; ordering beats id-order baseline") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t3 = "completely different subject matter about spark shuffles and joins"
+    val hand = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    val out = TrainingPrep.similarityPack(hand, "doc_id", "text",
+        budget = 1024, bucketBits = 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+    // identical texts share a simhash -> same bucket, adjacent, ham 0;
+    // doc 1 (lower id) is the pack head
+    assert(out(1L).isEmpty && out(2L).contains(0), s"dup adjacency: $out")
+
+    val packed = TrainingPrep.similarityPack(docs, "doc_id", "text",
+      budget = 1024, bucketBits = 6)
+    // contiguous-model budget bound: a pack exceeds the budget by at
+    // most its last member (oversized docs keep their own pack)
+    val worst = packed.groupBy("bucket", "pack_idx")
+      .agg(sum("n_toks").as("tok"), max("n_toks").as("mx"))
+      .filter(col("tok") >= lit(1024) + col("mx")).count()
+    assert(worst == 0, s"$worst packs overflow beyond the contiguous bound")
+    // every non-head row carries a distance; heads carry null
+    val heads = packed.filter(col("ham_prev").isNull).count()
+    val nPacks = packed.select("bucket", "pack_idx").distinct().count()
+    assert(heads == nPacks, s"heads=$heads packs=$nPacks")
+    // the point of the op: within-pack adjacent docs are CLOSER than
+    // arbitrary id-order neighbors (the unpacked baseline)
+    val meanPacked = packed.agg(avg("ham_prev")).head().getDouble(0)
+    val base = graft.dedup.Dedup.withSimhash(docs, "text")
+      .select(col("doc_id"), col("simhash"))
+      .withColumn("prev", lag("simhash", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("doc_id")))
+      .filter(col("prev").isNotNull)
+      .agg(avg(bit_count(col("simhash").bitwiseXOR(col("prev")))))
+      .head().getDouble(0)
+    assert(meanPacked < base,
+      s"similarity ordering no better than id order: $meanPacked vs $base")
+  }
 }
