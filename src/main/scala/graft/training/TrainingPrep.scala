@@ -1478,6 +1478,10 @@ object TrainingPrep {
         .withColumn("theta",
           greatest(expr("(raw * 1000000) div mean"), lit(1000L)))
         .select("item", "theta")
+        // θ is consumed 4x next round (both join sides, raw, mean) — an
+        // unevaluated plan would copy itself 4^iters times; checkpoint
+        // makes each MM round O(edges) instead
+        .localCheckpoint()
     }
     items.join(theta, Seq("item"))
       .select(col("item").as(idCol), col("wins"), col("n_cmp"),

@@ -582,4 +582,41 @@ class ScaleProbeSpec extends SparkSpec {
       assert(r < 30, s"rolling quantiles 10x ratio $r — window is re-scanning raw values")
     } finally { small.unpersist(); big.unpersist() }
   }
+
+  test("Bradley-Terry ratings grow near-linearly over 10x items (block-bounded pair space)") {
+    import spark.implicits._
+    def synthItems(n: Int) = (0 until n)
+      .map(i => (i.toLong, math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((i, 7)), 10000).toLong))
+      .toDF("doc_id", "score").repartition(32).cache()
+    val small = synthItems(SmallN * 4)
+    val big = synthItems(BigN * 4)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.preferenceRatings(small, "doc_id",
+          "score", blockSize = 8, iters = 5).count(),
+        graft.training.TrainingPrep.preferenceRatings(big, "doc_id",
+          "score", blockSize = 8, iters = 5).count(),
+        "bradley-terry")
+      assert(r < 30,
+        s"BT 10x growth ratio $r — pair space is no longer block-bounded")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("similarity packing grows near-linearly over 10x docs (log-scaled bucket width)") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      // bucketBits tracks log2(n) (the td95 sizing contract): constant
+      // bits at 10x data would double per-bucket window size per decade
+      val r = ratioOf(
+        graft.training.TrainingPrep.similarityPack(small, "doc_id", "text",
+          budget = 1024, bucketBits = 3).count(),
+        graft.training.TrainingPrep.similarityPack(big, "doc_id", "text",
+          budget = 1024, bucketBits = 6).count(),
+        "simpack")
+      assert(r < 30,
+        s"similarity packing 10x growth ratio $r — simhash or window cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
 }
