@@ -1189,6 +1189,13 @@ object TrainingQueries {
       graft.training.TrainingPrep.similarityPack(
           Tables.documents(s, dir), "doc_id", "text",
           budget = 1024, bucketBits = 6)
+        .orderBy("doc_id")),
+
+    // Interpolated Kneser-Ney trigram surprisal (the KenLM/CCNet filter
+    // shape): continuation counts, D=0.75, exact integer micro-nats
+    "td100_kn_trigram" -> ((s, dir) =>
+      graft.training.TrainingPrep.knTrigramSurprisal(
+          Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
@@ -3101,7 +3108,38 @@ object TrainingQueries {
          |  CASE WHEN lag(pack_idx) OVER w2 = pack_idx
          |    THEN CAST(bit_count(xor(simhash, prev_sim)) AS INT) END AS ham_prev
          |FROM cum WINDOW w2 AS (PARTITION BY bucket ORDER BY simhash, doc_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "td100_kn_trigram" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |tri AS (SELECT doc_id, unnest(l[1:len(l)-2]) AS w1,
+        |    unnest(l[2:len(l)-1]) AS w2, unnest(l[3:len(l)]) AS w3
+        |  FROM tk WHERE len(l) >= 3),
+        |c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+        |  FROM tri GROUP BY 1, 2, 3),
+        |ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx,
+        |    CAST(count(*) AS BIGINT) AS n12dot FROM c123 GROUP BY 1, 2),
+        |cc23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc23
+        |  FROM c123 GROUP BY 1, 2),
+        |cc2 AS (SELECT w2, CAST(sum(cc23) AS BIGINT) AS cc2,
+        |    CAST(count(*) AS BIGINT) AS n2dot FROM cc23 GROUP BY 1),
+        |nprec3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS nprec3
+        |  FROM cc23 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM cc23),
+        |sc AS (SELECT w1, w2, w3,
+        |  CAST(round(-1e6 * ln(
+        |    (greatest(c123 - 0.75, 0.0) + 0.75 * n12dot *
+        |      ((greatest(cc23 - 0.75, 0.0) + 0.75 * n2dot *
+        |        (nprec3 / nbi)) / cc2)) / c12ctx)) AS BIGINT) AS unats
+        |  FROM c123 JOIN ctx12 USING (w1, w2) JOIN cc23 USING (w2, w3)
+        |    JOIN cc2 USING (w2) JOIN nprec3 USING (w3) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(unats) AS BIGINT) AS surprisal_unats,
+        |  CAST(count(*) AS INT) AS n_trigrams,
+        |  CAST(sum(unats) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_unats
+        |FROM tri JOIN sc USING (w1, w2, w3)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** td98's oracle: the SAME MM rounds unrolled as chained CTEs — built
     * by the same loop count as the Spark side so the two can never

@@ -1412,6 +1412,77 @@ object TrainingPrep {
         col("entropy_micro_nats"))
   }
 
+  /** Interpolated Kneser–Ney trigram surprisal — the KenLM-shaped
+    * quality score CCNet-style filters actually use (td74's bigram model
+    * upgraded to the real thing): absolute discount D = 0.75 at every
+    * order, CONTINUATION counts for the lower orders (a word following
+    * many distinct contexts is likelier in a novel context than its raw
+    * frequency says — the KN insight), interpolated down to the
+    * continuation unigram.
+    *
+    *   P(w3|w1w2) = (max(c123−D,0) + D·N1+(w1w2·)·Pkn(w3|w2)) / c12
+    *   Pkn(w3|w2) = (max(N1+(·w2w3)−D,0) + D·N1+(w2·)·Pcont(w3)) / N1+(·w2·)
+    *   Pcont(w3)  = N1+(·w3) / |distinct bigrams|
+    *
+    * The td74 exactness discipline: every count is an integer group-by;
+    * each DISTINCT trigram is scored ONCE by a single double expression
+    * rounded to integer micro-nats, and everything that touches
+    * occurrence volume afterward is exact integer arithmetic — so the
+    * per-doc sums agree bit-for-bit across engines.
+    *
+    * Scale shape: model tables are distinct-ngram-sized hash aggs (all
+    * map-side combinable); scoring is equi-joins on ngram keys; the only
+    * broadcast is the 1-row distinct-bigram total. Docs with fewer than
+    * 3 tokens are omitted (no trigram evidence), matching td74's < 2
+    * convention.
+    */
+  def knTrigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+    val tri = tk.where(size(col("tk")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tk")) - 3),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2"),
+          element_at(col("tk"), i + 3).as("w3")))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val c123 = tri.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast("bigint").as("c123"))
+    // trigram-consistent context total + fan-out N1+(w1w2·)
+    val ctx12 = c123.groupBy("w1", "w2")
+      .agg(sum("c123").cast("bigint").as("c12ctx"),
+        count(lit(1)).cast("bigint").as("n12dot"))
+    // continuation counts: N1+(·w2w3) = distinct left contexts
+    val cc23 = c123.groupBy("w2", "w3")
+      .agg(count(lit(1)).cast("bigint").as("cc23"))
+    val cc2 = cc23.groupBy("w2")
+      .agg(sum("cc23").cast("bigint").as("cc2"),
+        count(lit(1)).cast("bigint").as("n2dot"))
+    val nprec3 = cc23.groupBy("w3")
+      .agg(count(lit(1)).cast("bigint").as("nprec3"))
+    val tot = cc23.agg(count(lit(1)).cast("bigint").as("nbi"))
+    val scored = c123.join(ctx12, Seq("w1", "w2")).join(cc23, Seq("w2", "w3"))
+      .join(cc2, Seq("w2")).join(nprec3, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      // ONE double expression per distinct trigram, identical operation
+      // order in the SQL oracle — micro-nat rounding absorbs ulp noise
+      .withColumn("pbi",
+        (greatest(col("cc23") - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("n2dot") * (col("nprec3") / col("nbi"))) /
+          col("cc2"))
+      .withColumn("unats", round(lit(-1e6) * log(
+        (greatest(col("c123") - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("n12dot") * col("pbi")) / col("c12ctx")))
+        .cast("bigint"))
+      .select(col("w1"), col("w2"), col("w3"), col("unats"))
+    tri.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(idCol)
+      .agg(sum("unats").cast("bigint").as("surprisal_unats"),
+        count(lit(1)).cast("int").as("n_trigrams"))
+      .withColumn("mean_unats", expr("surprisal_unats div n_trigrams"))
+  }
+
   /** Bradley–Terry preference ratings over block-local pairwise
     * comparisons — the aggregation that turns raw preference judgments
     * (RLHF comparison data, side-by-side evals) into a per-item strength

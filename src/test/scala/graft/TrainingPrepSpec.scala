@@ -804,6 +804,34 @@ class TrainingPrepSpec extends SparkSpec {
     assert(all.keys.toSeq.map(_._2).distinct.size == all.size)
   }
 
+  test("knTrigramSurprisal: continuation counts beat raw frequency (the KN property), repetition scores cheap, short docs omitted") {
+    import spark.implicits._
+    // manyX and onceX have EQUAL raw frequency (11 each) — but manyX
+    // follows 10 distinct contexts while onceX always follows the same
+    // one. In a NOVEL context ("z m" / "z o"), KN must prefer manyX:
+    // that preference is carried entirely by the continuation count
+    // N1+(·w2w3), which raw-frequency interpolation (td74) cannot see.
+    val fillers =
+      (0 until 10).map(i => (100L + i, s"c$i m manyX")) ++
+      (0 until 10).map(i => (200L + i, "d o onceX"))
+    val corpus = (fillers ++ Seq(
+      (1L, "z m manyX"), (2L, "z o onceX"),
+      (3L, "a a a a a a"), (4L, "u v w x y t"),
+      (5L, "too short"))).toDF("doc_id", "text")
+    val out = TrainingPrep.knTrigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2),
+        r.getLong(3))).toMap
+    assert(!out.contains(5L), "a 2-token doc has no trigram evidence")
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1)
+    assert(out(1L)._1 < out(2L)._1,
+      s"continuation diversity ignored: manyX=${out(1L)._1} >= onceX=${out(2L)._1}")
+    // a doc made of one repeated trigram reads as cheap; unique-trigram
+    // prose is expensive
+    assert(out(3L)._3 < out(4L)._3,
+      s"repetition not cheaper: ${out(3L)._3} vs ${out(4L)._3}")
+    assert(out.values.forall(_._1 > 0L), "surprisal must be positive")
+  }
+
   test("preferenceRatings: block tournament — ratings monotone in strength, floor holds, singleton blocks excluded") {
     import spark.implicits._
     // block 0 = ids 0..2 (blockSize 8): a strict strength order; id 100
