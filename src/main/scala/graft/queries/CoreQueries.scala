@@ -1179,6 +1179,26 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Epoch compaction: build the event table with DELIBERATELY narrow
+    // epochs (the dir explosion a years-long stream accrues), coalesce
+    // cold epoch runs into group-min-labeled dirs, then replay a change
+    // window whose lower bound falls MID-GROUP — the span-widened
+    // partition bound must still find rows now living in a dir labeled
+    // below the window. Layout changes; the answer must not.
+    "q102_epoch_compaction" -> ((s, dir) => {
+      val path = scratchDir("cmp")
+      val w = epochWidthFor(dir) / 4
+      graft.sinks.EventTableSink.upsert(s, cdc(s, dir), path,
+        numBuckets = 8, epochWidth = w)
+      graft.sinks.EventTableSink.compact(s, path,
+        uptoEpoch = Int.MaxValue, groupEpochs = 4)
+      graft.sinks.EventTableSink
+        .changesBetween(s, path, 5000L, 9000L, epochWidth = w)
+        .select(col("record_pk"), col("record_id"), col("action"),
+          col("net_effect"), col("commit_lsn"), col("commit_idx"))
+        .orderBy("record_id")
+    }),
+
     // Incrementally-maintained MAX — the non-invertible aggregate the
     // telescoping delta algebra (q71/q75) cannot express: monotone fast
     // path for raise-only groups, group-PRUNED partial recompute where
@@ -2047,6 +2067,17 @@ object CoreQueries {
           |    AS BIGINT) AS revenue_cents
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q102_epoch_compaction" -> (cte +
+        """SELECT record_pk, record_id, action,
+          |  CASE WHEN action = 'delete' THEN 'delete' ELSE 'upsert' END
+          |    AS net_effect,
+          |  commit_lsn, commit_idx FROM (
+          |  SELECT record_pk, record_id, action, commit_lsn, commit_idx,
+          |    row_number() OVER (PARTITION BY record_pk
+          |      ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |  FROM cdc WHERE commit_lsn > 5000 AND commit_lsn <= 9000)
+          |WHERE rn = 1 ORDER BY record_id""".stripMargin),
 
       "q99_supplier_late_rate" ->
         """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

@@ -278,6 +278,127 @@ object EventTableSink {
     dropEmptyBuckets(path)
   }
 
+  /** Epoch-compaction span metadata: the max `groupEpochs` ever applied
+    * to this table (1 = never compacted). The stored-table
+    * [[changesBetween]] reads it to widen its lower partition bound —
+    * a compacted dir is labeled with its GROUP-MIN epoch, so rows of
+    * epoch E can live in a dir labeled as low as `E − (span−1)`.
+    */
+  private def compactionFile(path: String): Path =
+    Paths.get(path).resolve("_compaction")
+
+  def compactionSpan(path: String): Int = {
+    val f = compactionFile(path)
+    if (Files.exists(f))
+      Try(Files.readString(f).trim.toInt).getOrElse(1).max(1)
+    else 1
+  }
+
+  private val SourcesManifest = "_sources"
+
+  /** Epoch compaction — the OPTIMIZE half of the pg_partman analogy. An
+    * append-mostly stream leaves one narrow epoch dir per `epochWidth`
+    * of WAL forever: a year of retention at production WAL volume is
+    * hundreds of thousands of tiny dirs per bucket, and every replay
+    * pays the file-listing. `compact` coalesces each run of
+    * `groupEpochs` consecutive cold epochs (label ≤ `uptoEpoch`; callers
+    * keep a margin below the live head) into ONE dir labeled with the
+    * group-min epoch — dir count drops ×groupEpochs while rows, reads,
+    * [[changesBetween]], [[stateAsOf]], [[lookup]] and [[retention]] are
+    * all unchanged (they are row-predicate-driven; epoch labels only
+    * prune). Partition pruning stays EXACT via the `_compaction` span
+    * bound, written BEFORE any dir moves.
+    *
+    * Crash safety (a different shape from the upsert swap, which is
+    * 1-dir-in-place; this is N dirs → 1): the combined dir is staged as
+    * `.cmt-epoch=L` carrying a `_sources` manifest of the dirs it
+    * replaces, then the finish routine drops each source one-way and
+    * promotes the staged dir. [[repair]] re-runs the same finish for any
+    * `.cmt-` it finds, so every crash point converges forward to the
+    * compacted state — never duplicated, never lost.
+    *
+    * Returns the number of directories eliminated.
+    */
+  def compact(spark: SparkSession, path: String, uptoEpoch: Int,
+      groupEpochs: Int, writer: Option[Writer] = None): Int = {
+    require(groupEpochs >= 2 && groupEpochs <= (1 << 20),
+      s"groupEpochs must be in [2, 2^20]: $groupEpochs")
+    fenceCheck(path, writer)
+    repair(path)
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return 0
+    import scala.jdk.CollectionConverters._
+    def list(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    // driver-side dir listing (bounded by live dir count): cold epochs
+    // grouped to their floor boundary; only multi-dir groups move
+    val groups: Seq[(Int, Int, Seq[Int])] = list(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketCol="))
+      .flatMap { bdir =>
+        val b = bdir.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val es = list(bdir).map(_.getFileName.toString)
+          .filter(_.startsWith(s"$EpochCol="))
+          .map(_.stripPrefix(s"$EpochCol=").toInt)
+          .filter(_ <= uptoEpoch)
+        es.groupBy(e => e - Math.floorMod(e, groupEpochs)).toSeq.collect {
+          case (label, srcs) if srcs.size >= 2 => (b, label, srcs.sorted)
+        }
+      }
+    if (groups.isEmpty) return 0
+    // widen the span BEFORE any mutation: a reader racing (or resuming
+    // after) a crash must already use the conservative bound
+    val span = math.max(compactionSpan(path), groupEpochs)
+    Files.writeString(compactionFile(path), span.toString)
+
+    val srcDirs = groups.flatMap { case (b, _, es) =>
+      es.map(e => pairDir(path, b, e).toString) }
+    val combined = spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(srcDirs: _*)
+      .withColumn(EpochCol,
+        (col(EpochCol) - pmod(col(EpochCol), lit(groupEpochs))).cast("int"))
+    val tmp = root.resolve(s".tmp-${System.nanoTime()}")
+    combined.repartition(col(BucketCol), col(EpochCol))
+      .sortWithinPartitions(
+        Seq(col(BucketCol), col(EpochCol)) ++ keyCols.map(col): _*)
+      .write.partitionBy(BucketCol, EpochCol).mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    groups.foreach { case (b, label, srcs) =>
+      fenceCheck(path, writer)
+      val staged = tmp.resolve(s"$BucketCol=$b").resolve(s"$EpochCol=$label")
+      if (Files.exists(staged)) {
+        // manifest written while still UNDER .tmp- (crash here = clean
+        // rollback); the rename makes staging + manifest visible as one
+        Files.writeString(staged.resolve(SourcesManifest),
+          srcs.map(e => s"$EpochCol=$e").mkString("\n"))
+        val cmt = bucketDir(path, b).resolve(s".cmt-$EpochCol=$label")
+        deleteRecursively(cmt)
+        Files.move(staged, cmt)
+        finishCompaction(bucketDir(path, b), cmt)
+      }
+    }
+    deleteRecursively(tmp)
+    groups.map { case (_, _, srcs) => srcs.size - 1 }.sum
+  }
+
+  /** Finish (or, from [[repair]], re-finish after a crash) one staged
+    * compaction: drop every manifest-listed source dir one-way, then
+    * promote the staged dir to live. Idempotent from any interruption
+    * point — already-dropped sources no-op, and the promote happens
+    * exactly once.
+    */
+  private def finishCompaction(bdir: Path, cmt: Path): Unit = {
+    val manifest = cmt.resolve(SourcesManifest)
+    if (!Files.exists(manifest)) { deleteRecursively(cmt); return }
+    Files.readString(manifest).split("\n").filter(_.nonEmpty)
+      .foreach(n => dropDir(bdir.toString, bdir.resolve(n)))
+    val live = bdir.resolve(cmt.getFileName.toString.stripPrefix(".cmt-"))
+    if (!Files.exists(live)) Files.move(cmt, live)
+    else deleteRecursively(cmt) // promote already done by a prior finish
+  }
+
   /** Retention: evict rows whose `tsCol` is before `cutoff` — the
     * reference's change-retention expiry
     * (`/root/reference/docs/reference/change-retention.mdx:112-137`:
@@ -395,8 +516,14 @@ object EventTableSink {
   def changesBetween(spark: SparkSession, path: String, fromLsn: Long,
       toLsn: Long, epochWidth: Long = DefaultEpochWidth): DataFrame = {
     repair(path)
+    // compacted dirs are labeled with their group-min epoch, so the
+    // lower bound widens by (span−1); the upper bound is unchanged
+    // (labels never exceed their rows' epochs). Uncompacted tables have
+    // span = 1 — the original exact bound.
+    val span = compactionSpan(path)
     val t = spark.read.option("mergeSchema", "true").parquet(path)
-      .filter(col(EpochCol) >= lit((fromLsn / epochWidth).toInt) &&
+      .filter(
+        col(EpochCol) >= lit((fromLsn / epochWidth).toInt - (span - 1)) &&
         col(EpochCol) <= lit((toLsn / epochWidth).toInt))
       .drop(BucketCol, EpochCol)
     changesBetween(t, fromLsn, toLsn)
@@ -495,6 +622,10 @@ object EventTableSink {
           val live = dir.resolve(name.stripPrefix(".old-"))
           if (!Files.exists(live)) Files.move(p, live)
           else deleteRecursively(p)
+        } else if (name.startsWith(s".cmt-$prefix=")) {
+          // a compaction crashed between staging and finish: the staged
+          // dir + manifest carry everything needed to converge FORWARD
+          finishCompaction(dir, p)
         } else if (name.startsWith(".del-")) deleteRecursively(p)
         else if (name.startsWith(".tmp-")) deleteRecursively(p)
       }

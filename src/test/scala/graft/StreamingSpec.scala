@@ -664,6 +664,140 @@ class StreamingSpec extends SparkSpec {
       .sorted.toSeq == (1 to 20 by 2))
   }
 
+  test("EventTableSink.compact: cold epochs coalesce; reads, change feed, time travel, lookup identical; pruning stays exact") {
+    implicit val s = spark
+    import s.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    import scala.jdk.CollectionConverters._
+    val dir = JF.createTempDirectory("graft_sink_cmp").toString + "/events"
+    val w = 16L
+    // one change per pk at lsn = i·w → epochs 1..40, plus later updates
+    // for pks 1..10 (multi-version history must survive compaction)
+    val rows = (1 to 40).map(i => ev(i * w, 0, "7", i.toString, value = 1.0)) ++
+      (1 to 10).map(i => ev((50 + i) * w, 0, "7", i.toString, value = 2.0))
+    EventTableSink.upsert(spark, rows.toDF(), dir, numBuckets = 2,
+      epochWidth = w)
+    def epochDirs(): Seq[String] = JF.list(JP.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .flatMap(b => JF.list(b).iterator().asScala)
+      .map(_.getFileName.toString).filter(_.startsWith("epoch=")).toSeq
+    def snap() = EventTableSink.read(spark, dir)
+      .select("record_pk", "commit_lsn", "record_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    def feed(from: Long, to: Long) = EventTableSink
+      .changesBetween(spark, dir, from, to, epochWidth = w)
+      .select("record_pk", "commit_lsn", "net_effect").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    def asof(lsn: Long) = EventTableSink
+      .stateAsOf(spark, dir, lsn, Long.MaxValue, epochWidth = w)
+      .select("record_pk", "record_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val before = snap(); val dirsBefore = epochDirs().size
+    val feedBefore = feed(10 * w, 20 * w); val asofBefore = asof(30 * w)
+    assert(feedBefore.map(_._1.toInt).sorted == (11 to 20),
+      s"fixture window wrong: $feedBefore")
+
+    // compact cold epochs (≤ 45) in groups of 8 — the live head (50+)
+    // is left alone
+    val eliminated = EventTableSink.compact(spark, dir, uptoEpoch = 45,
+      groupEpochs = 8)
+    assert(eliminated > 0)
+    assert(epochDirs().size == dirsBefore - eliminated)
+    assert(EventTableSink.compactionSpan(dir) == 8)
+    assert(snap() == before, "row content changed under compaction")
+    // the window's FROM falls mid-group (epochs 11..15 now live in the
+    // dir labeled 8 < from-epoch 10): only the span-widened bound finds
+    // them — this is the pruning-exactness case
+    assert(feed(10 * w, 20 * w) == feedBefore)
+    assert(asof(30 * w) == asofBefore)
+    assert(EventTableSink.lookup(spark, dir, "17", numBuckets = 2)
+      .count() == 1)
+
+    // idempotent: nothing multi-dir left below the cutoff
+    assert(EventTableSink.compact(spark, dir, 45, 8) == 0)
+    assert(snap() == before)
+
+    // upsert into compacted territory still merges: pk 17's prior
+    // version lives in the COMPACTED dir (epoch 17 → label 16), which
+    // the superseded-pair scan must find by its new label and rewrite
+    EventTableSink.upsert(spark,
+      Seq(ev(70 * w, 0, "7", "17", value = 9.0)).toDF(), dir,
+      numBuckets = 2, epochWidth = w)
+    val v17 = EventTableSink.read(spark, dir)
+      .filter($"record_pk" === "17").select("record_value")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v17 == Seq(9.0), s"pk 17 not superseded in place: $v17")
+    assert(EventTableSink.read(spark, dir).count() == 40)
+
+    // fenced writers cannot compact
+    val a = EventTableSink.openWriter(dir)
+    EventTableSink.openWriter(dir)
+    val e = intercept[IllegalStateException] {
+      EventTableSink.compact(spark, dir, 100, 8, writer = Some(a))
+    }
+    assert(e.getMessage.contains("fenced"))
+  }
+
+  test("EventTableSink.compact: a crash between staging and finish converges forward — no duplicates, no loss") {
+    implicit val s = spark
+    import s.implicits._
+    import java.nio.file.{Files => JF, Paths => JP, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    def copyTree(src: JPath, dst: JPath): Unit = {
+      val all = { val st = JF.walk(src)
+        try st.iterator().asScala.toSeq finally st.close() }
+      all.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (JF.isDirectory(p)) JF.createDirectories(t)
+        else { JF.createDirectories(t.getParent); JF.copy(p, t) }
+      }
+    }
+    val base = JF.createTempDirectory("graft_sink_cmpcrash")
+    val live = base.resolve("events").toString
+    val crash = base.resolve("events_crash")
+    val w = 16L
+    val rows = (0 until 8).map(i =>
+      ev(i * w + 1, 0, "7", (100 + i).toString, value = i.toDouble))
+    EventTableSink.upsert(spark, rows.toDF(), live, numBuckets = 1,
+      epochWidth = w)
+    // freeze the pre-compaction state, then compact the original
+    copyTree(JP.get(live), crash)
+    assert(EventTableSink.compact(spark, live, 100, 4) == 6)
+    val want = EventTableSink.read(spark, live)
+      .select("record_pk", "record_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(want.size == 8)
+
+    // reconstruct the exact crash state on the frozen copy: group 0's
+    // staged dir (with its _sources manifest) is in place as .cmt-, the
+    // sources are still live, and one source is already half-dropped
+    JF.writeString(crash.resolve("_compaction"), "4")
+    copyTree(JP.get(live, "bucket=0", "epoch=0"),
+      crash.resolve("bucket=0").resolve(".cmt-epoch=0"))
+    def rmTree(p: JPath): Unit = {
+      val all = { val st = JF.walk(p)
+        try st.iterator().asScala.toSeq finally st.close() }
+      all.reverse.foreach(f => JF.delete(f))
+    }
+    rmTree(crash.resolve("bucket=0").resolve("epoch=2")) // mid-drop crash
+
+    // ANY entry point repairs: sources dropped, staged dir promoted —
+    // content identical to the cleanly-compacted table
+    val healed = EventTableSink.read(spark, crash.toString)
+      .select("record_pk", "record_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(healed == want, s"crash recovery diverged: $healed vs $want")
+    val names = JF.list(crash.resolve("bucket=0")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(names.count(_.startsWith("epoch=")) == 5, s"dirs: $names")
+    assert(!names.exists(_.startsWith(".cmt-")), s"staging left: $names")
+    // and the change feed over the healed table still resolves exactly
+    val pks = EventTableSink
+      .changesBetween(spark, crash.toString, 2 * w, 6 * w, epochWidth = w)
+      .select("record_pk").collect().map(_.getString(0)).sorted.toSeq
+    assert(pks == Seq("102", "103", "104", "105"), s"feed: $pks")
+  }
+
   test("EventTableSink epoch fencing: a superseded writer fails fast, new owner wins") {
     implicit val s = spark
     import s.implicits._
