@@ -1196,7 +1196,34 @@ object TrainingQueries {
     "td100_kn_trigram" -> ((s, dir) =>
       graft.training.TrainingPrep.knTrigramSurprisal(
           Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // DPO chosen/rejected pair mining on top of td98's BT ratings:
+    // best-vs-worst within each comparison block, margin-thresholded
+    "td101_dpo_pairs" -> ((s, dir) =>
+      graft.training.TrainingPrep.dpoPairs(
+          Tables.documents(s, dir), "doc_id", "n_chars",
+          blockSize = 8, iters = 5, marginThresholdMicro = 200000L)
+        .orderBy("blk", "k")),
+
+    // Content-defined chunking (FastCDC/rsync family) + chunk-level
+    // dedup: rolling-hash boundaries, md5 chunk fingerprints, per-doc
+    // shared-span accounting in chars
+    "td102_cdc_chunks" -> ((s, dir) =>
+      graft.training.TrainingPrep.cdcChunkDedup(
+          Tables.documents(s, dir), "doc_id", "text",
+          window = 16, divisor = 64)
+        .orderBy("doc_id")),
+
+    // k-anonymity / l-diversity audit over event records: QI =
+    // (event_type, hour, value decade); sensitive = user_id
+    "td103_k_anonymity" -> ((s, dir) =>
+      graft.training.TrainingPrep.kAnonymityAudit(
+          Tables.events(s, dir)
+            .withColumn("hr", hour(col("ts")).cast("bigint"))
+            .withColumn("vb", floor(col("value") / 10).cast("bigint")),
+          Seq("event_type", "hr", "vb"), "user_id", k = 5, l = 3)
+        .orderBy("event_type", "hr", "vb")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -1396,7 +1423,7 @@ object TrainingQueries {
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "td08_ngram_jaccard" ->
-      """WITH sh AS (SELECT doc_id, lang, source,
+      """WITH sh AS MATERIALIZED (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
         |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
         |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
@@ -1437,12 +1464,12 @@ object TrainingQueries {
       val bNames = (0 until LshTables).map(t => s"b$t")
       val orJoin = bNames.map(b => s"q.$b = c.$b").mkString(" OR ")
       val cos = duckCos("q_emb", "c_emb", 64)
-      s"""WITH b AS (SELECT vec_id, embedding,
+      s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding,
          |  $bucketCols
          |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, ${bNames.mkString(", ")} FROM b WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS corpus_id, embedding AS c_emb, ${bNames.mkString(", ")} FROM b),
-         |cand AS (SELECT DISTINCT query_id, corpus_id, q_emb, c_emb
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb, ${bNames.mkString(", ")} FROM b WHERE vec_id < 5),
+         |c AS MATERIALIZED (SELECT vec_id AS corpus_id, embedding AS c_emb, ${bNames.mkString(", ")} FROM b),
+         |cand AS MATERIALIZED (SELECT DISTINCT query_id, corpus_id, q_emb, c_emb
          |  FROM q JOIN c ON q.query_id <> c.corpus_id AND ($orJoin))
          |SELECT query_id, corpus_id, cos, rank FROM (
          |  SELECT query_id, corpus_id, $cos AS cos,
@@ -1814,12 +1841,12 @@ object TrainingQueries {
       val orJoin = (0 until LshTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
       val bNames = (0 until LshTables).map(t => s"b$t").mkString(", ")
       val cos = duckCos("emb_a", "emb_b", 64)
-      s"""WITH k AS (SELECT label, vec_id, embedding,
+      s"""WITH k AS MATERIALIZED (SELECT label, vec_id, embedding,
          |  $bucketCols
          |  FROM embeddings),
-         |a AS (SELECT label, vec_id AS id_a, embedding AS emb_a, $bNames FROM k),
-         |b AS (SELECT label, vec_id AS id_b, embedding AS emb_b, $bNames FROM k),
-         |cand AS (SELECT DISTINCT a.label, id_a, id_b, emb_a, emb_b
+         |a AS MATERIALIZED (SELECT label, vec_id AS id_a, embedding AS emb_a, $bNames FROM k),
+         |b AS MATERIALIZED (SELECT label, vec_id AS id_b, embedding AS emb_b, $bNames FROM k),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.label, id_a, id_b, emb_a, emb_b
          |  FROM a JOIN b ON a.label = b.label AND a.id_a < b.id_b
          |    AND ($orJoin))
          |SELECT label, id_a, id_b, $cos AS cos
@@ -3021,17 +3048,17 @@ object TrainingQueries {
         .mkString(" OR ")
       val bNames = (0 until LshTables).map(t => s"b$t").mkString(", ")
       val cos = duckCos("s_emb", "t_emb", 64)
-      s"""WITH e AS (SELECT vec_id, embedding,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
          |  $bucketCols
          |  FROM embeddings),
-         |s AS (SELECT vec_id AS src_id, embedding AS s_emb, $bNames
+         |s AS MATERIALIZED (SELECT vec_id AS src_id, embedding AS s_emb, $bNames
          |  FROM e WHERE vec_id % 2 = 0),
-         |t AS (SELECT vec_id AS tgt_id, embedding AS t_emb, $bNames
+         |t AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS t_emb, $bNames
          |  FROM e WHERE vec_id % 2 = 1),
-         |cand AS (SELECT DISTINCT src_id, tgt_id,
+         |cand AS MATERIALIZED (SELECT DISTINCT src_id, tgt_id,
          |    CAST(round(1e6 * $cos) AS BIGINT) AS cos_micro
          |  FROM s JOIN t ON ($orJoin)),
-         |r AS (SELECT src_id, tgt_id, cos_micro,
+         |r AS MATERIALIZED (SELECT src_id, tgt_id, cos_micro,
          |    row_number() OVER (PARTITION BY src_id
          |      ORDER BY cos_micro DESC, tgt_id) AS rn_s,
          |    row_number() OVER (PARTITION BY tgt_id
@@ -3139,43 +3166,130 @@ object TrainingQueries {
         |  CAST(sum(unats) AS BIGINT) // CAST(count(*) AS BIGINT)
         |    AS mean_unats
         |FROM tri JOIN sc USING (w1, w2, w3)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "td101_dpo_pairs" -> td101Sql,
+
+    "td102_cdc_chunks" ->
+      """WITH codes AS (SELECT doc_id, text AS txt,
+        |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |      c -> CAST(unicode(c) AS BIGINT)) AS cp
+        |  FROM documents WHERE length(text) >= 16),
+        |bounded AS (SELECT doc_id, txt,
+        |    list_sort(list_distinct(list_append(
+        |      list_filter(
+        |        list_transform(range(16, len(cp) + 1),
+        |          i -> CASE WHEN list_reduce(list_slice(cp, i - 15, i),
+        |                      (acc, x) -> (acc * 31 + x) % 1000003) % 64 = 0
+        |                 THEN i ELSE -1 END),
+        |        p -> p > 0),
+        |      len(cp)))) AS bounds
+        |  FROM codes),
+        |chunks AS (SELECT doc_id,
+        |    substr(txt,
+        |      CASE WHEN k = 1 THEN 1 ELSE bounds[k - 1] + 1 END,
+        |      bounds[k] - CASE WHEN k = 1 THEN 0 ELSE bounds[k - 1] END)
+        |      AS chunk
+        |  FROM bounded, unnest(range(1, len(bounds) + 1)) AS t(k)),
+        |hashed AS (SELECT doc_id, length(chunk) AS chunk_len,
+        |    md5(chunk) AS chunk_hash
+        |  FROM chunks WHERE length(chunk) > 0),
+        |occ AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+        |  FROM hashed GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(h.chunk_len) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_chunks,
+        |  CAST(sum(CASE WHEN o.n_docs > 1 THEN h.chunk_len ELSE 0 END)
+        |    AS BIGINT) AS shared_chars,
+        |  CAST(sum(CASE WHEN o.n_docs > 1 THEN h.chunk_len ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // greatest(CAST(sum(h.chunk_len) AS BIGINT), 1) AS shared_ppm
+        |FROM hashed h JOIN occ o USING (chunk_hash)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "td103_k_anonymity" ->
+      """SELECT event_type, date_part('hour', ts) AS hr,
+        |  CAST(floor(value / 10) AS BIGINT) AS vb,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS l_diversity,
+        |  count(*) < 5 AS k_violation,
+        |  count(DISTINCT user_id) < 3 AS l_violation
+        |FROM events GROUP BY 1, 2, 3
+        |HAVING count(*) < 5 OR count(DISTINCT user_id) < 3
+        |ORDER BY 1, 2, 3""".stripMargin)
 
   /** td98's oracle: the SAME MM rounds unrolled as chained CTEs — built
     * by the same loop count as the Spark side so the two can never
     * drift on iteration count.
     */
-  private lazy val td98Sql: String = {
+  /** The BT MM-round CTE chain shared by td98 and td101: the SAME loop
+    * count as the Spark side so the two can never drift on iteration
+    * count. Ends at CTE `t5` = (item, theta).
+    */
+  private lazy val btCtes: String = {
     val iters = 5
     val head =
-      """WITH blocks AS (SELECT doc_id AS item, n_chars AS score,
+      """WITH blocks AS MATERIALIZED (SELECT doc_id AS item, n_chars AS score,
         |    doc_id // 8 AS blk FROM documents),
-        |pairs AS (SELECT a.item AS i, b.item AS j,
+        |pairs AS MATERIALIZED (SELECT a.item AS i, b.item AS j,
         |    CASE WHEN a.score >= b.score THEN 1 ELSE 0 END AS wi
         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.item < b.item),
-        |edges AS (SELECT i AS item, j AS opp, CAST(wi AS BIGINT) AS w FROM pairs
+        |edges AS MATERIALIZED (SELECT i AS item, j AS opp, CAST(wi AS BIGINT) AS w FROM pairs
         |  UNION ALL SELECT j, i, CAST(1 - wi AS BIGINT) FROM pairs),
-        |items AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins,
+        |items AS MATERIALIZED (SELECT item, CAST(sum(w) AS BIGINT) AS wins,
         |    CAST(count(*) AS BIGINT) AS n_cmp FROM edges GROUP BY item),
-        |t0 AS (SELECT item, CAST(1000000 AS BIGINT) AS theta FROM items)""".stripMargin
+        |t0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS theta FROM items)""".stripMargin
     val rounds = (1 to iters).map { k =>
       s""",
-         |d$k AS (SELECT e.item,
+         |d$k AS MATERIALIZED (SELECT e.item,
          |    CAST(sum(1000000000000 // (ta.theta + tb.theta)) AS BIGINT) AS d
          |  FROM edges e JOIN t${k - 1} ta ON e.item = ta.item
          |    JOIN t${k - 1} tb ON e.opp = tb.item GROUP BY e.item),
-         |r$k AS (SELECT i.item,
+         |r$k AS MATERIALIZED (SELECT i.item,
          |    greatest((i.wins * 1000000000000) // greatest(d.d, 1), 1000) AS raw
          |  FROM items i JOIN d$k d ON i.item = d.item),
-         |t$k AS (SELECT item, greatest((raw * 1000000) //
+         |t$k AS MATERIALIZED (SELECT item, greatest((raw * 1000000) //
          |    (SELECT CAST(sum(raw) AS BIGINT) // count(*) FROM r$k), 1000)
          |    AS theta FROM r$k)""".stripMargin
     }.mkString
-    head + rounds +
-      s"""
-         |SELECT i.item AS doc_id, i.wins, i.n_cmp, t.theta AS rating_micro
-         |FROM items i JOIN t$iters t ON i.item = t.item ORDER BY doc_id""".stripMargin
+    head + rounds
   }
+
+  /** td98's oracle: the MM rounds unrolled as chained CTEs. */
+  private lazy val td98Sql: String =
+    btCtes +
+      """
+        |SELECT i.item AS doc_id, i.wins, i.n_cmp, t.theta AS rating_micro
+        |FROM items i JOIN t5 t ON i.item = t.item ORDER BY doc_id""".stripMargin
+
+  /** td101's oracle: td98's rating chain, then best-vs-worst pairing
+    * within each block (rank k from the top pairs with rank k from the
+    * bottom; the bottom ordering is the exact reverse of the top
+    * ordering, id-tiebreak included), margin-thresholded at 200000 µ.
+    */
+  private lazy val td101Sql: String =
+    btCtes +
+      """,
+        |rated AS MATERIALIZED (SELECT t.item, t.theta, t.item // 8 AS blk FROM t5 t),
+        |ranked AS MATERIALIZED (SELECT item, theta, blk,
+        |    row_number() OVER (PARTITION BY blk
+        |      ORDER BY theta DESC, item ASC) AS r_top,
+        |    row_number() OVER (PARTITION BY blk
+        |      ORDER BY theta ASC, item DESC) AS r_bot,
+        |    count(*) OVER (PARTITION BY blk) // 2 AS half
+        |  FROM rated),
+        |chosen AS MATERIALIZED (SELECT blk, r_top AS k, item AS chosen_id,
+        |    theta AS chosen_micro FROM ranked WHERE r_top <= half),
+        |rejected AS MATERIALIZED (SELECT blk, r_bot AS k, item AS rejected_id,
+        |    theta AS rejected_micro FROM ranked WHERE r_bot <= half)
+        |SELECT c.blk, c.k, c.chosen_id, r.rejected_id,
+        |  c.chosen_micro, r.rejected_micro,
+        |  c.chosen_micro - r.rejected_micro AS margin_micro
+        |FROM chosen c JOIN rejected r ON c.blk = r.blk AND c.k = r.k
+        |WHERE c.chosen_micro - r.rejected_micro >= 200000
+        |ORDER BY c.blk, c.k""".stripMargin
 
   /** Bloom k=3 affine-coefficient VALUES rows (mirrors Hashing.affineCoeffs). */
   private lazy val bloomCoeffValues: String =

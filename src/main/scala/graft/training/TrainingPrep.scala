@@ -1603,4 +1603,150 @@ object TrainingPrep {
       .select(col(idCol), col("bucket"), col("n_toks"), col("pack_idx"),
         col("ham_prev"))
   }
+
+  /** DPO/RLHF preference-pair mining on top of [[preferenceRatings]]:
+    * within each comparison block (block = prompt: all its items are
+    * candidate responses to the same context), pair the best-rated item
+    * with the worst, 2nd-best with 2nd-worst, …, and keep a pair iff its
+    * rating margin clears `marginThresholdMicro` — the standard
+    * chosen/rejected construction for direct-preference-optimization
+    * training sets (pairs with a thin margin teach nothing and are
+    * dropped).
+    *
+    * Determinism: ratings are exact integer micros (see
+    * [[preferenceRatings]]); within a block, rank ties break on id, so
+    * the pairing is total-ordered and engine-independent.
+    *
+    * Scale shape: the only window partitions by `blk` — cardinality
+    * n/blockSize, so no low-cardinality funnel (the PlanAuditSpec
+    * discipline); pairing is an equi-join on (blk, pair rank). Nothing
+    * touches text.
+    */
+  def dpoPairs(df: DataFrame, idCol: String, scoreCol: String,
+      blockSize: Int = 8, iters: Int = 5,
+      marginThresholdMicro: Long = 0L): DataFrame = {
+    val rated = preferenceRatings(df, idCol, scoreCol, blockSize, iters)
+      .withColumn("blk", expr(s"$idCol div $blockSize"))
+    val wTop = Window.partitionBy("blk")
+      .orderBy(col("rating_micro").desc, col(idCol).asc)
+    val wBot = Window.partitionBy("blk")
+      .orderBy(col("rating_micro").asc, col(idCol).desc)
+    val ranked = rated
+      .withColumn("r_top", row_number().over(wTop))
+      .withColumn("r_bot", row_number().over(wBot))
+      .withColumn("half", expr(s"count(1) over (partition by blk) div 2"))
+    val chosen = ranked.filter(col("r_top") <= col("half"))
+      .select(col("blk"), col("r_top").cast("bigint").as("k"),
+        col(idCol).as("chosen_id"), col("rating_micro").as("chosen_micro"))
+    val rejected = ranked.filter(col("r_bot") <= col("half"))
+      .select(col("blk"), col("r_bot").cast("bigint").as("k"),
+        col(idCol).as("rejected_id"), col("rating_micro").as("rejected_micro"))
+    chosen.join(rejected, Seq("blk", "k"))
+      .withColumn("margin_micro", col("chosen_micro") - col("rejected_micro"))
+      .filter(col("margin_micro") >= marginThresholdMicro)
+      .select(col("blk"), col("k"), col("chosen_id"), col("rejected_id"),
+        col("chosen_micro"), col("rejected_micro"), col("margin_micro"))
+  }
+
+  /** Content-defined chunking (the FastCDC/rsync family) + chunk-level
+    * dedup: split each document at positions where a rolling polynomial
+    * hash of the trailing `window` characters hits a boundary pattern
+    * (`h mod divisor == 0`), then fingerprint each chunk and report, per
+    * document, how much of it is made of chunks that also appear in
+    * OTHER documents. Content-defined boundaries survive insertions —
+    * editing one sentence shifts at most the chunks it touches, so
+    * shared boilerplate lands in identical chunks across documents no
+    * matter where it sits. This is the storage-dedup primitive (chunk
+    * stores, rsync, LBFS) applied to corpus curation: shingle near-dup
+    * (td05/td08) finds similar DOCUMENTS; chunk dedup localizes WHICH
+    * SPANS are copies and prices the redundancy in chars.
+    *
+    * The hash is an exact-integer polynomial over codepoints
+    * (base 31, mod 1000003) — engine-portable arithmetic, no float, no
+    * platform hash. Boundary at position i (1-based, i ≥ window) iff
+    * h(text[i−window+1..i]) ≡ 0 (mod divisor); expected chunk length =
+    * divisor.
+    *
+    * Scale shape: boundary scan is per-row array arithmetic, linear in
+    * corpus bytes × window (one `transform` over positions, each
+    * aggregating a `window`-char slice — no explode until chunks). The
+    * only shuffle is the chunk-hash groupBy (map-side combinable), and
+    * the per-doc rollup joins back on the 16-byte hash, never chunk
+    * text.
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, divisor: Int = 64): DataFrame = {
+    require(window >= 4 && window <= 256, s"window out of range: $window")
+    require(divisor >= 2, s"divisor out of range: $divisor")
+    // split('', -1) keeps a trailing empty element — drop empties BEFORE
+    // taking codepoints, so cp indexes are exactly 1-based char positions
+    val codes = df.select(col(idCol), col(textCol).as("txt"),
+        expr(s"transform(filter(split($textCol, ''), c -> c != ''), " +
+          "c -> ascii(c))").as("cp"))
+      .filter(length(col("txt")) >= window)
+    // boundary positions: 1-based char index i where the trailing-window
+    // polynomial hash divides; doc end is always a boundary
+    val bounded = codes.withColumn("bounds",
+      expr(
+        s"""array_union(
+           |  filter(transform(sequence($window, size(cp)),
+           |    i -> IF(aggregate(slice(cp, i - ${window - 1}, $window),
+           |              0L, (acc, x) -> (acc * 31 + x) % 1000003L) % ${divisor}L = 0,
+           |           i, -1)),
+           |    p -> p > 0),
+           |  array(size(cp)))""".stripMargin))
+    val chunks = bounded.select(col(idCol),
+        expr(
+          """explode(transform(sequence(1, size(bounds)),
+            |  k -> struct(k AS chunk_idx,
+            |    substring(txt,
+            |      IF(k = 1, 1, element_at(bounds, k - 1) + 1),
+            |      element_at(bounds, k) -
+            |        IF(k = 1, 0, element_at(bounds, k - 1))) AS chunk)))"""
+            .stripMargin).as("c"))
+      .select(col(idCol), col("c.chunk_idx"),
+        length(col("c.chunk")).as("chunk_len"),
+        md5(to_binary(col("c.chunk"), lit("utf-8"))).as("chunk_hash"))
+      .filter(col("chunk_len") > 0)
+    // corpus-wide: in how many distinct documents does each chunk occur?
+    val occ = chunks.groupBy("chunk_hash")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    chunks.join(occ, Seq("chunk_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("n_chars"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        sum(when(col("n_docs") > 1, col("chunk_len")).otherwise(0L))
+          .as("shared_chars"))
+      .withColumn("shared_ppm",
+        expr("(shared_chars * 1000000) div greatest(n_chars, 1)"))
+      .select(col(idCol), col("n_chunks"), col("n_chars"),
+        col("shared_chunks"), col("shared_chars"), col("shared_ppm"))
+  }
+
+  /** k-anonymity / l-diversity audit — the privacy gate a training-data
+    * release runs before shipping event-level records (Sweeney's
+    * k-anonymity; Machanavajjhala's l-diversity): group rows by the
+    * quasi-identifier columns and flag every equivalence class that is
+    * re-identifiable (fewer than `k` rows) or sensitive-value-poor
+    * (fewer than `l` distinct values of `sensitiveCol` — a class where
+    * everyone shares the sensitive value leaks it even at size ≥ k).
+    * Returns one row per VIOLATING class with its size, diversity, and
+    * which rule(s) it breaks — the suppression work-list.
+    *
+    * Scale shape: one hash aggregation over the QI key (map-side
+    * combinable count + distinct-count), a pure filter after. No window,
+    * no join, no text.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k/l must be positive: k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("l_diversity") < l)
+      .filter(col("k_violation") || col("l_violation"))
+  }
 }

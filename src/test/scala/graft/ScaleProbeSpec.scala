@@ -619,4 +619,47 @@ class ScaleProbeSpec extends SparkSpec {
         s"similarity packing 10x growth ratio $r — simhash or window cliff")
     } finally { small.unpersist(); big.unpersist() }
   }
+
+  test("training-order interleave grows near-linearly over 10x docs (two global ranks, no per-source window)") {
+    import spark.implicits._
+    def corpus(n: Int) = (0 until n)
+      .map(i => (s"src${i % 7}", i.toLong))
+      .toDF("source", "doc_id").repartition(32).cache()
+    val small = corpus(SmallN * 8)
+    val big = corpus(BigN * 8)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.trainingOrder(small, "source", "doc_id").count(),
+        graft.training.TrainingPrep.trainingOrder(big, "source", "doc_id").count(),
+        "training-order")
+      assert(r < 30,
+        s"training order 10x growth ratio $r — a rank collapsed to one task")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("char entropy grows near-linearly over 10x docs (explode + hash agg, no per-doc window)") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.charEntropy(small, "doc_id", "text").count(),
+        graft.training.TrainingPrep.charEntropy(big, "doc_id", "text").count(),
+        "char-entropy")
+      assert(r < 30,
+        s"char entropy 10x growth ratio $r — histogram agg lost map-side combine")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("KN trigram surprisal grows near-linearly over 10x docs (distinct-ngram model tables + equi-joins)") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.knTrigramSurprisal(small, "doc_id", "text").count(),
+        graft.training.TrainingPrep.knTrigramSurprisal(big, "doc_id", "text").count(),
+        "kn-trigram")
+      assert(r < 30,
+        s"KN trigram 10x growth ratio $r — model join degenerated (skewed ngram key or broadcast loss)")
+    } finally { small.unpersist(); big.unpersist() }
+  }
 }

@@ -914,4 +914,84 @@ class TrainingPrepSpec extends SparkSpec {
     assert(meanPacked < base,
       s"similarity ordering no better than id order: $meanPacked vs $base")
   }
+
+  test("dpoPairs: best pairs with worst per block, margins positive, middle of odd blocks unpaired") {
+    import spark.implicits._
+    // one block of 8 (ids 0-7) with strictly increasing strength, one
+    // block of 3 (ids 8-10) to exercise the odd middle
+    val hand = (0L to 10L).map(i => (i, (i + 1) * 100L)).toDF("id", "s")
+    val out = TrainingPrep.dpoPairs(hand, "id", "s", blockSize = 8,
+      iters = 5, marginThresholdMicro = 0L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(6)))
+    // block 0: 4 pairs (7,0) (6,1) (5,2) (4,3); block 1: 1 pair (10,8),
+    // id 9 is the odd middle and appears nowhere
+    val expect = Set((0L, 1L, 7L, 0L), (0L, 2L, 6L, 1L), (0L, 3L, 5L, 2L),
+      (0L, 4L, 4L, 3L), (1L, 1L, 10L, 8L))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet == expect,
+      s"pairing: ${rows.mkString(", ")}")
+    assert(rows.forall(_._5 > 0), "every margin strictly positive here")
+    assert(!rows.exists(r => r._3 == 9L || r._4 == 9L), "odd middle paired")
+    // thresholding drops thin-margin pairs and keeps the rest intact
+    val margins = out.select("margin_micro").as[Long].collect().sorted
+    val cut = margins(margins.length / 2)
+    val kept = TrainingPrep.dpoPairs(hand, "id", "s", blockSize = 8,
+      iters = 5, marginThresholdMicro = cut)
+    assert(kept.count() == margins.count(_ >= cut).toLong)
+    // an item is chosen at most once and rejected at most once
+    assert(out.groupBy("chosen_id").count().filter(col("count") > 1)
+      .count() == 0)
+    assert(out.groupBy("rejected_id").count().filter(col("count") > 1)
+      .count() == 0)
+  }
+
+  test("cdcChunkDedup: chunks tile the document; shared tail found regardless of prefix shift (the content-defined property)") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"common sentence $i repeated verbatim")
+      .mkString(" ") // ~1.3k chars of identical tail
+    val a = "short head. " + shared
+    val b = "a completely different and much longer preamble text here. " + shared
+    val solo = (1 to 40).map(i => s"unique material $i never repeated")
+      .mkString(" ")
+    val hand = Seq((1L, a), (2L, b), (3L, solo)).toDF("doc_id", "text")
+    val out = TrainingPrep.cdcChunkDedup(hand, "doc_id", "text")
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // chunks tile: per-doc chunk chars sum to the doc length
+    for ((id, txt) <- Seq(1L -> a, 2L -> b, 3L -> solo))
+      assert(byId(id)._2 == txt.length.toLong,
+        s"doc $id chunks don't tile: ${byId(id)._2} vs ${txt.length}")
+    // the shifted shared tail still lands in identical chunks for BOTH
+    // docs (fixed-size chunking would find nothing here) …
+    assert(byId(1L)._4 > shared.length / 2,
+      s"doc 1 shared chars ${byId(1L)._4} — boundaries didn't resync")
+    assert(byId(2L)._4 > shared.length / 2,
+      s"doc 2 shared chars ${byId(2L)._4} — boundaries didn't resync")
+    // … and the unrelated doc shares nothing
+    assert(byId(3L)._3 == 0L, s"solo doc reported shared chunks: ${byId(3L)}")
+    // deterministic across runs
+    val again = TrainingPrep.cdcChunkDedup(hand, "doc_id", "text")
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+  }
+
+  test("kAnonymityAudit: small classes and sensitive-poor classes flagged, healthy classes absent") {
+    import spark.implicits._
+    val rows =
+      // class A: size 1 -> k-violation (and l)
+      Seq(("A", 1L, "u1")) ++
+      // class B: size 6, one distinct user -> l-violation only
+      (1 to 6).map(i => ("B", 1L, "u9")) ++
+      // class C: size 6, 3 distinct users -> healthy
+      (1 to 6).map(i => ("C", 1L, s"u${i % 3}"))
+    val df = rows.toDF("qi1", "qi2", "user")
+    val out = TrainingPrep.kAnonymityAudit(df, Seq("qi1", "qi2"), "user",
+      k = 5, l = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set("A", "B"), s"flagged: ${out.keySet}")
+    assert(out("A") == ((1L, 1L, true, true)))
+    assert(out("B") == ((6L, 1L, false, true)))
+  }
 }
