@@ -355,6 +355,60 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Content-defined chunk boundaries — one incremental rolling-hash
+    * pass over the codepoints: position i (1-based, i ≥ window) is a
+    * boundary iff the base-31 polynomial hash of the trailing `window`
+    * codepoints, mod 1000003, divides by `divisor`; the final position
+    * is always appended. Semantics are IDENTICAL to the declarative
+    * `transform(sequence(window, size(cp)), i -> aggregate(slice(...)))`
+    * form (and the DuckDB `list_reduce(list_slice(...))` oracle twin),
+    * but O(len) instead of O(len × window) with zero per-position array
+    * allocation — the declarative form re-aggregated a window slice per
+    * character and was td102's entire cost.
+    */
+  case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(window >= 4 && window <= 256, s"window out of range: $window")
+    require(divisor >= 2, s"divisor out of range: $divisor")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    private val Mod = 1000003L
+    // 31^window mod M — the coefficient of the codepoint leaving the window
+    private val pow: Long = {
+      var p = 1L; var k = 0
+      while (k < window) { p = (p * 31L) % Mod; k += 1 }
+      p
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      // codepoint array (matches ascii()/unicode() per-char semantics)
+      val n = s.codePointCount(0, s.length)
+      if (n < window) return new GenericArrayData(Array.empty[Int])
+      val cp = new Array[Int](n)
+      var ci = 0; var off = 0
+      while (off < s.length) {
+        val c = s.codePointAt(off)
+        cp(ci) = c; ci += 1; off += Character.charCount(c)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        h = (h * 31L + cp(i)) % Mod
+        if (i >= window)
+          h = (((h - (cp(i - window) * pow) % Mod) % Mod) + Mod) % Mod
+        if (i >= window - 1 && h % divisor == 0) out += (i + 1)
+        i += 1
+      }
+      if (out.isEmpty || out.last != n) out += n
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Count-only sibling of [[DistinctShingles]]:
     * ≡ `size(array_distinct(shinglesOf(tokens(text), n)))` without
     * materializing any array — the repetition/quality family only needs
@@ -597,4 +651,7 @@ object VectorExpressions {
 
   def all_shingle_hashes(text: Column, n: Int): Column =
     column(AllShingleHashes(expression(text), n))
+
+  def cdc_boundaries(text: Column, window: Int, divisor: Int): Column =
+    column(CdcBoundaries(expression(text), window, divisor))
 }

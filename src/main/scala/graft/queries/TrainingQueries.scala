@@ -1208,10 +1208,11 @@ object TrainingQueries {
 
     // Content-defined chunking (FastCDC/rsync family) + chunk-level
     // dedup: rolling-hash boundaries, md5 chunk fingerprints, per-doc
-    // shared-span accounting in chars
+    // shared-span accounting in chars. documents scans as 1-2 parquet
+    // partitions and the boundary pass is the CPU — spread it first
     "td102_cdc_chunks" -> ((s, dir) =>
       graft.training.TrainingPrep.cdcChunkDedup(
-          Tables.documents(s, dir), "doc_id", "text",
+          Tables.documents(s, dir).repartition(32), "doc_id", "text",
           window = 16, divisor = 64)
         .orderBy("doc_id")),
 

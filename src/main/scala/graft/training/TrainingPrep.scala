@@ -1678,23 +1678,16 @@ object TrainingPrep {
       window: Int = 16, divisor: Int = 64): DataFrame = {
     require(window >= 4 && window <= 256, s"window out of range: $window")
     require(divisor >= 2, s"divisor out of range: $divisor")
-    // split('', -1) keeps a trailing empty element — drop empties BEFORE
-    // taking codepoints, so cp indexes are exactly 1-based char positions
-    val codes = df.select(col(idCol), col(textCol).as("txt"),
-        expr(s"transform(filter(split($textCol, ''), c -> c != ''), " +
-          "c -> ascii(c))").as("cp"))
-      .filter(length(col("txt")) >= window)
     // boundary positions: 1-based char index i where the trailing-window
-    // polynomial hash divides; doc end is always a boundary
-    val bounded = codes.withColumn("bounds",
-      expr(
-        s"""array_union(
-           |  filter(transform(sequence($window, size(cp)),
-           |    i -> IF(aggregate(slice(cp, i - ${window - 1}, $window),
-           |              0L, (acc, x) -> (acc * 31 + x) % 1000003L) % ${divisor}L = 0,
-           |           i, -1)),
-           |    p -> p > 0),
-           |  array(size(cp)))""".stripMargin))
+    // polynomial hash divides; doc end is always a boundary. One O(len)
+    // incremental pass per doc (graft.functions.CdcBoundaries) — the
+    // declarative aggregate-per-position form re-sliced the window per
+    // character (O(len × window) with per-position allocation) and was
+    // the whole query's cost at sf0.1
+    val bounded = df.select(col(idCol), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= window)
+      .withColumn("bounds", graft.functions.VectorExpressions
+        .cdc_boundaries(col("txt"), window, divisor))
     val chunks = bounded.select(col(idCol),
         expr(
           """explode(transform(sequence(1, size(bounds)),
