@@ -650,6 +650,39 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("DPO pair mining grows near-linearly over 10x items (block-bounded ratings + blk-partitioned windows)") {
+    import spark.implicits._
+    def synthItems(n: Int) = (0 until n)
+      .map(i => (i.toLong, math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((i, 11)), 10000).toLong))
+      .toDF("doc_id", "score").repartition(32).cache()
+    val small = synthItems(SmallN * 4)
+    val big = synthItems(BigN * 4)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.dpoPairs(small, "doc_id", "score",
+          blockSize = 8, iters = 5).count(),
+        graft.training.TrainingPrep.dpoPairs(big, "doc_id", "score",
+          blockSize = 8, iters = 5).count(),
+        "dpo-pairs")
+      assert(r < 30,
+        s"DPO pairing 10x growth ratio $r — a window lost its blk partitioning")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
+  test("CDC chunk dedup grows near-linearly over 10x docs (O(len) boundary pass, chunk-hash agg)") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.training.TrainingPrep.cdcChunkDedup(small, "doc_id", "text").count(),
+        graft.training.TrainingPrep.cdcChunkDedup(big, "doc_id", "text").count(),
+        "cdc-chunks")
+      assert(r < 30,
+        s"CDC chunking 10x growth ratio $r — boundary pass or occ join degenerated")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("KN trigram surprisal grows near-linearly over 10x docs (distinct-ngram model tables + equi-joins)") {
     val small = synthDocs(SmallN)
     val big = synthDocs(BigN)
