@@ -66,4 +66,82 @@ object Keyset {
   /** S10 — first row in cursor order (table_reader.ex:303-326). */
   def firstRow(df: DataFrame, cols: Seq[String]): DataFrame =
     df.orderBy(cols.map(col): _*).limit(1)
+
+  /** The tuple predicate as a DSv2 `sources.Filter` tree — the exact
+    * shape Catalyst pushes for [[tuplePredicate]], built directly so
+    * metadata-only evaluation ([[fastRemainingCount]]) and the scan
+    * agree on semantics by construction.
+    */
+  def tupleFilter(cols: Seq[String], values: Seq[Any])
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    val gt = GreaterThan(cols.head, values.head)
+    if (cols.size == 1) gt
+    else Or(gt, And(EqualTo(cols.head, values.head),
+      tupleFilter(cols.tail, values.tail)))
+  }
+
+  /** S9 at 100 TB: the remaining-scan count with FULLY-CONTAINED row
+    * groups counted from parquet footer metadata alone — only the
+    * groups whose (min, max) stats STRADDLE the cursor are scanned.
+    * On a cursor-sorted layout that is O(1) boundary groups per file
+    * regardless of table size: counting "rows after the cursor" over
+    * 100 TB costs footer reads plus one or two row-group scans, not a
+    * table scan. On an unsorted layout every group straddles and this
+    * degrades gracefully to exactly the scan [[remainingCount]] does.
+    *
+    * Classification (`couldMatch` × `mustMatch`, both conservative over
+    * (min, max) and recorded null counts) fans out over files as a
+    * Spark job — no driver-side footer loop; only the boundary block
+    * descriptors and one long per file come back. The boundary scan
+    * reuses the DSv2 source with an explicit `blocks` option and
+    * re-applies the row-level predicate in Spark, so a stats lie or an
+    * uncertain group can only cost I/O, never correctness.
+    */
+  /** Fully-in / boundary / total classification of every row group under
+    * `path` against the cursor filter — fanned out over files as a Spark
+    * job; only (meta-row count, boundary descriptors, group count) per
+    * file return to the driver.
+    */
+  private[graft] def classifyBlocks(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String], after: Seq[Any])
+      : (Long, Seq[graft.sources.KeysetRowGroupPartition], Long) = {
+    import graft.sources.{KeysetParquet, KeysetRowGroupPartition}
+    import org.apache.spark.sql.sources.{And => FAnd, GreaterThanOrEqual => FGte}
+    val filter = FAnd(FGte(cols.head, after.head), tupleFilter(cols, after))
+    val files = KeysetParquet.listFiles(path)
+    val perFile = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { file =>
+        val (msgType, metas) = KeysetParquet.footerBlockMeta(file)
+        val sparkFull = KeysetParquet.sparkSchema(msgType)
+        var metaRows = 0L
+        val boundary = Seq.newBuilder[KeysetRowGroupPartition]
+        metas.foreach { m =>
+          if (KeysetParquet.mustMatch(filter, m.stats, m.nulls))
+            metaRows += m.rows
+          else if (KeysetParquet.couldMatch(filter, m.stats, sparkFull))
+            boundary += KeysetRowGroupPartition(file, m.start, m.len)
+        }
+        (metaRows, boundary.result(), metas.size.toLong)
+      }.collect()
+    (perFile.map(_._1).sum, perFile.flatMap(_._2).toSeq,
+      perFile.map(_._3).sum)
+  }
+
+  def fastRemainingCount(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String], after: Seq[Any]): DataFrame = {
+    import graft.sources.{KeysetParquet, KeysetParquetProvider}
+    val (metaRows, boundary, _) = classifyBlocks(spark, path, cols, after)
+    if (boundary.isEmpty)
+      spark.range(1).select(lit(metaRows).as("remaining_count"))
+    else
+      spark.read.format(classOf[KeysetParquetProvider].getName)
+        .option("path", path)
+        .option("blocks", KeysetParquet.encodeBlocks(boundary))
+        .load()
+        .filter(col(cols.head) >= lit(after.head) &&
+          tuplePredicate(cols, after))
+        .agg((count(lit(1)) + lit(metaRows)).as("remaining_count"))
+  }
 }

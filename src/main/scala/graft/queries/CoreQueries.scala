@@ -1159,6 +1159,29 @@ object CoreQueries {
     // for every downstream join reusing it). PlanAuditSpec gates the
     // exchange-free shape; the oracle checks the values match a plain
     // join.
+    // S9 at scale — metadata-exact remaining count: orders re-laid-out
+    // sorted by the cursor (range-partitioned => disjoint row-group
+    // stats), then fully-contained row groups counted from parquet
+    // footers alone and only cursor-straddling groups scanned. Same
+    // answer as q02's scan — layout changes the I/O, not the count.
+    "q103_fast_count" -> ((s, dir) => {
+      val sorted = s"target/keyset_sorted/${new java.io.File(dir).getName}"
+      // INT96 timestamps have no footer min/max the reader supports —
+      // pin the modern physical type for the re-laid-out copy
+      val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite").parquet(sorted)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      Keyset.fastRemainingCount(s, sorted, Seq("o_orderdate", "o_orderkey"),
+        Seq(java.time.LocalDateTime.parse("1995-06-01T00:00:00"), 3000L))
+    }),
+
     "q101_bucketed_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
@@ -1455,6 +1478,10 @@ object CoreQueries {
           |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
 
       "q02_filtered_count" ->
+        """SELECT count(*) AS remaining_count FROM orders
+          |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 3000)""".stripMargin,
+
+      "q103_fast_count" ->
         """SELECT count(*) AS remaining_count FROM orders
           |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 3000)""".stripMargin,
 

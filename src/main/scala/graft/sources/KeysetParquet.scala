@@ -71,10 +71,12 @@ final class KeysetParquetTable(path: String, schema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeysetScanBuilder(path, schema)
+    new KeysetScanBuilder(path, schema,
+      Option(options.get("blocks")).map(KeysetParquet.decodeBlocks))
 }
 
-final class KeysetScanBuilder(path: String, schema: StructType)
+final class KeysetScanBuilder(path: String, schema: StructType,
+    blocks: Option[Seq[KeysetRowGroupPartition]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -92,28 +94,39 @@ final class KeysetScanBuilder(path: String, schema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KeysetScan(path, required, pushed)
+  override def build(): Scan = new KeysetScan(path, required, pushed, blocks)
 }
 
 final class KeysetScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    blocks: Option[Seq[KeysetRowGroupPartition]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-keyset $path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      blocks.fold("")(b => s", Blocks: ${b.size}")
 
+  /** With an explicit `blocks` option the scan reads EXACTLY those row
+    * groups (the boundary-scan half of `Keyset.fastRemainingCount` —
+    * row groups whose stats straddle the cursor); otherwise list + prune
+    * by footer stats as usual.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    KeysetParquet.listFiles(path).flatMap { file =>
-      val (msgType, blocks) = KeysetParquet.footerBlocks(file)
-      val sparkFull = KeysetParquet.sparkSchema(msgType)
-      blocks.collect {
-        case (start, len, stats)
-            if pushed.forall(f =>
-              KeysetParquet.couldMatch(f, stats, sparkFull)) =>
-          KeysetRowGroupPartition(file, start, len): InputPartition
-      }
-    }.toArray
+    blocks match {
+      case Some(bs) => bs.map(b => b: InputPartition).toArray
+      case None =>
+        KeysetParquet.listFiles(path).flatMap { file =>
+          val (msgType, blocks) = KeysetParquet.footerBlocks(file)
+          val sparkFull = KeysetParquet.sparkSchema(msgType)
+          blocks.collect {
+            case (start, len, stats)
+                if pushed.forall(f =>
+                  KeysetParquet.couldMatch(f, stats, sparkFull)) =>
+              KeysetRowGroupPartition(file, start, len): InputPartition
+          }
+        }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KeysetReaderFactory(required.fieldNames)
@@ -186,15 +199,22 @@ object KeysetParquet {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
-  /** Footer blocks: (startingPos, compressedSize, normalized (min,max)). */
-  def footerBlocks(file: String): (MessageType, Seq[(Long, Long, Map[String, (Any, Any)])]) = {
+  /** One row group's footer metadata: byte range, normalized (min,max)
+    * stats, per-column null counts (−1 when the writer didn't record
+    * one), and the exact row count.
+    */
+  final case class BlockMeta(start: Long, len: Long,
+      stats: Map[String, (Any, Any)], nulls: Map[String, Long], rows: Long)
+
+  def footerBlockMeta(file: String): (MessageType, Seq[BlockMeta]) = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
       val msgType = r.getFooter.getFileMetaData.getSchema
       import scala.jdk.CollectionConverters._
       val blocks = r.getFooter.getBlocks.asScala.toSeq.map { b =>
-        val stats = b.getColumns.asScala.flatMap { c =>
+        val cols = b.getColumns.asScala
+        val stats = cols.flatMap { c =>
           val s = c.getStatistics
           val name = c.getPath.toDotString
           if (s == null || !s.hasNonNullValue) None
@@ -207,11 +227,35 @@ object KeysetParquet {
             } yield name -> (lo, hi)
           }
         }.toMap
-        (b.getStartingPos, b.getCompressedSize, stats)
+        val nulls = cols.map { c =>
+          val s = c.getStatistics
+          c.getPath.toDotString ->
+            (if (s == null || !s.isNumNullsSet) -1L else s.getNumNulls)
+        }.toMap
+        BlockMeta(b.getStartingPos, b.getCompressedSize, stats, nulls,
+          b.getRowCount)
       }
       (msgType, blocks)
     } finally r.close()
   }
+
+  /** Footer blocks: (startingPos, compressedSize, normalized (min,max)). */
+  def footerBlocks(file: String): (MessageType, Seq[(Long, Long, Map[String, (Any, Any)])]) = {
+    val (msgType, metas) = footerBlockMeta(file)
+    (msgType, metas.map(m => (m.start, m.len, m.stats)))
+  }
+
+  /** Wire form of a row-group list for the `blocks` read option. */
+  def encodeBlocks(bs: Seq[KeysetRowGroupPartition]): String =
+    bs.map(b => s"${b.file}\u0001${b.blockStart}\u0001${b.blockLen}")
+      .mkString("\u0002")
+
+  def decodeBlocks(s: String): Seq[KeysetRowGroupPartition] =
+    if (s.isEmpty) Seq.empty
+    else s.split('\u0002').toSeq.map { part =>
+      val Array(f, st, ln) = part.split('\u0001')
+      KeysetRowGroupPartition(f, st.toLong, ln.toLong)
+    }
 
   /** parquet MessageType → the Spark schema `spark.read.parquet` infers
     * for the same file (so swapping sources never changes results).
@@ -309,6 +353,38 @@ object KeysetParquet {
         cmp(lo, norm(v)).forall(_ <= 0) && cmp(hi, norm(v)).forall(_ >= 0)
       }
     case _ => true
+  }
+
+  /** Conservative every-row test: true ONLY when `f` provably holds for
+    * EVERY row of the group given (min, max) and a recorded zero null
+    * count (a null never satisfies a comparison, so unknown or nonzero
+    * nulls disqualify); anything uncertain returns false. The dual of
+    * [[couldMatch]] — together they classify a row group as fully-in /
+    * fully-out / boundary, which is what lets
+    * `Keyset.fastRemainingCount` count fully-in groups from footer
+    * metadata alone.
+    */
+  def mustMatch(f: Filter, stats: Map[String, (Any, Any)],
+      nulls: Map[String, Long]): Boolean = {
+    def noNulls(a: String): Boolean = nulls.get(a).contains(0L)
+    f match {
+      case And(l, r) => mustMatch(l, stats, nulls) && mustMatch(r, stats, nulls)
+      case Or(l, r)  => mustMatch(l, stats, nulls) || mustMatch(r, stats, nulls)
+      case GreaterThan(a, v) => noNulls(a) &&
+        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v)).exists(_ > 0) }
+      case GreaterThanOrEqual(a, v) => noNulls(a) &&
+        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v)).exists(_ >= 0) }
+      case LessThan(a, v) => noNulls(a) &&
+        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v)).exists(_ < 0) }
+      case LessThanOrEqual(a, v) => noNulls(a) &&
+        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v)).exists(_ <= 0) }
+      case EqualTo(a, v) => noNulls(a) &&
+        bound(a, stats).exists { case (lo, hi) =>
+          cmp(lo, norm(v)).exists(_ == 0) && cmp(hi, norm(v)).exists(_ == 0)
+        }
+      case IsNotNull(a) => noNulls(a)
+      case _ => false
+    }
   }
 
   private def bound(col: String, stats: Map[String, (Any, Any)]) =

@@ -120,4 +120,52 @@ class KeysetSourceSpec extends SparkSpec {
     assert(scans.head.inputPartitions.size < blocks.size,
       s"expected pruning: ${scans.head.inputPartitions.size} of ${blocks.size}")
   }
+
+  test("fastRemainingCount: metadata-exact on sorted layout, graceful on unsorted, null cursor rows excluded") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("o_orderdate", "o_orderkey")
+    val after = Seq(java.time.LocalDateTime.parse("1996-01-01T00:00:00"), 0L)
+    val expect = Keyset.remainingCount(spark.read.parquet(ordersPath),
+      cols, after).head().getLong(0)
+
+    // SORTED layout, small row groups: most groups are provably past the
+    // cursor and counted from footers alone; only straddlers scan
+    val sorted = java.nio.file.Files.createTempDirectory("graft_fc_sorted").toString
+    spark.read.parquet(ordersPath).orderBy("o_orderdate", "o_orderkey")
+      .coalesce(1).write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(sorted)
+    val (metaRows, boundary, total) =
+      Keyset.classifyBlocks(spark, sorted, cols, after)
+    assume(total > 3, s"need several row groups, got $total")
+    assert(boundary.size < total,
+      s"metadata path never engaged: ${boundary.size} boundary of $total")
+    assert(metaRows > 0, "no fully-contained group was metadata-counted")
+    assert(Keyset.fastRemainingCount(spark, sorted, cols, after)
+      .head().getLong(0) == expect)
+
+    // UNSORTED layout (hash-shuffled): groups straddle, boundary scan
+    // dominates — still exact
+    val unsorted = java.nio.file.Files.createTempDirectory("graft_fc_unsorted").toString
+    spark.read.parquet(ordersPath).repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(unsorted)
+    assert(Keyset.fastRemainingCount(spark, unsorted, cols, after)
+      .head().getLong(0) == expect)
+
+    // null cursor values never satisfy the tuple predicate: rows with a
+    // null o_orderdate must not be metadata-counted or scanned into the
+    // total (stats min/max can still look fully-past-the-cursor)
+    val withNulls = java.nio.file.Files.createTempDirectory("graft_fc_nulls").toString
+    val base = spark.read.parquet(ordersPath)
+    base.withColumn("o_orderdate",
+        when(col("o_orderkey") % 100 === 0, lit(null)
+          .cast(base.schema("o_orderdate").dataType))
+        .otherwise(col("o_orderdate")))
+      .orderBy("o_orderdate", "o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(withNulls)
+    val expectNulls = Keyset.remainingCount(
+      spark.read.parquet(withNulls), cols, after).head().getLong(0)
+    assert(Keyset.fastRemainingCount(spark, withNulls, cols, after)
+      .head().getLong(0) == expectNulls)
+  }
 }
