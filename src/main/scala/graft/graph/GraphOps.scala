@@ -46,8 +46,12 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int, k: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // adj is consumed once per iteration (and deg twice overall): pin it,
+    // or the upstream edge derivation (for co-occurrence graphs, a
+    // per-group self-join) re-evaluates iters+1 times
     val adj = edges.select(col("a").as("s"), col("b").as("d"))
       .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint()
     val deg = adj.groupBy(col("s"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
     var r = deg.select(col("s"), lit(1000000L).as("r"))
@@ -74,18 +78,24 @@ object GraphOps {
     * out d² candidates (its edges point INTO it).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("a").as("s"), col("b").as("d"))
-      .unionAll(edges.select(col("b").as("s"), col("a").as("d")))
+    // edges feeds THREE branches (deg, withDeg, the closure probe) and a
+    // co-occurrence edge list is a per-group self-join — pin it once
+    val e = edges.localCheckpoint()
+    val adj = e.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("d")))
     val deg = adj.groupBy(col("s"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
-    val withDeg = edges
+    val withDeg = e
       .join(deg.select(col("s").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("s").as("b"), col("deg").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // oriented feeds both wedge sides and the closure side: pin it too
+    // (it is one narrow row per edge)
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"))
+      .localCheckpoint()
     val e1 = oriented.select(col("s"), col("d").as("v"))
     val e2 = oriented.select(col("s"), col("d").as("w"))
     val wedges = e1.join(e2, Seq("s")).filter(col("v") < col("w"))
