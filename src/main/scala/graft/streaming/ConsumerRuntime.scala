@@ -72,8 +72,24 @@ object ConsumerRuntime {
   final class Handle private[ConsumerRuntime] (
       val query: StreamingQuery,
       val ledger: DeliveryLedger,
-      val backfill: Option[BackfillRunner] = None) {
-    def stop(): Unit = { query.stop(); ledger.stop() }
+      val backfill: Option[BackfillRunner] = None,
+      auditHook: Option[Long => Int] = None,
+      auditTimer: Option[java.util.Timer] = None) {
+
+    /** The reference's message-consistency check
+      * (message_consistency_check_worker.ex:25-43): count undelivered
+      * cursors older than `olderThanMs`, surface them (metrics + health
+      * warn), then trim the audit ledger. Returns the stale count. Runs
+      * periodically from [[start]]'s timer; callable directly for
+      * on-demand audits.
+      */
+    def consistencyCheck(olderThanMs: Long): Int =
+      auditHook.fold(0)(_(olderThanMs))
+
+    def stop(): Unit = {
+      auditTimer.foreach(_.cancel())
+      query.stop(); ledger.stop()
+    }
   }
 
   /** A declared initial-sync backfill for the consumer
@@ -412,6 +428,29 @@ object ConsumerRuntime {
         onFinished = () => backfillSeen.synchronized { backfillSeen.clear(); () })
     }
     backfillRunner = runner
-    new Handle(query, ledger, runner)
+    // the reference's MessageConsistencyCheckWorker (Oban cron): count
+    // undelivered cursors older than the staleness window, warn through
+    // metrics + health, trim the audit ledger. Staleness threshold = the
+    // reference's 2 minutes; cadence 60 s.
+    val audit: Long => Int = { olderThanMs =>
+      val stale = ledger.staleUndelivered(olderThanMs)
+      if (stale.nonEmpty) {
+        metrics.inc("graft_undelivered_cursors_stale_total",
+          Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
+          by = stale.size.toLong,
+          help = "Undelivered cursors found stale by the consistency check")
+        health.putEvent("sink_consumer", consumerId,
+          "messages_pending_delivery", "warning")
+        ledger.trimStaleUndelivered(olderThanMs)
+      }
+      stale.size
+    }
+    val timer = new java.util.Timer(s"graft-consistency-$consumerId", true)
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit =
+        try { audit(nowMs() - 2 * 60 * 1000L); () }
+        catch { case _: Exception => () }
+    }, 60000L, 60000L)
+    new Handle(query, ledger, runner, Some(audit), Some(timer))
   }
 }

@@ -84,6 +84,13 @@ final class DeliveryLedger(
   // admitted-but-unresolved idempotency keys: the max_ack_pending
   // quantity (driver-path bound), same accounting as SequinStreamPull
   private val unresolved = scala.collection.mutable.Set.empty[String]
+  // the at-least-once AUDIT ledger (reference message_ledgers.ex:
+  // undelivered_cursors sorted set, scored by ingest time): cursors
+  // enter on admission and leave on resolution (ack or DLQ); anything
+  // still here past a staleness threshold may indicate a missed
+  // delivery. Bounded by max_ack_pending, same as `unresolved`.
+  private val undeliveredCursors =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
   /** Events discarded by `discard_on_full` (spec/metrics hook). */
   private[graft] var droppedCount: Long = 0L
@@ -126,7 +133,11 @@ final class DeliveryLedger(
     val cursor = (e.commit_lsn, e.commit_idx)
     val seen = g.pending.contains(cursor) ||
       g.inflight.contains(e.idempotency_key)
-    if (g.afterAcked(e) && !seen) g.pending.put(cursor, (e, baseCount))
+    if (g.afterAcked(e) && !seen) {
+      g.pending.put(cursor, (e, baseCount))
+      if (!undeliveredCursors.contains(e.idempotency_key))
+        undeliveredCursors.put(e.idempotency_key, nowMs())
+    }
   }
 
   /** Hand out every currently-deliverable message: expired visibility
@@ -152,6 +163,7 @@ final class DeliveryLedger(
               g.advanceAcked(inf.event.commit_lsn, inf.event.commit_idx)
               unresolved -= id
               groupOfAck -= id
+              undeliveredCursors -= id
             } else {
               inf.deliverCount += 1
               inf.notVisibleUntil = now + ackWaitMs
@@ -173,6 +185,7 @@ final class DeliveryLedger(
             g.advanceAcked(e.commit_lsn, e.commit_idx)
             unresolved -= e.idempotency_key
             groupOfAck -= e.idempotency_key
+            undeliveredCursors -= e.idempotency_key
           } else {
             val n = base + 1
             g.inflight.put(e.idempotency_key, Inflight(e, n, now + ackWaitMs))
@@ -197,6 +210,7 @@ final class DeliveryLedger(
           g.advanceAcked(inf.event.commit_lsn, inf.event.commit_idx)
           unresolved -= id
           groupOfAck -= id
+          undeliveredCursors -= id
         }
       }
     }
@@ -215,6 +229,32 @@ final class DeliveryLedger(
 
   /** Dead-lettered messages observed so far. */
   def deadLetters(): Seq[Delivery] = this.synchronized(dlq.toList)
+
+  /** Undelivered-cursor audit (reference
+    * message_consistency_check_worker.ex:25-43 over
+    * message_ledgers.ex `count_undelivered_wal_cursors`): idempotency
+    * keys admitted before `olderThanMs` and still unresolved — each may
+    * indicate a missed delivery (a transport that never acked, a wave
+    * that never drained).
+    */
+  def staleUndelivered(olderThanMs: Long): Seq[String] =
+    this.synchronized {
+      undeliveredCursors.iterator
+        .collect { case (id, at) if at < olderThanMs => id }.toList
+    }
+
+  /** Trim stale audit entries (the reference's
+    * `trim_stale_undelivered_wal_cursors`): reclaims ONLY the audit
+    * ledger — pending/in-flight delivery state is untouched, so a
+    * trimmed message still delivers; it just stops re-alarming.
+    * Returns the number trimmed.
+    */
+  def trimStaleUndelivered(olderThanMs: Long): Int = this.synchronized {
+    val stale = undeliveredCursors.iterator
+      .collect { case (id, at) if at < olderThanMs => id }.toList
+    stale.foreach(undeliveredCursors -= _)
+    stale.size
+  }
 
   def stop(): Unit = ()
 }

@@ -140,4 +140,36 @@ class DeliveryLedgerSpec extends AnyFunSuite {
     l.ingest(Seq(ev(24, "3"), ev(8, "1"), ev(16, "2")))
     assert(l.drainDeliverable().map(_.event.commit_lsn) == Seq(8L, 16L, 24L))
   }
+
+  test("undelivered-cursor audit: acked and dead-lettered entries resolve out; " +
+    "stale survivors are reported and trim touches only the audit ledger") {
+    var now = 0L
+    val l = ledger(() => now, ackWaitMs = 10L, maxRetry = 1)
+    // t=0: three messages in three groups
+    l.ingest(Seq(ev(8, "1"), ev(16, "2"), ev(24, "3")))
+    val w = l.drainDeliverable()
+    assert(w.size == 3)
+    // group 1 acks; group 2 exhausts its budget and dead-letters
+    l.ack(Seq("1:8"))
+    now = 20L // past visibility; group 2 and 3 deliverCount=1 == maxRetry
+    l.drainDeliverable() // expiry pass dead-letters 2:16 and 3:24
+    assert(l.deadLetters().map(_.ack_id).toSet == Set("2:16", "3:24"))
+    // everything resolved -> nothing stale no matter the threshold
+    assert(l.staleUndelivered(Long.MaxValue).isEmpty)
+
+    // t=100: one admitted-but-never-resolved message goes stale; a
+    // fresh one does not
+    now = 100L
+    l.ingest(Seq(ev(32, "4")))
+    now = 250L
+    l.ingest(Seq(ev(40, "5")))
+    val stale = l.staleUndelivered(now - 100L) // older than t=150
+    assert(stale == Seq("4:32"), s"stale: $stale")
+    // trim reclaims the audit entry ONLY — the message still delivers
+    assert(l.trimStaleUndelivered(now - 100L) == 1)
+    assert(l.staleUndelivered(Long.MaxValue) == Seq("5:40"))
+    val after = l.drainDeliverable().map(_.ack_id)
+    assert(after.contains("4:32"),
+      s"trim must not cancel delivery state: $after")
+  }
 }
