@@ -437,6 +437,9 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
         if (ex.getRequestMethod != "GET")
           respond(ex, 405, err("method not allowed"))
         else {
+          // VM gauges refresh per scrape (SystemMetricsServer cadence
+          // analog — pull, not a timer)
+          metrics.snapshotSystemMetrics()
           val body = metrics.exposition().getBytes(UTF_8)
           ex.getResponseHeaders.set("content-type",
             "text/plain; version=0.0.4; charset=utf-8")

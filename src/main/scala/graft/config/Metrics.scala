@@ -125,6 +125,40 @@ object Metrics {
         Seq("replication_slot_id" -> slotId, "slot_name" -> slotName), n,
         "Total number of messages ingested.")
 
+    /** VM-level gauges (the reference's SystemMetricsServer /
+      * ProcessMetrics: run queue, CPU load, scheduler utilization logged
+      * every 30 s) — the JVM analogs snapshot on demand so every scrape
+      * carries fresh values: heap used/max, cumulative GC count/time,
+      * live threads, OS load average, available processors.
+      */
+    def snapshotSystemMetrics(): Unit = {
+      import java.lang.management.ManagementFactory
+      val mem = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      set("graft_jvm_heap_used_bytes", Seq.empty, mem.getUsed.toDouble,
+        "JVM heap in use.")
+      set("graft_jvm_heap_max_bytes", Seq.empty, mem.getMax.toDouble,
+        "JVM heap ceiling.")
+      var gcCount = 0L; var gcMs = 0L
+      ManagementFactory.getGarbageCollectorMXBeans.forEach { gc =>
+        if (gc.getCollectionCount >= 0) gcCount += gc.getCollectionCount
+        if (gc.getCollectionTime >= 0) gcMs += gc.getCollectionTime
+      }
+      set("graft_jvm_gc_collections", Seq.empty, gcCount.toDouble,
+        "Cumulative GC collections.")
+      set("graft_jvm_gc_time_ms", Seq.empty, gcMs.toDouble,
+        "Cumulative GC time in milliseconds.")
+      set("graft_jvm_threads", Seq.empty,
+        ManagementFactory.getThreadMXBean.getThreadCount.toDouble,
+        "Live JVM threads.")
+      val os = ManagementFactory.getOperatingSystemMXBean
+      val load = os.getSystemLoadAverage
+      if (load >= 0)
+        set("graft_os_load_average", Seq.empty, load,
+          "1-minute OS load average (the run-queue signal).")
+      set("graft_os_processors", Seq.empty,
+        os.getAvailableProcessors.toDouble, "Available processors.")
+    }
+
     // ---- exposition ----------------------------------------------------
 
     private def esc(s: String): String =

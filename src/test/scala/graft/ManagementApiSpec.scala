@@ -575,7 +575,14 @@ class ManagementApiSpec extends AnyFunSuite {
       }
       val (s0, b0, ct) = scrape()
       assert(s0 == 200 && ct.startsWith("text/plain; version=0.0.4"))
-      assert(b0.isEmpty) // nothing recorded yet
+      // no consumer series yet — but VM gauges (SystemMetricsServer
+      // analog) refresh on every scrape and are always present
+      assert(!b0.contains("sequin_"), b0.take(200))
+      val heap = b0.linesIterator
+        .find(_.startsWith("graft_jvm_heap_used_bytes"))
+        .getOrElse("<missing>").split(' ').last.toDouble
+      assert(heap > 0, s"heap gauge: $heap")
+      assert(b0.contains("graft_jvm_threads"), "thread gauge missing")
       // a delivery batch: 3 attempts, 2 ok, 1 failed, 4096 bytes
       import graft.sinks.SinkDispatch.Outcome
       api.metrics.recordOutcomes("c1", "orders",
