@@ -161,6 +161,65 @@ object Dedup {
       .select("base_id", "new_id", "jaccard")
   }
 
+  /** Asymmetric near-dup: shingle CONTAINMENT `|A∩B| / |A|` — finds a
+    * document CONTAINED in another (a quote, a boilerplate-wrapped copy,
+    * an article embedded in an aggregator page) that symmetric Jaccard
+    * misses entirely: A ⊂ B with |B| = 4|A| has containment 1.0 but
+    * Jaccard 0.25, far under any near-dup threshold (and under the
+    * minhash-LSH collision floor). Emits one row per detected direction
+    * `(id_a contained-in id_b)` with exact integer-micro containment and
+    * Jaccard side by side.
+    *
+    * Candidates: each document probes its `prefix` RAREST shingles
+    * (ascending corpus df, shingle text as tie-break — a total order)
+    * against the full inverted index. COMPLETE for full containment
+    * (every prefix shingle of A is in B when A ⊆ B); for thresholds < 1
+    * a containing pair is missed only if ALL `prefix` rarest shingles of
+    * A fall in the uncovered fraction — vanishing for real copies. The
+    * DuckDB oracle replicates the same candidate rule, so the compare is
+    * exact (the td05/td15 discipline: determinism, not sampling).
+    *
+    * Scale shape: df aggregate + one per-doc rank window (doc id
+    * partitions — full cardinality), then a (shingle) equi-join whose
+    * fan-out is prefix-side occurrences × df; the prefix picks the
+    * RAREST shingles, so hub tokens effectively never appear on the
+    * probing side. Verification touches candidate pairs only, via the
+    * sorted-merge intersect kernel.
+    */
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, prefix: Int = 8,
+      thresholdMicro: Long = 800000L): DataFrame = {
+    require(prefix >= 1 && prefix <= 64, s"prefix out of range: $prefix")
+    val sets = df.select(col(idCol),
+        graft.functions.VectorExpressions
+          .distinct_shingles(col(textCol), shingleN, sorted = true)
+          .as("toks"))
+      .localCheckpoint()
+    val tok = sets.select(col(idCol), explode(col("toks")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).cast("bigint").as("df"))
+    val ranked = tok.join(freq, Seq("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("t").asc)))
+    val pref = ranked.filter(col("rn") <= prefix)
+      .select(col(idCol).as("id_a"), col("t"))
+    val cands = pref
+      .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
+      .withColumn("sza", size(col("toks_a")).cast("bigint"))
+      .withColumn("szb", size(col("toks_b")).cast("bigint"))
+      .withColumn("cont_a_micro", expr("(inter * 1000000) div greatest(sza, 1)"))
+      .withColumn("jaccard_micro",
+        expr("(inter * 1000000) div greatest(sza + szb - inter, 1)"))
+      .filter(col("cont_a_micro") >= thresholdMicro)
+      .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every k-gram, slide a window of `w`
     * consecutive hashes, keep each window's MINIMUM — the selected

@@ -1224,7 +1224,15 @@ object TrainingQueries {
             .withColumn("hr", hour(col("ts")).cast("bigint"))
             .withColumn("vb", floor(col("value") / 10).cast("bigint")),
           Seq("event_type", "hr", "vb"), "user_id", k = 5, l = 3)
-        .orderBy("event_type", "hr", "vb")))
+        .orderBy("event_type", "hr", "vb")),
+
+    // Asymmetric containment near-dups (quote / boilerplate-wrapped copy
+    // detection): rarest-prefix probes vs the full inverted index, exact
+    // integer-micro containment + Jaccard side by side
+    "td104_containment" -> ((s, dir) =>
+      Dedup.containmentNearDups(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, prefix = 8, thresholdMicro = 800000L)
+        .orderBy("id_a", "id_b")))
 
   /** td60's fixed query-term bag (mid-frequency corpus tokens). */
   private val Bm25Terms = Seq("hash", "join", "vector", "stream")
@@ -3219,7 +3227,35 @@ object TrainingQueries {
         |  count(DISTINCT user_id) < 3 AS l_violation
         |FROM events GROUP BY 1, 2, 3
         |HAVING count(*) < 5 OR count(DISTINCT user_id) < 3
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "td104_containment" ->
+      """WITH sets AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS toks
+        |  FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS t FROM sets),
+        |freq AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM tok GROUP BY t),
+        |ranked AS MATERIALIZED (SELECT doc_id, t,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, t ASC)
+        |      AS rn
+        |  FROM tok JOIN freq USING (t)),
+        |pref AS MATERIALIZED (SELECT doc_id AS id_a, t FROM ranked
+        |  WHERE rn <= 8),
+        |cands AS MATERIALIZED (SELECT DISTINCT id_a, tk.doc_id AS id_b
+        |  FROM pref JOIN tok tk USING (t) WHERE id_a <> tk.doc_id),
+        |pairs AS MATERIALIZED (SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS inter,
+        |    CAST(len(sa.toks) AS BIGINT) AS sza,
+        |    CAST(len(sb.toks) AS BIGINT) AS szb
+        |  FROM cands c JOIN sets sa ON sa.doc_id = c.id_a
+        |    JOIN sets sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b,
+        |  inter * 1000000 // greatest(sza, 1) AS cont_a_micro,
+        |  inter * 1000000 // greatest(sza + szb - inter, 1) AS jaccard_micro
+        |FROM pairs WHERE inter * 1000000 // greatest(sza, 1) >= 800000
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** td98's oracle: the SAME MM rounds unrolled as chained CTEs — built
     * by the same loop count as the Spark side so the two can never

@@ -594,4 +594,38 @@ class DedupSpec extends SparkSpec {
       k = 5, refineIters = 1))
     assert(kpp >= medoid - 1e-9, s"kpp=$kpp medoid=$medoid")
   }
+
+  test("containmentNearDups finds an embedded copy that Jaccard-LSH misses (the asymmetric case)") {
+    import spark.implicits._
+    val inner = (1 to 30).map(i => s"quoted passage word $i body").mkString(" ")
+    val padding = (1 to 110).map(i => s"host article filler $i prose").mkString(" ")
+    val hand = Seq(
+      (1L, inner),                       // the contained document
+      (2L, s"$padding $inner"),          // the container (inner verbatim)
+      (3L, (1 to 40).map(i => s"unrelated text $i here").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentNearDups(hand, "doc_id", "text",
+      shingleN = 3, prefix = 8, thresholdMicro = 800000L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 is FULLY contained in doc 2: containment exactly 1.0 …
+    assert(rows.contains((1L, 2L)), s"missed the embedded copy: $rows")
+    val (cont, jac) = rows((1L, 2L))
+    assert(cont == 1000000L, s"containment should be exactly 1.0: $cont")
+    // … while its Jaccard is far below any symmetric near-dup threshold
+    assert(jac < 500000L, s"planted case should be Jaccard-weak: $jac")
+    // and the symmetric detector indeed misses the pair at its threshold
+    val sym = Dedup.minhashNearDups(hand, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sym.contains((1L, 2L)) && !sym.contains((2L, 1L)),
+      "Jaccard near-dup unexpectedly found the asymmetric pair — spec premise broken")
+    // the unrelated doc pairs with nothing
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // deterministic across runs
+    val again = Dedup.containmentNearDups(hand, "doc_id", "text",
+      shingleN = 3, prefix = 8, thresholdMicro = 800000L)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+  }
 }

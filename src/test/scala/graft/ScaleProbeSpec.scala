@@ -683,6 +683,19 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("containment near-dups grow near-linearly over 10x docs (rarest-prefix probe bounds the pair space)") {
+    val small = synthDocs(SmallN)
+    val big = synthDocs(BigN)
+    try {
+      val r = ratioOf(
+        graft.dedup.Dedup.containmentNearDups(small, "doc_id", "text").count(),
+        graft.dedup.Dedup.containmentNearDups(big, "doc_id", "text").count(),
+        "containment")
+      assert(r < 30,
+        s"containment 10x growth ratio $r — a hub shingle reached the probing prefix")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("KN trigram surprisal grows near-linearly over 10x docs (distinct-ngram model tables + equi-joins)") {
     val small = synthDocs(SmallN)
     val big = synthDocs(BigN)
