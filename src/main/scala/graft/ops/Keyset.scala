@@ -110,17 +110,24 @@ object Keyset {
     import org.apache.spark.sql.sources.{And => FAnd, GreaterThanOrEqual => FGte}
     val filter = FAnd(FGte(cols.head, after.head), tupleFilter(cols, after))
     val files = KeysetParquet.listFiles(path)
+    // the session timezone travels to the tasks: a LocalDateTime cursor
+    // against an instant-domain (isAdjustedToUTC) column is compared the
+    // way the residual Spark filter will cast it — under a non-UTC
+    // session an all-UTC stats interpretation would silently count the
+    // wrong groups as fully-in
+    val zoneStr = spark.sessionState.conf.sessionLocalTimeZone
     val perFile = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .map { file =>
+        val zone = java.time.ZoneId.of(zoneStr)
         val (msgType, metas) = KeysetParquet.footerBlockMeta(file)
         val sparkFull = KeysetParquet.sparkSchema(msgType)
         var metaRows = 0L
         val boundary = Seq.newBuilder[KeysetRowGroupPartition]
         metas.foreach { m =>
-          if (KeysetParquet.mustMatch(filter, m.stats, m.nulls))
+          if (KeysetParquet.mustMatch(filter, m.stats, m.nulls, zone))
             metaRows += m.rows
-          else if (KeysetParquet.couldMatch(filter, m.stats, sparkFull))
+          else if (KeysetParquet.couldMatch(filter, m.stats, sparkFull, zone))
             boundary += KeysetRowGroupPartition(file, m.start, m.len)
         }
         (metaRows, boundary.result(), metas.size.toLong)
@@ -132,9 +139,20 @@ object Keyset {
   def fastRemainingCount(spark: org.apache.spark.sql.SparkSession,
       path: String, cols: Seq[String], after: Seq[Any]): DataFrame = {
     import graft.sources.{KeysetParquet, KeysetParquetProvider}
-    val (metaRows, boundary, _) = classifyBlocks(spark, path, cols, after)
+    val (metaRows, boundary, totalGroups) = classifyBlocks(spark, path, cols, after)
+    // Degraded layout (unsorted: most groups straddle the cursor): the
+    // explicit block list stops paying for itself — it would serialize a
+    // near-complete row-group inventory into one driver-held read-option
+    // string. Fall back to the PLAIN pruned scan (the DSv2 source prunes
+    // by the same stats at plan time), which reads the same groups
+    // without shipping the list.
     if (boundary.isEmpty)
       spark.range(1).select(lit(metaRows).as("remaining_count"))
+    else if (boundary.size * 2 >= totalGroups)
+      remainingCount(
+        spark.read.format(classOf[KeysetParquetProvider].getName)
+          .option("path", path).load(),
+        cols, after)
     else
       spark.read.format(classOf[KeysetParquetProvider].getName)
         .option("path", path)

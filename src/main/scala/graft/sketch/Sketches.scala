@@ -181,45 +181,63 @@ object Sketches {
     * launching a |G|^2 job when someone feeds it user ids.
     */
   def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String, k: Int,
-      maxGroups: Int = 256): DataFrame = {
+      maxGroups: Int = 256, exactAudit: Boolean = true): DataFrame = {
     require(k > 1, s"k must be > 1: $k")
     require(maxGroups >= 2, s"maxGroups must be >= 2: $maxGroups")
-    // COST STRUCTURE (this was the sweep's slowest query two rounds
-    // running): the expensive relation is `dv` — for td66 that is the
-    // full distinct (source, shingle) stream materialized from a
-    // tokenize+shingle explode — and it feeds SIX consumers (the group
-    // guard, the sketch, both sides of the pair algebra via `sk`, both
-    // sides of the exact-Jaccard audit, and the per-group exact counts).
-    // Uncached, Spark re-ran the explode+distinct for each; caching `dv`
-    // makes the input pass happen once, and the quadratic-guard count
-    // runs over the CACHE instead of a fresh scan (the guard fires after
-    // one linear pass instead of before any work — still strictly before
-    // the |G|^2 pair stage it exists to prevent).
+    // COST STRUCTURE (the sweep's slowest query three rounds running;
+    // reshaped in r11): the r10 shape materialized the full distinct
+    // (group, value) stream `dv` into the cache and then ran FOUR serial
+    // actions over it — the group guard, the bottom-k window, a dv⋈dv
+    // self-join for the exact audit (two more full-width shuffles), and
+    // the per-group counts. r11 collapses the corpus work to ONE shuffle
+    // and TWO actions:
     //
-    // LIFECYCLE: everything the corpus pass produces is SKETCH-SIZED by
-    // the maxGroups contract — the bottom-k relation is ≤ |G|×k rows,
-    // the exact pair audit ≤ |G|²/2, the per-group counts ≤ |G| — so the
-    // eager phase collects those locally and UNPERSISTS `dv` before
-    // returning (a persisted relation is otherwise pinned in the
-    // session's CacheManager forever; repeated sweeps would accumulate
-    // executor cache pressure). The returned plan is the |G|²/2 × 2k
-    // pair algebra over the local sketch relations — cheap, leak-free,
-    // and re-runnable without touching the corpus again.
+    //   byV = groupBy(value).agg(sort_array(collect_set(group)))
+    //
+    // gives one row per DISTINCT value with its group-set — the distinct
+    // is free (collect_set dedups, map-side combined), and every
+    // downstream relation derives from byV without touching the corpus
+    // again: the sketch explodes (group, hash) back out of the group-
+    // sets, the per-group exact counts are a hash agg over the same
+    // explode, and the exact pair intersections come from a map-side
+    // higher-order-function explode of each value's (a < b) group pairs
+    // — fanout per value is bounded by the guard's |G|, and the dv⋈dv
+    // self-join (the r10 cost center) disappears entirely.
+    //
+    // ACTIONS: (1) the quadratic guard — still strictly BEFORE both the
+    // |G|²/2 pair stage and the ≤|G|×k-row collect it protects — which
+    // also materializes the byV cache; (2) ONE tagged-union collect of
+    // all three sketch-sized relations (≤ |G|×k + |G|²/2 + |G| rows).
+    // r10 paid the guard plus three serial collects per call.
+    //
+    // LIFECYCLE (kept from r10 — do not regress into the r9 cache leak):
+    // byV is unpersisted before returning; the returned plan is the
+    // |G|²/2 × 2k pair algebra over LOCAL relations — cheap, leak-free,
+    // re-runnable without touching the corpus.
+    //
+    // `exactAudit = false` skips the pair-intersection explode and
+    // returns NULL exact_jaccard_micro (same schema) — at production
+    // scale the audit is a health-check you sample, not a per-call tax.
     val spark = df.sparkSession
     import scala.jdk.CollectionConverters._
-    def local(d: DataFrame): DataFrame =
-      spark.createDataFrame(d.collect().toList.asJava, d.schema)
-    val dv = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
-      .distinct().persist()
-    val (sk, exact, nExact) =
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val gType = df.schema(groupCol).dataType
+    val byV = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .withColumn("h", Hashing.portableHash(col("v")))
+      .persist()
+    val taggedRows =
       try {
-        val nGroups = dv.select(col("g")).distinct()
+        val nGroups = byV.select(explode(col("gs")).as("g")).distinct()
           .limit(maxGroups + 1).count()
         require(nGroups <= maxGroups,
           s"kmvSetOps: >$maxGroups distinct groups in '$groupCol' — the " +
             s"group-pair space is quadratic; pass a low-cardinality label " +
             s"or raise maxGroups deliberately")
-        val hashed = dv.withColumn("h", Hashing.portableHash(col("v")))
+        val exploded = byV.select(explode(col("gs")).as("g"),
+          col("h"), col("v"))
         // bottom-k per group, TWO-PHASE (ties on h broken by value for
         // determinism): groupCol is low-cardinality by contract, so a
         // single row_number window would funnel the whole corpus through
@@ -230,7 +248,7 @@ object Sketches {
         // is over sketch-sized data.
         val wLocal = Window.partitionBy(col("g"), col("p"))
           .orderBy(col("h").asc, col("v").asc)
-        val partial = hashed
+        val partial = exploded
           .withColumn("p", spark_partition_id() % 32)
           .withColumn("rn", row_number().over(wLocal))
           .where(col("rn") <= k)
@@ -240,16 +258,60 @@ object Sketches {
         val skPlan = partial.withColumn("rn", row_number().over(wG))
           .where(col("rn") <= k)
           .select(col("g"), col("h"))
-        // exact audit: distinct-value intersection per pair
-        val exactPlan = dv.withColumnRenamed("g", "ga")
-          .join(dv.withColumnRenamed("g", "gb"), Seq("v"))
-          .where(col("ga") < col("gb"))
-          .groupBy(col("ga"), col("gb"))
-          .agg(count(lit(1)).cast("bigint").as("n_inter"))
-        val nExactPlan = dv.groupBy(col("g"))
-          .agg(count(lit(1)).cast("bigint").as("n_exact"))
-        (local(skPlan), local(exactPlan), local(nExactPlan))
-      } finally { dv.unpersist(blocking = false); () }
+        val nullG = lit(null).cast(gType)
+        val nullN = lit(null).cast("bigint")
+        // tag layout: (tag, g1, g2, h, n) — 0 = sketch row, 1 = exact
+        // pair intersection, 2 = per-group exact count
+        val skTagged = skPlan.select(lit(0).as("tag"), col("g").as("g1"),
+          nullG.as("g2"), col("h"), nullN.as("n"))
+        val audited =
+          if (!exactAudit) skTagged
+          else {
+            // exact audit: each value contributes its (a < b) group
+            // pairs via a map-side HOF explode over the SORTED group-set
+            // (sort_array above makes a < b positional)
+            val pairExpr = flatten(transform(col("gs"), (a, i) =>
+              transform(
+                slice(col("gs"), i + lit(2),
+                  greatest(size(col("gs")) - i - lit(1), lit(0))),
+                b => struct(a.as("ga"), b.as("gb")))))
+            val exactPlan = byV.where(size(col("gs")) >= 2)
+              .select(explode(pairExpr).as("pr"))
+              .groupBy(col("pr.ga").as("ga"), col("pr.gb").as("gb"))
+              .agg(count(lit(1)).cast("bigint").as("n_inter"))
+            val nExactPlan = exploded.groupBy(col("g"))
+              .agg(count(lit(1)).cast("bigint").as("n_exact"))
+            skTagged
+              .unionAll(exactPlan.select(lit(1), col("ga"), col("gb"),
+                nullN, col("n_inter")))
+              .unionAll(nExactPlan.select(lit(2), col("g"), nullG,
+                nullN, col("n_exact")))
+          }
+        audited.collect()
+      } finally { byV.unpersist(blocking = false); () }
+    def localDf(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(rows.toList.asJava, schema)
+    val sk = localDf(
+      taggedRows.toSeq.filter(_.getInt(0) == 0)
+        .map(r => Row(r.get(1), r.getLong(3))),
+      StructType(Seq(StructField("g", gType), StructField("h", LongType))))
+    val exact = localDf(
+      taggedRows.toSeq.filter(_.getInt(0) == 1)
+        .map(r => Row(r.get(1), r.get(2), r.getLong(4))),
+      StructType(Seq(StructField("ga", gType), StructField("gb", gType),
+        StructField("n_inter", LongType))))
+    val nExact =
+      if (exactAudit) localDf(
+        taggedRows.toSeq.filter(_.getInt(0) == 2)
+          .map(r => Row(r.get(1), r.getLong(4))),
+        StructType(Seq(StructField("g", gType),
+          StructField("n_exact", LongType))))
+      else localDf( // audit off: groups from the sketch, NULL counts —
+        // exact_jaccard_micro comes out NULL, schema unchanged
+        taggedRows.toSeq.filter(_.getInt(0) == 0).map(_.get(1)).distinct
+          .map(g => Row(g, null)),
+        StructType(Seq(StructField("g", gType),
+          StructField("n_exact", LongType))))
     val perGroup = sk.groupBy(col("g"))
       .agg(count(lit(1)).cast("int").as("n_sk"), max(col("h")).as("h_max"))
     val pairs = perGroup.select(col("g").as("ga"), col("n_sk").as("n_a"),

@@ -116,13 +116,19 @@ final class KeysetScan(path: String, required: StructType,
     blocks match {
       case Some(bs) => bs.map(b => b: InputPartition).toArray
       case None =>
+        // session zone for mixed-domain timestamp stats (Catalyst folds
+        // casts into pushed literals, so pushed filters are same-domain
+        // in practice — this is belt-and-braces, not load-bearing)
+        val zone = try java.time.ZoneId.of(org.apache.spark.sql.SparkSession
+          .active.sessionState.conf.sessionLocalTimeZone)
+        catch { case _: Throwable => java.time.ZoneOffset.UTC }
         KeysetParquet.listFiles(path).flatMap { file =>
           val (msgType, blocks) = KeysetParquet.footerBlocks(file)
           val sparkFull = KeysetParquet.sparkSchema(msgType)
           blocks.collect {
             case (start, len, stats)
                 if pushed.forall(f =>
-                  KeysetParquet.couldMatch(f, stats, sparkFull)) =>
+                  KeysetParquet.couldMatch(f, stats, sparkFull, zone)) =>
               KeysetRowGroupPartition(file, start, len): InputPartition
           }
         }.toArray
@@ -245,16 +251,31 @@ object KeysetParquet {
     (msgType, metas.map(m => (m.start, m.len, m.stats)))
   }
 
-  /** Wire form of a row-group list for the `blocks` read option. */
-  def encodeBlocks(bs: Seq[KeysetRowGroupPartition]): String =
-    bs.map(b => s"${b.file}\u0001${b.blockStart}\u0001${b.blockLen}")
-      .mkString("\u0002")
+  /** Wire form of a row-group list for the `blocks` read option —
+    * grouped PER FILE (the path appears once, then `start,len` offset
+    * pairs), so the option string is O(files + groups*digits) instead of
+    * O(groups*path-length): on a degraded/unsorted layout where many
+    * groups straddle the cursor, repeating a long object-store path per
+    * group dominated the driver-held string.
+    */
+  def encodeBlocks(bs: Seq[KeysetRowGroupPartition]): String = {
+    val byFile = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    bs.foreach(b => byFile.getOrElseUpdate(b.file,
+      scala.collection.mutable.ArrayBuffer.empty) += ((b.blockStart, b.blockLen)))
+    byFile.map { case (f, offs) =>
+      f + "\u0001" + offs.map { case (s, l) => s"$s,$l" }.mkString("\u0002")
+    }.mkString("\u0003")
+  }
 
   def decodeBlocks(s: String): Seq[KeysetRowGroupPartition] =
     if (s.isEmpty) Seq.empty
-    else s.split('\u0002').toSeq.map { part =>
-      val Array(f, st, ln) = part.split('\u0001')
-      KeysetRowGroupPartition(f, st.toLong, ln.toLong)
+    else s.split('\u0003').toSeq.flatMap { filePart =>
+      val Array(f, offs) = filePart.split('\u0001')
+      offs.split('\u0002').toSeq.map { o =>
+        val Array(st, ln) = o.split(',')
+        KeysetRowGroupPartition(f, st.toLong, ln.toLong)
+      }
     }
 
   /** parquet MessageType → the Spark schema `spark.read.parquet` infers
@@ -337,20 +358,23 @@ object KeysetParquet {
     * row given the column (min, max); anything uncertain returns true.
     */
   def couldMatch(f: Filter, stats: Map[String, (Any, Any)],
-      schema: StructType): Boolean = f match {
-    case And(l, r) => couldMatch(l, stats, schema) && couldMatch(r, stats, schema)
-    case Or(l, r)  => couldMatch(l, stats, schema) || couldMatch(r, stats, schema)
+      schema: StructType,
+      zone: java.time.ZoneId = ZoneOffset.UTC): Boolean = f match {
+    case And(l, r) =>
+      couldMatch(l, stats, schema, zone) && couldMatch(r, stats, schema, zone)
+    case Or(l, r) =>
+      couldMatch(l, stats, schema, zone) || couldMatch(r, stats, schema, zone)
     case GreaterThan(a, v) =>
-      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v)).forall(_ > 0) }
+      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v), zone).forall(_ > 0) }
     case GreaterThanOrEqual(a, v) =>
-      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v)).forall(_ >= 0) }
+      bound(a, stats).forall { case (_, hi) => cmp(hi, norm(v), zone).forall(_ >= 0) }
     case LessThan(a, v) =>
-      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v)).forall(_ < 0) }
+      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v), zone).forall(_ < 0) }
     case LessThanOrEqual(a, v) =>
-      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v)).forall(_ <= 0) }
+      bound(a, stats).forall { case (lo, _) => cmp(lo, norm(v), zone).forall(_ <= 0) }
     case EqualTo(a, v) =>
       bound(a, stats).forall { case (lo, hi) =>
-        cmp(lo, norm(v)).forall(_ <= 0) && cmp(hi, norm(v)).forall(_ >= 0)
+        cmp(lo, norm(v), zone).forall(_ <= 0) && cmp(hi, norm(v), zone).forall(_ >= 0)
       }
     case _ => true
   }
@@ -365,22 +389,25 @@ object KeysetParquet {
     * metadata alone.
     */
   def mustMatch(f: Filter, stats: Map[String, (Any, Any)],
-      nulls: Map[String, Long]): Boolean = {
+      nulls: Map[String, Long],
+      zone: java.time.ZoneId = ZoneOffset.UTC): Boolean = {
     def noNulls(a: String): Boolean = nulls.get(a).contains(0L)
     f match {
-      case And(l, r) => mustMatch(l, stats, nulls) && mustMatch(r, stats, nulls)
-      case Or(l, r)  => mustMatch(l, stats, nulls) || mustMatch(r, stats, nulls)
+      case And(l, r) =>
+        mustMatch(l, stats, nulls, zone) && mustMatch(r, stats, nulls, zone)
+      case Or(l, r) =>
+        mustMatch(l, stats, nulls, zone) || mustMatch(r, stats, nulls, zone)
       case GreaterThan(a, v) => noNulls(a) &&
-        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v)).exists(_ > 0) }
+        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v), zone).exists(_ > 0) }
       case GreaterThanOrEqual(a, v) => noNulls(a) &&
-        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v)).exists(_ >= 0) }
+        bound(a, stats).exists { case (lo, _) => cmp(lo, norm(v), zone).exists(_ >= 0) }
       case LessThan(a, v) => noNulls(a) &&
-        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v)).exists(_ < 0) }
+        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v), zone).exists(_ < 0) }
       case LessThanOrEqual(a, v) => noNulls(a) &&
-        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v)).exists(_ <= 0) }
+        bound(a, stats).exists { case (_, hi) => cmp(hi, norm(v), zone).exists(_ <= 0) }
       case EqualTo(a, v) => noNulls(a) &&
         bound(a, stats).exists { case (lo, hi) =>
-          cmp(lo, norm(v)).exists(_ == 0) && cmp(hi, norm(v)).exists(_ == 0)
+          cmp(lo, norm(v), zone).exists(_ == 0) && cmp(hi, norm(v), zone).exists(_ == 0)
         }
       case IsNotNull(a) => noNulls(a)
       case _ => false
@@ -390,11 +417,26 @@ object KeysetParquet {
   private def bound(col: String, stats: Map[String, (Any, Any)]) =
     stats.get(col)
 
+  /** A timestamp value with its DOMAIN made explicit: `instantDomain`
+    * means micros since the epoch (parquet isAdjustedToUTC=true, or an
+    * Instant/Timestamp literal); otherwise wall-clock micros (parquet
+    * TimestampNTZ, or a LocalDateTime literal). Same-domain comparisons
+    * are zone-free; MIXED comparisons go through the session timezone —
+    * exactly the cast Spark's row-level filter applies — because an
+    * all-UTC assumption silently mis-classifies row groups under a
+    * non-UTC session (a LocalDateTime cursor against an instant column
+    * is the q103 shape).
+    */
+  private[sources] final case class TsMicros(micros: Long,
+      instantDomain: Boolean)
+
   /** Normalize a footer stat value to the comparable domain. */
   private def normalizeStat(v: Any, prim: PrimitiveType): Option[Any] =
     (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
       case (INT64, ts: TimestampLogicalTypeAnnotation) =>
-        Some(BigDecimal(v.asInstanceOf[java.lang.Long].longValue * tsUnitToMicros(ts)))
+        Some(TsMicros(
+          v.asInstanceOf[java.lang.Long].longValue * tsUnitToMicros(ts),
+          ts.isAdjustedToUTC))
       case (INT64, _) | (INT32, _: DateLogicalTypeAnnotation) | (INT32, _) =>
         Some(BigDecimal(v.asInstanceOf[Number].longValue))
       case (DOUBLE, _) | (FLOAT, _) =>
@@ -404,15 +446,21 @@ object KeysetParquet {
       case _ => None // unsupported stat type: never prune on it
     }
 
-  /** Normalize a Spark filter literal to the comparable domain. */
+  /** Normalize a Spark filter literal to the comparable domain. A
+    * LocalDateTime is a WALL-CLOCK value (TimestampNTZ literal) — the
+    * zone-free epoch-second mapping below is the wall domain encoding,
+    * not a UTC interpretation; Instant/Timestamp are instant-domain.
+    */
   private def norm(v: Any): Any = v match {
     case t: java.time.LocalDateTime =>
-      BigDecimal(t.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L +
-        t.getNano / 1000L)
+      TsMicros(t.toEpochSecond(ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L, instantDomain = false)
     case t: java.time.Instant =>
-      BigDecimal(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      TsMicros(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+        instantDomain = true)
     case t: java.sql.Timestamp =>
-      BigDecimal(t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L)
+      TsMicros(t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L,
+        instantDomain = true)
     case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
     case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay)
     case n: java.math.BigDecimal => BigDecimal(n)
@@ -424,10 +472,46 @@ object KeysetParquet {
     case other                  => other
   }
 
-  /** Compare within one domain; None (never prune) across domains. */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String)         => Some(x.compareTo(y))
-    case _                              => None
+  /** DST gaps/overlaps make wall↔instant conversion ambiguous by up to
+    * ~2 h; inside this band around a mixed-domain boundary the
+    * comparison ABSTAINS (cmp = None), which downgrades the group to a
+    * boundary scan — costs one row-group read, never correctness.
+    */
+  private val MixedTsSlackMicros = 4L * 3600L * 1000000L
+
+  private def wallToInstantMicros(wall: Long, zone: java.time.ZoneId): Long = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(wall, 1000000L),
+      Math.floorMod(wall, 1000000L).toInt * 1000, ZoneOffset.UTC)
+    val inst = ldt.atZone(zone).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
+
+  private def instantToWallMicros(inst: Long, zone: java.time.ZoneId): Long = {
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(inst, 1000000L),
+        Math.floorMod(inst, 1000000L) * 1000L), zone)
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
+  /** Compare within one domain; None (never prune) across domains.
+    * Mixed timestamp domains convert the LITERAL side (`b`) into the
+    * stat side's domain via `zone` — the session timezone, matching the
+    * row-level cast — and abstain inside the DST slack band.
+    */
+  private def cmp(a: Any, b: Any, zone: java.time.ZoneId): Option[Int] =
+    (a, b) match {
+      case (x: TsMicros, y: TsMicros) if x.instantDomain == y.instantDomain =>
+        Some(java.lang.Long.compare(x.micros, y.micros))
+      case (x: TsMicros, y: TsMicros) =>
+        val yConv =
+          if (x.instantDomain) wallToInstantMicros(y.micros, zone)
+          else instantToWallMicros(y.micros, zone)
+        val d = x.micros - yConv
+        if (Math.abs(d) <= MixedTsSlackMicros) None
+        else Some(java.lang.Long.signum(d))
+      case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+      case (x: String, y: String)         => Some(x.compareTo(y))
+      case _                              => None
+    }
 }

@@ -57,6 +57,11 @@ final case class ConsumerConfig(
     ackWaitMs: Long = 30000L,
     maxAckPending: Int = 10000,
     maxRetryCount: Int = 3,
+    // consistency-check worker cadence + staleness window (the
+    // reference's MessageConsistencyCheckWorker runs every minute with a
+    // 2-minute window; message_consistency_check_worker.ex:25-43)
+    consistencyCheckIntervalMs: Long = 60000L,
+    consistencyStalenessMs: Long = 2 * 60 * 1000L,
     legacyTransform: String = "none", // none | record_only
     loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
     // user functions as config — the reference persists MiniElixir

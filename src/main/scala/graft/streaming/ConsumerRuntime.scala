@@ -78,13 +78,16 @@ object ConsumerRuntime {
 
     /** The reference's message-consistency check
       * (message_consistency_check_worker.ex:25-43): count undelivered
-      * cursors older than `olderThanMs`, surface them (metrics + health
-      * warn), then trim the audit ledger. Returns the stale count. Runs
-      * periodically from [[start]]'s timer; callable directly for
-      * on-demand audits.
+      * cursors that have been pending longer than `maxAgeMs` (an AGE,
+      * not an epoch cutoff — the cutoff instant is computed here, so an
+      * on-demand `consistencyCheck(120000L)` means "older than two
+      * minutes", matching the timer call site), surface them (metrics +
+      * health warn), then trim the audit ledger. Returns the stale
+      * count. Runs periodically from [[start]]'s timer; callable
+      * directly for on-demand audits.
       */
-    def consistencyCheck(olderThanMs: Long): Int =
-      auditHook.fold(0)(_(olderThanMs))
+    def consistencyCheck(maxAgeMs: Long): Int =
+      auditHook.fold(0)(_(maxAgeMs))
 
     def stop(): Unit = {
       auditTimer.foreach(_.cancel())
@@ -430,10 +433,11 @@ object ConsumerRuntime {
     backfillRunner = runner
     // the reference's MessageConsistencyCheckWorker (Oban cron): count
     // undelivered cursors older than the staleness window, warn through
-    // metrics + health, trim the audit ledger. Staleness threshold = the
-    // reference's 2 minutes; cadence 60 s.
-    val audit: Long => Int = { olderThanMs =>
-      val stale = ledger.staleUndelivered(olderThanMs)
+    // metrics + health, trim the audit ledger. Cadence + window come
+    // from the consumer config (defaults = the reference's 60 s / 2 min).
+    val audit: Long => Int = { maxAgeMs =>
+      val cutoffEpochMs = nowMs() - maxAgeMs
+      val stale = ledger.staleUndelivered(cutoffEpochMs)
       if (stale.nonEmpty) {
         metrics.inc("graft_undelivered_cursors_stale_total",
           Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
@@ -441,16 +445,22 @@ object ConsumerRuntime {
           help = "Undelivered cursors found stale by the consistency check")
         health.putEvent("sink_consumer", consumerId,
           "messages_pending_delivery", "warning")
-        ledger.trimStaleUndelivered(olderThanMs)
+        ledger.trimStaleUndelivered(cutoffEpochMs)
       }
       stale.size
     }
     val timer = new java.util.Timer(s"graft-consistency-$consumerId", true)
     timer.scheduleAtFixedRate(new java.util.TimerTask {
       override def run(): Unit =
-        try { audit(nowMs() - 2 * 60 * 1000L); () }
-        catch { case _: Exception => () }
-    }, 60000L, 60000L)
+        try { audit(cfg.consistencyStalenessMs); () }
+        catch { case e: Exception =>
+          // a persistently failing audit must surface, not vanish (the
+          // reference Logger.warns on findings); swallowing here once hid
+          // every metrics/health bug behind a silent 60 s retry loop
+          System.err.println(
+            s"[graft] consistency check failed for $consumerId: $e")
+        }
+    }, cfg.consistencyCheckIntervalMs, cfg.consistencyCheckIntervalMs)
     new Handle(query, ledger, runner, Some(audit), Some(timer))
   }
 }

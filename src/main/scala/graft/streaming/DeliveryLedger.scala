@@ -233,14 +233,14 @@ final class DeliveryLedger(
   /** Undelivered-cursor audit (reference
     * message_consistency_check_worker.ex:25-43 over
     * message_ledgers.ex `count_undelivered_wal_cursors`): idempotency
-    * keys admitted before `olderThanMs` and still unresolved — each may
+    * keys admitted before the `cutoffEpochMs` instant and still unresolved — each may
     * indicate a missed delivery (a transport that never acked, a wave
     * that never drained).
     */
-  def staleUndelivered(olderThanMs: Long): Seq[String] =
+  def staleUndelivered(cutoffEpochMs: Long): Seq[String] =
     this.synchronized {
       undeliveredCursors.iterator
-        .collect { case (id, at) if at < olderThanMs => id }.toList
+        .collect { case (id, at) if at < cutoffEpochMs => id }.toList
     }
 
   /** Trim stale audit entries (the reference's
@@ -249,9 +249,9 @@ final class DeliveryLedger(
     * trimmed message still delivers; it just stops re-alarming.
     * Returns the number trimmed.
     */
-  def trimStaleUndelivered(olderThanMs: Long): Int = this.synchronized {
+  def trimStaleUndelivered(cutoffEpochMs: Long): Int = this.synchronized {
     val stale = undeliveredCursors.iterator
-      .collect { case (id, at) if at < olderThanMs => id }.toList
+      .collect { case (id, at) if at < cutoffEpochMs => id }.toList
     stale.foreach(undeliveredCursors -= _)
     stale.size
   }

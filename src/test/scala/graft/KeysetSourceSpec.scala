@@ -168,4 +168,47 @@ class KeysetSourceSpec extends SparkSpec {
     assert(Keyset.fastRemainingCount(spark, withNulls, cols, after)
       .head().getLong(0) == expectNulls)
   }
+
+  test("fastRemainingCount: exact under a non-UTC session (mixed-domain cursor)") {
+    // a LocalDateTime cursor against an instant-domain (isAdjustedToUTC)
+    // column: Spark's residual filter casts the literal via the SESSION
+    // timezone, so footer-stat classification must use the same instant —
+    // an all-UTC stats interpretation counts the wrong groups as fully-in
+    val cols = Seq("o_orderdate", "o_orderkey")
+    val after = Seq(java.time.LocalDateTime.parse("1996-01-01T00:00:00"), 0L)
+    val sorted = java.nio.file.Files.createTempDirectory("graft_fc_tz").toString
+    spark.read.parquet(ordersPath).orderBy("o_orderdate", "o_orderkey")
+      .coalesce(1).write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(sorted)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // +05:45 — a non-whole-hour offset catches sub-hour drift too
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+      val expect = Keyset.remainingCount(spark.read.parquet(sorted),
+        cols, after).head().getLong(0)
+      assert(Keyset.fastRemainingCount(spark, sorted, cols, after)
+        .head().getLong(0) == expect)
+      // and the metadata path still engages (the DST slack band only
+      // downgrades groups NEAR the cursor, not the whole layout)
+      val (metaRows, boundary, total) =
+        Keyset.classifyBlocks(spark, sorted, cols, after)
+      assert(total > 3 && boundary.size < total && metaRows > 0,
+        s"metadata path: $metaRows meta rows, ${boundary.size} of $total boundary")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("encodeBlocks/decodeBlocks: per-file grouped wire form roundtrips") {
+    import graft.sources.KeysetRowGroupPartition
+    val bs = Seq(
+      KeysetRowGroupPartition("/data/part-0001.parquet", 4L, 1048576L),
+      KeysetRowGroupPartition("/data/part-0001.parquet", 1048580L, 524288L),
+      KeysetRowGroupPartition("/data/part-0002.parquet", 4L, 65536L))
+    val wire = KeysetParquet.encodeBlocks(bs)
+    assert(KeysetParquet.decodeBlocks(wire) == bs)
+    // each path appears ONCE regardless of its group count — the wire
+    // form is O(files + groups·digits), not O(groups·path-length)
+    assert("part-0001\\.parquet".r.findAllIn(wire).length == 1)
+    assert(KeysetParquet.decodeBlocks(KeysetParquet.encodeBlocks(Seq.empty))
+      == Seq.empty)
+  }
 }

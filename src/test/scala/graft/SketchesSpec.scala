@@ -200,6 +200,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvSetOps: exactAudit=false keeps schema, NULLs the audit columns") {
+    import spark.implicits._
+    val rows = ((1 to 20).map(i => ("a", s"v$i")) ++
+      (11 to 30).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val full = Sketches.kmvSetOps(rows, "g", "v", k = 64)
+    val noAudit = Sketches.kmvSetOps(rows, "g", "v", k = 64,
+      exactAudit = false)
+    assert(noAudit.schema == full.schema)
+    val r = noAudit.collect().head
+    // estimates identical to the audited run; audit column NULL
+    assert(r.getAs[Long]("est_a") == 20L)
+    assert(r.getAs[Long]("est_union") == 30L)
+    assert(r.getAs[Long]("jaccard_micro") ==
+      full.collect().head.getAs[Long]("jaccard_micro"))
+    assert(r.isNullAt(r.fieldIndex("exact_jaccard_micro")))
+  }
+
   test("kmvSetOps: refuses high-cardinality group columns (quadratic guard)") {
     import spark.implicits._
     val manyGroups = (1 to 50).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$i")))
