@@ -388,6 +388,10 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
               case "DELETE" => doDelete(ex, name)
               case _        => respond(ex, 405, err("method not allowed"))
             }
+            case name :: "trace" :: Nil => m match {
+              case "GET" => doTrace(ex, name)
+              case _     => respond(ex, 405, err("method not allowed"))
+            }
             case name :: "backfills" :: Nil => m match {
               case "GET"  => doBackfillIndex(ex, name)
               case "POST" => doBackfillCreate(ex, name)
@@ -628,6 +632,35 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
     }
 
+  /** `GET /api/sinks/:name/trace` — the consumer's recent pipeline
+    * decisions, newest first (the reference's `runtime/trace.ex` live
+    * trace view, ring-buffered instead of PubSub'd; see
+    * [[graft.streaming.Trace]]). `?limit=N` caps the page (default 100).
+    */
+  private def doTrace(ex: HttpExchange, name: String): Unit =
+    registry.get(name) match {
+      case None => respond(ex, 404, err(s"Sink consumer not found: $name"))
+      case Some(_) =>
+        val limit = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("limit=") =>
+              kv.stripPrefix("limit=").toIntOption
+          }.flatten)
+          .getOrElse(100)
+        val out = mapper.createObjectNode()
+        val arr = out.putArray("data")
+        graft.streaming.Trace.recent(name, limit).foreach { e =>
+          val o = arr.addObject()
+          o.put("status", e.status)
+          o.put("message", e.message)
+          val ext = o.putObject("extra")
+          e.extra.toSeq.sortBy(_._1).foreach { case (k, v) => ext.put(k, v) }
+          o.put("published_at", java.time.Instant
+            .ofEpochMilli(e.publishedAtMs).toString)
+        }
+        respond(ex, 200, out.toString)
+    }
+
   /** The reference resolves `http_endpoint` names against the account's
     * declared endpoints at sink create/update time
     * (`sink_consumer_controller.ex:34-44` passes `http_endpoints` into
@@ -673,6 +706,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     registry.remove(name) match {
       case Some(_) =>
         health.removeEntity("sink_consumer", name)
+        graft.streaming.Trace.clear(name)
         respond(ex, 200, """{"success":true}""")
       case None    => respond(ex, 404, err(s"Sink consumer not found: $name"))
     }

@@ -62,6 +62,11 @@ final case class ConsumerConfig(
     // 2-minute window; message_consistency_check_worker.ex:25-43)
     consistencyCheckIntervalMs: Long = 60000L,
     consistencyStalenessMs: Long = 2 * 60 * 1000L,
+    // ceiling on failed deliveries pulled to the driver in one piece: a
+    // dead transport failing a whole micro-batch spills to a parquet
+    // retry spool drained in chunks of this size (the reference spills
+    // failing groups to a table — slot_message_store_state.ex:687-716)
+    maxFailedCollectPerBatch: Int = 50000,
     legacyTransform: String = "none", // none | record_only
     loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
     // user functions as config — the reference persists MiniElixir

@@ -259,6 +259,9 @@ object ConsumerRuntime {
         val bad = outcomes.filterNot(_.ok).map(_.ack_id)
         if (ok.nonEmpty) traced(s"ack ${ok.size}")(ledger.ack(ok))
         if (bad.nonEmpty) traced(s"nack ${bad.size}")(ledger.nack(bad))
+        Trace.info(consumerId, "retry wave",
+          "size" -> wave.size.toString, "acked" -> ok.size.toString,
+          "nacked" -> bad.size.toString)
         health.putEvent("sink_consumer", consumerId,
           "messages_pending_delivery", "success")
         wave = traced("drain")(ledger.drainDeliverable())
@@ -347,7 +350,14 @@ object ConsumerRuntime {
           // sequential per consumer, so cross-batch group order holds
           // because batch N fully resolves (retries included) before
           // batch N+1 dispatches.
-          val pipeline0 = CdcPipeline.build(deduped, cfg, enrichment)
+          // the batch's pre-filter row count rides an Observation ON the
+          // delivery action — the trace gets received/matched/filtered
+          // without a second Spark job
+          val obs = org.apache.spark.sql.Observation()
+          val pipeline0 = CdcPipeline.build(
+            deduped.observe(obs, org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("n_in")),
+            cfg, enrichment)
           val pipeline =
             if (!cfg.messageGrouping) pipeline0 // no ordering contract
             else {
@@ -356,9 +366,17 @@ object ConsumerRuntime {
                 .repartition(coalesce(col("group_id"), col("record_pk")))
                 .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
             }
+          val dlqBefore = ledger.deadLetters().size
           val outcomes = traced("deliver batch")(
             SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
               health, consumerId, cfg.name))
+          val nIn = scala.util.Try(
+            obs.get("n_in").asInstanceOf[Long]).getOrElse(-1L)
+          Trace.info(consumerId, "batch processed",
+            "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
+            "matched" -> outcomes.size.toString,
+            "filtered" ->
+              (if (nIn >= 0) (nIn - outcomes.size).toString else "unknown"))
           health.putEvent("sink_consumer", consumerId, "messages_filtered",
             "success")
           if (outcomes.nonEmpty) {
@@ -375,6 +393,18 @@ object ConsumerRuntime {
           // transforms apply exactly once per delivery and the filter
           // verdict was decided on original values.
           val failedIds = outcomes.filterNot(_.ok).map(_.ack_id).toSet
+          if (outcomes.nonEmpty) {
+            if (failedIds.isEmpty)
+              Trace.info(consumerId, "batch delivered",
+                "delivered" -> outcomes.size.toString)
+            else
+              Trace.error(consumerId, "deliveries failed",
+                "delivered" -> (outcomes.size - failedIds.size).toString,
+                "failed" -> failedIds.size.toString,
+                "reason" -> outcomes.collectFirst {
+                  case o if !o.ok => Option(o.err).getOrElse("unknown")
+                }.getOrElse("unknown"))
+          }
           if (failedIds.nonEmpty) {
             val packed = deduped.withColumn("__orig",
               struct(EventCols.map(col): _*))
@@ -383,16 +413,69 @@ object ConsumerRuntime {
             // whole 100k+ batch)
             val keys = org.apache.spark.sql.functions.broadcast(
               failedIds.toSeq.toDF("idempotency_key"))
-            val failed = CdcPipeline.build(packed, cfg, enrichment)
+            val failedDs = CdcPipeline.build(packed, cfg, enrichment)
               .join(keys, Seq("idempotency_key"), "left_semi")
               .select(EventCols.filterNot(_ == "group_id")
                 .map(c => col(s"__orig.$c").as(c)) :+ col("group_id"): _*)
-              .as[ChangeEvent].collect().toSeq
-              .sortBy(e => (e.commit_lsn, e.commit_idx))
+              .as[ChangeEvent]
             // these already burned one delivery attempt in the batch
             // dispatch — the ledger's retry budget starts there
-            ledgerLoop(failed)
+            if (failedIds.size <= cfg.maxFailedCollectPerBatch)
+              ledgerLoop(failedDs.collect().toSeq
+                .sortBy(e => (e.commit_lsn, e.commit_idx)))
+            else {
+              // DEAD-TRANSPORT SPILL: a whole failed micro-batch (500k
+              // events at bench scale) must not land in driver memory in
+              // one `.collect()`. Spill the failed set to a parquet
+              // retry spool, RANGE-sorted on the delivery order, and
+              // drain it one chunk (= one range file) at a time — each
+              // chunk fully resolves (retry/DLQ) before the next loads,
+              // so per-group FIFO holds across chunks and driver
+              // residency stays <= maxFailedCollectPerBatch events. The
+              // reference spills failing groups to a table the same way
+              // (slot_message_store_state.ex:687-716).
+              val spool = s"target/graft_retry_spool/$consumerId/" +
+                java.util.UUID.randomUUID().toString
+              val nChunks = math.max(1, (failedIds.size.toDouble /
+                cfg.maxFailedCollectPerBatch).ceil.toInt)
+              failedDs.toDF()
+                .repartitionByRange(nChunks, col("commit_lsn"), col("commit_idx"))
+                .sortWithinPartitions("commit_lsn", "commit_idx")
+                .write.mode("overwrite").parquet(spool)
+              metrics.inc("graft_retry_spool_spilled_total",
+                Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
+                by = failedIds.size.toLong,
+                help = "Failed deliveries spilled to the parquet retry spool")
+              Trace.warning(consumerId, "failed batch spilled to retry spool",
+                "spilled" -> failedIds.size.toString,
+                "chunks" -> nChunks.toString)
+              try {
+                // range partition i holds delivery-order range i, and
+                // part-0000i names sort with i — file order IS spool order
+                val files = new java.io.File(spool).listFiles()
+                  .filter(f => f.getName.startsWith("part-") &&
+                    f.getName.endsWith(".parquet"))
+                  .sortBy(_.getName)
+                files.foreach { f =>
+                  val chunk = spark.read.parquet(f.getAbsolutePath)
+                    .as[ChangeEvent].collect().toSeq
+                    .sortBy(e => (e.commit_lsn, e.commit_idx))
+                  if (chunk.nonEmpty) traced(s"spool chunk ${chunk.size}")(
+                    ledgerLoop(chunk))
+                }
+              } finally {
+                def rm(f: java.io.File): Unit = {
+                  Option(f.listFiles()).foreach(_.foreach(rm))
+                  f.delete(); ()
+                }
+                rm(new java.io.File(spool))
+              }
+            }
           }
+          val dlqDelta = ledger.deadLetters().size - dlqBefore
+          if (dlqDelta > 0)
+            Trace.warning(consumerId, "dead-lettered after retry budget",
+              "count" -> dlqDelta.toString)
         }
     }
     val writer0 = events.writeStream.outputMode("append")
@@ -445,6 +528,9 @@ object ConsumerRuntime {
           help = "Undelivered cursors found stale by the consistency check")
         health.putEvent("sink_consumer", consumerId,
           "messages_pending_delivery", "warning")
+        Trace.warning(consumerId, "stale undelivered cursors",
+          "count" -> stale.size.toString,
+          "max_age_ms" -> maxAgeMs.toString)
         ledger.trimStaleUndelivered(cutoffEpochMs)
       }
       stale.size

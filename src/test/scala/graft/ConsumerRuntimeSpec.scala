@@ -339,6 +339,18 @@ class ConsumerRuntimeSpec extends SparkSpec {
           mb)
         val (hs, hb) = get("/api/health/sink_consumer/ops", auth = true)
         assert(hs == 200 && hb.contains("\"status\":\"healthy\""), hb)
+        // the trace ring surfaces the batch's decisions over real HTTP
+        // (the reference's runtime/trace.ex view): received/matched/
+        // filtered counts plus the delivery outcome, newest first
+        val (ts, tb) = get("/api/sinks/ops/trace", auth = true)
+        assert(ts == 200 && tb.contains("\"message\":\"batch processed\"") &&
+          tb.contains("\"matched\":\"2\"") &&
+          tb.contains("\"received\":\"2\"") &&
+          tb.contains("\"message\":\"batch delivered\""), tb)
+        assert(get("/api/sinks/ghost/trace", auth = true)._1 == 404)
+        // ?limit caps the page
+        val (_, tb1) = get("/api/sinks/ops/trace?limit=1", auth = true)
+        assert(tb1.split("\"message\"").length == 2, tb1)
       } finally handle.stop()
     } finally { api.stop(); srv.stop() }
   }
@@ -490,6 +502,52 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { api.stop(); http.stop(0) }
   }
 
+  test("dead transport x 500k-event micro-batch: failures spill to the " +
+      "parquet retry spool and drain in bounded chunks") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = new ServerSocket(0)
+    val dead = tmp.getLocalPort
+    tmp.close()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    // max_retry_count=1: the batch dispatch already burned the single
+    // attempt, so every spooled chunk resolves straight to the DLQ — the
+    // spec exercises the spill/drain shape, not 500k retry waves
+    val cfg = PipelineSpec.parse(
+      """{"name":"spill","ack_wait_ms":1,"max_retry_count":1,
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+      .copy(maxFailedCollectPerBatch = 50000)
+    val n = 500000
+    val input = MemoryStream[ChangeEvent]
+    val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = dead),
+      metrics, health, "c-spill")
+    try {
+      input.addData((1 to n).map(i => ev(i.toLong, (i % 64).toString, 5.0)))
+      handle.query.processAllAvailable()
+      // the spill path engaged (not the one-shot collect) and carried
+      // the WHOLE failed batch through the spool
+      val exp = metrics.exposition()
+      val spilled = exp.linesIterator
+        .find(_.startsWith("graft_retry_spool_spilled_total"))
+        .map(_.split(" ").last.toDouble.toLong)
+      assert(spilled.contains(n.toLong), s"spill metric: $spilled")
+      // every event resolved (DLQ'd) — nothing lost between chunks
+      assert(handle.ledger.deadLetters().size == n)
+      assert(handle.ledger.outstandingEvents == 0)
+      // the spool is transient state: cleaned up after the drain
+      val spoolRoot = new java.io.File("target/graft_retry_spool/c-spill")
+      assert(!spoolRoot.exists() ||
+        spoolRoot.listFiles().forall(_ == null),
+        s"spool not cleaned: ${Option(spoolRoot.listFiles()).map(_.toSeq)}")
+      // the stream survives for the next batch
+      assert(handle.query.isActive)
+    } finally handle.stop()
+  }
+
   test("dead transport: retries exhaust into the DLQ, the stream keeps " +
       "going, health flips to error") {
     implicit val s = spark
@@ -518,6 +576,25 @@ class ConsumerRuntimeSpec extends SparkSpec {
       assert(exp.contains("sequin_message_deliver_failure_count"))
       // the stream is still alive for the next batch
       assert(handle.query.isActive)
+      // the trace ring recorded the failure AND the DLQ outcome with
+      // reasons — the "why is this consumer stuck" view
+      val trace = graft.streaming.Trace.recent("c-doom")
+      assert(trace.exists(e =>
+        e.status == "error" && e.message == "deliveries failed" &&
+          e.extra.get("failed").contains("2")), trace)
+      assert(trace.exists(e =>
+        e.status == "warning" &&
+          e.message == "dead-lettered after retry budget" &&
+          e.extra.get("count").contains("2")), trace)
     } finally handle.stop()
+  }
+
+  test("Trace ring: overwrite-oldest wrap, newest-first reads") {
+    val r = new graft.streaming.Trace.Ring(capacity = 4)
+    (1 to 6).foreach(i => r.publish(graft.streaming.Trace.Event(
+      "info", s"m$i", Map.empty, i.toLong)))
+    assert(r.size == 4)
+    assert(r.recent(10).map(_.message) == Seq("m6", "m5", "m4", "m3"))
+    assert(r.recent(2).map(_.message) == Seq("m6", "m5"))
   }
 }
