@@ -245,9 +245,26 @@ final class WalSpoolMicroBatchStream(path: String, maxSegmentsPerBatch: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WalSpoolOffset].segments
     val e = end.asInstanceOf[WalSpoolOffset].segments
-    WalSpool.listIndexed(path)
+    val listed = WalSpool.listIndexed(path)
       .filter { case (i, _) => i >= s && i < e }
-      .map { case (_, f) => WalSegmentPartition(f): InputPartition }
+    // FAIL LOUDLY on a vanished unread segment (havoc finding: a silent
+    // filter here turned a dropped/over-pruned segment into silent data
+    // loss). Retention may only delete BELOW the committed offset, so
+    // for s > 0 every index in [s, e) must still be present; the first
+    // batch of a fresh query (s == 0) may legitimately start above 0 on
+    // a pre-pruned spool, but the planned run must still be contiguous
+    // and reach e-1.
+    if (e > s) {
+      val idx = listed.map(_._1)
+      val lowestOk = if (s > 0) idx.headOption.contains(s)
+        else idx.nonEmpty
+      val contiguous = idx.zip(idx.drop(1)).forall { case (a, b) => b == a + 1 }
+      require(lowestOk && contiguous && idx.lastOption.contains(e - 1),
+        s"graft-walspool: segments missing inside the planned range " +
+          s"[$s, $e) — found indices ${idx.mkString(",")}; an unread " +
+          s"segment was deleted or pruned past the committed offset")
+    }
+    listed.map { case (_, f) => WalSegmentPartition(f): InputPartition }
       .toArray
   }
 
