@@ -408,6 +408,32 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // Replay-consumer enrichment with ZERO join-attributable shuffle:
+    // the stored table's change window joined to a pk-keyed dimension
+    // saved as a BUCKETED catalog table (bucket count = the session's
+    // shuffle partitions). The changes side reaches the join already
+    // hash-partitioned on record_pk (the dedup window's own shuffle),
+    // the dim side is bucket-read — the repeated replay⋈dim shape pays
+    // the dimension's shuffle once at write time, never per replay.
+    // PlanAuditSpec gates the one-Exchange plan.
+    "q104_replay_join" -> ((s, dir) => {
+      val path = scratchDir("rplj")
+      graft.sinks.EventTableSink.upsert(s, cdc(s, dir), path,
+        numBuckets = 8, epochWidth = epochWidthFor(dir))
+      // pk-keyed dimension (a routing/ownership lookup in production);
+      // the attribute is engine-portable so DuckDB reproduces it exactly
+      val dim = cdc(s, dir).select(col("record_pk")).distinct()
+        .withColumn("tier", (length(col("record_pk")) % 5).cast("int"))
+      graft.ops.Layout.writeBucketed(dim, "graft_bkt_replay_dim",
+        "record_pk", s.sessionState.conf.numShufflePartitions,
+        "target/bucketed/graft_bkt_replay_dim")
+      graft.sinks.EventTableSink.replayJoin(s, path, 4000L, 9000L,
+          epochWidthFor(dir), "graft_bkt_replay_dim", "record_pk")
+        .select(col("record_pk"), col("record_id"), col("tier"),
+          col("net_effect"), col("commit_lsn"), col("commit_idx"))
+        .orderBy("record_id")
+    }),
+
     // Change-retention time travel: record state AS OF a WAL cursor —
     // latest version per pk at or below the cursor, deletes absent. The
     // replay payoff of the event table: any historical snapshot is a
@@ -2532,6 +2558,21 @@ object CoreQueries {
         """SELECT record_pk, record_id, action, commit_lsn, commit_idx
           |FROM cdc WHERE commit_ts >= TIMESTAMP '2024-01-16 00:00:00'
           |ORDER BY record_id""".stripMargin),
+
+      "q104_replay_join" -> (cte +
+        """SELECT w.record_pk, w.record_id, d.tier,
+          |  CASE WHEN w.action = 'delete' THEN 'delete' ELSE 'upsert' END
+          |    AS net_effect,
+          |  w.commit_lsn, w.commit_idx
+          |FROM (SELECT * FROM (SELECT *, row_number() OVER (
+          |        PARTITION BY record_pk
+          |        ORDER BY commit_lsn DESC, commit_idx DESC) AS rn
+          |      FROM cdc WHERE commit_lsn > 4000 AND commit_lsn <= 9000)
+          |      WHERE rn = 1) w
+          |JOIN (SELECT DISTINCT record_pk,
+          |        CAST(length(record_pk) % 5 AS INT) AS tier FROM cdc) d
+          |  ON w.record_pk = d.record_pk
+          |ORDER BY w.record_id""".stripMargin),
 
       "q57_replay" -> (cte +
         """SELECT record_id,

@@ -529,6 +529,35 @@ object EventTableSink {
     changesBetween(t, fromLsn, toLsn)
   }
 
+  /** Replay-consumer enrichment join with ZERO join-attributable
+    * Exchange — q101's co-located-join lever applied to the event table.
+    *
+    * The replay shape `changesBetween ⋈ dimension` repeats every time a
+    * downstream rebuilds, so its shuffle is worth designing away: the
+    * changes side arrives at the join ALREADY hash-partitioned on
+    * `record_pk` (dedupLatest's window shuffles on exactly the join
+    * key), and `dimTable` is a bucketed catalog table
+    * ([[graft.ops.Layout.writeBucketed]]) whose bucket count matches the
+    * session's shuffle partitions — so the SortMergeJoin consumes the
+    * window's partitioning on the left and the bucket layout on the
+    * right, introducing NO new Exchange (the plan's only shuffle is the
+    * dedup window's own, which replay pays regardless). At 100 TB
+    * retained, the dimension's write-time shuffle is paid once for every
+    * replay that reuses it. PlanAuditSpec gates the shape.
+    *
+    * `dimKeyCol` must be the dimension's bucket column; rows keyed by
+    * `record_pk`.
+    */
+  def replayJoin(spark: SparkSession, path: String, fromLsn: Long,
+      toLsn: Long, epochWidth: Long, dimTable: String,
+      dimKeyCol: String): DataFrame = {
+    val changes = changesBetween(spark, path, fromLsn, toLsn, epochWidth)
+    val dim = spark.table(dimTable).hint("merge")
+    if (dimKeyCol == keyCols.head) // using-join keeps the key unambiguous
+      changes.hint("merge").join(dim, Seq(dimKeyCol))
+    else changes.hint("merge").join(dim, col(keyCols.head) === col(dimKeyCol))
+  }
+
   /** Time travel over retained changes: the record state "as of" a WAL
     * cursor — for each `record_pk`, the latest version at or below
     * `(lsn, idx)`, with deleted records absent. This is the replay payoff

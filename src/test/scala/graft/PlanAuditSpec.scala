@@ -350,6 +350,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("q104 replay join: the ONLY Exchange is the dedup window's — the " +
+      "join itself is exchange-free against the bucketed dimension") {
+    q("q104_replay_join") // builds the event table + bucketed dim
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch_rplj").toString
+    val j = graft.sinks.EventTableSink.replayJoin(spark, path, 4000L, 9000L,
+      8192L, "graft_bkt_replay_dim", "record_pk")
+    val plan = formatted(j)
+    assert(plan.contains("SortMergeJoin"), plan)
+    // count physical NODES (each appears once as a "(n) Exchange" detail
+    // header), not string occurrences (tree line + header = 2 per node)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"replay join must add no Exchange beyond the dedup window's " +
+        s"(found $exchanges):\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("AQE skew join: the runtime re-plan splits the skewed partition (skew=true)") {
     import org.apache.spark.sql.functions._
     // the OTHER half of the skew story next to Skew.saltedJoin: salting
