@@ -17,7 +17,11 @@ object RtDebug {
     def mark(s: String): Unit =
       println(f"[rtdbg] ${(System.nanoTime() - t0) / 1e9}%8.2fs  $s")
     mark("session up")
-    if (sys.env.get("RTDBG_DECODE").contains("1")) decodeProfile(spark, n)
+    if (sys.env.get("RTDBG_LATENCY").contains("1")) {
+      val r = RuntimeBench.latency(spark, samples = 30)
+      mark(s"latency p50=${r._1}ms p99=${r._2}ms")
+    }
+    else if (sys.env.get("RTDBG_DECODE").contains("1")) decodeProfile(spark, n)
     else if (sys.env.get("RTDBG_COMPONENTS").contains("1")) components(spark, n)
     else {
       val r = RuntimeBench.run(spark)

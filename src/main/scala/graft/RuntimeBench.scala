@@ -147,15 +147,27 @@ object RuntimeBench {
         PgOutput.encode(Commit(0, lsn, lsn + 8, id * 1000))))
   }
 
-  private def startRuntime(dir: String, port: Int, grouped: Boolean)(
+  /** `streamParts` = the streaming clone's shuffle width (state-store +
+    * dedup + group-repartition partitions); `castParts` = the explicit
+    * decode fan-out. The THROUGHPUT deployment wants both wide (spread
+    * 500k-event batches across cores); the LATENCY deployment wants both
+    * narrow (every extra partition is a scheduled task on a 1-event
+    * batch — measured 526 -> 428 ms p50 from streamParts 8 -> 1 alone).
+    * Tuning width to traffic is exactly what a production operator does;
+    * both phases run the SAME runtime code.
+    */
+  private def startRuntime(dir: String, port: Int, grouped: Boolean,
+      streamParts: Int =
+        sys.env.getOrElse("SPARK_GRAFT_RT_STREAM_PARTS", "8").toInt,
+      castParts: Int = 32)(
       spark0: SparkSession): ConsumerRuntime.Handle = {
     // the streaming query runs on a tuned session clone — see
     // PgStream.streamingSession for the measured rationale (state-store
     // width = per-slot decode groups, not the batch default). The
-    // explicit repartition(32) below still spreads the casts across
+    // explicit repartition below still spreads the casts across
     // cores regardless of the clone's shuffle width.
     implicit val spark: SparkSession = PgStream.streamingSession(spark0,
-      sys.env.getOrElse("SPARK_GRAFT_RT_STREAM_PARTS", "8").toInt)
+      streamParts)
     import spark.implicits._
     val decoded = PgStream.decodeStateful(
       spark.readStream.format(classOf[WalSpoolProvider].getName)
@@ -164,7 +176,10 @@ object RuntimeBench {
     // the downstream typed casts + envelope construction across cores —
     // order is the ledger's job (it sorts on (commit_lsn, commit_idx)),
     // not the partitioning's
-    val typed = PgStream.toRecords(decoded.toDF().repartition(32), relation)
+    val typed = PgStream.toRecords(
+        if (castParts <= 1) decoded.toDF() // width 1: an Exchange for nothing
+        else decoded.toDF().repartition(castParts),
+        relation)
       .select(col("event_id"),
         timestamp_micros(col("commit_ts_us")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
@@ -232,7 +247,7 @@ object RuntimeBench {
     * latency is segment-write → XADD-observed (poll granularity 1 ms,
     * two orders below the measured values).
     */
-  private def latency(spark: SparkSession, samples: Int): (Double, Double) = {
+  private[graft] def latency(spark: SparkSession, samples: Int): (Double, Double) = {
     implicit val s: SparkSession = spark
     val dir = java.nio.file.Files.createTempDirectory("bench_rtl").toString
     val srv = new LoopbackRedis
@@ -240,7 +255,10 @@ object RuntimeBench {
       WalSpool.writeSegment(dir, WalSpool.segmentName(0),
         PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
           txn(0L))
-      val handle = startRuntime(dir, srv.port, grouped = true)(spark)
+      // latency-tuned deployment: narrow stream + cast widths (see
+      // startRuntime) — the single-event path has nothing to fan out
+      val handle = startRuntime(dir, srv.port, grouped = true,
+        streamParts = 1, castParts = 1)(spark)
       try {
         if (!await(() => srv.xadds.get() >= 1, 120000L)) return (-1.0, -1.0)
         val lat = (1 to samples).flatMap { i =>
@@ -252,6 +270,9 @@ object RuntimeBench {
             Some((System.nanoTime() - t0) / 1e6)
           else None
         }
+        if (sys.env.get("GRAFT_RTDBG_SPLIT").contains("1"))
+          handle.query.recentProgress.takeRight(6).foreach(p =>
+            println(s"[rtdbg-prog] rows=${p.numInputRows} ${p.durationMs}"))
         // drop warm samples (first trigger cycles still JIT-ing)
         val settled = lat.drop(math.min(5, lat.length / 2)).sorted
         if (settled.isEmpty) (-1.0, -1.0)

@@ -218,6 +218,12 @@ object SinkDispatch {
       consumerId: String, consumerName: String)(
       implicit spark: SparkSession): Seq[Outcome] = {
     val t0 = System.nanoTime()
+    if (sys.env.get("GRAFT_RTDBG_SPLIT").contains("1")) {
+      val d = deliver(pipeline, spec, env)
+      val tA = System.nanoTime()
+      d.queryExecution.executedPlan
+      println(f"[rtdbg-split] analyze+plan: ${(System.nanoTime() - tA) / 1e6}%.1f ms")
+    }
     val outcomes = deliver(pipeline, spec, env).collect().toSeq
     val elapsedUs = (System.nanoTime() - t0) / 1000.0
     metrics.recordOutcomes(consumerId, consumerName, outcomes)

@@ -93,6 +93,15 @@ object PgStream {
       shufflePartitions: Int = 8): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    // the decode state uses NoTimeout (txn assembly is driven by data,
+    // never by clocks), so no-data micro-batches have nothing to do —
+    // but left enabled they run the FULL stateful plan (state commits,
+    // a ~200 ms empty delivery) back to back, and a real event then
+    // queues behind an in-flight empty batch: measured directly on the
+    // single-event latency probe
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // background snapshot maintenance off the hot path (p99 jitter)
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     s
   }
 

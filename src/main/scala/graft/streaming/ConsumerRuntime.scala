@@ -294,10 +294,27 @@ object ConsumerRuntime {
     // reference's single replication socket). The grouped path takes at
     // least two actions (admission pass + dispatch wave); caching pays
     // the decode once. Bounded by the micro-batch (source admission).
+    // previous batch's post-dedup row count (from the delivery action's
+    // own Observation — never an extra job). Seeds conservative-WIDE so a
+    // bulk start (backfill catch-up) never pays a single-connection batch.
+    var lastBatchRows: Long = Long.MaxValue
+    val SmallBatchRows = 256L
+
     def cached(batch: DataFrame)(f: DataFrame => Unit): Unit = {
-      val deduped = batch.dropDuplicates("idempotency_key").persist()
-      try f(deduped)
-      finally { deduped.unpersist(blocking = false); () }
+      // small steady-state batches skip the cache: with no failures the
+      // happy path is ONE action, so persist is pure overhead there, and
+      // a rare failure-path rebuild over <=256 events re-decodes cheaply
+      if (lastBatchRows <= SmallBatchRows)
+        // coalesce(1) FIRST: SinglePartition satisfies the dedup agg's
+        // clustering requirement, so the whole small batch runs scan ->
+        // [decode] -> [dedup + pipeline + deliver] with NO dedup
+        // Exchange — one fewer stage of scheduling latency
+        f(batch.coalesce(1).dropDuplicates("idempotency_key"))
+      else {
+        val deduped = batch.dropDuplicates("idempotency_key").persist()
+        try f(deduped)
+        finally { deduped.unpersist(blocking = false); () }
+      }
     }
     // with a checkpoint, a restart resumes at the source's committed
     // offsets: completed batches never replay (their events were acked
@@ -360,6 +377,18 @@ object ConsumerRuntime {
             cfg, enrichment)
           val pipeline =
             if (!cfg.messageGrouping) pipeline0 // no ordering contract
+            else if (lastBatchRows <= SmallBatchRows)
+              // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
+              // the PREVIOUS batch — no extra count action) delivers the
+              // whole batch on ONE ordered connection. A global
+              // (commit_lsn, commit_idx) sort subsumes per-group FIFO,
+              // and coalesce(1) is a narrow dependency — the group-hash
+              // Exchange (one whole stage of scheduling latency on a
+              // 1-event batch) disappears. Self-correcting: a burst
+              // arriving behind a quiet period pays one single-connection
+              // batch, then the size signal flips the next batch wide.
+              pipeline0.coalesce(1)
+                .sortWithinPartitions("commit_lsn", "commit_idx")
             else {
               import org.apache.spark.sql.functions.coalesce
               pipeline0
@@ -370,8 +399,14 @@ object ConsumerRuntime {
           val outcomes = traced("deliver batch")(
             SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
               health, consumerId, cfg.name))
-          val nIn = scala.util.Try(
-            obs.get("n_in").asInstanceOf[Long]).getOrElse(-1L)
+          // NON-blocking metric read: Observation.get waits on the async
+          // listener bus (measured ~150 ms added to every micro-batch);
+          // if the metric hasn't landed yet the trace degrades to the
+          // outcome count instead of stalling the hot path
+          val nIn = scala.util.Try(org.apache.spark.sql.graftbridge.Bridge
+            .observedRow(obs).map(_.getLong(0)).getOrElse(-1L))
+            .getOrElse(-1L)
+          lastBatchRows = if (nIn >= 0) nIn else outcomes.size.toLong
           Trace.info(consumerId, "batch processed",
             "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
             "matched" -> outcomes.size.toString,
