@@ -35,4 +35,16 @@ object SparkEntry {
     graft.queries.FunctionQueries.oracles ++
     graft.queries.TrainingQueries.oracles ++
     graft.queries.IngestQueries.oracles
+
+  /** Large-SF oracle fixtures (see TrainingQueries.fixtureSql): SQL that
+    * writes one-time per-dataset fixture tables, plus fixture-aware
+    * oracle restatements that the checker uses ONLY when the fixture
+    * parquet exists next to the SF's tables. The driver's gate (no
+    * fixtures present) always runs the self-contained `oracleSql`.
+    */
+  def oracleFixtureSql: Map[String, String] =
+    graft.queries.TrainingQueries.fixtureSql
+
+  def oracleFixtureOverrides: Map[String, String] =
+    graft.queries.TrainingQueries.oracleFixtureOverrides
 }

@@ -48,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // large-SF fixture recipes + overrides, a SEPARATE artifact so the
+    // driver's oracle_sql.json contract is untouched (tools/check.py
+    // consumes this only when the fixture parquet exists in the SF dir)
+    def obj(m: Map[String, String]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_fixtures.json"),
+      s"""{"fixtures": ${obj(SparkEntry.oracleFixtureSql)}, """ +
+        s""""overrides": ${obj(SparkEntry.oracleFixtureOverrides)}}""")
     spark.stop()
   }
 }

@@ -1431,19 +1431,34 @@ object TrainingQueries {
          |   AND a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
+    // RELATIONAL form (exploded distinct shingles -> per-shingle pair
+    // counts) instead of a quadratic list_intersect join: identical
+    // semantics — |A∩B| via the equi-join on shingles (a j>=0.2 pair
+    // always shares one), |A∪B| = nA + nB − ni, same IEEE double divide —
+    // but sf1-viable (measured 7 s vs a >300 s budget skip for the
+    // list-lambda form; per-(lang,source) shingle frequency tops out at
+    // 50, so the equi-join never explodes).
     "td08_ngram_jaccard" ->
-      """WITH sh AS MATERIALIZED (SELECT doc_id, lang, source,
-        |  list_distinct(list_transform(
+      """WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id, lang, source,
+        |    shingle FROM (
+        |  SELECT doc_id, lang, source, unnest(list_transform(
         |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-        | AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+        |    AS shingle
+        |  FROM documents)),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+        |  FROM inter JOIN cnt ca ON id_a = ca.doc_id
+        |    JOIN cnt cb ON id_b = cb.doc_id)
+        |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "td09_embedding_neardups" -> {
@@ -3410,4 +3425,133 @@ object TrainingQueries {
        |    range(1, greatest(len(hs) - 3, 1) + 1),
        |    i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
        |  FROM hs)""".stripMargin
+
+  // ---- large-SF oracle fixtures -----------------------------------------
+  //
+  // The td11/td15/td95 oracles compute 16 tables x 8 bits of hyperplane
+  // signatures PER ROW through DuckDB list lambdas — measured 1192 s for
+  // td11 alone at sf1 (20k vectors), which is why those queries skipped
+  // the sf1 sweep's 300 s oracle budget. The signatures are row-local and
+  // engine-independent, so they make a one-time FIXTURE: `fixtureSql`
+  // produces them in DuckDB's RELATIONAL plan shape (unnest dims x a
+  // literal plane matrix, one grouped sum — seconds, not minutes), and
+  // `oracleFixtureOverrides` restates each oracle to read the fixture
+  // instead of recomputing. Semantics are bit-identical (same Rademacher
+  // coefficients, same exact integer-micro projections); the overrides
+  // engage ONLY when the fixture parquet exists next to the SF's tables
+  // (tools/gen_fixtures.py writes it once per generated dataset — DuckDB
+  // computing its own input, never Spark), so the driver's sf0.01 gate
+  // still runs the original self-contained oracles.
+
+  /** Fixture-producing SQL, run once per dataset by tools/gen_fixtures.py;
+    * each entry writes `<sfDir>/<name>.parquet`.
+    */
+  lazy val fixtureSql: Map[String, String] = Map(
+    "fixture_lsh_sigs" -> {
+      import graft.similarity.Ann.{LshTables, LshBits}
+      val values = (for {
+        t <- 0 until LshTables; h <- 0 until LshBits; d <- 0 until 64
+      } yield s"($t,$h,${d + 1},${graft.similarity.Ann.hyperplaneSign(t, h, d)})")
+        .mkString(",")
+      s"""WITH planes(t, bit, d, sgn) AS (VALUES $values),
+         |u AS (SELECT vec_id, CAST(r.d AS INT) AS d,
+         |    CAST(round(embedding[CAST(r.d AS INT)]*1e6) AS BIGINT) AS v
+         |  FROM embeddings, range(1, 65) r(d)),
+         |dots AS (SELECT u.vec_id, p.t, p.bit,
+         |    CASE WHEN sum(u.v * p.sgn) >= 0 THEN 1 << p.bit ELSE 0 END AS bv
+         |  FROM u JOIN planes p ON u.d = p.d
+         |  GROUP BY u.vec_id, p.t, p.bit)
+         |SELECT vec_id, CAST(t AS INT) AS t, CAST(sum(bv) AS BIGINT) AS sig
+         |FROM dots GROUP BY vec_id, t""".stripMargin
+    })
+
+  /** The pivoted per-table bucket columns b0..b15 read from the fixture. */
+  private lazy val fixtureSigsCte: String = {
+    import graft.similarity.Ann.LshTables
+    val pivots = (0 until LshTables)
+      .map(t => s"max(CASE WHEN t = $t THEN sig END) AS b$t").mkString(", ")
+    s"sigs AS MATERIALIZED (SELECT vec_id, $pivots FROM fixture_lsh_sigs GROUP BY vec_id)"
+  }
+
+  /** Fixture-aware restatements, same results as the originals. */
+  lazy val oracleFixtureOverrides: Map[String, String] = {
+    import graft.similarity.Ann.LshTables
+    val bNames = (0 until LshTables).map(t => s"b$t").mkString(", ")
+    Map(
+      "td11_ann_lsh" -> {
+        val orJoin = (0 until LshTables).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+        val cos = duckCos("q_emb", "c_emb", 64)
+        s"""WITH $fixtureSigsCte,
+           |b AS MATERIALIZED (SELECT e.vec_id, e.embedding, $bNames
+           |  FROM embeddings e JOIN sigs USING (vec_id)),
+           |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb, $bNames FROM b WHERE vec_id < 5),
+           |c AS MATERIALIZED (SELECT vec_id AS corpus_id, embedding AS c_emb, $bNames FROM b),
+           |cand AS MATERIALIZED (SELECT DISTINCT query_id, corpus_id, q_emb, c_emb
+           |  FROM q JOIN c ON q.query_id <> c.corpus_id AND ($orJoin))
+           |SELECT query_id, corpus_id, cos, rank FROM (
+           |  SELECT query_id, corpus_id, $cos AS cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $cos DESC, corpus_id) AS INT) AS rank
+           |  FROM cand)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
+      "td15_embedding_neardups_lsh" -> {
+        val orJoin = (0 until LshTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+        val cos = duckCos("emb_a", "emb_b", 64)
+        s"""WITH $fixtureSigsCte,
+           |k AS MATERIALIZED (SELECT e.label, e.vec_id, e.embedding, $bNames
+           |  FROM embeddings e JOIN sigs USING (vec_id)),
+           |a AS MATERIALIZED (SELECT label, vec_id AS id_a, embedding AS emb_a, $bNames FROM k),
+           |b AS MATERIALIZED (SELECT label, vec_id AS id_b, embedding AS emb_b, $bNames FROM k),
+           |cand AS MATERIALIZED (SELECT DISTINCT a.label, id_a, id_b, emb_a, emb_b
+           |  FROM a JOIN b ON a.label = b.label AND a.id_a < b.id_b
+           |    AND ($orJoin))
+           |SELECT label, id_a, id_b, $cos AS cos
+           |FROM cand
+           |WHERE $cos >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "td95_bitext_margin" -> {
+        val k = 4
+        val orJoin = (0 until LshTables).map(t => s"s.b$t = t.b$t").mkString(" OR ")
+        val cos = duckCos("s_emb", "t_emb", 64)
+        s"""WITH $fixtureSigsCte,
+           |e AS MATERIALIZED (SELECT em.vec_id, em.embedding, $bNames
+           |  FROM embeddings em JOIN sigs USING (vec_id)),
+           |s AS MATERIALIZED (SELECT vec_id AS src_id, embedding AS s_emb, $bNames
+           |  FROM e WHERE vec_id % 2 = 0),
+           |t AS MATERIALIZED (SELECT vec_id AS tgt_id, embedding AS t_emb, $bNames
+           |  FROM e WHERE vec_id % 2 = 1),
+           |cand AS MATERIALIZED (SELECT DISTINCT src_id, tgt_id,
+           |    CAST(round(1e6 * $cos) AS BIGINT) AS cos_micro
+           |  FROM s JOIN t ON ($orJoin)),
+           |r AS MATERIALIZED (SELECT src_id, tgt_id, cos_micro,
+           |    row_number() OVER (PARTITION BY src_id
+           |      ORDER BY cos_micro DESC, tgt_id) AS rn_s,
+           |    row_number() OVER (PARTITION BY tgt_id
+           |      ORDER BY cos_micro DESC, src_id) AS rn_t
+           |  FROM cand),
+           |da AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sum_a,
+           |    CAST(count(*) AS BIGINT) AS n_a
+           |  FROM r WHERE rn_s <= $k GROUP BY src_id),
+           |db AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sum_b,
+           |    CAST(count(*) AS BIGINT) AS n_b
+           |  FROM r WHERE rn_t <= $k GROUP BY tgt_id),
+           |m AS (SELECT c.src_id, c.tgt_id, cos_micro,
+           |    (2 * cos_micro * n_a * n_b * 1000000) //
+           |      (sum_a * n_b + sum_b * n_a) AS margin_micro
+           |  FROM cand c JOIN da ON c.src_id = da.src_id
+           |    JOIN db ON c.tgt_id = db.tgt_id
+           |  WHERE sum_a * n_b + sum_b * n_a > 0),
+           |best AS (SELECT src_id, tgt_id, cos_micro, margin_micro,
+           |    row_number() OVER (PARTITION BY src_id
+           |      ORDER BY margin_micro DESC, tgt_id) AS bs,
+           |    row_number() OVER (PARTITION BY tgt_id
+           |      ORDER BY margin_micro DESC, src_id) AS bt
+           |  FROM m)
+           |SELECT src_id, tgt_id, cos_micro, margin_micro
+           |FROM best WHERE bs = 1 AND bt = 1 AND margin_micro >= 1000000
+           |ORDER BY src_id""".stripMargin
+      })
+  }
 }

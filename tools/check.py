@@ -47,6 +47,26 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # fixture-aware oracle overrides (graft.Verify writes the recipes;
+    # tools/gen_fixtures.py materializes the fixture parquet per dataset):
+    # an override replaces a query's oracle ONLY when every fixture table
+    # it references exists in the SF dir — the driver's gate dirs carry no
+    # fixtures, so it always runs the self-contained originals.
+    fx_path = f"{out_dir}/oracle_fixtures.json"
+    if os.path.exists(fx_path):
+        fx = json.load(open(fx_path))
+        present = set()
+        for name in fx.get("fixtures", {}):
+            p = f"{sf_dir}/{name}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+                present.add(name)
+        for qname, sql in fx.get("overrides", {}).items():
+            needed = [n for n in fx.get("fixtures", {}) if n in sql]
+            if qname in oracle and needed and all(n in present for n in needed):
+                oracle[qname] = sql
+                print(f"NOTE {qname}: using fixture-backed oracle "
+                      f"({', '.join(needed)})")
     n_pass = n_fail = n_skip = 0
     # optional per-query ORACLE budget (seconds) for large-SF sweeps:
     # some oracle replications (regex scrubs, pair algebra) are
