@@ -357,7 +357,8 @@ object Bench {
     val sf1Results: Seq[(String, Double)] =
       if (probesOnly || !new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
         Seq.empty
-      else Sf1Queries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      else Sf1Queries.filter(n => sweepOnly.forall(_.contains(n)))
+        .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
         .map { case (name, fn) =>
           def rep(): Option[Double] = {
             val t0 = System.nanoTime()

@@ -35,13 +35,20 @@ object CoreQueries {
     * per-dir swap overhead) — exactly the mis-sizing a real operator
     * avoids by scaling width with volume. lsn ≈ (events/7)·8 per Cdc.
     */
-  private def epochWidthFor(dir: String): Long =
+  private[graft] def epochWidthFor(dir: String): Long =
     if (dir.contains("sf0.1")) 32768L else 8192L
 
   /** Fixed per-query scratch dir, wiped on entry: repeated evaluations
     * (bench reps, verify) reuse one path instead of littering /tmp with a
     * fresh `createTempDirectory` per run.
     */
+  /** The scratch path WITHOUT wiping — for plan gates that inspect a
+    * table a registry query just built.
+    */
+  private[graft] def scratchDirPath(name: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$name").toString
+
   private def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")

@@ -33,7 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract: segments are immutable once renamed into place, offsets are
   * stored in the checkpoint, and `planInputPartitions(start, end)` is
   * deterministic, so a restarted query re-plans precisely the unconsumed
-  * suffix.
+  * suffix. CONTRACT: one shipper per spool publishes CONTIGUOUS indices
+  * (like WAL segment names themselves — [[WalSpool.segmentName]]); that
+  * density is what lets the planner tell "segment deleted out from
+  * under an uncommitted batch" (fail loudly) apart from "never
+  * existed".
   *
   * Rows have the exact shape of [[PgStream.Frame]] (`slot_id`, `seq`,
   * `payload`), so `spark.readStream.format("graft-walspool")… .as[Frame]`
@@ -207,8 +211,10 @@ final class WalSpoolScan(path: String, maxSegmentsPerBatch: Int)
   * in the file name) — not a position in the current listing, so retention
   * ([[WalSpool.pruneConsumed]]) can delete consumed segments without
   * shifting the offset space. Contract: one logical shipper per spool
-  * publishes indices in increasing order (a segment appearing below the
-  * committed offset would be ignored — the same rule as WAL itself).
+  * publishes CONTIGUOUS, increasing indices (a segment appearing below
+  * the committed offset would be ignored — the same rule as WAL itself;
+  * density is load-bearing: planInputPartitions uses it to fail loudly
+  * on a segment deleted inside an uncommitted range).
   */
 final case class WalSpoolOffset(segments: Long) extends Offset {
   override def json(): String = s"""{"segments":$segments}"""

@@ -231,6 +231,10 @@ object ConsumerRuntime {
     // check_sink_configuration_worker writes the same event)
     health.putEvent("sink_consumer", consumerId, "sink_configuration",
       "success")
+    // a fresh incarnation starts a fresh trace ring — stale events from a
+    // prior consumer under the same id would mislead the exact debugging
+    // view the ring exists for
+    Trace.clear(consumerId)
     val trace = sys.props.get("graft.runtime.trace").contains("1") ||
       sys.env.get("GRAFT_RUNTIME_TRACE").contains("1")
     def traced[A](what: String)(f: => A): A = {
@@ -406,7 +410,11 @@ object ConsumerRuntime {
           val nIn = scala.util.Try(org.apache.spark.sql.graftbridge.Bridge
             .observedRow(obs).map(_.getLong(0)).getOrElse(-1L))
             .getOrElse(-1L)
-          lastBatchRows = if (nIn >= 0) nIn else outcomes.size.toLong
+          // on a metrics-bus miss KEEP the previous size — substituting
+          // the POST-FILTER outcome count would flip a selective-filter
+          // consumer (100k received, ~0 matched) onto the single-task
+          // fast path for its next full-size batch
+          if (nIn >= 0) lastBatchRows = nIn
           Trace.info(consumerId, "batch processed",
             "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
             "matched" -> outcomes.size.toString,
@@ -484,27 +492,28 @@ object ConsumerRuntime {
               Trace.warning(consumerId, "failed batch spilled to retry spool",
                 "spilled" -> failedIds.size.toString,
                 "chunks" -> nChunks.toString)
+              // Hadoop FS, not java.io.File: the spool rides Spark's
+              // default filesystem (HDFS/S3 on a cluster) — a local-FS
+              // listing there would NPE mid-failure-handling and strand
+              // the spool
+              val spoolPath = new org.apache.hadoop.fs.Path(spool)
+              val fs = spoolPath.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
               try {
                 // range partition i holds delivery-order range i, and
                 // part-0000i names sort with i — file order IS spool order
-                val files = new java.io.File(spool).listFiles()
+                val files = fs.listStatus(spoolPath).map(_.getPath)
                   .filter(f => f.getName.startsWith("part-") &&
                     f.getName.endsWith(".parquet"))
                   .sortBy(_.getName)
                 files.foreach { f =>
-                  val chunk = spark.read.parquet(f.getAbsolutePath)
+                  val chunk = spark.read.parquet(f.toString)
                     .as[ChangeEvent].collect().toSeq
                     .sortBy(e => (e.commit_lsn, e.commit_idx))
                   if (chunk.nonEmpty) traced(s"spool chunk ${chunk.size}")(
                     ledgerLoop(chunk))
                 }
-              } finally {
-                def rm(f: java.io.File): Unit = {
-                  Option(f.listFiles()).foreach(_.foreach(rm))
-                  f.delete(); ()
-                }
-                rm(new java.io.File(spool))
-              }
+              } finally { fs.delete(spoolPath, true); () }
             }
           }
           val dlqDelta = ledger.deadLetters().size - dlqBefore

@@ -353,10 +353,10 @@ class PlanAuditSpec extends SparkSpec {
   test("q104 replay join: the ONLY Exchange is the dedup window's — the " +
       "join itself is exchange-free against the bucketed dimension") {
     q("q104_replay_join") // builds the event table + bucketed dim
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch_rplj").toString
+    val path = graft.queries.CoreQueries.scratchDirPath("rplj")
     val j = graft.sinks.EventTableSink.replayJoin(spark, path, 4000L, 9000L,
-      8192L, "graft_bkt_replay_dim", "record_pk")
+      graft.queries.CoreQueries.epochWidthFor(sf()),
+      "graft_bkt_replay_dim", "record_pk")
     val plan = formatted(j)
     assert(plan.contains("SortMergeJoin"), plan)
     // count physical NODES (each appears once as a "(n) Exchange" detail

@@ -708,4 +708,41 @@ class ScaleProbeSpec extends SparkSpec {
         s"KN trigram 10x growth ratio $r — model join degenerated (skewed ngram key or broadcast loss)")
     } finally { small.unpersist(); big.unpersist() }
   }
+
+  test("replay join grows near-linearly over 10x retained history (epoch pruning + bucketed dim, no join shuffle)") {
+    import org.apache.spark.sql.functions._
+    // event tables with 10x-different retained histories, SAME replay
+    // window size: changesBetween prunes to the window's epoch dirs and
+    // the dim side is bucket-read, so the replay must track the WINDOW,
+    // not the table — the property that makes replay viable against
+    // 100 TB of retention
+    def build(n: Long, tag: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"probe_rplj_$tag").toString
+      val evs = spark.range(n).select(
+        concat(lit("pk"), col("id")).as("record_pk"),
+        (col("id") * 8).as("commit_lsn"), lit(0L).as("commit_idx"),
+        lit("insert").as("action"), (col("id") % 97).cast("double").as("v"))
+      graft.sinks.EventTableSink.upsert(spark, evs, dir,
+        numBuckets = 4, epochWidth = 4096L)
+      dir
+    }
+    val smallDir = build(20000L, "s")
+    val bigDir = build(200000L, "b")
+    val dim = spark.range(200000L)
+      .select(concat(lit("pk"), col("id")).as("record_pk"),
+        (col("id") % 5).cast("int").as("tier"))
+    graft.ops.Layout.writeBucketed(dim, "graft_probe_rplj_dim", "record_pk",
+      spark.sessionState.conf.numShufflePartitions,
+      "target/bucketed/graft_probe_rplj_dim")
+    val r = ratioOf(
+      graft.sinks.EventTableSink.replayJoin(spark, smallDir, 8000L, 40000L,
+        4096L, "graft_probe_rplj_dim", "record_pk").count(),
+      graft.sinks.EventTableSink.replayJoin(spark, bigDir, 8000L, 40000L,
+        4096L, "graft_probe_rplj_dim", "record_pk").count(),
+      "replay-join")
+    assert(r < 8,
+      s"replay join 10x-history growth ratio $r — the window scan is " +
+        s"reading history (epoch pruning lost) or the join grew a shuffle")
+  }
 }

@@ -55,12 +55,24 @@ def main():
     fx_path = f"{out_dir}/oracle_fixtures.json"
     if os.path.exists(fx_path):
         fx = json.load(open(fx_path))
+        # freshness gate: a fixture older than any source table is from
+        # a PREVIOUS generation of the dataset — using it would silently
+        # compare Spark against stale signatures
+        newest_src = max((os.path.getmtime(f"{sf_dir}/{t}.parquet")
+                          for t in TABLES
+                          if os.path.exists(f"{sf_dir}/{t}.parquet")),
+                         default=0)
         present = set()
         for name in fx.get("fixtures", {}):
             p = f"{sf_dir}/{name}.parquet"
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-                present.add(name)
+            if not os.path.exists(p):
+                continue
+            if os.path.getmtime(p) < newest_src:
+                print(f"NOTE {name}: fixture older than the dataset — "
+                      f"rerun tools/gen_fixtures.py (override disabled)")
+                continue
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+            present.add(name)
         for qname, sql in fx.get("overrides", {}).items():
             needed = [n for n in fx.get("fixtures", {}) if n in sql]
             if qname in oracle and needed and all(n in present for n in needed):
