@@ -3244,12 +3244,21 @@ object TrainingQueries {
         |HAVING count(*) < 5 OR count(DISTINCT user_id) < 3
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // RELATIONAL intersection (tok⋈tok equi-join grouped per pair)
+    // instead of list_intersect over every candidate's full shingle
+    // lists: the td08 rewrite shape, sf1-viable (the pair space is
+    // bounded by Σ_t df(t)² with df ≤ ~50; the old form exceeded the
+    // 300 s sf1 oracle budget on millions of list ops). The candidate
+    // RULE (each doc's 8 rarest shingles probe the inverted index) is
+    // unchanged and applied as an inner join — a candidate pair shares
+    // a rarest shingle by construction, so inter ≥ 1 and the join
+    // loses nothing.
     "td104_containment" ->
-      """WITH sets AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+      """WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM (
+        |  SELECT doc_id, unnest(list_transform(
         |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS toks
-        |  FROM documents),
-        |tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS t FROM sets),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS t
+        |  FROM documents)),
         |freq AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS df
         |  FROM tok GROUP BY t),
         |ranked AS MATERIALIZED (SELECT doc_id, t,
@@ -3260,12 +3269,18 @@ object TrainingQueries {
         |  WHERE rn <= 8),
         |cands AS MATERIALIZED (SELECT DISTINCT id_a, tk.doc_id AS id_b
         |  FROM pref JOIN tok tk USING (t) WHERE id_a <> tk.doc_id),
-        |pairs AS MATERIALIZED (SELECT c.id_a, c.id_b,
-        |    CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS inter,
-        |    CAST(len(sa.toks) AS BIGINT) AS sza,
-        |    CAST(len(sb.toks) AS BIGINT) AS szb
-        |  FROM cands c JOIN sets sa ON sa.doc_id = c.id_a
-        |    JOIN sets sb ON sb.doc_id = c.id_b)
+        |inter AS MATERIALIZED (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.t = tb.t AND ta.doc_id <> tb.doc_id
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY 1),
+        |pairs AS (SELECT i.id_a, i.id_b, i.inter,
+        |    ca.n AS sza, cb.n AS szb
+        |  FROM inter i
+        |  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        |  JOIN cnt ca ON ca.doc_id = i.id_a
+        |  JOIN cnt cb ON cb.doc_id = i.id_b)
         |SELECT id_a, id_b,
         |  inter * 1000000 // greatest(sza, 1) AS cont_a_micro,
         |  inter * 1000000 // greatest(sza + szb - inter, 1) AS jaccard_micro
