@@ -286,12 +286,14 @@ object RuntimeBench {
   def run(spark: SparkSession): Result = {
     val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
       .getOrElse(500000)
-    // best-of-2 per mode: a single 10–25 s window is exposed to one-off
+    // best-of-3 per mode: a single 10–25 s window is exposed to one-off
     // stalls (GC pause, a slow segment pickup) that read as a phantom
-    // 3x regression; the max of two runs reflects the runtime's actual
-    // capacity, the same min-of-reps discipline the query sweep uses
+    // 3x regression, and even best-of-2 left a measured 53-67k ev/s
+    // band across back-to-back runs of identical code; the max of three
+    // runs reflects the runtime's actual capacity, the same min-of-reps
+    // discipline the query sweep uses
     def best(grouped: Boolean): Double = {
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         System.gc()
         throughput(spark, grouped = grouped, n = n, warm = 2000,
           segments = 4)
