@@ -472,12 +472,41 @@ object KeysetParquet {
     case other                  => other
   }
 
-  /** DST gaps/overlaps make wall↔instant conversion ambiguous by up to
-    * ~2 h; inside this band around a mixed-domain boundary the
-    * comparison ABSTAINS (cmp = None), which downgrades the group to a
-    * boundary scan — costs one row-group read, never correctness.
+  /** Wall↔instant conversion error for a zone is bounded by the SPREAD
+    * of that zone's historical UTC offsets: the conversion assumes one
+    * of the zone's offsets and the row's true offset is another, so
+    * |error| ≤ max(offset) − min(offset) over the zone's rules. Inside
+    * that band around a mixed-domain boundary the comparison ABSTAINS
+    * (cmp = None), downgrading the group to a boundary scan — costs one
+    * row-group read, never correctness. Computed per zone (cached):
+    * ~1 h for ordinary DST zones (tighter than any fixed constant),
+    * ~25 h for pathological histories like Pacific/Apia's 2011
+    * date-line jump (where a fixed 4 h constant would mis-sign), 0 for
+    * fixed-offset zones (exact conversion).
     */
-  private val MixedTsSlackMicros = 4L * 3600L * 1000000L
+  private val zoneSlackCache =
+    new java.util.concurrent.ConcurrentHashMap[java.time.ZoneId, Long]()
+
+  private def mixedTsSlackMicros(zone: java.time.ZoneId): Long =
+    zoneSlackCache.computeIfAbsent(zone, { z =>
+      val rules = z.getRules
+      if (rules.isFixedOffset) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        val transitionOffsets = rules.getTransitions.asScala.toSeq.flatMap(t =>
+          Seq(t.getOffsetBefore.getTotalSeconds.toLong,
+            t.getOffsetAfter.getTotalSeconds.toLong))
+        // recurring (future DST) rules + the current instant's offset
+        // cover zones whose transition LIST is empty but rules are not
+        val recurring = rules.getTransitionRules.asScala.toSeq.flatMap(r =>
+          Seq(r.getOffsetBefore.getTotalSeconds.toLong,
+            r.getOffsetAfter.getTotalSeconds.toLong))
+        val now = rules.getOffset(java.time.Instant.EPOCH)
+          .getTotalSeconds.toLong
+        val all = transitionOffsets ++ recurring :+ now
+        (all.max - all.min) * 1000000L
+      }
+    })
 
   private def wallToInstantMicros(wall: Long, zone: java.time.ZoneId): Long = {
     val ldt = java.time.LocalDateTime.ofEpochSecond(
@@ -508,7 +537,7 @@ object KeysetParquet {
           if (x.instantDomain) wallToInstantMicros(y.micros, zone)
           else instantToWallMicros(y.micros, zone)
         val d = x.micros - yConv
-        if (Math.abs(d) <= MixedTsSlackMicros) None
+        if (Math.abs(d) <= mixedTsSlackMicros(zone)) None
         else Some(java.lang.Long.signum(d))
       case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
       case (x: String, y: String)         => Some(x.compareTo(y))

@@ -235,13 +235,35 @@ final class WalSpoolMicroBatchStream(path: String, maxSegmentsPerBatch: Int)
   private def nextIndexAfter(indices: Seq[Long]): Option[Long] =
     indices.lastOption.map(_ + 1)
 
-  /** Admission control: a "row" at this boundary is a segment. */
+  /** Admission control: a "row" at this boundary is a segment.
+    *
+    * Only the CONTIGUOUS run anchored at the committed offset is
+    * admitted: a shipper's in-flight renames can surface segment i+1
+    * moments before segment i (rename is atomic per file, not across
+    * files), and admitting past that gap would trip
+    * [[planInputPartitions]]'s missing-segment check on a segment that
+    * is about to appear. Stopping the batch at the first gap leaves the
+    * later files for the next trigger — the stream converges without a
+    * restart. The loud check below still fires for the case it exists
+    * for: a segment vanishing INSIDE an already-planned (committed
+    * start/end) range on replay.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[WalSpoolOffset].segments
     val pending = WalSpool.listIndexed(path).map(_._1).filter(_ >= from)
+    // a fresh query (from == 0) may start above 0 on a pre-pruned spool;
+    // a committed offset must resume exactly at `from` (a hole there is
+    // either an in-flight rename — wait — or over-pruning, which the
+    // next planned batch reports loudly once the range is admitted)
+    val anchor = if (from == 0L) pending.headOption else Some(from)
+    val run = anchor match {
+      case Some(a) if pending.headOption.contains(a) =>
+        pending.zipWithIndex.takeWhile { case (v, i) => v == a + i }.map(_._1)
+      case _ => Seq.empty[Long]
+    }
     val taken = limit match {
-      case m: ReadMaxRows => pending.take(m.maxRows.toInt)
-      case _              => pending
+      case m: ReadMaxRows => run.take(m.maxRows.toInt)
+      case _              => run
     }
     WalSpoolOffset(nextIndexAfter(taken).getOrElse(from))
   }

@@ -303,6 +303,11 @@ object ConsumerRuntime {
     // bulk start (backfill catch-up) never pays a single-connection batch.
     var lastBatchRows: Long = Long.MaxValue
     val SmallBatchRows = 256L
+    // an Observation whose metric had not landed by the end of its own
+    // batch — re-read at the START of the next batch (the listener bus
+    // has certainly delivered it by then) so lastBatchRows never goes
+    // stale just because one batch's read raced the bus
+    var pendingObs: Option[org.apache.spark.sql.Observation] = None
 
     def cached(batch: DataFrame)(f: DataFrame => Unit): Unit = {
       // small steady-state batches skip the cache: with no failures the
@@ -356,8 +361,32 @@ object ConsumerRuntime {
       deliverBody(deduped)
     }
 
+    // non-blocking metric read with a SHORT bounded poll: Observation.get
+    // blocks on the async listener bus indefinitely (measured ~150 ms
+    // added per micro-batch); a few 1 ms polls catch the common case
+    // where the metric lands just after the action returns, without
+    // putting the bus's tail latency on the hot path
+    def observedN(obs: org.apache.spark.sql.Observation): Long = {
+      def read(): Long = scala.util.Try(
+        org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
+          .map(_.getLong(0)).getOrElse(-1L)).getOrElse(-1L)
+      var n = read()
+      var polls = 0
+      while (n < 0 && polls < 8) { Thread.sleep(1); n = read(); polls += 1 }
+      n
+    }
+
     def deliverBody(deduped: DataFrame): Unit = {
         {
+          // a previous batch's raced metric has landed by now — recover
+          // the size signal before this batch's path choice reads it
+          pendingObs.foreach { prev =>
+            val n = scala.util.Try(
+              org.apache.spark.sql.graftbridge.Bridge.observedRow(prev)
+                .map(_.getLong(0)).getOrElse(-1L)).getOrElse(-1L)
+            if (n >= 0) lastBatchRows = n
+          }
+          pendingObs = None
           // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
           // Spark action, straight off the distributed pipeline plan
           // (events never round-trip through the driver). Per-group
@@ -403,23 +432,22 @@ object ConsumerRuntime {
           val outcomes = traced("deliver batch")(
             SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
               health, consumerId, cfg.name))
-          // NON-blocking metric read: Observation.get waits on the async
-          // listener bus (measured ~150 ms added to every micro-batch);
-          // if the metric hasn't landed yet the trace degrades to the
-          // outcome count instead of stalling the hot path
-          val nIn = scala.util.Try(org.apache.spark.sql.graftbridge.Bridge
-            .observedRow(obs).map(_.getLong(0)).getOrElse(-1L))
-            .getOrElse(-1L)
-          // on a metrics-bus miss KEEP the previous size — substituting
+          val nIn = observedN(obs)
+          // on a metrics-bus miss KEEP the previous size (substituting
           // the POST-FILTER outcome count would flip a selective-filter
-          // consumer (100k received, ~0 matched) onto the single-task
-          // fast path for its next full-size batch
-          if (nIn >= 0) lastBatchRows = nIn
+          // consumer — 100k received, ~0 matched — onto the single-task
+          // fast path for its next full-size batch) and park the
+          // Observation for recovery at the next batch's start
+          if (nIn >= 0) lastBatchRows = nIn else pendingObs = Some(obs)
+          // `received` is the POST-dedup count (the Observation rides the
+          // deduped frame); `filtered` clamps at 0 because a fanning
+          // transform can emit more outcomes than inputs — a negative
+          // count in the debugging view would read as data loss
           Trace.info(consumerId, "batch processed",
             "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
             "matched" -> outcomes.size.toString,
-            "filtered" ->
-              (if (nIn >= 0) (nIn - outcomes.size).toString else "unknown"))
+            "filtered" -> (if (nIn >= 0)
+              math.max(0L, nIn - outcomes.size).toString else "unknown"))
           health.putEvent("sink_consumer", consumerId, "messages_filtered",
             "success")
           if (outcomes.nonEmpty) {

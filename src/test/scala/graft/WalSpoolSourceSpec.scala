@@ -129,6 +129,33 @@ class WalSpoolSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("publication gap: a segment visible before its predecessor stalls admission, not the query") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("walspool").toString
+
+    // shipper raced: segment 2 renamed into place while 1 is still
+    // in-flight — the stream must deliver segment 0, HOLD (not crash),
+    // then deliver 1 and 2 once the gap closes
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0), txn(1, 10))
+    WalSpool.writeSegment(dir, WalSpool.segmentName(2), txn(3, 30))
+
+    val q = spark.readStream.format(provider).option("path", dir).load()
+      .as[PgStream.Frame]
+      .writeStream.format("memory").queryName("wal_gap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.isActive, "an in-flight rename gap must not kill the query")
+      assert(spark.table("wal_gap").count() == 3) // segment 0 only
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1), txn(2, 20))
+      q.processAllAvailable()
+      assert(spark.table("wal_gap").count() == 9) // 1 and 2 both admitted
+      assert(spark.table("wal_gap").as[PgStream.Frame].collect()
+        .map(_.seq).sorted.toSeq == Seq(10L, 11, 12, 20, 21, 22, 30, 31, 32))
+    } finally q.stop()
+  }
+
   test("admission control: maxSegmentsPerBatch bounds each micro-batch to one segment") {
     implicit val s = spark
     import s.implicits._
