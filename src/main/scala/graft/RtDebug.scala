@@ -21,6 +21,19 @@ object RtDebug {
       val r = RuntimeBench.latency(spark, samples = 30)
       mark(s"latency p50=${r._1}ms p99=${r._2}ms")
     }
+    else if (sys.env.get("RTDBG_FANOUT").contains("1")) {
+      val consumers =
+        sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8").toInt
+      val events = sys.env.get("SPARK_GRAFT_RT_FANOUT_EVENTS")
+        .map(_.toInt).getOrElse(60000)
+      val sh = RuntimeBench.fanoutProbe(spark, consumers, events,
+        shared = true)
+      mark(s"fanout shared ($consumers consumers): ${sh.toLong} ev/s aggregate")
+      val ind = RuntimeBench.fanoutProbe(spark, consumers, events,
+        shared = false)
+      mark(s"fanout independent ($consumers consumers): ${ind.toLong} ev/s aggregate")
+      mark(f"shared/independent ratio: ${sh / ind}%.2f")
+    }
     else if (sys.env.get("RTDBG_DECODE").contains("1")) decodeProfile(spark, n)
     else if (sys.env.get("RTDBG_COMPONENTS").contains("1")) components(spark, n)
     else {

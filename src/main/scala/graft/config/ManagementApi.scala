@@ -276,13 +276,49 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       env: graft.sinks.SinkDispatch.Env)(
       implicit spark: org.apache.spark.sql.SparkSession)
       : graft.streaming.ConsumerRuntime.Handle = {
-    val cfg = registry.getOrElse(name, throw new NoSuchElementException(
+    val cfg = declared(name)
+    graft.streaming.ConsumerRuntime.start(events, cfg,
+      resolveEnv(cfg, env), metrics, health, consumerId = name)
+  }
+
+  /** One SHARED-DECODE slot runtime over `events` — the reference's
+    * message_handler fan-out: the slot's stream decodes once per
+    * micro-batch and every consumer attached via [[attachConsumer]]
+    * consumes the same cached batch through its own lane (filters,
+    * transforms, transport, ledger, metrics/health all per consumer).
+    * N consumers declared on one database slot belong on one of these,
+    * not on N [[startConsumer]] queries (which would each re-run the
+    * per-slot stateful pgoutput decode).
+    */
+  def startSlot(events: org.apache.spark.sql.DataFrame,
+      checkpointLocation: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : graft.streaming.SlotRuntime =
+    new graft.streaming.SlotRuntime(events, checkpointLocation)
+
+  /** Attach the DECLARED consumer `name` as a lane of a running slot.
+    * The returned handle's `stop()` detaches only this consumer.
+    */
+  def attachConsumer(slot: graft.streaming.SlotRuntime, name: String,
+      env: graft.sinks.SinkDispatch.Env)
+      : graft.streaming.ConsumerRuntime.Handle = {
+    val cfg = declared(name)
+    slot.attach(cfg, resolveEnv(cfg, env), metrics, health,
+      consumerId = name)
+  }
+
+  private def declared(name: String): ConsumerConfig =
+    registry.getOrElse(name, throw new NoSuchElementException(
       s"Sink consumer not found: $name"))
-    // decrypt-at-client-construction: a http_push sink referencing a
-    // declared endpoint gets that endpoint's headers RESOLVED here —
-    // sealed values leave the vault only on their way into the live
-    // transport client (encrypted/field.ex discipline)
-    val envResolved = cfg.sink
+
+  /** Decrypt-at-client-construction: a http_push sink referencing a
+    * declared endpoint gets that endpoint's headers RESOLVED here —
+    * sealed values leave the vault only on their way into the live
+    * transport client (encrypted/field.ex discipline).
+    */
+  private def resolveEnv(cfg: ConsumerConfig,
+      env: graft.sinks.SinkDispatch.Env): graft.sinks.SinkDispatch.Env =
+    cfg.sink
       .filter(_.sinkType == "http_push")
       .flatMap(_.settings.get("http_endpoint"))
       .flatMap(endpoints.get)
@@ -290,9 +326,6 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
         env.copy(headers = env.headers ++
           ep.headers.map { case (k, v) => (k, vault.reveal(v)) })
       }
-    graft.streaming.ConsumerRuntime.start(events, cfg, envResolved, metrics,
-      health, consumerId = name)
-  }
 
   /** Snapshot of the declared change-retention pipelines (name-sorted). */
   def changeRetentions(): Seq[YamlSpec.ChangeRetentionSpec] =

@@ -322,6 +322,9 @@ object PipelineSpec {
         .getOrElse(10000),
       maxRetryCount = Option(root.get("max_retry_count")).map(_.asInt())
         .getOrElse(3),
+      maxBackfillFenceInMemory =
+        Option(root.get("max_backfill_fence_in_memory")).map(_.asInt())
+          .getOrElse(100000),
       legacyTransform = legacy,
       loadSheddingPolicy = shedPolicy,
       filterFunction = filterFn,
@@ -397,6 +400,7 @@ object PipelineSpec {
     root.put("ack_wait_ms", cfg.ackWaitMs)
     root.put("max_ack_pending", cfg.maxAckPending)
     root.put("max_retry_count", cfg.maxRetryCount)
+    root.put("max_backfill_fence_in_memory", cfg.maxBackfillFenceInMemory)
     root.put("legacy_transform", cfg.legacyTransform)
     root.put("load_shedding_policy", cfg.loadSheddingPolicy)
     cfg.filterFunction.foreach(root.put("filter_function", _))

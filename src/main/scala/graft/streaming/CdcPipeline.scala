@@ -67,6 +67,12 @@ final case class ConsumerConfig(
     // retry spool drained in chunks of this size (the reference spills
     // failing groups to a table — slot_message_store_state.ex:687-716)
     maxFailedCollectPerBatch: Int = 50000,
+    // ceiling on the DRIVER-held backfill fence set (delivered pks of
+    // the backfilled table recorded while a scan is active): past this
+    // the set spills to a parquet fence side table and the page
+    // anti-join consults both — exactly-once intact, driver residency
+    // bounded no matter how hot the table churns during the scan
+    maxBackfillFenceInMemory: Int = 100000,
     legacyTransform: String = "none", // none | record_only
     loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
     // user functions as config — the reference persists MiniElixir

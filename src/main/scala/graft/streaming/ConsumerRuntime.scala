@@ -3,7 +3,7 @@ package graft.streaming
 import graft.model.ChangeEvent
 import graft.sinks.SinkDispatch
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, struct}
+import org.apache.spark.sql.functions.{broadcast, col, concat_ws, struct}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The assembled consumer runtime — every layer of this library wired
@@ -53,12 +53,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      counts as attempt #1) then dead-letters — the batch always
   *      terminates.
   *
+  * N consumers on ONE slot should share a [[SlotRuntime]] (one decode
+  * per micro-batch fanned out to every consumer lane — the reference's
+  * `message_handler.ex:214-251` shape) instead of N independent
+  * `start()` queries, which would each re-run the per-slot stateful
+  * pgoutput decode.
+  *
   * Driver-path bounds: only outcome rows and failed events are
   * collected, both sized by the SOURCE's trigger admission
   * (`maxSegmentsPerBatch` / `maxOffsetsPerTrigger` — the contract every
   * structured-streaming sink shares); the ledger is ≤ max_ack_pending
   * entries by construction. Measured end to end (WAL segments → decode →
-  * pipeline → loopback RESP transport, [[graft.RuntimeBench]], with the
+  * pipeline → live loopback transport, [[graft.RuntimeBench]], with the
   * streaming query on a [[graft.sources.PgStream.streamingSession]]
   * clone): 71k delivered events/s grouped, 75k ungrouped at 500k-event
   * batches — past the reference's published 50k ops/s single-node peak.
@@ -67,14 +73,17 @@ object ConsumerRuntime {
 
   /** A running consumer: the streaming query plus its ledger (exposed
     * for inspection, DLQ reads, and clean shutdown) and, when declared,
-    * the consumer's backfill runner.
+    * the consumer's backfill runner. For a lane attached to a
+    * [[SlotRuntime]], `stop()` detaches ONLY this consumer — the shared
+    * query keeps serving the other lanes.
     */
-  final class Handle private[ConsumerRuntime] (
+  final class Handle private[streaming] (
       val query: StreamingQuery,
       val ledger: DeliveryLedger,
       val backfill: Option[BackfillRunner] = None,
       auditHook: Option[Long => Int] = None,
-      auditTimer: Option[java.util.Timer] = None) {
+      auditTimer: Option[java.util.Timer] = None,
+      onStop: Option[() => Unit] = None) {
 
     /** The reference's message-consistency check
       * (message_consistency_check_worker.ex:25-43): count undelivered
@@ -91,7 +100,8 @@ object ConsumerRuntime {
 
     def stop(): Unit = {
       auditTimer.foreach(_.cancel())
-      query.stop(); ledger.stop()
+      onStop.fold(query.stop())(f => f())
+      ledger.stop()
     }
   }
 
@@ -143,8 +153,8 @@ object ConsumerRuntime {
     * while NO CDC event for it has been seen, and any later CDC event
     * lands in a later, strictly-after dispatch.
     */
-  final class BackfillRunner private[ConsumerRuntime] (
-      private[ConsumerRuntime] val spec: BackfillSpec,
+  final class BackfillRunner private[streaming] (
+      private[streaming] val spec: BackfillSpec,
       query: () => StreamingQuery,
       deliver: DataFrame => Unit,
       onFinished: () => Unit)(implicit spark: SparkSession) {
@@ -163,8 +173,10 @@ object ConsumerRuntime {
       * records from runner creation until the scan completes. The set
       * stays bounded regardless: only [[BackfillSpec.tableSchema]]/
       * [[BackfillSpec.tableName]] identities are recorded (the
-      * reference's `active_table_oids` scoping), and `onFinished`
-      * releases the set the moment the scan ends.
+      * reference's `active_table_oids` scoping), driver residency is
+      * capped at `max_backfill_fence_in_memory` (overflow spills to a
+      * parquet fence side table), and `onFinished` releases everything
+      * the moment the scan ends.
       */
     def isActive: Boolean = !finished
 
@@ -204,21 +216,24 @@ object ConsumerRuntime {
     "record_id", "record_user_id", "record_value", "record_props",
     "old_value", "idempotency_key", "group_id", "byte_size")
 
-  /** Start the full chain over `events` (a STREAMING CDC-envelope
-    * DataFrame). `consumerId`/`cfg.name` label the metrics series and
-    * the health entity.
+  /** One consumer's full processing lane — everything after the (shared
+    * or dedicated) micro-batch: pipeline build, ordered dispatch, ledger
+    * retry ladder, backfill fence, trace/metrics/health. A lane owns NO
+    * streaming query; [[start]] gives it a dedicated one,
+    * [[SlotRuntime]] multiplexes one query across many lanes (the
+    * reference's message_handler fan-out).
     */
-  def start(events: DataFrame, cfg: ConsumerConfig, env: SinkDispatch.Env,
+  private[streaming] final class Lane(
+      val cfg: ConsumerConfig,
+      env: SinkDispatch.Env,
       metrics: graft.config.Metrics.Registry,
       health: graft.config.Health.Registry,
-      consumerId: String,
-      enrichment: Option[(DataFrame, String, String)] = None,
-      checkpointLocation: Option[String] = None,
-      backfill: Option[BackfillSpec] = None,
-      nowMs: () => Long = () => System.currentTimeMillis())(
-      implicit spark: SparkSession): Handle = {
+      val consumerId: String,
+      enrichment: Option[(DataFrame, String, String)],
+      nowMs: () => Long)(implicit spark: SparkSession) {
     import spark.implicits._
-    val sink = cfg.sink.getOrElse(throw new IllegalArgumentException(
+
+    private val sink = cfg.sink.getOrElse(throw new IllegalArgumentException(
       s"consumer '${cfg.name}' has no sink destination"))
     // delivery tuning comes off the CONSUMER record
     // (sink_consumer.ex:86-90) — the same config the management API
@@ -235,23 +250,25 @@ object ConsumerRuntime {
     // prior consumer under the same id would mislead the exact debugging
     // view the ring exists for
     Trace.clear(consumerId)
-    val trace = sys.props.get("graft.runtime.trace").contains("1") ||
+    private val trace = sys.props.get("graft.runtime.trace").contains("1") ||
       sys.env.get("GRAFT_RUNTIME_TRACE").contains("1")
-    def traced[A](what: String)(f: => A): A = {
+    private def traced[A](what: String)(f: => A): A = {
       if (!trace) f
       else {
         val t0 = System.nanoTime()
         val r = f
-        println(f"[runtime-trace] $what: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+        println(f"[runtime-trace] $consumerId $what: " +
+          f"${(System.nanoTime() - t0) / 1e6}%.1f ms")
         r
       }
     }
+
     // RETRY ladder: one delivery WAVE per Spark job — the ledger hands
     // out at most one message per group (maxInflight), strict FIFO, so
     // a nacked event redelivers alone before its group's successors.
     // Waves re-encode through a driver-local scan; that is fine here
     // because only FAILED deliveries enter the ledger (waves are small).
-    def dispatchWaves(): Unit = {
+    private def dispatchWaves(): Unit = {
       var wave = traced("drain")(ledger.drainDeliverable())
       while (wave.nonEmpty) {
         val pipeline = CdcPipeline.build(
@@ -271,9 +288,10 @@ object ConsumerRuntime {
         wave = traced("drain")(ledger.drainDeliverable())
       }
     }
+
     // admit (pause policy loops = source backpressure) and run dispatch
     // waves until the ledger has nothing deliverable
-    def ledgerLoop(events: Seq[ChangeEvent]): Unit = {
+    private def ledgerLoop(events: Seq[ChangeEvent]): Unit = {
       var rest = events
       var spin = 0
       while (rest.nonEmpty || spin == 0) {
@@ -291,24 +309,27 @@ object ConsumerRuntime {
         if (rest.nonEmpty) Thread.sleep(5)
       }
     }
-    // deduplicate once and CACHE the micro-batch: every action on a
-    // foreachBatch DataFrame re-executes its plan from the source —
-    // including the per-slot stateful pgoutput decode, the single
-    // largest per-batch cost (WAL order is per-slot serial, exactly the
-    // reference's single replication socket). The grouped path takes at
-    // least two actions (admission pass + dispatch wave); caching pays
-    // the decode once. Bounded by the micro-batch (source admission).
+
     // previous batch's post-dedup row count (from the delivery action's
-    // own Observation — never an extra job). Seeds conservative-WIDE so a
-    // bulk start (backfill catch-up) never pays a single-connection batch.
-    var lastBatchRows: Long = Long.MaxValue
-    val SmallBatchRows = 256L
+    // own Observation — never an extra job; a SlotRuntime hands the
+    // exact current size instead). Seeds conservative-WIDE so a bulk
+    // start (backfill catch-up) never pays a single-connection batch.
+    private var lastBatchRows: Long = Long.MaxValue
+    private val SmallBatchRows = 256L
     // an Observation whose metric had not landed by the end of its own
     // batch — re-read at the START of the next batch (the listener bus
     // has certainly delivered it by then) so lastBatchRows never goes
     // stale just because one batch's read raced the bus
-    var pendingObs: Option[org.apache.spark.sql.Observation] = None
+    private var pendingObs: Option[org.apache.spark.sql.Observation] = None
 
+    /** Deduplicate once and CACHE the micro-batch: every action on a
+      * foreachBatch DataFrame re-executes its plan from the source —
+      * including the per-slot stateful pgoutput decode, the single
+      * largest per-batch cost (WAL order is per-slot serial, exactly the
+      * reference's single replication socket). The grouped path takes at
+      * least two actions (admission pass + dispatch wave); caching pays
+      * the decode once. Bounded by the micro-batch (source admission).
+      */
     def cached(batch: DataFrame)(f: DataFrame => Unit): Unit = {
       // small steady-state batches skip the cache: with no failures the
       // happy path is ONE action, so persist is pure overhead there, and
@@ -325,48 +346,135 @@ object ConsumerRuntime {
         finally { deduped.unpersist(blocking = false); () }
       }
     }
-    // with a checkpoint, a restart resumes at the source's committed
-    // offsets: completed batches never replay (their events were acked
-    // and the sink is external), an interrupted batch replays whole —
-    // at-least-once, the reference's delivery contract
+
     // identities the LIVE stream has delivered while a backfill scan is
     // ACTIVELY running (first step() → finished) — the fence set the
     // reference's table reader consults (message_handler.ex:66-94
-    // pks_seen). Bounded by the backfilled table's churn DURING the
-    // scan; cleared by the runner's onFinished when the scan completes.
-    val backfillSeen = scala.collection.mutable.Set.empty[String]
-    @volatile var backfillRunner: Option[BackfillRunner] = None
+    // pks_seen). Scoped to the backfilled table and capped at
+    // cfg.maxBackfillFenceInMemory driver-held entries: overflow spills
+    // to a parquet fence side table (the distributed form — at 100 TB a
+    // hot table's churn must never become an unbounded driver term) and
+    // the page fence anti-joins BOTH. Cleared (and the spool deleted) by
+    // the runner's onFinished when the scan completes.
+    private val backfillSeen = scala.collection.mutable.Set.empty[String]
+    @volatile private var fenceSpoolDir: Option[String] = None
+    @volatile private[streaming] var backfillRunner: Option[BackfillRunner] =
+      None
     // pages and micro-batches SERIALIZE through one dispatch lock — the
     // in-time form of the W3 priority merge (CDC batches never interleave
     // inside a page delivery, and vice versa)
-    val dispatchLock = new Object
+    private[streaming] val dispatchLock = new Object
 
-    def deliverBatch(deduped: DataFrame): Unit = dispatchLock.synchronized {
+    private def fenceKey = concat_ws("#",
+      concat_ws(".", col("table_schema"), col("table_name")),
+      col("record_pk"))
+
+    // caller holds the backfillSeen monitor
+    private def spillFenceLocked(): Unit = {
+      val dir = fenceSpoolDir.getOrElse {
+        val d = s"target/graft_fence_spool/$consumerId/" +
+          java.util.UUID.randomUUID().toString
+        fenceSpoolDir = Some(d)
+        d
+      }
+      backfillSeen.toSeq.toDF("__seen_key").coalesce(1)
+        .write.mode("append").parquet(dir)
+      metrics.inc("graft_backfill_fence_spilled_total",
+        Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
+        by = backfillSeen.size.toLong,
+        help = "Backfill fence identities spilled to the parquet side table")
+      Trace.info(consumerId, "backfill fence spilled",
+        "spilled" -> backfillSeen.size.toString,
+        "cap" -> cfg.maxBackfillFenceInMemory.toString)
+      backfillSeen.clear()
+    }
+
+    /** Record delivered identities for the backfill fence — only while a
+      * scan is active, and only for the BACKFILLED table (the
+      * reference's active_table_oids scoping).
+      */
+    private def recordFence(deduped: DataFrame): Unit =
       backfillRunner.filter(_.isActive).foreach { r =>
-        // record delivered identities for the backfill fence — only
-        // while a scan is active, and only for the BACKFILLED table
-        // (the reference's active_table_oids scoping): the set is
-        // bounded by that one table's churn during the scan, not the
-        // consumer's whole delivery history
         val keys = deduped
           .where(col("table_schema") === r.spec.tableSchema &&
             col("table_name") === r.spec.tableName)
-          .select(
-            concat_ws("#",
-              concat_ws(".", col("table_schema"), col("table_name")),
-              col("record_pk")))
+          .select(fenceKey)
           .collect().map(_.getString(0))
-        backfillSeen.synchronized { backfillSeen ++= keys }
+        backfillSeen.synchronized {
+          backfillSeen ++= keys
+          if (backfillSeen.size > cfg.maxBackfillFenceInMemory)
+            spillFenceLocked()
+        }
       }
-      deliverBody(deduped)
+
+    /** Drop page rows whose identity CDC already delivered: broadcast
+      * anti-join on the (bounded) in-memory set, then a second anti-join
+      * on the spilled fence table when one exists — that join shuffles,
+      * which is the right plan once the fence outgrew the driver.
+      */
+    private def fencePage(envelope: DataFrame): DataFrame = {
+      val seen = backfillSeen.synchronized(backfillSeen.toSet)
+      var out = envelope
+      if (seen.nonEmpty)
+        out = out.join(broadcast(seen.toSeq.toDF("__seen_key")),
+          fenceKey === col("__seen_key"), "left_anti")
+      fenceSpoolDir.foreach { d =>
+        out = out.join(spark.read.parquet(d),
+          fenceKey === col("__seen_key"), "left_anti")
+      }
+      out
     }
+
+    private def clearFence(): Unit = {
+      backfillSeen.synchronized { backfillSeen.clear() }
+      fenceSpoolDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true); () }
+        catch { case _: Exception => () }
+      }
+      fenceSpoolDir = None
+    }
+
+    /** Wire a declared backfill to this lane. The fence + deliver
+      * closure evaluates INSIDE the dispatch lock, so no CDC micro-batch
+      * can deliver (and record) a newer image of a pk between the fence
+      * decision and the page dispatch (that interleave would ship the
+      * page's stale `read` AFTER the CDC image, violating "CDC wins on
+      * PK conflict"). Pages deliver through the same cached body but
+      * must not re-record their own rows as "seen" (they are backfill,
+      * not CDC), hence deliverBody not deliverBatch.
+      */
+    def attachBackfill(spec: BackfillSpec,
+        query: () => StreamingQuery): BackfillRunner = {
+      val runner = new BackfillRunner(spec, query,
+        envelope => dispatchLock.synchronized {
+          cached(fencePage(envelope))(df => deliverBody(df, None))
+        },
+        onFinished = () => clearFence())
+      backfillRunner = Some(runner)
+      runner
+    }
+
+    /** One micro-batch through this lane: record fence identities (when
+      * a backfill scan is active), then dispatch. `knownN` is the
+      * already-counted post-dedup batch size when the caller has one
+      * (SlotRuntime's cache-materializing count) — it replaces the
+      * Observation read AND upgrades the dispatch-shape choice from
+      * previous-batch to current-batch sizing.
+      */
+    def deliverBatch(deduped: DataFrame, knownN: Option[Long]): Unit =
+      dispatchLock.synchronized {
+        recordFence(deduped)
+        deliverBody(deduped, knownN)
+      }
 
     // non-blocking metric read with a SHORT bounded poll: Observation.get
     // blocks on the async listener bus indefinitely (measured ~150 ms
     // added per micro-batch); a few 1 ms polls catch the common case
     // where the metric lands just after the action returns, without
     // putting the bus's tail latency on the hot path
-    def observedN(obs: org.apache.spark.sql.Observation): Long = {
+    private def observedN(obs: org.apache.spark.sql.Observation): Long = {
       def read(): Long = scala.util.Try(
         org.apache.spark.sql.graftbridge.Bridge.observedRow(obs)
           .map(_.getLong(0)).getOrElse(-1L)).getOrElse(-1L)
@@ -376,220 +484,190 @@ object ConsumerRuntime {
       n
     }
 
-    def deliverBody(deduped: DataFrame): Unit = {
-        {
-          // a previous batch's raced metric has landed by now — recover
-          // the size signal before this batch's path choice reads it
-          pendingObs.foreach { prev =>
-            val n = scala.util.Try(
-              org.apache.spark.sql.graftbridge.Bridge.observedRow(prev)
-                .map(_.getLong(0)).getOrElse(-1L)).getOrElse(-1L)
-            if (n >= 0) lastBatchRows = n
-          }
-          pendingObs = None
-          // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
-          // Spark action, straight off the distributed pipeline plan
-          // (events never round-trip through the driver). Per-group
-          // FIFO is enforced ON THE WIRE: each group's events cluster
-          // into one partition in `(commit_lsn, commit_idx)` order, so
-          // a group's in-batch run reaches its transport connection as
-          // one ordered sequence — the reference's own delivery shape
-          // (slot_message_store_state.ex:432-478: a group's consecutive
-          // messages ship as ONE in-flight batch; FIFO is between
-          // batches, not between a batch's members). Batches are
-          // sequential per consumer, so cross-batch group order holds
-          // because batch N fully resolves (retries included) before
-          // batch N+1 dispatches.
-          // the batch's pre-filter row count rides an Observation ON the
-          // delivery action — the trace gets received/matched/filtered
-          // without a second Spark job
-          val obs = org.apache.spark.sql.Observation()
-          val pipeline0 = CdcPipeline.build(
-            deduped.observe(obs, org.apache.spark.sql.functions
-              .count(org.apache.spark.sql.functions.lit(1)).as("n_in")),
-            cfg, enrichment)
-          val pipeline =
-            if (!cfg.messageGrouping) pipeline0 // no ordering contract
-            else if (lastBatchRows <= SmallBatchRows)
-              // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
-              // the PREVIOUS batch — no extra count action) delivers the
-              // whole batch on ONE ordered connection. A global
-              // (commit_lsn, commit_idx) sort subsumes per-group FIFO,
-              // and coalesce(1) is a narrow dependency — the group-hash
-              // Exchange (one whole stage of scheduling latency on a
-              // 1-event batch) disappears. Self-correcting: a burst
-              // arriving behind a quiet period pays one single-connection
-              // batch, then the size signal flips the next batch wide.
-              pipeline0.coalesce(1)
-                .sortWithinPartitions("commit_lsn", "commit_idx")
-            else {
-              import org.apache.spark.sql.functions.coalesce
-              pipeline0
-                .repartition(coalesce(col("group_id"), col("record_pk")))
-                .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
-            }
-          val dlqBefore = ledger.deadLetters().size
-          val outcomes = traced("deliver batch")(
-            SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
-              health, consumerId, cfg.name))
-          val nIn = observedN(obs)
-          // on a metrics-bus miss KEEP the previous size (substituting
-          // the POST-FILTER outcome count would flip a selective-filter
-          // consumer — 100k received, ~0 matched — onto the single-task
-          // fast path for its next full-size batch) and park the
-          // Observation for recovery at the next batch's start
-          if (nIn >= 0) lastBatchRows = nIn else pendingObs = Some(obs)
-          // `received` is the POST-dedup count (the Observation rides the
-          // deduped frame); `filtered` clamps at 0 because a fanning
-          // transform can emit more outcomes than inputs — a negative
-          // count in the debugging view would read as data loss
-          Trace.info(consumerId, "batch processed",
-            "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
-            "matched" -> outcomes.size.toString,
-            "filtered" -> (if (nIn >= 0)
-              math.max(0L, nIn - outcomes.size).toString else "unknown"))
-          health.putEvent("sink_consumer", consumerId, "messages_filtered",
-            "success")
-          if (outcomes.nonEmpty) {
-            health.putEvent("sink_consumer", consumerId, "messages_ingested",
-              "success")
-            health.putEvent("sink_consumer", consumerId,
-              "messages_pending_delivery", "success")
-          }
-          // FAILURES drop into the strict ledger ladder (per-group FIFO
-          // with maxInflight=1, visibility timeout, retry budget, DLQ).
-          // Their ORIGINAL events are re-derived from the cached batch —
-          // the build is re-run only to recover the grafted group id; the
-          // DELIVERED payloads came from the single build above, so user
-          // transforms apply exactly once per delivery and the filter
-          // verdict was decided on original values.
-          val failedIds = outcomes.filterNot(_.ok).map(_.ack_id).toSet
-          if (outcomes.nonEmpty) {
-            if (failedIds.isEmpty)
-              Trace.info(consumerId, "batch delivered",
-                "delivered" -> outcomes.size.toString)
-            else
-              Trace.error(consumerId, "deliveries failed",
-                "delivered" -> (outcomes.size - failedIds.size).toString,
-                "failed" -> failedIds.size.toString,
-                "reason" -> outcomes.collectFirst {
-                  case o if !o.ok => Option(o.err).getOrElse("unknown")
-                }.getOrElse("unknown"))
-          }
-          if (failedIds.nonEmpty) {
-            val packed = deduped.withColumn("__orig",
-              struct(EventCols.map(col): _*))
-            // broadcast-semi-join on the failed keys (an `isin` literal
-            // list would blow the plan up when a dead transport fails a
-            // whole 100k+ batch)
-            val keys = org.apache.spark.sql.functions.broadcast(
-              failedIds.toSeq.toDF("idempotency_key"))
-            val failedDs = CdcPipeline.build(packed, cfg, enrichment)
-              .join(keys, Seq("idempotency_key"), "left_semi")
-              .select(EventCols.filterNot(_ == "group_id")
-                .map(c => col(s"__orig.$c").as(c)) :+ col("group_id"): _*)
-              .as[ChangeEvent]
-            // these already burned one delivery attempt in the batch
-            // dispatch — the ledger's retry budget starts there
-            if (failedIds.size <= cfg.maxFailedCollectPerBatch)
-              ledgerLoop(failedDs.collect().toSeq
-                .sortBy(e => (e.commit_lsn, e.commit_idx)))
-            else {
-              // DEAD-TRANSPORT SPILL: a whole failed micro-batch (500k
-              // events at bench scale) must not land in driver memory in
-              // one `.collect()`. Spill the failed set to a parquet
-              // retry spool, RANGE-sorted on the delivery order, and
-              // drain it one chunk (= one range file) at a time — each
-              // chunk fully resolves (retry/DLQ) before the next loads,
-              // so per-group FIFO holds across chunks and driver
-              // residency stays <= maxFailedCollectPerBatch events. The
-              // reference spills failing groups to a table the same way
-              // (slot_message_store_state.ex:687-716).
-              val spool = s"target/graft_retry_spool/$consumerId/" +
-                java.util.UUID.randomUUID().toString
-              val nChunks = math.max(1, (failedIds.size.toDouble /
-                cfg.maxFailedCollectPerBatch).ceil.toInt)
-              failedDs.toDF()
-                .repartitionByRange(nChunks, col("commit_lsn"), col("commit_idx"))
-                .sortWithinPartitions("commit_lsn", "commit_idx")
-                .write.mode("overwrite").parquet(spool)
-              metrics.inc("graft_retry_spool_spilled_total",
-                Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
-                by = failedIds.size.toLong,
-                help = "Failed deliveries spilled to the parquet retry spool")
-              Trace.warning(consumerId, "failed batch spilled to retry spool",
-                "spilled" -> failedIds.size.toString,
-                "chunks" -> nChunks.toString)
-              // Hadoop FS, not java.io.File: the spool rides Spark's
-              // default filesystem (HDFS/S3 on a cluster) — a local-FS
-              // listing there would NPE mid-failure-handling and strand
-              // the spool
-              val spoolPath = new org.apache.hadoop.fs.Path(spool)
-              val fs = spoolPath.getFileSystem(
-                spark.sparkContext.hadoopConfiguration)
-              try {
-                // range partition i holds delivery-order range i, and
-                // part-0000i names sort with i — file order IS spool order
-                val files = fs.listStatus(spoolPath).map(_.getPath)
-                  .filter(f => f.getName.startsWith("part-") &&
-                    f.getName.endsWith(".parquet"))
-                  .sortBy(_.getName)
-                files.foreach { f =>
-                  val chunk = spark.read.parquet(f.toString)
-                    .as[ChangeEvent].collect().toSeq
-                    .sortBy(e => (e.commit_lsn, e.commit_idx))
-                  if (chunk.nonEmpty) traced(s"spool chunk ${chunk.size}")(
-                    ledgerLoop(chunk))
-                }
-              } finally { fs.delete(spoolPath, true); () }
-            }
-          }
-          val dlqDelta = ledger.deadLetters().size - dlqBefore
-          if (dlqDelta > 0)
-            Trace.warning(consumerId, "dead-lettered after retry budget",
-              "count" -> dlqDelta.toString)
-        }
-    }
-    val writer0 = events.writeStream.outputMode("append")
-    val writer = checkpointLocation
-      .fold(writer0)(p => writer0.option("checkpointLocation", p))
-    val query = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cached(batch)(deliverBatch)
+    private[streaming] def deliverBody(deduped: DataFrame,
+        knownN: Option[Long]): Unit = {
+      // a previous batch's raced metric has landed by now — recover
+      // the size signal before this batch's path choice reads it
+      pendingObs.foreach { prev =>
+        val n = scala.util.Try(
+          org.apache.spark.sql.graftbridge.Bridge.observedRow(prev)
+            .map(_.getLong(0)).getOrElse(-1L)).getOrElse(-1L)
+        if (n >= 0) lastBatchRows = n
       }
-      .start()
-    val runner = backfill.map { spec =>
-      new BackfillRunner(spec, () => query,
-        // fence + deliver: the seen-set SNAPSHOT and the anti-join both
-        // evaluate INSIDE the dispatch lock, so no CDC micro-batch can
-        // deliver (and record) a newer image of a pk between the fence
-        // decision and the page dispatch (that interleave would ship the
-        // page's stale `read` AFTER the CDC image, violating "CDC wins
-        // on PK conflict"). Pages deliver through the same cached body
-        // but must not re-record their own rows as "seen" (they are
-        // backfill, not CDC), hence deliverBody not deliverBatch.
-        envelope => dispatchLock.synchronized {
-          val seen = backfillSeen.synchronized(backfillSeen.toSet)
-          val fenced =
-            if (seen.isEmpty) envelope
-            else {
-              val seenDf = org.apache.spark.sql.functions.broadcast(
-                seen.toSeq.toDF("__seen_key"))
-              envelope.join(seenDf,
-                concat_ws("#", concat_ws(".", col("table_schema"),
-                  col("table_name")), col("record_pk")) === col("__seen_key"),
-                "left_anti")
+      pendingObs = None
+      // a known current size beats the previous batch's: the dispatch
+      // shape below is chosen for THIS batch
+      knownN.foreach(n => lastBatchRows = n)
+      // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
+      // Spark action, straight off the distributed pipeline plan
+      // (events never round-trip through the driver). Per-group
+      // FIFO is enforced ON THE WIRE: each group's events cluster
+      // into one partition in `(commit_lsn, commit_idx)` order, so
+      // a group's in-batch run reaches its transport connection as
+      // one ordered sequence — the reference's own delivery shape
+      // (slot_message_store_state.ex:432-478: a group's consecutive
+      // messages ship as ONE in-flight batch; FIFO is between
+      // batches, not between a batch's members). Batches are
+      // sequential per consumer, so cross-batch group order holds
+      // because batch N fully resolves (retries included) before
+      // batch N+1 dispatches.
+      // the batch's pre-filter row count rides an Observation ON the
+      // delivery action — the trace gets received/matched/filtered
+      // without a second Spark job (skipped entirely when the caller
+      // already counted the batch)
+      val obsOpt =
+        if (knownN.isDefined) None
+        else Some(org.apache.spark.sql.Observation())
+      val observedDf = obsOpt.fold(deduped)(o =>
+        deduped.observe(o, org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("n_in")))
+      val pipeline0 = CdcPipeline.build(observedDf, cfg, enrichment)
+      val pipeline =
+        if (!cfg.messageGrouping) pipeline0 // no ordering contract
+        else if (lastBatchRows <= SmallBatchRows)
+          // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
+          // the PREVIOUS batch — no extra count action) delivers the
+          // whole batch on ONE ordered connection. A global
+          // (commit_lsn, commit_idx) sort subsumes per-group FIFO,
+          // and coalesce(1) is a narrow dependency — the group-hash
+          // Exchange (one whole stage of scheduling latency on a
+          // 1-event batch) disappears. Self-correcting: a burst
+          // arriving behind a quiet period pays one single-connection
+          // batch, then the size signal flips the next batch wide.
+          pipeline0.coalesce(1)
+            .sortWithinPartitions("commit_lsn", "commit_idx")
+        else {
+          import org.apache.spark.sql.functions.coalesce
+          pipeline0
+            .repartition(coalesce(col("group_id"), col("record_pk")))
+            .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
+        }
+      val dlqBefore = ledger.deadLetters().size
+      val outcomes = traced("deliver batch")(
+        SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
+          health, consumerId, cfg.name))
+      val nIn: Long = knownN.getOrElse(obsOpt.map(observedN).getOrElse(-1L))
+      // on a metrics-bus miss KEEP the previous size (substituting
+      // the POST-FILTER outcome count would flip a selective-filter
+      // consumer — 100k received, ~0 matched — onto the single-task
+      // fast path for its next full-size batch) and park the
+      // Observation for recovery at the next batch's start
+      if (nIn >= 0) lastBatchRows = nIn else pendingObs = obsOpt
+      // `received` is the POST-dedup count (the Observation rides the
+      // deduped frame); `filtered` clamps at 0 because a fanning
+      // transform can emit more outcomes than inputs — a negative
+      // count in the debugging view would read as data loss
+      Trace.info(consumerId, "batch processed",
+        "received" -> (if (nIn >= 0) nIn.toString else "unknown"),
+        "matched" -> outcomes.size.toString,
+        "filtered" -> (if (nIn >= 0)
+          math.max(0L, nIn - outcomes.size).toString else "unknown"))
+      health.putEvent("sink_consumer", consumerId, "messages_filtered",
+        "success")
+      if (outcomes.nonEmpty) {
+        health.putEvent("sink_consumer", consumerId, "messages_ingested",
+          "success")
+        health.putEvent("sink_consumer", consumerId,
+          "messages_pending_delivery", "success")
+      }
+      // FAILURES drop into the strict ledger ladder (per-group FIFO
+      // with maxInflight=1, visibility timeout, retry budget, DLQ).
+      // Their ORIGINAL events are re-derived from the cached batch —
+      // the build is re-run only to recover the grafted group id; the
+      // DELIVERED payloads came from the single build above, so user
+      // transforms apply exactly once per delivery and the filter
+      // verdict was decided on original values.
+      val failedIds = outcomes.filterNot(_.ok).map(_.ack_id).toSet
+      if (outcomes.nonEmpty) {
+        if (failedIds.isEmpty)
+          Trace.info(consumerId, "batch delivered",
+            "delivered" -> outcomes.size.toString)
+        else
+          Trace.error(consumerId, "deliveries failed",
+            "delivered" -> (outcomes.size - failedIds.size).toString,
+            "failed" -> failedIds.size.toString,
+            "reason" -> outcomes.collectFirst {
+              case o if !o.ok => Option(o.err).getOrElse("unknown")
+            }.getOrElse("unknown"))
+      }
+      if (failedIds.nonEmpty) {
+        val packed = deduped.withColumn("__orig",
+          struct(EventCols.map(col): _*))
+        // broadcast-semi-join on the failed keys (an `isin` literal
+        // list would blow the plan up when a dead transport fails a
+        // whole 100k+ batch)
+        val keys = org.apache.spark.sql.functions.broadcast(
+          failedIds.toSeq.toDF("idempotency_key"))
+        val failedDs = CdcPipeline.build(packed, cfg, enrichment)
+          .join(keys, Seq("idempotency_key"), "left_semi")
+          .select(EventCols.filterNot(_ == "group_id")
+            .map(c => col(s"__orig.$c").as(c)) :+ col("group_id"): _*)
+          .as[ChangeEvent]
+        // these already burned one delivery attempt in the batch
+        // dispatch — the ledger's retry budget starts there
+        if (failedIds.size <= cfg.maxFailedCollectPerBatch)
+          ledgerLoop(failedDs.collect().toSeq
+            .sortBy(e => (e.commit_lsn, e.commit_idx)))
+        else {
+          // DEAD-TRANSPORT SPILL: a whole failed micro-batch (500k
+          // events at bench scale) must not land in driver memory in
+          // one `.collect()`. Spill the failed set to a parquet
+          // retry spool, RANGE-sorted on the delivery order, and
+          // drain it one chunk (= one range file) at a time — each
+          // chunk fully resolves (retry/DLQ) before the next loads,
+          // so per-group FIFO holds across chunks and driver
+          // residency stays <= maxFailedCollectPerBatch events. The
+          // reference spills failing groups to a table the same way
+          // (slot_message_store_state.ex:687-716).
+          val spool = s"target/graft_retry_spool/$consumerId/" +
+            java.util.UUID.randomUUID().toString
+          val nChunks = math.max(1, (failedIds.size.toDouble /
+            cfg.maxFailedCollectPerBatch).ceil.toInt)
+          failedDs.toDF()
+            .repartitionByRange(nChunks, col("commit_lsn"), col("commit_idx"))
+            .sortWithinPartitions("commit_lsn", "commit_idx")
+            .write.mode("overwrite").parquet(spool)
+          metrics.inc("graft_retry_spool_spilled_total",
+            Seq("consumer_id" -> consumerId, "consumer_name" -> cfg.name),
+            by = failedIds.size.toLong,
+            help = "Failed deliveries spilled to the parquet retry spool")
+          Trace.warning(consumerId, "failed batch spilled to retry spool",
+            "spilled" -> failedIds.size.toString,
+            "chunks" -> nChunks.toString)
+          // Hadoop FS, not java.io.File: the spool rides Spark's
+          // default filesystem (HDFS/S3 on a cluster) — a local-FS
+          // listing there would NPE mid-failure-handling and strand
+          // the spool
+          val spoolPath = new org.apache.hadoop.fs.Path(spool)
+          val fs = spoolPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          try {
+            // range partition i holds delivery-order range i, and
+            // part-0000i names sort with i — file order IS spool order
+            val files = fs.listStatus(spoolPath).map(_.getPath)
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+              .sortBy(_.getName)
+            files.foreach { f =>
+              val chunk = spark.read.parquet(f.toString)
+                .as[ChangeEvent].collect().toSeq
+                .sortBy(e => (e.commit_lsn, e.commit_idx))
+              if (chunk.nonEmpty) traced(s"spool chunk ${chunk.size}")(
+                ledgerLoop(chunk))
             }
-          cached(fenced)(deliverBody)
-        },
-        // scan complete: the fence set has done its job — release it
-        onFinished = () => backfillSeen.synchronized { backfillSeen.clear(); () })
+          } finally { fs.delete(spoolPath, true); () }
+        }
+      }
+      val dlqDelta = ledger.deadLetters().size - dlqBefore
+      if (dlqDelta > 0)
+        Trace.warning(consumerId, "dead-lettered after retry budget",
+          "count" -> dlqDelta.toString)
     }
-    backfillRunner = runner
-    // the reference's MessageConsistencyCheckWorker (Oban cron): count
-    // undelivered cursors older than the staleness window, warn through
-    // metrics + health, trim the audit ledger. Cadence + window come
-    // from the consumer config (defaults = the reference's 60 s / 2 min).
+
+    /** The reference's MessageConsistencyCheckWorker (Oban cron): count
+      * undelivered cursors older than the staleness window, warn through
+      * metrics + health, trim the audit ledger.
+      */
     val audit: Long => Int = { maxAgeMs =>
       val cutoffEpochMs = nowMs() - maxAgeMs
       val stale = ledger.staleUndelivered(cutoffEpochMs)
@@ -607,18 +685,175 @@ object ConsumerRuntime {
       }
       stale.size
     }
-    val timer = new java.util.Timer(s"graft-consistency-$consumerId", true)
-    timer.scheduleAtFixedRate(new java.util.TimerTask {
-      override def run(): Unit =
-        try { audit(cfg.consistencyStalenessMs); () }
-        catch { case e: Exception =>
-          // a persistently failing audit must surface, not vanish (the
-          // reference Logger.warns on findings); swallowing here once hid
-          // every metrics/health bug behind a silent 60 s retry loop
-          System.err.println(
-            s"[graft] consistency check failed for $consumerId: $e")
-        }
-    }, cfg.consistencyCheckIntervalMs, cfg.consistencyCheckIntervalMs)
-    new Handle(query, ledger, runner, Some(audit), Some(timer))
+
+    /** Periodic consistency audit (cadence + window from the consumer
+      * config; defaults = the reference's 60 s / 2 min).
+      */
+    def startConsistencyTimer(): java.util.Timer = {
+      val timer = new java.util.Timer(s"graft-consistency-$consumerId", true)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
+        override def run(): Unit =
+          try { audit(cfg.consistencyStalenessMs); () }
+          catch { case e: Exception =>
+            // a persistently failing audit must surface, not vanish (the
+            // reference Logger.warns on findings); swallowing here once
+            // hid every metrics/health bug behind a silent 60 s retry loop
+            System.err.println(
+              s"[graft] consistency check failed for $consumerId: $e")
+          }
+      }, cfg.consistencyCheckIntervalMs, cfg.consistencyCheckIntervalMs)
+      timer
+    }
+  }
+
+  /** Start the full chain over `events` (a STREAMING CDC-envelope
+    * DataFrame). `consumerId`/`cfg.name` label the metrics series and
+    * the health entity.
+    */
+  def start(events: DataFrame, cfg: ConsumerConfig, env: SinkDispatch.Env,
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String,
+      enrichment: Option[(DataFrame, String, String)] = None,
+      checkpointLocation: Option[String] = None,
+      backfill: Option[BackfillSpec] = None,
+      nowMs: () => Long = () => System.currentTimeMillis())(
+      implicit spark: SparkSession): Handle = {
+    val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
+      nowMs)
+    // with a checkpoint, a restart resumes at the source's committed
+    // offsets: completed batches never replay (their events were acked
+    // and the sink is external), an interrupted batch replays whole —
+    // at-least-once, the reference's delivery contract
+    val writer0 = events.writeStream.outputMode("append")
+    val writer = checkpointLocation
+      .fold(writer0)(p => writer0.option("checkpointLocation", p))
+    val query = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lane.cached(batch)(d => lane.deliverBatch(d, knownN = None))
+      }
+      .start()
+    val runner = backfill.map(spec => lane.attachBackfill(spec, () => query))
+    val timer = lane.startConsistencyTimer()
+    new Handle(query, lane.ledger, runner, Some(lane.audit), Some(timer))
+  }
+}
+
+/** SHARED-DECODE fan-out: ONE streaming query over one slot's CDC
+  * envelope, multiplexed across N consumer lanes — the reference decodes
+  * each WAL message once and hands it to every consumer's pipeline
+  * (`/root/reference/lib/sequin/runtime/message_handler.ex:214-251`);
+  * N independent [[ConsumerRuntime.start]] queries on the same slot
+  * would each pay the per-slot stateful pgoutput decode, a 10× ingest
+  * tax at 10 consumers that the reference does not pay.
+  *
+  * Per micro-batch: dedup once, `persist()`, and materialize the cache
+  * with ONE count (which doubles as the exact batch-size signal every
+  * lane's dispatch-shape choice wants) — the decode runs exactly once no
+  * matter how many lanes consume the batch. Lanes then dispatch
+  * CONCURRENTLY (independent transports; the pool is the analog of the
+  * reference's per-consumer processes): each lane applies its own
+  * filters/transforms/routing off the cached batch, delivers on its own
+  * connections, and runs its own ledger. The batch completes only when
+  * every lane has fully resolved it — so per-consumer cross-batch FIFO
+  * holds (a lane's batch N retries finish before its batch N+1 starts),
+  * and `pause_on_full` backpressure from ANY lane throttles the shared
+  * source, exactly like the reference pausing the replication slot when
+  * one consumer's store fills.
+  *
+  * Consumers attach and detach while the query runs (the reference's
+  * consumers attach to a live slot): an attached lane starts at the
+  * slot's CURRENT position; `Handle.stop()` on an attached lane detaches
+  * only that lane. A lane failure (a thrown exception, not a delivery
+  * failure — those resolve inside the lane's ledger/DLQ) fails the slot
+  * query loudly; a restart from the checkpoint replays the interrupted
+  * batch to all lanes (at-least-once, dedup'd by idempotency key
+  * downstream).
+  *
+  * Use [[ConsumerRuntime.start]] for a single consumer — a dedicated
+  * query skips this runtime's cache-materializing count on small
+  * batches.
+  */
+final class SlotRuntime(
+    events: DataFrame,
+    checkpointLocation: Option[String] = None,
+    nowMs: () => Long = () => System.currentTimeMillis())(
+    implicit spark: SparkSession) {
+  import ConsumerRuntime.{BackfillSpec, Handle, Lane}
+  import scala.jdk.CollectionConverters._
+
+  private val lanes =
+    new java.util.concurrent.ConcurrentHashMap[String, Lane]()
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-slot-lane")
+      t.setDaemon(true)
+      t
+    })
+
+  private def processBatch(batch: DataFrame): Unit = {
+    val ls = lanes.values.asScala.toSeq.sortBy(_.consumerId)
+    // no lanes attached: the batch commits unconsumed — a consumer
+    // attaching later starts at the slot's then-current position
+    if (ls.isEmpty) return
+    val deduped = batch.dropDuplicates("idempotency_key").persist()
+    try {
+      // ONE action materializes the cache — the per-slot stateful decode
+      // runs here, once, for every lane; the count it returns is the
+      // exact post-dedup size each lane's dispatch-shape choice needs
+      val n = deduped.count()
+      val futures = ls.map(l =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = l.deliverBatch(deduped, Some(n))
+        }))
+      // the batch is done when EVERY lane resolved it; the first lane
+      // exception propagates and fails the query (loud — lane-level
+      // delivery failures never throw, they resolve in the ledger)
+      futures.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally { deduped.unpersist(blocking = false); () }
+  }
+
+  /** The one shared streaming query (started immediately; lanes attach
+    * to it live).
+    */
+  val query: org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = events.writeStream.outputMode("append")
+    val w = checkpointLocation.fold(w0)(p =>
+      w0.option("checkpointLocation", p))
+    w.foreachBatch((batch: DataFrame, _: Long) => processBatch(batch))
+      .start()
+  }
+
+  /** Attach a consumer lane to the running slot. Returns a Handle whose
+    * `stop()` detaches ONLY this lane (the shared query keeps serving
+    * the others).
+    */
+  def attach(cfg: ConsumerConfig, env: SinkDispatch.Env,
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String,
+      enrichment: Option[(DataFrame, String, String)] = None,
+      backfill: Option[BackfillSpec] = None): Handle = {
+    val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
+      nowMs)
+    val runner = backfill.map(spec => lane.attachBackfill(spec, () => query))
+    require(lanes.putIfAbsent(consumerId, lane) == null,
+      s"consumer '$consumerId' is already attached to this slot")
+    val timer = lane.startConsistencyTimer()
+    new Handle(query, lane.ledger, runner, Some(lane.audit), Some(timer),
+      onStop = Some(() => { lanes.remove(consumerId); () }))
+  }
+
+  def attached: Seq[String] = lanes.keys.asScala.toSeq.sorted
+
+  /** Stop the slot: the shared query, every lane's ledger, the pool. */
+  def stop(): Unit = {
+    query.stop()
+    lanes.values.asScala.foreach(_.ledger.stop())
+    lanes.clear()
+    pool.shutdownNow()
+    ()
   }
 }

@@ -449,6 +449,98 @@ class ConsumerRuntimeSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("FENCE CAP: a high-churn table during backfill overflows the " +
+      "driver-held fence set into the parquet side table — exactly-once " +
+      "holds past the cap, and the spool is released with the scan") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val srv = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val tableDir = java.nio.file.Files.createTempDirectory("bf_cap").toString
+    (1L to 12L).map(i => (i, i * 1.0)).toDF("id", "value")
+      .write.mode("overwrite").parquet(tableDir)
+    def toEnvelope(page: org.apache.spark.sql.DataFrame) =
+      page.select(
+        lit(0L).as("commit_lsn"), col("id").as("commit_idx"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("commit_ts"),
+        col("action"), lit("public").as("table_schema"),
+        lit("t0").as("table_name"), lit(16384L).as("table_oid"),
+        concat(lit("pk"), col("id")).as("record_pk"),
+        col("id").as("record_id"), col("id").as("record_user_id"),
+        col("value").as("record_value"), lit("{}").as("record_props"),
+        lit(null).cast("double").as("old_value"),
+        concat(lit("r:"), col("id")).as("idempotency_key"),
+        col("id").cast("string").as("group_id"),
+        lit(100L).as("byte_size"))
+    // cap = 3: the 8 churned pks MUST overflow to the parquet side table
+    val cfg = PipelineSpec.parse(
+      """{"name":"bfc","max_backfill_fence_in_memory":3,
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    assert(cfg.maxBackfillFenceInMemory == 3)
+    val input = MemoryStream[ChangeEvent]
+    val handle = ConsumerRuntime.start(input.toDS().toDF(), cfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      metrics, health, "c-bfc",
+      backfill = Some(ConsumerRuntime.BackfillSpec(
+        table = () => spark.read.parquet(tableDir),
+        sortCols = Seq("id"),
+        toEnvelope = toEnvelope,
+        tableSchema = "public", tableName = "t0",
+        pageSize = 4)))
+    val bf = handle.backfill.get
+    try {
+      def ev2(lsn: Long, id: Long): ChangeEvent =
+        ChangeEvent(lsn, 0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "update", "public", "t0", 16384L, s"pk$id", id, id, id * 10.0,
+          "{}", Some(0.5), s"$id:$lsn", id.toString, 100L)
+      // HIGH CHURN before the scan reaches those rows: CDC updates for
+      // pks 3..10 — 8 identities, far past the cap of 3 (two batches so
+      // the overflow also exercises set accumulation across batches)
+      input.addData((3L to 6L).map(i => ev2(i * 8, i)): _*)
+      handle.query.processAllAvailable()
+      input.addData((7L to 10L).map(i => ev2(i * 8, i)): _*)
+      handle.query.processAllAvailable()
+      assert(srv.xadds.size == 8)
+      // the overflow spilled to the parquet fence spool (metric proves
+      // the capped path engaged, not the in-memory set)
+      val exp = metrics.exposition()
+      val spilled = exp.linesIterator
+        .find(_.startsWith("graft_backfill_fence_spilled_total"))
+        .map(_.split(" ").last.toDouble.toLong)
+      assert(spilled.exists(_ >= 4), s"fence spill metric: $spilled")
+      // drain the scan: pages re-read pks 1..12; 3..10 must be FENCED
+      // (their CDC updates already delivered — exactly-once), 1,2,11,12
+      // deliver as reads
+      bf.run()
+      assert(bf.isDone)
+      val reads = srv.xadds.asScala.toVector
+        .filter(_.contains("|action|read|"))
+      def pkOf(x: String) =
+        "\"idempotency_key\":\"r:(\\d+)\"".r.findFirstMatchIn(x)
+          .map(_.group(1))
+      assert(reads.flatMap(pkOf).sortBy(_.toInt) ==
+        Vector("1", "2", "11", "12"), reads.mkString("\n"))
+      // every churned pk appears exactly once (the CDC image), and the
+      // delivered image is CDC's (value id*10), not the stale read
+      val all = srv.xadds.asScala.toVector
+      (3L to 10L).foreach { id =>
+        val hits = all.filter(_.contains(s""""id":$id,"""))
+        assert(hits.size == 1, s"pk$id delivered ${hits.size}x")
+        assert(hits.head.contains(s"${id * 10.0}"), hits.head)
+      }
+      assert(handle.ledger.outstandingEvents == 0)
+      // the fence spool is transient: released when the scan completed
+      val spoolRoot = new java.io.File("target/graft_fence_spool/c-bfc")
+      assert(!spoolRoot.exists() ||
+        Option(spoolRoot.listFiles()).forall(_.isEmpty),
+        s"fence spool not cleaned: ${Option(spoolRoot.listFiles()).map(_.toSeq)}")
+    } finally { handle.stop(); srv.stop() }
+  }
+
   test("VAULT → TRANSPORT: encrypted_headers decrypt only at client " +
       "construction — the live http_push request carries the plaintext " +
       "the catalog never stored") {

@@ -1,0 +1,224 @@
+package graft
+
+import graft.config.PipelineSpec
+import graft.model.ChangeEvent
+import graft.sinks.SinkDispatch
+import graft.streaming.SlotRuntime
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.jdk.CollectionConverters._
+
+/** Shared-decode fan-out: ONE streaming query over a slot's stream,
+  * multiplexed across N consumer lanes (the reference decodes each WAL
+  * message once and hands it to every consumer —
+  * `message_handler.ex:214-251`). Covers per-lane filtering + FIFO +
+  * exactly-once, live attach/detach, and failure isolation (one dead
+  * lane DLQs without touching its peers or the shared query). Each lane
+  * delivers to its OWN loopback transport — the assertion surface is
+  * what each consumer's wire actually saw.
+  */
+class SlotRuntimeSpec extends SparkSpec {
+
+  /** Loopback redis recording XADD frames. */
+  private final class ScriptedRedis {
+    val xadds = new ConcurrentLinkedQueue[String]()
+    private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try while (true) {
+            if (in.read() < 0) throw new java.io.EOFException
+            val n = line().toInt
+            val args = (0 until n).map { _ =>
+              in.read()
+              val len = line().toInt
+              val buf = new Array[Byte](len)
+              var off = 0
+              while (off < len) off += in.read(buf, off, len - off)
+              in.read(); in.read()
+              new String(buf, UTF_8)
+            }
+            if (args.head == "XADD") xadds.add(args.mkString("|"))
+            out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+          } catch { case _: Exception => sock.close() }
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    def stop(): Unit = server.close()
+  }
+
+  private def ev(lsn: Long, group: String, value: Double,
+      action: String = "insert"): ChangeEvent =
+    ChangeEvent(lsn, 0L, Timestamp.valueOf("2024-01-01 00:00:00"), action,
+      "public", "t0", 16384L, s"pk$group-$lsn", lsn, group.toLong, value,
+      "{}", Some(0.5), s"$group:$lsn", group, 100L)
+
+  private def cfgFor(name: String, extra: String = ""): graft.streaming.ConsumerConfig =
+    PipelineSpec.parse(
+      s"""{"name":"$name"$extra,
+         |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+
+  test("N lanes on one slot: each lane filters, orders and acks " +
+      "independently off ONE shared micro-batch") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srvs = Seq.fill(3)(new ScriptedRedis())
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val input = MemoryStream[ChangeEvent]
+    val slot = new SlotRuntime(input.toDS().toDF())
+    try {
+      val h1 = slot.attach(cfgFor("c1", ""","actions":["insert"]"""),
+        SinkDispatch.Env(host = "127.0.0.1", port = srvs(0).port),
+        metrics, health, "c1")
+      val h2 = slot.attach(
+        cfgFor("c2", ""","filter_function":"record_value >= 5.0""""),
+        SinkDispatch.Env(host = "127.0.0.1", port = srvs(1).port),
+        metrics, health, "c2")
+      val h3 = slot.attach(cfgFor("c3"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srvs(2).port),
+        metrics, health, "c3")
+      assert(slot.attached == Seq("c1", "c2", "c3"))
+      // group 1: two inserts (5.0 then 2.0); group 2: one update (7.0)
+      input.addData(ev(8, "1", 5.0), ev(16, "1", 2.0),
+        ev(24, "2", 7.0, "update"))
+      slot.query.processAllAvailable()
+      def on(i: Int) = srvs(i).xadds.asScala.toVector
+      // c1 (inserts only): both group-1 events, the update filtered
+      assert(on(0).size == 2, on(0).mkString("\n"))
+      assert(on(0).forall(_.contains("\"action\":\"insert\"")) ||
+        on(0).forall(_.contains("|action|insert|")), on(0))
+      // c2 (value >= 5): lsn 8 and the update
+      assert(on(1).size == 2)
+      assert(on(1).forall(x => x.contains("1:8") || x.contains("2:24")))
+      // c3 (everything)
+      assert(on(2).size == 3)
+      // per-lane per-group FIFO: c1's group-1 lsn 8 precedes lsn 16
+      assert(on(0).head.contains("1:8") && on(0).last.contains("1:16"), on(0))
+      // every lane's ledger fully drained — acks by identity, per lane
+      Seq(h1, h2, h3).foreach { h =>
+        assert(h.ledger.outstandingEvents == 0)
+        assert(h.ledger.deadLetters().isEmpty)
+      }
+      // per-lane observability on the SHARED registries
+      val exp = metrics.exposition()
+      assert(exp.contains(
+        """sequin_message_deliver_success_count{consumer_id="c1",consumer_name="c1"} 2"""), exp)
+      assert(exp.contains(
+        """sequin_message_deliver_success_count{consumer_id="c3",consumer_name="c3"} 3"""))
+      // a SECOND batch flows to all lanes through the same shared query
+      input.addData(ev(32, "1", 9.0))
+      slot.query.processAllAvailable()
+      assert(on(0).count(_.contains("1:32")) == 1)
+      assert(on(1).count(_.contains("1:32")) == 1)
+      assert(on(2).count(_.contains("1:32")) == 1)
+    } finally { slot.stop(); srvs.foreach(_.stop()) }
+  }
+
+  test("live attach/detach: a lane attached mid-stream starts at the " +
+      "slot's current position; a detached lane stops receiving while " +
+      "the shared query keeps serving the rest") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srv1 = new ScriptedRedis()
+    val srv2 = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val input = MemoryStream[ChangeEvent]
+    val slot = new SlotRuntime(input.toDS().toDF())
+    try {
+      val h1 = slot.attach(cfgFor("d1"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv1.port),
+        metrics, health, "d1")
+      input.addData(ev(8, "1", 1.0))
+      slot.query.processAllAvailable()
+      // d2 attaches AFTER lsn 8 was consumed: it must not see it
+      val h2 = slot.attach(cfgFor("d2"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv2.port),
+        metrics, health, "d2")
+      input.addData(ev(16, "1", 2.0))
+      slot.query.processAllAvailable()
+      assert(srv1.xadds.size == 2)
+      assert(srv2.xadds.size == 1)
+      assert(srv2.xadds.asScala.head.contains("1:16"))
+      // duplicate attach refuses
+      intercept[IllegalArgumentException](slot.attach(cfgFor("d2"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv2.port),
+        metrics, health, "d2"))
+      // detach d1: ONLY d1 — the shared query stays up for d2
+      h1.stop()
+      assert(slot.query.isActive, "detaching a lane must not stop the slot")
+      assert(slot.attached == Seq("d2"))
+      input.addData(ev(24, "1", 3.0))
+      slot.query.processAllAvailable()
+      assert(srv1.xadds.size == 2) // unchanged after detach
+      assert(srv2.xadds.size == 2)
+      assert(h2.ledger.outstandingEvents == 0)
+    } finally { slot.stop(); srv1.stop(); srv2.stop() }
+  }
+
+  test("failure isolation: a lane on a dead transport DLQs its events " +
+      "through its own ledger; sibling lanes and the shared query are " +
+      "untouched") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new ScriptedRedis()
+    val tmp = new ServerSocket(0)
+    val dead = tmp.getLocalPort
+    tmp.close()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val input = MemoryStream[ChangeEvent]
+    val slot = new SlotRuntime(input.toDS().toDF())
+    try {
+      val good = slot.attach(cfgFor("ok"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+        metrics, health, "ok")
+      val doom = slot.attach(PipelineSpec.parse(
+        """{"name":"doom","ack_wait_ms":1,"max_retry_count":2,
+          |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+          .stripMargin),
+        SinkDispatch.Env(host = "127.0.0.1", port = dead),
+        metrics, health, "doom")
+      input.addData(ev(8, "1", 5.0), ev(16, "2", 6.0))
+      slot.query.processAllAvailable()
+      // the good lane delivered everything
+      assert(srv.xadds.size == 2)
+      assert(good.ledger.outstandingEvents == 0)
+      assert(good.ledger.deadLetters().isEmpty)
+      // the doomed lane exhausted its retry budget into ITS DLQ
+      assert(doom.ledger.deadLetters().size == 2)
+      assert(doom.ledger.outstandingEvents == 0)
+      assert(health.health("sink_consumer", "doom").status == "error")
+      assert(health.health("sink_consumer", "ok").status == "healthy")
+      // the shared query survives for the next batch — and both lanes
+      // keep their contracts on it
+      assert(slot.query.isActive)
+      input.addData(ev(24, "1", 7.0))
+      slot.query.processAllAvailable()
+      assert(srv.xadds.size == 3)
+      assert(doom.ledger.deadLetters().size == 3)
+    } finally { slot.stop(); srv.stop() }
+  }
+}
