@@ -66,6 +66,35 @@ object Bench {
 
     // ---- headline probes (run FIRST — see object doc) -------------------
 
+    // HOST CALIBRATION: fixed pure-CPU work (no Spark, no allocation) so
+    // round-over-round throughput deltas can be normalized by host speed
+    // — measured bands of ~2x across runs of identical code made raw
+    // ev/s comparisons soft. Single-threaded 64-bit mix loop, best of 3;
+    // report deltas as (ev/s ÷ calibration) ratios when comparing rounds.
+    val calibrationOps = try {
+      def mixRun(iters: Long): Long = {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0L
+        while (i < iters) {
+          x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+          x ^= x >>> 27; x *= 0x94d049bb133111ebL
+          x ^= x >>> 31
+          i += 1
+        }
+        x
+      }
+      val iters = 200000000L
+      mixRun(iters / 10) // JIT warm
+      var sink = 0L
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sink ^= mixRun(iters)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      if (sink == 42L) println("") // keep the loop un-elidable
+      iters / best
+    } catch { case _: Throwable => -1.0 }
+
     // CDC-pipeline throughput in the BASELINE's shape (events/sec through
     // the full consumer pipeline: scope+action+filters+diff+routing)
     val opsPerSec = try {
@@ -402,7 +431,7 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

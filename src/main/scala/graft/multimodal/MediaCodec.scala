@@ -548,18 +548,249 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // ---------- MP3 (MPEG audio frame headers; no codec payload) ----------
+  //
+  // Enough of ISO 11172-3/13818-3 for corpus stats and dedup keys on
+  // real crawls: sync on the 11-bit frame sync, read version / layer /
+  // bitrate / sample-rate / channel-mode from the 4-byte header, then
+  // WALK the frame chain (each header states its own frame length) to
+  // count frames — duration falls out of frames × samples-per-frame ÷
+  // rate. ID3v2 tags are skipped via their syncsafe size. The codec
+  // payload is never interpreted (that WOULD need a DSP stack); header
+  // metadata is what the pipeline operators consume.
+
+  // bitrate kbps by [versionRow][bitrateIndex] for LAYER III only:
+  // row 0 = MPEG1, row 1 = MPEG2/2.5 (index 0 = "free", 15 = invalid)
+  private val Mp3BitrateL3 = Array(
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  // sample rate by [versionBits][srIndex]: versionBits 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+  private val Mp3Rates = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  private def mp3Sync(b: Array[Byte], off: Int): Boolean =
+    off + 3 < b.length && (b(off) & 0xFF) == 0xFF && (b(off + 1) & 0xE0) == 0xE0
+
+  private def id3v2Size(b: Array[Byte]): Int =
+    if (b.length >= 10 && tag(b, 0, "ID3"))
+      10 + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+    else 0
+
+  /** Encode `frames` valid MPEG Layer III frames (MPEG1 for rates ≥
+    * 32 kHz, MPEG2 below), zero payload, no padding bit — so the byte
+    * length is exactly frames × floor(coef·bitrate/rate) and a SQL
+    * oracle can predict it. `id3Bytes > 0` prepends an ID3v2 tag of that
+    * payload size (the decoder must skip it).
+    */
+  def encodeMp3(bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+      frames: Int, id3Bytes: Int = 0): Array[Byte] = {
+    val versionBits = if (sampleRate >= 32000) 3 else 2
+    val row = if (versionBits == 3) 0 else 1
+    val bi = Mp3BitrateL3(row).indexOf(bitrateKbps)
+    val si = Mp3Rates(versionBits).indexOf(sampleRate)
+    require(bi > 0 && si >= 0, s"unsupported mp3 params $bitrateKbps/$sampleRate")
+    val coef = if (versionBits == 3) 144000 else 72000
+    val frameLen = coef * bitrateKbps / sampleRate
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      val tagBuf = new Array[Byte](10 + id3Bytes)
+      putTag(tagBuf, 0, "ID3")
+      tagBuf(3) = 4 // v2.4
+      tagBuf(6) = ((id3Bytes >> 21) & 0x7F).toByte
+      tagBuf(7) = ((id3Bytes >> 14) & 0x7F).toByte
+      tagBuf(8) = ((id3Bytes >> 7) & 0x7F).toByte
+      tagBuf(9) = (id3Bytes & 0x7F).toByte
+      out.write(tagBuf)
+    }
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xFF.toByte
+    frame(1) = (0xE0 | (versionBits << 3) | (1 << 1) | 1).toByte // layer III, no CRC
+    frame(2) = ((bi << 4) | (si << 2)).toByte // padding 0, private 0
+    frame(3) = (if (mono) 0xC0 else 0x00).toByte // channel mode
+    (0 until frames).foreach(_ => out.write(frame))
+    out.toByteArray
+  }
+
+  private def decodeMp3(b: Array[Byte]): Option[MediaMeta] = {
+    var pos = id3v2Size(b)
+    if (!mp3Sync(b, pos)) return None
+    val h1 = b(pos + 1) & 0xFF
+    val versionBits = (h1 >> 3) & 0x3
+    val layerBits = (h1 >> 1) & 0x3
+    if (versionBits == 1 || layerBits != 1) return None // layer III only
+    val row = if (versionBits == 3) 0 else 1
+    val rates = Mp3Rates(versionBits)
+    val firstH2 = b(pos + 2) & 0xFF
+    val si0 = (firstH2 >> 2) & 0x3
+    if (si0 == 3) return None
+    val rate = rates(si0)
+    val channels = if (((b(pos + 3) & 0xFF) >> 6) == 3) 1 else 2
+    val spf = if (versionBits == 3) 1152L else 576L
+    val coef = if (versionBits == 3) 144000 else 72000
+    var frames = 0L
+    // walk the frame chain: every frame's length comes from ITS header
+    // (VBR streams change bitrate per frame)
+    var ok = true
+    while (ok && mp3Sync(b, pos)) {
+      val h2 = b(pos + 2) & 0xFF
+      val bi = (h2 >> 4) & 0xF
+      val si = (h2 >> 2) & 0x3
+      val padding = (h2 >> 1) & 0x1
+      if (bi == 0 || bi == 15 || si == 3) ok = false // free/invalid: stop
+      else {
+        val len = coef * Mp3BitrateL3(row)(bi) / rates(si) + padding
+        if (len <= 4 || pos + len > b.length) ok = false
+        else { frames += 1; pos += len }
+      }
+    }
+    if (frames == 0) None
+    else Some(MediaMeta("mp3", None, None, channels, 0, Some(rate),
+      Some(frames * spf), Some(frames * spf * 1000000L / rate)))
+  }
+
+  // ---------- MP4 / ISO-BMFF (box walk; no codec payload) ----------
+  //
+  // ISO 14496-12 box structure: [u32 size][4cc type][payload], sizes
+  // big-endian, size 1 → 64-bit largesize follows, size 0 → to EOF.
+  // The walk reads ftyp (container check), moov/mvhd (timescale +
+  // duration → wall-clock length) and each trak's mdia/hdlr handler
+  // ('vide'/'soun') + tkhd width/height (16.16 fixed point) — the
+  // metadata a corpus pipeline filters and dedups on.
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def putBe32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+    o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt)
+  }
+
+  private def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    putBe32(o, payload.length + 8L)
+    fourcc.foreach(c => o.write(c.toInt))
+    o.write(payload)
+    o.toByteArray
+  }
+
+  /** Encode a minimal but structurally valid MP4: ftyp + moov(mvhd +
+    * one video trak (tkhd with 16.16 width/height + mdia/hdlr 'vide')
+    * + `audioTracks` audio traks (hdlr 'soun')) + an empty mdat.
+    */
+  def encodeMp4(timescale: Int, durationUnits: Long,
+      width: Int, height: Int, audioTracks: Int = 0): Array[Byte] = {
+    val ftypP = new java.io.ByteArrayOutputStream()
+    "isom".foreach(c => ftypP.write(c.toInt)); putBe32(ftypP, 512L)
+    "isommp42".grouped(4).foreach(_.foreach(c => ftypP.write(c.toInt)))
+    val mvhdP = new java.io.ByteArrayOutputStream()
+    putBe32(mvhdP, 0L); putBe32(mvhdP, 0L); putBe32(mvhdP, 0L) // v0, ctime, mtime
+    putBe32(mvhdP, timescale.toLong); putBe32(mvhdP, durationUnits)
+    putBe32(mvhdP, 0x00010000L); mvhdP.write(Array.fill[Byte](70)(0)) // rate + rest
+    putBe32(mvhdP, audioTracks + 2L) // next track id
+    def trak(handler: String, w: Int, h: Int, id: Int): Array[Byte] = {
+      val tkhdP = new java.io.ByteArrayOutputStream()
+      putBe32(tkhdP, 7L) // v0 + flags enabled
+      putBe32(tkhdP, 0L); putBe32(tkhdP, 0L) // ctime, mtime
+      putBe32(tkhdP, id.toLong); putBe32(tkhdP, 0L) // track id, reserved
+      putBe32(tkhdP, durationUnits)
+      tkhdP.write(Array.fill[Byte](52)(0)) // reserved+layer+group+volume+matrix[..]
+      putBe32(tkhdP, w.toLong << 16); putBe32(tkhdP, h.toLong << 16)
+      val hdlrP = new java.io.ByteArrayOutputStream()
+      putBe32(hdlrP, 0L); putBe32(hdlrP, 0L) // v0, pre_defined
+      handler.foreach(c => hdlrP.write(c.toInt))
+      hdlrP.write(Array.fill[Byte](13)(0)) // reserved + empty name
+      box("trak", box("tkhd", tkhdP.toByteArray) ++
+        box("mdia", box("hdlr", hdlrP.toByteArray)))
+    }
+    val traks = trak("vide", width, height, 1) +:
+      (0 until audioTracks).map(i => trak("soun", 0, 0, i + 2))
+    val moov = box("moov",
+      box("mvhd", mvhdP.toByteArray) ++ traks.reduce(_ ++ _))
+    box("ftyp", ftypP.toByteArray) ++ moov ++ box("mdat", Array.emptyByteArray)
+  }
+
+  /** Walk `b`'s child boxes in [from, to), calling `f(type, payStart,
+    * payEnd)`; tolerant of truncation (stops at the first bad size).
+    */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var pos = from
+    while (pos + 8 <= to) {
+      val size0 = be32(b, pos)
+      val typ = new String(b, pos + 4, 4, "ISO-8859-1")
+      val (payStart, size) =
+        if (size0 == 1L && pos + 16 <= to) (pos + 16, be64(b, pos + 8))
+        else if (size0 == 0L) (pos + 8, (to - pos).toLong)
+        else (pos + 8, size0)
+      if (size < 8 || pos + size > to) return
+      f(typ, payStart, pos + size.toInt)
+      pos += size.toInt
+    }
+  }
+
+  private def decodeMp4(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    var timescale = 0L
+    var duration = -1L
+    var vWidth: Option[Int] = None
+    var vHeight: Option[Int] = None
+    var tracks = 0
+    walkBoxes(b, 0, b.length) { (typ, s, e) =>
+      if (typ == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
+        if (t2 == "mvhd" && e2 - s2 >= 20) {
+          val v = b(s2) & 0xFF
+          if (v == 1) { timescale = be32(b, s2 + 20); duration = be64(b, s2 + 24) }
+          else { timescale = be32(b, s2 + 12); duration = be32(b, s2 + 16) }
+        } else if (t2 == "trak") {
+          tracks += 1
+          var isVideo = false
+          var tw = 0; var th = 0
+          walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "tkhd" && e3 - s3 >= 8) {
+              // width/height are the LAST 8 bytes of tkhd, both versions
+              tw = (be32(b, e3 - 8) >> 16).toInt
+              th = (be32(b, e3 - 4) >> 16).toInt
+            } else if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, _) =>
+              if (t4 == "hdlr" && tag(b, s4 + 8, "vide")) isVideo = true
+            }
+          }
+          if (isVideo && vWidth.isEmpty && tw > 0) {
+            vWidth = Some(tw); vHeight = Some(th)
+          }
+        }
+      }
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some(MediaMeta("mp4", vWidth, vHeight, tracks, 0,
+      Some(timescale.toInt), Some(duration),
+      Some(duration * 1000000L / timescale)))
+  }
+
   // ---------- dispatch ----------
 
   /** Sniff the container magic and parse the header. Raw self-contained
     * formats (BMP/netpbm/WAV) decode via the byte-level parsers; PNG/
-    * JPEG/GIF via the JDK's pure-Java ImageIO readers. Returns None for
-    * anything unrecognized (other compressed formats, truncated files,
-    * garbage) so callers can fall back to the declared stub.
+    * JPEG/GIF via the JDK's pure-Java ImageIO readers; MP3 / MP4 via the
+    * frame-header walk / ISO-BMFF box walk (header metadata only — the
+    * codec payload is never interpreted). Returns None for anything
+    * unrecognized (truncated files, garbage) so callers can fall back to
+    * the declared stub.
     */
   def decode(bytes: Array[Byte]): Option[MediaMeta] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else if (bytes.length >= 2 && bytes(0) == 'P') decodePnm(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) >= '1' &&
+      bytes(1) <= '7') decodePnm(bytes)
     else if (bytes.length >= 12 && tag(bytes, 0, "RIFF")) decodeWav(bytes)
+    else if (bytes.length >= 12 && tag(bytes, 4, "ftyp")) decodeMp4(bytes)
+    else if (bytes.length >= 10 && tag(bytes, 0, "ID3")) decodeMp3(bytes)
+    else if (mp3Sync(bytes, 0)) decodeMp3(bytes)
     else decodeImageIo(bytes)
 
   // ---------- deterministic synthesis (for the td39 oracle + specs) ----------
@@ -589,4 +820,31 @@ object MediaCodec {
       val samples = Array.tabulate[Short](frames * ch)(i => ((id * 31 + i * 17) % 65536 - 32768).toShort)
       ("wav", encodeWav(rate, ch, samples))
   }
+
+  /** Compressed-container twin of [[synthesizeAsset]] (the td105
+    * oracle): every header parameter is integer arithmetic over the id.
+    *   - id % 2 == 0 → MP3: bitrate ∈ {64, 96, 128, 192} by (id/2) % 4,
+    *     rate ∈ {32000, 44100, 48000} by (id/2) % 3 (all MPEG1),
+    *     mono iff (id/2) % 2 == 0, frames = 20 + id % 30, and every 5th
+    *     asset carries an ID3v2 tag of 40 + id % 60 payload bytes;
+    *   - id % 2 == 1 → MP4: timescale ∈ {600, 1000, 12288, 90000} by
+    *     (id/2) % 4, duration = 1000 + id % 9000 units,
+    *     video w = 16·(1 + id % 40), h = 16·(1 + (id/40) % 30),
+    *     audio tracks = (id/2) % 2.
+    */
+  def synthesizeCompressedAsset(id: Long): (String, Array[Byte]) =
+    if (id % 2 == 0) {
+      val bitrates = Array(64, 96, 128, 192)
+      val rates = Array(32000, 44100, 48000)
+      val k = id / 2
+      ("mp3", encodeMp3(bitrates((k % 4).toInt), rates((k % 3).toInt),
+        mono = k % 2 == 0, frames = (20 + id % 30).toInt,
+        id3Bytes = if (id % 5 == 0) (40 + id % 60).toInt else 0))
+    } else {
+      val scales = Array(600, 1000, 12288, 90000)
+      val k = id / 2
+      ("mp4", encodeMp4(scales((k % 4).toInt), 1000 + id % 9000,
+        width = 16 * (1 + id % 40).toInt, height = 16 * (1 + (id / 40) % 30).toInt,
+        audioTracks = (k % 2).toInt))
+    }
 }

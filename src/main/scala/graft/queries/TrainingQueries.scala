@@ -573,6 +573,26 @@ object TrainingQueries {
         .orderBy("asset_id")
     }),
 
+    // COMPRESSED media decode (MP3 frame-header walk + MP4 ISO-BMFF box
+    // walk — real crawls arrive compressed): synthesize byte-exact MP3/
+    // MP4 containers whose header parameters are integer functions of
+    // doc_id, parse them back with the pure-JVM header decoders. The
+    // oracle recomputes format/dims/channels/rate/duration AND the full
+    // byte length from the generation arithmetic, so a frame-length,
+    // box-size or ID3-skip bug is a hash mismatch. Every 5th MP3 carries
+    // an ID3v2 tag the decoder must skip.
+    "td105_compressed_media" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) =
+            graft.multimodal.MediaCodec.synthesizeCompressedAsset(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.decodeMedia(assets)(s).toDF()
+        .orderBy("asset_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -1951,6 +1971,41 @@ object TrainingQueries {
         |       ELSE 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
         |       END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Mirrors MediaCodec.synthesizeCompressedAsset: MP3 n_bytes =
+    // optional ID3v2 (10 header + 40 + id % 60 payload, every 5th asset)
+    // + frames × floor(144000·bitrate/rate) (MPEG1 Layer III frame
+    // length, no padding); MP4 n_bytes pins the exact box layout
+    // (ftyp 24 + moov 114 + 141·tracks + mdat 8). duration_us =
+    // n_samples · 1e6 ÷ rate (floor) for both (mvhd units ÷ timescale
+    // is the same arithmetic).
+    "td105_compressed_media" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS m, doc_id // 2 AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, m, k,
+        |  CASE WHEN m = 0 THEN [32000, 44100, 48000][CAST(1 + k % 3 AS INT)]
+        |       ELSE [600, 1000, 12288, 90000][CAST(1 + k % 4 AS INT)]
+        |       END AS rate,
+        |  CASE WHEN m = 0 THEN (20 + doc_id % 30) * 1152
+        |       ELSE 1000 + doc_id % 9000 END AS nsamp,
+        |  CASE WHEN m = 0 THEN [64, 96, 128, 192][CAST(1 + k % 4 AS INT)]
+        |       END AS br
+        |  FROM p)
+        |SELECT doc_id AS asset_id,
+        |  CASE WHEN m = 0 THEN 'mp3' ELSE 'mp4' END AS format,
+        |  CAST(CASE WHEN m = 1 THEN 16 * (1 + doc_id % 40) END AS INT) AS width,
+        |  CAST(CASE WHEN m = 1 THEN 16 * (1 + (doc_id // 40) % 30) END AS INT) AS height,
+        |  CAST(CASE WHEN m = 0 THEN CASE WHEN k % 2 = 0 THEN 1 ELSE 2 END
+        |       ELSE 1 + k % 2 END AS INT) AS channels,
+        |  CAST(0 AS INT) AS bit_depth,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(nsamp AS BIGINT) AS n_samples,
+        |  CAST(nsamp * 1000000 // rate AS BIGINT) AS duration_us,
+        |  CAST(CASE WHEN m = 0
+        |       THEN (CASE WHEN doc_id % 5 = 0 THEN 50 + doc_id % 60 ELSE 0 END)
+        |            + (20 + doc_id % 30) * (144000 * br // rate)
+        |       ELSE 146 + 141 * (1 + k % 2) END AS BIGINT) AS n_bytes
+        |FROM c ORDER BY asset_id""".stripMargin,
 
     // td40: the Spark side decodes ACTUAL payload bytes; the oracle
     // recomputes every pixel/sample from the closed-form synthesis

@@ -210,6 +210,113 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("hand-built MP3 frame decodes against the format spec, not our encoder") {
+    // one MPEG1 Layer III frame: FF FB = sync + version 11 + layer 01 +
+    // no CRC; 0x90 = bitrate idx 9 (128 kbps) + rate idx 0 (44100);
+    // 0x00 = stereo. Frame length = floor(144000·128/44100) = 417.
+    val frame = new Array[Byte](417)
+    frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte
+    frame(2) = 0x90.toByte; frame(3) = 0x00
+    val m = MediaCodec.decode(frame).get
+    assert(m.format == "mp3")
+    assert(m.channels == 2 && m.sampleRate.contains(44100))
+    assert(m.nSamples.contains(1152L))
+    assert(m.durationUs.contains(1152L * 1000000L / 44100L))
+    // mono flag: channel mode 11
+    val mono = frame.clone(); mono(3) = 0xC0.toByte
+    assert(MediaCodec.decode(mono).get.channels == 1)
+    // a VBR-ish chain: 128 kbps frame followed by a 192 kbps frame
+    // (idx 11 → floor(144000·192/44100) = 626) — the walk must use each
+    // frame's OWN length
+    val f2 = new Array[Byte](626)
+    f2(0) = 0xFF.toByte; f2(1) = 0xFB.toByte; f2(2) = 0xB0.toByte
+    val vbr = MediaCodec.decode(frame ++ f2).get
+    assert(vbr.nSamples.contains(2304L))
+    // trailing garbage after the last full frame stops the walk cleanly
+    val trail = MediaCodec.decode(frame ++ "garbage".getBytes).get
+    assert(trail.nSamples.contains(1152L))
+    // a truncated frame (header claims 417, only 100 present) is not counted
+    assert(MediaCodec.decode(frame.take(100)).isEmpty)
+    // layer I (bits 11) is out of scope → None, not a wrong parse
+    val l1 = frame.clone(); l1(1) = 0xFF.toByte
+    assert(MediaCodec.decode(l1).isEmpty)
+  }
+
+  test("MP3 ID3v2 skip + encoder round trip incl. MPEG2 low rates") {
+    // ID3v2 tag with a syncsafe size the decoder must honor
+    val withTag = MediaCodec.encodeMp3(128, 44100, mono = false,
+      frames = 3, id3Bytes = 200)
+    assert(withTag(0) == 'I' && withTag(1) == 'D' && withTag(2) == '3')
+    val m = MediaCodec.decode(withTag).get
+    assert(m.nSamples.contains(3L * 1152) && m.sampleRate.contains(44100))
+    // MPEG2 (rates < 32 kHz): 576 samples/frame, coef 72000
+    val lo = MediaCodec.encodeMp3(48, 22050, mono = true, frames = 5)
+    val m2 = MediaCodec.decode(lo).get
+    assert(m2.sampleRate.contains(22050) && m2.channels == 1)
+    assert(m2.nSamples.contains(5L * 576))
+    assert(lo.length == 5 * (72000 * 48 / 22050))
+  }
+
+  test("MP4 box walk: encoder round trip, v1 mvhd, audio track count, truncation") {
+    val b = MediaCodec.encodeMp4(timescale = 90000, durationUnits = 450000L,
+      width = 640, height = 360, audioTracks = 1)
+    assert(new String(b, 4, 4) == "ftyp")
+    val m = MediaCodec.decode(b).get
+    assert(m.format == "mp4")
+    assert(m.width.contains(640) && m.height.contains(360))
+    assert(m.channels == 2) // 1 video + 1 audio track
+    assert(m.sampleRate.contains(90000) && m.nSamples.contains(450000L))
+    assert(m.durationUs.contains(5000000L)) // 450000 / 90000 = 5 s
+    // hand-built v1 mvhd (64-bit duration): ver 1 + flags, 8-byte
+    // ctime/mtime, u32 timescale, u64 duration — offsets 20/24
+    val p = new java.io.ByteArrayOutputStream()
+    p.write(Array[Byte](1, 0, 0, 0)) // version 1
+    p.write(new Array[Byte](16)) // ctime + mtime (u64 each)
+    p.write(Array[Byte](0, 0, 0x03, 0xE8.toByte)) // timescale 1000
+    p.write(Array[Byte](0, 0, 0, 0, 0, 0, 0x27, 0x10)) // duration 10000
+    def box(t: String, pay: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val sz = pay.length + 8
+      o.write(Array[Byte]((sz >> 24).toByte, (sz >> 16).toByte,
+        (sz >> 8).toByte, sz.toByte))
+      t.foreach(c => o.write(c.toInt)); o.write(pay); o.toByteArray
+    }
+    val ftyp = box("ftyp", "isom   isom".getBytes("ISO-8859-1"))
+    val v1 = ftyp ++ box("moov", box("mvhd", p.toByteArray))
+    val mv1 = MediaCodec.decode(v1).get
+    assert(mv1.sampleRate.contains(1000) && mv1.nSamples.contains(10000L))
+    assert(mv1.durationUs.contains(10000000L))
+    // truncated mid-box: no crash, no moov → None
+    assert(MediaCodec.decode(b.take(30)).isEmpty)
+    assert(MediaCodec.decode(ftyp).isEmpty) // ftyp alone, no moov
+  }
+
+  test("synthesizeCompressedAsset decode recovers generation parameters " +
+      "and exact byte lengths for many ids") {
+    (0L until 300L).foreach { id =>
+      val (fmt, bytes) = MediaCodec.synthesizeCompressedAsset(id)
+      val m = MediaCodec.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(m.format == fmt, s"id=$id")
+      val k = id / 2
+      if (id % 2 == 0) {
+        val br = Array(64, 96, 128, 192)((k % 4).toInt)
+        val rate = Array(32000, 44100, 48000)((k % 3).toInt)
+        val frames = 20 + id % 30
+        assert(m.sampleRate.contains(rate), s"id=$id")
+        assert(m.channels == (if (k % 2 == 0) 1 else 2), s"id=$id")
+        assert(m.nSamples.contains(frames * 1152L), s"id=$id")
+        val id3 = if (id % 5 == 0) 50 + id % 60 else 0
+        assert(bytes.length == id3 + frames * (144000L * br / rate), s"id=$id")
+      } else {
+        assert(m.width.contains(16 * (1 + id % 40).toInt), s"id=$id")
+        assert(m.height.contains(16 * (1 + (id / 40) % 30).toInt), s"id=$id")
+        assert(m.channels == 1 + (k % 2).toInt, s"id=$id")
+        assert(m.nSamples.contains(1000L + id % 9000), s"id=$id")
+        assert(bytes.length == 146 + 141 * (1 + (k % 2).toInt), s"id=$id")
+      }
+    }
+  }
+
   test("decodeMedia Dataset path: real parse + unknown fallback") {
     import spark.implicits._
     val real = (0L until 12L).map { id =>
