@@ -1,0 +1,301 @@
+package graft.cli
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The operator CLI — `plan` / `apply` / `export` / `interpolate` plus
+  * context management, driving the ManagementApi's config plane over
+  * HTTP (the reference's Go CLI: `/root/reference/cli/cli/
+  * config_command.go` command set, `cli/context/context.go` context
+  * files under `~/.sequin/contexts/<name>.json`, and
+  * `cli/config/config.go`'s env-var substitution over YAML values).
+  *
+  * Pure JVM + the JDK HttpClient — no framework; every action is one
+  * request against the same validated endpoints the REST plane serves
+  * (`POST /api/config/plan|apply`, `GET /api/config/export`), so CLI
+  * and API can never disagree about what a document means.
+  *
+  * Testable by construction: [[run]] takes the home dir, output sinks,
+  * env and stdin explicitly; `main` binds them to the real process.
+  */
+object GraftCli {
+
+  final case class Context(name: String, hostname: String, port: Int,
+      token: String, default: Boolean)
+
+  // ---- context store (JSON files under <home>/contexts) -----------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def ctxDir(home: Path): Path = home.resolve("contexts")
+
+  private def writeContext(home: Path, c: Context): Unit = {
+    Files.createDirectories(ctxDir(home))
+    val o = mapper.createObjectNode()
+    o.put("name", c.name); o.put("hostname", c.hostname)
+    o.put("port", c.port); o.put("api_token", c.token)
+    o.put("default", c.default)
+    Files.write(ctxDir(home).resolve(c.name + ".json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+        .getBytes(UTF_8))
+    ()
+  }
+
+  private def readContext(home: Path, name: String): Option[Context] = {
+    val f = ctxDir(home).resolve(name + ".json")
+    if (!Files.exists(f)) None
+    else {
+      val n = mapper.readTree(new String(Files.readAllBytes(f), UTF_8))
+      Some(Context(n.get("name").asText(), n.get("hostname").asText(),
+        n.get("port").asInt(), n.get("api_token").asText(),
+        Option(n.get("default")).exists(_.asBoolean())))
+    }
+  }
+
+  private def listContexts(home: Path): Seq[Context] =
+    if (!Files.exists(ctxDir(home))) Seq.empty
+    else Files.list(ctxDir(home)).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".json"))
+      .flatMap(f => readContext(home,
+        f.getFileName.toString.stripSuffix(".json")))
+      .sortBy(_.name)
+
+  private def resolveContext(home: Path, named: Option[String]): Either[String, Context] =
+    named match {
+      case Some(n) => readContext(home, n).toRight(s"unknown context: $n")
+      case None =>
+        val all = listContexts(home)
+        all.find(_.default).orElse(all.headOption)
+          .toRight("no context configured — run: graft context add " +
+            "<name> --hostname <h> --port <p> --token <t>")
+    }
+
+  // ---- env interpolation (config.go applyEnvSubst semantics) ------------
+
+  /** Substitute `${VAR}`, `${VAR:-default}` and bare `$VAR` with values
+    * from `env` — the reference CLI's envsubst pass (unset without a
+    * default expands to the empty string, like a8m/envsubst's
+    * non-strict mode).
+    */
+  private[cli] def interpolate(yaml: String, env: Map[String, String]): String = {
+    val braced = """\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}""".r
+    val bare = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
+    val pass1 = braced.replaceAllIn(yaml, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env.getOrElse(m.group(1), Option(m.group(2)).getOrElse(""))))
+    bare.replaceAllIn(pass1, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env.getOrElse(m.group(1), "")))
+  }
+
+  // ---- HTTP ----------------------------------------------------------------
+
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def request(ctx: Context, method: String, path: String,
+      body: Option[String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(
+        URI.create(s"http://${ctx.hostname}:${ctx.port}$path"))
+      .header("Authorization", s"Bearer ${ctx.token}")
+      .header("Content-Type", "application/json")
+    val req = body match {
+      case Some(j) => b.method(method, HttpRequest.BodyPublishers.ofString(j))
+      case None    => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def yamlEnvelope(yaml: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("yaml", yaml)
+    o.toString
+  }
+
+  // ---- commands ----------------------------------------------------------
+
+  /** Run the CLI. Returns the process exit code. `stdin` feeds the
+    * apply confirmation prompt.
+    */
+  def run(args: Seq[String], home: Path, out: String => Unit,
+      err: String => Unit, env: Map[String, String],
+      stdin: () => String = () => ""): Int = {
+
+    def flag(name: String): Boolean = args.contains(s"--$name")
+    def opt(name: String): Option[String] = {
+      val i = args.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    def positional(after: Int): Seq[String] = {
+      // positionals = args minus flags and their values
+      val flagsWithValue = Set("--hostname", "--port", "--token",
+        "--context", "--output")
+      val acc = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        val a = args(i)
+        if (flagsWithValue(a)) i += 2
+        else { if (!a.startsWith("--")) acc += a; i += 1 }
+      }
+      acc.result().drop(after)
+    }
+
+    def readYaml(fileArg: Option[String]): Either[String, String] = {
+      val path = Paths.get(fileArg.getOrElse("sequin.yaml"))
+      if (!Files.exists(path)) Left(s"no such file: $path")
+      else Right(interpolate(
+        new String(Files.readAllBytes(path), UTF_8), env))
+    }
+
+    def withCtx(f: Context => Int): Int =
+      resolveContext(home, opt("context")) match {
+        case Left(e)  => err(e); 1
+        case Right(c) => f(c)
+      }
+
+    def planRequest(ctx: Context, yaml: String): Either[String, Seq[(String, String, String)]] = {
+      val (code, body) = request(ctx, "POST", "/api/config/plan",
+        Some(yamlEnvelope(yaml)))
+      if (code != 200) Left(s"plan failed ($code): $body")
+      else Right(mapper.readTree(body).get("changes").elements().asScala
+        .map(c => (c.get("action").asText(), c.get("kind").asText(),
+          c.get("name").asText())).toSeq)
+    }
+
+    def printPlan(changes: Seq[(String, String, String)]): Int = {
+      changes.foreach { case (action, kind, name) =>
+        val mark = action match {
+          case "create" => "+"
+          case "update" => "~"
+          case "delete" => "-"
+          case _        => " "
+        }
+        out(f"$mark $action%-9s $kind%-16s $name")
+      }
+      val n = changes.count(_._1 != "unchanged")
+      out(s"\nPlan: ${changes.count(_._1 == "create")} to create, " +
+        s"${changes.count(_._1 == "update")} to update, " +
+        s"${changes.count(_._1 == "delete")} to delete.")
+      n
+    }
+
+    args.toList match {
+      // ---- context management ----
+      case "context" :: "add" :: name :: _ =>
+        (opt("hostname"), opt("port"), opt("token")) match {
+          case (Some(h), Some(p), Some(t)) =>
+            val makeDefault = flag("set-default") || listContexts(home).isEmpty
+            writeContext(home, Context(name, h, p.toInt, t, makeDefault))
+            out(s"context '$name' saved" +
+              (if (makeDefault) " (default)" else ""))
+            0
+          case _ =>
+            err("usage: context add <name> --hostname <h> --port <p> --token <t> [--set-default]")
+            1
+        }
+      case "context" :: "ls" :: _ =>
+        listContexts(home).foreach(c => out(
+          s"${if (c.default) "*" else " "} ${c.name}  ${c.hostname}:${c.port}"))
+        0
+      case "context" :: "rm" :: name :: _ =>
+        val f = ctxDir(home).resolve(name + ".json")
+        if (Files.deleteIfExists(f)) { out(s"context '$name' removed"); 0 }
+        else { err(s"unknown context: $name"); 1 }
+      case "context" :: "select" :: name :: _ =>
+        readContext(home, name) match {
+          case None => err(s"unknown context: $name"); 1
+          case Some(_) =>
+            listContexts(home).foreach(c =>
+              writeContext(home, c.copy(default = c.name == name)))
+            out(s"context '$name' is now default")
+            0
+        }
+
+      // ---- config plane ----
+      case "config" :: "plan" :: _ =>
+        readYaml(positional(2).headOption) match {
+          case Left(e) => err(e); 1
+          case Right(yaml) => withCtx { ctx =>
+            planRequest(ctx, yaml) match {
+              case Left(e)        => err(e); 1
+              case Right(changes) => printPlan(changes); 0
+            }
+          }
+        }
+
+      case "config" :: "apply" :: _ =>
+        readYaml(positional(2).headOption) match {
+          case Left(e) => err(e); 1
+          case Right(yaml) => withCtx { ctx =>
+            planRequest(ctx, yaml) match {
+              case Left(e) => err(e); 1
+              case Right(changes) =>
+                val n = printPlan(changes)
+                if (n == 0) { out("No changes detected, exiting."); 0 }
+                else if (!flag("auto-approve") && stdin().trim != "yes") {
+                  out("Apply cancelled."); 1
+                } else {
+                  val (code, body) = request(ctx, "POST",
+                    "/api/config/apply", Some(yamlEnvelope(yaml)))
+                  if (code != 200) { err(s"apply failed ($code): $body"); 1 }
+                  else {
+                    val res = mapper.readTree(body).get("resources")
+                    out(s"Applied ${res.size()} resources.")
+                    0
+                  }
+                }
+            }
+          }
+        }
+
+      case "config" :: "export" :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "GET", "/api/config/export", None)
+        if (code != 200) { err(s"export failed ($code): $body"); 1 }
+        else {
+          val yaml = mapper.readTree(body).get("yaml").asText()
+          opt("output") match {
+            case Some(p) =>
+              Files.write(Paths.get(p), yaml.getBytes(UTF_8))
+              out(s"exported to $p")
+            case None => out(yaml)
+          }
+          0
+        }
+      }
+
+      case "config" :: "interpolate" :: _ =>
+        readYaml(positional(2).headOption) match {
+          case Left(e) => err(e); 1
+          case Right(yaml) =>
+            opt("output") match {
+              case Some(p) =>
+                Files.write(Paths.get(p), yaml.getBytes(UTF_8))
+                out(s"interpolated to $p")
+              case None => out(yaml)
+            }
+            0
+        }
+
+      case _ =>
+        err("""usage: graft <command>
+              |  context add <name> --hostname <h> --port <p> --token <t> [--set-default]
+              |  context ls | rm <name> | select <name>
+              |  config plan [file] [--context <name>]
+              |  config apply [file] [--auto-approve] [--context <name>]
+              |  config export [--output <path>] [--context <name>]
+              |  config interpolate [file] [--output <path>]""".stripMargin)
+        1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val home = sys.env.get("GRAFT_CLI_HOME").map(Paths.get(_))
+      .getOrElse(Paths.get(sys.props("user.home"), ".graft"))
+    val code = run(args.toSeq, home, println, System.err.println, sys.env,
+      () => Option(scala.io.StdIn.readLine()).getOrElse(""))
+    if (code != 0) sys.exit(code)
+  }
+}
