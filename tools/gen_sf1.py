@@ -10,7 +10,10 @@ as in TPC-H. Document texts get a per-replica suffix so the corpus does
 not collapse into 10-way exact duplicates (near-dup structure within a
 replica is preserved).
 
-Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/target/sf1)
+Usage: python3 tools/gen_sf1.py [outdir] [replicas] [table,table,...]
+       (defaults: /root/repo/target/sf1, 10, all tables)
+e.g. an sf10 probe set of just the text/event facts:
+       python3 tools/gen_sf1.py target/sf10 100 documents,events
 """
 import sys
 import duckdb
@@ -18,7 +21,8 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
 
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 # shifts chosen above each key's max at sf0.1
 S_CUST, S_SUPP, S_PART, S_ORD = 20_000, 2_000, 30_000, 200_000
 S_EVT, S_USER, S_DOC, S_VEC = 200_000, 2_000, 10_000, 10_000
@@ -74,6 +78,8 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     for name, sql in TABLES.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         src = f"{SRC}/{name}.parquet"
         dst = f"{OUT}/{name}.parquet"
         if sql is None:
