@@ -296,6 +296,7 @@ object RuntimeBench {
               SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
               metrics, health, s"fan$i")
           }
+          slot.query // all lanes attached — start the shared stream
           () => slot.stop()
         } else {
           val handles = (0 until consumers).map { i =>

@@ -78,12 +78,18 @@ object ConsumerRuntime {
     * query keeps serving the other lanes.
     */
   final class Handle private[streaming] (
-      val query: StreamingQuery,
+      queryThunk: () => StreamingQuery,
       val ledger: DeliveryLedger,
       val backfill: Option[BackfillRunner] = None,
       auditHook: Option[Long => Int] = None,
       auditTimer: Option[java.util.Timer] = None,
       onStop: Option[() => Unit] = None) {
+
+    /** The consumer's streaming query — for a [[SlotRuntime]] lane this
+      * is the SHARED slot query (and touching it starts the slot if no
+      * one has yet).
+      */
+    def query: StreamingQuery = queryThunk()
 
     /** The reference's message-consistency check
       * (message_consistency_check_worker.ex:25-43): count undelivered
@@ -735,7 +741,8 @@ object ConsumerRuntime {
       .start()
     val runner = backfill.map(spec => lane.attachBackfill(spec, () => query))
     val timer = lane.startConsistencyTimer()
-    new Handle(query, lane.ledger, runner, Some(lane.audit), Some(timer))
+    new Handle(() => query, lane.ledger, runner, Some(lane.audit),
+      Some(timer))
   }
 }
 
@@ -802,29 +809,47 @@ final class SlotRuntime(
       // runs here, once, for every lane; the count it returns is the
       // exact post-dedup size each lane's dispatch-shape choice needs
       val n = deduped.count()
-      val futures = ls.map(l =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = l.deliverBatch(deduped, Some(n))
-        }))
-      // the batch is done when EVERY lane resolved it; the first lane
-      // exception propagates and fails the query (loud — lane-level
-      // delivery failures never throw, they resolve in the ledger)
-      futures.foreach(_.get())
+      if (n > 0) {
+        val futures = ls.map(l =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = l.deliverBatch(deduped, Some(n))
+          }))
+        // the batch is done when EVERY lane resolved it; the first lane
+        // exception propagates and fails the query (loud — lane-level
+        // delivery failures never throw, they resolve in the ledger)
+        futures.foreach(_.get())
+      }
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     } finally { deduped.unpersist(blocking = false); () }
   }
 
-  /** The one shared streaming query (started immediately; lanes attach
-    * to it live).
+  private val queryLock = new Object
+  private var queryOpt: Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    None
+
+  /** The one shared streaming query. It STARTS on first access — attach
+    * every initially-declared consumer first, then touch `query`
+    * (directly or through a handle's `processAllAvailable`), and batch 0
+    * reaches all of them; without this, the first trigger could commit
+    * a batch before any lane attached and those events would be skipped.
+    * A consumer attached after the stream is running starts at the
+    * slot's then-current position (the reference's semantics for a
+    * consumer added to a live slot).
     */
-  val query: org.apache.spark.sql.streaming.StreamingQuery = {
-    val w0 = events.writeStream.outputMode("append")
-    val w = checkpointLocation.fold(w0)(p =>
-      w0.option("checkpointLocation", p))
-    w.foreachBatch((batch: DataFrame, _: Long) => processBatch(batch))
-      .start()
-  }
+  def query: org.apache.spark.sql.streaming.StreamingQuery =
+    queryLock.synchronized {
+      queryOpt.getOrElse {
+        val w0 = events.writeStream.outputMode("append")
+        val w = checkpointLocation.fold(w0)(p =>
+          w0.option("checkpointLocation", p))
+        val q = w
+          .foreachBatch((batch: DataFrame, _: Long) => processBatch(batch))
+          .start()
+        queryOpt = Some(q)
+        q
+      }
+    }
 
   /** Attach a consumer lane to the running slot. Returns a Handle whose
     * `stop()` detaches ONLY this lane (the shared query keeps serving
@@ -836,21 +861,28 @@ final class SlotRuntime(
       consumerId: String,
       enrichment: Option[(DataFrame, String, String)] = None,
       backfill: Option[BackfillSpec] = None): Handle = {
+    // refuse BEFORE constructing the lane: Lane's constructor clears the
+    // consumer's trace ring and reports health — side effects a rejected
+    // duplicate must not inflict on the live lane under that id
+    require(!lanes.containsKey(consumerId),
+      s"consumer '$consumerId' is already attached to this slot")
     val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
       nowMs)
     val runner = backfill.map(spec => lane.attachBackfill(spec, () => query))
     require(lanes.putIfAbsent(consumerId, lane) == null,
       s"consumer '$consumerId' is already attached to this slot")
     val timer = lane.startConsistencyTimer()
-    new Handle(query, lane.ledger, runner, Some(lane.audit), Some(timer),
-      onStop = Some(() => { lanes.remove(consumerId); () }))
+    new Handle(() => query, lane.ledger, runner, Some(lane.audit),
+      Some(timer), onStop = Some(() => { lanes.remove(consumerId); () }))
   }
 
   def attached: Seq[String] = lanes.keys.asScala.toSeq.sorted
 
-  /** Stop the slot: the shared query, every lane's ledger, the pool. */
+  /** Stop the slot: the shared query (if it ever started), every lane's
+    * ledger, the pool.
+    */
   def stop(): Unit = {
-    query.stop()
+    queryLock.synchronized(queryOpt).foreach(_.stop())
     lanes.values.asScala.foreach(_.ledger.stop())
     lanes.clear()
     pool.shutdownNow()

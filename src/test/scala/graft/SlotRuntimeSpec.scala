@@ -177,6 +177,80 @@ class SlotRuntimeSpec extends SparkSpec {
     } finally { slot.stop(); srv1.stop(); srv2.stop() }
   }
 
+  test("RESTART CONTINUITY: a checkpointed slot resumes at committed " +
+      "offsets — completed batches never redeliver to ANY lane, and a " +
+      "segment landing while the slot is down reaches every lane once") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.sources.{PgOutput, PgStream, WalSpool, WalSpoolProvider}
+    import graft.sources.PgOutput._
+    import org.apache.spark.sql.functions._
+    val srv1 = new ScriptedRedis()
+    val srv2 = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val dir = java.nio.file.Files.createTempDirectory("slot_wal").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("slot_ckpt").toString
+    val relation = Relation(16384L, "public", "events_src", "d", Seq(
+      RelationColumn("event_id", isKey = true, 20L, -1),
+      RelationColumn("user_id", isKey = false, 20L, -1),
+      RelationColumn("event_type", isKey = false, 25L, -1),
+      RelationColumn("value", isKey = false, 701L, -1),
+      RelationColumn("props", isKey = false, 3802L, -1)))
+    def txn(eventId: Long, seqBase: Long): Seq[PgStream.Frame] = {
+      val lsn = (eventId / 7) * 8
+      val cells = Seq(Cell.Text(eventId.toString), Cell.Text("1"),
+        Cell.Text("purchase"), Cell.Text("5.0"), Cell.Text("{}"))
+      Seq(
+        PgStream.Frame("slot", seqBase,
+          PgOutput.encode(Begin(lsn, eventId * 1000, eventId))),
+        PgStream.Frame("slot", seqBase + 1,
+          PgOutput.encode(Insert(16384L, cells))),
+        PgStream.Frame("slot", seqBase + 2,
+          PgOutput.encode(Commit(0, lsn, lsn + 8, eventId * 1000))))
+    }
+    def startSlot(): SlotRuntime = {
+      val decoded = PgStream.decodeStateful(
+        spark.readStream.format(classOf[WalSpoolProvider].getName)
+          .option("path", dir).load().as[PgStream.Frame])
+      val typed = PgStream.toRecords(decoded.toDF(), relation)
+        .select(col("event_id"),
+          timestamp_micros(col("commit_ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      val slot = new SlotRuntime(graft.model.Cdc.fromEvents(typed),
+        checkpointLocation = Some(ckpt))
+      slot.attach(cfgFor("r1"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv1.port),
+        metrics, health, "r1")
+      slot.attach(cfgFor("r2"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv2.port),
+        metrics, health, "r2")
+      slot
+    }
+    try {
+      WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+        PgStream.Frame("slot", 1L, PgOutput.encode(relation)) +:
+          (txn(7, 10) ++ txn(14, 20)))
+      val s1 = startSlot()
+      try {
+        s1.query.processAllAvailable()
+        assert(srv1.xadds.size == 2 && srv2.xadds.size == 2)
+      } finally s1.stop()
+      // a segment lands while the slot is DOWN; the restarted slot
+      // delivers ONLY it, to BOTH lanes — segment 0 is behind the
+      // checkpoint and never replays
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1), txn(21, 30))
+      val s2 = startSlot()
+      try {
+        s2.query.processAllAvailable()
+        assert(srv1.xadds.size == 3,
+          s"lane r1 saw: ${srv1.xadds.asScala.mkString("\n")}")
+        assert(srv2.xadds.size == 3)
+        assert(srv1.xadds.asScala.toVector.last.contains("\"id\":21"))
+      } finally s2.stop()
+    } finally { srv1.stop(); srv2.stop() }
+  }
+
   test("failure isolation: a lane on a dead transport DLQs its events " +
       "through its own ledger; sibling lanes and the shared query are " +
       "untouched") {
