@@ -132,7 +132,7 @@ object GraftCli {
     def positional(after: Int): Seq[String] = {
       // positionals = args minus flags and their values
       val flagsWithValue = Set("--hostname", "--port", "--token",
-        "--context", "--output")
+        "--context", "--output", "--limit")
       val acc = Seq.newBuilder[String]
       var i = 0
       while (i < args.length) {
@@ -279,6 +279,62 @@ object GraftCli {
             0
         }
 
+      // ---- observability / sink CRUD (read side) ----
+      case "sinks" :: "ls" :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "GET", "/api/sinks", None)
+        if (code != 200) { err(s"ls failed ($code): $body"); 1 }
+        else {
+          mapper.readTree(body).get("data").elements().asScala.foreach { c =>
+            val sinkType = Option(c.get("destination"))
+              .flatMap(d => Option(d.get("type")).map(_.asText()))
+              .getOrElse("-")
+            val actions = Option(c.get("actions"))
+              .map(_.elements().asScala.map(_.asText()).mkString(","))
+              .getOrElse("")
+            out(f"${c.get("name").asText()}%-24s $sinkType%-14s $actions")
+          }
+          0
+        }
+      }
+      case "sinks" :: "show" :: name :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "GET", s"/api/sinks/$name", None)
+        if (code != 200) { err(s"show failed ($code): $body"); 1 }
+        else { out(body); 0 }
+      }
+      case "sinks" :: "rm" :: name :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "DELETE", s"/api/sinks/$name", None)
+        if (code != 200) { err(s"rm failed ($code): $body"); 1 }
+        else { out(s"sink '$name' removed"); 0 }
+      }
+      case "trace" :: name :: _ => withCtx { ctx =>
+        val limit = opt("limit").getOrElse("100")
+        val (code, body) = request(ctx, "GET",
+          s"/api/sinks/$name/trace?limit=$limit", None)
+        if (code != 200) { err(s"trace failed ($code): $body"); 1 }
+        else {
+          mapper.readTree(body).get("data").elements().asScala.foreach { e =>
+            val extra = Option(e.get("extra")).map(x =>
+              x.fields().asScala.map(f =>
+                s"${f.getKey}=${f.getValue.asText()}").mkString(" "))
+              .getOrElse("")
+            out(s"${e.get("status").asText()}  " +
+              s"${e.get("message").asText()}  $extra")
+          }
+          0
+        }
+      }
+      case "health" :: kind :: id :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "GET", s"/api/health/$kind/$id", None)
+        if (code != 200) { err(s"health failed ($code): $body"); 1 }
+        else {
+          val h = mapper.readTree(body)
+          out(s"${h.get("status").asText()}")
+          Option(h.get("checks")).foreach(_.elements().asScala.foreach(c =>
+            out(s"  ${c.get("slug").asText()}: ${c.get("status").asText()}")))
+          0
+        }
+      }
+
       case _ =>
         err("""usage: graft <command>
               |  context add <name> --hostname <h> --port <p> --token <t> [--set-default]
@@ -286,7 +342,10 @@ object GraftCli {
               |  config plan [file] [--context <name>]
               |  config apply [file] [--auto-approve] [--context <name>]
               |  config export [--output <path>] [--context <name>]
-              |  config interpolate [file] [--output <path>]""".stripMargin)
+              |  config interpolate [file] [--output <path>]
+              |  sinks ls | show <name> | rm <name>
+              |  trace <name> [--limit <n>]
+              |  health <kind> <id>""".stripMargin)
         1
     }
   }

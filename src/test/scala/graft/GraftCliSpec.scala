@@ -117,6 +117,21 @@ class GraftCliSpec extends SparkSpec {
         "--output", exp2.toString)._1 == 0)
       assert(java.util.Arrays.equals(Files.readAllBytes(exp1),
         Files.readAllBytes(exp2)), "export not byte-stable")
+      // observability reads over the same plane
+      val (lc, lout, _) = runCli(home, Map.empty)("sinks", "ls")
+      assert(lc == 0 && lout.size == 2 &&
+        lout.head.startsWith("audit-sink") &&
+        lout.head.contains("kafka"), lout)
+      val (sc, sout, _) = runCli(home, Map.empty)("sinks", "show",
+        "orders-sink")
+      assert(sc == 0 && sout.head.contains("\"orders-sink\""))
+      val (hc, hout, _) = runCli(home, Map.empty)("health",
+        "sink_consumer", "orders-sink")
+      assert(hc == 0 && hout.nonEmpty, hout)
+      assert(runCli(home, Map.empty)("sinks", "show", "ghost")._1 == 1)
+      // rm deletes from the live registry
+      assert(runCli(home, Map.empty)("sinks", "rm", "audit-sink")._1 == 0)
+      assert(api.consumers().map(_.name) == Seq("orders-sink"))
       // auth is real: a bad token is a 401 at the plane
       runCli(home, Map.empty)("context", "add", "bad",
         "--hostname", "127.0.0.1", "--port", api.port().toString,
