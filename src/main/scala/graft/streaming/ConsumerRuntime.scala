@@ -812,7 +812,17 @@ final class SlotRuntime(
       if (n > 0) {
         val futures = ls.map(l =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = l.deliverBatch(deduped, Some(n))
+            override def call(): Unit = {
+              // each lane's jobs go to a per-consumer scheduler pool
+              // (thread-local property): under spark.scheduler.mode=FAIR
+              // a slow lane's big dispatch can't starve its siblings —
+              // lanes share executors fairly, the cluster analog of the
+              // reference's independent consumer processes. A no-op
+              // under default FIFO.
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"graft-lane-${l.consumerId}")
+              l.deliverBatch(deduped, Some(n))
+            }
           }))
         // the batch is done when EVERY lane resolved it; the first lane
         // exception propagates and fails the query (loud — lane-level
