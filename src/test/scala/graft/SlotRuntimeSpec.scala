@@ -251,6 +251,84 @@ class SlotRuntimeSpec extends SparkSpec {
     } finally { srv1.stop(); srv2.stop() }
   }
 
+  test("BACKFILL ON A SHARED SLOT: one lane's keyset scan interleaves " +
+      "with live CDC through the shared query; its fence is per-lane " +
+      "(CDC wins on PK conflict for that lane) and siblings see only CDC") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val srv1 = new ScriptedRedis()
+    val srv2 = new ScriptedRedis()
+    val metrics = new graft.config.Metrics.Registry()
+    val health = new graft.config.Health.Registry()
+    val tableDir = java.nio.file.Files.createTempDirectory("slot_bf").toString
+    (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "value")
+      .write.mode("overwrite").parquet(tableDir)
+    def toEnvelope(page: org.apache.spark.sql.DataFrame) =
+      page.select(
+        lit(0L).as("commit_lsn"), col("id").as("commit_idx"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("commit_ts"),
+        col("action"), lit("public").as("table_schema"),
+        lit("t0").as("table_name"), lit(16384L).as("table_oid"),
+        concat(lit("pk"), col("id")).as("record_pk"),
+        col("id").as("record_id"), col("id").as("record_user_id"),
+        col("value").as("record_value"), lit("{}").as("record_props"),
+        lit(null).cast("double").as("old_value"),
+        concat(lit("r:"), col("id")).as("idempotency_key"),
+        col("id").cast("string").as("group_id"),
+        lit(100L).as("byte_size"))
+    val input = MemoryStream[ChangeEvent]
+    val slot = new SlotRuntime(input.toDS().toDF())
+    try {
+      // lane bf carries the backfill; lane live is a plain sibling
+      val hBf = slot.attach(cfgFor("bf"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv1.port),
+        metrics, health, "bf",
+        backfill = Some(graft.streaming.ConsumerRuntime.BackfillSpec(
+          table = () => spark.read.parquet(tableDir),
+          sortCols = Seq("id"),
+          toEnvelope = toEnvelope,
+          tableSchema = "public", tableName = "t0",
+          pageSize = 2)))
+      val hLive = slot.attach(cfgFor("live"),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv2.port),
+        metrics, health, "live")
+      // CDC updates pks 2 and 5 BEFORE the scan reaches them
+      def ev2(lsn: Long, id: Long): ChangeEvent =
+        ChangeEvent(lsn, 0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "update", "public", "t0", 16384L, s"pk$id", id, id, id * 10.0,
+          "{}", Some(0.5), s"$id:$lsn", id.toString, 100L)
+      input.addData(ev2(8, 2), ev2(16, 5))
+      slot.query.processAllAvailable()
+      assert(srv1.xadds.size == 2 && srv2.xadds.size == 2)
+      // drain the scan through the SHARED query
+      val bf = hBf.backfill.get
+      bf.run()
+      assert(bf.isDone)
+      // bf lane: reads for 1,3,4,6 (2 and 5 fenced — their CDC updates
+      // already delivered), every pk exactly once
+      val reads = srv1.xadds.asScala.toVector
+        .filter(_.contains("|action|read|"))
+      def pkOf(x: String) =
+        "\"idempotency_key\":\"r:(\\d+)\"".r.findFirstMatchIn(x)
+          .map(_.group(1))
+      assert(reads.flatMap(pkOf).sortBy(_.toInt) ==
+        Vector("1", "3", "4", "6"), reads.mkString("\n"))
+      (1L to 6L).foreach { id =>
+        assert(srv1.xadds.asScala.count(_.contains(s""""id":$id,""")) == 1,
+          s"pk$id on bf lane")
+      }
+      // the SIBLING lane never sees backfill reads — pages route only
+      // through the owning lane's pipeline
+      assert(srv2.xadds.asScala.count(_.contains("|action|read|")) == 0,
+        srv2.xadds.asScala.mkString("\n"))
+      assert(srv2.xadds.size == 2)
+      assert(hBf.ledger.outstandingEvents == 0)
+      assert(hLive.ledger.outstandingEvents == 0)
+    } finally { slot.stop(); srv1.stop(); srv2.stop() }
+  }
+
   test("failure isolation: a lane on a dead transport DLQs its events " +
       "through its own ledger; sibling lanes and the shared query are " +
       "untouched") {
