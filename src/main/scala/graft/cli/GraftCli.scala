@@ -185,10 +185,10 @@ object GraftCli {
     args.toList match {
       // ---- context management ----
       case "context" :: "add" :: name :: _ =>
-        (opt("hostname"), opt("port"), opt("token")) match {
+        (opt("hostname"), opt("port").flatMap(_.toIntOption), opt("token")) match {
           case (Some(h), Some(p), Some(t)) =>
             val makeDefault = flag("set-default") || listContexts(home).isEmpty
-            writeContext(home, Context(name, h, p.toInt, t, makeDefault))
+            writeContext(home, Context(name, h, p, t, makeDefault))
             out(s"context '$name' saved" +
               (if (makeDefault) " (default)" else ""))
             0

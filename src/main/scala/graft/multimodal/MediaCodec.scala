@@ -729,7 +729,9 @@ object MediaCodec {
         if (size0 == 1L && pos + 16 <= to) (pos + 16, be64(b, pos + 8))
         else if (size0 == 0L) (pos + 8, (to - pos).toLong)
         else (pos + 8, size0)
-      if (size < 8 || pos + size > to) return
+      // size beyond Int range can't be in-array anyway (byte[] max);
+      // checking before toInt keeps a hostile largesize from wrapping
+      if (size < 8 || size > Int.MaxValue || pos + size > to) return
       f(typ, payStart, pos + size.toInt)
       pos += size.toInt
     }
@@ -746,8 +748,14 @@ object MediaCodec {
       if (typ == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
         if (t2 == "mvhd" && e2 - s2 >= 20) {
           val v = b(s2) & 0xFF
-          if (v == 1) { timescale = be32(b, s2 + 20); duration = be64(b, s2 + 24) }
-          else { timescale = be32(b, s2 + 12); duration = be32(b, s2 + 16) }
+          // v1 carries 64-bit ctime/mtime/duration — needs 32 payload
+          // bytes before the duration ends; a shorter box is malformed,
+          // skip rather than read a neighboring box's bytes
+          if (v == 1 && e2 - s2 >= 32) {
+            timescale = be32(b, s2 + 20); duration = be64(b, s2 + 24)
+          } else if (v == 0) {
+            timescale = be32(b, s2 + 12); duration = be32(b, s2 + 16)
+          }
         } else if (t2 == "trak") {
           tracks += 1
           var isVideo = false
