@@ -93,12 +93,16 @@ object GraftCli {
 
   // ---- HTTP ----------------------------------------------------------------
 
-  private lazy val http = HttpClient.newHttpClient()
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
 
   private def request(ctx: Context, method: String, path: String,
       body: Option[String]): (Int, String) = {
     val b = HttpRequest.newBuilder(
         URI.create(s"http://${ctx.hostname}:${ctx.port}$path"))
+      // a hung plane must not hang the operator's terminal
+      .timeout(java.time.Duration.ofSeconds(30))
       .header("Authorization", s"Bearer ${ctx.token}")
       .header("Content-Type", "application/json")
     val req = body match {
