@@ -13,11 +13,15 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // decoupled for scale probes: a 100×-SF run needs cluster-like
+    // shuffle widths (thousands of partitions) on the same 32 threads —
+    // task-payload sizing is a partition-count property, not a thread one
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val (repArg, names) = args.partition(_.startsWith("reps="))
     val reps = repArg.headOption.map(_.stripPrefix("reps=").toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -206,9 +206,27 @@ object Dedup {
       .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
+    // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the pair
+    // stream duplicates each doc's array once per candidate partner — on
+    // a replica-heavy corpus (every doc ~100 near-copies) that is
+    // pairs × arrays ≈ 100+ GB of shuffle for 500k docs, and the probe
+    // machine disk-binds even though the PAIR stream itself is ~1 GB.
+    // When the sets table is broadcastable (exact stats are available —
+    // it is localCheckpoint'ed), hint BOTH verify joins to broadcast it:
+    // the pair stream then flows through two BroadcastHashJoins with
+    // ZERO array bytes shuffled, and the arrays exist once per executor
+    // instead of once per pair. Past the budget (a truly huge corpus)
+    // the sort-merge form returns — correct on cluster-scale disks.
+    val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
+    val setsBroadcastBudget = BigInt(1L << 30)
+    def side(suffix: String) = {
+      val s = sets.select(col(idCol).as(s"id_$suffix"),
+        col("toks").as(s"toks_$suffix"))
+      if (setsBytes <= setsBroadcastBudget) broadcast(s) else s
+    }
     cands
-      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(side("a"), "id_a")
+      .join(side("b"), "id_b")
       .withColumn("inter", graft.functions.VectorExpressions
         .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
       .withColumn("sza", size(col("toks_a")).cast("bigint"))
