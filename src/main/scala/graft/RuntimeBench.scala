@@ -39,14 +39,19 @@ object RuntimeBench {
 
   final case class Result(groupedOps: Double, ungroupedOps: Double,
       latP50Ms: Double, latP99Ms: Double,
-      fanoutSharedOps: Double = -1.0, fanoutIndependentOps: Double = -1.0)
+      fanoutSharedOps: Double = -1.0, fanoutIndependentOps: Double = -1.0,
+      fanoutSkewSiblingOps: Double = -1.0, fanoutSkewLaggedOps: Double = -1.0)
 
   /** Minimal but complete loopback Redis: parses RESP command frames,
     * counts XADDs, answers every command — one daemon thread per
     * connection (one connection per dispatch partition-task).
+    * `xaddDelayMicros` > 0 throttles XADDs GLOBALLY (one token at a
+    * time across every connection) — the deliberately slow transport
+    * for the skewed fan-out probe.
     */
-  private final class LoopbackRedis {
+  private final class LoopbackRedis(xaddDelayMicros: Long = 0L) {
     val xadds = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val throttle = new Object
     private val server =
       new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     def port: Int = server.getLocalPort
@@ -109,7 +114,13 @@ object RuntimeBench {
             in.read(); in.read() // CRLF
             i += 1
           }
-          if (cmd == "XADD") { xadds.incrementAndGet(); out.write(okXadd) }
+          if (cmd == "XADD") {
+            if (xaddDelayMicros > 0L) throttle.synchronized {
+              java.util.concurrent.locks.LockSupport.parkNanos(
+                xaddDelayMicros * 1000L)
+            }
+            xadds.incrementAndGet(); out.write(okXadd)
+          }
           else if (cmd == "PING") out.write("+PONG\r\n".getBytes(UTF_8))
           else out.write(okSimple)
           // amortized flush: reply-per-command but one syscall per

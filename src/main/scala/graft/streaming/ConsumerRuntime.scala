@@ -163,7 +163,12 @@ object ConsumerRuntime {
       private[streaming] val spec: BackfillSpec,
       query: () => StreamingQuery,
       deliver: DataFrame => Unit,
-      onFinished: () => Unit)(implicit spark: SparkSession) {
+      onFinished: () => Unit,
+      // extra fence step AFTER the stream drain: on a shared slot the
+      // query committing a batch no longer implies THIS lane recorded
+      // its identities (a decoupled lane resolves batches behind the
+      // commit), so the slot passes a per-lane quiesce here
+      fence: () => Unit = () => ())(implicit spark: SparkSession) {
     import graft.backfill.{Backfill, PageSizeOptimizer}
     private val optimizer = new PageSizeOptimizer(spec.pageSize,
       maxTimeoutMs = spec.pageTimeBudgetMs, maxPageSize = spec.pageSize * 50)
@@ -201,6 +206,7 @@ object ConsumerRuntime {
         // the dispatch lock — no CDC micro-batch can deliver (and record)
         // a newer image between the snapshot and the page dispatch.
         query().processAllAvailable()
+        fence()
         if (n > 0) {
           deliver(spec.toEnvelope(pageDf))
           rowsDelivered += n
@@ -452,12 +458,13 @@ object ConsumerRuntime {
       * not CDC), hence deliverBody not deliverBatch.
       */
     def attachBackfill(spec: BackfillSpec,
-        query: () => StreamingQuery): BackfillRunner = {
+        query: () => StreamingQuery,
+        fence: () => Unit = () => ()): BackfillRunner = {
       val runner = new BackfillRunner(spec, query,
         envelope => dispatchLock.synchronized {
           cached(fencePage(envelope))(df => deliverBody(df, None))
         },
-        onFinished = () => clearFence())
+        onFinished = () => clearFence(), fence = fence)
       backfillRunner = Some(runner)
       runner
     }
@@ -469,8 +476,16 @@ object ConsumerRuntime {
       * Observation read AND upgrades the dispatch-shape choice from
       * previous-batch to current-batch sizing.
       */
+    // set when the lane's consumer detaches: a shared batch already
+    // in flight for this lane finishes quietly (its ledger resolves),
+    // but a batch DISPATCHED after stop() returned must not deliver —
+    // stop() has well-defined semantics even if ledger.stop() ever
+    // gains real teardown
+    @volatile private[streaming] var closed = false
+
     def deliverBatch(deduped: DataFrame, knownN: Option[Long]): Unit =
       dispatchLock.synchronized {
+        if (closed) return
         recordFence(deduped)
         deliverBody(deduped, knownN)
       }
@@ -758,15 +773,27 @@ object ConsumerRuntime {
   * with ONE count (which doubles as the exact batch-size signal every
   * lane's dispatch-shape choice wants) — the decode runs exactly once no
   * matter how many lanes consume the batch. Lanes then dispatch
-  * CONCURRENTLY (independent transports; the pool is the analog of the
-  * reference's per-consumer processes): each lane applies its own
-  * filters/transforms/routing off the cached batch, delivers on its own
-  * connections, and runs its own ledger. The batch completes only when
-  * every lane has fully resolved it — so per-consumer cross-batch FIFO
-  * holds (a lane's batch N retries finish before its batch N+1 starts),
-  * and `pause_on_full` backpressure from ANY lane throttles the shared
-  * source, exactly like the reference pausing the replication slot when
-  * one consumer's store fills.
+  * CONCURRENTLY off the cached batch, each on its own daemon worker
+  * draining a per-lane FIFO queue (the analog of the reference's
+  * per-consumer processes): each lane applies its own filters/
+  * transforms/routing, delivers on its own connections, and runs its own
+  * ledger. Per-consumer cross-batch FIFO holds by construction — a
+  * lane's batch N retries finish before its batch N+1 starts.
+  *
+  * COMMIT FENCE: with homogeneous lanes the batch commits when every
+  * lane resolved it (and `pause_on_full` backpressure from ANY lane
+  * throttles the shared source, exactly like the reference pausing the
+  * replication slot when one consumer's store fills). A lane whose
+  * dispatch EWMA stays `laneSkewFactor`x above the median for
+  * `laneSkewStreak` batches is flagged LAGGING and decoupled: the commit
+  * then waits only for its siblings, while the lagging lane drains its
+  * own queue up to `maxLaneLagEvents` behind (the reference's
+  * per-consumer message store with `max_ack_pending` —
+  * slot_message_store_state.ex:432-478: a slow consumer fills its own
+  * buffer; siblings proceed at their own rate). Decoupled commits stay
+  * at-least-once across restarts: each such batch is spooled to parquet
+  * under the checkpoint BEFORE the commit, replayed to every lane on
+  * restart, and deleted once every lane resolved it.
   *
   * Consumers attach and detach while the query runs (the reference's
   * consumers attach to a live slot): an attached lane starts at the
@@ -784,54 +811,262 @@ object ConsumerRuntime {
 final class SlotRuntime(
     events: DataFrame,
     checkpointLocation: Option[String] = None,
-    nowMs: () => Long = () => System.currentTimeMillis())(
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    // max events a LAGGING lane may hold queued before the shared commit
+    // waits for it — the reference's `max_ack_pending` admission fence
+    // (sink_consumer.ex defaults 10k; ours counts queued batch events).
+    // Bounds both memory (queued persisted batches) and spool growth.
+    maxLaneLagEvents: Long = 100000L,
+    // a lane is LAGGING when its per-batch dispatch EWMA exceeds
+    // laneSkewFactor x the (lower-)median lane's + laneSkewFloorMs, for
+    // laneSkewStreak consecutive batches; it rejoins the commit fence
+    // after the same streak of in-band batches with a drained queue.
+    // The floor keeps tiny-batch scheduling noise from flagging anyone.
+    laneSkewFactor: Double = 3.0,
+    laneSkewFloorMs: Long = 25L,
+    laneSkewStreak: Int = 3)(
     implicit spark: SparkSession) {
   import ConsumerRuntime.{BackfillSpec, Handle, Lane}
+  import java.util.concurrent.TimeUnit
+  import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
   import scala.jdk.CollectionConverters._
 
-  private val lanes =
-    new java.util.concurrent.ConcurrentHashMap[String, Lane]()
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-slot-lane")
-      t.setDaemon(true)
-      t
-    })
+  /** One shared micro-batch in flight: the persisted frame, its exact
+    * post-dedup size, and a countdown of lanes that have not resolved it.
+    * When the last lane resolves, the cache releases and the durable
+    * spool copy (decoupled mode only) deletes — a batch every lane
+    * delivered needs no replay. `keepSpool` is set by SHUTDOWN drain
+    * (not detach): a batch a closing slot never delivered to some lane
+    * must survive on disk for the restart to replay.
+    */
+  private final class Pending(val seq: Long, val df: DataFrame, val n: Long,
+      laneCount: Int) {
+    private val remaining = new AtomicInteger(laneCount)
+    private val released = new AtomicBoolean(false)
+    @volatile var spoolPath: Option[String] = None
+    @volatile var keepSpool = false
+    def laneDone(): Unit = if (remaining.decrementAndGet() == 0) release()
+    def isReleased: Boolean = released.get()
+    private def release(): Unit = if (released.compareAndSet(false, true)) {
+      df.unpersist(blocking = false)
+      if (!keepSpool) spoolPath.foreach(deletePath)
+    }
+    // raced spool write landed after the last lane resolved: clean it up
+    private[SlotRuntime] def dropSpoolIfReleased(): Unit =
+      if (released.get() && !keepSpool) spoolPath.foreach(deletePath)
+  }
+
+  /** A lane's dispatcher: one daemon thread draining a FIFO queue of
+    * shared batches — per-lane cross-batch order holds by construction
+    * (batch N fully resolves on this lane, retries included, before its
+    * batch N+1 dispatches), independent of every sibling's progress.
+    */
+  private final class LaneWorker(private[SlotRuntime] val lane: Lane) {
+    val queue = new java.util.concurrent.LinkedBlockingQueue[Pending]()
+    val pendingEvents = new AtomicLong(0L)
+    @volatile var closed = false
+    @volatile var detached = false
+    @volatile var error: Throwable = null
+    @volatile var doneSeq: Long = seqGen.get()
+    @volatile var busy = false
+    @volatile var ewmaMs: Double = -1.0
+    @volatile var lagging = false
+    // monitor-guarded (only updateSkew touches them)
+    var slowStreak = 0
+    var fastStreak = 0
+    val thread = new Thread(() => workerLoop(this),
+      s"graft-slot-lane-${lane.consumerId}")
+    thread.setDaemon(true)
+  }
+
+  private val workers =
+    new java.util.concurrent.ConcurrentHashMap[String, LaneWorker]()
+  private val monitor = new Object
+  private val seqGen = new AtomicLong(0L)
+  // durable batch spool: only under a checkpoint (without one there is
+  // no restart contract to keep), only written for batches that COMMIT
+  // before every lane resolved them (decoupled mode)
+  private val spoolBase = checkpointLocation.map(_ + "/graft_lane_spool")
+
+  private def deletePath(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true); () }
+    catch { case _: Exception => () }
+  }
+
+  private def workerLoop(w: LaneWorker): Unit = {
+    // each lane's jobs go to a per-consumer scheduler pool: under
+    // spark.scheduler.mode=FAIR a slow lane's big dispatch can't starve
+    // its siblings — lanes share executors fairly, the cluster analog of
+    // the reference's independent consumer processes. No-op under FIFO.
+    spark.sparkContext.setLocalProperty(
+      "spark.scheduler.pool", s"graft-lane-${w.lane.consumerId}")
+    try {
+      while (!w.closed) {
+        val pb = w.queue.poll(50, TimeUnit.MILLISECONDS)
+        if (pb != null) {
+          w.busy = true
+          try {
+            if (!w.closed && w.error == null) {
+              val t0 = System.nanoTime()
+              w.lane.deliverBatch(pb.df, Some(pb.n))
+              val d = (System.nanoTime() - t0) / 1e6
+              w.ewmaMs = if (w.ewmaMs < 0) d else 0.5 * w.ewmaMs + 0.5 * d
+            }
+          } catch { case e: Throwable => w.error = e }
+          finally {
+            w.doneSeq = pb.seq
+            w.pendingEvents.addAndGet(-pb.n)
+            w.busy = false
+            pb.laneDone()
+            monitor.synchronized { monitor.notifyAll() }
+          }
+        }
+      }
+    } catch { case _: InterruptedException => () }
+    finally {
+      // resolve whatever is still queued so siblings' refcounts settle.
+      // DETACH counts as done (the consumer left; the batch needs no
+      // replay for it); SHUTDOWN pins the spool copy — this lane never
+      // delivered these batches, the restarted slot must replay them.
+      var pb = w.queue.poll()
+      while (pb != null) {
+        if (!w.detached) pb.keepSpool = true
+        w.doneSeq = pb.seq
+        w.pendingEvents.addAndGet(-pb.n)
+        pb.laneDone()
+        pb = w.queue.poll()
+      }
+      monitor.synchronized { monitor.notifyAll() }
+    }
+  }
+
+  private def rethrowLaneError(): Unit =
+    workers.values.asScala.find(_.error != null).foreach { w =>
+      val e = w.error
+      w.error = null
+      throw e
+    }
+
+  /** Lagging-lane detection, evaluated once per committed batch under
+    * the monitor. Comparison is the LOWER median of live lanes' EWMAs
+    * (with two lanes that is the faster one — a pair's true median would
+    * be the slow lane itself and nothing would ever flag).
+    */
+  private def updateSkew(ws: Seq[LaneWorker], batchN: Long): Unit = {
+    val live = ws.filter(w => !w.closed && w.ewmaMs >= 0)
+    if (live.size < 2) return
+    val sorted = live.map(_.ewmaMs).sorted
+    val median = sorted((sorted.size - 1) / 2)
+    live.foreach { w =>
+      val slow = w.ewmaMs > laneSkewFactor * median + laneSkewFloorMs
+      if (slow) { w.slowStreak += 1; w.fastStreak = 0 }
+      else { w.fastStreak += 1; w.slowStreak = 0 }
+      if (!w.lagging && w.slowStreak >= laneSkewStreak) {
+        w.lagging = true
+        Trace.warning(w.lane.consumerId,
+          "lane lagging: decoupled from the slot commit fence",
+          "ewma_ms" -> f"${w.ewmaMs}%.1f", "median_ms" -> f"$median%.1f",
+          "max_lag_events" -> maxLaneLagEvents.toString)
+      } else if (w.lagging && w.fastStreak >= laneSkewStreak &&
+          w.pendingEvents.get() <= batchN) {
+        // back in band AND not accumulating (at most the current batch
+        // outstanding — it may legitimately still be dispatching it,
+        // since a lagging lane's commit never waited for it)
+        w.lagging = false
+        Trace.info(w.lane.consumerId,
+          "lane caught up: rejoined the slot commit fence",
+          "ewma_ms" -> f"${w.ewmaMs}%.1f", "median_ms" -> f"$median%.1f")
+      }
+    }
+  }
 
   private def processBatch(batch: DataFrame): Unit = {
-    val ls = lanes.values.asScala.toSeq.sortBy(_.consumerId)
+    rethrowLaneError()
+    val ws = workers.values.asScala.toSeq.sortBy(_.lane.consumerId)
+      .filterNot(_.closed)
     // no lanes attached: the batch commits unconsumed — a consumer
     // attaching later starts at the slot's then-current position
-    if (ls.isEmpty) return
+    if (ws.isEmpty) return
     val deduped = batch.dropDuplicates("idempotency_key").persist()
-    try {
-      // ONE action materializes the cache — the per-slot stateful decode
-      // runs here, once, for every lane; the count it returns is the
-      // exact post-dedup size each lane's dispatch-shape choice needs
-      val n = deduped.count()
-      if (n > 0) {
-        val futures = ls.map(l =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = {
-              // each lane's jobs go to a per-consumer scheduler pool
-              // (thread-local property): under spark.scheduler.mode=FAIR
-              // a slow lane's big dispatch can't starve its siblings —
-              // lanes share executors fairly, the cluster analog of the
-              // reference's independent consumer processes. A no-op
-              // under default FIFO.
-              spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", s"graft-lane-${l.consumerId}")
-              l.deliverBatch(deduped, Some(n))
-            }
-          }))
-        // the batch is done when EVERY lane resolved it; the first lane
-        // exception propagates and fails the query (loud — lane-level
-        // delivery failures never throw, they resolve in the ledger)
-        futures.foreach(_.get())
+    // ONE action materializes the cache — the per-slot stateful decode
+    // runs here, once, for every lane; the count it returns is the
+    // exact post-dedup size each lane's dispatch-shape choice needs
+    val n = try deduped.count()
+      catch { case e: Throwable =>
+        deduped.unpersist(blocking = false); throw e }
+    if (n == 0) { deduped.unpersist(blocking = false); return }
+    val seq = seqGen.incrementAndGet()
+    val pb = new Pending(seq, deduped, n, ws.size)
+    ws.foreach { w => w.pendingEvents.addAndGet(n); w.queue.put(pb) }
+    val decoupled = ws.exists(_.lagging)
+    // DECOUPLED commit needs durability first: the checkpoint will record
+    // this batch as done while a lagging lane still holds it, so a crash
+    // between commit and that lane's resolution must find the events on
+    // disk (the restart replays every spooled batch to every lane —
+    // at-least-once, dedup'd downstream by idempotency key). Written
+    // AFTER enqueue so lanes dispatch concurrently with the spool write.
+    if (decoupled) spoolBase.foreach { base =>
+      val path = s"$base/batch-$seq"
+      deduped.write.mode("overwrite").parquet(path)
+      pb.spoolPath = Some(path)
+      pb.dropSpoolIfReleased()
+    }
+    monitor.synchronized {
+      // the commit fence: every non-lagging lane has resolved THIS
+      // batch (per-lane FIFO ⇒ doneSeq >= seq means everything through
+      // seq resolved); a lagging lane only gates the commit at its
+      // max-lag admission fence — a slow consumer fills its own buffer,
+      // siblings proceed (slot_message_store_state.ex:432-478)
+      def settled: Boolean = ws.forall { w =>
+        w.closed ||
+          (if (decoupled && w.lagging)
+            w.pendingEvents.get() <= maxLaneLagEvents
+          else w.doneSeq >= seq)
       }
-    } catch {
-      case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally { deduped.unpersist(blocking = false); () }
+      while (!settled && !ws.exists(_.error != null)) monitor.wait(10)
+      updateSkew(ws, n)
+    }
+    // the first lane exception fails the query (loud — lane-level
+    // delivery failures never throw, they resolve in the ledger)
+    rethrowLaneError()
+  }
+
+  /** Replay spooled batches a previous incarnation committed but some
+    * lane never resolved (a crash in decoupled mode). Every spooled
+    * batch re-enqueues to EVERY current lane — a lane that already
+    * delivered it pre-crash redelivers (at-least-once; consumers dedup
+    * on idempotency key), a lane that missed it catches up.
+    */
+  private def recoverSpool(): Unit = spoolBase.foreach { base =>
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch-"))
+      .sortBy(_.getName.stripPrefix("batch-").toLong)
+    if (dirs.isEmpty) return
+    val ws = workers.values.asScala.toSeq.sortBy(_.lane.consumerId)
+      .filterNot(_.closed)
+    if (ws.isEmpty) {
+      // zero lanes = nothing to deliver to, same as a live batch
+      // committing unconsumed
+      dirs.foreach(d => deletePath(d.toString))
+      return
+    }
+    dirs.foreach { d =>
+      val seq = d.getName.stripPrefix("batch-").toLong
+      seqGen.accumulateAndGet(seq, math.max)
+      val df = spark.read.parquet(d.toString).persist()
+      val n = df.count()
+      val pb = new Pending(seq, df, n, ws.size)
+      pb.spoolPath = Some(d.toString)
+      if (n == 0) { pb.keepSpool = false; deletePath(d.toString) }
+      else ws.foreach { w => w.pendingEvents.addAndGet(n); w.queue.put(pb) }
+    }
+    Trace.info("slot", "replayed spooled batches after restart",
+      "batches" -> dirs.length.toString)
   }
 
   private val queryLock = new Object
@@ -850,6 +1085,7 @@ final class SlotRuntime(
   def query: org.apache.spark.sql.streaming.StreamingQuery =
     queryLock.synchronized {
       queryOpt.getOrElse {
+        recoverSpool()
         val w0 = events.writeStream.outputMode("append")
         val w = checkpointLocation.fold(w0)(p =>
           w0.option("checkpointLocation", p))
@@ -860,6 +1096,52 @@ final class SlotRuntime(
         q
       }
     }
+
+  /** Wait until every live lane has drained its queue (and any spool
+    * replay) — `query.processAllAvailable()` only guarantees COMMIT,
+    * which a decoupled lane may trail. Rethrows a lane's error.
+    */
+  def awaitQuiesce(timeoutMs: Long = 300000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    monitor.synchronized {
+      while (workers.values.asScala.exists(w =>
+          !w.closed && (w.busy || !w.queue.isEmpty))) {
+        if (workers.values.asScala.exists(_.error != null)) {
+          // leave the monitor before rethrowing
+          throw workers.values.asScala.find(_.error != null).get.error
+        }
+        if (System.nanoTime() > deadline)
+          throw new java.util.concurrent.TimeoutException(
+            s"slot lanes did not quiesce within $timeoutMs ms")
+        monitor.wait(20)
+      }
+    }
+  }
+
+  /** [[awaitQuiesce]] for ONE lane — the backfill watermark fence on a
+    * shared slot (the page must see every identity ITS lane recorded).
+    */
+  private def awaitLaneQuiesce(consumerId: String,
+      timeoutMs: Long = 300000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    monitor.synchronized {
+      var w = workers.get(consumerId)
+      while (w != null && !w.closed && (w.busy || !w.queue.isEmpty)) {
+        if (w.error != null) throw w.error
+        if (System.nanoTime() > deadline)
+          throw new java.util.concurrent.TimeoutException(
+            s"lane '$consumerId' did not quiesce within $timeoutMs ms")
+        monitor.wait(20)
+        w = workers.get(consumerId)
+      }
+    }
+  }
+
+  /** Lanes currently decoupled from the commit fence (observability +
+    * specs).
+    */
+  def laggingLanes: Seq[String] = workers.values.asScala
+    .filter(w => !w.closed && w.lagging).map(_.lane.consumerId).toSeq.sorted
 
   /** Attach a consumer lane to the running slot. Returns a Handle whose
     * `stop()` detaches ONLY this lane (the shared query keeps serving
@@ -874,28 +1156,42 @@ final class SlotRuntime(
     // refuse BEFORE constructing the lane: Lane's constructor clears the
     // consumer's trace ring and reports health — side effects a rejected
     // duplicate must not inflict on the live lane under that id
-    require(!lanes.containsKey(consumerId),
+    require(!workers.containsKey(consumerId),
       s"consumer '$consumerId' is already attached to this slot")
     val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
       nowMs)
-    val runner = backfill.map(spec => lane.attachBackfill(spec, () => query))
-    require(lanes.putIfAbsent(consumerId, lane) == null,
+    val w = new LaneWorker(lane)
+    val runner = backfill.map(spec => lane.attachBackfill(spec, () => query,
+      fence = () => awaitLaneQuiesce(consumerId)))
+    require(workers.putIfAbsent(consumerId, w) == null,
       s"consumer '$consumerId' is already attached to this slot")
+    w.thread.start()
     val timer = lane.startConsistencyTimer()
     new Handle(() => query, lane.ledger, runner, Some(lane.audit),
-      Some(timer), onStop = Some(() => { lanes.remove(consumerId); () }))
+      Some(timer), onStop = Some(() => detach(consumerId)))
   }
 
-  def attached: Seq[String] = lanes.keys.asScala.toSeq.sorted
+  private def detach(consumerId: String): Unit = {
+    val w = workers.remove(consumerId)
+    if (w != null) {
+      w.lane.closed = true
+      w.detached = true
+      w.closed = true
+      monitor.synchronized { monitor.notifyAll() }
+    }
+  }
+
+  def attached: Seq[String] = workers.keys.asScala.toSeq.sorted
 
   /** Stop the slot: the shared query (if it ever started), every lane's
-    * ledger, the pool.
+    * worker and ledger. Spooled batches some lane has not resolved stay
+    * on disk for the next incarnation to replay.
     */
   def stop(): Unit = {
     queryLock.synchronized(queryOpt).foreach(_.stop())
-    lanes.values.asScala.foreach(_.ledger.stop())
-    lanes.clear()
-    pool.shutdownNow()
-    ()
+    workers.values.asScala.foreach(_.closed = true)
+    workers.values.asScala.foreach(_.thread.join(5000))
+    workers.values.asScala.foreach(_.lane.ledger.stop())
+    workers.clear()
   }
 }
