@@ -188,8 +188,18 @@ object Dedup {
     */
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, prefix: Int = 8,
-      thresholdMicro: Long = 800000L): DataFrame = {
+      thresholdMicro: Long = 800000L,
+      // prefix ranks are probed in BANDS of this many ranks, each band
+      // materialized before the next starts: on a replica-heavy corpus
+      // the candidate stream is O(pairs x prefix) and a single pass
+      // holds it all at once (the sf10 probe OOM'd an 8 GB driver in a
+      // 400 M-row candidate stage); banding bounds the peak working set
+      // by band, at the cost of re-verifying pairs that surface in more
+      // than one band (deduped on the way out)
+      prefixBandSize: Int = 4): DataFrame = {
     require(prefix >= 1 && prefix <= 64, s"prefix out of range: $prefix")
+    require(prefixBandSize >= 1, s"band size must be >= 1: $prefixBandSize")
+    val spark = df.sparkSession
     val sets = df.select(col(idCol),
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), shingleN, sorted = true)
@@ -197,15 +207,14 @@ object Dedup {
       .localCheckpoint()
     val tok = sets.select(col(idCol), explode(col("toks")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).cast("bigint").as("df"))
-    val ranked = tok.join(freq, Seq("t"))
+    // the rank window runs ONCE (checkpointed — docs x prefix rows, tiny
+    // next to the corpus); bands filter the materialized prefix table
+    val prefAll = tok.join(freq, Seq("t"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("t").asc)))
-    val pref = ranked.filter(col("rn") <= prefix)
-      .select(col(idCol).as("id_a"), col("t"))
-    val cands = pref
-      .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("rn") <= prefix)
+      .select(col(idCol).as("id_a"), col("t"), col("rn"))
+      .localCheckpoint()
     // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the pair
     // stream duplicates each doc's array once per candidate partner — on
     // a replica-heavy corpus (every doc ~100 near-copies) that is
@@ -215,27 +224,56 @@ object Dedup {
     // it is localCheckpoint'ed), hint BOTH verify joins to broadcast it:
     // the pair stream then flows through two BroadcastHashJoins with
     // ZERO array bytes shuffled, and the arrays exist once per executor
-    // instead of once per pair. Past the budget (a truly huge corpus)
-    // the sort-merge form returns — correct on cluster-scale disks.
+    // instead of once per pair (the two exchanges canonicalize to one —
+    // ReuseExchange). Past the budget (a truly huge corpus) the
+    // sort-merge form returns — correct on cluster-scale disks. The
+    // budget derives from THIS JVM's heap (a fixed 1 GiB figure would
+    // OOM a default 1g driver long before it tripped), capped at 1 GiB,
+    // overridable via spark.graft.dedup.broadcastBudgetBytes.
     val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
-    val setsBroadcastBudget = BigInt(1L << 30)
+    val setsBroadcastBudget = BigInt(
+      spark.conf.getOption("spark.graft.dedup.broadcastBudgetBytes")
+        .map(_.toLong)
+        .getOrElse(math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8)))
     def side(suffix: String) = {
       val s = sets.select(col(idCol).as(s"id_$suffix"),
         col("toks").as(s"toks_$suffix"))
       if (setsBytes <= setsBroadcastBudget) broadcast(s) else s
     }
-    cands
-      .join(side("a"), "id_a")
-      .join(side("b"), "id_b")
-      .withColumn("inter", graft.functions.VectorExpressions
-        .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
-      .withColumn("sza", size(col("toks_a")).cast("bigint"))
-      .withColumn("szb", size(col("toks_b")).cast("bigint"))
-      .withColumn("cont_a_micro", expr("(inter * 1000000) div greatest(sza, 1)"))
-      .withColumn("jaccard_micro",
-        expr("(inter * 1000000) div greatest(sza + szb - inter, 1)"))
-      .filter(col("cont_a_micro") >= thresholdMicro)
-      .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
+    def verifyBand(lo: Int, hi: Int): DataFrame = {
+      val cands = prefAll.filter(col("rn") >= lo && col("rn") <= hi)
+        .select("id_a", "t")
+        .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cands
+        .join(side("a"), "id_a")
+        .join(side("b"), "id_b")
+        .withColumn("inter", graft.functions.VectorExpressions
+          .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
+        .withColumn("sza", size(col("toks_a")).cast("bigint"))
+        .withColumn("szb", size(col("toks_b")).cast("bigint"))
+        .withColumn("cont_a_micro",
+          expr("(inter * 1000000) div greatest(sza, 1)"))
+        .withColumn("jaccard_micro",
+          expr("(inter * 1000000) div greatest(sza + szb - inter, 1)"))
+        .filter(col("cont_a_micro") >= thresholdMicro)
+        .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
+    }
+    val bands = (1 to prefix by prefixBandSize)
+      .map(lo => (lo, math.min(lo + prefixBandSize - 1, prefix)))
+    if (bands.size == 1) verifyBand(1, prefix)
+    else bands
+      // eager localCheckpoint serializes the bands: one band's candidate
+      // stage finishes (and frees) before the next starts — the output
+      // held between bands is verified pairs only (4 narrow columns)
+      .map { case (lo, hi) => verifyBand(lo, hi).localCheckpoint() }
+      .reduce(_.unionAll(_))
+      // a pair whose rarest shingles straddle bands verifies in each —
+      // identical rows; keep one (max == the only value)
+      .groupBy("id_a", "id_b")
+      .agg(max("cont_a_micro").as("cont_a_micro"),
+        max("jaccard_micro").as("jaccard_micro"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

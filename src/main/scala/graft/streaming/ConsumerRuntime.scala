@@ -868,12 +868,28 @@ final class SlotRuntime(
     @volatile var detached = false
     @volatile var error: Throwable = null
     @volatile var doneSeq: Long = seqGen.get()
-    @volatile var busy = false
     @volatile var ewmaMs: Double = -1.0
     @volatile var lagging = false
     // monitor-guarded (only updateSkew touches them)
     var slowStreak = 0
     var fastStreak = 0
+    // guards enqueue vs the worker's terminal drain: once `drained`
+    // flips, nothing may enter the queue (it would strand forever)
+    private val drainLock = new Object
+    private var drained = false
+    /** Enqueue to a live worker, or report the worker has terminally
+      * drained (caller must resolve the batch on the lane's behalf).
+      */
+    def offer(pb: Pending): Boolean = drainLock.synchronized {
+      if (drained) false else { queue.put(pb); true }
+    }
+    /** Terminal drain (worker thread exit): atomically close the queue
+      * to new batches and hand back everything still queued.
+      */
+    def drainRemaining(): Seq[Pending] = drainLock.synchronized {
+      drained = true
+      Iterator.continually(queue.poll()).takeWhile(_ != null).toSeq
+    }
     val thread = new Thread(() => workerLoop(this),
       s"graft-slot-lane-${lane.consumerId}")
     thread.setDaemon(true)
@@ -906,20 +922,28 @@ final class SlotRuntime(
       while (!w.closed) {
         val pb = w.queue.poll(50, TimeUnit.MILLISECONDS)
         if (pb != null) {
-          w.busy = true
+          var delivered = false
           try {
             if (!w.closed && w.error == null) {
               val t0 = System.nanoTime()
               w.lane.deliverBatch(pb.df, Some(pb.n))
+              delivered = true
               val d = (System.nanoTime() - t0) / 1e6
               w.ewmaMs = if (w.ewmaMs < 0) d else 0.5 * w.ewmaMs + 0.5 * d
             }
           } catch { case e: Throwable => w.error = e }
           finally {
+            // a batch this lane SKIPPED (prior error, closing slot) or
+            // FAILED mid-delivery may already be committed + spooled:
+            // pin the spool so the restart replays it (at-least-once).
+            // DETACH is the one exception — the consumer left for good.
+            if (!delivered && !w.detached) pb.keepSpool = true
             w.doneSeq = pb.seq
-            w.pendingEvents.addAndGet(-pb.n)
-            w.busy = false
+            // terminal side effects (cache release, spool delete) run in
+            // laneDone BEFORE the quiesce gate opens: pendingEvents must
+            // stay >0 until the batch is fully resolved on this lane
             pb.laneDone()
+            w.pendingEvents.addAndGet(-pb.n)
             monitor.synchronized { monitor.notifyAll() }
           }
         }
@@ -930,17 +954,32 @@ final class SlotRuntime(
       // DETACH counts as done (the consumer left; the batch needs no
       // replay for it); SHUTDOWN pins the spool copy — this lane never
       // delivered these batches, the restarted slot must replay them.
-      var pb = w.queue.poll()
-      while (pb != null) {
+      // drainRemaining atomically closes the queue: a concurrent
+      // processBatch enqueue either lands before (drained here) or is
+      // refused and resolved by the enqueuer.
+      w.drainRemaining().foreach { pb =>
         if (!w.detached) pb.keepSpool = true
         w.doneSeq = pb.seq
-        w.pendingEvents.addAndGet(-pb.n)
         pb.laneDone()
-        pb = w.queue.poll()
+        w.pendingEvents.addAndGet(-pb.n)
       }
       monitor.synchronized { monitor.notifyAll() }
     }
   }
+
+  /** Hand a batch to a lane, resolving it on the lane's behalf when the
+    * worker has already terminally drained (detach raced the enqueue —
+    * without this the Pending's refcount never settles: the cache stays
+    * pinned and a decoupled batch's spool is never deleted).
+    */
+  private def enqueue(w: LaneWorker, pb: Pending): Unit =
+    if (!w.offer(pb)) {
+      if (!w.detached) pb.keepSpool = true
+      w.doneSeq = pb.seq
+      pb.laneDone()
+      w.pendingEvents.addAndGet(-pb.n)
+      monitor.synchronized { monitor.notifyAll() }
+    }
 
   private def rethrowLaneError(): Unit =
     workers.values.asScala.find(_.error != null).foreach { w =>
@@ -999,7 +1038,7 @@ final class SlotRuntime(
     if (n == 0) { deduped.unpersist(blocking = false); return }
     val seq = seqGen.incrementAndGet()
     val pb = new Pending(seq, deduped, n, ws.size)
-    ws.foreach { w => w.pendingEvents.addAndGet(n); w.queue.put(pb) }
+    ws.foreach { w => w.pendingEvents.addAndGet(n); enqueue(w, pb) }
     val decoupled = ws.exists(_.lagging)
     // DECOUPLED commit needs durability first: the checkpoint will record
     // this batch as done while a lagging lane still holds it, so a crash
@@ -1050,9 +1089,14 @@ final class SlotRuntime(
     val ws = workers.values.asScala.toSeq.sortBy(_.lane.consumerId)
       .filterNot(_.closed)
     if (ws.isEmpty) {
-      // zero lanes = nothing to deliver to, same as a live batch
-      // committing unconsumed
-      dirs.foreach(d => deletePath(d.toString))
+      // zero lanes attached at recovery: UNLIKE a live batch committing
+      // unconsumed, these events were already committed for consumers
+      // that existed pre-crash — leave the spool intact for a future
+      // incarnation that reattaches them (the reference's per-consumer
+      // persistent store never drops undelivered messages)
+      Trace.warning("slot",
+        "spooled batches present but no lanes attached; keeping spool",
+        "batches" -> dirs.length.toString)
       return
     }
     dirs.foreach { d =>
@@ -1062,8 +1106,11 @@ final class SlotRuntime(
       val n = df.count()
       val pb = new Pending(seq, df, n, ws.size)
       pb.spoolPath = Some(d.toString)
-      if (n == 0) { pb.keepSpool = false; deletePath(d.toString) }
-      else ws.foreach { w => w.pendingEvents.addAndGet(n); w.queue.put(pb) }
+      if (n == 0) {
+        df.unpersist(blocking = false)
+        pb.keepSpool = false
+        deletePath(d.toString)
+      } else ws.foreach { w => w.pendingEvents.addAndGet(n); enqueue(w, pb) }
     }
     Trace.info("slot", "replayed spooled batches after restart",
       "batches" -> dirs.length.toString)
@@ -1104,8 +1151,13 @@ final class SlotRuntime(
   def awaitQuiesce(timeoutMs: Long = 300000L): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     monitor.synchronized {
+      // pendingEvents is incremented BEFORE enqueue and decremented only
+      // AFTER the batch fully resolves on the lane (laneDone included) —
+      // unlike busy/queue checks it has no uncovered dispatch window,
+      // and it guarantees terminal side effects (cache release, spool
+      // delete) have run when the fence opens
       while (workers.values.asScala.exists(w =>
-          !w.closed && (w.busy || !w.queue.isEmpty))) {
+          !w.closed && w.pendingEvents.get() > 0L)) {
         if (workers.values.asScala.exists(_.error != null)) {
           // leave the monitor before rethrowing
           throw workers.values.asScala.find(_.error != null).get.error
@@ -1126,7 +1178,7 @@ final class SlotRuntime(
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     monitor.synchronized {
       var w = workers.get(consumerId)
-      while (w != null && !w.closed && (w.busy || !w.queue.isEmpty)) {
+      while (w != null && !w.closed && w.pendingEvents.get() > 0L) {
         if (w.error != null) throw w.error
         if (System.nanoTime() > deadline)
           throw new java.util.concurrent.TimeoutException(

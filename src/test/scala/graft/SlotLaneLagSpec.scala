@@ -129,12 +129,15 @@ class SlotLaneLagSpec extends SparkSpec {
       (1 to 4).foreach(_ => batch("1" -> 1.0, "2" -> 2.0))
       slot.awaitQuiesce()
       assert(slot.laggingLanes.isEmpty)
-      // SKEW: the slow transport now takes 150 ms per event. Detection
+      // SKEW: the slow transport now takes 500 ms per event — decisive
+      // against the fast lane's own deliverBatch EWMA, which includes a
+      // real Spark action (~100-500 ms cold-JIT): the skew must dwarf
+      // job-latency noise or detection flakes on a cold JVM. Detection
       // needs the streak of out-of-band batches (plus however long the
       // fast lane's warmup EWMA takes to decay under it); commit waits
       // for BOTH lanes until the flag flips — so the queue is drained
       // when the loop exits
-      slowSrv.delayMs = 150L
+      slowSrv.delayMs = 500L
       var flagBatches = 0
       while (slot.laggingLanes.isEmpty && flagBatches < 10) {
         batch("1" -> 1.0, "2" -> 2.0); flagBatches += 1
@@ -205,7 +208,7 @@ class SlotLaneLagSpec extends SparkSpec {
         metrics, health, "slow")
       (1 to 4).foreach(_ => batch(2))
       slot.awaitQuiesce()
-      slowSrv.delayMs = 150L
+      slowSrv.delayMs = 500L
       var flagBatches = 0
       while (slot.laggingLanes.isEmpty && flagBatches < 10) {
         batch(2); flagBatches += 1
@@ -302,10 +305,11 @@ class SlotLaneLagSpec extends SparkSpec {
         id
       }
       val s1 = startSlot()
-      // warmup then flag the slow lane (1-event batches, 250 ms vs ~ms)
+      // warmup then flag the slow lane (1-event batches, 1 s vs the
+      // fast lane's Spark-action-dominated EWMA)
       (1 to 3).foreach(_ => writeTxn(s1))
       s1.awaitQuiesce()
-      slowSrv.delayMs = 250L
+      slowSrv.delayMs = 1000L
       var flagBatches = 0
       while (s1.laggingLanes.isEmpty && flagBatches < 10) {
         writeTxn(s1); flagBatches += 1

@@ -156,6 +156,45 @@ class WalSpoolSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("head-gap watchdog: a segment missing AT the committed offset " +
+      "past the grace window fails the query loudly instead of stalling " +
+      "forever") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("walspool").toString
+
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0), txn(1, 10))
+    val q = spark.readStream.format(provider)
+      .option("path", dir).option("headGapGraceMs", "2000").load()
+      .as[PgStream.Frame]
+      .writeStream.format("memory").queryName("wal_headgap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wal_headgap").count() == 3) // committed offset = 1
+      // segment 1 is lost (deleted under the query / over-pruned) while
+      // the shipper has already published segment 2: admission anchors at
+      // the committed offset, so nothing is admissible — within the grace
+      // window the query HOLDS (an in-flight rename could close the gap)
+      WalSpool.writeSegment(dir, WalSpool.segmentName(2), txn(3, 30))
+      q.processAllAvailable()
+      assert(q.isActive, "a head gap inside the grace window must hold, " +
+        "not crash")
+      assert(spark.table("wal_headgap").count() == 3)
+      // ...past the window, the watchdog fails the query LOUDLY — the
+      // alternative is a silent, symptomless stall forever
+      val failed = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(failed).exists(_.contains("missing for over")),
+        s"expected the head-gap watchdog message, got: ${msgs(failed)}")
+    } finally q.stop()
+  }
+
   test("admission control: maxSegmentsPerBatch bounds each micro-batch to one segment") {
     implicit val s = spark
     import s.implicits._
