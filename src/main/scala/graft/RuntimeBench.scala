@@ -235,7 +235,7 @@ object RuntimeBench {
     * stream/codegen startup), then land `n` pre-encoded events as new
     * segments and time first-write → last-XADD-acknowledged.
     */
-  private def throughput(spark: SparkSession, grouped: Boolean, n: Int,
+  private[graft] def throughput(spark: SparkSession, grouped: Boolean, n: Int,
       warm: Int, segments: Int): Double = {
     implicit val s: SparkSession = spark
     val dir = java.nio.file.Files.createTempDirectory("bench_rt").toString

@@ -260,8 +260,13 @@ object Dedup {
         .filter(col("cont_a_micro") >= thresholdMicro)
         .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
     }
-    val bands = (1 to prefix by prefixBandSize)
-      .map(lo => (lo, math.min(lo + prefixBandSize - 1, prefix)))
+    // deployment override without a new call site (scale probes /
+    // memory-constrained drivers): spark.graft.dedup.containmentBandSize
+    val bandSize =
+      spark.conf.getOption("spark.graft.dedup.containmentBandSize")
+        .map(_.toInt).getOrElse(prefixBandSize)
+    val bands = (1 to prefix by bandSize)
+      .map(lo => (lo, math.min(lo + bandSize - 1, prefix)))
     if (bands.size == 1) verifyBand(1, prefix)
     else bands
       // eager localCheckpoint serializes the bands: one band's candidate

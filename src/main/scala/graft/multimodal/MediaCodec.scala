@@ -614,6 +614,93 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** VBR twin of [[encodeMp3]]: one frame per entry of `bitrates`
+    * (kbps, each a valid MPEG1/2 Layer III rate for `sampleRate`), the
+    * payload bytes of frame f filled by `payload(f, i)` — real
+    * variable-bitrate streams change the bitrate per frame, and a
+    * content fingerprint must survive that.
+    */
+  def encodeMp3Frames(sampleRate: Int, mono: Boolean, bitrates: Seq[Int],
+      payload: (Int, Int) => Byte, id3Bytes: Int = 0): Array[Byte] = {
+    val versionBits = if (sampleRate >= 32000) 3 else 2
+    val row = if (versionBits == 3) 0 else 1
+    val si = Mp3Rates(versionBits).indexOf(sampleRate)
+    require(si >= 0, s"unsupported mp3 rate $sampleRate")
+    val coef = if (versionBits == 3) 144000 else 72000
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      val tagBuf = new Array[Byte](10 + id3Bytes)
+      putTag(tagBuf, 0, "ID3")
+      tagBuf(3) = 4
+      tagBuf(6) = ((id3Bytes >> 21) & 0x7F).toByte
+      tagBuf(7) = ((id3Bytes >> 14) & 0x7F).toByte
+      tagBuf(8) = ((id3Bytes >> 7) & 0x7F).toByte
+      tagBuf(9) = (id3Bytes & 0x7F).toByte
+      out.write(tagBuf)
+    }
+    bitrates.zipWithIndex.foreach { case (br, f) =>
+      val bi = Mp3BitrateL3(row).indexOf(br)
+      require(bi > 0, s"unsupported mp3 bitrate $br")
+      val frameLen = coef * br / sampleRate
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte
+      frame(1) = (0xE0 | (versionBits << 3) | (1 << 1) | 1).toByte
+      frame(2) = ((bi << 4) | (si << 2)).toByte
+      frame(3) = (if (mono) 0xC0 else 0x00).toByte
+      var i = 4
+      while (i < frameLen) { frame(i) = payload(f, i - 4); i += 1 }
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  // FNV-1a 64 over a byte range — the content-fingerprint hash (fixed,
+  // portable, order-sensitive within a unit)
+  private def fnv64(b: Array[Byte], from: Int, to: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < to) { h = (h ^ (b(i) & 0xFFL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Order-sensitive MP3 CONTENT fingerprint: one 64-bit hash per frame,
+    * over the frame's codec payload only (sync header + optional CRC
+    * excluded — the bytes an ID3 retag, padding rewrite or header-flag
+    * change cannot touch). Two files with the same audio payload in the
+    * same order fingerprint identically no matter how their metadata
+    * differs; None when no frame chain parses.
+    */
+  def mp3ContentFingerprint(b: Array[Byte]): Option[Array[Long]] = {
+    var pos = id3v2Size(b)
+    if (!mp3Sync(b, pos)) return None
+    val h1 = b(pos + 1) & 0xFF
+    val versionBits = (h1 >> 3) & 0x3
+    if (versionBits == 1 || ((h1 >> 1) & 0x3) != 1) return None
+    val row = if (versionBits == 3) 0 else 1
+    val rates = Mp3Rates(versionBits)
+    val coef = if (versionBits == 3) 144000 else 72000
+    val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var ok = true
+    while (ok && mp3Sync(b, pos)) {
+      val crc = ((b(pos + 1) & 0x1) == 0) // protection bit 0 = CRC present
+      val h2 = b(pos + 2) & 0xFF
+      val bi = (h2 >> 4) & 0xF
+      val si = (h2 >> 2) & 0x3
+      val padding = (h2 >> 1) & 0x1
+      if (bi == 0 || bi == 15 || si == 3) ok = false
+      else {
+        val len = coef * Mp3BitrateL3(row)(bi) / rates(si) + padding
+        if (len <= 4 || pos + len > b.length) ok = false
+        else {
+          val payStart = pos + 4 + (if (crc) 2 else 0)
+          fps += fnv64(b, payStart, pos + len)
+          pos += len
+        }
+      }
+    }
+    if (fps.isEmpty) None else Some(fps.toArray)
+  }
+
   private def decodeMp3(b: Array[Byte]): Option[MediaMeta] = {
     var pos = id3v2Size(b)
     if (!mp3Sync(b, pos)) return None
@@ -781,6 +868,165 @@ object MediaCodec {
       Some(duration * 1000000L / timescale)))
   }
 
+  /** Encode an MP4 with a REAL sample layout: the video trak carries a
+    * full `stbl` (stsc sample-to-chunk, stsz sample sizes, stco chunk
+    * offsets — absolute, into the mdat payload) and the mdat holds the
+    * concatenated `samples` bytes grouped `samplesPerChunk` per chunk.
+    * `freeBytes > 0` inserts a `free` box between ftyp and moov — a
+    * metadata-layout variant that moves every chunk offset without
+    * touching a single content byte (remuxers do exactly this).
+    */
+  def encodeMp4Media(timescale: Int, durationUnits: Long,
+      width: Int, height: Int, samples: Seq[Array[Byte]],
+      samplesPerChunk: Int = 1, freeBytes: Int = 0): Array[Byte] = {
+    require(samplesPerChunk >= 1, s"samplesPerChunk: $samplesPerChunk")
+    val ftypP = new java.io.ByteArrayOutputStream()
+    "isom".foreach(c => ftypP.write(c.toInt)); putBe32(ftypP, 512L)
+    "isommp42".grouped(4).foreach(_.foreach(c => ftypP.write(c.toInt)))
+    val ftyp = box("ftyp", ftypP.toByteArray)
+    val free =
+      if (freeBytes > 0) box("free", new Array[Byte](freeBytes))
+      else Array.emptyByteArray
+    val chunkCount = (samples.size + samplesPerChunk - 1) / samplesPerChunk
+    def moovFor(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val mvhdP = new java.io.ByteArrayOutputStream()
+      putBe32(mvhdP, 0L); putBe32(mvhdP, 0L); putBe32(mvhdP, 0L)
+      putBe32(mvhdP, timescale.toLong); putBe32(mvhdP, durationUnits)
+      putBe32(mvhdP, 0x00010000L); mvhdP.write(Array.fill[Byte](70)(0))
+      putBe32(mvhdP, 2L)
+      val tkhdP = new java.io.ByteArrayOutputStream()
+      putBe32(tkhdP, 7L); putBe32(tkhdP, 0L); putBe32(tkhdP, 0L)
+      putBe32(tkhdP, 1L); putBe32(tkhdP, 0L)
+      putBe32(tkhdP, durationUnits)
+      tkhdP.write(Array.fill[Byte](52)(0))
+      putBe32(tkhdP, width.toLong << 16); putBe32(tkhdP, height.toLong << 16)
+      val hdlrP = new java.io.ByteArrayOutputStream()
+      putBe32(hdlrP, 0L); putBe32(hdlrP, 0L)
+      "vide".foreach(c => hdlrP.write(c.toInt))
+      hdlrP.write(Array.fill[Byte](13)(0))
+      val stscP = new java.io.ByteArrayOutputStream()
+      putBe32(stscP, 0L); putBe32(stscP, 1L) // one uniform run
+      putBe32(stscP, 1L); putBe32(stscP, samplesPerChunk.toLong)
+      putBe32(stscP, 1L) // sample description index
+      val stszP = new java.io.ByteArrayOutputStream()
+      putBe32(stszP, 0L); putBe32(stszP, 0L) // varying sizes
+      putBe32(stszP, samples.size.toLong)
+      samples.foreach(s => putBe32(stszP, s.length.toLong))
+      val stcoP = new java.io.ByteArrayOutputStream()
+      putBe32(stcoP, 0L); putBe32(stcoP, chunkOffsets.size.toLong)
+      chunkOffsets.foreach(o => putBe32(stcoP, o))
+      val stbl = box("stbl", box("stsc", stscP.toByteArray) ++
+        box("stsz", stszP.toByteArray) ++ box("stco", stcoP.toByteArray))
+      val trak = box("trak", box("tkhd", tkhdP.toByteArray) ++
+        box("mdia", box("hdlr", hdlrP.toByteArray) ++
+          box("minf", stbl)))
+      box("moov", box("mvhd", mvhdP.toByteArray) ++ trak)
+    }
+    // stco holds ABSOLUTE offsets, but the moov length is offset-value
+    // independent (fixed-width u32 entries): measure with zeros, then
+    // rebuild with the real offsets
+    val moovLen = moovFor(Seq.fill(chunkCount)(0L)).length
+    val mdatPayloadStart = ftyp.length + free.length + moovLen + 8L
+    val chunkOffsets = samples.grouped(samplesPerChunk)
+      .scanLeft(mdatPayloadStart) { (off, chunk) =>
+        off + chunk.map(_.length.toLong).sum
+      }
+      .take(chunkCount).toSeq
+    val mdatP = new java.io.ByteArrayOutputStream()
+    samples.foreach(mdatP.write)
+    ftyp ++ free ++ moovFor(chunkOffsets) ++ box("mdat", mdatP.toByteArray)
+  }
+
+  /** Order-sensitive MP4 CONTENT fingerprint via the sample-table walk:
+    * per trak, resolve each sample's absolute byte range from
+    * stsc/stsz/stco (the index a remux rewrites but whose TARGET bytes
+    * it cannot change) and hash the sample bytes, in (trak, sample)
+    * order. Chunk re-layout, free-box padding, moov edits and timescale
+    * rewrites all leave the fingerprint fixed; one changed content byte
+    * changes its sample's hash. None when no trak carries a usable
+    * sample table.
+    */
+  def mp4ContentFingerprint(b: Array[Byte]): Option[Array[Long]] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var malformed = false
+    walkBoxes(b, 0, b.length) { (typ, s, e) =>
+      if (typ == "moov") walkBoxes(b, s, e) { (t2, s2, e2) =>
+        if (t2 == "trak") {
+          // per-trak sample tables
+          var stsc: Seq[(Long, Long)] = Seq.empty // (firstChunk, perChunk)
+          var sizes: Array[Long] = null
+          var offsets: Array[Long] = null
+          walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "mdia") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "minf") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stbl") walkBoxes(b, s5, e5) { (t6, s6, e6) =>
+                  t6 match {
+                    case "stsc" if e6 - s6 >= 8 =>
+                      val n = be32(b, s6 + 4).toInt
+                      if (s6 + 8 + 12L * n <= e6)
+                        stsc = (0 until n).map(i => (be32(b, s6 + 8 + 12 * i),
+                          be32(b, s6 + 12 + 12 * i)))
+                    case "stsz" if e6 - s6 >= 12 =>
+                      val fixed = be32(b, s6 + 4)
+                      val n = be32(b, s6 + 8).toInt
+                      if (fixed > 0) sizes = Array.fill(n)(fixed)
+                      else if (s6 + 12 + 4L * n <= e6)
+                        sizes = Array.tabulate(n)(i => be32(b, s6 + 12 + 4 * i))
+                    case "stco" if e6 - s6 >= 8 =>
+                      val n = be32(b, s6 + 4).toInt
+                      if (s6 + 8 + 4L * n <= e6)
+                        offsets = Array.tabulate(n)(i => be32(b, s6 + 8 + 4 * i))
+                    case "co64" if e6 - s6 >= 8 =>
+                      val n = be32(b, s6 + 4).toInt
+                      if (s6 + 8 + 8L * n <= e6)
+                        offsets = Array.tabulate(n)(i => be64(b, s6 + 8 + 8 * i))
+                    case _ => ()
+                  }
+                }
+              }
+            }
+          }
+          if (sizes != null && offsets != null && stsc.nonEmpty) {
+            // chunk c (1-based) takes the perChunk of the last stsc entry
+            // with firstChunk <= c; samples run consecutively per chunk
+            var sample = 0
+            var chunk = 1
+            while (sample < sizes.length && chunk <= offsets.length) {
+              val perChunk = stsc.takeWhile(_._1 <= chunk).lastOption
+                .map(_._2.toInt).getOrElse(0)
+              var off = offsets(chunk - 1)
+              var k = 0
+              while (k < perChunk && sample < sizes.length) {
+                val sz = sizes(sample)
+                if (off < 0 || sz < 0 || off + sz > b.length) {
+                  malformed = true; k = perChunk; sample = sizes.length
+                } else {
+                  fps += fnv64(b, off.toInt, (off + sz).toInt)
+                  off += sz; sample += 1; k += 1
+                }
+              }
+              chunk += 1
+            }
+            if (sample < sizes.length) malformed = true // ran out of chunks
+          }
+        }
+      }
+    }
+    if (malformed || fps.isEmpty) None else Some(fps.toArray)
+  }
+
+  /** Content fingerprint dispatch: sniff the container, return
+    * `(format, per-unit hashes)` — frames for MP3, samples for MP4.
+    */
+  def contentFingerprint(bytes: Array[Byte]): Option[(String, Array[Long])] =
+    if (bytes.length >= 12 && tag(bytes, 4, "ftyp"))
+      mp4ContentFingerprint(bytes).map(("mp4", _))
+    else if ((bytes.length >= 10 && tag(bytes, 0, "ID3")) ||
+      mp3Sync(bytes, 0))
+      mp3ContentFingerprint(bytes).map(("mp3", _))
+    else None
+
   // ---------- dispatch ----------
 
   /** Sniff the container magic and parse the header. Raw self-contained
@@ -840,6 +1086,64 @@ object MediaCodec {
     *     video w = 16·(1 + id % 40), h = 16·(1 + (id/40) % 30),
     *     audio tracks = (id/2) % 2.
     */
+  // splitmix64 finalizer — full-entropy payload bytes for the twin
+  // synthesizer (plain linear formulas collide across content ids mod
+  // 256, silently merging distinct families)
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Near-dup twins for the content-fingerprint oracle: three byte-level
+    * VARIANTS per content family — `contentId = id / 3`, variant
+    * `id % 3` — that share the exact codec payload but differ in
+    * metadata/layout, the way re-tagged and re-muxed copies of one
+    * recording differ in a crawl:
+    *   - family format: mp3 iff contentId even;
+    *   - MP3 variants: v0 bare, v1 small ID3v2 tag, v2 large ID3v2 tag
+    *     (frame payloads identical — VBR pattern and all);
+    *   - MP4 variants: samplesPerChunk = v + 1 (different stsc/stco
+    *     layout) and v2 adds a `free` box (every chunk offset moves) —
+    *     same sample bytes in the same order.
+    * Byte-identical only within a variant; content-fingerprint-identical
+    * across a family; distinct across families (mix64 payloads).
+    */
+  def synthesizeCompressedTwin(id: Long): (String, Array[Byte]) = {
+    val contentId = id / 3
+    val v = (id % 3).toInt
+    if (contentId % 2 == 0) {
+      val k = contentId / 2
+      val rates = Array(32000, 44100, 48000)
+      val brs = Array(64, 96, 128, 192)
+      val nf = (6 + contentId % 8).toInt
+      val bitrates = Array.tabulate(nf)(f => brs(((k + f) % 4).toInt))
+      val id3 = v match {
+        case 0 => 0
+        case 1 => (24 + contentId % 32).toInt
+        case _ => (64 + contentId % 48).toInt
+      }
+      ("mp3", encodeMp3Frames(rates((k % 3).toInt), mono = k % 2 == 0,
+        bitrates,
+        (f, i) => (mix64(contentId * 0x10001L + f * 0x101L + i) & 0xFF).toByte,
+        id3Bytes = id3))
+    } else {
+      val k = contentId / 2
+      val scales = Array(600, 1000, 12288, 90000)
+      val ns = (4 + contentId % 6).toInt
+      val samples = (0 until ns).map(i =>
+        Array.tabulate((20 + (contentId + 3 * i) % 40).toInt)(j =>
+          (mix64(contentId * 0x20003L + i * 0x211L + j) & 0xFF).toByte))
+      ("mp4", encodeMp4Media(scales((k % 4).toInt),
+        500 + contentId % 5000,
+        width = (16 * (1 + contentId % 40)).toInt,
+        height = (16 * (1 + (contentId / 40) % 30)).toInt,
+        samples = samples, samplesPerChunk = v + 1,
+        freeBytes = if (v == 2) (32 + contentId % 32).toInt else 0))
+    }
+  }
+
   def synthesizeCompressedAsset(id: Long): (String, Array[Byte]) =
     if (id % 2 == 0) {
       val bitrates = Array(64, 96, 128, 192)

@@ -397,6 +397,58 @@ object Multimodal {
     }
   }
 
+  /** Order-sensitive COMPRESSED-container content fingerprint
+    * ([[MediaCodec.contentFingerprint]]): one 64-bit hash per codec unit
+    * (MP3 frame payload / MP4 sample), plus a fold of the whole sequence
+    * (`fp_hash`) for cheap equality probes. Re-tagged (ID3), re-muxed
+    * (chunk re-layout, free-box padding) and metadata-edited copies of
+    * one recording fingerprint identically without decoding a single
+    * codec payload — the dedup entry point for compressed crawls where
+    * no decoder is available. Per-row work only: embarrassingly
+    * parallel, no shuffle.
+    */
+  final case class CompressedFingerprint(
+      asset_id: Long,
+      format: String,
+      n_units: Long,
+      fp: Array[Long],
+      fp_hash: Long)
+
+  def compressedFingerprints(assets: Dataset[Asset])(
+      implicit spark: SparkSession): Dataset[CompressedFingerprint] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        MediaCodec.contentFingerprint(a.bytes).map { case (fmt, fps) =>
+          var h = 0xcbf29ce484222325L
+          fps.foreach { v =>
+            var x = v
+            var k = 0
+            while (k < 8) { h = (h ^ (x & 0xFFL)) * 0x100000001b3L
+              x >>>= 8; k += 1 }
+          }
+          CompressedFingerprint(a.asset_id, fmt, fps.length.toLong, fps, h)
+        }
+      }
+    }
+  }
+
+  /** Content-duplicate clusters over compressed media: group on the FULL
+    * fingerprint sequence (exact, order-sensitive — no hash-collision
+    * caveat) and report each cluster's representative (min id), size and
+    * id-sum. Scale shape: one shuffle keyed by (format, fp) — cluster
+    * cardinality bounded, no pairwise stage.
+    */
+  def compressedNearDupClusters(assets: Dataset[Asset])(
+      implicit spark: SparkSession): DataFrame = {
+    compressedFingerprints(assets).toDF()
+      .groupBy("format", "fp")
+      .agg(min("asset_id").as("rep_id"),
+        count(lit(1)).as("n_members"),
+        sum("asset_id").as("sum_ids"))
+      .select("rep_id", "format", "n_members", "sum_ids")
+  }
+
   final case class ResizedAsset(
       asset_id: Long,
       kind: String,

@@ -593,6 +593,26 @@ object TrainingQueries {
         .orderBy("asset_id")
     }),
 
+    // Compressed-media NEAR-DUP: synthesize 3 byte-level variants per
+    // content family (re-tagged MP3s, re-muxed/free-padded MP4s —
+    // MediaCodec.synthesizeCompressedTwin), fingerprint the codec
+    // payload order-sensitively WITHOUT decoding it (per-frame payload
+    // hashes / sample-table walk), cluster on the full fingerprint
+    // sequence. The oracle predicts every cluster from the twin-rule id
+    // arithmetic alone — the clusters match ONLY if byte-identical
+    // payloads were recovered through three different container layouts.
+    "td106_compressed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          val (fmt, bytes) =
+            graft.multimodal.MediaCodec.synthesizeCompressedTwin(d)
+          graft.multimodal.Multimodal.Asset(d, fmt, bytes, "synth")
+        }
+      graft.multimodal.Multimodal.compressedNearDupClusters(assets)(s)
+        .orderBy("rep_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -2006,6 +2026,21 @@ object TrainingQueries {
         |            + (20 + doc_id % 30) * (144000 * br // rate)
         |       ELSE 146 + 141 * (1 + k % 2) END AS BIGINT) AS n_bytes
         |FROM c ORDER BY asset_id""".stripMargin,
+
+    // td106: the Spark side recovers content clusters from BYTES (three
+    // container layouts per family); the oracle derives the same
+    // clusters from the synthesizer's twin rule (contentId = doc_id//3,
+    // mp3 iff contentId even) — pure id arithmetic, no byte parsing.
+    "td106_compressed_neardup" ->
+      """SELECT min(doc_id) AS rep_id,
+        |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mp3' ELSE 'mp4' END
+        |    AS format,
+        |  count(*) AS n_members,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY doc_id // 3,
+        |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mp3' ELSE 'mp4' END
+        |ORDER BY rep_id""".stripMargin,
 
     // td40: the Spark side decodes ACTUAL payload bytes; the oracle
     // recomputes every pixel/sample from the closed-form synthesis

@@ -582,4 +582,102 @@ class MediaCodecSpec extends SparkSpec {
     assert(w.weighted_sum == 3)
     assert(out(1).format == "unknown" && out(1).n_values == 0)
   }
+
+  test("mp3 content fingerprint: invariant under ID3 retagging, " +
+      "sensitive to one payload byte, per-frame over a VBR chain") {
+    val bitrates = Seq(64, 128, 96, 192, 64)
+    def pay(f: Int, i: Int): Byte = ((f * 131 + i * 7) % 251).toByte
+    val bare = MediaCodec.encodeMp3Frames(44100, mono = true, bitrates, pay)
+    val tagged = MediaCodec.encodeMp3Frames(44100, mono = true, bitrates,
+      pay, id3Bytes = 77)
+    assert(bare.length != tagged.length, "variants must differ byte-wise")
+    val fpBare = MediaCodec.mp3ContentFingerprint(bare).get
+    val fpTagged = MediaCodec.mp3ContentFingerprint(tagged).get
+    assert(fpBare.length == 5, "one hash per frame")
+    assert(fpBare.toSeq == fpTagged.toSeq,
+      "an ID3 retag must not move the content fingerprint")
+    // flip ONE payload byte of frame 2 -> exactly that hash changes
+    val tampered = bare.clone()
+    val frameLens = bitrates.map(br => 144000 * br / 44100)
+    val f2Start = frameLens.take(2).sum
+    tampered(f2Start + 4 + 10) = (tampered(f2Start + 4 + 10) ^ 0x5A).toByte
+    val fpTampered = MediaCodec.mp3ContentFingerprint(tampered).get
+    assert((0 until 5).filter(i => fpTampered(i) != fpBare(i)) == Seq(2),
+      "exactly the tampered frame's hash must change")
+    // garbage -> None
+    assert(MediaCodec.mp3ContentFingerprint("nope".getBytes).isEmpty)
+  }
+
+  test("mp4 content fingerprint: invariant under re-chunking and " +
+      "free-box padding (every stco offset moves), sensitive to a " +
+      "sample byte; stsc/stsz/stco resolve the exact sample ranges") {
+    val samples = (0 until 7).map(i =>
+      Array.tabulate(20 + 5 * i)(j => ((i * 37 + j * 11) % 250).toByte))
+    val a = MediaCodec.encodeMp4Media(1000, 5000, 640, 480, samples,
+      samplesPerChunk = 1)
+    val b = MediaCodec.encodeMp4Media(1000, 5000, 640, 480, samples,
+      samplesPerChunk = 3)
+    val c = MediaCodec.encodeMp4Media(1000, 5000, 640, 480, samples,
+      samplesPerChunk = 2, freeBytes = 123)
+    assert(a.length != b.length || !a.sameElements(b))
+    val fa = MediaCodec.mp4ContentFingerprint(a).get
+    val fb = MediaCodec.mp4ContentFingerprint(b).get
+    val fc = MediaCodec.mp4ContentFingerprint(c).get
+    assert(fa.length == 7, "one hash per sample")
+    assert(fa.toSeq == fb.toSeq && fa.toSeq == fc.toSeq,
+      "re-mux layouts must share the content fingerprint")
+    // the decode walk still reads these containers as mp4
+    val meta = MediaCodec.decode(c).get
+    assert(meta.format == "mp4" && meta.width.contains(640))
+    // tamper one byte of sample 4 (find it via the b layout's tables)
+    val tampered = b.clone()
+    // sample 4 lives in chunk 2 (0-based: chunks of 3) at in-chunk pos 1
+    val fpPos = MediaCodec.mp4ContentFingerprint(tampered).get
+    assert(fpPos.toSeq == fb.toSeq)
+    // brute-force: flip bytes until exactly hash #4 changes
+    val mdatAt = tampered.length - samples.map(_.length).sum
+    val off4 = mdatAt + samples.take(4).map(_.length).sum
+    tampered(off4 + 3) = (tampered(off4 + 3) ^ 0x33).toByte
+    val ft = MediaCodec.mp4ContentFingerprint(tampered).get
+    assert((0 until 7).filter(i => ft(i) != fb(i)) == Seq(4),
+      "exactly the tampered sample's hash must change")
+    assert(MediaCodec.mp4ContentFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("synthesizeCompressedTwin: variants of one family differ " +
+      "byte-wise but share the fingerprint; families never collide; " +
+      "compressedNearDupClusters recovers the twin rule end to end") {
+    import spark.implicits._
+    val ids = (0L until 60L)
+    // byte-level: variants differ, fingerprints agree within a family
+    ids.grouped(3).foreach { g =>
+      val fams = g.map(MediaCodec.synthesizeCompressedTwin)
+      val bytes = fams.map(_._2)
+      assert(bytes.map(_.length).distinct.size > 1 ||
+        !bytes(0).sameElements(bytes(1)),
+        s"variants of family ${g.head / 3} should differ byte-wise")
+      val fps = bytes.map(b => MediaCodec.contentFingerprint(b).get._2.toSeq)
+      assert(fps.distinct.size == 1,
+        s"family ${g.head / 3} variants must fingerprint identically")
+    }
+    // cross-family: all 20 fingerprint sequences distinct
+    val perFam = ids.grouped(3).map(g =>
+      MediaCodec.contentFingerprint(
+        MediaCodec.synthesizeCompressedTwin(g.head)._2).get._2.toSeq).toSeq
+    assert(perFam.distinct.size == perFam.size, "families must not collide")
+    // Spark end to end: clusters of exactly 3, rep = family min id
+    val assets = spark.createDataset(ids.map { d =>
+      val (fmt, b) = MediaCodec.synthesizeCompressedTwin(d)
+      Multimodal.Asset(d, fmt, b, "t")
+    }.toSeq)
+    val rows = Multimodal.compressedNearDupClusters(assets)(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.length == 20)
+    rows.zipWithIndex.foreach { case ((rep, fmt, n, sum), i) =>
+      assert(rep == 3L * i && n == 3 && sum == 9L * i + 3,
+        s"cluster $i: ($rep, $n, $sum)")
+      assert(fmt == (if (i % 2 == 0) "mp3" else "mp4"))
+    }
+  }
 }
