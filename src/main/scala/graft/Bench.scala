@@ -43,6 +43,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production deployment the runtime's per-lane scheduler pools
+      // assume (ConsumerRuntime workerLoop): under FAIR a slow lane's /
+      // slot's big dispatch cannot starve its siblings. Sweep queries
+      // run serially in the default pool — unaffected.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Spark warns on ANY empty-partition window — including the five
@@ -431,7 +436,7 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

@@ -40,7 +40,8 @@ object RuntimeBench {
   final case class Result(groupedOps: Double, ungroupedOps: Double,
       latP50Ms: Double, latP99Ms: Double,
       fanoutSharedOps: Double = -1.0, fanoutIndependentOps: Double = -1.0,
-      fanoutSkewSiblingOps: Double = -1.0, fanoutSkewLaggedOps: Double = -1.0)
+      fanoutSkewSiblingOps: Double = -1.0, fanoutSkewLaggedOps: Double = -1.0,
+      multiSlotMinOps: Double = -1.0, multiSlotMaxOps: Double = -1.0)
 
   /** Minimal but complete loopback Redis: parses RESP command frames,
     * counts XADDs, answers every command — one daemon thread per
@@ -416,6 +417,76 @@ object RuntimeBench {
     } finally { fastSrv.stop(); slowSrv.stop() }
   }
 
+  /** Multi-slot fairness phase: `slots` independent [[graft.streaming
+    * .SlotRuntime]]s (own spool, own streaming query — the reference's
+    * one-supervisor-per-slot shape, supervisor.ex:234) × `lanesPerSlot`
+    * lanes each, all on ONE SparkSession, fed the same load
+    * simultaneously. Each slot's aggregate delivered rate is timed to
+    * ITS OWN completion; returns (min, max) across slots — fairness is
+    * min/max ≈ 1 (neither slot starves the other's executors).
+    */
+  private[graft] def multiSlot(spark0: SparkSession, slots: Int,
+      lanesPerSlot: Int, n: Int): (Double, Double) = {
+    val metrics = new config.Metrics.Registry()
+    val health = new config.Health.Registry()
+    val warm = 500
+    val streamParts =
+      sys.env.getOrElse("SPARK_GRAFT_RT_STREAM_PARTS", "8").toInt
+    val dirs = Array.fill(slots)(
+      java.nio.file.Files.createTempDirectory("bench_ms").toString)
+    val srvs = Array.fill(slots)(new LoopbackRedis)
+    try {
+      val runtimes = (0 until slots).map { si =>
+        WalSpool.writeSegment(dirs(si), WalSpool.segmentName(0),
+          PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+            (0 until warm).flatMap(i => txn(i.toLong)))
+        val (spark, envelope) =
+          envelopeChain(dirs(si), streamParts, 32)(spark0)
+        val slot = new graft.streaming.SlotRuntime(envelope)(spark)
+        (0 until lanesPerSlot).foreach { li =>
+          slot.attach(benchCfg(s"s$si-l$li", grouped = true),
+            SinkDispatch.Env(host = "127.0.0.1", port = srvs(si).port),
+            metrics, health, s"s$si-l$li")
+        }
+        slot.query
+        slot
+      }
+      try {
+        val warmTotal = warm.toLong * lanesPerSlot
+        if (!await(() => srvs.forall(_.xadds.get() >= warmTotal), 180000L))
+          return (-1.0, -1.0)
+        val per = n / 4
+        val target = warmTotal + per.toLong * 4 * lanesPerSlot
+        val t0 = System.nanoTime()
+        (0 until slots).foreach { si =>
+          (0 until 4).foreach { sgi =>
+            WalSpool.writeSegment(dirs(si), WalSpool.segmentName(sgi + 1L),
+              (0 until per).flatMap(i =>
+                txn((warm + sgi.toLong * per + i).toLong)))
+          }
+        }
+        // per-slot completion times (each slot is timed to ITS OWN last
+        // delivered event — an unfair schedule shows up as a spread)
+        val doneAt = Array.fill(slots)(-1L)
+        val deadline = System.nanoTime() + 600000L * 1000000L
+        while (doneAt.exists(_ < 0) && System.nanoTime() < deadline) {
+          var si = 0
+          while (si < slots) {
+            if (doneAt(si) < 0 && srvs(si).xadds.get() >= target)
+              doneAt(si) = System.nanoTime()
+            si += 1
+          }
+          Thread.sleep(1)
+        }
+        if (doneAt.exists(_ < 0)) return (-1.0, -1.0)
+        val rates = doneAt.map(t =>
+          per.toLong * 4 * lanesPerSlot / ((t - t0) / 1e9))
+        (rates.min, rates.max)
+      } finally runtimes.foreach(r =>
+        try r.stop() catch { case _: Throwable => () })
+    } finally srvs.foreach(_.stop())
+  }
+
   /** Latency phase: single-event segments, paced — per-event delivered
     * latency is segment-write → XADD-observed (poll granularity 1 ms,
     * two orders below the measured values).
@@ -507,7 +578,18 @@ object RuntimeBench {
           (-1.0, -1.0)
         }
       }
+    // 2 slots x 4 lanes on one session: independent queries must share
+    // the executors without starving either slot (min/max rate ~ 1)
+    val (msMin, msMax) = {
+      System.gc()
+      try multiSlot(spark, slots = 2, lanesPerSlot = 4,
+        n = math.max(20000, fanEvents / 2))
+      catch { case e: Throwable =>
+        if (sys.env.contains("GRAFT_RTDBG")) e.printStackTrace()
+        (-1.0, -1.0)
+      }
+    }
     Result(grouped, ungrouped, p50, p99, fanShared, fanIndependent,
-      skewSibling, skewLagged)
+      skewSibling, skewLagged, msMin, msMax)
   }
 }

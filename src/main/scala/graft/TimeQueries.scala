@@ -27,6 +27,11 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra runtime confs for probes: SPARK_GRAFT_SQL_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     try { force(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
     names.foreach { n =>
       SparkEntry.queries.get(n) match {

@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
 object GraftCli {
 
   final case class Context(name: String, hostname: String, port: Int,
-      token: String, default: Boolean)
+      token: String, default: Boolean, tls: Boolean = false)
 
   // ---- context store (JSON files under <home>/contexts) -----------------
 
@@ -37,7 +37,7 @@ object GraftCli {
     val o = mapper.createObjectNode()
     o.put("name", c.name); o.put("hostname", c.hostname)
     o.put("port", c.port); o.put("api_token", c.token)
-    o.put("default", c.default)
+    o.put("default", c.default); o.put("tls", c.tls)
     Files.write(ctxDir(home).resolve(c.name + ".json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
         .getBytes(UTF_8))
@@ -51,7 +51,8 @@ object GraftCli {
       val n = mapper.readTree(new String(Files.readAllBytes(f), UTF_8))
       Some(Context(n.get("name").asText(), n.get("hostname").asText(),
         n.get("port").asInt(), n.get("api_token").asText(),
-        Option(n.get("default")).exists(_.asBoolean())))
+        Option(n.get("default")).exists(_.asBoolean()),
+        Option(n.get("tls")).exists(_.asBoolean())))
     }
   }
 
@@ -99,8 +100,9 @@ object GraftCli {
 
   private def request(ctx: Context, method: String, path: String,
       body: Option[String]): (Int, String) = {
+    val scheme = if (ctx.tls) "https" else "http"
     val b = HttpRequest.newBuilder(
-        URI.create(s"http://${ctx.hostname}:${ctx.port}$path"))
+        URI.create(s"$scheme://${ctx.hostname}:${ctx.port}$path"))
       // a hung plane must not hang the operator's terminal
       .timeout(java.time.Duration.ofSeconds(30))
       .header("Authorization", s"Bearer ${ctx.token}")
@@ -192,7 +194,8 @@ object GraftCli {
         (opt("hostname"), opt("port").flatMap(_.toIntOption), opt("token")) match {
           case (Some(h), Some(p), Some(t)) =>
             val makeDefault = flag("set-default") || listContexts(home).isEmpty
-            writeContext(home, Context(name, h, p, t, makeDefault))
+            writeContext(home, Context(name, h, p, t, makeDefault,
+              tls = flag("tls")))
             out(s"context '$name' saved" +
               (if (makeDefault) " (default)" else ""))
             0
@@ -239,7 +242,12 @@ object GraftCli {
               case Right(changes) =>
                 val n = printPlan(changes)
                 if (n == 0) { out("No changes detected, exiting."); 0 }
-                else if (!flag("auto-approve") && stdin().trim != "yes") {
+                else if (!flag("auto-approve") && {
+                  // PRINT the prompt before blocking on stdin — a bare
+                  // read looks like a hang to the operator
+                  out("Apply these changes? Only 'yes' applies: ")
+                  stdin().trim != "yes"
+                }) {
                   out("Apply cancelled."); 1
                 } else {
                   val (code, body) = request(ctx, "POST",
@@ -310,6 +318,66 @@ object GraftCli {
         if (code != 200) { err(s"rm failed ($code): $body"); 1 }
         else { out(s"sink '$name' removed"); 0 }
       }
+
+      // ---- consumer lifecycle (the reference CLI's consumer pause /
+      // resume: status is updated through the sink-consumer PUT, the
+      // same surface the reference's update controller exposes) ----
+      case "sinks" :: ("pause" | "resume") :: _ if args.length >= 3 =>
+        val target = args(1) match {
+          case "pause" => "paused"
+          case _       => "active"
+        }
+        val name = args(2)
+        withCtx { ctx =>
+          val (gc, gbody) = request(ctx, "GET", s"/api/sinks/$name", None)
+          if (gc != 200) { err(s"${args(1)} failed ($gc): $gbody"); 1 }
+          else {
+            val node = mapper.readTree(gbody)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            node.put("status", target)
+            val (uc, ubody) = request(ctx, "PUT", s"/api/sinks/$name",
+              Some(node.toString))
+            if (uc != 200) { err(s"${args(1)} failed ($uc): $ubody"); 1 }
+            else { out(s"sink '$name' is now $target"); 0 }
+          }
+        }
+
+      // ---- backfill lifecycle (reference CLI backfill verbs over the
+      // backfill_controller.ex-parity routes) ----
+      case "backfill" :: "create" :: name :: table :: _ => withCtx { ctx =>
+        val body = mapper.createObjectNode()
+        body.put("table", table)
+        val (code, rbody) = request(ctx, "POST",
+          s"/api/sinks/$name/backfills", Some(body.toString))
+        if (code != 200 && code != 201) {
+          err(s"backfill create failed ($code): $rbody"); 1
+        } else {
+          val b = mapper.readTree(rbody)
+          out(s"backfill ${b.get("id").asText()} on '$table' " +
+            s"(${b.get("state").asText()})")
+          0
+        }
+      }
+      case "backfill" :: "ls" :: name :: _ => withCtx { ctx =>
+        val (code, body) = request(ctx, "GET",
+          s"/api/sinks/$name/backfills", None)
+        if (code != 200) { err(s"backfill ls failed ($code): $body"); 1 }
+        else {
+          mapper.readTree(body).get("data").elements().asScala.foreach { b =>
+            out(s"${b.get("id").asText()}  ${b.get("table").asText()}  " +
+              s"${b.get("state").asText()}")
+          }
+          0
+        }
+      }
+      case "backfill" :: "cancel" :: name :: id :: _ => withCtx { ctx =>
+        val body = mapper.createObjectNode()
+        body.put("state", "cancelled")
+        val (code, rbody) = request(ctx, "PUT",
+          s"/api/sinks/$name/backfills/$id", Some(body.toString))
+        if (code != 200) { err(s"backfill cancel failed ($code): $rbody"); 1 }
+        else { out(s"backfill $id cancelled"); 0 }
+      }
       case "trace" :: name :: _ => withCtx { ctx =>
         val limit = opt("limit").getOrElse("100")
         val (code, body) = request(ctx, "GET",
@@ -341,13 +409,14 @@ object GraftCli {
 
       case _ =>
         err("""usage: graft <command>
-              |  context add <name> --hostname <h> --port <p> --token <t> [--set-default]
+              |  context add <name> --hostname <h> --port <p> --token <t> [--set-default] [--tls]
               |  context ls | rm <name> | select <name>
               |  config plan [file] [--context <name>]
               |  config apply [file] [--auto-approve] [--context <name>]
               |  config export [--output <path>] [--context <name>]
               |  config interpolate [file] [--output <path>]
-              |  sinks ls | show <name> | rm <name>
+              |  sinks ls | show <name> | rm <name> | pause <name> | resume <name>
+              |  backfill create <sink> <schema.table> | ls <sink> | cancel <sink> <id>
               |  trace <name> [--limit <n>]
               |  health <kind> <id>""".stripMargin)
         1

@@ -212,6 +212,12 @@ object PipelineSpec {
       throw new IllegalArgumentException(
         "load_shedding_policy must be one of: 'pause_on_full', 'discard_on_full'")
 
+    val status = Option(root.get("status")).map(_.asText())
+      .getOrElse("active")
+    if (!Set("active", "disabled", "paused")(status))
+      throw new IllegalArgumentException(
+        "status must be one of: 'active', 'disabled', 'paused'")
+
     val sink = Option(root.get("destination")).map(parseSink)
 
     // user functions as config (F4/P4/R2): validated expression strings
@@ -301,6 +307,7 @@ object PipelineSpec {
 
     ConsumerConfig(
       name = name,
+      status = status,
       scope = scope,
       actions = actions,
       filters = filters,
@@ -362,6 +369,7 @@ object PipelineSpec {
   private[config] def renderNode(cfg: ConsumerConfig): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("name", cfg.name)
+    root.put("status", cfg.status)
     val src = root.putObject("source")
     cfg.scope.includeSchemas.foreach(v =>
       { val a = src.putArray("include_schemas"); v.foreach(a.add) })

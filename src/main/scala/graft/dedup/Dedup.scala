@@ -215,40 +215,75 @@ object Dedup {
       .filter(col("rn") <= prefix)
       .select(col(idCol).as("id_a"), col("t"), col("rn"))
       .localCheckpoint()
+    // CANDIDATE GENERATION, banded: each band's prefix ranks probe the
+    // inverted index and the resulting pairs materialize (narrow — two
+    // ids) before the next band starts, bounding the candidate-stage
+    // working set by band. Cross-band duplicates drop BEFORE the
+    // expensive verify (a true copy's rarest shingles collide in EVERY
+    // band — verifying per band would multiply the verify cost).
+    // Deployment override: spark.graft.dedup.containmentBandSize.
+    val bandSize =
+      spark.conf.getOption("spark.graft.dedup.containmentBandSize")
+        .map(_.toInt).getOrElse(prefixBandSize)
+    val bands = (1 to prefix by bandSize)
+      .map(lo => (lo, math.min(lo + bandSize - 1, prefix)))
+    def bandPairs(lo: Int, hi: Int): DataFrame =
+      prefAll.filter(col("rn") >= lo && col("rn") <= hi)
+        .select("id_a", "t")
+        .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+    // pair checkpoints go to DISK: at probe scale they are the largest
+    // live intermediate (tens of millions of rows × bands), and caching
+    // them deserialized on-heap next to the distinct's aggregation maps
+    // is what OOMs a default-sized driver — block-manager disk is the
+    // right home for a narrow stream read back exactly once
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val pairs =
+      if (bands.size == 1)
+        bandPairs(1, prefix).localCheckpoint(eager = true, disk)
+      else bands
+        .map { case (lo, hi) =>
+          bandPairs(lo, hi).localCheckpoint(eager = true, disk) }
+        .reduce(_.unionAll(_)).distinct()
+        .localCheckpoint(eager = true, disk)
+
     // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the pair
     // stream duplicates each doc's array once per candidate partner — on
     // a replica-heavy corpus (every doc ~100 near-copies) that is
     // pairs × arrays ≈ 100+ GB of shuffle for 500k docs, and the probe
     // machine disk-binds even though the PAIR stream itself is ~1 GB.
-    // When the sets table is broadcastable (exact stats are available —
-    // it is localCheckpoint'ed), hint BOTH verify joins to broadcast it:
-    // the pair stream then flows through two BroadcastHashJoins with
-    // ZERO array bytes shuffled, and the arrays exist once per executor
-    // instead of once per pair (the two exchanges canonicalize to one —
-    // ReuseExchange). Past the budget (a truly huge corpus) the
-    // sort-merge form returns — correct on cluster-scale disks. The
-    // budget derives from THIS JVM's heap (a fixed 1 GiB figure would
-    // OOM a default 1g driver long before it tripped), capped at 1 GiB,
-    // overridable via spark.graft.dedup.broadcastBudgetBytes.
+    // So arrays are NEVER shuffled: both verify joins broadcast the
+    // sets table — whole when it fits the budget (the two exchanges
+    // canonicalize to one; ReuseExchange), otherwise CHUNKED by id hash
+    // into ceil(size/budget) pieces and verified as chunk-pair
+    // micro-joins over the narrow pair stream (block-nested-loop by
+    // chunks: peak memory = one chunk per side, by construction, at any
+    // corpus size). The budget derives from THIS JVM's heap (a fixed
+    // figure would OOM a default driver long before it tripped), capped
+    // at 512 MiB, overridable via spark.graft.dedup.broadcastBudgetBytes.
     val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
     val setsBroadcastBudget = BigInt(
       spark.conf.getOption("spark.graft.dedup.broadcastBudgetBytes")
         .map(_.toLong)
-        .getOrElse(math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8)))
-    def side(suffix: String) = {
-      val s = sets.select(col(idCol).as(s"id_$suffix"),
-        col("toks").as(s"toks_$suffix"))
-      if (setsBytes <= setsBroadcastBudget) broadcast(s) else s
+        .getOrElse(math.min(512L << 20, Runtime.getRuntime.maxMemory() / 12)))
+    val chunks = math.max(1,
+      ((setsBytes + setsBroadcastBudget - 1) / setsBroadcastBudget).toInt)
+    def side(suffix: String, chunk: Int) = {
+      val base =
+        if (chunks == 1) sets
+        else sets.filter(pmod(hash(col(idCol)), lit(chunks)) === chunk)
+      broadcast(base.select(col(idCol).as(s"id_$suffix"),
+        col("toks").as(s"toks_$suffix")))
     }
-    def verifyBand(lo: Int, hi: Int): DataFrame = {
-      val cands = prefAll.filter(col("rn") >= lo && col("rn") <= hi)
-        .select("id_a", "t")
-        .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
-      cands
-        .join(side("a"), "id_a")
-        .join(side("b"), "id_b")
+    def verifyChunk(ca: Int, cb: Int): DataFrame = {
+      val scoped =
+        if (chunks == 1) pairs
+        else pairs.filter(pmod(hash(col("id_a")), lit(chunks)) === ca &&
+          pmod(hash(col("id_b")), lit(chunks)) === cb)
+      scoped
+        .join(side("a", ca), "id_a")
+        .join(side("b", cb), "id_b")
         .withColumn("inter", graft.functions.VectorExpressions
           .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
         .withColumn("sza", size(col("toks_a")).cast("bigint"))
@@ -260,25 +295,14 @@ object Dedup {
         .filter(col("cont_a_micro") >= thresholdMicro)
         .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
     }
-    // deployment override without a new call site (scale probes /
-    // memory-constrained drivers): spark.graft.dedup.containmentBandSize
-    val bandSize =
-      spark.conf.getOption("spark.graft.dedup.containmentBandSize")
-        .map(_.toInt).getOrElse(prefixBandSize)
-    val bands = (1 to prefix by bandSize)
-      .map(lo => (lo, math.min(lo + bandSize - 1, prefix)))
-    if (bands.size == 1) verifyBand(1, prefix)
-    else bands
-      // eager localCheckpoint serializes the bands: one band's candidate
-      // stage finishes (and frees) before the next starts — the output
-      // held between bands is verified pairs only (4 narrow columns)
-      .map { case (lo, hi) => verifyBand(lo, hi).localCheckpoint() }
-      .reduce(_.unionAll(_))
-      // a pair whose rarest shingles straddle bands verifies in each —
-      // identical rows; keep one (max == the only value)
-      .groupBy("id_a", "id_b")
-      .agg(max("cont_a_micro").as("cont_a_micro"),
-        max("jaccard_micro").as("jaccard_micro"))
+    if (chunks == 1) verifyChunk(0, 0)
+    else {
+      // chunk pairs PARTITION the pair space: serial materialization
+      // (one chunk's broadcasts live at a time), no post-dedupe needed
+      val parts = for { ca <- 0 until chunks; cb <- 0 until chunks }
+        yield verifyChunk(ca, cb).localCheckpoint()
+      parts.reduce(_.unionAll(_))
+    }
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

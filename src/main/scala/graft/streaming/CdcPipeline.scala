@@ -41,6 +41,10 @@ final case class IterateSpec(
 
 final case class ConsumerConfig(
     name: String,
+    // lifecycle status (sink_consumer.ex:91 — active | disabled |
+    // paused): control-plane state the API/CLI toggle; `paused` keeps
+    // the consumer's position and buffers, `disabled` stops it entirely
+    status: String = "active",
     scope: SourceScope = SourceScope(),
     actions: Seq[String] = Seq("insert", "update", "delete"),
     filters: Seq[ColumnFilter] = Nil,

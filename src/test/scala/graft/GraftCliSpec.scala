@@ -153,4 +153,64 @@ class GraftCliSpec extends SparkSpec {
     val (c3, _, _) = runCli(home, Map.empty)("bogus")
     assert(c3 == 1)
   }
+
+  test("lifecycle verbs: sinks pause/resume toggle status through the " +
+      "sink PUT surface; backfill create/ls/cancel drive the control " +
+      "plane (reference CLI consumer + backfill verbs)") {
+    val api = new graft.config.ManagementApi
+    val home = Files.createTempDirectory("graft_cli")
+    try {
+      runCli(home, Map.empty)("context", "add", "local",
+        "--hostname", "127.0.0.1", "--port", api.port().toString,
+        "--token", api.bootstrapToken)
+      val yaml =
+        """sinks:
+          |  - name: "orders-sink"
+          |    destination:
+          |      type: "redis_stream"
+          |      host: "localhost"
+          |      port: "6379"
+          |      stream_key: "orders"
+          |""".stripMargin
+      val f = home.resolve("sequin.yaml")
+      Files.write(f, yaml.getBytes("UTF-8"))
+      assert(runCli(home, Map.empty)(
+        "config", "apply", f.toString, "--auto-approve")._1 == 0)
+      assert(api.consumers().head.status == "active")
+      // pause -> status lands on the control plane
+      val (pc, pout, _) = runCli(home, Map.empty)(
+        "sinks", "pause", "orders-sink")
+      assert(pc == 0 && pout.exists(_.contains("now paused")), pout)
+      assert(api.consumers().head.status == "paused")
+      // resume -> back to active
+      val (rc, rout, _) = runCli(home, Map.empty)(
+        "sinks", "resume", "orders-sink")
+      assert(rc == 0 && rout.exists(_.contains("now active")), rout)
+      assert(api.consumers().head.status == "active")
+      // unknown sink fails cleanly
+      assert(runCli(home, Map.empty)("sinks", "pause", "ghost")._1 == 1)
+      // backfill create / ls / cancel
+      val (bc, bout, _) = runCli(home, Map.empty)(
+        "backfill", "create", "orders-sink", "public.orders")
+      assert(bc == 0 && bout.exists(o =>
+        o.contains("public.orders") && o.contains("active")), bout)
+      runCli(home, Map.empty)(
+        "backfill", "create", "orders-sink", "public.items")
+      val (lc, lout, _) = runCli(home, Map.empty)(
+        "backfill", "ls", "orders-sink")
+      assert(lc == 0 && lout.size == 2, lout)
+      assert(lout.exists(l => l.contains("public.orders") &&
+        l.contains("active")))
+      val id = lout.find(_.contains("public.orders")).get.split("\\s+").head
+      val (cc, cout, _) = runCli(home, Map.empty)(
+        "backfill", "cancel", "orders-sink", id)
+      assert(cc == 0, cout)
+      val (_, lout2, _) = runCli(home, Map.empty)(
+        "backfill", "ls", "orders-sink")
+      assert(lout2.exists(l => l.contains("public.orders") &&
+        l.contains("cancelled")), lout2)
+      assert(lout2.exists(l => l.contains("public.items") &&
+        l.contains("active")), lout2)
+    } finally api.stop()
+  }
 }
