@@ -19,13 +19,23 @@ object TimeQueries {
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val (repArg, names) = args.partition(_.startsWith("reps="))
     val reps = repArg.headOption.map(_.stripPrefix("reps=").toInt).getOrElse(3)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // context-level confs for probes (must precede getOrCreate):
+    // SPARK_GRAFT_SPARK_CONF="k=v;k=v" — e.g. a short
+    // spark.cleaner.periodicGC.interval so finished stages' shuffle
+    // files are reaped during long scale probes instead of piling up
+    // on scratch disk until JVM GC happens to run
+    val builder = sys.env.get("SPARK_GRAFT_SPARK_CONF")
+      .map(_.split(";").foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }).getOrElse(builder0)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // extra runtime confs for probes: SPARK_GRAFT_SQL_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";").foreach { kv =>

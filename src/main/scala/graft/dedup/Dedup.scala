@@ -188,23 +188,20 @@ object Dedup {
     */
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, prefix: Int = 8,
-      thresholdMicro: Long = 800000L,
-      // prefix ranks are probed in BANDS of this many ranks, each band
-      // materialized before the next starts: on a replica-heavy corpus
-      // the candidate stream is O(pairs x prefix) and a single pass
-      // holds it all at once (the sf10 probe OOM'd an 8 GB driver in a
-      // 400 M-row candidate stage); banding bounds the peak working set
-      // by band, at the cost of re-verifying pairs that surface in more
-      // than one band (deduped on the way out)
-      prefixBandSize: Int = 4): DataFrame = {
+      thresholdMicro: Long = 800000L): DataFrame = {
     require(prefix >= 1 && prefix <= 64, s"prefix out of range: $prefix")
-    require(prefixBandSize >= 1, s"band size must be >= 1: $prefixBandSize")
     val spark = df.sparkSession
+    // every big checkpointed intermediate lives on block-manager DISK,
+    // not heap: deserialized in-memory caching of the shingle-set /
+    // prefix / pair relations is what exhausted a default-sized driver
+    // at probe scale — each is re-read sequentially, which disk serves
+    // fine, while heap stays free for the joins' execution memory
+    val diskLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val sets = df.select(col(idCol),
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), shingleN, sorted = true)
           .as("toks"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true, diskLevel)
     val tok = sets.select(col(idCol), explode(col("toks")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).cast("bigint").as("df"))
     // the rank window runs ONCE (checkpointed — docs x prefix rows, tiny
@@ -214,76 +211,80 @@ object Dedup {
         Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("t").asc)))
       .filter(col("rn") <= prefix)
       .select(col(idCol).as("id_a"), col("t"), col("rn"))
-      .localCheckpoint()
-    // CANDIDATE GENERATION, banded: each band's prefix ranks probe the
-    // inverted index and the resulting pairs materialize (narrow — two
-    // ids) before the next band starts, bounding the candidate-stage
-    // working set by band. Cross-band duplicates drop BEFORE the
-    // expensive verify (a true copy's rarest shingles collide in EVERY
-    // band — verifying per band would multiply the verify cost).
-    // Deployment override: spark.graft.dedup.containmentBandSize.
-    val bandSize =
-      spark.conf.getOption("spark.graft.dedup.containmentBandSize")
-        .map(_.toInt).getOrElse(prefixBandSize)
-    val bands = (1 to prefix by bandSize)
-      .map(lo => (lo, math.min(lo + bandSize - 1, prefix)))
-    def bandPairs(lo: Int, hi: Int): DataFrame =
-      prefAll.filter(col("rn") >= lo && col("rn") <= hi)
-        .select("id_a", "t")
-        .join(tok.select(col(idCol).as("id_b"), col("t")), Seq("t"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
-    // pair checkpoints go to DISK: at probe scale they are the largest
-    // live intermediate (tens of millions of rows × bands), and caching
-    // them deserialized on-heap next to the distinct's aggregation maps
-    // is what OOMs a default-sized driver — block-manager disk is the
-    // right home for a narrow stream read back exactly once
-    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val pairs =
-      if (bands.size == 1)
-        bandPairs(1, prefix).localCheckpoint(eager = true, disk)
-      else bands
-        .map { case (lo, hi) =>
-          bandPairs(lo, hi).localCheckpoint(eager = true, disk) }
-        .reduce(_.unionAll(_)).distinct()
-        .localCheckpoint(eager = true, disk)
-
-    // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the pair
-    // stream duplicates each doc's array once per candidate partner — on
-    // a replica-heavy corpus (every doc ~100 near-copies) that is
-    // pairs × arrays ≈ 100+ GB of shuffle for 500k docs, and the probe
-    // machine disk-binds even though the PAIR stream itself is ~1 GB.
-    // So arrays are NEVER shuffled: both verify joins broadcast the
-    // sets table — whole when it fits the budget (the two exchanges
-    // canonicalize to one; ReuseExchange), otherwise CHUNKED by id hash
-    // into ceil(size/budget) pieces and verified as chunk-pair
-    // micro-joins over the narrow pair stream (block-nested-loop by
-    // chunks: peak memory = one chunk per side, by construction, at any
-    // corpus size). The budget derives from THIS JVM's heap (a fixed
-    // figure would OOM a default driver long before it tripped), capped
-    // at 512 MiB, overridable via spark.graft.dedup.broadcastBudgetBytes.
+      .localCheckpoint(eager = true, diskLevel)
+    // CANDIDATE + VERIFY, fused and chunked by PROBING DOC. Two facts
+    // set the shape at probe scale (measured, sf10): the RAW pair
+    // stream is O(Σ prefix-shingle df) = 2.2 B rows (a boilerplate
+    // doc's 8 "rarest" shingles each match thousands of partners), and
+    // even the DISTINCT pair stream is tens of GB — materializing it
+    // whole (or shuffling it against the shingle arrays) exhausts
+    // scratch disk. So the pair space is PARTITIONED by hash(id_a) into
+    // K chunks sized from the measured raw volume (prefix ⋈ df sum —
+    // one cheap agg) against a per-pass row target
+    // (spark.graft.dedup.candidateTargetRows, default 150 M), and each
+    // chunk is generated, VERIFIED, reduced to its final (tiny) output
+    // and RELEASED before the next chunk starts. Peak scratch = one
+    // chunk's pairs + one pass's shuffle; peak heap = the broadcast
+    // strata below. Chunks are disjoint in id_a — no cross-chunk dedupe.
+    //
+    // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the
+    // pair stream would duplicate each doc's array once per candidate
+    // partner (~100+ GB of shuffle on a replica-heavy corpus), so
+    // arrays are NEVER shuffled: both verify joins broadcast strata of
+    // the sets table. The id_a side of chunk k is sets∩(hash%K == k) —
+    // ≤ size/K by construction; the id_b side spans the corpus, so it
+    // sub-chunks by ceil(size/budget) where the budget derives from
+    // THIS JVM's heap (a fixed figure would OOM a default driver),
+    // capped at 512 MiB, overridable via
+    // spark.graft.dedup.broadcastBudgetBytes. Block-nested-loop by
+    // strata: bounded memory at any corpus size.
+    val targetRows =
+      spark.conf.getOption("spark.graft.dedup.candidateTargetRows")
+        .map(_.toLong).getOrElse(150000000L)
+    val rawEst = prefAll.join(freq, Seq("t"))
+      .agg(sum("df")).head.getLong(0)
     val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
     val setsBroadcastBudget = BigInt(
       spark.conf.getOption("spark.graft.dedup.broadcastBudgetBytes")
         .map(_.toLong)
         .getOrElse(math.min(512L << 20, Runtime.getRuntime.maxMemory() / 12)))
-    val chunks = math.max(1,
-      ((setsBytes + setsBroadcastBudget - 1) / setsBroadcastBudget).toInt)
-    def side(suffix: String, chunk: Int) = {
+    val bChunks = math.min(32L, math.max(1L,
+      ((setsBytes + setsBroadcastBudget - 1) / setsBroadcastBudget)
+        .toLong)).toInt
+    // K covers both constraints: candidate volume per pass AND the id_a
+    // broadcast stratum fitting the budget
+    val kChunks = math.min(64L, math.max(
+      math.max(1L, (rawEst + targetRows - 1) / targetRows),
+      bChunks.toLong)).toInt
+    if (kChunks > 1 || bChunks > 1)
+      println(s"[graft-dedup] containment chunked: raw~$rawEst rows " +
+        s"(target $targetRows), sets~${setsBytes}B " +
+        s"(budget ${setsBroadcastBudget}B) -> id_a chunks=$kChunks, " +
+        s"id_b subchunks=$bChunks")
+    val tokB = tok.select(col(idCol).as("id_b"), col("t"))
+    def chunkPairs(k: Int): DataFrame = {
+      val probe =
+        if (kChunks == 1) prefAll
+        else prefAll.filter(pmod(hash(col("id_a")), lit(kChunks)) === k)
+      probe.select("id_a", "t")
+        .join(tokB, Seq("t"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+    def side(suffix: String, modulo: Int, chunk: Int) = {
       val base =
-        if (chunks == 1) sets
-        else sets.filter(pmod(hash(col(idCol)), lit(chunks)) === chunk)
+        if (modulo == 1) sets
+        else sets.filter(pmod(hash(col(idCol)), lit(modulo)) === chunk)
       broadcast(base.select(col(idCol).as(s"id_$suffix"),
         col("toks").as(s"toks_$suffix")))
     }
-    def verifyChunk(ca: Int, cb: Int): DataFrame = {
+    def verify(pk: DataFrame, ka: Int, cb: Int): DataFrame = {
       val scoped =
-        if (chunks == 1) pairs
-        else pairs.filter(pmod(hash(col("id_a")), lit(chunks)) === ca &&
-          pmod(hash(col("id_b")), lit(chunks)) === cb)
+        if (bChunks == 1) pk
+        else pk.filter(pmod(hash(col("id_b")), lit(bChunks)) === cb)
       scoped
-        .join(side("a", ca), "id_a")
-        .join(side("b", cb), "id_b")
+        .join(side("a", kChunks, ka), "id_a")
+        .join(side("b", bChunks, cb), "id_b")
         .withColumn("inter", graft.functions.VectorExpressions
           .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
         .withColumn("sza", size(col("toks_a")).cast("bigint"))
@@ -295,15 +296,25 @@ object Dedup {
         .filter(col("cont_a_micro") >= thresholdMicro)
         .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
     }
-    if (chunks == 1) verifyChunk(0, 0)
+    if (kChunks == 1 && bChunks == 1) verify(chunkPairs(0), 0, 0)
     else {
-      // chunk pairs PARTITION the pair space: serial materialization
-      // (one chunk's broadcasts live at a time), no post-dedupe needed
-      val parts = for { ca <- 0 until chunks; cb <- 0 until chunks }
-        yield verifyChunk(ca, cb).localCheckpoint()
+      val parts = (0 until kChunks).flatMap { ka =>
+        // ONE chunk's pairs live at a time: generate, verify against
+        // every id_b stratum, keep only the verified output, release
+        val pk = chunkPairs(ka).localCheckpoint(eager = true, diskLevel)
+        val outs = (0 until bChunks).map(cb =>
+          verify(pk, ka, cb).localCheckpoint(eager = true, diskLevel))
+        pk.unpersist(blocking = false)
+        outs
+      }
+      // all verified chunks durable: the corpus-sized input caches are
+      // dead weight from here
+      sets.unpersist(blocking = false)
+      prefAll.unpersist(blocking = false)
       parts.reduce(_.unionAll(_))
     }
   }
+
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every k-gram, slide a window of `w`

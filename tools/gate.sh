@@ -23,7 +23,8 @@ if [ -f "$SF1/lineitem.parquet" ]; then
   QS=$(python3 -c "import json; print(' '.join(sorted(n for n in json.load(open('/tmp/gate_sf001/oracle_sql.json')) if n.startswith('q'))))")
   sbt -batch "runMain graft.Verify $SF1 /tmp/gate_sf1 $QS" \
     > /tmp/gate_sf1.log 2>&1
-  python3 tools/check.py "$SF1" /tmp/gate_sf1
+  # shellcheck disable=SC2086
+  python3 tools/check.py "$SF1" /tmp/gate_sf1 $QS
 else
   echo "sf1 dataset missing at $SF1 — generate with tools/gen_sf1.py;" \
     "sf1 q-series stage SKIPPED"
