@@ -30,17 +30,28 @@ object TimeQueries {
     // spark.cleaner.periodicGC.interval so finished stages' shuffle
     // files are reaped during long scale probes instead of piling up
     // on scratch disk until JVM GC happens to run
+    // tolerant "k=v;k=v" split: trailing ';' (empty segment) is skipped,
+    // a segment with no '=' is reported and skipped — a probe env typo
+    // must not abort the run with a MatchError
+    def confPairs(raw: String): Seq[(String, String)] =
+      raw.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ =>
+            println(s"[graft-time] ignoring malformed conf segment '$kv' " +
+              "(expected key=value)")
+            None
+        }
+      }
     val builder = sys.env.get("SPARK_GRAFT_SPARK_CONF")
-      .map(_.split(";").foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k.trim, v.trim)
+      .map(confPairs(_).foldLeft(builder0) { case (b, (k, v)) =>
+        b.config(k, v)
       }).getOrElse(builder0)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // extra runtime confs for probes: SPARK_GRAFT_SQL_CONF="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(confPairs(_).foreach {
+      case (k, v) => spark.conf.set(k, v)
     })
     try { force(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
     names.foreach { n =>

@@ -230,32 +230,51 @@ object Dedup {
     // VERIFY-JOIN PAYLOAD: joining the full shingle arrays onto the
     // pair stream would duplicate each doc's array once per candidate
     // partner (~100+ GB of shuffle on a replica-heavy corpus), so
-    // arrays are NEVER shuffled: both verify joins broadcast strata of
-    // the sets table. The id_a side of chunk k is sets∩(hash%K == k) —
-    // ≤ size/K by construction; the id_b side spans the corpus, so it
-    // sub-chunks by ceil(size/budget) where the budget derives from
-    // THIS JVM's heap (a fixed figure would OOM a default driver),
-    // capped at 512 MiB, overridable via
+    // arrays are normally NEVER shuffled: both verify joins broadcast
+    // strata of the sets table. The id_a side of chunk k is
+    // sets∩(hash%K == k) — ≤ size/K by construction; the id_b side
+    // spans the corpus, so it sub-chunks by ceil(size/budget) where the
+    // budget derives from THIS JVM's heap (a fixed figure would OOM a
+    // default driver), capped at 512 MiB, overridable via
     // spark.graft.dedup.broadcastBudgetBytes. Block-nested-loop by
-    // strata: bounded memory at any corpus size.
+    // strata: bounded memory at ANY corpus size — the chunk counts are
+    // UNCAPPED (the loop is serial, so more chunks cost passes, never
+    // memory). Only when the strata count itself turns pathological
+    // (> spark.graft.dedup.maxBroadcastStrata, default 4096 — i.e.
+    // ≥ 2 TiB of shingle sets at the default budget, where serial
+    // broadcast passes stop being the right trade) does verification
+    // fall back to plain shuffle joins: arrays DO shuffle there, but
+    // sort-merge spills to disk, so memory stays bounded — the escape
+    // hatch is scratch-heavy, never OOM-prone, and it logs loudly.
     val targetRows =
       spark.conf.getOption("spark.graft.dedup.candidateTargetRows")
         .map(_.toLong).getOrElse(150000000L)
+    // coalesce: sum() over an empty corpus is NULL, not 0
     val rawEst = prefAll.join(freq, Seq("t"))
-      .agg(sum("df")).head.getLong(0)
+      .agg(coalesce(sum("df"), lit(0L))).head.getLong(0)
     val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
     val setsBroadcastBudget = BigInt(
       spark.conf.getOption("spark.graft.dedup.broadcastBudgetBytes")
         .map(_.toLong)
         .getOrElse(math.min(512L << 20, Runtime.getRuntime.maxMemory() / 12)))
-    val bChunks = math.min(32L, math.max(1L,
+    val maxStrata =
+      spark.conf.getOption("spark.graft.dedup.maxBroadcastStrata")
+        .map(_.toInt).getOrElse(4096)
+    val strataNeeded =
       ((setsBytes + setsBroadcastBudget - 1) / setsBroadcastBudget)
-        .toLong)).toInt
-    // K covers both constraints: candidate volume per pass AND the id_a
-    // broadcast stratum fitting the budget
-    val kChunks = math.min(64L, math.max(
+        .max(BigInt(1))
+    val broadcastOk = strataNeeded <= maxStrata
+    if (!broadcastOk)
+      println(s"[graft-dedup] containment verify: sets~${setsBytes}B need " +
+        s"$strataNeeded broadcast strata (> maxBroadcastStrata $maxStrata) " +
+        "— falling back to shuffle (sort-merge) verify joins; memory stays " +
+        "bounded (SMJ spills) but shuffle volume carries the shingle arrays")
+    val bChunks = if (broadcastOk) strataNeeded.toInt else 1
+    // K covers both constraints: candidate volume per pass AND (on the
+    // broadcast path) the id_a stratum fitting the budget
+    val kChunks = math.max(
       math.max(1L, (rawEst + targetRows - 1) / targetRows),
-      bChunks.toLong)).toInt
+      bChunks.toLong).toInt
     if (kChunks > 1 || bChunks > 1)
       println(s"[graft-dedup] containment chunked: raw~$rawEst rows " +
         s"(target $targetRows), sets~${setsBytes}B " +
@@ -271,33 +290,38 @@ object Dedup {
         .filter(col("id_a") =!= col("id_b"))
         .select("id_a", "id_b").distinct()
     }
-    def side(suffix: String, modulo: Int, chunk: Int) = {
+    def stratum(suffix: String, modulo: Int, chunk: Int): DataFrame = {
       val base =
         if (modulo == 1) sets
         else sets.filter(pmod(hash(col(idCol)), lit(modulo)) === chunk)
-      broadcast(base.select(col(idCol).as(s"id_$suffix"),
-        col("toks").as(s"toks_$suffix")))
+      base.select(col(idCol).as(s"id_$suffix"),
+        col("toks").as(s"toks_$suffix"))
     }
-    def verify(pk: DataFrame, ka: Int, cb: Int): DataFrame = {
+    def score(joined: DataFrame): DataFrame = joined
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
+      .withColumn("sza", size(col("toks_a")).cast("bigint"))
+      .withColumn("szb", size(col("toks_b")).cast("bigint"))
+      .withColumn("cont_a_micro",
+        expr("(inter * 1000000) div greatest(sza, 1)"))
+      .withColumn("jaccard_micro",
+        expr("(inter * 1000000) div greatest(sza + szb - inter, 1)"))
+      .filter(col("cont_a_micro") >= thresholdMicro)
+      .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
+    def verify(pk: DataFrame, sideA: DataFrame, cb: Int): DataFrame = {
       val scoped =
         if (bChunks == 1) pk
         else pk.filter(pmod(hash(col("id_b")), lit(bChunks)) === cb)
-      scoped
-        .join(side("a", kChunks, ka), "id_a")
-        .join(side("b", bChunks, cb), "id_b")
-        .withColumn("inter", graft.functions.VectorExpressions
-          .sorted_intersect_size(col("toks_a"), col("toks_b")).cast("bigint"))
-        .withColumn("sza", size(col("toks_a")).cast("bigint"))
-        .withColumn("szb", size(col("toks_b")).cast("bigint"))
-        .withColumn("cont_a_micro",
-          expr("(inter * 1000000) div greatest(sza, 1)"))
-        .withColumn("jaccard_micro",
-          expr("(inter * 1000000) div greatest(sza + szb - inter, 1)"))
-        .filter(col("cont_a_micro") >= thresholdMicro)
-        .select("id_a", "id_b", "cont_a_micro", "jaccard_micro")
+      val sideB =
+        if (broadcastOk) broadcast(stratum("b", bChunks, cb))
+        else stratum("b", bChunks, cb)
+      score(scoped.join(sideA, "id_a").join(sideB, "id_b"))
     }
-    if (kChunks == 1 && bChunks == 1) verify(chunkPairs(0), 0, 0)
-    else {
+    if (kChunks == 1 && bChunks == 1) {
+      val sideA =
+        if (broadcastOk) broadcast(stratum("a", 1, 0)) else stratum("a", 1, 0)
+      verify(chunkPairs(0), sideA, 0)
+    } else {
       val parts = (0 until kChunks).flatMap { ka =>
         // ONE chunk's pairs live at a time: generate, verify against
         // every id_b stratum, keep only the verified output, release.
@@ -307,8 +331,15 @@ object Dedup {
         // chunk caches held 78 GB of scratch disk until it ran out
         val pk = chunkPairs(ka).persist(diskLevel)
         pk.count() // materialize before the broadcast micro-joins
+        // the id_a stratum is shared by every id_b sub-chunk: pin it
+        // once per ka (re-deriving it inside the cb loop re-filtered
+        // and re-shipped the same rows up to bChunks times)
+        val aBase = stratum("a", kChunks, ka).persist(diskLevel)
+        aBase.count()
+        val sideA = if (broadcastOk) broadcast(aBase) else aBase
         val outs = (0 until bChunks).map(cb =>
-          verify(pk, ka, cb).localCheckpoint(eager = true, diskLevel))
+          verify(pk, sideA, cb).localCheckpoint(eager = true, diskLevel))
+        aBase.unpersist(blocking = true)
         pk.unpersist(blocking = true)
         outs
       }

@@ -628,4 +628,48 @@ class DedupSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0 &&
       again.exceptAll(out).count() == 0)
   }
+
+  test("containmentNearDups chunking is plan-invariant, uncapped past 32 strata, and the shuffle fallback agrees") {
+    import spark.implicits._
+    // a corpus with real containment structure: 12 families, each a
+    // contained seed doc + a padded container, plus unrelated noise
+    val docs = (0 until 12).flatMap { f =>
+      val seed = (1 to 25).map(i => s"family$f seed token $i").mkString(" ")
+      val pad = (1 to 60).map(i => s"family$f host filler $i").mkString(" ")
+      Seq((f * 10L, seed), (f * 10L + 1, s"$pad $seed"))
+    } ++ (0 until 8).map(i =>
+      (1000L + i, (1 to 30).map(j => s"noise doc $i word $j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    def run(): Set[(Long, Long, Long, Long)] =
+      Dedup.containmentNearDups(df, "doc_id", "text",
+          shingleN = 3, prefix = 8, thresholdMicro = 800000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val reference = run() // default budgets: single-chunk plan
+    assert(reference.nonEmpty, "probe corpus planted no containment pairs")
+    def withConfs(confs: (String, String)*)(body: => Set[(Long, Long, Long, Long)]) = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    // force the previously-CAPPED region: a 32-byte budget puts the sets
+    // table PAST 32 id_b strata (the old clamp silently broke the budget
+    // exactly here)
+    val chunked = withConfs(
+      "spark.graft.dedup.broadcastBudgetBytes" -> "32")(run())
+    assert(chunked == reference,
+      s"uncapped chunked plan changed the result: ${chunked.diff(reference)} / ${reference.diff(chunked)}")
+    // force the non-broadcast escape hatch: strata needed >> maxStrata
+    val shuffled = withConfs(
+      "spark.graft.dedup.broadcastBudgetBytes" -> "64",
+      "spark.graft.dedup.maxBroadcastStrata" -> "2")(run())
+    assert(shuffled == reference,
+      s"shuffle-fallback plan changed the result: ${shuffled.diff(reference)} / ${reference.diff(shuffled)}")
+  }
+
+  test("containmentNearDups over an empty corpus returns empty (no NPE on the volume estimate)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentNearDups(empty, "doc_id", "text").count() == 0)
+  }
 }
