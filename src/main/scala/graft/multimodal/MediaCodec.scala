@@ -471,26 +471,30 @@ object MediaCodec {
         }
         Some(("wav", out))
       }
-    } else imageIoFormat(b) match {
-      // compressed images: red channel row-major via the JDK decoder —
-      // the same value contract as the raw paths, so aHash/perceptual
-      // ops run unchanged over PNG/JPEG/GIF assets
-      case Some(fmt) => readImageIo(b).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
-            x += 1
+    } else {
+      // JPEG: the pure-JVM baseline decoder first (deterministic, no
+      // JDK-native libjpeg involved); progressive/exotic JPEGs and the
+      // other compressed formats go through the ImageIO readers — the
+      // same value contract (red channel row-major) either way, so
+      // aHash/perceptual ops run unchanged over PNG/JPEG/GIF assets
+      val own = decodeJpegBaseline(b).map { case (_, _, _, vs) => ("jpeg", vs) }
+      own.orElse(imageIoFormat(b).flatMap { fmt =>
+        readImageIo(b).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          (fmt, out)
         }
-        (fmt, out)
-      }
-      case None => None
+      })
     }
   }
 
@@ -1027,6 +1031,682 @@ object MediaCodec {
       mp3ContentFingerprint(bytes).map(("mp3", _))
     else None
 
+  // ---------- JPEG (ITU-T T.81 BASELINE sequential, pure JVM) ----------
+  //
+  // A from-scratch baseline JPEG codec — no ImageIO, no libjpeg, no
+  // native code: marker parse, DQT/DHT tables, canonical Huffman
+  // decode with byte-unstuffing and RSTn handling, dequant, double-
+  // precision separable IDCT, box chroma upsampling, YCbCr→RGB. The
+  // point is PERCEPTUAL dedup of compressed crawls: a re-ENCODED copy
+  // (same image, different quality/bitrate) defeats the td106 payload
+  // fingerprints — only decoded-pixel hashes (aHash/pHash) catch it,
+  // and that needs a decoder every executor can run. Progressive
+  // (SOF2) and arithmetic-coded files return None (the ImageIO
+  // fallback still reads them); baseline covers the dominant share of
+  // crawl JPEGs. The encoder (grayscale, Annex K tables scaled by the
+  // libjpeg quality formula) exists so specs and oracles can SYNTHESIZE
+  // re-encode twins whose decoded geometry is computable in plain SQL.
+
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.1/K.2 base quantization tables, natural (row-major) order
+  private val JpegLumQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  // Annex K.3 standard Huffman specs (BITS ++ HUFFVAL), luminance
+  private val JpegDcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcLumVals = (0 to 11).toArray
+  private val JpegAcLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcLumVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // cos((2x+1)·u·π/16) · C(u), the shared 1-D DCT basis (double; JVM
+  // IEEE arithmetic makes the codec bit-deterministic across executors)
+  private val JpegCos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** libjpeg quality → scaled Annex K table (natural order). */
+  private def jpegScaledQuant(quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    JpegLumQuant.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
+  }
+
+  private final class JpegHuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    // canonical decode tables per T.81 F.2.2.3
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr: Array[Int] = {
+      val vp = new Array[Int](17)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        vp(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+      vp
+    }
+    def decode(in: JpegBitReader): Int = {
+      var code = in.nextBit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | in.nextBit()
+        l += 1
+      }
+      if (l > 16) throw new JpegDataException("huffman code overrun")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private final class JpegDataException(msg: String) extends Exception(msg)
+
+  /** Entropy-segment bit reader: undoes 0xFF00 byte stuffing, stops at
+    * any real marker, and resynchronizes across RSTn restarts.
+    */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var have = 0
+    def nextBit(): Int = {
+      if (have == 0) {
+        if (pos >= b.length) throw new JpegDataException("EOF in entropy data")
+        val byte = b(pos) & 0xFF
+        if (byte == 0xFF) {
+          val nxt = if (pos + 1 < b.length) b(pos + 1) & 0xFF else -1
+          if (nxt != 0x00) throw new JpegDataException(f"marker FF$nxt%02x in scan")
+          pos += 2
+        } else pos += 1
+        cur = byte
+        have = 8
+      }
+      have -= 1
+      (cur >> have) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Consume an expected RSTn marker (byte-aligned). */
+    def restart(): Unit = {
+      have = 0
+      while (pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
+        (b(pos + 1) & 0xFF) == 0xFF) pos += 1 // fill bytes
+      if (pos + 1 >= b.length || (b(pos) & 0xFF) != 0xFF ||
+        ((b(pos + 1) & 0xFF) & 0xF8) != 0xD0)
+        throw new JpegDataException("expected RSTn")
+      pos += 2
+    }
+  }
+
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** 8×8 dequantized-coefficient block → spatial samples (level-shifted,
+    * clamped 0..255) via two separable 1-D passes.
+    */
+  private def jpegIdct(coef: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // rows: frequency u → spatial x
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += JpegCos(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += JpegCos(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+        val px = math.round(s / 4.0).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def jpegIsBaseline(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+  /** Decode a BASELINE sequential JPEG to (width, height, nComponents,
+    * row-major samples) — the gray value for 1-component files, the RED
+    * channel after YCbCr→RGB for 3-component (the [[decodeValues]]
+    * contract). Chroma planes upsample by box replication. None for
+    * progressive/arithmetic/malformed input — callers fall back to
+    * ImageIO there, so this never REDUCES coverage.
+    */
+  def decodeJpegBaseline(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (!jpegIsBaseline(b)) return None
+    try {
+      val quant = Array.ofDim[Int](4, 64)
+      val dcTables = new Array[JpegHuffDecoder](4)
+      val acTables = new Array[JpegHuffDecoder](4)
+      var width = 0
+      var height = 0
+      var nComp = 0
+      // per component: id, h, v, tq (from SOF), td, ta (from SOS)
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
+      var compTq: Array[Int] = null
+      var compTd: Array[Int] = null
+      var compTa: Array[Int] = null
+      var restartInterval = 0
+      var pos = 2
+      var scanStart = -1
+      while (scanStart < 0) {
+        while (pos < b.length && (b(pos) & 0xFF) != 0xFF) pos += 1
+        while (pos < b.length && (b(pos) & 0xFF) == 0xFF &&
+          pos + 1 < b.length && (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+        if (pos + 3 >= b.length) return None
+        val marker = b(pos + 1) & 0xFF
+        val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+        val segEnd = pos + 2 + segLen
+        if (segEnd > b.length) return None
+        marker match {
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+            if ((b(pos + 4) & 0xFF) != 8) return None // precision
+            height = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
+            width = ((b(pos + 7) & 0xFF) << 8) | (b(pos + 8) & 0xFF)
+            nComp = b(pos + 9) & 0xFF
+            if (width == 0 || height == 0 ||
+              (nComp != 1 && nComp != 3)) return None
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            compTq = new Array[Int](nComp)
+            var i = 0
+            while (i < nComp) {
+              val hv = b(pos + 11 + 3 * i) & 0xFF
+              compH(i) = hv >> 4
+              compV(i) = hv & 0xF
+              compTq(i) = b(pos + 12 + 3 * i) & 0xFF
+              if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 ||
+                compV(i) > 4 || compTq(i) > 3) return None
+              i += 1
+            }
+            pos = segEnd
+          case m if m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+            return None // progressive/lossless/arithmetic: not baseline
+          case 0xDB => // DQT (one or more tables per segment)
+            var p = pos + 4
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4
+              val tq = b(p) & 0xF
+              if (tq > 3) return None
+              p += 1
+              var i = 0
+              while (i < 64) {
+                val v =
+                  if (pq == 0) { val r = b(p) & 0xFF; p += 1; r }
+                  else { val r = ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF); p += 2; r }
+                quant(tq)(JpegZigzag(i)) = v
+                i += 1
+              }
+            }
+            pos = segEnd
+          case 0xC4 => // DHT (one or more tables per segment)
+            var p = pos + 4
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4
+              val th = b(p) & 0xF
+              if (tc > 1 || th > 3) return None
+              val bl = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+              val total = bl.sum
+              if (p + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xFF)
+              val tbl = new JpegHuffDecoder(bl, vals)
+              if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
+              p += 17 + total
+            }
+            pos = segEnd
+          case 0xDD => // DRI
+            restartInterval = ((b(pos + 4) & 0xFF) << 8) | (b(pos + 5) & 0xFF)
+            pos = segEnd
+          case 0xDA => // SOS
+            if (nComp == 0) return None
+            val ns = b(pos + 4) & 0xFF
+            if (ns != nComp) return None // single interleaved scan only
+            compTd = new Array[Int](nComp)
+            compTa = new Array[Int](nComp)
+            var i = 0
+            while (i < ns) {
+              // match scan component id → frame position (ids are 1-based
+              // by convention but not by spec; match on order here since
+              // baseline single-scan files list them in frame order)
+              compTd(i) = (b(pos + 6 + 2 * i) & 0xFF) >> 4
+              compTa(i) = b(pos + 6 + 2 * i) & 0xF
+              i += 1
+            }
+            scanStart = segEnd // Ss/Se/AhAl skipped (fixed in baseline)
+          case 0xD9 => return None // EOI before SOS
+          case _ => pos = segEnd // APPn / COM / DNL / ...
+        }
+      }
+      // T.81 A.2.2: a single-component scan is NON-interleaved — the MCU
+      // is one data unit and the declared sampling factors do not
+      // subdivide it (some encoders write h=v=2 on grayscale files)
+      if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+      val hMax = compH.max
+      val vMax = compV.max
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      // per-component planes at full MCU-padded resolution
+      val planeW = Array.tabulate(nComp)(i => mcusX * compH(i) * 8)
+      val planeH = Array.tabulate(nComp)(i => mcusY * compV(i) * 8)
+      if (planeW.zip(planeH).exists { case (w, h) => w.toLong * h > (1L << 28) })
+        return None
+      val planes = Array.tabulate(nComp)(i => new Array[Int](planeW(i) * planeH(i)))
+      val in = new JpegBitReader(b, scanStart)
+      val pred = new Array[Int](nComp)
+      val coef = new Array[Double](64)
+      val block = new Array[Int](64)
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          in.restart()
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < nComp) {
+          val dc = dcTables(compTd(ci))
+          val ac = acTables(compTa(ci))
+          val qt = quant(compTq(ci))
+          if (dc == null || ac == null) throw new JpegDataException("missing DHT")
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val t = dc.decode(in)
+              if (t > 15) throw new JpegDataException("bad DC category")
+              pred(ci) += jpegExtend(in.receive(t), t)
+              coef(0) = pred(ci).toDouble * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = ac.decode(in)
+                val r = rs >> 4
+                val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  if (k > 63) throw new JpegDataException("AC index overrun")
+                  val nat = JpegZigzag(k)
+                  coef(nat) = jpegExtend(in.receive(s), s).toDouble * qt(nat)
+                  k += 1
+                }
+              }
+              jpegIdct(coef, block)
+              val px0 = (mx * compH(ci) + bx) * 8
+              val py0 = (my * compV(ci) + by) * 8
+              val pw = planeW(ci)
+              val plane = planes(ci)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((py0 + yy) * pw + px0 + xx) = block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      val out = new Array[Int](width * height)
+      if (nComp == 1) {
+        val pw = planeW(0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            out(y * width + x) = planes(0)(y * pw + x)
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + x * compH(0) / hMax)
+            val cr = planes(2)((y * compV(2) / vMax) * planeW(2) + x * compH(2) / hMax)
+            val r = math.round(yy + 1.402 * (cr - 128)).toInt
+            out(y * width + x) = if (r < 0) 0 else if (r > 255) 255 else r
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some((width, height, nComp, out))
+    } catch {
+      case _: JpegDataException | _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Header-only baseline parse (dimensions + component count) for
+    * [[decode]] — same marker walk, no entropy decode.
+    */
+  private def decodeJpegHeader(b: Array[Byte]): Option[MediaMeta] = {
+    if (!jpegIsBaseline(b)) return None
+    var pos = 2
+    while (pos + 3 < b.length) {
+      while (pos < b.length && (b(pos) & 0xFF) != 0xFF) pos += 1
+      while (pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
+        (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+      if (pos + 3 >= b.length) return None
+      val marker = b(pos + 1) & 0xFF
+      if (marker == 0xC0 || marker == 0xC1) {
+        if (pos + 9 >= b.length || (b(pos + 4) & 0xFF) != 8) return None
+        val h = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
+        val w = ((b(pos + 7) & 0xFF) << 8) | (b(pos + 8) & 0xFF)
+        val nc = b(pos + 9) & 0xFF
+        if (w == 0 || h == 0 || (nc != 1 && nc != 3)) return None
+        return Some(MediaMeta("jpeg", Some(w), Some(h), nc, 8, None, None, None))
+      }
+      if (marker == 0xDA || marker == 0xD9 ||
+        (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8))
+        return None // hit scan/EOI/non-baseline SOF without a usable SOF
+      val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+      if (segLen < 2) return None
+      pos += 2 + segLen
+    }
+    None
+  }
+
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0
+          nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nBits > 0) { // pad with 1s per T.81
+      put(0x7F, 8 - nBits)
+    }
+  }
+
+  /** Canonical (code, length) per symbol from a BITS/HUFFVAL spec. */
+  private def jpegEncTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val table = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        table(vals(k)) = (code, l)
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    table
+  }
+
+  /** Encode a GRAYSCALE baseline JPEG at the given libjpeg-style quality
+    * (1–100): Annex K luminance table scaled by the libjpeg formula,
+    * standard Annex K Huffman tables, double FDCT, round-to-nearest
+    * quantization, edge blocks padded by clamp-replication. `px(x, y)`
+    * returns the 0–255 gray sample. The twin synthesizer re-encodes one
+    * pixel plane at several qualities through this — byte-distinct
+    * files (different tables AND different entropy data) that only a
+    * decoded-pixel hash can match.
+    */
+  def encodeJpegGray(width: Int, height: Int, quality: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF)
+    val qt = jpegScaledQuant(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16be(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16be(0xFFD8) // SOI
+    u16be(0xFFDB); u16be(2 + 1 + 64); u8(0) // DQT: pq=0, tq=0
+    var i = 0
+    while (i < 64) { u8(qt(JpegZigzag(i))); i += 1 }
+    u16be(0xFFC0); u16be(8 + 3) // SOF0, 1 component
+    u8(8); u16be(height); u16be(width); u8(1)
+    u8(1); u8(0x11); u8(0) // id 1, 1×1 sampling, table 0
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      u16be(0xFFC4); u16be(2 + 1 + 16 + vals.length); u8(tc << 4)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, JpegDcLumBits, JpegDcLumVals)
+    dht(1, JpegAcLumBits, JpegAcLumVals)
+    u16be(0xFFDA); u16be(6 + 2) // SOS
+    u8(1); u8(1); u8(0x00) // 1 component, id 1, DC 0 / AC 0
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl
+    val dcTab = jpegEncTable(JpegDcLumBits, JpegDcLumVals)
+    val acTab = jpegEncTable(JpegAcLumBits, JpegAcLumVals)
+    val bw = new JpegBitWriter(out)
+    def magnitude(v: Int): Int = { // bit category of |v|
+      var m = math.abs(v)
+      var s = 0
+      while (m != 0) { m >>= 1; s += 1 }
+      s
+    }
+    def putVal(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val spatial = new Array[Double](64)
+    val freq = new Array[Int](64)
+    var pred = 0
+    var byi = 0
+    while (byi < blocksY) {
+      var bxi = 0
+      while (bxi < blocksX) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(width - 1, bxi * 8 + x)
+            val sy = math.min(height - 1, byi * 8 + y)
+            spatial(y * 8 + x) = (px(sx, sy) & 0xFF) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // separable FDCT, then round-to-nearest quantization
+        val tmp = new Array[Double](64)
+        var v = 0
+        while (v < 8) { // columns first: spatial y → frequency v
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var y2 = 0
+            while (y2 < 8) { s += JpegCos(v)(y2) * spatial(y2 * 8 + x); y2 += 1 }
+            tmp(v * 8 + x) = s
+            x += 1
+          }
+          v += 1
+        }
+        var vv = 0
+        while (vv < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0
+            var x2 = 0
+            while (x2 < 8) { s += JpegCos(u)(x2) * tmp(vv * 8 + x2); x2 += 1 }
+            val d = s / 4.0
+            freq(vv * 8 + u) = math.round(d / qt(vv * 8 + u)).toInt
+            u += 1
+          }
+          vv += 1
+        }
+        val dcDiff = freq(0) - pred
+        pred = freq(0)
+        val sDc = magnitude(dcDiff)
+        val (cDc, lDc) = dcTab(sDc)
+        bw.put(cDc, lDc)
+        putVal(dcDiff, sDc)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val coefV = freq(JpegZigzag(k))
+          if (coefV == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acTab(0xF0); bw.put(c, l); run -= 16 }
+            val sAc = magnitude(coefV)
+            val (c, l) = acTab((run << 4) | sAc)
+            bw.put(c, l)
+            putVal(coefV, sAc)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flush()
+    u16be(0xFFD9) // EOI
+    out.toByteArray
+  }
+
+  /** 16-bit cell patterns whose 4×4 integer-DCT AC coefficients all
+    * carry ≥ `margin` absolute magnitude when rendered as 16/240 cell
+    * means — i.e. patterns whose pHash sign bits CANNOT flip under
+    * JPEG quantization noise (block-aligned constant cells keep decode
+    * error ≤ ~2 levels ⇒ |δd| ≤ 16·1e8·2 ≈ 3.2e9 < the 4e9 margin).
+    * All-dark (0) and all-light (0xFFFF) are excluded so aHash stays
+    * injective (both degenerate to the same all-ones hash). Scanned
+    * once per JVM; the twin synthesizer indexes into this list.
+    */
+  private[graft] lazy val PhashSafePatterns: Array[Int] = {
+    val margin = 4000000000L
+    val means = new Array[Long](16)
+    (1 until 0xFFFF).filter { p =>
+      var c = 0
+      while (c < 16) {
+        means(c) = if ((p & (1 << c)) != 0) 240L else 16L
+        c += 1
+      }
+      var safe = true
+      var u = 0
+      while (u < 4 && safe) {
+        var v = 0
+        while (v < 4 && safe) {
+          if (u != 0 || v != 0) {
+            var d = 0L
+            var r = 0
+            while (r < 4) {
+              var cc = 0
+              while (cc < 4) {
+                d += Multimodal.DctBasis(u)(r) * means(r * 4 + cc) *
+                  Multimodal.DctBasis(v)(cc)
+                cc += 1
+              }
+              r += 1
+            }
+            if (math.abs(d) < margin) safe = false
+          }
+          v += 1
+        }
+        u += 1
+      }
+      safe
+    }.toArray
+  }
+
+  /** Re-ENCODE twins for the perceptual near-dup oracle: three JPEG
+    * encodings per content family — `contentId = id / 3`, variant
+    * `id % 3` → quality {90, 75, 40} — of ONE pixel plane. Unlike the
+    * [[synthesizeCompressedTwin]] retag/remux variants, these files
+    * share NO payload bytes (different quant tables, different entropy
+    * data); only decoding to pixels can match them. Geometry is id
+    * arithmetic (`a = contentId % 256`: w = 32·(1 + a%16),
+    * h = 32·(1 + a/16)); content is a 4×4 plane of 16/240 constant
+    * cells, each cell a whole number of 8×8 JPEG blocks (so every
+    * block is constant ⇒ decode error ≤ DC quant error ⇒ the
+    * perceptual hashes are provably quality-invariant), with the cell
+    * pattern drawn injectively from [[PhashSafePatterns]]
+    * (contentId / 256 indexes it; distinct families ⇒ distinct
+    * consensus keys for contentId < 256 · |safe patterns| ≈ 2 M+
+    * families ≈ 6 M+ doc ids — past even the sf10 probe corpus).
+    */
+  def synthesizeJpegTwin(id: Long): Array[Byte] = {
+    val contentId = id / 3
+    val quality = (id % 3).toInt match {
+      case 0 => 90
+      case 1 => 75
+      case _ => 40
+    }
+    val a = (contentId % 256).toInt
+    val w = 32 * (1 + a % 16)
+    val h = 32 * (1 + a / 16)
+    val pattern = PhashSafePatterns(
+      ((contentId / 256) % PhashSafePatterns.length).toInt)
+    encodeJpegGray(w, h, quality, (x, y) => {
+      val cell = (y * 4 / h) * 4 + (x * 4 / w)
+      if ((pattern & (1 << cell)) != 0) 240 else 16
+    })
+  }
+
   // ---------- dispatch ----------
 
   /** Sniff the container magic and parse the header. Raw self-contained
@@ -1045,7 +1725,9 @@ object MediaCodec {
     else if (bytes.length >= 12 && tag(bytes, 4, "ftyp")) decodeMp4(bytes)
     else if (bytes.length >= 10 && tag(bytes, 0, "ID3")) decodeMp3(bytes)
     else if (mp3Sync(bytes, 0)) decodeMp3(bytes)
-    else decodeImageIo(bytes)
+    // baseline JPEG: pure header walk (no entropy decode, no ImageIO);
+    // progressive/exotic JPEG and PNG/GIF go through the ImageIO readers
+    else decodeJpegHeader(bytes).orElse(decodeImageIo(bytes))
 
   // ---------- deterministic synthesis (for the td39 oracle + specs) ----------
 

@@ -210,11 +210,13 @@ object Multimodal {
     * shared first stage of every perceptual image hash. `None` for
     * non-image payloads and images smaller than the grid.
     */
-  private[multimodal] def cellMeans(bytes: Array[Byte], grid: Int = 4)
+  private[multimodal] val HashableImageFormats =
+    Set("bmp", "ppm", "pgm", "jpeg", "png", "gif")
+
+  private[graft] def cellMeans(bytes: Array[Byte], grid: Int = 4)
       : Option[(String, Int, Int, Array[Long])] =
     MediaCodec.decodeValues(bytes) match {
-      case Some((fmt, vs))
-          if fmt == "bmp" || fmt == "ppm" || fmt == "pgm" =>
+      case Some((fmt, vs)) if HashableImageFormats(fmt) =>
         MediaCodec.decode(bytes).flatMap { m =>
           val w = m.width.get
           val h = m.height.get
@@ -238,7 +240,7 @@ object Multimodal {
     }
 
   /** Spatial bit per cell: mean ≥ global cell mean. */
-  private[multimodal] def ahashOf(means: Array[Long]): Long = {
+  private[graft] def ahashOf(means: Array[Long]): Long = {
     val cells = means.length
     val global = means.sum / cells
     var hash = 0L
@@ -251,7 +253,7 @@ object Multimodal {
   }
 
   /** Frequency sign bit per AC coefficient of the integer 4×4 DCT. */
-  private[multimodal] def phashOf(means: Array[Long]): Long = {
+  private[graft] def phashOf(means: Array[Long]): Long = {
     val grid = 4
     require(means.length == grid * grid, s"pHash needs a 4x4 plane")
     var hash = 0L
@@ -348,6 +350,34 @@ object Multimodal {
         col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"),
         col("x.ahash").as("ahash"), col("x.phash").as("phash"))
+  }
+
+  /** Perceptual near-duplicate CLUSTERS over decoded images: one decode
+    * pass yields both hashes, then one groupBy on the consensus key
+    * (width, height, ahash, phash) — a RE-ENCODED copy (same pixels,
+    * different JPEG quality — zero shared payload bytes, so the td106
+    * content fingerprints can't see it) lands in the same cluster
+    * because the hashes are computed from DECODED pixels. Dimensions in
+    * the key keep the 16-bit hashes from colliding across unrelated
+    * images at corpus scale. Scale shape identical to
+    * [[compressedNearDupClusters]]: per-row decode + hash,
+    * ONE shuffle, cluster cardinality bounded — no pairwise stage.
+    */
+  def imageNearDupClusters(assets: Dataset[Asset])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashed = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        cellMeans(a.bytes).map { case (_, w, h, means) =>
+          (a.asset_id, w, h, ahashOf(means), phashOf(means))
+        }
+      }
+    }.toDF("asset_id", "width", "height", "ahash", "phash")
+    hashed.groupBy("width", "height", "ahash", "phash")
+      .agg(min("asset_id").as("rep_id"),
+        count(lit(1)).as("n_members"),
+        sum("asset_id").as("sum_ids"))
+      .select("rep_id", "width", "height", "n_members", "sum_ids")
   }
 
   /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the

@@ -613,6 +613,28 @@ object TrainingQueries {
         .orderBy("rep_id")
     }),
 
+    // Perceptual near-dup of RE-ENCODED compressed images: synthesize 3
+    // JPEG encodings (quality 90/75/40 — MediaCodec.synthesizeJpegTwin)
+    // of one pixel plane per content family, decode them with the
+    // pure-JVM baseline JPEG decoder, hash the decoded pixels (aHash +
+    // pHash) and cluster on the consensus key. No two variants share a
+    // single payload byte (different quant tables AND entropy data), so
+    // the td106 content fingerprints cannot cluster them — only
+    // decoded-pixel hashes can. The oracle predicts every cluster from
+    // the twin-rule id arithmetic alone; matching requires the whole
+    // codec chain (marker walk, Huffman, dequant, IDCT) to recover
+    // pixels with hash-invariant accuracy at all three qualities.
+    "td107_jpeg_reencode_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          graft.multimodal.Multimodal.Asset(d, "image",
+            graft.multimodal.MediaCodec.synthesizeJpegTwin(d), "synth")
+        }
+      graft.multimodal.Multimodal.imageNearDupClusters(assets)(s)
+        .orderBy("rep_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -2040,6 +2062,23 @@ object TrainingQueries {
         |FROM documents
         |GROUP BY doc_id // 3,
         |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mp3' ELSE 'mp4' END
+        |ORDER BY rep_id""".stripMargin,
+
+    // td107: the Spark side decodes three byte-disjoint JPEG encodings
+    // per family back to pixels and clusters on perceptual hashes; the
+    // oracle derives the same clusters (and the synthesized geometry)
+    // from the twin rule: contentId = doc_id//3, a = contentId % 256,
+    // w = 32·(1 + a%16), h = 32·(1 + a//16). Pure id arithmetic — the
+    // hash values themselves stay engine-side, the MEMBERSHIP is what
+    // a correct codec chain must reproduce.
+    "td107_jpeg_reencode_neardup" ->
+      """SELECT min(doc_id) AS rep_id,
+        |  CAST(32 * (1 + (doc_id // 3) % 16) AS INT) AS width,
+        |  CAST(32 * (1 + ((doc_id // 3) % 256) // 16) AS INT) AS height,
+        |  count(*) AS n_members,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY doc_id // 3
         |ORDER BY rep_id""".stripMargin,
 
     // td40: the Spark side decodes ACTUAL payload bytes; the oracle

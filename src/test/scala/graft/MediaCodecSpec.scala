@@ -680,4 +680,186 @@ class MediaCodecSpec extends SparkSpec {
       assert(fmt == (if (i % 2 == 0) "mp3" else "mp4"))
     }
   }
+
+  // ---------- pure-JVM baseline JPEG codec ----------
+
+  test("hand-built baseline JPEG decodes against the format spec, not our encoder") {
+    // one 8x8 block, quant table all 16s, standard Annex K Huffman
+    // tables, DC-only entropy data assembled bit-by-bit BY HAND:
+    //   DC category 3 code = '100', magnitude bits '101' (+5)
+    //   EOB = '1010'  → 100 101 1010 padded with 1s = 1001 0110 1011
+    // expected pixels: coef0 = 5·16 = 80 → IDCT DC-only = 80/8 = 10
+    // → level shift = 138 everywhere.
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xFFD8)
+    u16(0xFFDB); u16(2 + 1 + 64); u8(0)
+    (0 until 64).foreach(_ => u8(16))
+    u16(0xFFC0); u16(11); u8(8); u16(8); u16(8); u8(1); u8(1); u8(0x11); u8(0)
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    u16(0xFFC4); u16(2 + 1 + 16 + 12); u8(0x00)
+    dcBits.foreach(u8); (0 to 11).foreach(u8)
+    // a tiny AC table is enough: we only need EOB to be decodable, but
+    // write the REAL Annex K AC table so the canonical-code build is
+    // exercised at full size
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    u16(0xFFC4); u16(2 + 1 + 16 + acVals.length); u8(0x10)
+    acBits.foreach(u8); acVals.foreach(u8)
+    u16(0xFFDA); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    u8(Integer.parseInt("10010110", 2)); u8(Integer.parseInt("10111111", 2))
+    u16(0xFFD9)
+    val b = out.toByteArray
+    val (w, h, nc, vs) = MediaCodec.decodeJpegBaseline(b).get
+    assert(w == 8 && h == 8 && nc == 1)
+    assert(vs.forall(_ == 138), s"expected uniform 138, got ${vs.toSeq.distinct}")
+    // header-only parse agrees, and the generic dispatch reports jpeg
+    val m = MediaCodec.decode(b).get
+    assert(m.format == "jpeg" && m.width.contains(8) && m.height.contains(8))
+  }
+
+  test("JPEG encoder -> own decoder round trip: smooth image, near-exact at high quality") {
+    val w = 37 // deliberately not multiples of 8: edge-block padding
+    val h = 21
+    def px(x: Int, y: Int): Int = 40 + (3 * x + 5 * y) % 160
+    val jpg = MediaCodec.encodeJpegGray(w, h, 95, px)
+    val (dw, dh, nc, vs) = MediaCodec.decodeJpegBaseline(jpg).get
+    assert(dw == w && dh == h && nc == 1)
+    var sumErr = 0L
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = math.abs(vs(y * w + x) - px(x, y))
+      sumErr += e
+      maxErr = math.max(maxErr, e)
+    }
+    val mean = sumErr.toDouble / (w * h)
+    assert(mean <= 3.0 && maxErr <= 25,
+      s"round-trip error too large: mean=$mean max=$maxErr")
+  }
+
+  test("JPEG interop: own encoder read by ImageIO equals own decoder (IDCT rounding only)") {
+    val w = 48
+    val h = 32
+    def px(x: Int, y: Int): Int = (x * 31 + y * 57 + (x * y) % 13) % 256
+    val jpg = MediaCodec.encodeJpegGray(w, h, 85, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO could not parse our encoder's output")
+    assert(img.getWidth == w && img.getHeight == h)
+    val (_, _, _, own) = MediaCodec.decodeJpegBaseline(jpg).get
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      // raster sample, NOT getRGB: TYPE_BYTE_GRAY getRGB runs a linear→
+      // sRGB colorspace conversion that gamma-bends the raw JPEG sample
+      val jdkV = img.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(own(y * w + x) - jdkV))
+    }
+    assert(maxDiff <= 2, s"own decode vs libjpeg decode differ by $maxDiff")
+  }
+
+  test("JPEG interop: ImageIO-encoded grayscale and color files decode through the own baseline path") {
+    // grayscale (1 component): strict agreement with the JDK decoder
+    val w = 40
+    val h = 24
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) // raster, not setRGB (gamma)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 23) % 256)
+    val gout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", gout))
+    val gbytes = gout.toByteArray
+    val Some((gw, gh, gnc, gvs)) = MediaCodec.decodeJpegBaseline(gbytes)
+    assert(gw == w && gh == h && gnc == 1)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    var gMax = 0
+    for (y <- 0 until h; x <- 0 until w)
+      gMax = math.max(gMax,
+        math.abs(gvs(y * w + x) - gimg.getRaster.getSample(x, y, 0)))
+    assert(gMax <= 2, s"grayscale decode drift vs JDK: $gMax")
+    // color (3 components, 4:2:0): the JDK upsamples chroma with
+    // triangular interpolation, we box-replicate — compare leniently on
+    // the red channel
+    val color = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) // smooth gradients, no mod wrap
+      color.setRGB(x, y,
+        ((40 + x * 4) << 16) | ((30 + y * 6) << 8) | ((x + y) * 2))
+    val cout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(color, "jpg", cout))
+    val cbytes = cout.toByteArray
+    val Some((cw, ch, cnc, cvs)) = MediaCodec.decodeJpegBaseline(cbytes)
+    assert(cw == w && ch == h && cnc == 3)
+    val cimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    var cSum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      cSum += math.abs(cvs(y * w + x) - ((cimg.getRGB(x, y) >> 16) & 0xFF))
+    val cMean = cSum.toDouble / (w * h)
+    assert(cMean <= 4.0, s"color decode mean drift vs JDK: $cMean")
+  }
+
+  test("progressive JPEG: baseline decoder declines, decodeValues still reads via ImageIO") {
+    val w = 24
+    val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 3) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val prog = bos.toByteArray
+    assert(MediaCodec.decodeJpegBaseline(prog).isEmpty,
+      "progressive file must not decode through the baseline path")
+    val (fmt, vs) = MediaCodec.decodeValues(prog).get // ImageIO fallback
+    assert(fmt == "jpeg" && vs.length == w * h)
+  }
+
+  test("synthesizeJpegTwin: re-encoded variants cluster by perceptual hash, families separate") {
+    val nFamilies = 40
+    // pattern safety pool must be deep enough that contentId → (geometry,
+    // pattern) stays injective far past any gate corpus: the bound is
+    // 256·|safe| content families = 768·|safe| doc ids; sf10's max
+    // doc_id is 994,999 → need |safe| ≥ 1,296. Demand 3× headroom.
+    assert(MediaCodec.PhashSafePatterns.length >= 4000,
+      s"safe-pattern pool too small: ${MediaCodec.PhashSafePatterns.length}")
+    val perFamily = (0 until nFamilies).map { c =>
+      val variants = (0 until 3).map(v => MediaCodec.synthesizeJpegTwin(3L * c + v))
+      // re-encodes share no bytes (different tables AND entropy data)
+      assert(variants.map(_.toSeq).distinct.size == 3,
+        s"family $c variants are byte-identical")
+      val hashes = variants.map { b =>
+        val (fmt, w, h, means) = graft.multimodal.Multimodal.cellMeans(b).get
+        assert(fmt == "jpeg")
+        (w, h, graft.multimodal.Multimodal.ahashOf(means),
+          graft.multimodal.Multimodal.phashOf(means))
+      }
+      assert(hashes.distinct.size == 1,
+        s"family $c hashes split across qualities: $hashes")
+      hashes.head
+    }
+    assert(perFamily.distinct.size == nFamilies,
+      "distinct families collided on the perceptual consensus key")
+  }
 }
