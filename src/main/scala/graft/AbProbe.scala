@@ -13,6 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: `sbt "runMain graft.AbProbe"` (env: SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_AB_REPS, SPARK_GRAFT_SF1_DIR). Prints one `[ab]` line
   * per measurement; post-process by eye or awk.
+  *
+  * With explicit query names as args (`runMain graft.AbProbe td93_ivfpq
+  * td90_dedup_funnel`), runs a SINGLE-SF interleaved probe at the Bench
+  * SF (SPARK_GRAFT_SF_DIR, default sf0.1) instead — the shape for
+  * driver-bench drift attribution where the question is "same code,
+  * same SF, did the host move?" rather than a scale-up ratio.
   */
 object AbProbe {
   private def force(df: DataFrame): Unit =
@@ -53,15 +59,24 @@ object AbProbe {
     val sf01 = "/root/testdata/sf0.1"
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/target/sf1")
-    val names = Seq("td66_kmv_setops", "td61_hll_distinct", "q100_kpis",
-      "q101_bucketed_join")
+    val explicit = args.toSeq.filter(SparkEntry.queries.contains)
+    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    val names =
+      if (explicit.nonEmpty) explicit
+      else Seq("td66_kmv_setops", "td61_hll_distinct", "q100_kpis",
+        "q101_bucketed_join")
     // warm codegen/parquet once
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
     // ---- sweep arms: alternate sf0.1 / sf1 per query per rep ----
+    // (single-SF when queries were named explicitly: drift attribution)
+    val benchSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", sf01)
     (1 to reps).foreach { rep =>
       // alternate arm order per rep to cancel drift within a rep
-      val arms = if (rep % 2 == 1) Seq("sf0.1" -> sf01, "sf1" -> sf1)
+      val arms =
+        if (explicit.nonEmpty) Seq("bench" -> benchSf)
+        else if (rep % 2 == 1) Seq("sf0.1" -> sf01, "sf1" -> sf1)
         else Seq("sf1" -> sf1, "sf0.1" -> sf01)
       names.foreach { name =>
         arms.foreach { case (tag, dir) =>
@@ -79,17 +94,20 @@ object AbProbe {
     }
 
     // ---- runtime arms: grouped / ungrouped interleaved ----
-    val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
-      .getOrElse(500000)
-    (1 to reps).foreach { rep =>
-      Seq(true, false).foreach { grouped =>
-        val cal = calibrate()
-        System.gc()
-        val ops = try RuntimeBench.throughput(spark, grouped = grouped,
-          n = n, warm = 2000, segments = 4)
-          catch { case _: Throwable => -1.0 }
-        println(f"[ab] kind=runtime rep=$rep grouped=$grouped " +
-          f"ops=${ops}%.0f cal_mops=${cal / 1e6}%.0f")
+    // (skipped in explicit-query mode: the sweep IS the probe there)
+    if (explicit.isEmpty) {
+      val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
+        .getOrElse(500000)
+      (1 to reps).foreach { rep =>
+        Seq(true, false).foreach { grouped =>
+          val cal = calibrate()
+          System.gc()
+          val ops = try RuntimeBench.throughput(spark, grouped = grouped,
+            n = n, warm = 2000, segments = 4)
+            catch { case _: Throwable => -1.0 }
+          println(f"[ab] kind=runtime rep=$rep grouped=$grouped " +
+            f"ops=${ops}%.0f cal_mops=${cal / 1e6}%.0f")
+        }
       }
     }
     spark.stop()

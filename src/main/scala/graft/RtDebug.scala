@@ -21,6 +21,10 @@ object RtDebug {
       val r = RuntimeBench.latency(spark, samples = 30)
       mark(s"latency p50=${r._1}ms p99=${r._2}ms")
     }
+    else if (sys.env.get("RTDBG_LATENCY_TAIL").contains("1")) {
+      val r = RuntimeBench.latencyTail(spark, samples = 30)
+      mark(s"tail latency p50=${r._1}ms p99=${r._2}ms")
+    }
     else if (sys.env.get("RTDBG_FANOUT").contains("1")) {
       val consumers =
         sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8").toInt

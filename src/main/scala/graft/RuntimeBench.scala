@@ -41,7 +41,8 @@ object RuntimeBench {
       latP50Ms: Double, latP99Ms: Double,
       fanoutSharedOps: Double = -1.0, fanoutIndependentOps: Double = -1.0,
       fanoutSkewSiblingOps: Double = -1.0, fanoutSkewLaggedOps: Double = -1.0,
-      multiSlotMinOps: Double = -1.0, multiSlotMaxOps: Double = -1.0)
+      multiSlotMinOps: Double = -1.0, multiSlotMaxOps: Double = -1.0,
+      tailLatP50Ms: Double = -1.0, tailLatP99Ms: Double = -1.0)
 
   /** Minimal but complete loopback Redis: parses RESP command frames,
     * counts XADDs, answers every command — one daemon thread per
@@ -527,6 +528,59 @@ object RuntimeBench {
     } finally srv.stop()
   }
 
+  /** Batch-form envelope chain for the low-latency tail: the SAME
+    * declarative casts + CDC envelope the streaming chain applies,
+    * usable over a LocalRelation of driver-decoded frames.
+    */
+  private def batchEnvelope(spark: SparkSession)(
+      decoded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    model.Cdc.fromEvents(
+      PgStream.toRecords(decoded, relation)
+        .select(col("event_id"),
+          timestamp_micros(col("commit_ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
+
+  /** Low-latency-tail latency phase: the same paced single-event probe
+    * as [[latency]], but through [[ConsumerRuntime.startLowLatencyTail]]
+    * (the `low_latency: true` deployment) — the BENCH evidence for the
+    * delivered-latency floor without micro-batch trigger costs.
+    */
+  private[graft] def latencyTail(spark: SparkSession,
+      samples: Int): (Double, Double) = {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("bench_rtt").toString
+    val srv = new LoopbackRedis
+    try {
+      WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+        PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+          txn(0L))
+      val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+        dir, batchEnvelope(spark), benchCfg("rttail", grouped = true)
+          .copy(lowLatency = true),
+        SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+        new config.Metrics.Registry(), new config.Health.Registry(),
+        "rttail")(spark)
+      try {
+        if (!await(() => srv.xadds.get() >= 1, 120000L)) return (-1.0, -1.0)
+        val lat = (1 to samples).flatMap { i =>
+          val frames = txn(1000000L + i)
+          val before = srv.xadds.get()
+          val t0 = System.nanoTime()
+          WalSpool.writeSegment(dir, WalSpool.segmentName(i), frames)
+          if (await(() => srv.xadds.get() > before, 60000L))
+            Some((System.nanoTime() - t0) / 1e6)
+          else None
+        }
+        state.error.foreach(e => println(s"[rtbench] tail error: $e"))
+        val settled = lat.drop(math.min(5, lat.length / 2)).sorted
+        if (settled.isEmpty) (-1.0, -1.0)
+        else (settled(settled.length / 2),
+          settled(math.min(settled.length - 1,
+            math.ceil(settled.length * 0.99).toInt - 1)))
+      } finally handle.stop()
+    } finally srv.stop()
+  }
+
   def run(spark: SparkSession): Result = {
     val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
       .getOrElse(500000)
@@ -547,6 +601,9 @@ object RuntimeBench {
     val grouped = best(grouped = true)
     val ungrouped = best(grouped = false)
     val (p50, p99) = latency(spark, samples = 30)
+    val (tailP50, tailP99) =
+      try latencyTail(spark, samples = 30)
+      catch { case _: Throwable => (-1.0, -1.0) }
     // shared-decode fan-out A/B: N consumers on one slot, SlotRuntime
     // (one decode) vs N independent queries (N decodes) — the judge's
     // structural-parity probe for message_handler.ex's fan-out. One run
@@ -578,18 +635,22 @@ object RuntimeBench {
           (-1.0, -1.0)
         }
       }
-    // 2 slots x 4 lanes on one session: independent queries must share
-    // the executors without starving either slot (min/max rate ~ 1)
+    // multi-slot fairness at CONTENTION scale: 4 slots x 8 lanes on one
+    // 32-thread session (32 lanes + 4 streaming queries — genuinely
+    // oversubscribed, unlike the comfortable 2x4 shape) must share the
+    // executors without starving any slot (min/max rate ~ 1)
+    val msSlots = sys.env.getOrElse("SPARK_GRAFT_RT_SLOTS", "4").toInt
+    val msLanes = sys.env.getOrElse("SPARK_GRAFT_RT_LANES_PER_SLOT", "8").toInt
     val (msMin, msMax) = {
       System.gc()
-      try multiSlot(spark, slots = 2, lanesPerSlot = 4,
-        n = math.max(20000, fanEvents / 2))
+      try multiSlot(spark, slots = msSlots, lanesPerSlot = msLanes,
+        n = math.max(16000, fanEvents / 4))
       catch { case e: Throwable =>
         if (sys.env.contains("GRAFT_RTDBG")) e.printStackTrace()
         (-1.0, -1.0)
       }
     }
     Result(grouped, ungrouped, p50, p99, fanShared, fanIndependent,
-      skewSibling, skewLagged, msMin, msMax)
+      skewSibling, skewLagged, msMin, msMax, tailP50, tailP99)
   }
 }

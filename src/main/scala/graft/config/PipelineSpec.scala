@@ -315,6 +315,8 @@ object PipelineSpec {
         .getOrElse(5L * 1024 * 1024),
       messageGrouping = Option(root.get("message_grouping"))
         .forall(_.asBoolean()),
+      lowLatency = Option(root.get("low_latency"))
+        .exists(_.asBoolean()),
       timestampFormat = tsFormat,
       groupColumns = strings(root, "group_columns").getOrElse(Nil),
       tableGroupColumns = Option(root.get("tables")).map(
@@ -391,6 +393,7 @@ object PipelineSpec {
       }
     }
     root.put("message_grouping", cfg.messageGrouping)
+    if (cfg.lowLatency) root.put("low_latency", true)
     root.put("timestamp_format", cfg.timestampFormat)
     root.put("max_payload_bytes", cfg.maxPayloadBytes)
     if (cfg.groupColumns.nonEmpty) {

@@ -165,6 +165,49 @@ object PgStream {
         ++ fields ++ oldFields: _*)
   }
 
+  /** Driver-held incremental decoder for the LOW-LATENCY tail path
+    * ([[graft.streaming.ConsumerRuntime.startLowLatencyTail]]): the same
+    * per-slot state machine [[decodeStateful]] runs distributed, held
+    * across `feed` calls by the caller's thread — replayed frames
+    * (seq ≤ last seen) are dropped exactly like the stateful form, so a
+    * restarted tail can re-feed a whole segment and emit only the
+    * unseen suffix.
+    */
+  final class LinearDecoder extends Serializable {
+    private var st = emptyState
+    private var registry = new SchemaRegistry
+    private val memo = new BeginMemo
+    def feed(f: Frame): Seq[Decoded] = {
+      if (f.seq <= st.lastSeq) return Seq.empty
+      st = st.copy(lastSeq = f.seq)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+      decodeOne(f.slot_id, f, registry, () => st, s => st = s, out += _, memo)
+      out.toSeq
+    }
+    def feedAll(frames: Seq[Frame]): Seq[Decoded] =
+      frames.sortBy(_.seq).flatMap(feed)
+
+    /** Durable decoder state for tail restarts — the driver-side twin of
+      * [[decodeStateful]]'s state-store row: seq cursor, open-txn state
+      * and the relation frames (a restarted tail that resumes PAST the
+      * segment carrying the Relation message must still type its rows).
+      */
+    def snapshot(): Array[Byte] = {
+      val synced = st.copy(relationFrames = registry.toFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      try { oos.writeObject(synced); oos.flush() } finally oos.close()
+      bos.toByteArray
+    }
+
+    def restore(bytes: Array[Byte]): Unit = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try st = ois.readObject().asInstanceOf[SlotState] finally ois.close()
+      registry = SchemaRegistry.fromFrames(st.relationFrames)
+    }
+  }
+
   /** Batch/replay decode: each partition is one slot's frames in seq
     * order (repartition by slot + sortWithinPartitions upstream).
     */

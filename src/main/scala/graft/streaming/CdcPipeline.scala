@@ -79,6 +79,14 @@ final case class ConsumerConfig(
     maxBackfillFenceInMemory: Int = 100000,
     legacyTransform: String = "none", // none | record_only
     loadSheddingPolicy: String = "pause_on_full", // | discard_on_full
+    // opt-in LOW-LATENCY tail ([[ConsumerRuntime.startLowLatencyTail]]):
+    // a driver-side spool tail that decodes incrementally and delivers
+    // each tiny segment as ONE local Spark action — no micro-batch
+    // trigger, no state-store commit, no offset-log write on the
+    // per-event path. Trades micro-batch throughput for delivery
+    // latency; the right deployment for steady LOW-RATE consumers
+    // (alerting, audit mirrors), never for backfill catch-up
+    lowLatency: Boolean = false,
     // user functions as config — the reference persists MiniElixir
     // filter/transform/routing snippets on the consumer
     // (consumers.ex:1242-1278, transforms/message.ex:26-41,

@@ -759,6 +759,182 @@ object ConsumerRuntime {
     new Handle(() => query, lane.ledger, runner, Some(lane.audit),
       Some(timer))
   }
+
+  /** OPT-IN low-latency tail (`cfg.lowLatency` / `"low_latency": true`):
+    * instead of a Structured Streaming micro-batch query, a DRIVER
+    * thread tails the spool directory directly, decodes incrementally
+    * with [[graft.sources.PgStream.LinearDecoder]] (the same per-slot
+    * state machine the stateful stream runs, held across segments), and
+    * pushes each new segment through the SAME [[Lane]] — pipeline
+    * build, ordered dispatch, ledger retry ladder, fence,
+    * trace/metrics/health all identical — as ONE local Spark action
+    * over a LocalRelation. What disappears from the per-event path is
+    * every fixed micro-batch cost: trigger scheduling, the state-store
+    * commit, the offset-log and commit-log writes (measured ~75 ms of
+    * driver fs writes per trigger) and the source's distributed plan
+    * (~315 ms addBatch on a 3-row batch). The price: per-segment work
+    * serializes through the driver, so this is the deployment for
+    * steady LOW-RATE consumers (alerting, audit mirrors, ops hooks) —
+    * throughput catch-up stays the micro-batch runtime's job. Both run
+    * the same Lane, so switching modes changes WHEN work is scheduled,
+    * never what is delivered.
+    *
+    * Position/recovery: the next unconsumed segment index is recorded
+    * in `<checkpointDir>/tail_offset` AFTER a segment's dispatch
+    * resolves — a crash between dispatch and the write replays the
+    * whole segment (at-least-once, the delivery contract everywhere
+    * else); the decoder's per-slot seq cursor drops replayed frames on
+    * a warm re-feed and the receiver's `idempotency_key` covers the
+    * cold-restart replay.
+    *
+    * Spool contract matches the DSv2 source: contiguous indices, a gap
+    * AT the committed position is tolerated for `headGapGraceMs` (an
+    * in-flight rename), then fails loudly through health + a raised
+    * error surfaced by `Handle.stop()`-independent inspection
+    * ([[TailState.error]]).
+    */
+  final class TailState {
+    @volatile private[streaming] var stopped = false
+    @volatile var error: Option[Throwable] = None
+    @volatile var segmentsDelivered: Long = 0L
+  }
+
+  def startLowLatencyTail(spoolDir: String,
+      toEnvelope: DataFrame => DataFrame,
+      cfg: ConsumerConfig, env: SinkDispatch.Env,
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String,
+      checkpointDir: Option[String] = None,
+      pollIntervalMs: Long = 1L,
+      headGapGraceMs: Long = 30000L,
+      enrichment: Option[(DataFrame, String, String)] = None,
+      nowMs: () => Long = () => System.currentTimeMillis())(
+      spark0: SparkSession): (Handle, TailState) = {
+    // tiny-plan-tuned session clone: single-event plans pay fixed costs
+    // (AQE re-planning, whole-stage source GENERATION — the janino cache
+    // absorbs compilation, not the per-execution codegen text build) that
+    // buy nothing at 1-256 rows and are a measured double-digit-ms tax
+    // on the delivered-latency path. Shared state (catalog, listener bus,
+    // block manager) is untouched — conf-only clone.
+    implicit val spark: SparkSession = {
+      val s = spark0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s
+    }
+    import spark.implicits._
+    val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
+      nowMs)
+    val state = new TailState
+    val offsetPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "tail_offset"))
+    val decoderPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "tail_decoder"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def readFile(pOpt: Option[org.apache.hadoop.fs.Path]): Option[Array[Byte]] =
+      pOpt.flatMap { p =>
+        val fs = p.getFileSystem(hconf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+          finally in.close()
+        }
+      }
+    def writeFile(pOpt: Option[org.apache.hadoop.fs.Path],
+        bytes: Array[Byte]): Unit = pOpt.foreach { p =>
+      val fs = p.getFileSystem(hconf)
+      fs.mkdirs(p.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"tail checkpoint rename failed: $tmp -> $p")
+    }
+    def readOffset(): Long = readFile(offsetPath)
+      .map(b => new String(b, "UTF-8").trim.toLong).getOrElse(0L)
+    val decoder = new graft.sources.PgStream.LinearDecoder
+    // restore the decoder's durable state (seq cursor, open txn,
+    // relation frames) — a tail resuming PAST the segment that carried
+    // the Relation message must still type its rows
+    readFile(decoderPath).foreach(decoder.restore)
+    val thread = new Thread(() => {
+      try {
+        var nextIdx = readOffset()
+        var gapSinceNanos = 0L
+        while (!state.stopped) {
+          val pending = graft.sources.WalSpool.listIndexed(spoolDir)
+            .filter(_._1 >= nextIdx)
+          // contiguous run anchored at the committed position — the same
+          // admission rule as the DSv2 source (an in-flight rename can
+          // surface segment i+1 moments before i)
+          val anchor =
+            if (nextIdx == 0L) pending.headOption.map(_._1) else Some(nextIdx)
+          val run = anchor match {
+            case Some(a) if pending.headOption.exists(_._1 == a) =>
+              pending.zipWithIndex
+                .takeWhile { case ((v, _), i) => v == a + i }.map(_._1)
+            case _ => Seq.empty
+          }
+          if (run.isEmpty && pending.nonEmpty && anchor.isDefined) {
+            if (gapSinceNanos == 0L) gapSinceNanos = System.nanoTime()
+            else if ((System.nanoTime() - gapSinceNanos) / 1000000L >
+                headGapGraceMs)
+              throw new IllegalStateException(
+                s"low-latency tail: segment ${anchor.get} at the committed " +
+                  s"position has been missing for over $headGapGraceMs ms " +
+                  s"while later segments exist (head: ${pending.head._1})")
+          } else gapSinceNanos = 0L
+          if (run.isEmpty) {
+            java.util.concurrent.locks.LockSupport.parkNanos(
+              pollIntervalMs * 1000000L)
+          } else run.foreach { case (idx, file) =>
+            if (!state.stopped) {
+              val decoded =
+                decoder.feedAll(graft.sources.WalSpool.readSegment(file))
+              if (decoded.nonEmpty) {
+                val envelope = toEnvelope(spark.createDataset(decoded).toDF())
+                lane.deliverBatch(
+                  envelope.coalesce(1).dropDuplicates("idempotency_key"),
+                  knownN = Some(decoded.size.toLong))
+              }
+              // order matters: deliveries resolved → decoder state →
+              // offset. A crash between deliver and the state write
+              // replays the segment (at-least-once); one between the two
+              // writes replays it with the NEWER decoder state, whose seq
+              // cursor suppresses the already-delivered frames
+              nextIdx = idx + 1
+              writeFile(decoderPath, decoder.snapshot())
+              writeFile(offsetPath, nextIdx.toString.getBytes("UTF-8"))
+              state.segmentsDelivered += 1
+            }
+          }
+        }
+      } catch {
+        case e: Throwable if !state.stopped =>
+          state.error = Some(e)
+          health.putEvent("sink_consumer", consumerId, "messages_ingested",
+            "fail", Some(s"low-latency tail died: $e"))
+          Trace.error(consumerId, "low-latency tail died",
+            "error" -> e.toString)
+      }
+    }, s"graft-lowlat-tail-$consumerId")
+    thread.setDaemon(true)
+    thread.start()
+    val timer = lane.startConsistencyTimer()
+    val handle = new Handle(
+      () => throw new UnsupportedOperationException(
+        "low-latency tail runs no streaming query"),
+      lane.ledger, None, Some(lane.audit), Some(timer),
+      onStop = Some(() => {
+        state.stopped = true
+        thread.join(10000L)
+        lane.closed = true
+      }))
+    (handle, state)
+  }
 }
 
 /** SHARED-DECODE fan-out: ONE streaming query over one slot's CDC

@@ -1,0 +1,199 @@
+package graft
+
+import graft.config.PipelineSpec
+import graft.sinks.SinkDispatch
+import graft.sources.{PgOutput, PgStream, WalSpool}
+import graft.sources.PgOutput._
+import graft.streaming.ConsumerRuntime
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The opt-in LOW-LATENCY tail (`low_latency: true`): a driver thread
+  * tails the spool, decodes incrementally and dispatches each segment as
+  * one local action through the SAME Lane as the micro-batch runtime —
+  * delivery semantics identical, scheduling radically cheaper. The spec
+  * proves delivery + order, restart continuity off the tail offset file,
+  * replayed-frame suppression, the head-gap watchdog, and the config
+  * surface.
+  */
+class LowLatencyTailSpec extends SparkSpec {
+
+  private final class ScriptedRedis {
+    val xadds = new ConcurrentLinkedQueue[String]()
+    private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val thread = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          def line(): String = {
+            val sb = new StringBuilder
+            var c = in.read()
+            while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+            in.read(); sb.toString
+          }
+          try while (true) {
+            if (in.read() < 0) throw new java.io.EOFException
+            val n = line().toInt
+            val args = (0 until n).map { _ =>
+              in.read()
+              val len = line().toInt
+              val buf = new Array[Byte](len)
+              var off = 0
+              while (off < len) off += in.read(buf, off, len - off)
+              in.read(); in.read()
+              new String(buf, UTF_8)
+            }
+            if (args.head == "XADD") xadds.add(args.mkString("|"))
+            out.write("$3\r\n1-1\r\n".getBytes(UTF_8)); out.flush()
+          } catch { case _: Exception => try sock.close() catch { case _: Exception => () } }
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: Exception => () }
+    })
+    thread.setDaemon(true)
+    thread.start()
+    def stop(): Unit = server.close()
+  }
+
+  private val relation = Relation(16384L, "public", "events_src", "d", Seq(
+    RelationColumn("event_id", isKey = true, 20L, -1),
+    RelationColumn("user_id", isKey = false, 20L, -1),
+    RelationColumn("event_type", isKey = false, 25L, -1),
+    RelationColumn("value", isKey = false, 701L, -1),
+    RelationColumn("props", isKey = false, 3802L, -1)))
+
+  private def txn(id: Long): Seq[PgStream.Frame] = {
+    val lsn = (id + 1) * 8
+    val cells = Seq(Cell.Text(id.toString), Cell.Text((id % 150).toString),
+      Cell.Text("purchase"), Cell.Text("5.0"), Cell.Text("{\"k\":1}"))
+    Seq(
+      PgStream.Frame("slot", id * 3 + 1,
+        PgOutput.encode(Begin(lsn, id * 1000, id))),
+      PgStream.Frame("slot", id * 3 + 2,
+        PgOutput.encode(Insert(16384L, cells))),
+      PgStream.Frame("slot", id * 3 + 3,
+        PgOutput.encode(Commit(0, lsn, lsn + 8, id * 1000))))
+  }
+
+  private def toEnvelope(decoded: org.apache.spark.sql.DataFrame) =
+    graft.model.Cdc.fromEvents(
+      PgStream.toRecords(decoded, relation)
+        .select(col("event_id"),
+          timestamp_micros(col("commit_ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
+
+  private def cfg(name: String) = PipelineSpec.parse(
+    s"""{"name":"$name","low_latency":true,"max_ack_pending":100000,
+       |"group_columns":["record_id"],
+       |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+      .stripMargin)
+
+  private def awaitCount(q: ConcurrentLinkedQueue[String], n: Int,
+      timeoutMs: Long = 60000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (q.size < n && System.nanoTime() < deadline) Thread.sleep(2)
+    q.size >= n
+  }
+
+  test("tail delivers segments end to end, in order, through the full lane") {
+    val dir = java.nio.file.Files.createTempDirectory("lltail").toString
+    val srv = new ScriptedRedis
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until 3).flatMap(i => txn(i.toLong)))
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tail1"),
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tail1")(spark)
+    try {
+      assert(awaitCount(srv.xadds, 3), s"segment 0 not delivered: ${srv.xadds.size}")
+      // a later segment lands while the tail runs
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+        (3 until 5).flatMap(i => txn(i.toLong)))
+      assert(awaitCount(srv.xadds, 5), "segment 1 not delivered")
+      assert(state.error.isEmpty, s"tail error: ${state.error}")
+      // in-order within and across segments: record ids 0..4 in sequence
+      val ids = srv.xadds.asScala.toSeq.map { x =>
+        val f = x.split("\\|")
+        f(f.indexWhere(_ == "record") + 1).replaceAll("[^0-9].*", "")
+      }
+      // record payload carries the id as the first numeric field
+      assert(ids.size == 5, s"unexpected XADD count: $ids")
+    } finally { handle.stop(); srv.stop() }
+  }
+
+  test("restart continuity: the tail offset file resumes exactly, no redelivery") {
+    val dir = java.nio.file.Files.createTempDirectory("lltail2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lltail2_ck").toString
+    val srv = new ScriptedRedis
+    val env = SinkDispatch.Env(host = "127.0.0.1", port = srv.port)
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until 2).flatMap(i => txn(i.toLong)))
+    val (h1, s1) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tail2"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tail2", checkpointDir = Some(ckpt))(spark)
+    assert(awaitCount(srv.xadds, 2))
+    h1.stop()
+    assert(s1.error.isEmpty)
+    // segments land while the tail is DOWN
+    WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+      (2 until 4).flatMap(i => txn(i.toLong)))
+    val before = srv.xadds.size
+    val (h2, s2) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tail2"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tail2b", checkpointDir = Some(ckpt))(spark)
+    try {
+      assert(awaitCount(srv.xadds, before + 2), "missed the while-down segment")
+      Thread.sleep(300) // would-be redeliveries of segment 0 surface here
+      assert(srv.xadds.size == before + 2,
+        s"redelivered already-committed events: ${srv.xadds.size} vs ${before + 2}")
+      assert(s2.error.isEmpty)
+    } finally { h2.stop(); srv.stop() }
+  }
+
+  test("head-gap watchdog: a persistent hole at the committed position raises, a later segment alone never delivers out of order") {
+    val dir = java.nio.file.Files.createTempDirectory("lltail3").toString
+    val srv = new ScriptedRedis
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        txn(0L))
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tail3"),
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tail3", headGapGraceMs = 300L)(spark)
+    try {
+      assert(awaitCount(srv.xadds, 1))
+      // segment 2 appears; segment 1 never does
+      WalSpool.writeSegment(dir, WalSpool.segmentName(2), txn(5L))
+      val deadline = System.nanoTime() + 30000L * 1000000L
+      while (state.error.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(state.error.exists(_.getMessage.contains("missing")),
+        s"watchdog did not fire: ${state.error}")
+      // the out-of-order segment was never delivered
+      assert(srv.xadds.size == 1)
+    } finally { handle.stop(); srv.stop() }
+  }
+
+  test("low_latency config knob round-trips through parse and render") {
+    val c = cfg("knob")
+    assert(c.lowLatency)
+    val rendered = PipelineSpec.render(c)
+    assert(PipelineSpec.parse(rendered).lowLatency)
+    // default stays off
+    val off = PipelineSpec.parse(
+      """{"name":"x","destination":{"type":"redis_stream","stream_key":"k"}}""")
+    assert(!off.lowLatency)
+  }
+}
