@@ -217,14 +217,47 @@ object SinkDispatch {
       health: graft.config.Health.Registry,
       consumerId: String, consumerName: String)(
       implicit spark: SparkSession): Seq[Outcome] = {
-    val t0 = System.nanoTime()
     if (sys.env.get("GRAFT_RTDBG_SPLIT").contains("1")) {
       val d = deliver(pipeline, spec, env)
       val tA = System.nanoTime()
       d.queryExecution.executedPlan
       println(f"[rtdbg-split] analyze+plan: ${(System.nanoTime() - tA) / 1e6}%.1f ms")
     }
-    val outcomes = deliver(pipeline, spec, env).collect().toSeq
+    deliverObservedDs(deliver(pipeline, spec, env), metrics, health,
+      consumerId, consumerName)
+  }
+
+  /** [[deliverObserved]] over an ALREADY-CONSTRUCTED outcome Dataset —
+    * the plan-reuse entry point: a caller dispatching the same (feed-
+    * backed) plan repeatedly pays analysis once and this collect per
+    * batch. Observability identical to [[deliverObserved]].
+    */
+  def deliverObservedDs(ds: Dataset[Outcome],
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String, consumerName: String): Seq[Outcome] =
+    observedCollect(() => ds.collect().toSeq, metrics, health, consumerId,
+      consumerName)
+
+  /** RDD form of [[deliverObservedDs]] — the plan-reuse hot path: a
+    * cached `ds.rdd` has its whole DAG (incl. compiled codegen stages)
+    * pinned, so each action pays only the scheduler floor, none of the
+    * per-execution SQL-layer work. Valid only where no Observation
+    * rides the plan (RDD actions emit no SQL execution events).
+    */
+  def deliverObservedRdd(rdd: org.apache.spark.rdd.RDD[Outcome],
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String, consumerName: String): Seq[Outcome] =
+    observedCollect(() => rdd.collect().toSeq, metrics, health, consumerId,
+      consumerName)
+
+  private def observedCollect(run: () => Seq[Outcome],
+      metrics: graft.config.Metrics.Registry,
+      health: graft.config.Health.Registry,
+      consumerId: String, consumerName: String): Seq[Outcome] = {
+    val t0 = System.nanoTime()
+    val outcomes = run()
     val elapsedUs = (System.nanoTime() - t0) / 1000.0
     metrics.recordOutcomes(consumerId, consumerName, outcomes)
     if (outcomes.nonEmpty) {

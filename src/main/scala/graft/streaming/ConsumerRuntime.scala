@@ -333,6 +333,12 @@ object ConsumerRuntime {
     // has certainly delivered it by then) so lastBatchRows never goes
     // stale just because one batch's read raced the bus
     private var pendingObs: Option[org.apache.spark.sql.Observation] = None
+    // single-entry delivery-plan cache (deduped ref, small path?, plan):
+    // hit only by callers that dispatch the same DataFrame object
+    // repeatedly (the low-latency tail); one entry, so foreachBatch's
+    // fresh-per-batch frames can never make it grow
+    private var dispatchCache: Option[(DataFrame, Boolean,
+      org.apache.spark.rdd.RDD[SinkDispatch.Outcome])] = None
 
     /** Deduplicate once and CACHE the micro-batch: every action on a
       * foreachBatch DataFrame re-executes its plan from the source —
@@ -539,34 +545,68 @@ object ConsumerRuntime {
       val obsOpt =
         if (knownN.isDefined) None
         else Some(org.apache.spark.sql.Observation())
-      val observedDf = obsOpt.fold(deduped)(o =>
-        deduped.observe(o, org.apache.spark.sql.functions
-          .count(org.apache.spark.sql.functions.lit(1)).as("n_in")))
-      val pipeline0 = CdcPipeline.build(observedDf, cfg, enrichment)
-      val pipeline =
-        if (!cfg.messageGrouping) pipeline0 // no ordering contract
-        else if (lastBatchRows <= SmallBatchRows)
-          // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
-          // the PREVIOUS batch — no extra count action) delivers the
-          // whole batch on ONE ordered connection. A global
-          // (commit_lsn, commit_idx) sort subsumes per-group FIFO,
-          // and coalesce(1) is a narrow dependency — the group-hash
-          // Exchange (one whole stage of scheduling latency on a
-          // 1-event batch) disappears. Self-correcting: a burst
-          // arriving behind a quiet period pays one single-connection
-          // batch, then the size signal flips the next batch wide.
-          pipeline0.coalesce(1)
-            .sortWithinPartitions("commit_lsn", "commit_idx")
-        else {
-          import org.apache.spark.sql.functions.coalesce
-          pipeline0
-            .repartition(coalesce(col("group_id"), col("record_pk")))
-            .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
-        }
+      val smallPath = cfg.messageGrouping && lastBatchRows <= SmallBatchRows
+      // PLAN REUSE: the low-latency tail dispatches the SAME feed-backed
+      // DataFrame object every segment, so the delivery plan (pipeline +
+      // wire framing + transport) is structurally identical each time —
+      // and rebuilding it cost a measured ~120 ms of eager Catalyst
+      // analysis per 1-row batch, twice the whole job's execution. One
+      // cached entry, keyed by (deduped reference, dispatch shape),
+      // valid only when the caller counted the batch (an Observation is
+      // single-use, so observed plans never cache). foreachBatch
+      // callers pass a fresh DataFrame per batch and simply miss.
+      val cachedRdd = dispatchCache.collect {
+        case (key, s, rdd) if knownN.isDefined && (key eq deduped) &&
+            s == smallPath => rdd
+      }
+      def buildDs = {
+        val observedDf = obsOpt.fold(deduped)(o =>
+          deduped.observe(o, org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("n_in")))
+        val pipeline0 = CdcPipeline.build(observedDf, cfg, enrichment)
+        val pipeline =
+          if (!cfg.messageGrouping) pipeline0 // no ordering contract
+          else if (smallPath)
+            // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
+            // the PREVIOUS batch — no extra count action) delivers the
+            // whole batch on ONE ordered connection. A global
+            // (commit_lsn, commit_idx) sort subsumes per-group FIFO,
+            // and coalesce(1) is a narrow dependency — the group-hash
+            // Exchange (one whole stage of scheduling latency on a
+            // 1-event batch) disappears. Self-correcting: a burst
+            // arriving behind a quiet period pays one single-connection
+            // batch, then the size signal flips the next batch wide.
+            pipeline0.coalesce(1)
+              .sortWithinPartitions("commit_lsn", "commit_idx")
+          else {
+            import org.apache.spark.sql.functions.coalesce
+            pipeline0
+              .repartition(coalesce(col("group_id"), col("record_pk")))
+              .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
+          }
+        SinkDispatch.deliver(pipeline, sink, env)
+      }
       val dlqBefore = ledger.deadLetters().size
-      val outcomes = traced("deliver batch")(
-        SinkDispatch.deliverObserved(pipeline, sink, env, metrics,
-          health, consumerId, cfg.name))
+      val outcomes = traced("deliver batch") {
+        // counted batches ride the RDD path: the DAG (incl. compiled
+        // codegen stages) is pinned once, each action pays only the
+        // scheduler floor. Observed batches stay on the Dataset path —
+        // RDD actions emit no SQL execution events, so the Observation
+        // would never land there.
+        cachedRdd match {
+          case Some(rdd) =>
+            SinkDispatch.deliverObservedRdd(rdd, metrics, health,
+              consumerId, cfg.name)
+          case None if knownN.isDefined =>
+            val rdd = buildDs.rdd
+            dispatchCache = Some((deduped, smallPath, rdd))
+            SinkDispatch.deliverObservedRdd(rdd, metrics, health,
+              consumerId, cfg.name)
+          case None =>
+            SinkDispatch.deliverObservedDs(buildDs, metrics, health,
+              consumerId, cfg.name)
+        }
+      }
       val nIn: Long = knownN.getOrElse(obsOpt.map(observedN).getOrElse(-1L))
       // on a metrics-bus miss KEEP the previous size (substituting
       // the POST-FILTER outcome count would flip a selective-filter
@@ -799,6 +839,35 @@ object ConsumerRuntime {
     @volatile var segmentsDelivered: Long = 0L
   }
 
+  /** The tail's CURRENT-batch hand-off: decoded rows serialized to one
+    * shared-FS file that a FIXED one-partition plan re-reads on every
+    * action. This is what makes the delivery plan reusable — the plan is
+    * constant, the FILE CONTENT is the per-segment variable — and it is
+    * cluster-honest: the task reads a filesystem path, never driver
+    * memory.
+    */
+  private[streaming] def writeTailFeed(pathStr: String,
+      rows: Seq[graft.sources.PgStream.Decoded]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(p.getParent)
+    // plain overwrite, no temp+rename: the tail is the only writer and
+    // every reader (the dispatch job) runs strictly AFTER this returns —
+    // the file is a hand-off, not a publish, and the rename pair cost
+    // measurable milliseconds on the single-event latency path
+    val out = new java.io.ObjectOutputStream(fs.create(p, true))
+    try { out.writeObject(rows.toVector); out.flush() } finally out.close()
+  }
+
+  private[streaming] def readTailFeed(pathStr: String)
+      : Seq[graft.sources.PgStream.Decoded] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.ObjectInputStream(fs.open(p))
+    try in.readObject().asInstanceOf[Vector[graft.sources.PgStream.Decoded]]
+    finally in.close()
+  }
+
   def startLowLatencyTail(spoolDir: String,
       toEnvelope: DataFrame => DataFrame,
       cfg: ConsumerConfig, env: SinkDispatch.Env,
@@ -821,7 +890,8 @@ object ConsumerRuntime {
       val s = spark0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "1")
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_TAIL_CODEGEN", "true"))
       s
     }
     import spark.implicits._
@@ -860,6 +930,19 @@ object ConsumerRuntime {
     // relation frames) — a tail resuming PAST the segment that carried
     // the Relation message must still type its rows
     readFile(decoderPath).foreach(decoder.restore)
+    // the FIXED delivery frame: one plan over the feed file, analyzed
+    // once, re-executed per segment (each action re-reads the file's
+    // current content). Built here so every per-segment dispatch hits
+    // the Lane's plan cache.
+    val feedPathStr = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_tail_feed").toString) +
+      "/tail_feed.bin"
+    val fixedBatch: DataFrame = {
+      val rdd = spark.sparkContext.parallelize(Seq(feedPathStr), 1)
+        .mapPartitions(it => readTailFeed(it.next()).iterator)
+      toEnvelope(spark.createDataset(rdd).toDF())
+        .coalesce(1).dropDuplicates("idempotency_key")
+    }
     val thread = new Thread(() => {
       try {
         var nextIdx = readOffset()
@@ -895,9 +978,8 @@ object ConsumerRuntime {
               val decoded =
                 decoder.feedAll(graft.sources.WalSpool.readSegment(file))
               if (decoded.nonEmpty) {
-                val envelope = toEnvelope(spark.createDataset(decoded).toDF())
-                lane.deliverBatch(
-                  envelope.coalesce(1).dropDuplicates("idempotency_key"),
+                writeTailFeed(feedPathStr, decoded)
+                lane.deliverBatch(fixedBatch,
                   knownN = Some(decoded.size.toLong))
               }
               // order matters: deliveries resolved → decoder state →
