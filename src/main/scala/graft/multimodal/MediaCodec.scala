@@ -1628,6 +1628,75 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Parse every quantization table in a JPEG's DQT segments, natural
+    * order, indexed by table id — header walk only, no entropy decode.
+    */
+  def jpegQuantTables(b: Array[Byte]): Option[Map[Int, Array[Int]]] = {
+    if (!jpegIsBaseline(b)) return None
+    val tables = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    var pos = 2
+    var done = false
+    while (!done && pos + 3 < b.length) {
+      while (pos < b.length && (b(pos) & 0xFF) != 0xFF) pos += 1
+      while (pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
+        (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+      if (pos + 3 >= b.length) done = true
+      else {
+        val marker = b(pos + 1) & 0xFF
+        if (marker == 0xDA || marker == 0xD9) done = true // scan/EOI
+        else {
+          val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+          val segEnd = pos + 2 + segLen
+          if (segLen < 2 || segEnd > b.length) return None
+          if (marker == 0xDB) {
+            var p = pos + 4
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4
+              val tq = b(p) & 0xF
+              p += 1
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(JpegZigzag(i)) =
+                  if (pq == 0) { val r = b(p) & 0xFF; p += 1; r }
+                  else { val r = ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF); p += 2; r }
+                i += 1
+              }
+              tables(tq) = t
+            }
+          }
+          pos = segEnd
+        }
+      }
+    }
+    if (tables.isEmpty) None else Some(tables.toMap)
+  }
+
+  /** Estimate the ENCODER QUALITY of a JPEG from its luminance
+    * quantization table — the standard crawl-curation signal (a q=30
+    * re-encode of a q=90 original is low-value training data however
+    * large the file). Exact-match first: if some q ∈ [1, 100] scales the
+    * Annex K luminance base to EXACTLY the parsed table (the libjpeg
+    * formula — most encoders), that q is returned; otherwise the q with
+    * minimal L1 distance (re-quantized or non-standard tables). Header
+    * walk only — no pixel decode. None for non-JPEG or DQT-less input.
+    */
+  def jpegQualityEstimate(b: Array[Byte]): Option[Int] =
+    jpegQuantTables(b).flatMap(_.get(0)).map { tbl =>
+      var bestQ = 1
+      var bestDist = Long.MaxValue
+      var q = 1
+      while (q <= 100 && bestDist != 0L) {
+        val cand = jpegScaledQuant(q)
+        var d = 0L
+        var i = 0
+        while (i < 64) { d += math.abs(cand(i) - tbl(i)).toLong; i += 1 }
+        if (d < bestDist) { bestDist = d; bestQ = q }
+        q += 1
+      }
+      bestQ
+    }
+
   /** 16-bit cell patterns whose 4×4 integer-DCT AC coefficients all
     * carry ≥ `margin` absolute magnitude when rendered as 16/240 cell
     * means — i.e. patterns whose pHash sign bits CANNOT flip under

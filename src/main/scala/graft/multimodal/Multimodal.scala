@@ -380,6 +380,35 @@ object Multimodal {
       .select("rep_id", "width", "height", "n_members", "sum_ids")
   }
 
+  /** Encoder-quality profile of compressed images — the curation signal
+    * for crawl filtering: a low-quality re-encode is low-value training
+    * data however large the file. Pure header walk per row
+    * ([[MediaCodec.jpegQualityEstimate]] inverts the libjpeg quality
+    * formula against the parsed DQT — exact for standard encoders,
+    * nearest-table otherwise); no pixel decode, no shuffle.
+    */
+  final case class ImageQuality(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      est_quality: Int)
+
+  def imageQualityProfile(assets: Dataset[Asset])(
+      implicit spark: SparkSession): Dataset[ImageQuality] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        for {
+          q <- MediaCodec.jpegQualityEstimate(a.bytes)
+          m <- MediaCodec.decode(a.bytes)
+          if m.format == "jpeg"
+        } yield ImageQuality(a.asset_id, m.format,
+          m.width.getOrElse(0), m.height.getOrElse(0), q)
+      }
+    }
+  }
+
   /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the
     * first stage of Shazam-style audio matching): samples split into
     * `frames` equal time blocks, each block's mean |amplitude| (integer

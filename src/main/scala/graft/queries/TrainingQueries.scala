@@ -635,6 +635,22 @@ object TrainingQueries {
         .orderBy("rep_id")
     }),
 
+    // Encoder-quality estimation from the DQT alone (no pixel decode):
+    // invert the libjpeg quality formula against the parsed quant table.
+    // The oracle recomputes the expected quality (and geometry) from the
+    // twin-rule id arithmetic — matching requires the DQT parse, the
+    // zigzag ordering and the quality inversion all correct, per asset.
+    "td108_jpeg_quality" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          graft.multimodal.Multimodal.Asset(d, "image",
+            graft.multimodal.MediaCodec.synthesizeJpegTwin(d), "synth")
+        }
+      graft.multimodal.Multimodal.imageQualityProfile(assets)(s).toDF()
+        .orderBy("asset_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -2080,6 +2096,16 @@ object TrainingQueries {
         |FROM documents
         |GROUP BY doc_id // 3
         |ORDER BY rep_id""".stripMargin,
+
+    // td108: quality = the twin rule's per-variant encode quality
+    // (90/75/40 by doc_id % 3); geometry as td107.
+    "td108_jpeg_quality" ->
+      """SELECT doc_id AS asset_id, 'jpeg' AS format,
+        |  CAST(32 * (1 + (doc_id // 3) % 16) AS INT) AS width,
+        |  CAST(32 * (1 + ((doc_id // 3) % 256) // 16) AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 90 WHEN 1 THEN 75
+        |       ELSE 40 END AS INT) AS est_quality
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     // td40: the Spark side decodes ACTUAL payload bytes; the oracle
     // recomputes every pixel/sample from the closed-form synthesis

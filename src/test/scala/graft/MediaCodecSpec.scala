@@ -836,6 +836,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(fmt == "jpeg" && vs.length == w * h)
   }
 
+  test("JPEG quality estimation inverts the encoder's DQT exactly; foreign tables estimate nearest") {
+    // our own encoder: exact inversion across the quality range
+    for (q <- Seq(5, 20, 40, 50, 75, 90, 95)) {
+      val jpg = MediaCodec.encodeJpegGray(16, 16, q, (x, y) => (x * y) % 256)
+      assert(MediaCodec.jpegQualityEstimate(jpg).contains(q),
+        s"quality $q not recovered: ${MediaCodec.jpegQualityEstimate(jpg)}")
+    }
+    // the JDK encoder writes libjpeg-formula tables too (default q=75)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jdkQ = MediaCodec.jpegQualityEstimate(bos.toByteArray)
+    assert(jdkQ.exists(q => q >= 60 && q <= 90), s"JDK default quality: $jdkQ")
+    // a hand-perturbed table (non-standard) still lands NEAR its origin
+    val base = MediaCodec.encodeJpegGray(16, 16, 60, (_, _) => 128)
+    // bump one DQT byte (first table entry, zigzag position 0 lives
+    // right after the DQT header: FFDB len pq/tq)
+    val mutated = base.clone()
+    val dqtAt = (0 until base.length - 1).indexWhere(i =>
+      (base(i) & 0xFF) == 0xFF && (base(i + 1) & 0xFF) == 0xDB)
+    mutated(dqtAt + 5) = ((mutated(dqtAt + 5) & 0xFF) + 1).toByte
+    val est = MediaCodec.jpegQualityEstimate(mutated)
+    assert(est.exists(q => math.abs(q - 60) <= 3), s"perturbed estimate: $est")
+    // non-JPEG input declines
+    assert(MediaCodec.jpegQualityEstimate("not a jpeg".getBytes).isEmpty)
+  }
+
   test("synthesizeJpegTwin: re-encoded variants cluster by perceptual hash, families separate") {
     val nFamilies = 40
     // pattern safety pool must be deep enough that contentId → (geometry,
