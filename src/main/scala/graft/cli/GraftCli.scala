@@ -138,7 +138,7 @@ object GraftCli {
     def positional(after: Int): Seq[String] = {
       // positionals = args minus flags and their values
       val flagsWithValue = Set("--hostname", "--port", "--token",
-        "--context", "--output", "--limit")
+        "--context", "--output", "--limit", "--ports")
       val acc = Seq.newBuilder[String]
       var i = 0
       while (i < args.length) {
@@ -407,6 +407,71 @@ object GraftCli {
         }
       }
 
+      // ---- tunnel (tunnel_command.go:22 — forward local ports to named
+      // databases through the control plane; the plane side is a raw-TCP
+      // splice service resolved via GET /api/tunnel) ----
+      case "tunnel" :: _ => withCtx { ctx =>
+        val mappings = opt("ports").toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .map(_.split(":", 2))
+        if (mappings.isEmpty ||
+            mappings.exists(p => p.length != 2 || p(0).toIntOption.isEmpty)) {
+          err("usage: tunnel --ports <local-port>:<database>" +
+            "[,<local-port>:<database>]")
+          1
+        } else {
+          val (code, body) = request(ctx, "GET", "/api/tunnel", None)
+          if (code != 200) { err(s"tunnel resolve failed ($code): $body"); 1 }
+          else {
+            val tport = mapper.readTree(body).get("port").asInt()
+            val listeners = mappings.map { case Array(lp, name) =>
+              val ss = new java.net.ServerSocket(lp.toInt, 16,
+                java.net.InetAddress.getLoopbackAddress)
+              val acceptor = new Thread(() => {
+                try while (true) {
+                  val local = ss.accept()
+                  val t = new Thread(() => {
+                    try {
+                      local.setTcpNoDelay(true)
+                      val remote = new java.net.Socket(ctx.hostname, tport)
+                      remote.setTcpNoDelay(true)
+                      val rout = remote.getOutputStream
+                      rout.write(
+                        s"GRAFT-TUNNEL ${ctx.token} $name\n".getBytes("UTF-8"))
+                      rout.flush()
+                      val rin = remote.getInputStream
+                      val reply = new StringBuilder(64)
+                      var c = rin.read()
+                      while (c >= 0 && c != '\n') { reply.append(c.toChar); c = rin.read() }
+                      if (reply.startsWith("OK "))
+                        graft.config.TcpRelay.splice(local, remote)
+                      else {
+                        err(s"tunnel to '$name' refused: ${reply.toString.trim}")
+                        local.close(); remote.close()
+                      }
+                    } catch { case _: Exception =>
+                      try local.close() catch { case _: Exception => () }
+                    }
+                  }, s"graft-tunnel-local-$name")
+                  t.setDaemon(true)
+                  t.start()
+                } catch { case _: Exception => () }
+              }, s"graft-tunnel-accept-${ss.getLocalPort}")
+              acceptor.setDaemon(true)
+              acceptor.start()
+              out(s"tunneling 127.0.0.1:${ss.getLocalPort} -> $name " +
+                s"(via ${ctx.hostname}:$tport)")
+              ss
+            }
+            out("press enter to stop")
+            stdin() // block until the operator ends the session
+            listeners.foreach(s =>
+              try s.close() catch { case _: Exception => () })
+            0
+          }
+        }
+      }
+
       case _ =>
         err("""usage: graft <command>
               |  context add <name> --hostname <h> --port <p> --token <t> [--set-default] [--tls]
@@ -418,7 +483,8 @@ object GraftCli {
               |  sinks ls | show <name> | rm <name> | pause <name> | resume <name>
               |  backfill create <sink> <schema.table> | ls <sink> | cancel <sink> <id>
               |  trace <name> [--limit <n>]
-              |  health <kind> <id>""".stripMargin)
+              |  health <kind> <id>
+              |  tunnel --ports <local-port>:<database>[,...] [--context <name>]""".stripMargin)
         1
     }
   }

@@ -212,23 +212,26 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
         deny("Please provide a valid API token in the Authorization " +
           "header. Ensure your Authorization value is prefixed with " +
           "\"Bearer\".")
-      else {
-        val candidate = sha256(h.stripPrefix("Bearer "))
-        // MessageDigest.isEqual is constant-time; scanning all tokens
-        // keeps the compare count independent of which token matches
-        val matched = apiTokens.values.foldLeft(Option.empty[ApiTokenRec]) {
-          (acc, t) =>
-            if (java.security.MessageDigest.isEqual(t.hashed, candidate))
-              Some(t)
-            else acc
-        }
-        matched match {
-          case Some(t) => Some(t.accountId)
-          case None =>
-            deny("The API token you provided is invalid or has expired.")
-        }
+      else verifyRawToken(h.stripPrefix("Bearer ")) match {
+        case some @ Some(_) => some
+        case None =>
+          deny("The API token you provided is invalid or has expired.")
       }
     }
+  }
+
+  /** Constant-time raw-token verification (the non-HTTP entry — the
+    * tunnel preamble authenticates with the same bearer tokens the API
+    * does). Returns the token's account binding.
+    */
+  private def verifyRawToken(raw: String): Option[String] = {
+    val candidate = sha256(raw)
+    // MessageDigest.isEqual is constant-time; scanning all tokens
+    // keeps the compare count independent of which token matches
+    apiTokens.values.foldLeft(Option.empty[ApiTokenRec]) { (acc, t) =>
+      if (java.security.MessageDigest.isEqual(t.hashed, candidate)) Some(t)
+      else acc
+    }.map(_.accountId)
   }
 
   /** The plane's health registry — runtime components put events here;
@@ -257,7 +260,96 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   }
 
   def port(): Int = server.getAddress.getPort
-  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+  def stop(): Unit = {
+    tunnelServer.foreach(s =>
+      try s.server.close() catch { case _: Exception => () })
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+
+  // ---- tunnel plane (tunnel_command.go:22 + vendored cli/chisel/): the
+  // reference's hosted control plane reaches operator-local databases
+  // through a WebSocket tunnel; this plane's analog is a raw-TCP splice
+  // service — the one-line preamble (`GRAFT-TUNNEL <token> <database>`)
+  // plays chisel's remote-spec + auth role, then bytes flow verbatim to
+  // the NAMED database's host:port. Lazy: no listener until the first
+  // `GET /api/tunnel` asks where to connect.
+  private final class TunnelServer {
+    val server = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getLoopbackAddress)
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-tunnel-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    }, "graft-tunnel-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def readLine(in: java.io.InputStream): String = {
+      val sb = new StringBuilder(64)
+      var c = in.read()
+      while (c >= 0 && c != '\n' && sb.length < 4096) {
+        if (c != '\r') sb.append(c.toChar)
+        c = in.read()
+      }
+      sb.toString
+    }
+
+    private def handle(sock: java.net.Socket): Unit =
+      try {
+        sock.setTcpNoDelay(true)
+        val in = sock.getInputStream
+        val out = sock.getOutputStream
+        def fail(reason: String): Unit = {
+          out.write(s"ERR $reason\n".getBytes(UTF_8))
+          out.flush()
+          sock.close()
+        }
+        readLine(in).split(" ", 3) match {
+          case Array("GRAFT-TUNNEL", token, name) =>
+            if (verifyRawToken(token).isEmpty) fail("invalid token")
+            else databases.get(name) match {
+              case None => fail(s"unknown database: $name")
+              case Some(db) =>
+                val target = new java.net.Socket()
+                val ok =
+                  try {
+                    target.connect(
+                      new java.net.InetSocketAddress(db.hostname, db.port),
+                      10000)
+                    true
+                  } catch { case _: Exception =>
+                    fail(s"cannot reach ${db.hostname}:${db.port}")
+                    false
+                  }
+                if (ok) {
+                  target.setTcpNoDelay(true)
+                  out.write(s"OK ${db.hostname}:${db.port}\n".getBytes(UTF_8))
+                  out.flush()
+                  TcpRelay.splice(sock, target)
+                }
+            }
+          case _ => fail("bad preamble")
+        }
+      } catch { case _: Exception =>
+        try sock.close() catch { case _: Exception => () }
+      }
+  }
+
+  @volatile private var tunnelServer: Option[TunnelServer] = None
+
+  /** The tunnel listener's port, starting it on first use. */
+  def tunnelPort(): Int = synchronized {
+    tunnelServer.getOrElse {
+      val s = new TunnelServer
+      tunnelServer = Some(s)
+      s
+    }.server.getLocalPort
+  }
 
   /** Snapshot of the declared consumers (name-sorted). */
   def consumers(): Seq[ConsumerConfig] =
@@ -397,6 +489,10 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
             case "DELETE" => doReplDelete(ex, id)
             case _        => respond(ex, 405, err("method not allowed"))
           }
+        case ("GET", "/api/tunnel") =>
+          // where the tunnel listener lives (starting it on first ask) —
+          // the CLI's tunnel verb resolves this before dialing
+          respond(ex, 200, s"""{"port":${tunnelPort()}}""")
         case ("GET", "/api/postgres_databases")  => doDbIndex(ex)
         case ("POST", "/api/postgres_databases") => doDbCreate(ex)
         case (m, p) if p.startsWith("/api/postgres_databases/") =>

@@ -696,6 +696,25 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("JPEG perceptual near-dup clusters grow near-linearly over 10x assets (per-row codec + one groupBy)") {
+    import spark.implicits._
+    def synthAssets(n: Int) = spark.range(n)
+      .as[Long].map { d =>
+        graft.multimodal.Multimodal.Asset(d, "image",
+          graft.multimodal.MediaCodec.synthesizeJpegTwin(d), "synth")
+      }.cache()
+    val small = synthAssets(SmallN)
+    val big = synthAssets(BigN)
+    try {
+      val r = ratioOf(
+        graft.multimodal.Multimodal.imageNearDupClusters(small)(spark).count(),
+        graft.multimodal.Multimodal.imageNearDupClusters(big)(spark).count(),
+        "jpeg-neardup")
+      assert(r < 30,
+        s"jpeg perceptual near-dup 10x growth ratio $r — decode or cluster stage went superlinear")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("KN trigram surprisal grows near-linearly over 10x docs (distinct-ngram model tables + equi-joins)") {
     val small = synthDocs(SmallN)
     val big = synthDocs(BigN)
