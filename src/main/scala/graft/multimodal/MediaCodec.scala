@@ -1367,6 +1367,7 @@ object MediaCodec {
               coef(0) = pred(ci).toDouble * qt(0)
               var k = 1
               var eob = false
+              var anyAc = false
               while (k < 64 && !eob) {
                 val rs = ac.decode(in)
                 val r = rs >> 4
@@ -1378,10 +1379,17 @@ object MediaCodec {
                   if (k > 63) throw new JpegDataException("AC index overrun")
                   val nat = JpegZigzag(k)
                   coef(nat) = jpegExtend(in.receive(s), s).toDouble * qt(nat)
+                  anyAc = true
                   k += 1
                 }
               }
-              jpegIdct(coef, block)
+              if (!anyAc) {
+                // DC-only block = flat: the IDCT's closed form is
+                // DC/8 + level shift in every cell — skip both passes
+                val px0v = math.round(coef(0) / 8.0).toInt + 128
+                val pxv = if (px0v < 0) 0 else if (px0v > 255) 255 else px0v
+                java.util.Arrays.fill(block, pxv)
+              } else jpegIdct(coef, block)
               val px0 = (mx * compH(ci) + bx) * 8
               val py0 = (my * compV(ci) + by) * 8
               val pw = planeW(ci)
@@ -1570,32 +1578,47 @@ object MediaCodec {
           }
           y += 1
         }
-        // separable FDCT, then round-to-nearest quantization
-        val tmp = new Array[Double](64)
-        var v = 0
-        while (v < 8) { // columns first: spatial y → frequency v
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var y2 = 0
-            while (y2 < 8) { s += JpegCos(v)(y2) * spatial(y2 * 8 + x); y2 += 1 }
-            tmp(v * 8 + x) = s
-            x += 1
-          }
-          v += 1
+        // CONSTANT blocks short-circuit the transform: a flat 8×8 has
+        // DC = 8·value and every AC exactly 0 (the closed form of the
+        // separable FDCT), so the two O(8³) passes buy nothing — flat
+        // regions dominate synthetic fixtures AND real-world graphics
+        var flat = true
+        var fk = 1
+        while (fk < 64 && flat) {
+          if (spatial(fk) != spatial(0)) flat = false
+          fk += 1
         }
-        var vv = 0
-        while (vv < 8) {
-          var u = 0
-          while (u < 8) {
-            var s = 0.0
-            var x2 = 0
-            while (x2 < 8) { s += JpegCos(u)(x2) * tmp(vv * 8 + x2); x2 += 1 }
-            val d = s / 4.0
-            freq(vv * 8 + u) = math.round(d / qt(vv * 8 + u)).toInt
-            u += 1
+        if (flat) {
+          java.util.Arrays.fill(freq, 0)
+          freq(0) = math.round(spatial(0) * 8.0 / qt(0)).toInt
+        } else {
+          // separable FDCT, then round-to-nearest quantization
+          val tmp = new Array[Double](64)
+          var v = 0
+          while (v < 8) { // columns first: spatial y → frequency v
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var y2 = 0
+              while (y2 < 8) { s += JpegCos(v)(y2) * spatial(y2 * 8 + x); y2 += 1 }
+              tmp(v * 8 + x) = s
+              x += 1
+            }
+            v += 1
           }
-          vv += 1
+          var vv = 0
+          while (vv < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0.0
+              var x2 = 0
+              while (x2 < 8) { s += JpegCos(u)(x2) * tmp(vv * 8 + x2); x2 += 1 }
+              val d = s / 4.0
+              freq(vv * 8 + u) = math.round(d / qt(vv * 8 + u)).toInt
+              u += 1
+            }
+            vv += 1
+          }
         }
         val dcDiff = freq(0) - pred
         pred = freq(0)
