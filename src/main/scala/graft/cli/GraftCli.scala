@@ -423,10 +423,35 @@ object GraftCli {
           val (code, body) = request(ctx, "GET", "/api/tunnel", None)
           if (code != 200) { err(s"tunnel resolve failed ($code): $body"); 1 }
           else {
-            val tport = mapper.readTree(body).get("port").asInt()
-            val listeners = mappings.map { case Array(lp, name) =>
-              val ss = new java.net.ServerSocket(lp.toInt, 16,
-                java.net.InetAddress.getLoopbackAddress)
+            // the resolve response contract is {"port": n}; a plane that
+            // answers 200 without it must surface as the err path, not a
+            // stack trace from a null JsonNode
+            val tportOpt =
+              try Option(mapper.readTree(body).get("port")).map(_.asInt())
+              catch { case _: Exception => None }
+            if (tportOpt.isEmpty) {
+              err(s"tunnel resolve failed: no port in response: $body")
+              1
+            } else {
+            val tport = tportOpt.get
+            // bind listeners one at a time; a duplicate or in-use local
+            // port closes everything already opened and exits through the
+            // err path instead of leaking half the mappings
+            val opened =
+              scala.collection.mutable.ArrayBuffer.empty[java.net.ServerSocket]
+            var bindErr: Option[String] = None
+            mappings.iterator.takeWhile(_ => bindErr.isEmpty)
+                .foreach { case Array(lp, name) =>
+              val ss =
+                try new java.net.ServerSocket(lp.toInt, 16,
+                  java.net.InetAddress.getLoopbackAddress)
+                catch { case e: Exception =>
+                  bindErr = Some(
+                    s"cannot listen on 127.0.0.1:$lp: ${e.getMessage}")
+                  null
+                }
+              if (ss != null) {
+              opened += ss
               val acceptor = new Thread(() => {
                 try while (true) {
                   val local = ss.accept()
@@ -461,13 +486,22 @@ object GraftCli {
               acceptor.start()
               out(s"tunneling 127.0.0.1:${ss.getLocalPort} -> $name " +
                 s"(via ${ctx.hostname}:$tport)")
-              ss
+              }
             }
-            out("press enter to stop")
-            stdin() // block until the operator ends the session
-            listeners.foreach(s =>
-              try s.close() catch { case _: Exception => () })
-            0
+            bindErr match {
+              case Some(msg) =>
+                opened.foreach(s =>
+                  try s.close() catch { case _: Exception => () })
+                err(msg)
+                1
+              case None =>
+                out("press enter to stop")
+                stdin() // block until the operator ends the session
+                opened.foreach(s =>
+                  try s.close() catch { case _: Exception => () })
+                0
+            }
+            }
           }
         }
       }

@@ -120,6 +120,13 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       m.collect { case ((a, _), v) if a == acct => v }
     def keys: Iterable[String] =
       m.keysIterator.collect { case (a, n) if a == acct => n }.toVector
+    def apply(name: String): V = m((acct, name))
+    /** Lookup bound to an EXPLICIT account — for callers outside an HTTP
+      * request context (the tunnel preamble thread) that carry their own
+      * verified token binding instead of the request thread-local.
+      */
+    def getAs(accountId: String, name: String): Option[V] =
+      m.get((accountId, name))
     def updateWith(name: String)(f: Option[V] => Option[V]): Option[V] =
       m.updateWith((acct, name))(f)
     def exists(p: ((String, V)) => Boolean): Boolean =
@@ -276,8 +283,12 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   // the NAMED database's host:port. Lazy: no listener until the first
   // `GET /api/tunnel` asks where to connect.
   private final class TunnelServer {
+    // same bind address as the HTTP plane: a CLI context whose hostname
+    // reaches /api/tunnel can reach the splice listener it resolves (a
+    // loopback-only plane stays loopback-only for the tunnel too, and a
+    // plane rebound to a routable address carries the tunnel with it)
     val server = new java.net.ServerSocket(0, 16,
-      java.net.InetAddress.getLoopbackAddress)
+      ManagementApi.this.server.getAddress.getAddress)
     private val acceptor = new Thread(() => {
       try while (true) {
         val sock = server.accept()
@@ -311,26 +322,35 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
         }
         readLine(in).split(" ", 3) match {
           case Array("GRAFT-TUNNEL", token, name) =>
-            if (verifyRawToken(token).isEmpty) fail("invalid token")
-            else databases.get(name) match {
-              case None => fail(s"unknown database: $name")
-              case Some(db) =>
-                val target = new java.net.Socket()
-                val ok =
-                  try {
-                    target.connect(
-                      new java.net.InetSocketAddress(db.hostname, db.port),
-                      10000)
-                    true
-                  } catch { case _: Exception =>
-                    fail(s"cannot reach ${db.hostname}:${db.port}")
-                    false
-                  }
-                if (ok) {
-                  target.setTcpNoDelay(true)
-                  out.write(s"OK ${db.hostname}:${db.port}\n".getBytes(UTF_8))
-                  out.flush()
-                  TcpRelay.splice(sock, target)
+            // the verified token BINDS the splice to its account, same as
+            // every /api route: the database lookup is scoped by that
+            // account, so a valid token for account A can never splice to
+            // account B's database — and the miss reads "unknown
+            // database" (existence is account-private, never Forbidden)
+            verifyRawToken(token) match {
+              case None => fail("invalid token")
+              case Some(accountId) =>
+                databases.getAs(accountId, name) match {
+                  case None => fail(s"unknown database: $name")
+                  case Some(db) =>
+                    val target = new java.net.Socket()
+                    val ok =
+                      try {
+                        target.connect(
+                          new java.net.InetSocketAddress(db.hostname, db.port),
+                          10000)
+                        true
+                      } catch { case _: Exception =>
+                        fail(s"cannot reach ${db.hostname}:${db.port}")
+                        false
+                      }
+                    if (ok) {
+                      target.setTcpNoDelay(true)
+                      out.write(
+                        s"OK ${db.hostname}:${db.port}\n".getBytes(UTF_8))
+                      out.flush()
+                      TcpRelay.splice(sock, target)
+                    }
                 }
             }
           case _ => fail("bad preamble")
@@ -1218,7 +1238,12 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   final case class ColumnRec(attnum: Int, name: String, pgType: String,
       isPk: Boolean)
 
-  private val databases = TrieMap.empty[String, DatabaseRec]
+  // account-scoped like every other catalog resource: a database name
+  // exists only within its creating account, so the tunnel preamble's
+  // token binding is ENFORCED by construction (a foreign account's
+  // database name simply misses → "unknown database", existence stays
+  // account-private)
+  private val databases = new Scoped[DatabaseRec]
 
   /** The reference's catalog SQL, compacted to the columns we store
     * (`postgres.ex:345-372`): tables + columns + pk flags, partition

@@ -1677,6 +1677,13 @@ object MediaCodec {
               val pq = (b(p) & 0xFF) >> 4
               val tq = b(p) & 0xF
               p += 1
+              // a DQT whose declared segment length understates the
+              // 65/129-byte table payload is malformed: reading on would
+              // either throw (segEnd == b.length) or silently parse the
+              // NEXT segment's bytes as quant values — reject, same
+              // contract as a truncated file (None, never an exception)
+              if (pq > 1 || p + (if (pq == 0) 64 else 128) > segEnd)
+                return None
               val t = new Array[Int](64)
               var i = 0
               while (i < 64) {

@@ -191,20 +191,95 @@ object PgStream {
       * [[decodeStateful]]'s state-store row: seq cursor, open-txn state
       * and the relation frames (a restarted tail that resumes PAST the
       * segment carrying the Relation message must still type its rows).
+      *
+      * Encoded with [[PgStream.encodeSlotState]] — an EXPLICIT versioned
+      * binary layout, not Java serialization: the snapshot survives
+      * restarts by contract, and a Scala/Spark upgrade that moves
+      * `SlotState`'s reflective serialized shape must not brick every
+      * consumer's resume point. Relation frames are already wire bytes
+      * (`PgOutput.encode`); the rest is a handful of scalars.
       */
-    def snapshot(): Array[Byte] = {
-      val synced = st.copy(relationFrames = registry.toFrames)
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      try { oos.writeObject(synced); oos.flush() } finally oos.close()
-      bos.toByteArray
-    }
+    def snapshot(): Array[Byte] =
+      encodeSlotState(st.copy(relationFrames = registry.toFrames))
 
+    /** Restore from [[snapshot]] bytes. A corrupt, truncated, foreign, or
+      * future-version snapshot throws [[IllegalStateException]] with the
+      * recovery path in the message (delete the checkpoint's
+      * `tail_offset` + `tail_decoder` to cold-restart from segment 0) —
+      * never a silent partial restore.
+      */
     def restore(bytes: Array[Byte]): Unit = {
-      val ois = new java.io.ObjectInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try st = ois.readObject().asInstanceOf[SlotState] finally ois.close()
+      st = decodeSlotState(bytes)
       registry = SchemaRegistry.fromFrames(st.relationFrames)
+    }
+  }
+
+  /** Magic + version of the durable decoder snapshot ("GTL1" = Graft
+    * Tail Layout). Bump the trailing byte on any layout change; restore
+    * refuses unknown versions loudly instead of misparsing.
+    */
+  private val SnapshotMagic: Array[Byte] = Array('G', 'T', 'L', '1')
+
+  /** Versioned binary layout of [[SlotState]] (all big-endian, via
+    * DataOutputStream): magic "GTL" + version byte '1', then lastSeq i64,
+    * commitIdx i64, annotations (bool + utf8), beginFrame (bool +
+    * len-prefixed bytes), relationFrames (i32 count, then per entry
+    * oid i64 + len-prefixed wire bytes, oid-sorted for determinism).
+    * Field identity lives HERE, by position in this method — reordering
+    * `SlotState`'s declaration cannot change the wire layout.
+    */
+  private[graft] def encodeSlotState(s: SlotState): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val out = new java.io.DataOutputStream(bos)
+    out.write(SnapshotMagic)
+    out.writeLong(s.lastSeq)
+    out.writeLong(s.commitIdx)
+    out.writeBoolean(s.annotations.isDefined)
+    s.annotations.foreach(out.writeUTF)
+    out.writeBoolean(s.beginFrame.isDefined)
+    s.beginFrame.foreach { b => out.writeInt(b.length); out.write(b) }
+    val frames = s.relationFrames.toSeq.sortBy(_._1)
+    out.writeInt(frames.size)
+    frames.foreach { case (oid, b) =>
+      out.writeLong(oid); out.writeInt(b.length); out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def decodeSlotState(bytes: Array[Byte]): SlotState = {
+    def bad(reason: String): Nothing = throw new IllegalStateException(
+      s"unreadable tail_decoder snapshot ($reason) — delete the " +
+        "checkpoint's tail_offset and tail_decoder files to cold-restart " +
+        "the tail from segment 0 (at-least-once replay; delivered events " +
+        "are suppressed by idempotency downstream)")
+    if (bytes.length < SnapshotMagic.length ||
+        bytes(0) != 'G' || bytes(1) != 'T' || bytes(2) != 'L')
+      bad(if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xAC &&
+          (bytes(1) & 0xFF) == 0xED)
+        "pre-versioned Java-serialized snapshot" else "bad magic")
+    if (bytes(3) != '1')
+      bad(s"unknown snapshot version '${bytes(3).toChar}'")
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+    try {
+      val lastSeq = in.readLong()
+      val commitIdx = in.readLong()
+      val annotations = if (in.readBoolean()) Some(in.readUTF()) else None
+      def lenBytes(): Array[Byte] = {
+        val n = in.readInt()
+        if (n < 0 || n > bytes.length) bad(s"implausible length $n")
+        val b = new Array[Byte](n)
+        in.readFully(b)
+        b
+      }
+      val beginFrame = if (in.readBoolean()) Some(lenBytes()) else None
+      val n = in.readInt()
+      if (n < 0 || n > bytes.length) bad(s"implausible frame count $n")
+      val frames = (0 until n).map(_ => in.readLong() -> lenBytes()).toMap
+      SlotState(lastSeq, frames, beginFrame, commitIdx, annotations)
+    } catch {
+      case e: java.io.IOException => bad(s"truncated: ${e.getMessage}")
     }
   }
 

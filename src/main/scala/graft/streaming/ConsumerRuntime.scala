@@ -934,9 +934,20 @@ object ConsumerRuntime {
     // once, re-executed per segment (each action re-reads the file's
     // current content). Built here so every per-segment dispatch hits
     // the Lane's plan cache.
-    val feedPathStr = checkpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_tail_feed").toString) +
-      "/tail_feed.bin"
+    val feedPathStr = checkpointDir.getOrElse {
+      // the feed file is read by EXECUTOR tasks via a Hadoop Path; a
+      // driver-local temp dir is only visible to executors that share the
+      // driver's filesystem — true for local[*] and local-cluster[...]
+      // (same machine), never for a real cluster. Fail fast with the fix
+      // in the message instead of a FileNotFoundException inside the task.
+      val master = spark.sparkContext.master
+      require(master.startsWith("local"),
+        "startLowLatencyTail requires checkpointDir on a SHARED filesystem " +
+          s"when the session is not local (master=$master): without it the " +
+          "per-segment feed file lands in a driver-local temp directory " +
+          "that executor tasks cannot read")
+      java.nio.file.Files.createTempDirectory("graft_tail_feed").toString
+    } + "/tail_feed.bin"
     val fixedBatch: DataFrame = {
       val rdd = spark.sparkContext.parallelize(Seq(feedPathStr), 1)
         .mapPartitions(it => readTailFeed(it.next()).iterator)

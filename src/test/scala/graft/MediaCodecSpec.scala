@@ -866,6 +866,45 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.jpegQualityEstimate("not a jpeg".getBytes).isEmpty)
   }
 
+  test("jpegQuantTables rejects truncated and cross-segment DQT instead of throwing or misparsing") {
+    // a DQT that declares only 10 table bytes for a pq=0 table (needs 64);
+    // the variants differ in what follows segEnd
+    def malformedDqt(trailer: java.io.ByteArrayOutputStream => Unit)
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(0xFF); bos.write(0xD8) // SOI
+      bos.write(0xFF); bos.write(0xDB) // DQT
+      val segLen = 2 + 1 + 10
+      bos.write(segLen >> 8); bos.write(segLen & 0xFF)
+      bos.write(0x00) // pq=0, tq=0
+      (0 until 10).foreach(i => bos.write(16 + i))
+      trailer(bos)
+      bos.toByteArray
+    }
+    // file ends exactly at segEnd: the unguarded walk read past the end
+    // of the array (AIOOBE killing the task on one malformed crawl asset)
+    val truncated = malformedDqt(_ => ())
+    assert(MediaCodec.jpegQuantTables(truncated).isEmpty)
+    assert(MediaCodec.jpegQualityEstimate(truncated).isEmpty)
+    // more file after segEnd: the unguarded walk silently parsed the NEXT
+    // segment's bytes (a COM full of 0x41) as quant values
+    val crossSegment = malformedDqt { bos =>
+      bos.write(0xFF); bos.write(0xFE); bos.write(0); bos.write(60)
+      (0 until 58).foreach(_ => bos.write(0x41))
+    }
+    assert(MediaCodec.jpegQuantTables(crossSegment).isEmpty)
+    // a precision nibble outside {0,1} is equally malformed
+    val badPq = {
+      val b = malformedDqt(_ => ())
+      b(6) = 0x20.toByte // pq=2
+      b
+    }
+    assert(MediaCodec.jpegQuantTables(badPq).isEmpty)
+    // well-formed files still parse
+    val ok = MediaCodec.encodeJpegGray(8, 8, 75, (_, _) => 128)
+    assert(MediaCodec.jpegQuantTables(ok).exists(_.contains(0)))
+  }
+
   test("synthesizeJpegTwin: re-encoded variants cluster by perceptual hash, families separate") {
     val nFamilies = 40
     // pattern safety pool must be deep enough that contentId → (geometry,

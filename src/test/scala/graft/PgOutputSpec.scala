@@ -402,4 +402,90 @@ class PgOutputSpec extends AnyFunSuite {
     assert(out.map(_.table_name).toSeq == Seq("t7", "t9"))
     assert(out.map(_.commit_lsn).forall(_ == 8L))
   }
+
+  test("SlotState snapshot codec: explicit versioned layout round-trips every field") {
+    val st = PgStream.SlotState(
+      lastSeq = 12345L,
+      relationFrames = Map(
+        7L -> PgOutput.encode(rel(7L, "id" -> 20L, "name" -> 25L)),
+        9L -> PgOutput.encode(rel(9L, "id" -> 20L))),
+      beginFrame = Some(PgOutput.encode(Begin(64L, 1704067200000000L, 42L))),
+      commitIdx = 3L,
+      annotations = Some("""{"who":"ada"}"""))
+    val bytes = PgStream.encodeSlotState(st)
+    val back = PgStream.decodeSlotState(bytes)
+    assert(back.lastSeq == st.lastSeq && back.commitIdx == st.commitIdx &&
+      back.annotations == st.annotations)
+    assert(back.beginFrame.get.sameElements(st.beginFrame.get))
+    assert(back.relationFrames.keySet == Set(7L, 9L))
+    assert(back.relationFrames(7L).sameElements(st.relationFrames(7L)))
+    // the layout is POSITIONAL in the codec, not reflective over the case
+    // class — identical state encodes identically (determinism), and the
+    // None/empty corners survive too
+    assert(PgStream.encodeSlotState(st).sameElements(bytes))
+    val minimal = PgStream.SlotState(Long.MinValue, Map.empty, None, 0L, None)
+    assert(PgStream.decodeSlotState(
+      PgStream.encodeSlotState(minimal)) == minimal)
+  }
+
+  test("SlotState snapshot codec: corrupt, legacy, and future-version snapshots fail LOUDLY into the cold-restart path") {
+    val st = PgStream.SlotState(5L,
+      Map(7L -> PgOutput.encode(rel(7L, "id" -> 20L))), None, 0L, None)
+    val good = PgStream.encodeSlotState(st)
+    // truncated mid-stream: explicit error, never a partial restore
+    val e1 = intercept[IllegalStateException](
+      PgStream.decodeSlotState(good.take(good.length - 3)))
+    assert(e1.getMessage.contains("cold-restart"))
+    // a pre-versioned Java-serialized snapshot (what r15 wrote) is named
+    // as such — the operator learns WHY the resume point is unreadable
+    val legacy = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(st); oos.close()
+      bos.toByteArray
+    }
+    val e2 = intercept[IllegalStateException](PgStream.decodeSlotState(legacy))
+    assert(e2.getMessage.contains("Java-serialized"))
+    // a future layout version refuses instead of misparsing
+    val future = good.clone(); future(3) = '2'
+    val e3 = intercept[IllegalStateException](PgStream.decodeSlotState(future))
+    assert(e3.getMessage.contains("version"))
+    // arbitrary garbage
+    intercept[IllegalStateException](
+      PgStream.decodeSlotState("not a snapshot".getBytes("UTF-8")))
+  }
+
+  test("LinearDecoder: snapshot/restore across a mid-transaction boundary keeps typing, txn state and the replay cursor") {
+    val orders = rel(7L, "id" -> 20L, "name" -> 25L)
+    val d1 = new PgStream.LinearDecoder
+    // relation + annotation + open txn + first row, then snapshot
+    d1.feedAll(Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(orders)),
+      PgStream.Frame("s", 2, PgOutput.encode(LogicalMessage(
+        transactional = true, 8L, PgStream.AnnotationSetPrefix,
+        """{"who":"ada"}""".getBytes("UTF-8")))),
+      PgStream.Frame("s", 3, PgOutput.encode(Begin(64L, 1704067200000000L, 42L))),
+      PgStream.Frame("s", 4, PgOutput.encode(Insert(7L,
+        Seq(Cell.Text("1"), Cell.Text("a")))))))
+    val snap = d1.snapshot()
+    val d2 = new PgStream.LinearDecoder
+    d2.restore(snap)
+    // a restarted tail re-feeds the whole segment: frames 1-4 are
+    // suppressed by the seq cursor, the unseen suffix decodes with the
+    // restored relation schema, commit_idx continuity and annotations
+    val out = d2.feedAll(Seq(
+      PgStream.Frame("s", 1, PgOutput.encode(orders)),
+      PgStream.Frame("s", 4, PgOutput.encode(Insert(7L,
+        Seq(Cell.Text("1"), Cell.Text("a"))))),
+      PgStream.Frame("s", 5, PgOutput.encode(Insert(7L,
+        Seq(Cell.Text("2"), Cell.Text("b"))))),
+      PgStream.Frame("s", 6, PgOutput.encode(
+        Commit(0, 64L, 72L, 1704067200000000L)))))
+    assert(out.size == 1)
+    val row = out.head
+    assert(row.seq == 5L && row.commit_idx == 1L && // frame 4 was idx 0
+      row.table_name == "t7" && row.columns == Seq("id", "name") &&
+      row.values == Seq("2", "b") && row.commit_lsn == 64L &&
+      row.xid == 42L && row.annotations.contains("""{"who":"ada"}"""))
+  }
 }

@@ -142,10 +142,95 @@ class TunnelSpec extends SparkSpec {
       assert(preamble("GRAFT-TUNNEL wrong-token tundb")
         .startsWith("ERR invalid token"))
       assert(preamble("HELLO").startsWith("ERR bad preamble"))
+      // the token BINDS the splice to its account: a valid token minted
+      // for another account cannot reach this account's database, and the
+      // miss is indistinguishable from a nonexistent name (never 403)
+      val tokenB = {
+        val c = URI.create(s"http://127.0.0.1:${api.port()}/api/accounts")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setRequestProperty("Authorization", s"Bearer ${api.bootstrapToken}")
+        c.setDoOutput(true)
+        c.getOutputStream.write("""{"name":"TeamB"}""".getBytes(UTF_8))
+        assert(c.getResponseCode == 200)
+        val body = new String(c.getInputStream.readAllBytes(), UTF_8)
+        c.disconnect()
+        "\"token\":\"([^\"]+)\"".r.findFirstMatchIn(body).get.group(1)
+      }
+      assert(preamble(s"GRAFT-TUNNEL $tokenB tundb")
+        .startsWith("ERR unknown database"))
+      // ...while the owning account's token still splices (session 3)
+      assert(preamble(s"GRAFT-TUNNEL ${api.bootstrapToken} tundb")
+        .startsWith("OK "))
       // clean shutdown: release stdin, the verb closes listeners, exit 0
       stop.countDown()
       cli.join(15000L)
       assert(exit == 0, s"tunnel verb exit: $exit err=$errSafe")
+    } finally { api.stop(); pg.stop() }
+  }
+
+  test("tunnel verb failure taxonomy: in-use local port closes already-opened listeners and exits 1; a portless resolve response is an error, not a stack trace") {
+    val pg = new FakePg
+    val api = new ManagementApi
+    val home = Files.createTempDirectory("graft_tunnel_err")
+    try {
+      assert(post(api.port(), "/api/postgres_databases", api.bootstrapToken,
+        s"""{"name":"tundb","hostname":"127.0.0.1","port":${pg.port},
+           |"database":"app","username":"u","password":"pw",
+           |"slot_name":"s","publication_name":"p"}""".stripMargin) == 201)
+      assert(GraftCli.run(Seq("context", "add", "t", "--hostname",
+        "127.0.0.1", "--port", api.port().toString, "--token",
+        api.bootstrapToken), home, _ => (), _ => (), Map.empty) == 0)
+      // occupy a port, then map it SECOND so the first mapping binds
+      // successfully and must be cleaned up on the second's BindException
+      val taken = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+      val outQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val errQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val code = GraftCli.run(
+        Seq("tunnel", "--ports", s"0:tundb,${taken.getLocalPort}:tundb"),
+        home, outQ.add(_), errQ.add(_), Map.empty,
+        () => fail("stdin must not be reached on a bind failure"))
+      assert(code == 1, s"expected exit 1, got $code (err=$errQ)")
+      assert(errQ.peek() != null && errQ.peek().contains("cannot listen"),
+        s"bind error not surfaced: $errQ")
+      // the successfully-bound first listener was closed: its port is
+      // free to bind again
+      val it = outQ.iterator()
+      var firstPort = -1
+      while (it.hasNext && firstPort < 0) {
+        val l = it.next()
+        if (l.startsWith("tunneling 127.0.0.1:"))
+          firstPort = l.stripPrefix("tunneling 127.0.0.1:")
+            .takeWhile(_.isDigit).toInt
+      }
+      assert(firstPort > 0, s"no tunneling line before the failure: $outQ")
+      val rebind = new ServerSocket(firstPort, 1,
+        InetAddress.getLoopbackAddress)
+      rebind.close()
+      taken.close()
+      // a plane answering 200 without a port field: err path, exit 1
+      val bare = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      bare.createContext("/api/tunnel", ex => {
+        val b = "{}".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.getResponseBody.close()
+      })
+      bare.start()
+      try {
+        assert(GraftCli.run(Seq("context", "add", "bare", "--hostname",
+          "127.0.0.1", "--port", bare.getAddress.getPort.toString,
+          "--token", "tkn"), home, _ => (), _ => (), Map.empty) == 0)
+        val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val code2 = GraftCli.run(
+          Seq("tunnel", "--ports", "0:tundb", "--context", "bare"),
+          home, _ => (), errs2.add(_), Map.empty,
+          () => fail("stdin must not be reached on a bad resolve"))
+        assert(code2 == 1)
+        assert(errs2.peek() != null &&
+          errs2.peek().contains("no port in response"), s"got: $errs2")
+      } finally bare.stop(0)
     } finally { api.stop(); pg.stop() }
   }
 }
