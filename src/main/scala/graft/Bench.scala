@@ -228,10 +228,35 @@ object Bench {
             "embedding", m = 8, dims = 64, centroidEvery = 50,
             nprobe = 16, shortlist = 200, k = 10))
       }
+      // Residual IVF-PQ (td110's mechanism at the production point):
+      // 2-round-refined coarse quantizer, PQ over NORMALIZED residuals
+      // (unit-vector L2 ≡ cosine, so the ADC shortlist ranks by the
+      // re-rank metric), m=16 subspaces, nprobe=24, rerank-200 — the
+      // r15 weak spot (0.635) re-measured on the fixed encoding
+      val resRerank = {
+        val medoids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cent_emb"))
+        val cents = similarity.Ann.refineCentroids(emb, medoids, iters = 2)
+          .localCheckpoint()
+        val res = similarity.Quantize.residuals(emb, "embedding", cents)
+          .localCheckpoint()
+        val rb = similarity.Quantize.refineCodebooks(res, "rvec",
+          similarity.Quantize.residualCodebooks(
+            res, m = 16, k = 64, step = 25, dims = 64),
+          m = 16, dims = 64, iters = 1)
+        val rc = similarity.Quantize.pqEncode(res, "rvec", rb, m = 16,
+          dims = 64)
+        similarity.Quantize.ivfPqResidualRerankTopK(q, emb, rc, rb, cents,
+          "embedding", m = 16, dims = 64, nprobe = 24, shortlist = 200,
+          k = 10)
+      }
       (recallOf(ivfAt(2), exact), recallOf(ivfAt(8), exact),
         recallOf(ivfAt(16), exact), recallOf(lsh, exact),
-        (recallOf(ivfpq._1, exact), recallOf(ivfpq._2, exact)))
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, (-1.0, -1.0)) }
+        (recallOf(ivfpq._1, exact), recallOf(ivfpq._2, exact),
+          recallOf(resRerank, exact)))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0,
+      (-1.0, -1.0, -1.0)) }
 
     // Streaming delivery latency: wall time for ONE event to clear the
     // full consumer pipeline as its own micro-batch (MemoryStream →
@@ -438,7 +463,7 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2}$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

@@ -483,6 +483,34 @@ object TrainingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Residual IVF-PQ (FAISS IVFADC's by-residual encoding, the recall
+    // fix over td93's raw-vector codes): 2-round-refined coarse
+    // quantizer, PQ over NORMALIZED residuals (unit-vector L2 ≡ cosine,
+    // so the ADC shortlist ranks by the metric the re-rank scores),
+    // codebook seeds offset off the medoid grid (a centroid's own
+    // residual is the zero vector), ADC tables PER (query, probed cell).
+    // Measured at sf0.1: recall@10 0.635 → 0.895 at (m=16, nprobe=24,
+    // rerank-200) — the bench's ivfpq_residual_* field.
+    "td110_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val medoids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cent_emb"))
+      val cents = graft.similarity.Ann.refineCentroids(emb, medoids,
+        iters = 2)
+      val res = graft.similarity.Quantize.residuals(emb, "embedding", cents)
+      val rb = graft.similarity.Quantize.refineCodebooks(res, "rvec",
+        graft.similarity.Quantize.residualCodebooks(
+          res, m = 8, k = 16, step = 25, dims = 64),
+        m = 8, dims = 64, iters = 1)
+      val rc = graft.similarity.Quantize.pqEncode(res, "rvec", rb,
+        m = 8, dims = 64)
+      graft.similarity.Quantize.ivfPqResidualTopK(
+          emb.filter(col("vec_id") < 5), emb, rc, rb, cents,
+          "embedding", m = 8, dims = 64, nprobe = 4, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Benchmark decontamination: distinct 3-gram overlap of each corpus
     // doc against the eval set's shingle universe (docs ≡ 0 mod 50 stand
     // in for the held-out benchmark); contaminated at ≥ 0.5 overlap.
@@ -1323,6 +1351,13 @@ object TrainingQueries {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), 'sum')"
 
+  /** L2 norm of a 64-dim embedding column (double fold — mirrors
+    * Ann.norm's aggregate shape). `ref` is the qualified column.
+    */
+  private def l2norm(ref: String): String =
+    s"sqrt(list_aggregate(list_transform(range(1, 65), j -> " +
+      s"CAST($ref[j] AS DOUBLE) * CAST($ref[j] AS DOUBLE)), 'sum'))"
+
   /** The PQ model CTEs shared by td30 (flat ADC) and td93 (IVF-PQ):
     * medoid-seeded sub-codebooks, one integer-micro Lloyd round, corpus
     * encoded to (vec_id, m, code). Mirrors `Quantize.pqCodebooks` +
@@ -1777,6 +1812,92 @@ object TrainingQueries {
          |  JOIN codes c ON c.vec_id = al.corpus_id
          |  JOIN adc a ON a.m = c.m AND a.code = c.code
          |    AND a.query_id = al.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, adist_micro, rank FROM (
+         |  SELECT query_id, corpus_id, adist_micro, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist_micro, corpus_id) AS INT)
+         |    AS rank FROM agg)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // td110: the full residual IVFADC chain in SQL — refined coarse
+    // quantizer (the td14 CTEs), normalized residuals, offset-seeded
+    // residual codebooks + one integer-micro Lloyd round, per-(query,
+    // probed-cell) ADC tables, integer-exact aggregation.
+    "td110_ivfpq_residual" ->
+      (s"""WITH cents0 AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |${ivfRefineCtes(1, "cents0", "cents1")},
+         |${ivfRefineCtes(2, "cents1", "cents2")},
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |cellassign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT x.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents2 c) WHERE crank = 1),
+         |resid AS (SELECT x.vec_id, a.centroid_id,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(x.embedding[i] AS DOUBLE) / ${l2norm("x.embedding")} -
+         |      CAST(c.cent_emb[i] AS DOUBLE) / ${l2norm("c.cent_emb")})
+         |      AS rvec
+         |  FROM embeddings x
+         |  JOIN cellassign a ON a.vec_id = x.vec_id
+         |  JOIN cents2 c ON c.centroid_id = a.centroid_id),
+         |rbooks0 AS (SELECT m, CAST((vec_id - 12) // 25 AS INT) AS code,
+         |    list_transform(rvec[(m*8+1):(m*8+8)], v -> CAST(v AS REAL))
+         |      AS cvec
+         |  FROM resid, sub WHERE vec_id % 25 = 12 AND vec_id < 412),
+         |rpieces AS (SELECT vec_id, m, rvec[(m*8+1):(m*8+8)] AS svec
+         |  FROM resid, sub),
+         |rassign0 AS (SELECT vec_id, m, code, svec FROM (
+         |  SELECT p.vec_id, p.m, b.code, p.svec,
+         |    row_number() OVER (PARTITION BY p.vec_id, p.m
+         |      ORDER BY ${pqDist("svec", "cvec")}, b.code) AS rn
+         |  FROM rpieces p JOIN rbooks0 b ON p.m = b.m) WHERE rn = 1),
+         |rbsum AS (SELECT m, code, t.i AS dim,
+         |    SUM(CAST(round(CAST(svec[t.i] AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS s,
+         |    COUNT(*) AS n
+         |  FROM rassign0 CROSS JOIN range(1, 9) t(i) GROUP BY m, code, t.i),
+         |rbooks AS (SELECT m, code,
+         |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL)
+         |      ORDER BY dim) AS cvec
+         |  FROM rbsum GROUP BY m, code),
+         |rscored AS (SELECT vec_id, p.m, code,
+         |    ${pqDist("svec", "cvec")} AS dist
+         |  FROM rpieces p JOIN rbooks b ON p.m = b.m),
+         |rcodes AS (SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM rscored)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id, cent_emb,
+         |    embedding FROM (
+         |  SELECT x.vec_id, c.centroid_id, c.cent_emb, x.embedding,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
+         |  FROM embeddings x CROSS JOIN cents2 c WHERE x.vec_id < 5)
+         |  WHERE crank <= 4),
+         |qres AS (SELECT query_id, centroid_id,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(embedding[i] AS DOUBLE) / ${l2norm("embedding")} -
+         |      CAST(cent_emb[i] AS DOUBLE) / ${l2norm("cent_emb")}) AS qrvec
+         |  FROM probes),
+         |adc AS (SELECT q.query_id, q.centroid_id, b.m, b.code,
+         |    CAST(round(${pqDist("qvec", "cvec")} * 1e6) AS BIGINT)
+         |      AS dist_micro
+         |  FROM (SELECT query_id, centroid_id, m,
+         |        qrvec[(m*8+1):(m*8+8)] AS qvec FROM qres, sub) q
+         |  JOIN rbooks b ON q.m = b.m),
+         |allowed AS (SELECT p.query_id, p.centroid_id,
+         |    a.vec_id AS corpus_id
+         |  FROM probes p JOIN cellassign a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |agg AS (SELECT al.query_id, al.corpus_id,
+         |    CAST(sum(a.dist_micro) AS BIGINT) AS adist_micro
+         |  FROM allowed al
+         |  JOIN rcodes c ON c.vec_id = al.corpus_id
+         |  JOIN adc a ON a.m = c.m AND a.code = c.code
+         |    AND a.query_id = al.query_id
+         |    AND a.centroid_id = al.centroid_id
          |  GROUP BY 1, 2)
          |SELECT query_id, corpus_id, adist_micro, rank FROM (
          |  SELECT query_id, corpus_id, adist_micro, CAST(row_number() OVER (

@@ -216,6 +216,155 @@ object Quantize {
         col("rank").cast("int").as("rank"))
   }
 
+  // ---- Residual IVF-PQ (FAISS IVFADC's by-residual encoding) -----------
+
+  /** Coarse cell assignment: each corpus vector to its max-cosine
+    * centroid (ties by centroid id) — the [[Ann]]/[[ivfPqTopK]] rule,
+    * factored out so the residual path trains and queries against the
+    * SAME cells. `centroids` is `(centroid_id, cent_emb)` — medoids or
+    * Lloyd-refined, the caller's choice (the refined quantizer raises
+    * the probe ceiling, the binding recall bound at small nprobe).
+    * Returns `(vec_id, centroid_id)`.
+    */
+  def coarseCells(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import graft.similarity.Ann.{dot, norm}
+    corpus.select(col("vec_id"), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("ccos", dot(col(vecCol), col("cent_emb")) /
+        (norm(col(vecCol)) * norm(col("cent_emb"))))
+      .groupBy("vec_id")
+      .agg(min_by(col("centroid_id"),
+        struct((-col("ccos")).as("neg_cos"), col("centroid_id")))
+        .as("centroid_id"))
+  }
+
+  /** The residual corpus over UNIT vectors:
+    * `rvec = vec/‖vec‖ − cent/‖cent‖` for the vector's coarse cell,
+    * double precision throughout. Two design points, both forced by the
+    * retrieval metric being COSINE:
+    *  - normalize first — on unit vectors squared L2 is `2 − 2·cos`, so
+    *    the ADC shortlist ranks by exactly the metric the re-rank stage
+    *    scores (unnormalized L2-ADC shortlists cosine neighbors poorly:
+    *    measured 0.555 vs 0.635 baseline at rerank-200);
+    *  - encode residuals — the coarse quantizer absorbs the cell's
+    *    location, so the m×k code budget spends on the within-cell
+    *    displacement only.
+    * Returns `(vec_id, centroid_id, rvec)`.
+    */
+  def residuals(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import graft.similarity.Ann.norm
+    corpus.join(coarseCells(corpus, vecCol, centroids), Seq("vec_id"))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col(vecCol), col("cent_emb"),
+          (x, c) => x.cast("double") / norm(col(vecCol)) -
+            c.cast("double") / norm(col("cent_emb"))).as("rvec"))
+  }
+
+  /** Residual-space PQ seeds: [[pqCodebooks]]'s medoid rule applied to
+    * the residual corpus (centroid `k` of each subspace = training
+    * vector `k·step`'s residual subvector), cast through float so the
+    * codebook representation matches the non-residual books.
+    * Refine with [[refineCodebooks]] over the same residual frame
+    * (`vecCol = "rvec"`); encode with [[pqEncode]] likewise.
+    */
+  def residualCodebooks(res: DataFrame, m: Int, k: Int, step: Int,
+      dims: Int): DataFrame = {
+    val d = dims / m
+    val off = step / 2
+    val sub = res.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    // seed at step/2 OFFSETS from the medoid grid: a coarse centroid's
+    // own residual is the zero vector, so seeding at vec_id % step == 0
+    // (where the every-Nth medoids live) would fill the book with
+    // duplicate zero codes — measured as a recall LOSS vs raw PQ
+    res.filter(col("vec_id") % step === off &&
+        col("vec_id") < k.toLong * step + off)
+      .crossJoin(sub)
+      .select(col("m"), ((col("vec_id") - off) / step).cast("int").as("code"),
+        transform(slice(col("rvec"), col("m") * d + 1, lit(d)),
+          _.cast("float")).as("cvec"))
+  }
+
+  /** Residual IVF-PQ top-k: coarse probe + ADC over residual codes. The
+    * ADC table is PER (query, probed cell) — `q − cent_emb(cell)` against
+    * the residual codebooks — so its size is queries × nprobe × m × k
+    * (still broadcast-sized: the per-query cost scales with nprobe, never
+    * with the corpus). Candidates, determinism and the integer-micro sum
+    * are exactly [[ivfPqTopK]]'s.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, books: DataFrame, centroids: DataFrame,
+      vecCol: String, m: Int, dims: Int, nprobe: Int, k: Int): DataFrame = {
+    import graft.similarity.Ann.{dot, norm}
+    val cells = coarseCells(corpus, vecCol, centroids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("ccos", dot(col(vecCol), col("cent_emb")) /
+        (norm(col(vecCol)) * norm(col("cent_emb"))))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col(vecCol), col("cent_emb"),
+          (x, c) => x.cast("double") / norm(col(vecCol)) -
+            c.cast("double") / norm(col("cent_emb"))).as("qrvec"))
+    val d = dims / m
+    val sub = queries.sparkSession.range(m).select(col("id").cast("int").as("m"))
+    val adc = probes.crossJoin(sub)
+      .select(col("query_id"), col("centroid_id"), col("m"),
+        slice(col("qrvec"), col("m") * d + 1, lit(d)).as("qsub"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("centroid_id"), col("m"), col("code"),
+        round(sqDist(col("qsub"), col("cvec")) * 1e6).cast("bigint")
+          .as("dist_micro"))
+    val allowed = probes.select("query_id", "centroid_id")
+      .join(cells.select(col("vec_id").as("corpus_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val scored = allowed
+      .join(codes.select(col("vec_id").as("corpus_id"), col("m"), col("code")),
+        Seq("corpus_id"))
+      .join(broadcast(adc), Seq("query_id", "centroid_id", "m", "code"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum("dist_micro").as("adist_micro"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_micro"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adist_micro"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Residual IVF-PQ with exact re-ranking — [[ivfPqResidualTopK]]
+    * shortlists from residual codes, floats fetched only for
+    * shortlist × queries rows ([[ivfPqRerankTopK]]'s refine stage).
+    */
+  def ivfPqResidualRerankTopK(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, books: DataFrame, centroids: DataFrame,
+      vecCol: String, m: Int, dims: Int, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    import graft.similarity.Ann.{dot, norm}
+    require(shortlist >= k, s"shortlist must be >= k: $shortlist, $k")
+    val cand = ivfPqResidualTopK(queries, corpus, codes, books, centroids,
+      vecCol, m, dims, nprobe, shortlist)
+      .select("query_id", "corpus_id")
+    val rescored = cand
+      .join(queries.select(col("vec_id").as("query_id"),
+        col(vecCol).as("q_emb")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col(vecCol).as("c_emb")), Seq("corpus_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
+        (norm(col("q_emb")) * norm(col("c_emb"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** IVF-PQ with exact re-ranking — the full production retrieval shape
     * (FAISS's refine stage): [[ivfPqTopK]] shortlists `shortlist`
     * candidates per query from the compressed codes, then ONLY those

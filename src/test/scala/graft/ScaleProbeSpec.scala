@@ -312,6 +312,39 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("residual IVF-PQ (refine + residuals + encode + per-cell ADC) " +
+      "grows ~N^1.5 over 10x vectors, no pair-space cliff") {
+    import org.apache.spark.sql.functions.col
+    // same regime as the raw IVF-PQ probe; the residual path adds the
+    // coarse refine (N x cells — the same super-linear term as
+    // assignment) and the per-(query, probed-cell) ADC tables (queries
+    // x nprobe x m x k — corpus-independent)
+    val small = synthEmbeddings(SmallN, centers = 250)
+    val big = synthEmbeddings(BigN, centers = 2500)
+    def run(df: DataFrame, centroidEvery: Int): Long = {
+      val medoids = df.filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cent_emb"))
+      val cents = graft.similarity.Ann.refineCentroids(df, medoids,
+        iters = 1)
+      val res = graft.similarity.Quantize.residuals(df, "embedding", cents)
+        .localCheckpoint()
+      val rb = graft.similarity.Quantize.refineCodebooks(res, "rvec",
+        graft.similarity.Quantize.residualCodebooks(
+          res, m = 4, k = 16, step = 25, dims = 16),
+        m = 4, dims = 16, iters = 1)
+      val rc = graft.similarity.Quantize.pqEncode(res, "rvec", rb,
+        m = 4, dims = 16)
+      graft.similarity.Quantize.ivfPqResidualTopK(
+        df.filter(col("vec_id") < 5), df, rc, rb, cents, "embedding",
+        m = 4, dims = 16, nprobe = 4, k = 5).count()
+    }
+    try {
+      val r = ratioOf(run(small, 32), run(big, 101), "ivfpq_residual")
+      assert(r < 60, s"residual IVF-PQ 10x growth ratio $r suggests a cliff")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("bitext margin mining stays LSH-bounded over 10x vectors " +
       "(candidates ~ bucket collisions, never |src| x |tgt|)") {
     import org.apache.spark.sql.functions.col

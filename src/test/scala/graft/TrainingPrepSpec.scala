@@ -141,6 +141,51 @@ class TrainingPrepSpec extends SparkSpec {
       dupTop.map(_.getAs[Long]("adist_micro")).min)
   }
 
+  test("residual IVF-PQ: offset seeds avoid the zero-residual medoid trap; a duplicate of the query wins the per-cell ADC ranking") {
+    val emb = Tables.embeddings(spark, sf())
+    val medoids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cent_emb"))
+    val cents = graft.similarity.Ann.refineCentroids(emb, medoids,
+      iters = 2).localCheckpoint()
+    val res = Quantize.residuals(emb, "embedding", cents).localCheckpoint()
+    assert(res.count() == emb.count()) // one residual row per vector
+    val seeds = Quantize.residualCodebooks(res, m = 8, k = 16, step = 25,
+      dims = 64)
+    assert(seeds.count() == 8 * 16)
+    // the seed-offset fix: seeding ON the medoid grid would fill the
+    // book with (near-)zero residuals — no seed subvector may be
+    // numerically zero (measured as a recall LOSS vs raw PQ when it was)
+    assert(seeds.filter(aggregate(col("cvec"), lit(0.0),
+      (a, v) => a + abs(v)) < lit(1e-9)).count() == 0)
+    val rb = Quantize.refineCodebooks(res, "rvec", seeds, m = 8, dims = 64,
+      iters = 1)
+    val rc = Quantize.pqEncode(res, "rvec", rb, m = 8, dims = 64)
+    val top = Quantize.ivfPqResidualTopK(emb.filter(col("vec_id") < 3),
+      emb, rc, rb, cents, "embedding", m = 8, dims = 64, nprobe = 4,
+      k = 5).collect()
+    assert(top.length == 15)
+    assert(top.forall(r => r.getAs[Long]("query_id") !=
+      r.getAs[Long]("corpus_id")))
+    // a duplicate of the query lands in the query's own cell (same
+    // cosine ranking), carries the query's residual, quantizes to the
+    // query's own per-subspace argmin codes — so it must achieve the
+    // global minimum ADC distance among all probed candidates
+    import spark.implicits._
+    val dup = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(1000L))
+    val corpus2 = emb.union(dup)
+    val rc2 = Quantize.pqEncode(
+      Quantize.residuals(corpus2, "embedding", cents), "rvec", rb,
+      m = 8, dims = 64)
+    val out = Quantize.ivfPqResidualTopK(emb.filter(col("vec_id") === 7),
+      corpus2, rc2, rb, cents, "embedding", m = 8, dims = 64, nprobe = 4,
+      k = 400).collect()
+    val dupRow = out.find(_.getAs[Long]("corpus_id") == 1000L).get
+    assert(dupRow.getAs[Long]("adist_micro") ==
+      out.map(_.getAs[Long]("adist_micro")).min)
+  }
+
   test("oovRate: zero against a covering vocab, counts consistent, ratio exact") {
     import spark.implicits._
     val out = TrainingPrep.oovRate(docs, "doc_id", "text", vocabSize = 32)
