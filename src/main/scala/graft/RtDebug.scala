@@ -5,12 +5,14 @@ package graft
   */
 object RtDebug {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+    val builder = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
+      builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val t0 = System.nanoTime()

@@ -10,12 +10,19 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: cluster-honesty override (e.g.
+    // local-cluster[2,8,8192] — separate executor JVMs, real
+    // serialization + shuffle transport). Executors of a local-cluster
+    // need the app classes on their classpath:
+    // SPARK_GRAFT_EXECUTOR_CLASSPATH=target/scala-2.13/classes
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
+      builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // a typo'd filter name would otherwise yield an empty run that looks

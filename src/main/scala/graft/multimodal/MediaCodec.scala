@@ -742,6 +742,227 @@ object MediaCodec {
       Some(frames * spf), Some(frames * spf * 1000000L / rate)))
   }
 
+  // ---------- MP3 Layer III side info (global_gain energy envelope) -----
+  //
+  // ISO 11172-3 §2.4.1.7 / 13818-3 §2.4.1.7: directly after a Layer III
+  // frame header (+ optional CRC) sits the side-info block, carrying a
+  // per-granule/channel `global_gain` (8 bits) — the quantizer step size
+  // that tracks the granule's ENERGY. A re-encode at another bitrate
+  // re-quantizes the same audio: every payload byte and frame size
+  // changes (td106's content fingerprint cannot match them), but the
+  // gain CONTOUR — whether each granule is louder than its predecessor —
+  // survives, because any encoder's gain follows the audio's energy
+  // envelope (a constant encoder offset cancels in the comparisons).
+  // Reading global_gain needs only FIXED bit offsets inside the side
+  // info (no Huffman tables, no filterbank):
+  //   MPEG1: main_data_begin 9, private (mono 5 / stereo 3),
+  //          scfsi 4·nch, then ngr=2 × nch blocks of 59 bits each —
+  //          part2_3_length 12, big_values 9, GLOBAL_GAIN 8, ...
+  //          (side info 17 bytes mono / 32 stereo)
+  //   MPEG2: main_data_begin 8, private (mono 1 / stereo 2), ngr=1,
+  //          per channel 63 bits — same leading field order
+  //          (side info 9 bytes mono / 17 stereo)
+
+  private def sideInfoBits(mpeg1: Boolean, nch: Int): (Int, Int, Int) = {
+    // (header bits, bits per granule-channel block, granules per frame)
+    if (mpeg1) (9 + (if (nch == 1) 5 else 3) + 4 * nch, 59, 2)
+    else (8 + (if (nch == 1) 1 else 2), 63, 1)
+  }
+
+  private def setBits(buf: Array[Byte], bitOff: Int, width: Int,
+      value: Int): Unit = {
+    var i = 0
+    while (i < width) {
+      if (((value >> (width - 1 - i)) & 1) != 0) {
+        val p = bitOff + i
+        buf(p >> 3) = (buf(p >> 3) | (0x80 >> (p & 7))).toByte
+      }
+      i += 1
+    }
+  }
+
+  private def getBits(b: Array[Byte], bitOff: Int, width: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < width) {
+      val p = bitOff + i
+      v = (v << 1) | ((b(p >> 3) >> (7 - (p & 7))) & 1)
+      i += 1
+    }
+    v
+  }
+
+  /** A frame's side-info block with the given per-(granule, channel)
+    * global gains and every other field zero (part2_3_length = 0: the
+    * frame declares no main data — a conforming decoder renders
+    * silence, which is exactly what a synthesis fixture needs).
+    * `gains.length` must be granules × channels (MPEG1: 2·nch).
+    */
+  private[graft] def mp3BitrateIndex(row: Int, kbps: Int): Int =
+    Mp3BitrateL3(row).indexOf(kbps)
+  private[graft] def mp3RateIndex(versionBits: Int, rate: Int): Int =
+    Mp3Rates(versionBits).indexOf(rate)
+
+  private[graft] def mp3SideInfo(gains: Seq[Int], nch: Int,
+      mpeg1: Boolean): Array[Byte] = {
+    val (hdr, block, ngr) = sideInfoBits(mpeg1, nch)
+    require(gains.length == ngr * nch,
+      s"need ${ngr * nch} gains, got ${gains.length}")
+    require(gains.forall(g => g >= 0 && g <= 255), s"8-bit gains: $gains")
+    val buf = new Array[Byte]((hdr + block * ngr * nch + 7) / 8)
+    gains.zipWithIndex.foreach { case (g, i) =>
+      setBits(buf, hdr + i * block + 21, 8, g) // past part2_3_length+big_values
+    }
+    buf
+  }
+
+  /** Per-granule global gains of a Layer III stream (channel-averaged,
+    * integer floor), via the same frame-chain walk as
+    * [[mp3ContentFingerprint]] — header + side-info bits only, no
+    * entropy decode. None when no frame parses or a frame is too short
+    * to hold its side info.
+    */
+  def mp3GranuleGains(b: Array[Byte]): Option[Array[Int]] = {
+    var pos = id3v2Size(b)
+    if (!mp3Sync(b, pos)) return None
+    val h1 = b(pos + 1) & 0xFF
+    val versionBits = (h1 >> 3) & 0x3
+    if (versionBits == 1 || ((h1 >> 1) & 0x3) != 1) return None
+    val mpeg1 = versionBits == 3
+    val row = if (mpeg1) 0 else 1
+    val rates = Mp3Rates(versionBits)
+    val coef = if (mpeg1) 144000 else 72000
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var ok = true
+    while (ok && mp3Sync(b, pos)) {
+      val crc = ((b(pos + 1) & 0x1) == 0)
+      val h2 = b(pos + 2) & 0xFF
+      val bi = (h2 >> 4) & 0xF
+      val si = (h2 >> 2) & 0x3
+      val padding = (h2 >> 1) & 0x1
+      val nch = if (((b(pos + 3) & 0xFF) >> 6) == 3) 1 else 2
+      if (bi == 0 || bi == 15 || si == 3) ok = false
+      else {
+        val len = coef * Mp3BitrateL3(row)(bi) / rates(si) + padding
+        val (hdr, block, ngr) = sideInfoBits(mpeg1, nch)
+        val sideBytes = (hdr + block * ngr * nch + 7) / 8
+        val sideStart = pos + 4 + (if (crc) 2 else 0)
+        if (len <= 4 || pos + len > b.length ||
+          sideStart + sideBytes > pos + len) ok = false
+        else {
+          var g = 0
+          while (g < ngr) {
+            var sum = 0
+            var c = 0
+            while (c < nch) {
+              sum += getBits(b, sideStart * 8 +
+                hdr + (g * nch + c) * block + 21, 8)
+              c += 1
+            }
+            out += sum / nch
+            g += 1
+          }
+          pos += len
+        }
+      }
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** Re-encode-robust audio fingerprint: the per-granule global-gain
+    * CONTOUR — bit i = 1 iff gain(i+1) > gain(i) — packed MSB-first
+    * into 64-bit words, plus the granule count. Invariant under a
+    * constant encoder gain offset and under per-granule gain noise
+    * smaller than the envelope's step; changes with the audio's energy
+    * envelope. Two files of the same audio at different bitrates share
+    * it; different audio does not.
+    */
+  def mp3EnergyContour(b: Array[Byte]): Option[(Int, Array[Long])] =
+    mp3GranuleGains(b).map { gains =>
+      val n = gains.length
+      val words = new Array[Long]((math.max(n - 1, 1) + 63) / 64)
+      var i = 0
+      while (i < n - 1) {
+        if (gains(i + 1) > gains(i))
+          words(i >> 6) |= 0x8000000000000000L >>> (i & 63)
+        i += 1
+      }
+      (n, words)
+    }
+
+  /** Deterministic MP3 re-encode twin (the td109 fixture, td107's twin
+    * discipline for audio): contentId = id/3 fixes a granule-energy
+    * envelope (a reflecting walk with steps of 5–8 gain units, 48–64
+    * granules); the id%3 variant re-"encodes" it — different bitrate
+    * (112/128/160), a constant gain offset (0/+3/−3), per-granule gain
+    * jitter in {−1,0,+1} and disjoint payload filler bytes (variant 1
+    * also wears an ID3v2 tag). Steps ≥5 with jitter spread ≤2 mean the
+    * CONTOUR comparisons can never flip — variants share
+    * [[mp3EnergyContour]] exactly while no payload byte survives —
+    * and the ≥47-bit contour keeps distinct families collision-free
+    * far past any gate corpus.
+    */
+  def synthesizeMp3Twin(id: Long): Array[Byte] = {
+    val contentId = id / 3
+    val v = (id % 3).toInt
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val ngr = 48 + 2 * ((contentId % 9).toInt) // even: MPEG1 = 2 gr/frame
+    val base = new Array[Int](ngr)
+    base(0) = 80 + (contentId % 48).toInt
+    var i = 1
+    while (i < ngr) {
+      val step = 5 + (mix(contentId * 1009L + i) & 3L).toInt // 5..8
+      val up =
+        if (base(i - 1) + step > 210) false
+        else if (base(i - 1) - step < 40) true
+        else (mix(contentId * 31L + i * 7L) & 1L) == 0L
+      base(i) = if (up) base(i - 1) + step else base(i - 1) - step
+      i += 1
+    }
+    val bitrate = v match { case 0 => 112; case 1 => 128; case _ => 160 }
+    val offset = v match { case 0 => 0; case 1 => 3; case _ => -3 }
+    val gains = base.indices.map(g => base(g) + offset +
+      ((mix(contentId * 131L + v * 17L + g * 13L) % 3L).toInt + 3) % 3 - 1)
+    val frames = ngr / 2
+    val sampleRate = 44100
+    val frameLen = 144000 * bitrate / sampleRate
+    val bi = Mp3BitrateL3(0).indexOf(bitrate)
+    val si = Mp3Rates(3).indexOf(sampleRate)
+    val out = new java.io.ByteArrayOutputStream()
+    if (v == 1) { // ID3 retag on one variant: the walk must skip it
+      val id3Bytes = 64
+      val tagBuf = new Array[Byte](10 + id3Bytes)
+      putTag(tagBuf, 0, "ID3")
+      tagBuf(3) = 4
+      tagBuf(9) = id3Bytes.toByte
+      out.write(tagBuf)
+    }
+    var f = 0
+    while (f < frames) {
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte
+      frame(1) = (0xE0 | (3 << 3) | (1 << 1) | 1).toByte // MPEG1 L3, no CRC
+      frame(2) = ((bi << 4) | (si << 2)).toByte
+      frame(3) = 0xC0.toByte // mono
+      val side = mp3SideInfo(Seq(gains(2 * f), gains(2 * f + 1)), nch = 1,
+        mpeg1 = true)
+      System.arraycopy(side, 0, frame, 4, side.length)
+      var p = 4 + side.length
+      while (p < frameLen) { // variant-disjoint filler: no shared bytes
+        frame(p) = (mix(id * 8191L + f * 521L + p) & 0xFFL).toByte
+        p += 1
+      }
+      out.write(frame)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   // ---------- MP4 / ISO-BMFF (box walk; no codec payload) ----------
   //
   // ISO 14496-12 box structure: [u32 size][4cc type][payload], sizes

@@ -409,6 +409,34 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate CLUSTERS over COMPRESSED audio — the
+    * td107 discipline for the crawl-dominant audio case: an MP3
+    * re-encode of the same audio at another bitrate shares no payload
+    * byte (td106's content fingerprints can't cluster it) and has no
+    * PCM to hand td49's WAV fingerprint — but its Layer III side info
+    * still carries the per-granule global-gain energy envelope, read at
+    * fixed bit offsets with no entropy decode
+    * ([[MediaCodec.mp3EnergyContour]]). Per-row header walk + ONE
+    * groupBy on (n_granules, contour) — no pairwise stage, cluster
+    * cardinality bounded; same scale shape as [[imageNearDupClusters]].
+    */
+  def audioNearDupClusters(assets: Dataset[Asset])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val keyed = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        MediaCodec.mp3EnergyContour(a.bytes).map { case (n, words) =>
+          (a.asset_id, n, words.map(w => f"$w%016x").mkString)
+        }
+      }
+    }.toDF("asset_id", "n_granules", "contour")
+    keyed.groupBy("n_granules", "contour")
+      .agg(min("asset_id").as("rep_id"),
+        count(lit(1)).as("n_members"),
+        sum("asset_id").as("sum_ids"))
+      .select("rep_id", "n_granules", "n_members", "sum_ids")
+  }
+
   /** Audio energy-contour fingerprint — [[imageAHash]]'s PCM twin (the
     * first stage of Shazam-style audio matching): samples split into
     * `frames` equal time blocks, each block's mean |amplitude| (integer

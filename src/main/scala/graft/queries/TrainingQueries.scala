@@ -679,6 +679,26 @@ object TrainingQueries {
         .orderBy("asset_id")
     }),
 
+    // Perceptual near-dup of RE-ENCODED compressed audio (the symmetric
+    // gap to td107): synthesize 3 MP3 "encodings" of one granule-energy
+    // envelope per content family — different bitrates, constant gain
+    // offsets, per-granule gain jitter, disjoint payload bytes, one
+    // ID3-retagged — and cluster on the side-info global-gain contour
+    // (MediaCodec.mp3EnergyContour; fixed-bit-offset side-info read, no
+    // entropy decode). The oracle predicts every cluster from the
+    // twin-rule id arithmetic; matching requires the frame walk, the
+    // ISO 11172-3 side-info bit layout and the contour rule all correct.
+    "td109_mp3_reencode_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { d =>
+          graft.multimodal.Multimodal.Asset(d, "audio",
+            graft.multimodal.MediaCodec.synthesizeMp3Twin(d), "synth")
+        }
+      graft.multimodal.Multimodal.audioNearDupClusters(assets)(s)
+        .orderBy("rep_id")
+    }),
+
     // Boilerplate REMOVAL (C4-style cleaning rewrite): delete every token
     // covered by a shared 5-gram (≥3 docs), reassemble survivors in
     // order. The rewrite half of td22's exposure counts.
@@ -2212,6 +2232,21 @@ object TrainingQueries {
       """SELECT min(doc_id) AS rep_id,
         |  CAST(32 * (1 + (doc_id // 3) % 16) AS INT) AS width,
         |  CAST(32 * (1 + ((doc_id // 3) % 256) // 16) AS INT) AS height,
+        |  count(*) AS n_members,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY doc_id // 3
+        |ORDER BY rep_id""".stripMargin,
+
+    // td109: variants of one audio family share the side-info gain
+    // contour by the twin rule (steps >= 5, jitter spread <= 2 — the
+    // comparisons cannot flip), so clusters = families; n_granules from
+    // the family arithmetic. Membership is the proof: it requires the
+    // frame-chain walk, the ID3 skip, the 11172-3 side-info bit offsets
+    // and the contour comparison all correct on every asset.
+    "td109_mp3_reencode_neardup" ->
+      """SELECT min(doc_id) AS rep_id,
+        |  CAST(48 + 2 * ((doc_id // 3) % 9) AS INT) AS n_granules,
         |  count(*) AS n_members,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents

@@ -608,6 +608,81 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.mp3ContentFingerprint("nope".getBytes).isEmpty)
   }
 
+  test("mp3 side info: ISO 11172-3 bit layout round-trips global_gain for MPEG1 mono/stereo and MPEG2 mono") {
+    def frame(versionBits: Int, bitrate: Int, rate: Int, mono: Boolean,
+        gains: Seq[Int]): Array[Byte] = {
+      val row = if (versionBits == 3) 0 else 1
+      val coef = if (versionBits == 3) 144000 else 72000
+      val bi = MediaCodec.mp3BitrateIndex(row, bitrate)
+      val si = MediaCodec.mp3RateIndex(versionBits, rate)
+      val len = coef * bitrate / rate
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte
+      f(1) = (0xE0 | (versionBits << 3) | (1 << 1) | 1).toByte
+      f(2) = ((bi << 4) | (si << 2)).toByte
+      f(3) = (if (mono) 0xC0 else 0x00).toByte
+      val side = MediaCodec.mp3SideInfo(gains, if (mono) 1 else 2,
+        mpeg1 = versionBits == 3)
+      System.arraycopy(side, 0, f, 4, side.length)
+      f
+    }
+    // MPEG1 mono: 2 granules/frame, exact recovery over two frames
+    val m1 = frame(3, 128, 44100, mono = true, Seq(100, 155)) ++
+      frame(3, 128, 44100, mono = true, Seq(42, 203))
+    assert(MediaCodec.mp3GranuleGains(m1).get.toSeq ==
+      Seq(100, 155, 42, 203))
+    // MPEG1 stereo: gains per (granule, channel), reader averages
+    // channels — gr0 (80, 90) -> 85, gr1 (200, 100) -> 150
+    val st = frame(3, 128, 44100, mono = false, Seq(80, 90, 200, 100))
+    assert(MediaCodec.mp3GranuleGains(st).get.toSeq == Seq(85, 150))
+    // MPEG2 (LSF) mono: 1 granule/frame, 9-byte side info
+    val m2 = frame(2, 64, 22050, mono = true, Seq(77)) ++
+      frame(2, 64, 22050, mono = true, Seq(190))
+    assert(MediaCodec.mp3GranuleGains(m2).get.toSeq == Seq(77, 190))
+    // a frame too short to hold its side info declines instead of
+    // reading past the frame (8 kbps MPEG2 mono = 72-byte frames is
+    // fine; hand-truncate the chain instead)
+    assert(MediaCodec.mp3GranuleGains(m1.take(10)).isEmpty)
+    assert(MediaCodec.mp3GranuleGains("nope".getBytes).isEmpty)
+  }
+
+  test("synthesizeMp3Twin: re-encoded variants share the energy contour, families separate, content fingerprints differ") {
+    val nFamilies = 60
+    val perFamily = (0 until nFamilies).map { c =>
+      val variants = (0 until 3).map(v =>
+        MediaCodec.synthesizeMp3Twin(3L * c + v))
+      // different bitrates + filler: no variant is a byte-copy, and the
+      // CONTENT fingerprints (payload hashes) all differ
+      assert(variants.map(_.toSeq).distinct.size == 3)
+      val cfps = variants.map(b =>
+        MediaCodec.mp3ContentFingerprint(b).get.toSeq)
+      assert(cfps.distinct.size == 3,
+        "re-encodes must not share payload fingerprints")
+      // ...but the side-info energy contour is IDENTICAL
+      val contours = variants.map(b => MediaCodec.mp3EnergyContour(b).get)
+      assert(contours.map { case (n, w) => (n, w.toSeq) }.distinct.size == 1,
+        s"family $c variants must share the contour")
+      contours.head
+    }
+    // distinct families never collide (47+ contour bits)
+    assert(perFamily.map { case (n, w) => (n, w.toSeq) }.distinct.size ==
+      nFamilies)
+    // granule count follows the family rule
+    assert(perFamily.head._1 == 48)
+    // the full operator recovers the twin rule end to end
+    implicit val s = spark
+    import s.implicits._
+    val assets = s.range(3L * nFamilies).as[Long]
+      .map(d => graft.multimodal.Multimodal.Asset(d, "audio",
+        MediaCodec.synthesizeMp3Twin(d), "synth"))
+    val clusters = graft.multimodal.Multimodal.audioNearDupClusters(assets)
+      .collect()
+    assert(clusters.length == nFamilies)
+    assert(clusters.forall(_.getAs[Long]("n_members") == 3L))
+    assert(clusters.map(_.getAs[Long]("rep_id")).sorted.toSeq ==
+      (0 until nFamilies).map(3L * _))
+  }
+
   test("mp4 content fingerprint: invariant under re-chunking and " +
       "free-box padding (every stco offset moves), sensitive to a " +
       "sample byte; stsc/stsz/stco resolve the exact sample ranges") {

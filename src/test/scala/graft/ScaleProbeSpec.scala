@@ -748,6 +748,25 @@ class ScaleProbeSpec extends SparkSpec {
     } finally { small.unpersist(); big.unpersist() }
   }
 
+  test("MP3 perceptual near-dup clusters grow near-linearly over 10x assets (per-row side-info walk + one groupBy)") {
+    import spark.implicits._
+    def synthAssets(n: Int) = spark.range(n)
+      .as[Long].map { d =>
+        graft.multimodal.Multimodal.Asset(d, "audio",
+          graft.multimodal.MediaCodec.synthesizeMp3Twin(d), "synth")
+      }.cache()
+    val small = synthAssets(SmallN)
+    val big = synthAssets(BigN)
+    try {
+      val r = ratioOf(
+        graft.multimodal.Multimodal.audioNearDupClusters(small)(spark).count(),
+        graft.multimodal.Multimodal.audioNearDupClusters(big)(spark).count(),
+        "mp3-neardup")
+      assert(r < 30,
+        s"mp3 perceptual near-dup 10x growth ratio $r — side-info walk or cluster stage went superlinear")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("KN trigram surprisal grows near-linearly over 10x docs (distinct-ngram model tables + equi-joins)") {
     val small = synthDocs(SmallN)
     val big = synthDocs(BigN)
