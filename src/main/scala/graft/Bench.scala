@@ -179,6 +179,31 @@ object Bench {
     val msSlots = sys.env.getOrElse("SPARK_GRAFT_RT_SLOTS", "4")
     val msLanes = sys.env.getOrElse("SPARK_GRAFT_RT_LANES_PER_SLOT", "8")
 
+    // Paced latency-vs-throughput curve: delivered p50/p99 at fixed
+    // arrival rates, BOTH regimes (micro-batch runtime / low-latency
+    // tail) — maps the regime boundary between the two published
+    // latency points; (-1, -1) marks a rate the regime cannot sustain
+    // (the tail's documented hand-off to the micro-batch runtime).
+    val pacedRates = sys.env.getOrElse("SPARK_GRAFT_RT_PACED_RATES",
+      "1000,5000,20000").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val pacedJson = pacedRates.flatMap { r =>
+      def arm(tail: Boolean): (Double, Double) =
+        try RuntimeBench.pacedLatency(spark, r, seconds = 10, tail = tail)
+        catch { case _: Throwable => (-1.0, -1.0) }
+      val mb = arm(tail = false)
+      val tl = arm(tail = true)
+      val k = if (r >= 1000) s"${r / 1000}k" else r.toString
+      Seq(
+        s""""runtime_paced_mb_${k}_ms_p50":${"%.1f".format(mb._1)}""",
+        s""""runtime_paced_mb_${k}_ms_p99":${"%.1f".format(mb._2)}""",
+        s""""runtime_paced_tail_${k}_ms_p50":${"%.1f".format(tl._1)}""",
+        s""""runtime_paced_tail_${k}_ms_p99":${"%.1f".format(tl._2)}""")
+    } match {
+      case Seq() => ""
+      case fields => fields.mkString(",", ",", "")
+    }
+
     // ANN quality tracking: recall@10 of the approximate paths vs the
     // exact brute-force ranking on the same 20 queries — runtime numbers
     // alone would hide a recall regression (e.g. a centroid-seeding
@@ -463,7 +488,7 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)},"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)}$pacedJson,"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

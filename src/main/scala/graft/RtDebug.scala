@@ -27,6 +27,17 @@ object RtDebug {
       val r = RuntimeBench.latencyTail(spark, samples = 30)
       mark(s"tail latency p50=${r._1}ms p99=${r._2}ms")
     }
+    else if (sys.env.get("RTDBG_PACED").contains("1")) {
+      sys.env.getOrElse("SPARK_GRAFT_RT_PACED_RATES", "1000,5000,20000")
+        .split(",").map(_.trim.toInt).foreach { r =>
+          val mb = RuntimeBench.pacedLatency(spark, r, seconds = 10,
+            tail = false)
+          mark(f"paced mb   $r%6d ev/s: p50=${mb._1}%.1fms p99=${mb._2}%.1fms")
+          val tl = RuntimeBench.pacedLatency(spark, r, seconds = 10,
+            tail = true)
+          mark(f"paced tail $r%6d ev/s: p50=${tl._1}%.1fms p99=${tl._2}%.1fms")
+        }
+    }
     else if (sys.env.get("RTDBG_FANOUT").contains("1")) {
       val consumers =
         sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8").toInt

@@ -581,6 +581,94 @@ object RuntimeBench {
     } finally srv.stop()
   }
 
+  /** Paced latency-vs-throughput curve — the regime map between the two
+    * published points (sub-100 ms at ~1 ev/s on the low-latency tail;
+    * ~400 ms at 68k ev/s on the micro-batch runtime): events arrive at a
+    * FIXED rate, one spool segment per 100 ms with rate/10 events, and
+    * each segment's drain latency is arrival→its-last-XADD. Returns
+    * (p50, p99) ms over the settled segments, or (-1, -1) when fewer
+    * than half drained inside the window + grace — the rate is
+    * UNSUSTAINABLE in that regime, which for the driver-serial tail is
+    * the documented hand-off point to the micro-batch runtime.
+    */
+  private[graft] def pacedLatency(spark: SparkSession, rate: Int,
+      seconds: Int, tail: Boolean): (Double, Double) = {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("bench_rtp").toString
+    val srv = new LoopbackRedis
+    try {
+      val warm = 1000
+      val warmFrames = PgStream.Frame("slot", 0L,
+        PgOutput.encode(relation)) +:
+        (0 until warm).flatMap(i => txn(i.toLong))
+      WalSpool.writeSegment(dir, WalSpool.segmentName(0), warmFrames)
+      val per = math.max(1, rate / 10)
+      val nSeg = seconds * 10
+      // pre-encode: the measured window is the runtime, not the feeder
+      val segs = (1 to nSeg).map { idx =>
+        (idx, (0 until per).flatMap(i =>
+          txn((warm + (idx - 1).toLong * per + i).toLong)))
+      }
+      val stop = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      try {
+        if (tail) {
+          val (h, _) = ConsumerRuntime.startLowLatencyTail(
+            dir, batchEnvelope(spark),
+            benchCfg("rtpaced", grouped = true).copy(lowLatency = true),
+            SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+            new config.Metrics.Registry(), new config.Health.Registry(),
+            "rtpaced")(spark)
+          stop += (() => h.stop())
+        } else {
+          val h = startRuntime(dir, srv.port, grouped = true)(spark)
+          stop += (() => h.stop())
+        }
+        if (!await(() => srv.xadds.get() >= warm, 120000L))
+          return (-1.0, -1.0)
+        // monitor thread: timestamp the instant each segment's CUMULATIVE
+        // delivered count lands (counts are monotone; thresholds in order)
+        val doneNs = new java.util.concurrent.atomic.AtomicLongArray(nSeg)
+        val monitor = new Thread(() => {
+          var seg = 0
+          while (seg < nSeg && !Thread.interrupted()) {
+            if (srv.xadds.get() >= warm.toLong + (seg + 1).toLong * per) {
+              doneNs.set(seg, System.nanoTime())
+              seg += 1
+            } else java.util.concurrent.locks.LockSupport.parkNanos(100000L)
+          }
+        }, "rtpaced-monitor")
+        monitor.setDaemon(true)
+        monitor.start()
+        val writeNs = new Array[Long](nSeg)
+        val t0 = System.nanoTime()
+        segs.foreach { case (idx, fr) =>
+          // absolute schedule: a slow system makes LATENCY grow, it does
+          // not slow the arrival rate down
+          val target = t0 + (idx - 1).toLong * 100000000L
+          var now = System.nanoTime()
+          while (now < target) {
+            java.util.concurrent.locks.LockSupport.parkNanos(
+              math.min(target - now, 2000000L))
+            now = System.nanoTime()
+          }
+          writeNs(idx - 1) = System.nanoTime()
+          WalSpool.writeSegment(dir, WalSpool.segmentName(idx), fr)
+        }
+        await(() => doneNs.get(nSeg - 1) != 0L, 30000L) // drain grace
+        monitor.interrupt()
+        if (sys.env.contains("GRAFT_RTDBG"))
+          println(s"[rtpaced-dbg] rate=$rate tail=$tail xadds=" +
+            s"${srv.xadds.get()} expected=${warm + nSeg.toLong * per}")
+        val settled = (10 until nSeg).filter(i => doneNs.get(i) != 0L)
+          .map(i => (doneNs.get(i) - writeNs(i)) / 1e6).sorted
+        if (settled.length < (nSeg - 10) / 2) (-1.0, -1.0)
+        else (settled(settled.length / 2),
+          settled(math.min(settled.length - 1,
+            math.ceil(settled.length * 0.99).toInt - 1)))
+      } finally stop.foreach(f => try f() catch { case _: Throwable => () })
+    } finally srv.stop()
+  }
+
   def run(spark: SparkSession): Result = {
     val n = sys.env.get("SPARK_GRAFT_RT_EVENTS").map(_.toInt)
       .getOrElse(500000)

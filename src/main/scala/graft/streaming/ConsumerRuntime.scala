@@ -328,6 +328,11 @@ object ConsumerRuntime {
     // start (backfill catch-up) never pays a single-connection batch.
     private var lastBatchRows: Long = Long.MaxValue
     private val SmallBatchRows = 256L
+    // fast-path cutoff for COUNTED dispatches (the tail hands the exact
+    // size): see deliverBody — the cached narrow plan + one ordered
+    // connection beats a per-segment plan rebuild up to several
+    // thousand rows
+    private val TailFastPathRows = 8192L
     // an Observation whose metric had not landed by the end of its own
     // batch — re-read at the START of the next batch (the listener bus
     // has certainly delivered it by then) so lastBatchRows never goes
@@ -525,6 +530,16 @@ object ConsumerRuntime {
       // a known current size beats the previous batch's: the dispatch
       // shape below is chosen for THIS batch
       knownN.foreach(n => lastBatchRows = n)
+      // counted dispatches (the low-latency tail) keep the single-
+      // connection fast path MUCH longer than foreachBatch's 256: the
+      // tail's whole value is the cached shuffle-free plan, and leaving
+      // it means a full Catalyst rebuild per segment — measured as the
+      // tail saturating at ~2.5k ev/s (p50 8.3 s at a paced 5k) while
+      // the same rate on the fast path holds sub-100 ms. One ordered
+      // connection delivers thousands of rows in single-digit ms; the
+      // wide parallel-connection shape only wins far past this cutoff.
+      val fastPathCutoff =
+        if (knownN.isDefined) TailFastPathRows else SmallBatchRows
       // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
       // Spark action, straight off the distributed pipeline plan
       // (events never round-trip through the driver). Per-group
@@ -545,7 +560,7 @@ object ConsumerRuntime {
       val obsOpt =
         if (knownN.isDefined) None
         else Some(org.apache.spark.sql.Observation())
-      val smallPath = cfg.messageGrouping && lastBatchRows <= SmallBatchRows
+      val smallPath = cfg.messageGrouping && lastBatchRows <= fastPathCutoff
       // PLAN REUSE: the low-latency tail dispatches the SAME feed-backed
       // DataFrame object every segment, so the delivery plan (pipeline +
       // wire framing + transport) is structurally identical each time —
@@ -598,8 +613,25 @@ object ConsumerRuntime {
             SinkDispatch.deliverObservedRdd(rdd, metrics, health,
               consumerId, cfg.name)
           case None if knownN.isDefined =>
-            val rdd = buildDs.rdd
-            dispatchCache = Some((deduped, smallPath, rdd))
+            val ds = buildDs
+            val rdd = ds.rdd
+            // pin ONLY shuffle-free plans: re-running a pinned RDD whose
+            // lineage holds a ShuffleExchange SKIPS the completed map
+            // stage (Spark reuses registered shuffle outputs), so the
+            // reduce side would redeliver the FIRST batch's rows forever
+            // instead of re-reading the feed file. The single-event fast
+            // path (coalesce(1) + in-partition sort; the 1-partition
+            // dedup satisfies its distribution without an Exchange) is
+            // narrow end-to-end and re-executes from the source each
+            // action; the wide grouped path (repartition on group) is
+            // not — it rebuilds per batch and pays the ~120 ms analysis
+            // only where execution itself dominates anyway.
+            val shuffleFree = ds.queryExecution.executedPlan.collectFirst {
+              case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeLike => e
+            }.isEmpty
+            dispatchCache =
+              if (shuffleFree) Some((deduped, smallPath, rdd)) else None
             SinkDispatch.deliverObservedRdd(rdd, metrics, health,
               consumerId, cfg.name)
           case None =>

@@ -129,6 +129,46 @@ class LowLatencyTailSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("wide segments (> fast-path cutoff) deliver FRESH content per segment — a pinned shuffle plan must not replay its first batch") {
+    // regression: the dispatch cache pinned the wide grouped plan's RDD;
+    // its ShuffleExchange map stage was then SKIPPED on every re-run
+    // (Spark reuses registered shuffle outputs), so each new segment
+    // delivered the FIRST batch's rows again — measured as exactly-2x
+    // delivered counts and zero fresh rows on the paced 5k ev/s probe
+    val dir = java.nio.file.Files.createTempDirectory("lltail_wide").toString
+    val srv = new ScriptedRedis
+    val wide = 8300 // > TailFastPathRows(8192): forces the grouped wide path
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until wide).flatMap(i => txn(i.toLong)))
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailw"),
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailw")(spark)
+    try {
+      assert(awaitCount(srv.xadds, wide), "segment 0 not delivered")
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+        (wide until 2 * wide).flatMap(i => txn(i.toLong)))
+      assert(awaitCount(srv.xadds, 2 * wide), "segment 1 not delivered")
+      WalSpool.writeSegment(dir, WalSpool.segmentName(2),
+        (2 * wide until 2 * wide + 5).flatMap(i => txn(i.toLong)))
+      assert(awaitCount(srv.xadds, 2 * wide + 5), "segment 2 not delivered")
+      assert(state.error.isEmpty, s"tail error: ${state.error}")
+      val idRe = """record\|\{"id":(\d+)""".r // record JSON leads with the pk
+      val ids = srv.xadds.asScala.toSeq.map { x =>
+        idRe.findFirstMatchIn(x)
+          .getOrElse(fail(s"no record id in XADD: $x")).group(1).toLong
+      }
+      // every id delivered exactly once, and the LATER segments' ids are
+      // all present (the stale-replay bug redelivered segment 0 forever)
+      assert(ids.size == 2 * wide + 5, s"XADD count: ${ids.size}")
+      assert(ids.distinct.size == ids.size, "duplicate deliveries")
+      assert(ids.toSet == (0L until (2L * wide + 5)).toSet,
+        s"missing fresh rows: ${(0L until (2L * wide + 5)).toSet -- ids.toSet}")
+    } finally { handle.stop(); srv.stop() }
+  }
+
   test("restart continuity: the tail offset file resumes exactly, no redelivery") {
     val dir = java.nio.file.Files.createTempDirectory("lltail2").toString
     val ckpt = java.nio.file.Files.createTempDirectory("lltail2_ck").toString
