@@ -2470,16 +2470,20 @@ object CoreQueries {
           |FROM r3 JOIN dg ON dg.s = r3.s
           |ORDER BY rank_ppm DESC, node_id LIMIT 50""".stripMargin,
 
+      // MATERIALIZED: ed/dg/o are each referenced 3-5 times; DuckDB
+      // inlines CTEs by default, re-evaluating the whole chain per
+      // reference — at sf1 that exhausted the oracle's buffer pool
+      // (measured: OOM at 80 GB inlined, 70 s inside 40 GB materialized)
       "q66_triangles" ->
-        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
           |  FROM lineitem),
-          |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |ed AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
           |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
           |adj AS (SELECT a AS s, b AS d FROM ed
           |  UNION ALL SELECT b, a FROM ed),
-          |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+          |dg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
           |  FROM adj GROUP BY 1),
-          |o AS (SELECT CASE WHEN da.deg < db.deg
+          |o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg
           |      OR (da.deg = db.deg AND ed.a < ed.b) THEN ed.a
           |      ELSE ed.b END AS s,
           |    CASE WHEN da.deg < db.deg

@@ -1849,12 +1849,12 @@ object TrainingQueries {
          |${ivfRefineCtes(1, "cents0", "cents1")},
          |${ivfRefineCtes(2, "cents1", "cents2")},
          |sub AS (SELECT unnest(range(0, 8)) AS m),
-         |cellassign AS (SELECT vec_id, centroid_id FROM (
+         |cellassign AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
          |  SELECT x.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY x.vec_id
          |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
          |  FROM embeddings x CROSS JOIN cents2 c) WHERE crank = 1),
-         |resid AS (SELECT x.vec_id, a.centroid_id,
+         |resid AS MATERIALIZED (SELECT x.vec_id, a.centroid_id,
          |    list_transform(range(1, 65), i ->
          |      CAST(x.embedding[i] AS DOUBLE) / ${l2norm("x.embedding")} -
          |      CAST(c.cent_emb[i] AS DOUBLE) / ${l2norm("c.cent_emb")})
@@ -1862,13 +1862,13 @@ object TrainingQueries {
          |  FROM embeddings x
          |  JOIN cellassign a ON a.vec_id = x.vec_id
          |  JOIN cents2 c ON c.centroid_id = a.centroid_id),
-         |rbooks0 AS (SELECT m, CAST((vec_id - 12) // 25 AS INT) AS code,
+         |rbooks0 AS MATERIALIZED (SELECT m, CAST((vec_id - 12) // 25 AS INT) AS code,
          |    list_transform(rvec[(m*8+1):(m*8+8)], v -> CAST(v AS REAL))
          |      AS cvec
          |  FROM resid, sub WHERE vec_id % 25 = 12 AND vec_id < 412),
-         |rpieces AS (SELECT vec_id, m, rvec[(m*8+1):(m*8+8)] AS svec
+         |rpieces AS MATERIALIZED (SELECT vec_id, m, rvec[(m*8+1):(m*8+8)] AS svec
          |  FROM resid, sub),
-         |rassign0 AS (SELECT vec_id, m, code, svec FROM (
+         |rassign0 AS MATERIALIZED (SELECT vec_id, m, code, svec FROM (
          |  SELECT p.vec_id, p.m, b.code, p.svec,
          |    row_number() OVER (PARTITION BY p.vec_id, p.m
          |      ORDER BY ${pqDist("svec", "cvec")}, b.code) AS rn
@@ -1878,30 +1878,30 @@ object TrainingQueries {
          |      AS s,
          |    COUNT(*) AS n
          |  FROM rassign0 CROSS JOIN range(1, 9) t(i) GROUP BY m, code, t.i),
-         |rbooks AS (SELECT m, code,
+         |rbooks AS MATERIALIZED (SELECT m, code,
          |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL)
          |      ORDER BY dim) AS cvec
          |  FROM rbsum GROUP BY m, code),
          |rscored AS (SELECT vec_id, p.m, code,
          |    ${pqDist("svec", "cvec")} AS dist
          |  FROM rpieces p JOIN rbooks b ON p.m = b.m),
-         |rcodes AS (SELECT vec_id, m, code FROM (
+         |rcodes AS MATERIALIZED (SELECT vec_id, m, code FROM (
          |  SELECT vec_id, m, code, row_number() OVER (
          |    PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM rscored)
          |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, centroid_id, cent_emb,
+         |probes AS MATERIALIZED (SELECT vec_id AS query_id, centroid_id, cent_emb,
          |    embedding FROM (
          |  SELECT x.vec_id, c.centroid_id, c.cent_emb, x.embedding,
          |    row_number() OVER (PARTITION BY x.vec_id
          |      ORDER BY $CCOS_EXPR DESC, c.centroid_id) AS crank
          |  FROM embeddings x CROSS JOIN cents2 c WHERE x.vec_id < 5)
          |  WHERE crank <= 4),
-         |qres AS (SELECT query_id, centroid_id,
+         |qres AS MATERIALIZED (SELECT query_id, centroid_id,
          |    list_transform(range(1, 65), i ->
          |      CAST(embedding[i] AS DOUBLE) / ${l2norm("embedding")} -
          |      CAST(cent_emb[i] AS DOUBLE) / ${l2norm("cent_emb")}) AS qrvec
          |  FROM probes),
-         |adc AS (SELECT q.query_id, q.centroid_id, b.m, b.code,
+         |adc AS MATERIALIZED (SELECT q.query_id, q.centroid_id, b.m, b.code,
          |    CAST(round(${pqDist("qvec", "cvec")} * 1e6) AS BIGINT)
          |      AS dist_micro
          |  FROM (SELECT query_id, centroid_id, m,

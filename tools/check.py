@@ -41,7 +41,20 @@ def row_hash(df: pd.DataFrame):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
+    # Bound the oracle's buffer pool and give it a spill path: DuckDB's
+    # default memory_limit is 80% of PHYSICAL ram with no temp_directory
+    # for in-memory databases — a heavy oracle (q66's triangle join,
+    # td110's residual ADC at sf1) then HOARDS ~100 GB of buffer pool on
+    # the long-lived sweep connection and the next heavy query (or a
+    # fresh-connection retry, a separate instance that cannot evict the
+    # first one's blocks) dies on a raw allocation failure. Capped +
+    # spillable, heavy oracles get slower instead of failing.
+    def tune(c):
+        c.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+        c.execute(f"SET memory_limit='{os.environ.get('CHECK_ORACLE_MEM', '80GB')}'")
+        return c
+
+    con = tune(duckdb.connect())
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -52,6 +65,7 @@ def main():
     # an override replaces a query's oracle ONLY when every fixture table
     # it references exists in the SF dir — the driver's gate dirs carry no
     # fixtures, so it always runs the self-contained originals.
+    fixture_views = {}
     fx_path = f"{out_dir}/oracle_fixtures.json"
     if os.path.exists(fx_path):
         fx = json.load(open(fx_path))
@@ -73,12 +87,23 @@ def main():
                 continue
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
             present.add(name)
+            fixture_views[name] = p
         for qname, sql in fx.get("overrides", {}).items():
             needed = [n for n in fx.get("fixtures", {}) if n in sql]
             if qname in oracle and needed and all(n in present for n in needed):
                 oracle[qname] = sql
                 print(f"NOTE {qname}: using fixture-backed oracle "
                       f"({', '.join(needed)})")
+    def fresh_connection():
+        c = tune(duckdb.connect())
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for name, p in fixture_views.items():
+            c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        return c
+
     n_pass = n_fail = n_skip = 0
     # optional per-query ORACLE budget (seconds) for large-SF sweeps:
     # some oracle replications (regex scrubs, pair algebra) are
@@ -119,10 +144,30 @@ def main():
             if timed_out:
                 print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
                 n_skip += 1
-            else:
+                continue
+            # a long-lived shared connection accumulates buffer-pool
+            # blocks across a 200-query sweep, and a HEAVY oracle late in
+            # it can OOM even though it passes standalone (measured:
+            # q66/td110 at sf1 — both green alone in ~160s). A SECOND
+            # instance cannot help (it can't evict the first one's
+            # blocks and the two pools together exceed physical RAM), so:
+            # CLOSE the hoarding instance, rebuild, retry there, and
+            # continue the sweep on the rebuilt one — one instance alive
+            # at any time.
+            duck = None
+            if "Out of Memory" in str(e) or "failed to pin" in str(e):
+                try:
+                    con.close()
+                    con = fresh_connection()
+                    duck = con.execute(oracle[name]).df()
+                    print(f"NOTE {name}: oracle OOM'd on the sweep "
+                          f"connection; passed after a rebuild")
+                except Exception as e2:
+                    e = e2
+            if duck is None:
                 print(f"FAIL {name}: oracle error: {e}")
                 n_fail += 1
-            continue
+                continue
         finally:
             if timer: timer.cancel()
             if qcon is not con:
