@@ -203,6 +203,27 @@ object Bench {
       case Seq() => ""
       case fields => fields.mkString(",", ",", "")
     }
+    // Sharded-tail arm: the same paced probe with K-connection dispatch
+    // (startLowLatencyTail(shards = K)) at rates past the serial tail's
+    // saturation — the evidence that low latency holds AT the reference's
+    // published 50k ops/s operating point, not only at trickle rates.
+    val tailShards = sys.env.getOrElse("SPARK_GRAFT_RT_TAIL_SHARDS", "8").toInt
+    val shardedRates = sys.env.getOrElse("SPARK_GRAFT_RT_SHARDED_RATES",
+      "20000,50000").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val shardedJson = shardedRates.flatMap { r =>
+      val (p50, p99) =
+        try RuntimeBench.pacedLatency(spark, r, seconds = 10, tail = true,
+          shards = tailShards)
+        catch { case _: Throwable => (-1.0, -1.0) }
+      val k = if (r >= 1000) s"${r / 1000}k" else r.toString
+      Seq(
+        s""""runtime_paced_tail${tailShards}_${k}_ms_p50":${"%.1f".format(p50)}""",
+        s""""runtime_paced_tail${tailShards}_${k}_ms_p99":${"%.1f".format(p99)}""")
+    } match {
+      case Seq() => ""
+      case fields => fields.mkString(",", ",", "")
+    }
 
     // ANN quality tracking: recall@10 of the approximate paths vs the
     // exact brute-force ranking on the same 20 queries — runtime numbers
@@ -488,7 +509,7 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)}$pacedJson,"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)}$pacedJson$shardedJson,"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run

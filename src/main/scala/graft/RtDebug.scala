@@ -28,14 +28,22 @@ object RtDebug {
       mark(s"tail latency p50=${r._1}ms p99=${r._2}ms")
     }
     else if (sys.env.get("RTDBG_PACED").contains("1")) {
+      val shards = sys.env.getOrElse("RTDBG_PACED_SHARDS", "1").toInt
+      val arms = sys.env.getOrElse("RTDBG_PACED_ARMS", "mb,tail")
+        .split(",").map(_.trim).toSet
       sys.env.getOrElse("SPARK_GRAFT_RT_PACED_RATES", "1000,5000,20000")
         .split(",").map(_.trim.toInt).foreach { r =>
-          val mb = RuntimeBench.pacedLatency(spark, r, seconds = 10,
-            tail = false)
-          mark(f"paced mb   $r%6d ev/s: p50=${mb._1}%.1fms p99=${mb._2}%.1fms")
-          val tl = RuntimeBench.pacedLatency(spark, r, seconds = 10,
-            tail = true)
-          mark(f"paced tail $r%6d ev/s: p50=${tl._1}%.1fms p99=${tl._2}%.1fms")
+          if (arms("mb")) {
+            val mb = RuntimeBench.pacedLatency(spark, r, seconds = 10,
+              tail = false)
+            mark(f"paced mb   $r%6d ev/s: p50=${mb._1}%.1fms p99=${mb._2}%.1fms")
+          }
+          if (arms("tail")) {
+            val tl = RuntimeBench.pacedLatency(spark, r, seconds = 10,
+              tail = true, shards = shards)
+            mark(f"paced tail $r%6d ev/s shards=$shards: " +
+              f"p50=${tl._1}%.1fms p99=${tl._2}%.1fms")
+          }
         }
     }
     else if (sys.env.get("RTDBG_FANOUT").contains("1")) {

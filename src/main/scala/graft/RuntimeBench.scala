@@ -592,7 +592,7 @@ object RuntimeBench {
     * the documented hand-off point to the micro-batch runtime.
     */
   private[graft] def pacedLatency(spark: SparkSession, rate: Int,
-      seconds: Int, tail: Boolean): (Double, Double) = {
+      seconds: Int, tail: Boolean, shards: Int = 1): (Double, Double) = {
     implicit val s: SparkSession = spark
     val dir = java.nio.file.Files.createTempDirectory("bench_rtp").toString
     val srv = new LoopbackRedis
@@ -612,12 +612,15 @@ object RuntimeBench {
       val stop = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       try {
         if (tail) {
-          val (h, _) = ConsumerRuntime.startLowLatencyTail(
+          val (h, st) = ConsumerRuntime.startLowLatencyTail(
             dir, batchEnvelope(spark),
             benchCfg("rtpaced", grouped = true).copy(lowLatency = true),
             SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
             new config.Metrics.Registry(), new config.Health.Registry(),
-            "rtpaced")(spark)
+            "rtpaced", shards = shards)(spark)
+          if (sys.env.contains("GRAFT_RTDBG"))
+            stop += (() => println(s"[rtpaced-dbg] planPinned=" +
+              s"${st.planPinned} note=${st.planNote.getOrElse("-").take(400)}"))
           stop += (() => h.stop())
         } else {
           val h = startRuntime(dir, srv.port, grouped = true)(spark)

@@ -317,6 +317,8 @@ object PipelineSpec {
         .forall(_.asBoolean()),
       lowLatency = Option(root.get("low_latency"))
         .exists(_.asBoolean()),
+      lowLatencyShards = Option(root.get("low_latency_shards"))
+        .map(_.asInt()).getOrElse(1),
       timestampFormat = tsFormat,
       groupColumns = strings(root, "group_columns").getOrElse(Nil),
       tableGroupColumns = Option(root.get("tables")).map(
@@ -394,6 +396,8 @@ object PipelineSpec {
     }
     root.put("message_grouping", cfg.messageGrouping)
     if (cfg.lowLatency) root.put("low_latency", true)
+    if (cfg.lowLatencyShards != 1)
+      root.put("low_latency_shards", cfg.lowLatencyShards)
     root.put("timestamp_format", cfg.timestampFormat)
     root.put("max_payload_bytes", cfg.maxPayloadBytes)
     if (cfg.groupColumns.nonEmpty) {

@@ -87,6 +87,12 @@ final case class ConsumerConfig(
     // latency; the right deployment for steady LOW-RATE consumers
     // (alerting, audit mirrors), never for backfill catch-up
     lowLatency: Boolean = false,
+    // sharded low-latency dispatch (`low_latency_shards`): K concurrent
+    // ordered connections per segment, group-hash-pinned — raises the
+    // tail's sustainable rate ~Kx while keeping the plan shuffle-free
+    // (see [[ConsumerRuntime.startLowLatencyTail]]'s `shards`). 1 = the
+    // single-connection tail; only read when lowLatency is set
+    lowLatencyShards: Int = 1,
     // user functions as config — the reference persists MiniElixir
     // filter/transform/routing snippets on the consumer
     // (consumers.ex:1242-1278, transforms/message.ex:26-41,

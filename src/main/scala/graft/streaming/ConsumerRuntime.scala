@@ -242,7 +242,14 @@ object ConsumerRuntime {
       health: graft.config.Health.Registry,
       val consumerId: String,
       enrichment: Option[(DataFrame, String, String)],
-      nowMs: () => Long)(implicit spark: SparkSession) {
+      nowMs: () => Long,
+      // >1 ⇒ the caller's batch source carries tailShards co-identical
+      // partitions (each task re-reads the FULL tail feed) and counted
+      // dispatches take the SHARDED shape: a narrow group-hash filter
+      // per partition instead of a repartition Exchange — shuffle-free,
+      // so the compiled plan stays pinnable in the dispatch cache. Only
+      // the low-latency tail sets this.
+      tailShards: Int = 1)(implicit spark: SparkSession) {
     import spark.implicits._
 
     private val sink = cfg.sink.getOrElse(throw new IllegalArgumentException(
@@ -344,6 +351,14 @@ object ConsumerRuntime {
     // fresh-per-batch frames can never make it grow
     private var dispatchCache: Option[(DataFrame, Boolean,
       org.apache.spark.rdd.RDD[SinkDispatch.Outcome])] = None
+    // observability for the tail (and its specs): did the last counted
+    // dispatch leave a pinned plan? True ⇔ the executed plan was
+    // shuffle-free — the property the sharded shape exists to preserve.
+    private[streaming] def dispatchCachePinned: Boolean =
+      dispatchCache.isDefined
+    // when a counted dispatch could NOT pin (its plan shuffled), the
+    // executed plan that caused it — diagnostic surface for tail specs
+    private[streaming] var lastUnpinnablePlan: Option[String] = None
 
     /** Deduplicate once and CACHE the micro-batch: every action on a
       * foreachBatch DataFrame re-executes its plan from the source —
@@ -540,6 +555,16 @@ object ConsumerRuntime {
       // wide parallel-connection shape only wins far past this cutoff.
       val fastPathCutoff =
         if (knownN.isDefined) TailFastPathRows else SmallBatchRows
+      // SHARDED tail dispatch: the feed-backed source already has
+      // tailShards partitions (each task reads the whole feed); every
+      // task keeps its own group-hash share with a NARROW filter, so the
+      // plan carries no Exchange — per-group FIFO holds because a group's
+      // hash pins it to one partition (one connection) for the lane's
+      // lifetime, and batches are sequential per lane. K connections
+      // deliver concurrently where the single-connection fast path
+      // serializes — the throughput lever that moves the tail's
+      // saturation point without giving up the pinned compiled plan.
+      val shardedPath = knownN.isDefined && tailShards > 1
       // HAPPY PATH — the whole micro-batch is ONE delivery in ONE
       // Spark action, straight off the distributed pipeline plan
       // (events never round-trip through the driver). Per-group
@@ -560,7 +585,8 @@ object ConsumerRuntime {
       val obsOpt =
         if (knownN.isDefined) None
         else Some(org.apache.spark.sql.Observation())
-      val smallPath = cfg.messageGrouping && lastBatchRows <= fastPathCutoff
+      val smallPath = !shardedPath &&
+        cfg.messageGrouping && lastBatchRows <= fastPathCutoff
       // PLAN REUSE: the low-latency tail dispatches the SAME feed-backed
       // DataFrame object every segment, so the delivery plan (pipeline +
       // wire framing + transport) is structurally identical each time —
@@ -580,7 +606,21 @@ object ConsumerRuntime {
             .count(org.apache.spark.sql.functions.lit(1)).as("n_in")))
         val pipeline0 = CdcPipeline.build(observedDf, cfg, enrichment)
         val pipeline =
-          if (!cfg.messageGrouping) pipeline0 // no ordering contract
+          if (shardedPath) {
+            // each of the K co-identical partitions keeps the rows whose
+            // group hashes to its own partition id — same key expression
+            // as the wide path's repartition, evaluated as a narrow
+            // filter. In-partition sort gives each group's run the wire
+            // order the grouped contract requires.
+            import org.apache.spark.sql.functions.{coalesce, lit, pmod,
+              spark_partition_id, xxhash64}
+            pipeline0
+              .filter(pmod(xxhash64(coalesce(col("group_id"),
+                  col("record_pk"))), lit(tailShards.toLong)) ===
+                spark_partition_id().cast("long"))
+              .sortWithinPartitions("group_id", "commit_lsn", "commit_idx")
+          }
+          else if (!cfg.messageGrouping) pipeline0 // no ordering contract
           else if (smallPath)
             // SINGLE-EVENT FAST PATH: steady low-rate traffic (sized by
             // the PREVIOUS batch — no extra count action) delivers the
@@ -630,6 +670,8 @@ object ConsumerRuntime {
               case e: org.apache.spark.sql.execution.exchange
                 .ShuffleExchangeLike => e
             }.isEmpty
+            if (!shuffleFree)
+              lastUnpinnablePlan = Some(ds.queryExecution.executedPlan.toString)
             dispatchCache =
               if (shuffleFree) Some((deduped, smallPath, rdd)) else None
             SinkDispatch.deliverObservedRdd(rdd, metrics, health,
@@ -869,6 +911,13 @@ object ConsumerRuntime {
     @volatile private[streaming] var stopped = false
     @volatile var error: Option[Throwable] = None
     @volatile var segmentsDelivered: Long = 0L
+    // true once the delivery plan is pinned in the lane's dispatch cache
+    // (⇔ the executed plan was shuffle-free) — the property that keeps
+    // per-segment dispatch at the scheduler floor; surfaced so specs and
+    // operators can verify the tail is on its fast path
+    @volatile var planPinned: Boolean = false
+    // the executed plan that blocked pinning, when one did
+    @volatile var planNote: Option[String] = None
   }
 
   /** The tail's CURRENT-batch hand-off: decoded rows serialized to one
@@ -878,7 +927,38 @@ object ConsumerRuntime {
     * cluster-honest: the task reads a filesystem path, never driver
     * memory.
     */
-  private[streaming] def writeTailFeed(pathStr: String,
+  // Explicit positional codec for the feed file — NOT Java serialization:
+  // the sharded tail deserializes the feed once PER SHARD TASK, and
+  // ObjectInputStream's reflective row cost was the dominant per-segment
+  // term at multi-thousand-row segments. Strings are length-prefixed
+  // UTF-8 (-1 = null; writeUTF's 64 KB cap would truncate large payload
+  // cells). In-process hand-off format, rewritten every segment — no
+  // cross-version compatibility surface (the DURABLE decoder snapshot
+  // has its own versioned codec in PgStream.encodeSlotState).
+  private def writeStr(o: java.io.DataOutputStream, s: String): Unit =
+    if (s == null) o.writeInt(-1)
+    else {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      o.writeInt(b.length); o.write(b)
+    }
+  private def readStr(i: java.io.DataInputStream): String = {
+    val n = i.readInt()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n); i.readFully(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+  private def writeStrSeq(o: java.io.DataOutputStream,
+      xs: Seq[String]): Unit = {
+    o.writeInt(xs.length); xs.foreach(writeStr(o, _))
+  }
+  private def readStrSeq(i: java.io.DataInputStream): Seq[String] = {
+    val n = i.readInt()
+    (0 until n).map(_ => readStr(i))
+  }
+
+  private[graft] def writeTailFeed(pathStr: String,
       rows: Seq[graft.sources.PgStream.Decoded]): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -887,17 +967,51 @@ object ConsumerRuntime {
     // every reader (the dispatch job) runs strictly AFTER this returns —
     // the file is a hand-off, not a publish, and the rename pair cost
     // measurable milliseconds on the single-event latency path
-    val out = new java.io.ObjectOutputStream(fs.create(p, true))
-    try { out.writeObject(rows.toVector); out.flush() } finally out.close()
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
+    try {
+      out.writeInt(rows.length)
+      rows.foreach { d =>
+        writeStr(out, d.kind); writeStr(out, d.slot_id)
+        out.writeLong(d.seq); out.writeLong(d.commit_lsn)
+        out.writeLong(d.commit_idx); out.writeLong(d.commit_ts_us)
+        out.writeLong(d.xid)
+        writeStr(out, d.table_schema); writeStr(out, d.table_name)
+        out.writeLong(d.table_oid); writeStr(out, d.action)
+        writeStrSeq(out, d.columns); writeStrSeq(out, d.values)
+        out.writeBoolean(d.old_values.isDefined)
+        d.old_values.foreach(writeStrSeq(out, _))
+        writeStr(out, d.schema_hash)
+        out.writeBoolean(d.annotations.isDefined)
+        d.annotations.foreach(writeStr(out, _))
+      }
+      out.flush()
+    } finally out.close()
   }
 
-  private[streaming] def readTailFeed(pathStr: String)
+  private[graft] def readTailFeed(pathStr: String)
       : Seq[graft.sources.PgStream.Decoded] = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = new java.io.ObjectInputStream(fs.open(p))
-    try in.readObject().asInstanceOf[Vector[graft.sources.PgStream.Decoded]]
-    finally in.close()
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+    try {
+      val n = in.readInt()
+      Vector.tabulate(n) { _ =>
+        graft.sources.PgStream.Decoded(
+          kind = readStr(in), slot_id = readStr(in),
+          seq = in.readLong(), commit_lsn = in.readLong(),
+          commit_idx = in.readLong(), commit_ts_us = in.readLong(),
+          xid = in.readLong(),
+          table_schema = readStr(in), table_name = readStr(in),
+          table_oid = in.readLong(), action = readStr(in),
+          columns = readStrSeq(in), values = readStrSeq(in),
+          old_values =
+            if (in.readBoolean()) Some(readStrSeq(in)) else None,
+          schema_hash = readStr(in),
+          annotations = if (in.readBoolean()) Some(readStr(in)) else None)
+      }
+    } finally in.close()
   }
 
   def startLowLatencyTail(spoolDir: String,
@@ -910,7 +1024,16 @@ object ConsumerRuntime {
       pollIntervalMs: Long = 1L,
       headGapGraceMs: Long = 30000L,
       enrichment: Option[(DataFrame, String, String)] = None,
-      nowMs: () => Long = () => System.currentTimeMillis())(
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      // >1 ⇒ sharded dispatch: the fixed plan carries `shards` partitions
+      // (each task re-reads the FULL feed and keeps its group-hash share)
+      // so a segment delivers over K concurrent ordered connections
+      // instead of one. Per-group FIFO holds — a group's hash pins it to
+      // one shard for the tail's lifetime. Raises the tail's saturation
+      // rate ~Kx at a small fixed cost (K tasks per segment instead of
+      // 1), so leave it 1 for sub-1k ev/s consumers. 0 (the default)
+      // defers to the consumer config's `low_latency_shards`.
+      shards: Int = 0)(
       spark0: SparkSession): (Handle, TailState) = {
     // tiny-plan-tuned session clone: single-event plans pay fixed costs
     // (AQE re-planning, whole-stage source GENERATION — the janino cache
@@ -927,8 +1050,11 @@ object ConsumerRuntime {
       s
     }
     import spark.implicits._
+    val effShards = if (shards > 0) shards else math.max(1, cfg.lowLatencyShards)
+    require(shards >= 0 && cfg.lowLatencyShards >= 0,
+      s"tail shards must be >= 0, got $shards / ${cfg.lowLatencyShards}")
     val lane = new Lane(cfg, env, metrics, health, consumerId, enrichment,
-      nowMs)
+      nowMs, tailShards = effShards)
     val state = new TailState
     val offsetPath = checkpointDir.map(d =>
       new org.apache.hadoop.fs.Path(d, "tail_offset"))
@@ -980,11 +1106,25 @@ object ConsumerRuntime {
           "that executor tasks cannot read")
       java.nio.file.Files.createTempDirectory("graft_tail_feed").toString
     } + "/tail_feed.bin"
-    val fixedBatch: DataFrame = {
+    val fixedBatch: DataFrame = if (effShards == 1) {
       val rdd = spark.sparkContext.parallelize(Seq(feedPathStr), 1)
         .mapPartitions(it => readTailFeed(it.next()).iterator)
       toEnvelope(spark.createDataset(rdd).toDF())
         .coalesce(1).dropDuplicates("idempotency_key")
+    } else {
+      // K co-identical partitions over ONE feed file: every task reads
+      // the full segment and the Lane's sharded filter keeps its 1/K by
+      // group hash — redundant deserialization is a few ms of parallel
+      // CPU, and the plan stays narrow end-to-end (no Exchange), which
+      // is what keeps it pinnable in the dispatch cache. No
+      // dropDuplicates here: dedup would demand a hash Exchange, so the
+      // driver dedups each segment on (commit_lsn, commit_idx) — the
+      // exact fields idempotency_key base64-encodes — before the feed
+      // write (see the loop below).
+      val rdd = spark.sparkContext
+        .parallelize(Seq.fill(effShards)(feedPathStr), effShards)
+        .mapPartitions(it => readTailFeed(it.next()).iterator)
+      toEnvelope(spark.createDataset(rdd).toDF())
     }
     val thread = new Thread(() => {
       try {
@@ -1018,12 +1158,25 @@ object ConsumerRuntime {
               pollIntervalMs * 1000000L)
           } else run.foreach { case (idx, file) =>
             if (!state.stopped) {
-              val decoded =
+              val decodedRaw =
                 decoder.feedAll(graft.sources.WalSpool.readSegment(file))
+              // sharded plans carry no dropDuplicates (it would plan an
+              // Exchange); dedup the segment here on the identity pair
+              // idempotency_key encodes — same suppression, zero plan cost
+              val decoded =
+                if (effShards == 1) decodedRaw
+                else {
+                  val seen = scala.collection.mutable
+                    .HashSet.empty[(Long, Long)]
+                  decodedRaw.filter(d =>
+                    seen.add((d.commit_lsn, d.commit_idx)))
+                }
               if (decoded.nonEmpty) {
                 writeTailFeed(feedPathStr, decoded)
                 lane.deliverBatch(fixedBatch,
                   knownN = Some(decoded.size.toLong))
+                state.planPinned = lane.dispatchCachePinned
+                state.planNote = lane.lastUnpinnablePlan
               }
               // order matters: deliveries resolved → decoder state →
               // offset. A crash between deliver and the state write

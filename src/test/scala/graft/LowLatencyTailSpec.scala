@@ -226,6 +226,110 @@ class LowLatencyTailSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("sharded tail (shards=4): exactly-once delivery, per-group FIFO across shards, fresh content per segment, plan pinned") {
+    // the K-connection dispatch shape: each of the 4 co-identical feed
+    // partitions keeps its group-hash share via a NARROW filter (no
+    // Exchange), so the compiled plan stays pinned — planPinned proves
+    // the shape held; the fresh-ids assertion is the stale-shuffle-replay
+    // regression under the sharded plan.
+    val dir = java.nio.file.Files.createTempDirectory("lltail_sh").toString
+    val srv = new ScriptedRedis
+    val n = 600 // 150 user groups x 4 events each
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until n).flatMap(i => txn(i.toLong)))
+    val groupedCfg = PipelineSpec.parse(
+      """{"name":"tailsh","low_latency":true,"max_ack_pending":100000,
+        |"group_columns":["record_user_id"],
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, groupedCfg,
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailsh", shards = 4)(spark)
+    try {
+      assert(awaitCount(srv.xadds, n), s"segment 0: ${srv.xadds.size}/$n")
+      // XADDs land inside the Spark action; planPinned is recorded after
+      // the dispatch returns — wait for the segment COMMIT before reading
+      val deadline = System.nanoTime() + 30000L * 1000000L
+      while (state.segmentsDelivered < 1 && System.nanoTime() < deadline)
+        Thread.sleep(2)
+      assert(state.planPinned,
+        s"sharded plan was not pinned — it planned an Exchange:\n${state.planNote.getOrElse("(no plan note)")}")
+      WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+        (n until 2 * n).flatMap(i => txn(i.toLong)))
+      assert(awaitCount(srv.xadds, 2 * n), "segment 1 not delivered")
+      assert(state.error.isEmpty, s"tail error: ${state.error}")
+      val idRe = """record\|\{"id":(\d+)""".r
+      val ids = srv.xadds.asScala.toSeq.map(x =>
+        idRe.findFirstMatchIn(x)
+          .getOrElse(fail(s"no record id in XADD: $x")).group(1).toLong)
+      assert(ids.size == 2 * n, s"XADD count: ${ids.size}")
+      assert(ids.distinct.size == ids.size, "duplicate deliveries")
+      assert(ids.toSet == (0L until 2L * n).toSet, "missing fresh rows")
+      // per-group FIFO: within each user group (id % 150), delivery order
+      // must be ascending — a group split across shards would interleave
+      (0L until 150L).foreach { u =>
+        val g = ids.filter(_ % 150 == u)
+        assert(g == g.sorted, s"group $u out of order: $g")
+      }
+    } finally { handle.stop(); srv.stop() }
+  }
+
+  test("sharded tail dedups replayed identities at the driver — the plan carries no dropDuplicates") {
+    // two txns with DISTINCT frame seqs but the SAME (commit_lsn,
+    // commit_idx) identity: the decoder's seq cursor admits both, the
+    // driver-side dedup (the sharded substitute for the plan's
+    // dropDuplicates) must deliver exactly one
+    val dir = java.nio.file.Files.createTempDirectory("lltail_dd").toString
+    val srv = new ScriptedRedis
+    val id = 3L
+    val lsn = (id + 1) * 8
+    val cells = Seq(Cell.Text(id.toString), Cell.Text((id % 150).toString),
+      Cell.Text("purchase"), Cell.Text("5.0"), Cell.Text("{\"k\":1}"))
+    def txnAt(seq0: Long): Seq[PgStream.Frame] = Seq(
+      PgStream.Frame("slot", seq0,
+        PgOutput.encode(Begin(lsn, id * 1000, id))),
+      PgStream.Frame("slot", seq0 + 1, PgOutput.encode(Insert(16384L, cells))),
+      PgStream.Frame("slot", seq0 + 2,
+        PgOutput.encode(Commit(0, lsn, lsn + 8, id * 1000))))
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (txn(0L) ++ txnAt(100L) ++ txnAt(200L)))
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("taildd"),
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "taildd", shards = 2)(spark)
+    try {
+      assert(awaitCount(srv.xadds, 2), s"expected 2 XADDs: ${srv.xadds.size}")
+      Thread.sleep(300) // a missed dedup's third XADD would land here
+      assert(srv.xadds.size == 2,
+        s"replayed identity delivered twice: ${srv.xadds.asScala.toSeq}")
+      assert(state.error.isEmpty, s"tail error: ${state.error}")
+    } finally { handle.stop(); srv.stop() }
+  }
+
+  test("tail feed codec round-trips every Decoded shape: null cells, absent/present options, >64KB payloads") {
+    // the explicit positional codec replaced Java serialization (the
+    // sharded tail deserializes the feed once per shard task); -1
+    // length = null string, so a null pgoutput cell and a large TOAST
+    // payload (past writeUTF's 64KB cap) must both survive
+    val rows = Vector(
+      PgStream.Decoded("change", "slot", 1L, 8L, 0L, 123L, 77L,
+        "public", "t0", 16384L, "insert",
+        Seq("a", "b"), Seq("x", null),
+        Some(Seq(null, "old")), "h1", Some("{\"note\":1}")),
+      PgStream.Decoded("truncate", "slot", 2L, 16L, 0L, 124L, 78L,
+        "audit", "t1", 16385L, "truncate",
+        Nil, Seq("y" * 70000), None, "h2", None))
+    val path = java.nio.file.Files.createTempDirectory("feedrt")
+      .resolve("feed.bin").toString
+    ConsumerRuntime.writeTailFeed(path, rows)
+    assert(ConsumerRuntime.readTailFeed(path) == rows)
+  }
+
   test("low_latency config knob round-trips through parse and render") {
     val c = cfg("knob")
     assert(c.lowLatency)
@@ -235,5 +339,14 @@ class LowLatencyTailSpec extends SparkSpec {
     val off = PipelineSpec.parse(
       """{"name":"x","destination":{"type":"redis_stream","stream_key":"k"}}""")
     assert(!off.lowLatency)
+    // sharded knob: default 1, round-trips, startLowLatencyTail's
+    // shards=0 default defers to it
+    assert(off.lowLatencyShards == 1)
+    val sh = PipelineSpec.parse(
+      """{"name":"x","low_latency":true,"low_latency_shards":8,
+        |"destination":{"type":"redis_stream","stream_key":"k"}}"""
+        .stripMargin)
+    assert(sh.lowLatencyShards == 8)
+    assert(PipelineSpec.parse(PipelineSpec.render(sh)).lowLatencyShards == 8)
   }
 }
