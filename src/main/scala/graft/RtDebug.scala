@@ -28,9 +28,14 @@ object RtDebug {
       mark(s"tail latency p50=${r._1}ms p99=${r._2}ms")
     }
     else if (sys.env.get("RTDBG_PACED").contains("1")) {
-      val shards = sys.env.getOrElse("RTDBG_PACED_SHARDS", "1").toInt
+      // RTDBG_PACED_SHARDS may be a comma list ("1,8"): shard counts are
+      // INTERLEAVED per rate so a same-run A/B never straddles a host
+      // band (the same discipline as AbProbe)
+      val shardArms = sys.env.getOrElse("RTDBG_PACED_SHARDS", "1")
+        .split(",").map(_.trim.toInt).toSeq
       val arms = sys.env.getOrElse("RTDBG_PACED_ARMS", "mb,tail")
         .split(",").map(_.trim).toSet
+      val reps = sys.env.getOrElse("RTDBG_PACED_REPS", "1").toInt
       sys.env.getOrElse("SPARK_GRAFT_RT_PACED_RATES", "1000,5000,20000")
         .split(",").map(_.trim.toInt).foreach { r =>
           if (arms("mb")) {
@@ -38,11 +43,13 @@ object RtDebug {
               tail = false)
             mark(f"paced mb   $r%6d ev/s: p50=${mb._1}%.1fms p99=${mb._2}%.1fms")
           }
-          if (arms("tail")) {
-            val tl = RuntimeBench.pacedLatency(spark, r, seconds = 10,
-              tail = true, shards = shards)
-            mark(f"paced tail $r%6d ev/s shards=$shards: " +
-              f"p50=${tl._1}%.1fms p99=${tl._2}%.1fms")
+          if (arms("tail")) (1 to reps).foreach { rep =>
+            shardArms.foreach { shards =>
+              val tl = RuntimeBench.pacedLatency(spark, r, seconds = 10,
+                tail = true, shards = shards)
+              mark(f"paced tail $r%6d ev/s shards=$shards rep$rep: " +
+                f"p50=${tl._1}%.1fms p99=${tl._2}%.1fms")
+            }
           }
         }
     }

@@ -259,7 +259,11 @@ object SinkDispatch {
     val t0 = System.nanoTime()
     val outcomes = run()
     val elapsedUs = (System.nanoTime() - t0) / 1000.0
+    val tM = System.nanoTime()
     metrics.recordOutcomes(consumerId, consumerName, outcomes)
+    if (sys.env.contains("GRAFT_TAIL_TIMING"))
+      println(f"[tailtiming.collect] collect=${elapsedUs / 1000.0}%.1fms " +
+        f"recordOutcomes=${(System.nanoTime() - tM) / 1e6}%.1fms")
     if (outcomes.nonEmpty) {
       // ONE observation per delivery (the reference's per-message
       // observe_delivery_latency semantics): the batch wall time is

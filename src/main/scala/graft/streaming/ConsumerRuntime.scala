@@ -642,6 +642,7 @@ object ConsumerRuntime {
         SinkDispatch.deliver(pipeline, sink, env)
       }
       val dlqBefore = ledger.deadLetters().size
+      val tAct0 = System.nanoTime()
       val outcomes = traced("deliver batch") {
         // counted batches ride the RDD path: the DAG (incl. compiled
         // codegen stages) is pinned once, each action pays only the
@@ -681,6 +682,10 @@ object ConsumerRuntime {
               consumerId, cfg.name)
         }
       }
+      if (sys.env.contains("GRAFT_TAIL_TIMING"))
+        println(f"[tailtiming.act] rows=${outcomes.size} " +
+          f"action=${(System.nanoTime() - tAct0) / 1e6}%.1fms " +
+          f"cached=${cachedRdd.isDefined}")
       val nIn: Long = knownN.getOrElse(obsOpt.map(observedN).getOrElse(-1L))
       // on a metrics-bus miss KEEP the previous size (substituting
       // the POST-FILTER outcome count would flip a selective-filter
@@ -958,41 +963,66 @@ object ConsumerRuntime {
     (0 until n).map(_ => readStr(i))
   }
 
-  private[graft] def writeTailFeed(pathStr: String,
-      rows: Seq[graft.sources.PgStream.Decoded]): Unit = {
+  // the feed is an EPHEMERAL same-segment hand-off rewritten 10x/second
+  // and read once per shard task — Hadoop LocalFileSystem's CRC sidecar
+  // (write + 8 verifying reads per segment) was a measured double-digit-ms
+  // per-segment term at 50k ev/s. Raw local FS skips it; any non-local
+  // filesystem (HDFS/S3 on a cluster) keeps its own integrity machinery.
+  private def feedFs(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
+  /** Serialize rows to feed bytes (the CPU half of the hand-off) —
+    * separated from the file write so the pipelined tail can encode
+    * segment N+1 while segment N is still dispatching.
+    */
+  private[graft] def encodeTailFeed(
+      rows: Seq[graft.sources.PgStream.Decoded]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    val out = new java.io.DataOutputStream(buf)
+    out.writeInt(rows.length)
+    rows.foreach { d =>
+      writeStr(out, d.kind); writeStr(out, d.slot_id)
+      out.writeLong(d.seq); out.writeLong(d.commit_lsn)
+      out.writeLong(d.commit_idx); out.writeLong(d.commit_ts_us)
+      out.writeLong(d.xid)
+      writeStr(out, d.table_schema); writeStr(out, d.table_name)
+      out.writeLong(d.table_oid); writeStr(out, d.action)
+      writeStrSeq(out, d.columns); writeStrSeq(out, d.values)
+      out.writeBoolean(d.old_values.isDefined)
+      d.old_values.foreach(writeStrSeq(out, _))
+      writeStr(out, d.schema_hash)
+      out.writeBoolean(d.annotations.isDefined)
+      d.annotations.foreach(writeStr(out, _))
+    }
+    out.flush()
+    buf.toByteArray
+  }
+
+  private[graft] def writeTailFeedBytes(pathStr: String,
+      bytes: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = feedFs(p)
     fs.mkdirs(p.getParent)
     // plain overwrite, no temp+rename: the tail is the only writer and
     // every reader (the dispatch job) runs strictly AFTER this returns —
     // the file is a hand-off, not a publish, and the rename pair cost
     // measurable milliseconds on the single-event latency path
-    val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16))
-    try {
-      out.writeInt(rows.length)
-      rows.foreach { d =>
-        writeStr(out, d.kind); writeStr(out, d.slot_id)
-        out.writeLong(d.seq); out.writeLong(d.commit_lsn)
-        out.writeLong(d.commit_idx); out.writeLong(d.commit_ts_us)
-        out.writeLong(d.xid)
-        writeStr(out, d.table_schema); writeStr(out, d.table_name)
-        out.writeLong(d.table_oid); writeStr(out, d.action)
-        writeStrSeq(out, d.columns); writeStrSeq(out, d.values)
-        out.writeBoolean(d.old_values.isDefined)
-        d.old_values.foreach(writeStrSeq(out, _))
-        writeStr(out, d.schema_hash)
-        out.writeBoolean(d.annotations.isDefined)
-        d.annotations.foreach(writeStr(out, _))
-      }
-      out.flush()
-    } finally out.close()
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
   }
+
+  private[graft] def writeTailFeed(pathStr: String,
+      rows: Seq[graft.sources.PgStream.Decoded]): Unit =
+    writeTailFeedBytes(pathStr, encodeTailFeed(rows))
 
   private[graft] def readTailFeed(pathStr: String)
       : Seq[graft.sources.PgStream.Decoded] = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = feedFs(p)
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(p), 1 << 16))
     try {
@@ -1126,7 +1156,30 @@ object ConsumerRuntime {
         .mapPartitions(it => readTailFeed(it.next()).iterator)
       toEnvelope(spark.createDataset(rdd).toDF())
     }
-    val thread = new Thread(() => {
+    // TWO-STAGE PIPELINE: the decode thread (stage A) tails the spool,
+    // decodes, dedups, serializes the feed bytes and snapshots the
+    // decoder EAGERLY per segment; the dispatch thread (stage B) writes
+    // the feed file, delivers, and commits the checkpoint. A 1-slot
+    // hand-off overlaps segment N+1's decode+encode under segment N's
+    // delivery — at 50k ev/s those were a measured ~40 ms of a ~150 ms
+    // serial per-segment budget. The feed-file overwrite lives ONLY in
+    // stage B, strictly between deliveries, so the pinned plan's readers
+    // never race the writer. Checkpoint order is unchanged (deliveries
+    // resolved → decoder state → offset, per segment, in stage B); the
+    // snapshot travels WITH its segment because stage A's decoder has
+    // already advanced past it.
+    final case class PreparedSeg(idx: Long, bytes: Array[Byte], n: Long,
+      snapshot: Array[Byte], decodeMs: Double)
+    val handoff = new java.util.concurrent.ArrayBlockingQueue[PreparedSeg](1)
+    def fail(e: Throwable): Unit = if (!state.stopped) {
+      state.stopped = true
+      state.error = Some(e)
+      health.putEvent("sink_consumer", consumerId, "messages_ingested",
+        "fail", Some(s"low-latency tail died: $e"))
+      Trace.error(consumerId, "low-latency tail died",
+        "error" -> e.toString)
+    }
+    val decodeThread = new Thread(() => {
       try {
         var nextIdx = readOffset()
         var gapSinceNanos = 0L
@@ -1158,6 +1211,7 @@ object ConsumerRuntime {
               pollIntervalMs * 1000000L)
           } else run.foreach { case (idx, file) =>
             if (!state.stopped) {
+              val t0 = System.nanoTime()
               val decodedRaw =
                 decoder.feedAll(graft.sources.WalSpool.readSegment(file))
               // sharded plans carry no dropDuplicates (it would plan an
@@ -1171,36 +1225,60 @@ object ConsumerRuntime {
                   decodedRaw.filter(d =>
                     seen.add((d.commit_lsn, d.commit_idx)))
                 }
-              if (decoded.nonEmpty) {
-                writeTailFeed(feedPathStr, decoded)
-                lane.deliverBatch(fixedBatch,
-                  knownN = Some(decoded.size.toLong))
-                state.planPinned = lane.dispatchCachePinned
-                state.planNote = lane.lastUnpinnablePlan
-              }
-              // order matters: deliveries resolved → decoder state →
-              // offset. A crash between deliver and the state write
-              // replays the segment (at-least-once); one between the two
-              // writes replays it with the NEWER decoder state, whose seq
-              // cursor suppresses the already-delivered frames
+              val prepared = PreparedSeg(idx,
+                if (decoded.nonEmpty) encodeTailFeed(decoded) else null,
+                decoded.size.toLong, decoder.snapshot(),
+                (System.nanoTime() - t0) / 1e6)
+              // bounded offer so a stop() while stage B drains can never
+              // wedge this thread on a full queue
+              while (!state.stopped &&
+                !handoff.offer(prepared, 50L,
+                  java.util.concurrent.TimeUnit.MILLISECONDS)) ()
               nextIdx = idx + 1
-              writeFile(decoderPath, decoder.snapshot())
-              writeFile(offsetPath, nextIdx.toString.getBytes("UTF-8"))
-              state.segmentsDelivered += 1
             }
           }
         }
-      } catch {
-        case e: Throwable if !state.stopped =>
-          state.error = Some(e)
-          health.putEvent("sink_consumer", consumerId, "messages_ingested",
-            "fail", Some(s"low-latency tail died: $e"))
-          Trace.error(consumerId, "low-latency tail died",
-            "error" -> e.toString)
-      }
+      } catch { case e: Throwable => fail(e) }
+    }, s"graft-lowlat-tail-decode-$consumerId")
+    val dispatchThread = new Thread(() => {
+      try {
+        while (!state.stopped || !handoff.isEmpty) {
+          val prepared = handoff.poll(50L,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (prepared != null) {
+            val t1 = System.nanoTime()
+            if (prepared.n > 0) {
+              writeTailFeedBytes(feedPathStr, prepared.bytes)
+              val t2 = System.nanoTime()
+              lane.deliverBatch(fixedBatch, knownN = Some(prepared.n))
+              state.planPinned = lane.dispatchCachePinned
+              state.planNote = lane.lastUnpinnablePlan
+              if (sys.env.contains("GRAFT_TAIL_TIMING")) {
+                val t3 = System.nanoTime()
+                println(f"[tailtiming] seg=${prepared.idx} " +
+                  f"rows=${prepared.n} " +
+                  f"decode=${prepared.decodeMs}%.1fms " +
+                  f"feed=${(t2 - t1) / 1e6}%.1fms " +
+                  f"deliver=${(t3 - t2) / 1e6}%.1fms")
+              }
+            }
+            // order matters: deliveries resolved → decoder state →
+            // offset. A crash between deliver and the state write
+            // replays the segment (at-least-once); one between the two
+            // writes replays it with the NEWER decoder state, whose seq
+            // cursor suppresses the already-delivered frames
+            writeFile(decoderPath, prepared.snapshot)
+            writeFile(offsetPath,
+              (prepared.idx + 1).toString.getBytes("UTF-8"))
+            state.segmentsDelivered += 1
+          }
+        }
+      } catch { case e: Throwable => fail(e) }
     }, s"graft-lowlat-tail-$consumerId")
-    thread.setDaemon(true)
-    thread.start()
+    decodeThread.setDaemon(true)
+    dispatchThread.setDaemon(true)
+    decodeThread.start()
+    dispatchThread.start()
     val timer = lane.startConsistencyTimer()
     val handle = new Handle(
       () => throw new UnsupportedOperationException(
@@ -1208,7 +1286,8 @@ object ConsumerRuntime {
       lane.ledger, None, Some(lane.audit), Some(timer),
       onStop = Some(() => {
         state.stopped = true
-        thread.join(10000L)
+        decodeThread.join(10000L)
+        dispatchThread.join(10000L)
         lane.closed = true
       }))
     (handle, state)
