@@ -32,6 +32,7 @@ HEADLINE = [
     "runtime_lowlat_latency_ms_p50", "runtime_lowlat_latency_ms_p99",
     "runtime_latency_ms_p50", "runtime_multislot_min_ops_per_sec",
     "runtime_multislot_max_ops_per_sec",
+    "runtime_paced_tail8_20k_ms_p50", "runtime_paced_tail8_50k_ms_p50",
     "ivfpq_residual_m16_nprobe24_rerank200_recall_at_10",
 ]
 median["runs"] = [
