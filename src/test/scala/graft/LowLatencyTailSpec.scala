@@ -201,6 +201,46 @@ class LowLatencyTailSpec extends SparkSpec {
     } finally { h2.stop(); srv.stop() }
   }
 
+  test("sharded tail restart continuity: offset + decoder snapshot resume exactly under the pipelined loop, no redelivery") {
+    // the pipelined decode thread runs AHEAD of the checkpoint (it may
+    // have decoded segment N+1 when the dispatch thread commits N) — the
+    // per-segment eager snapshot must keep restart replay exact anyway
+    val dir = java.nio.file.Files.createTempDirectory("lltail_shr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lltail_shr_ck").toString
+    val srv = new ScriptedRedis
+    val env = SinkDispatch.Env(host = "127.0.0.1", port = srv.port)
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until 40).flatMap(i => txn(i.toLong)))
+    val (h1, s1) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailshr"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailshr", checkpointDir = Some(ckpt), shards = 4)(spark)
+    assert(awaitCount(srv.xadds, 40))
+    h1.stop()
+    assert(s1.error.isEmpty)
+    // segments land while the tail is DOWN
+    WalSpool.writeSegment(dir, WalSpool.segmentName(1),
+      (40 until 80).flatMap(i => txn(i.toLong)))
+    val before = srv.xadds.size
+    val (h2, s2) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailshr"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailshrb", checkpointDir = Some(ckpt), shards = 4)(spark)
+    try {
+      assert(awaitCount(srv.xadds, before + 40), "missed the while-down segment")
+      Thread.sleep(300)
+      assert(srv.xadds.size == before + 40,
+        s"redelivered already-committed events: ${srv.xadds.size} vs ${before + 40}")
+      val idRe = """record\|\{"id":(\d+)""".r
+      val ids = srv.xadds.asScala.toSeq.map(x =>
+        idRe.findFirstMatchIn(x)
+          .getOrElse(fail(s"no record id in XADD: $x")).group(1).toLong)
+      assert(ids.toSet == (0L until 80L).toSet, "missing or phantom rows")
+      assert(s2.error.isEmpty)
+    } finally { h2.stop(); srv.stop() }
+  }
+
   test("head-gap watchdog: a persistent hole at the committed position raises, a later segment alone never delivers out of order") {
     val dir = java.nio.file.Files.createTempDirectory("lltail3").toString
     val srv = new ScriptedRedis
