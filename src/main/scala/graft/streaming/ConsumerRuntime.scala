@@ -968,9 +968,13 @@ object ConsumerRuntime {
   // (write + 8 verifying reads per segment) was a measured double-digit-ms
   // per-segment term at 50k ev/s. Raw local FS skips it; any non-local
   // filesystem (HDFS/S3 on a cluster) keeps its own integrity machinery.
+  // one Configuration per JVM: its constructor re-parses the XML
+  // resource chain — a measured ~5-10 ms that was being paid on EVERY
+  // feed write (driver, 10x/s) and every per-task feed read (K/segment)
+  private lazy val feedConf = new org.apache.hadoop.conf.Configuration()
   private def feedFs(p: org.apache.hadoop.fs.Path)
       : org.apache.hadoop.fs.FileSystem =
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+    p.getFileSystem(feedConf) match {
       case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
       case other => other
     }
@@ -1002,11 +1006,15 @@ object ConsumerRuntime {
     buf.toByteArray
   }
 
+  // parent dirs are created once per path per JVM, not re-stat'd on
+  // every 10x/s overwrite
+  private val feedDirsMade =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def writeTailFeedBytes(pathStr: String,
       bytes: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = feedFs(p)
-    fs.mkdirs(p.getParent)
+    if (feedDirsMade.add(p.getParent.toString)) fs.mkdirs(p.getParent)
     // plain overwrite, no temp+rename: the tail is the only writer and
     // every reader (the dispatch job) runs strictly AFTER this returns —
     // the file is a hand-off, not a publish, and the rename pair cost
