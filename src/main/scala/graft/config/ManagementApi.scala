@@ -70,7 +70,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   final case class AccountRec(id: String, name: String,
       insertedAt: java.time.Instant)
 
-  private val accounts = TrieMap.empty[String, AccountRec]
+  private[config] val accounts = TrieMap.empty[String, AccountRec]
   private val accountSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def registerAccount(name: String): AccountRec = {
@@ -93,7 +93,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * requests set it from the verified token's binding; non-HTTP callers
     * default to the bootstrap account.
     */
-  private val currentAccount: ThreadLocal[String] =
+  private[config] val currentAccount: ThreadLocal[String] =
     ThreadLocal.withInitial(() => bootstrapAccountId)
 
   /** An account-scoped resource map: every read/write is keyed by
@@ -104,7 +104,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * never Forbidden — resource EXISTENCE is account-private).
     * Mirrors the TrieMap call surface so handler code reads unchanged.
     */
-  private final class Scoped[V] {
+  private[config] final class Scoped[V] {
     private val m = TrieMap.empty[(String, String), V]
     private def acct: String = currentAccount.get()
     def get(name: String): Option[V] = m.get((acct, name))
@@ -137,12 +137,12 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     def isEmpty: Boolean = !m.keysIterator.exists(_._1 == acct)
   }
 
-  private val registry = new Scoped[ConsumerConfig]
-  private val backfills = new Scoped[Vector[BackfillRec]]
+  private[config] val registry = new Scoped[ConsumerConfig]
+  private[config] val backfills = new Scoped[Vector[BackfillRec]]
   private val backfillSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val endpoints = new Scoped[YamlSpec.HttpEndpointSpec]
-  private val retentions = new Scoped[YamlSpec.ChangeRetentionSpec]
-  private val replications = new Scoped[ReplicationRec]
+  private[config] val endpoints = new Scoped[YamlSpec.HttpEndpointSpec]
+  private[config] val retentions = new Scoped[YamlSpec.ChangeRetentionSpec]
+  private[config] val replications = new Scoped[ReplicationRec]
   private val replSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ReplStatuses = Set("active", "disabled")
 
@@ -158,7 +158,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
       hashed: Array[Byte], token: String, insertedAt: java.time.Instant,
       accountId: String)
 
-  private val apiTokens = TrieMap.empty[String, ApiTokenRec]
+  private[config] val apiTokens = TrieMap.empty[String, ApiTokenRec]
   private val tokenSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def sha256(s: String): Array[Byte] =
@@ -231,7 +231,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * tunnel preamble authenticates with the same bearer tokens the API
     * does). Returns the token's account binding.
     */
-  private def verifyRawToken(raw: String): Option[String] = {
+  private[config] def verifyRawToken(raw: String): Option[String] = {
     val candidate = sha256(raw)
     // MessageDigest.isEqual is constant-time; scanning all tokens
     // keeps the compare count independent of which token matches
@@ -261,6 +261,10 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     s.createContext("/health", new HealthRouter)
     // /metrics likewise sits outside :api (PlugExporter mount)
     s.createContext("/metrics", new MetricsRouter)
+    // the operator console: server-rendered HTML over the same scoped
+    // stores (the reference's LiveView surface, sequin_web/live/*).
+    // "/" is the LEAST specific context, so /api//health//metrics win
+    s.createContext("/", new Console(this))
     s.setExecutor(pool)
     s.start()
     s
@@ -634,7 +638,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
     * account-scoped catalog (wal_pipeline → retentions) follow their
     * store; anything unmatched stays visible (infra-level entities).
     */
-  private def ownsEntity(kind: String, id: String): Boolean = {
+  private[config] def ownsEntity(kind: String, id: String): Boolean = {
     // visible iff the caller owns the matching resource, or NO account
     // claims that id (library-driven entities reported straight into the
     // health registry have no catalog row — hiding them would blind the
@@ -1243,7 +1247,7 @@ final class ManagementApi(vaultKeyBase64: Option[String] = None) {
   // token binding is ENFORCED by construction (a foreign account's
   // database name simply misses → "unknown database", existence stays
   // account-private)
-  private val databases = new Scoped[DatabaseRec]
+  private[config] val databases = new Scoped[DatabaseRec]
 
   /** The reference's catalog SQL, compacted to the columns we store
     * (`postgres.ex:345-372`): tables + columns + pk flags, partition

@@ -81,6 +81,68 @@ object Metrics {
 
     // ---- the reference's metric surface (prometheus.ex) ----------------
 
+    // per-consumer per-second processed buckets backing the console's
+    // throughput timeseries (the reference computes the same series
+    // from Redis-sorted samples —
+    // metrics.ex `get_consumer_messages_processed_throughput_timeseries
+    // _smoothed`); bounded: buckets older than retentionSec are dropped
+    // on every write
+    private val seriesRetentionSec = 150L
+    private val series =
+      TrieMap.empty[String, java.util.TreeMap[java.lang.Long, Long]]
+
+    private def recordSeries(consumerId: String, n: Long,
+        nowSec: Long): Unit = if (n > 0) {
+      val m = series.getOrElseUpdate(consumerId,
+        new java.util.TreeMap[java.lang.Long, Long]())
+      m.synchronized {
+        m.merge(nowSec, n, (a, b) => a + b)
+        val cutoff = nowSec - seriesRetentionSec
+        while (!m.isEmpty && m.firstKey() < cutoff) m.pollFirstEntry()
+      }
+    }
+
+    /** Messages-processed throughput, per-second over the trailing
+      * `windows` seconds, smoothed with a trailing mean of
+      * `smoothing` buckets — the series the reference's console
+      * sparklines render (sink_consumers/index.ex:
+      * `@timeseries_window_count 60`, `@smoothing_window 5`).
+      */
+    def throughputTimeseries(consumerId: String, windows: Int = 60,
+        smoothing: Int = 5,
+        nowSec: Long = System.currentTimeMillis() / 1000L): Vector[Double] = {
+      val m = series.get(consumerId)
+      val raw = new Array[Double](windows + smoothing)
+      m.foreach { tm =>
+        tm.synchronized {
+          var i = 0
+          while (i < raw.length) {
+            val sec = nowSec - (raw.length - 1 - i)
+            raw(i) = Option(tm.get(java.lang.Long.valueOf(sec)))
+              .map(_.toDouble).getOrElse(0.0)
+            i += 1
+          }
+        }
+      }
+      Vector.tabulate(windows) { j =>
+        var s = 0.0
+        var k = 0
+        while (k < smoothing) { s += raw(j + k + 1); k += 1 }
+        s / smoothing
+      }
+    }
+
+    /** Sum of one counter family over all label sets containing the
+      * given (label, value) pair — the console's per-consumer rollup
+      * read (the reference reads the same counters back from Redis,
+      * metrics.ex `get_consumer_messages_processed_count`).
+      */
+    def counterSum(name: String, label: (String, String)): Long =
+      counters.iterator.collect {
+        case (k, v) if k.name == name && k.labels.contains(label) =>
+          v.sum()
+      }.sum
+
     /** `increment_message_deliver_attempt/success/failure`
       * (prometheus.ex:308-322) + delivered bytes (:178) from one
       * SinkDispatch outcome batch.
@@ -90,6 +152,8 @@ object Metrics {
         bytes: Long = 0L): Unit = {
       val l = Seq("consumer_id" -> consumerId,
         "consumer_name" -> consumerName)
+      recordSeries(consumerId, outcomes.count(_.ok).toLong,
+        System.currentTimeMillis() / 1000L)
       inc("sequin_message_deliver_attempt_count", l, outcomes.size.toLong,
         "Total number of message delivery attempts.")
       inc("sequin_message_deliver_success_count", l,
