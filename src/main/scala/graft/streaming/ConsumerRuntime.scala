@@ -1177,7 +1177,7 @@ object ConsumerRuntime {
     // snapshot travels WITH its segment because stage A's decoder has
     // already advanced past it.
     final case class PreparedSeg(idx: Long, bytes: Array[Byte], n: Long,
-      snapshot: Array[Byte], decodeMs: Double)
+      snapshot: Array[Byte], decodeMs: Double, segs: Long = 1L)
     val handoff = new java.util.concurrent.ArrayBlockingQueue[PreparedSeg](1)
     def fail(e: Throwable): Unit = if (!state.stopped) {
       state.stopped = true
@@ -1191,6 +1191,55 @@ object ConsumerRuntime {
       try {
         var nextIdx = readOffset()
         var gapSinceNanos = 0L
+        // ADAPTIVE MERGE under pressure: segments decoded while stage B
+        // is still delivering the previous batch ACCUMULATE here instead
+        // of blocking on the hand-off. One merged action amortizes the
+        // per-action scheduler floor over several segments, so when
+        // per-segment delivery cost reaches the arrival cadence (the
+        // saturation knee) the tail degrades into micro-batching and
+        // recovers the moment stage B catches up — instead of building
+        // an unbounded backlog behind a blocked decode thread.
+        // Sub-saturation the queue has room at every offer, nothing
+        // merges, and the per-segment path is unchanged. Memory is
+        // bounded: past maxMergedRows the flush BLOCKS. The checkpoint
+        // contract is untouched — a merged batch carries the LAST
+        // segment's idx and the decoder snapshot taken after it, and
+        // stage B's write order (deliveries → decoder → offset) covers
+        // the whole range exactly as it covered one segment.
+        val maxMergedRows = 262144
+        val accRows =
+          scala.collection.mutable.ArrayBuffer.empty[
+            graft.sources.PgStream.Decoded]
+        // cross-segment identity suppression for sharded plans (whose
+        // feed skips dropDuplicates): one set per pending merge
+        val accSeen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        var accMs = 0.0
+        var accLast = -1L
+        var accSegs = 0L
+        def flush(blocking: Boolean): Unit =
+          if (accLast >= 0 &&
+            (blocking || handoff.remainingCapacity() > 0)) {
+            val prepared = PreparedSeg(accLast,
+              if (accRows.nonEmpty) encodeTailFeed(accRows.toSeq)
+              else null,
+              accRows.size.toLong, decoder.snapshot(), accMs, accSegs)
+            // only this thread offers, so a positive capacity check
+            // makes the non-blocking offer infallible; the blocking arm
+            // polls so a stop() while stage B drains can never wedge it
+            val handed =
+              if (!blocking) handoff.offer(prepared)
+              else {
+                var ok = false
+                while (!state.stopped && !ok)
+                  ok = handoff.offer(prepared, 50L,
+                    java.util.concurrent.TimeUnit.MILLISECONDS)
+                ok || state.stopped
+              }
+            if (handed) {
+              accRows.clear(); accSeen.clear()
+              accMs = 0.0; accLast = -1L; accSegs = 0L
+            }
+          }
         while (!state.stopped) {
           val pending = graft.sources.WalSpool.listIndexed(spoolDir)
             .filter(_._1 >= nextIdx)
@@ -1215,35 +1264,36 @@ object ConsumerRuntime {
                   s"while later segments exist (head: ${pending.head._1})")
           } else gapSinceNanos = 0L
           if (run.isEmpty) {
+            // nothing new to decode: hand any pending merge to stage B
+            // the moment it has room, then idle-poll
+            flush(blocking = false)
             java.util.concurrent.locks.LockSupport.parkNanos(
               pollIntervalMs * 1000000L)
-          } else run.foreach { case (idx, file) =>
-            if (!state.stopped) {
-              val t0 = System.nanoTime()
-              val decodedRaw =
-                decoder.feedAll(graft.sources.WalSpool.readSegment(file))
-              // sharded plans carry no dropDuplicates (it would plan an
-              // Exchange); dedup the segment here on the identity pair
-              // idempotency_key encodes — same suppression, zero plan cost
-              val decoded =
-                if (effShards == 1) decodedRaw
-                else {
-                  val seen = scala.collection.mutable
-                    .HashSet.empty[(Long, Long)]
-                  decodedRaw.filter(d =>
-                    seen.add((d.commit_lsn, d.commit_idx)))
-                }
-              val prepared = PreparedSeg(idx,
-                if (decoded.nonEmpty) encodeTailFeed(decoded) else null,
-                decoded.size.toLong, decoder.snapshot(),
-                (System.nanoTime() - t0) / 1e6)
-              // bounded offer so a stop() while stage B drains can never
-              // wedge this thread on a full queue
-              while (!state.stopped &&
-                !handoff.offer(prepared, 50L,
-                  java.util.concurrent.TimeUnit.MILLISECONDS)) ()
-              nextIdx = idx + 1
+          } else {
+            run.foreach { case (idx, file) =>
+              if (!state.stopped) {
+                val t0 = System.nanoTime()
+                val decodedRaw =
+                  decoder.feedAll(graft.sources.WalSpool.readSegment(file))
+                // sharded plans carry no dropDuplicates (it would plan an
+                // Exchange); dedup here on the identity pair
+                // idempotency_key encodes — same suppression, zero plan
+                // cost — across the WHOLE pending merge
+                val decoded =
+                  if (effShards == 1) decodedRaw
+                  else decodedRaw.filter(d =>
+                    accSeen.add((d.commit_lsn, d.commit_idx)))
+                accRows ++= decoded
+                accMs += (System.nanoTime() - t0) / 1e6
+                accLast = idx
+                accSegs += 1L
+                nextIdx = idx + 1
+                flush(blocking = accRows.size >= maxMergedRows)
+              }
             }
+            // end of the contiguous run: try once more; a still-busy
+            // stage B keeps the merge pending for the next iteration
+            flush(blocking = false)
           }
         }
       } catch { case e: Throwable => fail(e) }
@@ -1278,7 +1328,7 @@ object ConsumerRuntime {
             writeFile(decoderPath, prepared.snapshot)
             writeFile(offsetPath,
               (prepared.idx + 1).toString.getBytes("UTF-8"))
-            state.segmentsDelivered += 1
+            state.segmentsDelivered += prepared.segs
           }
         }
       } catch { case e: Throwable => fail(e) }

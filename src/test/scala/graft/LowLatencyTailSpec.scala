@@ -370,6 +370,59 @@ class LowLatencyTailSpec extends SparkSpec {
     assert(ConsumerRuntime.readTailFeed(path) == rows)
   }
 
+  test("backlog merges adaptively: segments decoded while dispatch is " +
+      "busy fold into ONE delivery, exactly once and in order") {
+    val dir = java.nio.file.Files.createTempDirectory("lltail").toString
+    val srv = new ScriptedRedis
+    val nSegs = 12
+    val perSeg = 5
+    // a standing backlog BEFORE the tail starts: stage B's first
+    // delivery (cold plan analysis) takes far longer than stage A needs
+    // to decode the rest, so the pending merge must absorb them —
+    // delivering all rows in FEWER actions than segments instead of
+    // queueing one action per segment behind a blocked decode thread
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until perSeg).flatMap(i => txn(i.toLong)))
+    (1 until nSegs).foreach { s =>
+      WalSpool.writeSegment(dir, WalSpool.segmentName(s.toLong),
+        (s * perSeg until (s + 1) * perSeg).flatMap(i => txn(i.toLong)))
+    }
+    val (handle, state) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailmerge"),
+      SinkDispatch.Env(host = "127.0.0.1", port = srv.port),
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailmerge")(spark)
+    try {
+      val total = nSegs * perSeg
+      assert(awaitCount(srv.xadds, total),
+        s"backlog not drained: ${srv.xadds.size}/$total")
+      Thread.sleep(300) // settle: no late duplicate deliveries
+      assert(srv.xadds.size == total,
+        s"exactly-once violated: ${srv.xadds.size}/$total")
+      assert(state.error.isEmpty, s"tail error: ${state.error}")
+      // every source segment is accounted for in the checkpoint state
+      val deadline = System.nanoTime() + 30000000000L
+      while (state.segmentsDelivered < nSegs &&
+        System.nanoTime() < deadline) Thread.sleep(2)
+      assert(state.segmentsDelivered == nSegs.toLong,
+        s"segments accounted: ${state.segmentsDelivered}/$nSegs")
+      // the proof of merging: strictly fewer delivery actions than
+      // segments (each action logs one "batch processed" trace event)
+      val batches = graft.streaming.Trace.recent("tailmerge", 1000)
+        .count(_.message == "batch processed")
+      assert(batches >= 1 && batches < nSegs,
+        s"expected merged deliveries, saw $batches actions for $nSegs segments")
+      // single ordered connection: ids 0..total-1 arrive in sequence
+      // (event_id is the record JSON's first numeric field)
+      val ids = srv.xadds.asScala.toSeq.map { x =>
+        val f = x.split("\\|")
+        "\\d+".r.findFirstIn(f(f.indexWhere(_ == "record") + 1)).get.toInt
+      }
+      assert(ids == (0 until total).toList, s"order violated: $ids")
+    } finally { handle.stop(); srv.stop() }
+  }
+
   test("low_latency config knob round-trips through parse and render") {
     val c = cfg("knob")
     assert(c.lowLatency)
