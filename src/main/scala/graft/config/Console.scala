@@ -164,8 +164,8 @@ final class Console(api: ManagementApi) extends HttpHandler {
         |</ol>""".stripMargin))
 
   private def renderSinks(ex: HttpExchange): Unit = {
-    val rows = api.registry.keys.toSeq.sorted.map { name =>
-      val cfg = api.registry(name)
+    val rows = api.registry.keys.toSeq.sorted.flatMap(name =>
+      api.registry.get(name).map(name -> _)).map { case (name, cfg) =>
       val h = api.health.health("sink_consumer", name)
       val backfilling = api.backfills.getOrElse(name, Vector.empty)
         .exists(_.state == "active")
@@ -325,8 +325,8 @@ final class Console(api: ManagementApi) extends HttpHandler {
     }
 
   private def renderDatabases(ex: HttpExchange): Unit = {
-    val rows = api.databases.keys.toSeq.sorted.map { name =>
-      val db = api.databases(name)
+    val rows = api.databases.keys.toSeq.sorted.flatMap(name =>
+      api.databases.get(name).map(name -> _)).map { case (name, db) =>
       val repls = api.replications.values
         .filter(_.postgresDatabase == name).toSeq
       val paused = repls.nonEmpty && repls.forall(_.status == "disabled")
@@ -396,8 +396,8 @@ final class Console(api: ManagementApi) extends HttpHandler {
     }
 
   private def renderWalPipelines(ex: HttpExchange): Unit = {
-    val rows = api.retentions.keys.toSeq.sorted.map { name =>
-      val r = api.retentions(name)
+    val rows = api.retentions.keys.toSeq.sorted.flatMap(name =>
+      api.retentions.get(name).map(name -> _)).map { case (name, r) =>
       val h = api.health.health("wal_pipeline", name)
       s"""<tr><td>${esc(name)}</td>
          |<td>${esc(r.sourceDatabase)}.${esc(r.sourceSchema)}.${esc(
@@ -422,7 +422,8 @@ final class Console(api: ManagementApi) extends HttpHandler {
 
   private def renderFunctions(ex: HttpExchange): Unit = {
     val rows = api.registry.keys.toSeq.sorted.flatMap { name =>
-      namedFunctions(name, api.registry(name)).map {
+      api.registry.get(name).toSeq
+        .flatMap(cfg => namedFunctions(name, cfg)).map {
         case (fn, kind, expr) =>
           s"""<tr><td>${esc(fn)}</td><td>${esc(kind)}</td>
              |<td><code>${esc(expr)}</code></td>
