@@ -423,6 +423,57 @@ class LowLatencyTailSpec extends SparkSpec {
     } finally { handle.stop(); srv.stop() }
   }
 
+  test("mid-backlog stop under the merge path: segments accumulated " +
+      "but never handed off replay exactly once after restart") {
+    // a clean stop() while a deep backlog is still merging: stage B
+    // drains whatever was handed off (and commits it), the pending
+    // accumulation is DISCARDED — it was never delivered, so the next
+    // start must replay it from the committed offset with no loss and
+    // no duplicates (the decoder snapshot travels only with handed-off
+    // batches, so the replayed range re-decodes cleanly)
+    val dir = java.nio.file.Files.createTempDirectory("lltail_ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lltail_ms_ck").toString
+    val srv = new ScriptedRedis
+    val env = SinkDispatch.Env(host = "127.0.0.1", port = srv.port)
+    val nSegs = 10
+    val perSeg = 8
+    val total = nSegs * perSeg
+    WalSpool.writeSegment(dir, WalSpool.segmentName(0),
+      PgStream.Frame("slot", 0L, PgOutput.encode(relation)) +:
+        (0 until perSeg).flatMap(i => txn(i.toLong)))
+    (1 until nSegs).foreach { s =>
+      WalSpool.writeSegment(dir, WalSpool.segmentName(s.toLong),
+        (s * perSeg until (s + 1) * perSeg).flatMap(i => txn(i.toLong)))
+    }
+    val (h1, s1) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailms"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailms", checkpointDir = Some(ckpt))(spark)
+    // stop as soon as the FIRST delivery lands — the rest of the
+    // backlog is somewhere between undecoded, accumulated, and handed
+    assert(awaitCount(srv.xadds, perSeg))
+    h1.stop()
+    assert(s1.error.isEmpty, s"tail error: ${s1.error}")
+    val (h2, s2) = ConsumerRuntime.startLowLatencyTail(
+      dir, toEnvelope, cfg("tailms"), env,
+      new graft.config.Metrics.Registry(), new graft.config.Health.Registry(),
+      "tailmsb", checkpointDir = Some(ckpt))(spark)
+    try {
+      assert(awaitCount(srv.xadds, total), s"backlog not completed " +
+        s"after restart: ${srv.xadds.size}/$total")
+      Thread.sleep(300) // would-be duplicates surface here
+      assert(srv.xadds.size == total,
+        s"duplicate deliveries after restart: ${srv.xadds.size}/$total")
+      val idRe = """record\|\{"id":(\d+)""".r
+      val ids = srv.xadds.asScala.toSeq.map(x =>
+        idRe.findFirstMatchIn(x)
+          .getOrElse(fail(s"no record id in XADD: $x")).group(1).toLong)
+      assert(ids.toSet == (0L until total.toLong).toSet,
+        "missing or phantom rows after mid-backlog restart")
+      assert(s2.error.isEmpty, s"restarted tail error: ${s2.error}")
+    } finally { h2.stop(); srv.stop() }
+  }
+
   test("low_latency config knob round-trips through parse and render") {
     val c = cfg("knob")
     assert(c.lowLatency)
