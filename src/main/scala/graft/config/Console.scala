@@ -583,10 +583,10 @@ final class Console(api: ManagementApi) extends HttpHandler {
   private def tsOf(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).toString
 
+  // the catalog-password preview shape the JSON API uses
+  // (api obfuscation: <=5 chars all-stars, <=9 first+last, else 3+last)
   private def obfuscate(s: String): String =
-    if (s == null || s.isEmpty) ""
-    else if (s.length <= 4) "****"
-    else s.take(4) + "…" + "*" * 4
+    if (s == null) "" else ManagementApi.obfuscate(s)
 
   private def decode(s: String): String = URLDecoder.decode(s, UTF_8)
 
