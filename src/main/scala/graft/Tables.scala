@@ -54,6 +54,30 @@ object Tables {
     }
   }
 
+  /** Hash-spread a narrow scan before CPU-heavy per-row work.
+    *
+    * A parquet file smaller than `spark.sql.files.maxPartitionBytes` (or
+    * with one row group) yields ONE scan task, so everything up to the
+    * first Exchange — per-row codecs, tokenizers, hashing — serializes on
+    * a single core while the rest of the cluster idles (opt guide §2.5,
+    * "input skew: one huge unsplittable file → repartition immediately
+    * after the read"). When the scan is already at least as wide as the
+    * session's parallelism (the 100 TB layout: thousands of splits), this
+    * is a no-op — no payload shuffle is added at scale. Hash partitioning
+    * on a real key keeps the row→partition map deterministic under task
+    * retry (round-robin repartition is not, SPARK-38388) and adds no
+    * pre-shuffle sort.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    // escape hatch + A/B toggle (graft.AbSpread interleaves both arms in
+    // one session so host-load noise cannot masquerade as a delta)
+    if (df.sparkSession.conf.get("spark.graft.spread", "on") == "off")
+      return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, org.apache.spark.sql.functions.col(key))
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
@@ -62,5 +86,13 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+
+  /** NOTE (r16 opt): a `spread` here was tried — the ANN queries' fat
+    * stages are single-task broadcast builds inheriting this one-file
+    * scan's width — but measured SLOWER interleaved on the deep IVF-PQ
+    * chains (td110 min 5.0→7.3: every duplicated broadcast subtree
+    * re-executes the added exchange, and AQE coalesces the tiny
+    * post-shuffle stage back to one task anyway). Left on scan width.
+    */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -60,7 +60,9 @@ object TimeQueries {
         case Some(fn) =>
           // a rep that throws is excluded from the min — a fast failure
           // must not print as a fast plan
-          val times = (1 to reps).map { _ =>
+          val times = (1 to reps).map { i =>
+            // label jobs so event-log breakdowns attribute to query+rep
+            spark.sparkContext.setJobDescription(s"$n rep$i")
             val t0 = System.nanoTime()
             val ok = try { force(fn(spark, sfDir)); true } catch {
               case e: Throwable => println(s"$n ERROR: ${e.getMessage}"); false

@@ -97,7 +97,10 @@ object Dedup {
     */
   private def signatureBase(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int): DataFrame =
-    df.select(col(idCol),
+    // the md5-per-shingle signature work is the pass's CPU; spread a
+    // narrow scan (single small parquet file = 1 task) across cores
+    // first — a no-op when the input is already wide (guide §2.5)
+    graft.Tables.spread(df, idCol).select(col(idCol),
         // fused kernel ≡ sort_array(array_distinct(shinglesOf(tokens)))
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), shingleN, sorted = true)
@@ -197,6 +200,11 @@ object Dedup {
     // at probe scale — each is re-read sequentially, which disk serves
     // fine, while heap stays free for the joins' execution memory
     val diskLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // NOTE (r16 opt): a Tables.spread here was measured 5.4s -> 7.0-10.3s
+    // at sf0.1 — the 32-way partition multiplication propagates through
+    // every DISK_ONLY checkpoint and chunk pass of the machinery below
+    // (38 jobs/rep, overhead-dominated). The shingle pass stays on the
+    // scan's own width; at real scale the input is already wide.
     val sets = df.select(col(idCol),
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), shingleN, sorted = true)

@@ -496,9 +496,15 @@ object TrainingQueries {
       val medoids = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("cent_emb"))
+      // pin the two multiply-consumed intermediates (both metadata-sized:
+      // 40 centroids / corpus×1 residual rows) — cents feeds residuals AND
+      // the topK probe, res feeds seed books + refine + encode; without
+      // the pins each consumer re-runs the whole upstream chain (the
+      // before-plan scanned embeddings 10×)
       val cents = graft.similarity.Ann.refineCentroids(emb, medoids,
-        iters = 2)
+        iters = 2).localCheckpoint()
       val res = graft.similarity.Quantize.residuals(emb, "embedding", cents)
+        .localCheckpoint()
       val rb = graft.similarity.Quantize.refineCodebooks(res, "rvec",
         graft.similarity.Quantize.residualCodebooks(
           res, m = 8, k = 16, step = 25, dims = 64),
@@ -545,6 +551,8 @@ object TrainingQueries {
     // parallel, no shuffle.)
     "td39_media_decode" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / raw decode + hash): the
+      // spread's exchange cost exceeds its win (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -563,6 +571,8 @@ object TrainingQueries {
     // or padding bug in the decoder is a hash mismatch.
     "td40_payload_features" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / raw decode + hash): the
+      // spread's exchange cost exceeds its win (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -578,6 +588,8 @@ object TrainingQueries {
     // recomputes cells from the closed-form synthesis pixels.
     "td48_image_ahash" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / raw decode + hash): the
+      // spread's exchange cost exceeds its win (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -592,6 +604,8 @@ object TrainingQueries {
     // |amplitude| (integer floor), one bit each vs the global mean.
     "td49_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / PCM synth): the spread's
+      // exchange cost exceeds its win here (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -611,6 +625,8 @@ object TrainingQueries {
     // an ID3v2 tag the decoder must skip.
     "td105_compressed_media" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / PCM synth): the spread's
+      // exchange cost exceeds its win here (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) =
@@ -631,6 +647,8 @@ object TrainingQueries {
     // payloads were recovered through three different container layouts.
     "td106_compressed_neardup" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / PCM synth): the spread's
+      // exchange cost exceeds its win here (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) =
@@ -654,7 +672,9 @@ object TrainingQueries {
     // pixels with hash-invariant accuracy at all three qualities.
     "td107_jpeg_reencode_neardup" -> ((s, dir) => {
       import s.implicits._
-      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // spread the 1-task scan before the CPU-bound per-row codec work
+      val assets = Tables.spread(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id").as[Long]
         .map { d =>
           graft.multimodal.Multimodal.Asset(d, "image",
             graft.multimodal.MediaCodec.synthesizeJpegTwin(d), "synth")
@@ -670,7 +690,9 @@ object TrainingQueries {
     // zigzag ordering and the quality inversion all correct, per asset.
     "td108_jpeg_quality" -> ((s, dir) => {
       import s.implicits._
-      val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // spread the 1-task scan before the CPU-bound per-row codec work
+      val assets = Tables.spread(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id").as[Long]
         .map { d =>
           graft.multimodal.Multimodal.Asset(d, "image",
             graft.multimodal.MediaCodec.synthesizeJpegTwin(d), "synth")
@@ -690,6 +712,8 @@ object TrainingQueries {
     // ISO 11172-3 side-info bit layout and the contour rule all correct.
     "td109_mp3_reencode_neardup" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / PCM synth): the spread's
+      // exchange cost exceeds its win here (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           graft.multimodal.Multimodal.Asset(d, "audio",
@@ -842,7 +866,9 @@ object TrainingQueries {
       val merges = graft.training.TrainingPrep
         .charPairMerges(docs, "text", k = 30)
         .collect().map(_.getString(0)).toSeq
-      graft.training.TrainingPrep.bpeEncode(docs, "doc_id", "text", merges)
+      // the greedy merge loop is per-row CPU on a 1-task scan — spread
+      graft.training.TrainingPrep.bpeEncode(
+          Tables.spread(docs, "doc_id"), "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
 
@@ -906,8 +932,9 @@ object TrainingQueries {
     "td66_kmv_setops" -> ((s, dir) => {
       // documents is a single parquet file => 1-2 scan partitions; the
       // tokenize+shingle explode is the query's CPU (not the sketch) —
-      // spread it across cores before exploding
-      val sh = Tables.documents(s, dir).repartition(32)
+      // spread it across cores before exploding (scale-adaptive: a no-op
+      // when the scan is already wide; keyed, so deterministic on retry)
+      val sh = Tables.spread(Tables.documents(s, dir), "doc_id")
         .select(col("source"),
           explode(graft.text.TextAnalysis.shingles(col("text"), 3)).as("v"))
       graft.sketch.Sketches.kmvSetOps(sh, "source", "v", k = 64)
@@ -980,6 +1007,8 @@ object TrainingQueries {
     // to uniform brightness shifts.
     "td75_image_phash" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / raw decode + hash): the
+      // spread's exchange cost exceeds its win (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -994,6 +1023,8 @@ object TrainingQueries {
     // 1593 aHash-only at sf0.01.
     "td76_image_neardups" -> ((s, dir) => {
       import s.implicits._
+      // light per-row codec (header walk / raw decode + hash): the
+      // spread's exchange cost exceeds its win (r16 interleaved A/B)
       val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { d =>
           val (fmt, bytes) = graft.multimodal.MediaCodec.synthesizeAsset(d)
@@ -1276,7 +1307,10 @@ object TrainingQueries {
     // best above margin 1.0. Sides split deterministically on vec_id
     // parity so the oracle reproduces them.
     "td95_bitext_margin" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      // the one ANN query that wins from spreading the narrow embeddings
+      // scan (r16 interleaved A/B: 2.40→1.81 min) — its LSH banding +
+      // margin passes are map-heavy and not broadcast-subtree-duplicated
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
       Ann.bitextMarginMine(
           emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1),
@@ -1334,11 +1368,13 @@ object TrainingQueries {
 
     // Content-defined chunking (FastCDC/rsync family) + chunk-level
     // dedup: rolling-hash boundaries, md5 chunk fingerprints, per-doc
-    // shared-span accounting in chars. documents scans as 1-2 parquet
-    // partitions and the boundary pass is the CPU — spread it first
+    // shared-span accounting in chars. r16 interleaved A/B: BOTH the
+    // old fixed repartition(32) and the adaptive spread measured slower
+    // than the plain scan here (1.02 vs 1.53 min) — the boundary pass
+    // feeds an immediate checkpoint, so the exchange only added cost
     "td102_cdc_chunks" -> ((s, dir) =>
       graft.training.TrainingPrep.cdcChunkDedup(
-          Tables.documents(s, dir).repartition(32), "doc_id", "text",
+          Tables.documents(s, dir), "doc_id", "text",
           window = 16, divisor = 64)
         .orderBy("doc_id")),
 

@@ -140,6 +140,9 @@ object TrainingPrep {
     * (AQE decides), and the 1-row totals side is an explicit broadcast.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOTE (r16 opt): a Tables.spread here measured SLOWER interleaved
+    // (td58 0.96→2.20 min) — toks feeds several consumers and the added
+    // exchange is not reused across their subtrees; left on scan width
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -377,6 +380,9 @@ object TrainingPrep {
     */
   def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
+    // NOTE (r16 opt): Tables.spread here measured slightly slower
+    // interleaved (td41 2.24→2.54 min) — the pass lands in an immediate
+    // localCheckpoint, so the spread only added an exchange
     val toks = df.select(col(idCol), col(textCol).as("__text"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .withColumn("n_tk", size(col("tk")))
@@ -431,7 +437,8 @@ object TrainingPrep {
   def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
-    val toks = df.select(col(idCol),
+    // spread the tokenize + hash pass off the 1-task narrow scan
+    val toks = graft.Tables.spread(df, idCol).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val tf = toks
       .withColumn("bucket", pmod(Hashing.portableHash(col("token")), lit(dim))
@@ -476,7 +483,10 @@ object TrainingPrep {
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, dim: Int, keep: Int): DataFrame = {
     require(dim > 0 && keep > 0, s"dim and keep must be positive")
-    val toks = df.select(col(idCol), targetPred.as("is_target"),
+    // toks is consumed three times (raw counts, target counts, totals) —
+    // spread the tokenize off the 1-task scan so each pass parallelizes
+    val toks = graft.Tables.spread(df, idCol)
+      .select(col(idCol), targetPred.as("is_target"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .withColumn("bucket",
         pmod(Hashing.portableHash(col("token")), lit(dim)).cast("int"))
@@ -852,7 +862,9 @@ object TrainingPrep {
     require(k > 0, s"span width must be positive: $k")
     val toks = TextAnalysis.tokens(col(textCol))
     val nSpans = ceil(size(toks).cast("double") / k).cast("int")
-    val spans = df
+    // spread the tokenize + span explode off the 1-task narrow scan
+    val dfS = graft.Tables.spread(df, idCol)
+    val spans = dfS
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), nSpans - 1),
           i => array_join(slice(toks, i * k + 1, lit(k)), " "))
@@ -913,8 +925,11 @@ object TrainingPrep {
       k: Int): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens: $k")
     val toks = TextAnalysis.tokens(col(textCol))
+    // both per-row passes (window hashes, token posexplode) are the
+    // op's CPU — spread the 1-task narrow scan once, reuse for both
+    val dfS = graft.Tables.spread(df, idCol)
     // (id, pos, window-hash) occurrences; docs < k tokens emit none
-    val occ = df
+    val occ = dfS
       .select(col(idCol), size(toks).cast("int").as("__n"),
         graft.functions.VectorExpressions
           .all_shingle_hashes(col(textCol), k).as("__hs"))
@@ -930,7 +945,7 @@ object TrainingPrep {
       .select(col(idCol), col("s"))
     // merge-sort token rows with duplicate starts; running max start
     // covers token j iff a duplicate window [s, s+k-1] contains it
-    val tokRows = df.select(col(idCol),
+    val tokRows = dfS.select(col(idCol),
         posexplode(toks).as(Seq("p", "tok")))
       .select(col(idCol), col("p"), lit(1).as("kind"), col("tok"),
         lit(null).cast("int").as("s"))
@@ -1236,6 +1251,8 @@ object TrainingPrep {
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // NOTE (r16 opt): Tables.spread here measured slower interleaved
+    // (td74 med 1.56→2.26) — multi-consumer tk, exchange not reused
     val tk = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
     val bi = tk.where(size(col("tk")) >= 2)
       .select(col(idCol), explode(transform(
@@ -1438,6 +1455,9 @@ object TrainingPrep {
     */
   def knTrigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // NOTE (r16 opt): Tables.spread here measured much slower
+    // interleaved (td100 2.60→4.43 min) — tk feeds the five KN count
+    // tables and the exchange is re-executed per consumer subtree
     val tk = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
     val tri = tk.where(size(col("tk")) >= 3)
       .select(col(idCol), explode(transform(
