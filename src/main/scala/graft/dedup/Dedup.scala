@@ -633,13 +633,19 @@ object Dedup {
       relinked.union(centers).distinct()
     }
 
-    var converged = edges.isEmpty
+    // carry the cardinality across iterations: edges was counted when it
+    // was `next` last round, so recounting it per fixed-point check paid
+    // one extra full job per iteration (r16 opt)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
       // exact fixed-point check: equal cardinality + empty difference
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged)
