@@ -284,7 +284,6 @@ object Bench {
           .select(col("vec_id").as("centroid_id"),
             col("embedding").as("cent_emb"))
         val cents = similarity.Ann.refineCentroids(emb, medoids, iters = 2)
-          .localCheckpoint()
         val res = similarity.Quantize.residuals(emb, "embedding", cents)
           .localCheckpoint()
         val rb = similarity.Quantize.refineCodebooks(res, "rvec",
@@ -509,7 +508,9 @@ object Bench {
     val warmTotal = results.collect { case (_, v) if v.warm >= 0 => v.warm }.sum
     val failed = results.count(_._2.min < 0)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,"calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes,"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)}$pacedJson$shardedJson,"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}$sf1Json,"sf":"$sfDir"}"""
+    // Probe scalars shared by the full artifact and the compact headline.
+    val probesJson = s""""calibration_ops_per_sec":${calibrationOps.toLong},"pipeline_ops_per_sec":${opsPerSec.toLong},"synthetic_5m_ops_per_sec":${syntheticOps.toLong},"decode_ops_per_sec":${decodeOps.toLong},"runtime_ops_per_sec":${rt.groupedOps.toLong},"runtime_ungrouped_ops_per_sec":${rt.ungroupedOps.toLong},"runtime_fanout_shared_ops_per_sec":${rt.fanoutSharedOps.toLong},"runtime_fanout_independent_ops_per_sec":${rt.fanoutIndependentOps.toLong},"runtime_fanout_skew_sibling_ops_per_sec":${rt.fanoutSkewSiblingOps.toLong},"runtime_fanout_skew_lagged_ops_per_sec":${rt.fanoutSkewLaggedOps.toLong},"runtime_multislot_min_ops_per_sec":${rt.multiSlotMinOps.toLong},"runtime_multislot_max_ops_per_sec":${rt.multiSlotMaxOps.toLong},"runtime_latency_ms_p50":${"%.1f".format(rt.latP50Ms)},"runtime_latency_ms_p99":${"%.1f".format(rt.latP99Ms)},"runtime_lowlat_latency_ms_p50":${"%.1f".format(rt.tailLatP50Ms)},"runtime_lowlat_latency_ms_p99":${"%.1f".format(rt.tailLatP99Ms)}$pacedJson$shardedJson,"stream_latency_ms_p50":${"%.1f".format(latencyMs)},"stream_latency_continuous_ms_p50":${"%.1f".format(latencyContinuousMs)},"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_nprobe8":$ivfRecall8,"ivf_recall_at_10_nprobe16":$ivfRecall16,"lsh_recall_at_10":$lshRecall,"ivfpq_recall_at_10_nprobe16":${ivfpqRecall._1},"ivfpq_rerank200_recall_at_10":${ivfpqRecall._2},"ivfpq_residual_m16_nprobe24_rerank200_recall_at_10":${ivfpqRecall._3}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm_total":$warmTotal,"queries":$qs,"queries_first_rep":$qsFirst,"queries_warm_min":$qsWarm,"failed_queries":$failed,$probesJson,"stream_latency_continuous_us_p50":${"%.1f".format(latencyContinuousMs * 1000.0)},"runtime_fanout_consumers":${sys.env.getOrElse("SPARK_GRAFT_RT_FANOUT_CONSUMERS", "8")},"runtime_multislot_slots":$msSlots,"runtime_multislot_lanes_per_slot":$msLanes$sf1Json,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the tail of stdout — persist the FULL
     // artifact so per-query times survive without a re-run
@@ -518,6 +519,32 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench-report.json: $e") }
+    // COMPACT headline, printed LAST: the driver retains only a ~2000-char
+    // tail of stdout, and the full line above (three per-query maps,
+    // ~22 KB) has overflowed that tail EVERY round since r01 — the tail
+    // begins mid-JSON, the driver's parse fails, and the round's bench
+    // ground truth is lost (BENCH_r16.json parsed:null, PERF_r16
+    // per_query:{}). This line carries the totals + every probe scalar
+    // and NOTHING per-query (~1.7 KB incl. the trailing sbt status line,
+    // inside the tail budget), so the driver's parser finds one complete
+    // JSON object at the end of stdout. Per-query maps still ship — on
+    // the full line above and in bench-report.json. Totals are rounded
+    // to ms; the full-precision values stay on the full line.
+    val sf1Compact =
+      if (sf1Results.isEmpty) ""
+      else {
+        val tot1 = sf1Results.collect { case (_, v) if v >= 0 => v }.sum
+        val base = results.map { case (k, t) => k -> t.min }.toMap
+        val ratios = sf1Results.collect {
+          case (k, v) if v >= 0 && base.get(k).exists(_ > 0) => v / base(k)
+        }
+        val med =
+          if (ratios.isEmpty) -1.0
+          else ratios.sorted.apply(ratios.length / 2)
+        s""","sf1_total":${"%.3f".format(tot1)},"sf1_vs_sf01_median_ratio":${"%.1f".format(med)}"""
+      }
+    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"failed_queries":$failed,$probesJson$sf1Compact,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -73,6 +73,20 @@ object Tables {
     // one session so host-load noise cannot masquerade as a delta)
     if (df.sparkSession.conf.get("spark.graft.spread", "on") == "off")
       return df
+    // r17 hardening (ADVICE): the width probe below builds `df.rdd`,
+    // which under AQE EXECUTES any upstream exchange eagerly — and the
+    // real query then re-executes it (no reuse across executions). Every
+    // call site passes a plain scan/filter/projection, but spread() is
+    // embedded in generic helpers; guard structurally instead of by
+    // convention: any shuffle-inducing operator in the analyzed plan →
+    // no-op (those inputs are post-exchange and already wide or
+    // AQE-managed anyway).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleInducing = df.queryExecution.analyzed.collectFirst {
+      case n @ (_: Aggregate | _: Join | _: Window | _: Sort |
+                _: Distinct | _: GlobalLimit | _: RepartitionOperation) => n
+    }.isDefined
+    if (shuffleInducing) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p, org.apache.spark.sql.functions.col(key))

@@ -63,9 +63,22 @@ object Dedup {
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val a = bandsDf.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val raw = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // r17: pin the pair-dedup exchange's width. Everything downstream of
+    // this distinct (the exact-Jaccard verify, whose toks sides usually
+    // broadcast) runs at ITS width, and AQE's byte-based coalescing folds
+    // the few-MB pair stream to 1-2 tasks while the per-pair intersect is
+    // the CPU (sf1 event log: two 2-task stages of 1.3-1.5 s in a 4.5 s
+    // td05). The keyed repartition REPLACES the exchange distinct adds
+    // anyway — same shuffle bytes, REPARTITION_BY_NUM is exempt from
+    // coalescing. spark.graft.verifywidth=off restores the pre-r17 plan.
+    val spark = bandsDf.sparkSession
+    (if (spark.conf.get("spark.graft.verifywidth", "on") == "off") raw
+     else raw.repartition(spark.sparkContext.defaultParallelism,
+       col("id_a"), col("id_b")))
+      .distinct()
   }
 
   /** Jaccard similarity of two token-set columns (exact verification for
@@ -110,6 +123,23 @@ object Dedup {
           transform(col("toks"), t => graft.functions.Hashing.portableHash(t)), k))
       .localCheckpoint()
 
+  /** Should the verify join's final exchange be width-pinned? True only
+    * when the toks relation is past the planner's own broadcast
+    * threshold (i.e. the id-keyed join will shuffle anyway — the pin
+    * re-labels an existing exchange); under it the joins broadcast and a
+    * pin would add a shuffle round. `spark.graft.verifywidth=off`
+    * disables for interleaved A/B.
+    */
+  private def verifyWidthPin(toksRel: DataFrame): Boolean = {
+    val spark = toksRel.sparkSession
+    spark.conf.get("spark.graft.verifywidth", "on") != "off" && {
+      val bytes = toksRel.queryExecution.optimizedPlan.stats.sizeInBytes
+      val thresh = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      thresh >= 0 && bytes > thresh
+    }
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs: signature → bands → candidate
     * pairs → exact-Jaccard verify ≥ threshold.
     */
@@ -120,8 +150,26 @@ object Dedup {
     val cands = candidatePairs(
       lshBands(base.select(col(idCol), col("minhash")), idCol, bands, k / bands),
       idCol)
-    cands
+    val j1 = cands
       .join(base.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+    // r17: pin the LAST verify exchange's width (spark.graft.verifywidth,
+    // off = pre-r17). The exact-Jaccard stage is CPU-per-pair over small
+    // rows, so AQE's byte-based coalescing folds it to 1-2 tasks (sf1
+    // event log: two 2-task stages of 1.3-1.5 s each inside a 4.5 s
+    // query). The keyed repartition REPLACES the ENSURE_REQUIREMENTS
+    // exchange the id_b join needs anyway — same shuffle bytes — but
+    // REPARTITION_BY_NUM is exempt from AQE coalescing, so the verify
+    // runs at the session's parallelism. Applied ONLY when the toks side
+    // is past the planner's broadcast threshold (the same criterion the
+    // planner uses): under it the joins are broadcast and exchange-free,
+    // and the repartition would ADD a shuffle round (measured +0.2 s at
+    // sf0.1). Scale-safe: p tracks the cluster, the criterion is the
+    // planner's own, and past gate SF the exchange already existed.
+    val j2in =
+      if (!verifyWidthPin(base)) j1
+      else j1.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("id_b"))
+    j2in
       .join(base.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
@@ -154,9 +202,15 @@ object Dedup {
     val cands = baseBands.join(incBands, Seq("band_idx", "band_key"))
       .filter(col("base_id") =!= col("new_id"))
       .select("base_id", "new_id").distinct()
-    cands
+    val j1 = cands
       .join(basePrep.select(col(idCol).as("base_id"), col("toks").as("toks_a")),
         "base_id")
+    // same verify-width pin as minhashNearDups (see note there)
+    val j2in =
+      if (!verifyWidthPin(incPrep)) j1
+      else j1.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, col("new_id"))
+    j2in
       .join(incPrep.select(col(idCol).as("new_id"), col("toks").as("toks_b")),
         "new_id")
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
@@ -205,7 +259,26 @@ object Dedup {
     // every DISK_ONLY checkpoint and chunk pass of the machinery below
     // (38 jobs/rep, overhead-dominated). The shingle pass stays on the
     // scan's own width; at real scale the input is already wide.
-    val sets = df.select(col(idCol),
+    //
+    // r17 (spark.graft.containspread, default on; off = the r16 plan for
+    // interleaved A/B): the r16 event logs show the three FAT stages all
+    // run on ONE task — not because the scan is narrow but because AQE
+    // coalesces their shuffle reads BY BYTES (pair/prefix rows are a few
+    // MB) while the stages are CPU-bound (shingle arrays, rank window,
+    // sorted-intersect verify). Keyed `repartition(p, cols)` pins those
+    // three exchanges at defaultParallelism: REPARTITION_BY_NUM is
+    // exempt from AQE coalescing, the keys are real (deterministic under
+    // retry), and p tracks the session — no local constant. The r16
+    // loss mechanism (width propagating through EVERY pass) does not
+    // recur: each repartition sits where an Exchange already was.
+    val spreadP =
+      if (spark.conf.get("spark.graft.containspread", "on") == "off") 0
+      else spark.sparkContext.defaultParallelism
+    val setsIn =
+      if (spreadP > 0)
+        graft.Tables.spread(df.select(col(idCol), col(textCol)), idCol)
+      else df
+    val sets = setsIn.select(col(idCol),
         graft.functions.VectorExpressions
           .distinct_shingles(col(textCol), shingleN, sorted = true)
           .as("toks"))
@@ -214,7 +287,9 @@ object Dedup {
     val freq = tok.groupBy("t").agg(count(lit(1)).cast("bigint").as("df"))
     // the rank window runs ONCE (checkpointed — docs x prefix rows, tiny
     // next to the corpus); bands filter the materialized prefix table
-    val prefAll = tok.join(freq, Seq("t"))
+    val prefIn = tok.join(freq, Seq("t"))
+    val prefAll = (if (spreadP > 0) prefIn.repartition(spreadP, col(idCol))
+      else prefIn)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("t").asc)))
       .filter(col("rn") <= prefix)
@@ -293,10 +368,17 @@ object Dedup {
       val probe =
         if (kChunks == 1) prefAll
         else prefAll.filter(pmod(hash(col("id_a")), lit(kChunks)) === k)
-      probe.select("id_a", "t")
+      val raw = probe.select("id_a", "t")
         .join(tokB, Seq("t"))
         .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b")
+      // pin the pair dedup + verify width (see spreadP note above): the
+      // repartition replaces the exchange `distinct` would add anyway —
+      // same shuffle, but AQE cannot coalesce the CPU-bound verify side
+      // down to one task on byte estimates
+      (if (spreadP > 0)
+        raw.repartition(spreadP, col("id_a"), col("id_b"))
+      else raw).distinct()
     }
     def stratum(suffix: String, modulo: Int, chunk: Int): DataFrame = {
       val base =

@@ -89,6 +89,112 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Squared L2 distance of two numeric-array columns (float or double
+    * elements) in double precision. Bit-equal to
+    * `aggregate(zip_with(a, b, (x,y) => (double(x)-double(y)) *
+    * (double(x)-double(y))), 0.0, _+_)` — the same sequential left fold
+    * in the same IEEE order, without the per-element boxing of the
+    * interpreted HOF chain (opt brief rule 4: codegen the hot path; this
+    * is the PQ kernel, evaluated corpus × m × k times in
+    * encode/refine/ADC).
+    */
+  case class VecSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => sys.error(s"VecSqDist: unsupported input type $other")
+    }
+    @transient private lazy val leftFloat = isFloat(left)
+    @transient private lazy val rightFloat = isFloat(right)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("vsdN")
+        val s = ctx.freshName("vsdS")
+        val i = ctx.freshName("vsdI")
+        val d = ctx.freshName("vsdD")
+        def get(arr: String, float: Boolean): String =
+          if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${get(a, leftFloat)} - ${get(b, rightFloat)};
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Unit-vector difference of two `array<float>` columns in double:
+    * `out[i] = x[i]/‖x‖ − y[i]/‖y‖`. Bit-equal to
+    * `zip_with(x, y, (a,b) => double(a)/norm(x) − double(b)/norm(y))`
+    * with `norm = sqrt(FloatVecDot(v,v))` — same sequential-fold norms,
+    * same per-element IEEE ops — but the norms are computed ONCE per row
+    * instead of once per ELEMENT (the interpreted lambda re-evaluates the
+    * embedded norm subtree per element: O(dims²) boxed flops per row in
+    * the residual-encoding hot path).
+    */
+  case class FloatVecUnitDiff(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      // norms fold over each vector's FULL length (the declarative form's
+      // norm(x) sees the whole column, not the zipped prefix)
+      var sx = 0.0
+      var sy = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        sx += x.getFloat(i).toDouble * x.getFloat(i).toDouble
+        i += 1
+      }
+      i = 0
+      while (i < y.numElements()) {
+        sy += y.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      val nx = math.sqrt(sx)
+      val ny = math.sqrt(sy)
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = x.getFloat(i).toDouble / nx - y.getFloat(i).toDouble / ny
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Intersection size of two SORTED distinct `array<string>` columns via
     * a merge walk — O(n+m), no per-call hash set. Equal to
     * `size(array_intersect(a, b))` when both inputs are sorted distinct.
@@ -606,15 +712,100 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Bottom-k multiset of a LONG column as a bounded imperative aggregate
+    * (r17, the td66 sketch phase): partial aggregation keeps at most `k`
+    * values per group per map task, so the shuffle carries ≤ groups×k×
+    * partitions longs instead of the full exploded stream, and no sort of
+    * that stream ever happens. Result-equal to the two-phase row_number
+    * window chain it replaces: the bottom-k MULTISET of h values is
+    * uniquely determined by the input multiset (ties at the boundary have
+    * EQUAL h, so which row survives cannot change the kept values), and
+    * the output array is sorted ascending. Memory is O(k) per group per
+    * task — a max-heap of longs, never the group's rows.
+    */
+  case class BottomKLongs(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    require(k >= 1, s"k must be >= 1: $k")
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+      new java.util.PriorityQueue[java.lang.Long](
+        k + 1, java.util.Collections.reverseOrder[java.lang.Long]())
+
+    private def add(buf: java.util.PriorityQueue[java.lang.Long], x: Long): Unit =
+      if (buf.size < k) buf.add(x)
+      else if (x < buf.peek()) { buf.poll(); buf.add(x) }
+
+    override def update(buf: java.util.PriorityQueue[java.lang.Long],
+        input: InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(buf: java.util.PriorityQueue[java.lang.Long],
+        other: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+      val it = other.iterator()
+      while (it.hasNext) add(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[java.lang.Long]): Any = {
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { add(buf, bb.getLong); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(offset: Int): BottomKLongs =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): BottomKLongs =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column wrappers ------------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def bottom_k_longs(c: Column, k: Int): Column =
+    column(BottomKLongs(expression(c), k).toAggregateExpression())
 
   def hyperplane_buckets(emb: Column, tables: Int, bits: Int, dims: Int): Column =
     column(HyperplaneBuckets(expression(emb), tables, bits, dims))
 
   def float_vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
+
+  def vec_sqdist(a: Column, b: Column): Column =
+    column(VecSqDist(expression(a), expression(b)))
+
+  def float_vec_unit_diff(a: Column, b: Column): Column =
+    column(FloatVecUnitDiff(expression(a), expression(b)))
 
   def sorted_intersect_size(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))

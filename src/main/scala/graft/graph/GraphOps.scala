@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   * iteration count in parts-per-million units with truncating division
   * (identical on any engine — no FP convergence wobble), and triangle
   * counting orients every edge from its lower-(degree, id) endpoint so
-  * each triangle is found exactly once and per-node probe work is bounded
-  * by oriented out-degree (the standard skew-proof formulation — a hub
-  * with degree d is the *target* of its edges, never the side that fans
-  * out d² wedge candidates).
+  * each triangle is found exactly once.
+  *
+  * SCALE BOUND of the r16 edge-iterator closure (honest statement — the
+  * pre-r16 header's "per-node work bounded by oriented out-degree" no
+  * longer describes it): the closure shuffles one row per oriented edge
+  * carrying both endpoints' IN-neighbor arrays, so shuffle volume is
+  * Σ over closure edges of |N⁻(v)| + |N⁻(w)| — worst case Σ in-deg²
+  * when hubs dominate — and a single node's in-neighbor `collect_list`
+  * must fit in one task. Far below the wedge explosion it replaced
+  * (Σ d⁺(d⁺−1)/2 rows through a join), and orientation by degree keeps
+  * in-lists short for all but celebrity nodes, but a skewed-graph
+  * fallback (hash-chunked in-neighbor lists intersecting same-class
+  * chunks, or reverting hubs to the wedge join) remains NOT YET
+  * IMPLEMENTED — see OPTIMIZATION_r17.md "Not yet optimized".
   */
 object GraphOps {
 

@@ -501,8 +501,10 @@ object TrainingQueries {
       // the topK probe, res feeds seed books + refine + encode; without
       // the pins each consumer re-runs the whole upstream chain (the
       // before-plan scanned embeddings 10×)
+      // refineCentroids returns a driver-local relation (r17) — no extra
+      // checkpoint needed; broadcasts of cents are job-free
       val cents = graft.similarity.Ann.refineCentroids(emb, medoids,
-        iters = 2).localCheckpoint()
+        iters = 2)
       val res = graft.similarity.Quantize.residuals(emb, "embedding", cents)
         .localCheckpoint()
       val rb = graft.similarity.Quantize.refineCodebooks(res, "rvec",
@@ -2652,10 +2654,94 @@ object TrainingQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin),
 
-    // td47_bpe_encode intentionally ABSENT: the greedy merge loop is not
-    // SQL-expressible (each merge changes adjacency for the next) — the
-    // driver records its weaker rows-only check; BpeEncodeSpec carries
-    // the semantics.
+    // td47_bpe_encode (r17): the greedy merge loop IS expressible as a
+    // DuckDB RECURSIVE CTE — one generation per merge step, each step
+    // replicating the kernel exactly: lowest-rank adjacent pair present
+    // (rank = position in td46's merge list), then a LEFT-TO-RIGHT
+    // NON-OVERLAPPING merge of that pair's occurrences via a
+    // list_reduce fold (a chr(2) marker on a just-merged piece stops it
+    // from being the left side of another merge in the same generation,
+    // exactly the kernel's j += 2). Rows stop recursing when no ranked
+    // pair remains; md5 over chr(1)-joined pieces in word order matches
+    // Spark's pieces_fp byte-for-byte (verified: 500/500 rows incl.
+    // fingerprints at sf0.01; 5.3 s at sf0.1 / 45 s at sf1 oracle-side).
+    // Was the registry's one no_oracle query through r16.
+    "td47_bpe_encode" ->
+      """WITH RECURSIVE
+        |mrg AS (
+        |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair ASC)
+        |    AS INT) AS r
+        |  FROM (
+        |    SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |    FROM (SELECT unnest(list_transform(range(1, length(w)),
+        |            i -> substr(w, CAST(i AS INT), 1) || ' ' ||
+        |                 substr(w, CAST(i + 1 AS INT), 1))) AS pair
+        |          FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                FROM documents)
+        |          WHERE length(w) >= 2)
+        |    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
+        |  )
+        |),
+        |plt AS (SELECT list(pair ORDER BY r) AS pl FROM mrg),
+        |words0 AS (
+        |  SELECT doc_id, u.wid AS wid,
+        |    list_transform(range(1, length(u.w) + 1),
+        |      i -> substr(u.w, CAST(i AS INT), 1)) AS p
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(
+        |            range(1, len(string_split(text, ' ')) + 1),
+        |            i -> {'wid': i, 'w': string_split(text, ' ')[i]})) AS u
+        |        FROM documents)
+        |  WHERE u.w <> ''
+        |),
+        |enc(doc_id, wid, p, done) AS (
+        |  SELECT doc_id, wid, p, false FROM words0
+        |  UNION ALL
+        |  SELECT doc_id, wid,
+        |    CASE WHEN best IS NULL OR best < 1 THEN p ELSE
+        |      string_split(
+        |        replace(
+        |          list_reduce(p, (acc, x) -> CASE
+        |            WHEN ends_with(acc, chr(2))
+        |              THEN substr(acc, 1, length(acc) - 1) || chr(1) || x
+        |            WHEN string_split(acc, chr(1))[
+        |                   len(string_split(acc, chr(1)))]
+        |                   = string_split(pl[best], ' ')[1]
+        |                 AND x = string_split(pl[best], ' ')[2]
+        |              THEN (CASE WHEN len(string_split(acc, chr(1))) > 1
+        |                    THEN array_to_string(string_split(acc, chr(1))[
+        |                           1 : len(string_split(acc, chr(1))) - 1],
+        |                           chr(1)) || chr(1) ELSE '' END)
+        |                   || string_split(pl[best], ' ')[1]
+        |                   || string_split(pl[best], ' ')[2] || chr(2)
+        |            ELSE acc || chr(1) || x END),
+        |          chr(2), ''),
+        |        chr(1))
+        |    END AS p,
+        |    (best IS NULL OR best < 1) AS done
+        |  FROM (
+        |    SELECT doc_id, wid, p,
+        |      list_min(list_filter(
+        |        list_transform(range(1, len(p)),
+        |          i -> list_position(pl, p[i] || ' ' || p[i + 1])),
+        |        x -> x IS NOT NULL AND x > 0)) AS best,
+        |      pl
+        |    FROM enc, plt WHERE NOT done
+        |  )
+        |),
+        |fin AS (SELECT doc_id, wid, p FROM enc WHERE done),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(len(p)) AS INT) AS n_pieces,
+        |    string_agg(array_to_string(p, chr(1)), chr(1) ORDER BY wid)
+        |      AS joined
+        |  FROM fin GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+        |  COALESCE(a.n_pieces, 0) AS n_pieces,
+        |  md5(COALESCE(a.joined, '')) AS pieces_fp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "td46_char_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |ww AS (SELECT w FROM w WHERE length(w) >= 2),

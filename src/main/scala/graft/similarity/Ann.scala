@@ -30,6 +30,27 @@ object Ann {
   /** L2 norm. */
   def norm(x: Column): Column = sqrt(dot(x, x))
 
+  /** Pin a METADATA-sized relation (centroids, codebooks — rows bounded by
+    * model parameters k/m, never by corpus size) as a driver-local
+    * relation. Every downstream `broadcast()` then builds from a
+    * LocalTableScan — no Spark job, no re-execution of the aggregation
+    * subtree per consumer (opt guide §5 "don't recompute a subtree per
+    * consumer" / §2.4 "remove actions outright"). `localCheckpoint` kept
+    * the plan flat but still cost one broadcast-build job per consumer;
+    * the r16 event logs put the deep IVF-PQ chains at 38-41 jobs/rep,
+    * nearly all sub-second single-task broadcast builds. Values
+    * round-trip exactly (Row collect → createDataFrame, same schema).
+    */
+  private[graft] def localPin(df: DataFrame): DataFrame = {
+    // A/B toggle (graft.AbConf spark.graft.localpin on/off): "off" is the
+    // pre-r17 plan (localCheckpoint pin), so both arms interleave in one
+    // JVM and host-load noise cannot masquerade as a delta
+    if (df.sparkSession.conf.get("spark.graft.localpin", "on") == "off")
+      return df.localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toList.asJava, df.schema)
+  }
+
   /** Cosine similarity of two float-array columns, computed in double.
     * For pairwise workloads prefer precomputing per-row norms (see
     * [[bruteForceTopK]]) — recomputing norms per pair triples the HOF work.
@@ -310,7 +331,10 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("pv"))
         .select(col("centroid_id"),
           transform(col("pv"), p => p.getField("val")).as("cent_emb"))
-        .localCheckpoint()
+      // localPin, not localCheckpoint (r17): the k-row centroid table is
+      // metadata-sized; as a local relation every downstream broadcast
+      // build is job-free instead of one job per consumer
+      cents = localPin(cents)
     }
     cents
   }

@@ -33,11 +33,14 @@ for line in open(path):
         si = e["Stage Info"]
         sub = si.get("Submission Time")
         comp = si.get("Completion Time")
-        stages[si["Stage ID"]] = {
+        # merge, don't replace: TaskEnd events precede StageCompleted in
+        # the log and have already accumulated task_durs for this stage
+        st = stages.setdefault(si["Stage ID"], {})
+        st.update({
             "name": si.get("Stage Name", "")[:70],
             "dur": (comp - sub) / 1000.0 if sub and comp else 0.0,
             "tasks": si.get("Number of Tasks", 0),
-        }
+        })
     elif k == "SparkListenerTaskEnd":
         sid = e["Stage ID"]
         st = stages.setdefault(sid, {"name": "?", "dur": 0.0, "tasks": 0})
@@ -51,9 +54,9 @@ for jid, j in sorted(jobs.items(), key=lambda x: -x[1].get("dur", 0))[:top]:
     print(f"job {jid:4d} {j.get('dur', 0):7.2f}s  stages={j['stages']}  "
           f"{j['desc']}")
 print(f"\n== slowest stages ==")
-for sid, s in sorted(stages.items(), key=lambda x: -x[1]["dur"])[:top]:
+for sid, s in sorted(stages.items(), key=lambda x: -x[1].get("dur", 0))[:top]:
     durs = sorted(s.get("task_durs", []))
     mx = durs[-1] if durs else 0
     md = durs[len(durs) // 2] if durs else 0
-    print(f"stage {sid:4d} {s['dur']:7.2f}s tasks={s['tasks']:4d} "
-          f"taskmax={mx:6.2f}s taskmed={md:6.2f}s  {s['name']}")
+    print(f"stage {sid:4d} {s.get('dur', 0):7.2f}s tasks={s.get('tasks', 0):4d} "
+          f"taskmax={mx:6.2f}s taskmed={md:6.2f}s  {s.get('name', '?')}")
